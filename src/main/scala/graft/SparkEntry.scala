@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — the judged query surface (SURVEY.md §2, §7).
+  *
+  * Every named query maps a (SparkSession, fixtureDir) pair to a DataFrame;
+  * `oracleSql` carries the DuckDB-equivalent SQL for the driver's hash
+  * compare. Queries are grouped by SURVEY.md milestone in the objects under
+  * `graft.queries`.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  private def modules: Seq[(Seq[(String, (SparkSession, String) => DataFrame)], Seq[(String, String)])] =
+    Seq(
+      (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracles))
+
+  /** One entry per implemented operator from SURVEY.md §2 (insertion-ordered
+    * so Verify/Bench output is stable).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ListMap(modules.flatMap(_._1): _*)
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted for ops whose semantics DuckDB cannot
+    * reproduce (custom hash functions etc.) → driver records rows-only.
+    */
+  def oracleSql: Map[String, String] =
+    ListMap(modules.flatMap(_._2): _*)
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated fixture tables (TESTDATA.md) plus derived
+  * package-metadata views.
+  *
+  * The reference, tinyrange/pkg2, is a package-metadata engine
+  * (`/root/reference/README.md:1`): a uniform, queryable database of package
+  * records with depends/provides relationship lists and a fetch-then-cache
+  * ingest layer (`/root/reference/.vscode/settings.json:9`). The snapshot
+  * carries no code, so the `packages`/`depends` views here are deterministic
+  * synthetic derivations over the `part` fixture shaped like the reference's
+  * record model (SURVEY.md §1.1, §7 M2). Every derivation below is pure
+  * integer/string arithmetic on fixture columns so the DuckDB oracle can
+  * reproduce it exactly.
+  *
+  * Scale notes (100 TB): all loaders return plain parquet scans — predicate
+  * pushdown and column pruning reach the file scan untouched. No caching or
+  * collect here; derived views are narrow projections (no shuffle).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; read it as raw nanos (legacy conf) and truncate to micros as
+    * TIMESTAMP_NTZ — exactly what DuckDB's `CAST(ts AS TIMESTAMP)` does, so
+    * oracle parity holds. Integer `div` (not `/`) — ns epoch values overflow
+    * a double's 53-bit mantissa.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  }
+
+  /** Number of distinct synthetic package names. Small enough that every
+    * name gets several versions even at sf0.001 (200 parts), large enough to
+    * make latest-version / closure queries non-trivial.
+    */
+  val PackageNameCount = 60
+
+  /** Derived package-record view (one row per package *version*), the moral
+    * equivalent of pkg2's parsed APKINDEX/Packages/primary.xml records:
+    * (name, version, arch, provides) keyed by the originating p_partkey.
+    * Version segments are pure modular arithmetic on p_partkey so that
+    * numeric-aware version ordering (1.10 > 1.9) is exercised and the oracle
+    * can reproduce the derivation in SQL.
+    */
+  def packages(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir).select(
+      col("p_partkey").as("pkg_id"),
+      concat(lit("pkg-"), lpad(pmod(col("p_partkey"), lit(PackageNameCount)).cast("string"), 2, "0")).as("name"),
+      concat(
+        (pmod(col("p_partkey"), lit(4)) + 1).cast("string"), lit("."),
+        pmod(col("p_partkey") * 7, lit(13)).cast("string"), lit("."),
+        pmod(col("p_partkey") * 13, lit(7)).cast("string"), lit("-r"),
+        (pmod(col("p_partkey"), lit(5)) + 1).cast("string")).as("version"),
+      when(pmod(col("p_partkey"), lit(2)) === 0, "x86_64").otherwise("aarch64").as("arch"),
+      col("p_size").as("size_mb"),
+      col("p_retailprice").as("build_cost"))
+
+  /** Dependency edges between package *names*: name i depends on names
+    * (i*7+3) mod N and (i*3+11) mod N (two out-edges per name, cycles
+    * guaranteed — closure must be cycle-safe). Derived from the distinct
+    * name set so the edge list is identical at every scale factor tier.
+    */
+  def dependsEdges(spark: SparkSession, dir: String): DataFrame = {
+    val nm = packages(spark, dir).select(
+      pmod(col("pkg_id"), lit(PackageNameCount)).cast("int").as("i")).distinct()
+    def pkgName(c: org.apache.spark.sql.Column) =
+      concat(lit("pkg-"), lpad(c.cast("string"), 2, "0"))
+    nm.select(
+        pkgName(col("i")).as("name"),
+        array(
+          pkgName(pmod(col("i") * 7 + 3, lit(PackageNameCount))),
+          pkgName(pmod(col("i") * 3 + 11, lit(PackageNameCount)))).as("depends"))
+      .select(col("name"), explode(col("depends")).as("dep"))
+      .distinct()
+  }
+}
