@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Event-time analytics (SURVEY.md §2.5 W2–W5, §2.9 T1–T3, J9; §7 M3).
+  *
+  * The reference has no streaming engine — ingestion is periodic
+  * fetch-then-cache (`/root/reference/.vscode/settings.json:9`); this module
+  * is the driver-mandated event-time extension surface. Every query is
+  * expressed so the identical transform works under Structured Streaming
+  * (`readStream` + watermark): tumbling/sliding `window()`, `session_window`
+  * semantics via the lag+cumsum pattern (DuckDB-comparable), and the as-of
+  * join as a union+window (single shuffle by key — the streaming-safe form).
+  *
+  * Scale notes (100 TB): every query shuffles at most once, on the natural
+  * key (window bucket or user_id). Sessionization and as-of are window
+  * functions over `partitionBy(user_id)` — no self-join, no NLJ; the
+  * sliding-window fan-out is a 4× explode BEFORE the aggregation so partial
+  * aggregation still applies. `events.ts` arrives as ns → Tables.events
+  * normalizes to TIMESTAMP_NTZ micros exactly like the oracle's CAST.
+  */
+object Events {
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Seq[(String, QFn)] = Seq(
+    // T1 tumbling window aggregate (streaming-ready shape).
+    "q20_hourly_event_stats" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"),
+          countDistinct("user_id").as("n_users"))
+        .select(col("w.start").as("hour_start"), col("event_type"),
+          col("n_events"), col("total_value"), col("n_users"))
+        .orderBy("hour_start", "event_type")
+    },
+
+    // T2 sliding window (1h window, 15m slide → each event in 4 windows).
+    "q21_sliding_window_load" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        // fixture values are exact 2-decimal doubles, so averages often sit
+        // exactly on round() half-boundaries where Spark (BigDecimal HALF_UP)
+        // and DuckDB (binary) disagree. Exact decimal sum → one IEEE double
+        // division, NO rounding: bit-identical on both engines.
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("value").cast("decimal(28,2)")).cast("double") / count(lit(1))).as("avg_value"))
+        .select(col("w.start").as("win_start"), col("n_events"), col("avg_value"))
+        .orderBy("win_start")
+    },
+
+    // W5/T3 sessionization: 30-min-gap sessions via lag + cumulative flag —
+    // the batch-equivalent of session_window (kept in the W5 form so the
+    // DuckDB oracle can reproduce it with standard window functions).
+    "q22_user_sessions" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sessions = Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("prev_us", lag("us", 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+        .withColumn("sess_id", sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      sessions
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("sess_start"),
+          max("ts").as("sess_end"),
+          (max(col("us")) - min(col("us"))).as("duration_us"),
+          round(sum("value"), 2).as("total_value"))
+        .withColumn("sess_id", col("sess_id").cast("int"))
+        .orderBy("user_id", "sess_id")
+    },
+
+    // J9 as-of join, streaming-safe union+window form: for each purchase,
+    // the most recent view (ts <= purchase ts) by the same user. One
+    // shuffle on user_id — no range self-join, no NLJ (scales to 100 TB;
+    // DuckDB mirrors with native ASOF JOIN).
+    "q23_purchase_asof_view" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val tagged = ev.filter(col("event_type").isin("view", "purchase"))
+        .withColumn("is_purchase", when(col("event_type") === "purchase", 1).otherwise(0))
+      // views sort before purchases at equal ts → ASOF's v.ts <= p.ts tie rule.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("is_purchase"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      tagged
+        .withColumn("last_view_ts",
+          last(when(col("is_purchase") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("is_purchase") === 1 && col("last_view_ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+          col("last_view_ts"),
+          (unix_micros(col("ts").cast("timestamp")) - unix_micros(col("last_view_ts").cast("timestamp"))).as("view_to_buy_us"))
+        .orderBy("event_id")
+    },
+
+    // W2 lag/lead — inter-event gap stats per event type.
+    "q24_inter_event_gaps" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(byUser))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg("gap_us"), 2).as("avg_gap_us"),
+          max("gap_us").as("max_gap_us"))
+        .orderBy("event_type")
+    },
+
+    // W3 frame spec — running total of purchase value per user over time.
+    "q25_running_user_spend" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(sum("value").over(byUser), 2).as("cum_spend"),
+          count(lit(1)).over(byUser).cast("int").as("purchase_seq"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+
+    // §2.8 JSON — extract props.k, bucket stats (get_json_object path).
+    "q26_props_json_stats" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .filter(col("k").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          round(avg("k"), 3).as("avg_k"))
+        .orderBy("event_type")
+    },
+
+    // Pivot — daily event counts, one column per event type.
+    "q27_daily_type_pivot" -> { (s, dir) =>
+      Tables.events(s, dir)
+        // date_trunc (timestamp), not to_date: parquet DATE arrives as a
+        // python object in the compare while DuckDB DATEs arrive datetime64.
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("day")
+    },
+
+    // §2.8 date family — day-of-week × hour activity heatmap.
+    "q28_dow_hour_heatmap" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
+        .orderBy("dow", "hr")
+    })
+
+  /** DuckDB reads events.ts as TIMESTAMP_NS; CAST to TIMESTAMP matches
+    * Tables.events' micros truncation. epoch() on the cast value = Spark's
+    * `cast(ts as long)` under the UTC session.
+    */
+  val oracles: Seq[(String, String)] = Seq(
+    "q20_hourly_event_stats" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
+        | count(*) AS n_events, round(sum(value),2) AS total_value,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q21_sliding_window_load" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events)
+        |SELECT make_timestamp((us // 900000000) * 900000000 - k * 900000000) AS win_start,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_value
+        |FROM e CROSS JOIN range(4) r(k)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q22_user_sessions" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        | FROM flagged)
+        |SELECT user_id, CAST(sess_id AS INTEGER) AS sess_id, count(*) AS n_events,
+        | min(CAST(ts AS TIMESTAMP)) AS sess_start, max(CAST(ts AS TIMESTAMP)) AS sess_end,
+        | epoch_us(max(CAST(ts AS TIMESTAMP))) - epoch_us(min(CAST(ts AS TIMESTAMP))) AS duration_us,
+        | round(sum(value),2) AS total_value
+        |FROM sess
+        |GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin,
+
+    "q23_purchase_asof_view" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        | CAST(v.ts AS TIMESTAMP) AS last_view_ts,
+        | epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) AS view_to_buy_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'view') v
+        | ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q24_inter_event_gaps" ->
+      """WITH g AS (
+        | SELECT event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)) AS gap_us
+        | FROM events)
+        |SELECT event_type, count(*) AS n, round(avg(gap_us),2) AS avg_gap_us,
+        | max(gap_us) AS max_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q25_running_user_spend" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        | round(sum(value) OVER w, 2) AS cum_spend,
+        | CAST(count(*) OVER w AS INTEGER) AS purchase_seq
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q26_props_json_stats" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(regexp_extract(props, '"k": *(-?\d+)', 1) AS INTEGER) AS k FROM events)
+        |SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+        | round(avg(k),3) AS avg_k
+        |FROM e WHERE k IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q27_daily_type_pivot" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'error') AS error,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'signup') AS signup,
+        | count(*) FILTER (event_type = 'view') AS view
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q28_dow_hour_heatmap" ->
+      """SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INTEGER) AS dow,
+        | CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hr,
+        | count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)
+}
