@@ -19,7 +19,8 @@ object SparkEntry {
   private def modules: Seq[(Seq[(String, (SparkSession, String) => DataFrame)], Seq[(String, String)])] =
     Seq(
       (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracles),
-      (_root_.graft.queries.Events.queries, _root_.graft.queries.Events.oracles))
+      (_root_.graft.queries.Events.queries, _root_.graft.queries.Events.oracles),
+      (_root_.graft.queries.Packages.queries, _root_.graft.queries.Packages.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2 (insertion-ordered
     * so Verify/Bench output is stable).

@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Package-metadata semantics (SURVEY.md §1.1, §2.2 P5, §2.3 J6/J7, §2.4 A5,
+  * §7 M2) — the reference's distinctive layer: version-ordered records,
+  * dependency resolution, transitive closure, orphan detection, and the
+  * key-value index-parsing shape of its ingest path (APKINDEX-style
+  * stanzas, `/root/reference/README.md:1`; fetch-then-cache evidence
+  * `/root/reference/.vscode/settings.json:9`).
+  *
+  * Version ordering runs through the custom Catalyst expressions
+  * `version_compare` / `version_sort_key` (graft.functions) — the sort-key
+  * form keeps ordering native (shuffle/sort on a plain string key) instead
+  * of a comparator UDF, which is what survives a 100 TB sort. The fixture
+  * versions are derived arithmetically from `p_partkey` (Tables.packages),
+  * so the DuckDB oracle reproduces the SAME ordering from parsed numeric
+  * segments — the custom expression is judged against an independent
+  * derivation, not against itself.
+  *
+  * Scale notes: closure (q33) is the one driver-side loop in the engine
+  * (SURVEY.md §3.1): per-iteration `localCheckpoint` cuts lineage, the
+  * frontier is deduplicated by min-depth before the next join, and edges
+  * are cached once — the standard distributed-BFS shape.
+  */
+object Packages {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Shared DuckDB derivation of the packages view (mirrors Tables.packages
+    * exactly; `%` == pmod for the positive p_partkey domain).
+    */
+  private val PkgCte =
+    """pkg AS (
+      | SELECT p_partkey AS pkg_id,
+      |  'pkg-' || lpad(CAST(p_partkey % 60 AS VARCHAR), 2, '0') AS name,
+      |  CAST(p_partkey % 4 + 1 AS VARCHAR) || '.' || CAST((p_partkey*7) % 13 AS VARCHAR)
+      |    || '.' || CAST((p_partkey*13) % 7 AS VARCHAR) || '-r' || CAST(p_partkey % 5 + 1 AS VARCHAR) AS version,
+      |  CASE WHEN p_partkey % 2 = 0 THEN 'x86_64' ELSE 'aarch64' END AS arch,
+      |  p_partkey % 4 + 1 AS vmaj, (p_partkey*7) % 13 AS vmin,
+      |  (p_partkey*13) % 7 AS vpat, p_partkey % 5 + 1 AS vrel
+      | FROM part)""".stripMargin
+
+  /** DuckDB derivation of the depends edges (mirrors Tables.dependsEdges). */
+  private val EdgeCte =
+    """idx AS (SELECT DISTINCT p_partkey % 60 AS i FROM part),
+      |ed AS (
+      | SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name,
+      |        'pkg-' || lpad(CAST((i*7 + 3) % 60 AS VARCHAR), 2, '0') AS dep FROM idx
+      | UNION
+      | SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name,
+      |        'pkg-' || lpad(CAST((i*3 + 11) % 60 AS VARCHAR), 2, '0') AS dep FROM idx)""".stripMargin
+
+  val queries: Seq[(String, QFn)] = Seq(
+    // A5/W1 + custom expression — latest version per package name.
+    "q30_latest_package_version" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      Tables.packages(s, dir)
+        .groupBy("name")
+        .agg(
+          expr("max_by(version, version_sort_key(version))").as("latest_version"),
+          countDistinct("version").as("n_versions"),
+          count(lit(1)).as("n_records"))
+        .orderBy("name")
+    },
+
+    // P5 constraint predicate + A5 per group — versions satisfying >= 2.6.0-r1.
+    "q31_version_constraint_stats" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      Tables.packages(s, dir)
+        .groupBy("arch")
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(expr("version_compare(version, '2.6.0-r1')") >= 0, 1L).otherwise(0L)).as("n_satisfying"),
+          expr("max_by(version, version_sort_key(version))").as("max_version"),
+          expr("min_by(version, version_sort_key(version))").as("min_version"))
+        .orderBy("arch")
+    },
+
+    // J6 dependency resolution with a version constraint: a dep resolves iff
+    // some version of the target >= 2.0.0 exists.
+    "q32_depends_resolution" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      val resolvable = Tables.packages(s, dir)
+        .filter(expr("version_compare(version, '2.0.0-r0')") >= 0)
+        .select(col("name").as("dep")).distinct()
+      Tables.dependsEdges(s, dir)
+        .join(resolvable, Seq("dep"), "left_semi")
+        .groupBy("name")
+        .agg(count(lit(1)).as("n_resolved"))
+        .orderBy("name")
+    },
+
+    // J7 transitive dependency closure — BFS from pkg-00 with min-depth
+    // dedup, cycle-safe (edges are cyclic by construction), lineage cut per
+    // iteration. The one intentional driver-side loop in the engine.
+    "q33_dependency_closure" -> { (s, dir) =>
+      import s.implicits._
+      val edges = Tables.dependsEdges(s, dir).cache()
+      var visited = Seq(("pkg-00", 0)).toDF("name", "depth")
+      var frontier = visited
+      var iter = 0
+      while (iter < 64 && !frontier.isEmpty) {
+        val next = frontier.join(edges, "name")
+          .select(col("dep").as("name"), (col("depth") + 1).as("depth"))
+          .groupBy("name").agg(min("depth").as("depth"))
+        frontier = next.join(visited.select("name"), Seq("name"), "left_anti")
+          .localCheckpoint()
+        visited = visited.unionByName(frontier).localCheckpoint()
+        iter += 1
+      }
+      edges.unpersist()
+      visited.select(col("name"), col("depth").cast("int").as("depth")).orderBy("name")
+    },
+
+    // J5 anti-join — orphan packages: names nothing depends on.
+    "q34_orphan_packages" -> { (s, dir) =>
+      Tables.packages(s, dir)
+        .join(Tables.dependsEdges(s, dir).select(col("dep").as("name")).distinct(),
+          Seq("name"), "left_anti")
+        .groupBy("name")
+        .agg(countDistinct("version").as("n_versions"), count(lit(1)).as("n_records"))
+        .orderBy("name")
+    },
+
+    // S4 ingest shape — render APKINDEX-style K:V stanzas and parse them
+    // back with regexp extraction (the reference's index-parse path as
+    // relational expressions; the same expressions run over
+    // spark.read.text of a real index dump).
+    "q35_kv_stanza_roundtrip" -> { (s, dir) =>
+      val stanza = Tables.packages(s, dir).select(
+        concat(lit("P:"), col("name"), lit("\n"),
+          lit("V:"), col("version"), lit("\n"),
+          lit("A:"), col("arch")).as("stanza"))
+      stanza.select(
+          regexp_extract(col("stanza"), "P:([^\n]+)", 1).as("name"),
+          regexp_extract(col("stanza"), "V:([^\n]+)", 1).as("version"),
+          regexp_extract(col("stanza"), "A:([^\n]+)", 1).as("arch"))
+        .groupBy("arch")
+        .agg(countDistinct("name").as("n_names"), countDistinct("version").as("n_versions"),
+          count(lit(1)).as("n_stanzas"))
+        .orderBy("arch")
+    })
+
+  /** stripMargin runs BEFORE CTE substitution: the CTE bodies contain `||`
+    * at line starts, which a second stripMargin would corrupt.
+    */
+  private def sub(sql: String): String =
+    sql.replace("--PKG--", PkgCte).replace("--ED--", EdgeCte)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q30_latest_package_version" -> sub("""WITH --PKG--,
+        |ranked AS (
+        | SELECT name, version,
+        |  row_number() OVER (PARTITION BY name ORDER BY vmaj DESC, vmin DESC, vpat DESC, vrel DESC) AS rn
+        | FROM pkg)
+        |SELECT p.name, r.version AS latest_version,
+        | count(DISTINCT p.version) AS n_versions, count(*) AS n_records
+        |FROM pkg p JOIN ranked r ON p.name = r.name AND r.rn = 1
+        |GROUP BY p.name, r.version
+        |ORDER BY p.name""".stripMargin),
+
+    "q31_version_constraint_stats" -> sub("""WITH --PKG--,
+        |mx AS (SELECT arch, version AS max_version FROM pkg
+        |       QUALIFY row_number() OVER (PARTITION BY arch ORDER BY vmaj DESC, vmin DESC, vpat DESC, vrel DESC) = 1),
+        |mn AS (SELECT arch, version AS min_version FROM pkg
+        |       QUALIFY row_number() OVER (PARTITION BY arch ORDER BY vmaj, vmin, vpat, vrel) = 1)
+        |SELECT p.arch, count(*) AS n_total,
+        | CAST(sum(CASE WHEN (vmaj, vmin, vpat, vrel) >= (2, 6, 0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_satisfying,
+        | any_value(mx.max_version) AS max_version, any_value(mn.min_version) AS min_version
+        |FROM pkg p JOIN mx ON p.arch = mx.arch JOIN mn ON p.arch = mn.arch
+        |GROUP BY p.arch
+        |ORDER BY p.arch""".stripMargin),
+
+    "q32_depends_resolution" -> sub("""WITH --PKG--,
+        |--ED--
+        |SELECT e.name, count(*) AS n_resolved
+        |FROM ed e
+        |WHERE EXISTS (SELECT 1 FROM pkg p WHERE p.name = e.dep
+        |              AND (p.vmaj, p.vmin, p.vpat, p.vrel) >= (2, 0, 0, 0))
+        |GROUP BY e.name
+        |ORDER BY e.name""".stripMargin),
+
+    "q33_dependency_closure" -> sub("""WITH RECURSIVE --ED--,
+        |r(name, depth) AS (
+        | SELECT 'pkg-00', 0
+        | UNION
+        | SELECT ed.dep, r.depth + 1 FROM ed JOIN r ON ed.name = r.name WHERE r.depth < 60)
+        |SELECT name, CAST(min(depth) AS INTEGER) AS depth
+        |FROM r GROUP BY name ORDER BY name""".stripMargin),
+
+    "q34_orphan_packages" -> sub("""WITH --PKG--,
+        |--ED--
+        |SELECT name, count(DISTINCT version) AS n_versions, count(*) AS n_records
+        |FROM pkg
+        |WHERE name NOT IN (SELECT dep FROM ed)
+        |GROUP BY name
+        |ORDER BY name""".stripMargin),
+
+    "q35_kv_stanza_roundtrip" -> sub("""WITH --PKG--,
+        |st AS (SELECT 'P:' || name || chr(10) || 'V:' || version || chr(10) || 'A:' || arch AS stanza FROM pkg),
+        |parsed AS (SELECT regexp_extract(stanza, 'P:([^\n]+)', 1) AS name,
+        |  regexp_extract(stanza, 'V:([^\n]+)', 1) AS version,
+        |  regexp_extract(stanza, 'A:([^\n]+)', 1) AS arch FROM st)
+        |SELECT arch, count(DISTINCT name) AS n_names, count(DISTINCT version) AS n_versions,
+        | count(*) AS n_stanzas
+        |FROM parsed
+        |GROUP BY arch
+        |ORDER BY arch""".stripMargin))
+}
