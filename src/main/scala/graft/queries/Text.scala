@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis + deduplication operators over `documents` (driver north
+  * star: LLM-data-pipeline surface; SURVEY.md §7 M4).
+  *
+  * Parity discipline: every ratio is a raw IEEE division of exactly-computed
+  * integers (token counts, char counts, integer-scaled scores) — identical
+  * bits on both engines with no round() calls (round() half-cases resolve
+  * differently between Spark's BigDecimal path and DuckDB's binary path
+  * when the double isn't an exact binary half).
+  *
+  * Scale notes (100 TB): exact dedup is a hash groupBy (one shuffle on the
+  * 128-bit content fingerprint — collision-safe at any scale); near-dup is
+  * the inverted-index shingle join (shuffle on shingle, then on pair), the
+  * standard pre-LSH form whose candidate set MinHash banding (q42) bounds
+  * at scale; everything else is embarrassingly parallel projection +
+  * one aggregation. All lambdas are Catalyst higher-order functions —
+  * codegen'd, no UDFs, no serialization walls.
+  */
+object Text {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Word 3-gram shingle set (distinct) per doc — the discriminative unit
+    * for near-dup on a small-vocabulary corpus (token SETS are degenerate:
+    * every doc contains most of the 31-word vocabulary).
+    */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("explode(array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))))").as("sh"))
+
+  val queries: Seq[(String, QFn)] = Seq(
+    // Exact dedup: content-hash groupBy on normalized text.
+    "q40_exact_dedup_groups" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(lower(trim(col("text")))).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_doc"),
+          countDistinct("lang").as("n_langs"))
+        .filter(col("n_docs") > 1)
+        .orderBy("fp")
+    },
+
+    // Near-dup: 3-gram shingle Jaccard >= 0.6 via inverted-index self-join.
+    "q41_shingle_jaccard_pairs" -> { (s, dir) =>
+      val a = shingles(s, dir)
+      val b = shingles(s, dir)
+      val sizes = shingles(s, dir).groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val pairs = a.join(b, a("sh") === b("sh") && a("doc_id") < b("doc_id"))
+        .groupBy(a("doc_id").as("d1"), b("doc_id").as("d2"))
+        .agg(count(lit(1)).as("common"))
+      pairs
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+        .withColumn("jaccard", col("common") / (col("sz1") + col("sz2") - col("common")))
+        .filter(col("jaccard") >= 0.6)
+        .select("d1", "d2", "common", "sz1", "sz2", "jaccard")
+        .orderBy("d1", "d2")
+    },
+
+    // Token counting: whitespace tokens + a BPE-ish piece estimate
+    // (ceil(len/4) pieces per token), per language.
+    "q46_token_stats" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("lang"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          expr("aggregate(split(text, ' '), 0L, (acc, t) -> acc + (length(t) + 3) div 4)").as("bpe_pieces"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          sum("bpe_pieces").as("total_pieces"),
+          (sum("n_tokens") / count(lit(1))).as("avg_tokens_per_doc"),
+          (sum("n_distinct") / sum("n_tokens")).as("distinct_ratio"))
+        .orderBy("lang")
+    },
+
+    // Quality scoring: integer-scaled per-doc score (type-token ratio,
+    // mean token length, stopword share), aggregated per source.
+    "q47_quality_scores" -> { (s, dir) =>
+      val scored = Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("n_dis", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("n_stop",
+          size(expr("filter(toks, t -> t IN ('the', 'a', 'of', 'and'))")).cast("long"))
+        // integer-scaled quality: 1000*ttr + 10*avg_tok_len - 500*stop_ratio,
+        // all in exact integer arithmetic (scaled by n_tok).
+        .withColumn("q",
+          ((lit(1000L) * col("n_dis") + lit(10L) * (col("n_chars") - col("n_tok") + 1) +
+            lit(500L) * (col("n_tok") - col("n_stop"))) / col("n_tok")).cast("long"))
+      scored.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum("q") / count(lit(1))).as("avg_quality"),
+          min("q").as("min_quality"), max("q").as("max_quality"))
+        .orderBy("source")
+    },
+
+    // Language ID: stopword-marker votes with fixed priority tie-break.
+    // (The fixture corpus is same-vocabulary soup for every lang label, so
+    // the guess column demonstrates the operator, not corpus truth.)
+    "q48_language_id" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("v_en", size(expr("filter(toks, t -> t IN ('the', 'a', 'of'))")))
+        .withColumn("v_de", size(expr("filter(toks, t -> t IN ('der', 'die', 'das'))")))
+        .withColumn("v_es", size(expr("filter(toks, t -> t IN ('el', 'los', 'una'))")))
+        .withColumn("v_fr", size(expr("filter(toks, t -> t IN ('le', 'les', 'une'))")))
+        .withColumn("guess",
+          when(col("v_en") >= greatest(col("v_de"), col("v_es"), col("v_fr")) && col("v_en") > 0, "en")
+            .when(col("v_de") >= greatest(col("v_es"), col("v_fr")) && col("v_de") > 0, "de")
+            .when(col("v_es") >= col("v_fr") && col("v_es") > 0, "es")
+            .when(col("v_fr") > 0, "fr")
+            .otherwise("und"))
+        .groupBy("lang", "guess")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "guess")
+    },
+
+    // Document fingerprinting: polynomial rolling hash folded over the
+    // token stream (mod 2^31-1 each step; fits int64 throughout).
+    "q49_doc_fingerprints" -> { (s, dir) =>
+      val fp = Tables.documents(s, dir)
+        .withColumn("fp",
+          expr("aggregate(transform(split(text, ' '), t -> ascii(substring(t, 1, 1)) * 31L + length(t)), " +
+            "0L, (h, v) -> (h * 1000003L + v) % 2147483647L)"))
+      fp.groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("fp")
+    })
+
+  private val ShCte =
+    """sh AS (
+      | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
+      | FROM documents)""".stripMargin
+
+  private def sub(sql: String): String = sql.replace("--SH--", ShCte)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q40_exact_dedup_groups" ->
+      """SELECT md5(lower(trim(text))) AS fp, count(*) AS n_docs,
+        | min(doc_id) AS canonical_doc, count(DISTINCT lang) AS n_langs
+        |FROM documents
+        |GROUP BY 1
+        |HAVING count(*) > 1
+        |ORDER BY fp""".stripMargin,
+
+    "q41_shingle_jaccard_pairs" -> sub("""WITH --SH--,
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        | SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        | FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT d1, d2, common, s1.sz AS sz1, s2.sz AS sz2,
+        | common / (s1.sz + s2.sz - common) AS jaccard
+        |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE common / (s1.sz + s2.sz - common) >= 0.6
+        |ORDER BY d1, d2""".stripMargin),
+
+    "q46_token_stats" ->
+      """WITH d AS (
+        | SELECT lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ' '), t -> (length(t) + 3) // 4)),
+        |    (acc, x) -> acc + x) AS BIGINT) AS bpe_pieces
+        | FROM documents)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | CAST(sum(bpe_pieces) AS BIGINT) AS total_pieces,
+        | CAST(sum(n_tokens) AS BIGINT) / count(*) AS avg_tokens_per_doc,
+        | CAST(sum(n_distinct) AS BIGINT) / CAST(sum(n_tokens) AS BIGINT) AS distinct_ratio
+        |FROM d
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q47_quality_scores" ->
+      """WITH d AS (
+        | SELECT source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dis,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stop,
+        |  n_chars
+        | FROM documents),
+        |scored AS (
+        | SELECT source,
+        |  CAST((1000 * n_dis + 10 * (n_chars - n_tok + 1) + 500 * (n_tok - n_stop)) // n_tok AS BIGINT) AS q
+        | FROM d)
+        |SELECT source, count(*) AS n_docs, CAST(sum(q) AS BIGINT) / count(*) AS avg_quality,
+        | min(q) AS min_quality, max(q) AS max_quality
+        |FROM scored
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q48_language_id" ->
+      """WITH v AS (
+        | SELECT lang,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of'))) AS v_en,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das'))) AS v_de,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('el', 'los', 'una'))) AS v_es,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('le', 'les', 'une'))) AS v_fr
+        | FROM documents)
+        |SELECT lang,
+        | CASE WHEN v_en >= greatest(v_de, v_es, v_fr) AND v_en > 0 THEN 'en'
+        |      WHEN v_de >= greatest(v_es, v_fr) AND v_de > 0 THEN 'de'
+        |      WHEN v_es >= v_fr AND v_es > 0 THEN 'es'
+        |      WHEN v_fr > 0 THEN 'fr'
+        |      ELSE 'und' END AS guess,
+        | count(*) AS n_docs
+        |FROM v
+        |GROUP BY 1, 2
+        |ORDER BY lang, guess""".stripMargin,
+
+    "q49_doc_fingerprints" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ' '), t -> CAST(ascii(t[1]) * 31 + length(t) AS BIGINT))),
+        |   (h, v) -> (h * 1000003 + v) % 2147483647) AS fp
+        | FROM documents)
+        |SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc
+        |FROM f
+        |GROUP BY fp
+        |HAVING count(*) > 1
+        |ORDER BY fp""".stripMargin)
+}
