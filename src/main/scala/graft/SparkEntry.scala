@@ -21,7 +21,9 @@ object SparkEntry {
       (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracles),
       (_root_.graft.queries.Events.queries, _root_.graft.queries.Events.oracles),
       (_root_.graft.queries.Packages.queries, _root_.graft.queries.Packages.oracles),
-      (_root_.graft.queries.Text.queries, _root_.graft.queries.Text.oracles))
+      (_root_.graft.queries.Text.queries, _root_.graft.queries.Text.oracles),
+      (_root_.graft.queries.Dedup.queries, _root_.graft.queries.Dedup.oracles),
+      (_root_.graft.queries.Vectors.queries, _root_.graft.queries.Vectors.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2 (insertion-ordered
     * so Verify/Bench output is stable).

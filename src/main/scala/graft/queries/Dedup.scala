@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Hash-sketch deduplication: MinHash+LSH banding and SimHash (driver north
+  * star; SURVEY.md §2.4 A10, §7 M4).
+  *
+  * The hash family is md5-based (`int64(md5(x || ':' || i)[0:8])`) — chosen
+  * over xxhash64 deliberately: md5 is identical in every engine, so the
+  * DuckDB oracle reproduces the ENTIRE sketch pipeline independently
+  * (signatures, bands, candidate pairs, verification) and the queries get
+  * a full hash-compare instead of a rows-only check. All hash seeds are
+  * constants (SURVEY.md hard part #4 — determinism is what makes sketches
+  * judgeable).
+  *
+  * Scale notes (100 TB): this is the LSH shape that replaces q41's
+  * inverted-index join at scale — candidate generation is a self-join on
+  * (band, bucket) whose fan-out is controlled by band width, then exact
+  * Jaccard verification runs ONLY on candidates (a semi-join-bounded set),
+  * never on all pairs. SimHash blocking joins on a 16-bit prefix bucket —
+  * the standard bit-sliced blocking for Hamming search.
+  */
+object Dedup {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val K = 12     // minhash functions
+  private val BandRows = 3 // rows per band → 4 bands
+
+  /** doc_id → distinct word-3-gram shingles (same unit as Text.q41). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("explode(array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))))").as("sh"))
+
+  val queries: Seq[(String, QFn)] = Seq(
+    // MinHash signature → banded LSH buckets → candidate pairs → exact
+    // Jaccard verify (only over candidates).
+    "q42_minhash_lsh_pairs" -> { (s, dir) =>
+      val sh = shingles(s, dir)
+      // (doc, i, h_i(shingle)) for i in 0..K-1
+      val hashed = sh
+        .select(col("doc_id"), col("sh"),
+          expr(s"explode(sequence(0, ${K - 1}))").as("i"))
+        .withColumn("h",
+          expr("cast(conv(substring(md5(concat(sh, ':', cast(i as string))), 1, 8), 16, 10) as bigint)"))
+      val sig = hashed.groupBy("doc_id", "i").agg(min("h").as("mh"))
+      val buckets = sig
+        .withColumn("band", (col("i") / BandRows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(expr("concat_ws(',', transform(array_sort(collect_list(struct(i, mh))), p -> cast(p.mh as string)))").as("bkey"))
+      val cands = buckets.as("x").join(buckets.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_bands"))
+      // exact verification on candidates only
+      val a = shingles(s, dir).select(col("doc_id").as("d1"), col("sh"))
+      val b = shingles(s, dir).select(col("doc_id").as("d2"), col("sh"))
+      val common = cands
+        .join(a.select(col("d1"), col("sh").as("sha")), "d1")
+        .join(b.select(col("d2"), col("sh").as("shb")), "d2")
+        .filter(col("sha") === col("shb"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
+      val sizes = shingles(s, dir).groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      cands.join(common, Seq("d1", "d2"))
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+        .withColumn("jaccard", col("common") / (col("sz1") + col("sz2") - col("common")))
+        .filter(col("jaccard") >= 0.5)
+        .select("d1", "d2", "n_bands", "jaccard")
+        .orderBy("d1", "d2")
+    },
+
+    // SimHash (32-bit, over shingle hashes): exact-fingerprint dup groups
+    // plus Hamming<=4 pairs blocked on the 16-bit prefix.
+    "q43_simhash_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("hs",
+          expr("transform(array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
+            "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))), " +
+            "t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"))
+        .withColumn("simhash",
+          expr("aggregate(sequence(0, 31), 0L, (acc, j) -> acc + " +
+            "if(aggregate(hs, 0, (v, h) -> v + if((shiftright(h, j) & 1) = 1, 1, -1)) > 0, shiftleft(1L, j), 0L))"))
+        .select(col("doc_id"), col("simhash"), expr("shiftright(simhash, 16)").as("block"))
+      val x = docs.select(col("doc_id").as("d1"), col("simhash").as("s1"), col("block"))
+      val y = docs.select(col("doc_id").as("d2"), col("simhash").as("s2"), col("block").as("blk2"))
+      x.join(y, col("block") === col("blk2") && col("d1") < col("d2"))
+        .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
+        .filter(col("hamming") <= 4)
+        .select("d1", "d2", "s1", "s2", "hamming")
+        .orderBy("d1", "d2")
+    })
+
+  private val ShCte =
+    """sh AS (
+      | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
+      | FROM documents)""".stripMargin
+
+  private def sub(sql: String): String = sql.replace("--SH--", ShCte)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q42_minhash_lsh_pairs" -> sub("""WITH --SH--,
+        |hashed AS (
+        | SELECT doc_id, sh, i,
+        |  CAST(('0x' || substr(md5(sh || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        | FROM sh CROSS JOIN range(12) r(i)),
+        |sig AS (SELECT doc_id, i, min(h) AS mh FROM hashed GROUP BY doc_id, i),
+        |buckets AS (
+        | SELECT doc_id, CAST(i // 3 AS INTEGER) AS band,
+        |  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+        | FROM sig GROUP BY doc_id, CAST(i // 3 AS INTEGER)),
+        |cands AS (
+        | SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS n_bands
+        | FROM buckets x JOIN buckets y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        | GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (
+        | SELECT c.d1, c.d2, count(*) AS common
+        | FROM cands c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND a.sh = b.sh
+        | GROUP BY 1, 2)
+        |SELECT c.d1, c.d2, c.n_bands,
+        | m.common / (s1.sz + s2.sz - m.common) AS jaccard
+        |FROM cands c JOIN common m ON c.d1 = m.d1 AND c.d2 = m.d2
+        |JOIN sizes s1 ON c.d1 = s1.doc_id JOIN sizes s2 ON c.d2 = s2.doc_id
+        |WHERE m.common / (s1.sz + s2.sz - m.common) >= 0.5
+        |ORDER BY c.d1, c.d2""".stripMargin),
+
+    "q43_simhash_dedup" ->
+      """WITH hs AS (
+        | SELECT doc_id,
+        |  list_transform(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])),
+        |   t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hl
+        | FROM documents),
+        |sim AS (
+        | SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 32), j ->
+        |    CASE WHEN list_reduce(list_prepend(0, list_transform(hl, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)),
+        |                          (a, b) -> a + b) > 0
+        |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+        |   (a, b) -> a + b) AS simhash
+        | FROM hs)
+        |SELECT x.doc_id AS d1, y.doc_id AS d2, x.simhash AS s1, y.simhash AS s2,
+        | CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+        |FROM sim x JOIN sim y ON (x.simhash >> 16) = (y.simhash >> 16) AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 4
+        |ORDER BY d1, d2""".stripMargin)
+}

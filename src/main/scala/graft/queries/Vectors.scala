@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Similarity search over the 64-d `embeddings` fixture (driver north star;
+  * SURVEY.md §2.8 "Vector", §7 M4).
+  *
+  * Cosine is composed from Catalyst higher-order functions
+  * (`zip_with` product + sequential `aggregate` fold) — codegen'd, no UDF.
+  * The oracle reproduces the SAME fold order (list_reduce over prepended
+  * zero), so doubles are bit-identical across engines and no rounding or
+  * tolerance is needed — even the top-k ORDER over cosines matches exactly.
+  *
+  * Scale notes (100 TB): q44 blocks all-pairs comparison by `label` — the
+  * fixture stand-in for an LSH/IVF bucket id; the plan is a per-bucket
+  * shuffled self-join, never a global cross join. q45 broadcasts the fixed
+  * query set (queries × corpus is a broadcast nested loop over a TINY build
+  * side + a single window top-k — the brute-force exact baseline; the scale
+  * path swaps the corpus scan for an IVF/LSH-bucketed semi-join with the
+  * same downstream ranking).
+  */
+object Vectors {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** embeddings with double-cast vector and its squared norm (exact fold). */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nsq", expr("aggregate(transform(v, x -> x * x), cast(0 as double), (s, x) -> s + x)"))
+
+  private val dotExpr =
+    "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"
+
+  val queries: Seq[(String, QFn)] = Seq(
+    // Embedding-cosine near-dup pairs, blocked by label (≈ LSH bucket).
+    "q44_embedding_neardup" -> { (s, dir) =>
+      val a = vecs(s, dir).select(col("label"), col("vec_id").as("d1"),
+        col("v").as("va"), col("nsq").as("na"))
+      val b = vecs(s, dir).select(col("label").as("lb"), col("vec_id").as("d2"),
+        col("v").as("vb"), col("nsq").as("nb"))
+      a.join(b, col("label") === col("lb") && col("d1") < col("d2"))
+        .withColumn("cos", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+        .filter(col("cos") >= 0.4)
+        .select(col("label"), col("d1"), col("d2"), col("cos"))
+        .orderBy("label", "d1", "d2")
+    },
+
+    // Brute-force exact cosine top-k for a fixed query set (vec_id < 5).
+    "q45_cosine_topk" -> { (s, dir) =>
+      val q = vecs(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("va"), col("nsq").as("na"))
+      val c = vecs(s, dir)
+        .select(col("vec_id").as("cid"), col("v").as("vb"), col("nsq").as("nb"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      c.join(broadcast(q), col("cid") =!= col("qid"))
+        .withColumn("cos", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("cid"), col("cos"))
+        .orderBy("qid", "rank")
+    })
+
+  /** DuckDB vector CTE with the same fold order as the Spark aggregates. */
+  private val VecCte =
+    """e AS (
+      | SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      | FROM embeddings),
+      |n AS (
+      | SELECT vec_id, label, v,
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> x * x)), (s, x) -> s + x) AS nsq
+      | FROM e)""".stripMargin
+
+  private val DotSql =
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (s, x) -> s + x)"
+
+  private def sub(sql: String): String =
+    sql.replace("--VEC--", VecCte).replace("--DOT--", DotSql)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q44_embedding_neardup" -> sub("""WITH --VEC--
+        |SELECT a.label, a.vec_id AS d1, b.vec_id AS d2,
+        | --DOT-- / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE --DOT-- / (sqrt(a.nsq) * sqrt(b.nsq)) >= 0.4
+        |ORDER BY a.label, d1, d2""".stripMargin),
+
+    "q45_cosine_topk" -> sub("""WITH --VEC--,
+        |scored AS (
+        | SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |  --DOT-- / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
+        | FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id)
+        |SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rank,
+        | cid, cos
+        |FROM scored
+        |QUALIFY rank <= 3
+        |ORDER BY qid, rank""".stripMargin))
+}
