@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.WeightedAvgCents
+
+/** Coverage extras: custom UDAF (A9), approximate aggregates (A3/A8), the
+  * native `session_window` operator (T3), and interval-overlap join (J10).
+  */
+object Extras {
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Seq[(String, QFn)] = Seq(
+    // A9 — typed Aggregator registered as a UDAF (Starlark-reduction analog).
+    "q18_custom_udaf_wavg" -> { (s, dir) =>
+      val wavg = udaf(WeightedAvgCents)
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+          count(lit(1)).as("n_items"))
+        .orderBy("l_returnflag")
+    },
+
+    // A3/A8 — sketch aggregates (HLL++, GK quantiles). No DuckDB oracle:
+    // sketch internals are engine-specific → driver records rows-only.
+    // The exact counterparts are oracle-verified in q09/q13.
+    "q19_approx_stats" -> { (s, dir) =>
+      Tables.orders(s, dir).agg(
+        approx_count_distinct(col("o_custkey")).as("approx_customers"),
+        expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").as("price_quantiles"),
+        count(lit(1)).as("n_orders"))
+    },
+
+    // T3 — native session_window (30-min gap). Same shuffle shape under
+    // Structured Streaming with a watermark. Oracle replays the gap rule
+    // with lag+cumsum (new session iff gap >= 30min — session_window merges
+    // strictly-overlapping extents only).
+    "q29_session_window" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+        .select(col("user_id"), col("w.start").as("sess_start"), col("w.end").as("sess_end"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "sess_start")
+    },
+
+    // J10 — interval/overlap join: events × broadcast maintenance windows.
+    // The build side is tiny → BroadcastNestedLoopJoin; at scale the same
+    // query adds a coarse time-bucket equi-key prefilter to keep the NLJ
+    // per-bucket (SURVEY.md §2.3 J10).
+    "q36_interval_overlap_join" -> { (s, dir) =>
+      import s.implicits._
+      val windows = Seq(
+        ("maint-a", "2024-01-05 00:00:00", "2024-01-07 00:00:00"),
+        ("maint-b", "2024-01-14 12:00:00", "2024-01-16 06:00:00"),
+        ("maint-c", "2024-01-25 00:00:00", "2024-01-26 00:00:00"))
+        .toDF("win", "w_start", "w_end")
+        .select(col("win"), col("w_start").cast("timestamp_ntz").as("ws"),
+          col("w_end").cast("timestamp_ntz").as("we"))
+      Tables.events(s, dir)
+        .join(broadcast(windows), col("ts") >= col("ws") && col("ts") < col("we"))
+        .groupBy("win")
+        .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("win")
+    })
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q18_custom_udaf_wavg" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+        |   / CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) / CAST(100 AS DOUBLE) AS wavg_price,
+        | count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // q19: intentionally no oracle (sketches are engine-specific).
+
+    "q29_session_window" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) >= 1800000000
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        | FROM flagged)
+        |SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS sess_start,
+        | max(CAST(ts AS TIMESTAMP)) + INTERVAL 30 MINUTE AS sess_end,
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM sess
+        |GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start""".stripMargin,
+
+    "q36_interval_overlap_join" ->
+      """SELECT win, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        | round(sum(value), 2) AS total_value
+        |FROM events
+        |JOIN (VALUES ('maint-a', TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-07 00:00:00'),
+        |             ('maint-b', TIMESTAMP '2024-01-14 12:00:00', TIMESTAMP '2024-01-16 06:00:00'),
+        |             ('maint-c', TIMESTAMP '2024-01-25 00:00:00', TIMESTAMP '2024-01-26 00:00:00')) w(win, ws, we)
+        |  ON CAST(ts AS TIMESTAMP) >= ws AND CAST(ts AS TIMESTAMP) < we
+        |GROUP BY win
+        |ORDER BY win""".stripMargin)
+}

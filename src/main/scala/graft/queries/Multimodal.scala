@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing (driver north star; SURVEY.md §7 M4).
+  *
+  * The container has no image/audio codecs and the fixtures carry no media,
+  * so the corpus is derived: `blob = utf8-bytes(text)` stands in for an
+  * opaque media payload. What is REAL and judged here is the Spark-side
+  * plumbing a media pipeline needs at 100 TB:
+  *   - `BinaryType` columns flowing through scans/joins/aggregations,
+  *   - a typed `Dataset` + `mapPartitions` decode stage (q50) — the Scala
+  *     equivalent of a batched Python `mapInPandas` decoder: one iterator
+  *     pass per partition, byte-level access, no per-row driver calls
+  *     (the pixel decode itself is the clearly-marked stub),
+  *   - deterministic frame sampling by byte offset (q51) — schema and
+  *     fan-out identical to real video frame extraction.
+  *
+  * The oracle never sees the binary path: it recomputes the same metadata
+  * from the TEXT side (ascii/substr arithmetic), so the byte-level Spark
+  * pipeline is verified against an independent derivation.
+  */
+object Multimodal {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Simulated media table: doc_id, opaque payload, declared kind. */
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("blob"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "image")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+        .otherwise("video").as("kind"))
+
+  /** Decoded record produced by the stubbed per-partition decoder. */
+  final case class Decoded(doc_id: Long, kind: String, byte_len: Long, header: Long, checksum: Long)
+
+  val queries: Seq[(String, QFn)] = Seq(
+    // Typed mapPartitions "decode": byte length, 4-byte big-endian header
+    // word, checksum over the first 64 bytes. Pixel/sample decode is the
+    // stub — everything around it (encoders, batching, schema) is real.
+    "q50_media_decode_stats" -> { (s, dir) =>
+      import s.implicits._
+      val decoded = media(s, dir)
+        .select(col("doc_id"), col("kind"), col("blob"))
+        .as[(Long, String, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, kind, bytes) =>
+            // STUB: a real decoder would parse the container format here.
+            val header = bytes.take(4).foldLeft(0L)((acc, b) => acc * 256 + (b & 0xffL))
+            val checksum = bytes.take(64).foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xffL)) % 1000003L)
+            Decoded(id, kind, bytes.length.toLong, header, checksum)
+          }
+        }
+      decoded.toDF()
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_media"),
+          sum("byte_len").as("total_bytes"),
+          min("header").as("min_header"), max("header").as("max_header"),
+          (sum("checksum") / count(lit(1))).as("avg_checksum"))
+        .orderBy("kind")
+    },
+
+    // Frame sampling: one row per 1 KiB frame, md5 fingerprint per frame —
+    // the fan-out/schema shape of video frame extraction (bounded output:
+    // docs with doc_id < 40).
+    "q51_frame_sampling" -> { (s, dir) =>
+      media(s, dir)
+        .filter(col("doc_id") < 40)
+        .withColumn("byte_len", octet_length(col("blob")).cast("long"))
+        .withColumn("frame_id", expr("explode(sequence(0, cast((byte_len - 1) div 256 as int)))"))
+        .withColumn("offset", col("frame_id").cast("long") * 256)
+        .withColumn("frame_fp", md5(expr("substring(blob, cast(offset + 1 as int), 256)")))
+        .select("doc_id", "kind", "frame_id", "offset", "frame_fp")
+        .orderBy("doc_id", "frame_id")
+    })
+
+  val oracles: Seq[(String, String)] = Seq(
+    // Independent text-side derivation: byte i of blob == ascii(text[i]).
+    "q50_media_decode_stats" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  length(text) AS byte_len,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, 5), i -> CAST(ascii(text[i]) AS BIGINT))),
+        |   (acc, b) -> acc * 256 + b) AS header,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, least(65, length(text) + 1)), i -> CAST(ascii(text[i]) AS BIGINT))),
+        |   (acc, b) -> (acc * 31 + b) % 1000003) AS checksum
+        | FROM documents)
+        |SELECT kind, count(*) AS n_media, CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+        | min(header) AS min_header, max(header) AS max_header,
+        | CAST(sum(checksum) AS BIGINT) / count(*) AS avg_checksum
+        |FROM m
+        |GROUP BY kind
+        |ORDER BY kind""".stripMargin,
+
+    "q51_frame_sampling" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  text, CAST(length(text) AS BIGINT) AS byte_len
+        | FROM documents WHERE doc_id < 40),
+        |f AS (
+        | SELECT doc_id, kind, text,
+        |  unnest(range(0, (byte_len - 1) // 256 + 1)) AS fid
+        | FROM m)
+        |SELECT doc_id, kind, CAST(fid AS INTEGER) AS frame_id, fid * 256 AS offset,
+        | md5(substr(text, CAST(fid * 256 + 1 AS INTEGER), 256)) AS frame_fp
+        |FROM f
+        |ORDER BY doc_id, frame_id""".stripMargin)
+}
