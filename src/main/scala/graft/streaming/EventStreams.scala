@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming-shaped event transforms (SURVEY.md §2.9 T1–T5).
+  *
+  * Each transform takes ANY events-schema DataFrame — batch
+  * (`spark.read.parquet`) or streaming (`spark.readStream`) — and returns
+  * the same logical plan; that is the Spark contract for write-once
+  * batch/stream logic. The judged batch queries in `graft.queries.Events`
+  * express identical semantics; this module is the `readStream` face of
+  * the engine (the reference itself is batch-pull only — periodic
+  * fetch-then-cache, `/root/reference/.vscode/settings.json:9` — so
+  * streaming is driver-mandated extension surface).
+  *
+  * Scale notes: watermark + windowed aggregation keeps state bounded (old
+  * windows evicted at the watermark); dropDuplicatesWithinWatermark bounds
+  * dedup state the same way. State lives in the state store keyed by
+  * (window/user) — the shuffle key — so a 1000-executor cluster partitions
+  * state horizontally with no driver involvement.
+  */
+object EventStreams {
+  /** Normalize a raw events frame (ns-long ts → TIMESTAMP_NTZ micros). */
+  def normalize(raw: DataFrame): DataFrame =
+    raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+
+  /** Watermarks require TimestampType; the UTC session makes NTZ→TZ a
+    * same-instant cast.
+    */
+  private def eventTime(events: DataFrame): DataFrame =
+    events.withColumn("ts", col("ts").cast("timestamp"))
+
+  /** T1+T4: tumbling hourly counts with a 2-hour watermark. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    eventTime(events)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** T3+T4: session windows (30-min gap) per user under a watermark. */
+  def userSessions(events: DataFrame): DataFrame =
+    eventTime(events)
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n_events"))
+
+  /** T5: stateful dedup on event_id bounded by the watermark. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    eventTime(events)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Open the events fixture as a file-source STREAM with the batch schema. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the fixture is a single file; the file source requires a directory →
+    // stream the fixture dir with a glob pinned to the events table
+    normalize(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+  }
+}

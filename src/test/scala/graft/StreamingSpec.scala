@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming ↔ batch equivalence (SURVEY.md §2.9): the same
+  * transform over readStream(AvailableNow) must produce the batch answer.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  private val dir = SparkTestHarness.Sf0001
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String, mode: String): Unit = {
+    val q = df.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+  }
+
+  test("T1/T4: streamed hourly window agg equals batch") {
+    val streamed = EventStreams.hourlyTypeCounts(EventStreams.readEventStream(spark, dir))
+    runToMemory(streamed, "hourly_stream", "complete")
+    val got = spark.sql("SELECT * FROM hourly_stream ORDER BY hour_start, event_type").collect()
+
+    val batch = EventStreams.hourlyTypeCounts(Tables.events(spark, dir))
+      .orderBy("hour_start", "event_type").collect()
+    assert(got.length === batch.length)
+    assert(got.map(_.toString) === batch.map(_.toString))
+  }
+
+  test("T3/T4: streamed session_window agg equals batch") {
+    val streamed = EventStreams.userSessions(EventStreams.readEventStream(spark, dir))
+    runToMemory(streamed, "sessions_stream", "complete")
+    val got = spark.sql("SELECT * FROM sessions_stream ORDER BY user_id, sess_start").collect()
+
+    val batch = EventStreams.userSessions(Tables.events(spark, dir))
+      .orderBy("user_id", "sess_start").collect()
+    assert(got.length === batch.length)
+    assert(got.map(_.toString) === batch.map(_.toString))
+  }
+
+  test("T5: stateful dedup keeps every distinct event_id") {
+    val streamed = EventStreams.dedupedEvents(EventStreams.readEventStream(spark, dir))
+      .select("event_id")
+    runToMemory(streamed, "dedup_stream", "append")
+    val got = spark.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM dedup_stream").head()
+    val distinctIds = Tables.events(spark, dir).select("event_id").distinct().count()
+    assert(got.getLong(0) === distinctIds)
+    assert(got.getLong(1) === distinctIds) // no duplicates emitted
+  }
+}
