@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Temporary debug probe (deleted after M0). */
+/** Temporary debug probe (plan audit). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val s = SparkSession.builder()
@@ -14,14 +14,12 @@ object Probe {
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"TIME $name ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+    val qs = graft.queries.Relational.queries.toMap ++ graft.queries.Events.queries.toMap ++
+      graft.queries.Dedup.queries.toMap
+    for (name <- Seq("q02_revenue_by_nation", "q06_revenue_forecast", "q42_minhash_lsh_pairs")) {
+      println(s"===== $name =====")
+      qs(name)(s, dir).explain("formatted")
     }
-    val q14 = graft.queries.Relational.queries.toMap.apply("q14_name_search")
-    time("q14_run1")(q14(s, dir).count())
-    time("q14_run2")(q14(s, dir).count())
-    q14(s, dir).explain("formatted")
     s.stop()
   }
 }

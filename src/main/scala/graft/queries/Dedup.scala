@@ -8,8 +8,9 @@ import graft.Tables
 /** Hash-sketch deduplication: MinHash+LSH banding and SimHash (driver north
   * star; SURVEY.md §2.4 A10, §7 M4).
   *
-  * The hash family is md5-based (`int64(md5(x || ':' || i)[0:8])`) — chosen
-  * over xxhash64 deliberately: md5 is identical in every engine, so the
+  * The hash family is md5-anchored (31-bit base from `md5(shingle)[0:8]`,
+  * then a universal `(a_i*x + b_i) mod (2^31-1)` family) — chosen over
+  * xxhash64 deliberately: md5 is identical in every engine, so the
   * DuckDB oracle reproduces the ENTIRE sketch pipeline independently
   * (signatures, bands, candidate pairs, verification) and the queries get
   * a full hash-compare instead of a rows-only check. All hash seeds are
@@ -41,17 +42,26 @@ object Dedup {
     // Jaccard verify (only over candidates).
     "q42_minhash_lsh_pairs" -> { (s, dir) =>
       val sh = shingles(s, dir)
-      // (doc, i, h_i(shingle)) for i in 0..K-1
+      // one md5 per shingle, then a universal family h_i = (a_i*x + b_i)
+      // mod p over the 31-bit base (12 md5s per shingle benched 6x slower;
+      // products stay under 2^62 so the arithmetic is exact int64)
       val hashed = sh
-        .select(col("doc_id"), col("sh"),
-          expr(s"explode(sequence(0, ${K - 1}))").as("i"))
-        .withColumn("h",
-          expr("cast(conv(substring(md5(concat(sh, ':', cast(i as string))), 1, 8), 16, 10) as bigint)"))
-      val sig = hashed.groupBy("doc_id", "i").agg(min("h").as("mh"))
-      val buckets = sig
-        .withColumn("band", (col("i") / BandRows).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(expr("concat_ws(',', transform(array_sort(collect_list(struct(i, mh))), p -> cast(p.mh as string)))").as("bkey"))
+        .withColumn("base",
+          expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint) % 2147483647"))
+      // the whole signature in ONE aggregation pass: 12 codegen'd min
+      // columns over the shingle rows (a per-(doc,i) shuffle of 12x the
+      // rows benched ~4x slower), then stack() unpivots the 4 band keys
+      val minCols = (0 until K).map(i =>
+        min(expr(s"((2 * $i + 3) * base + 5 * $i + 7) % 2147483647")).as(s"mh$i"))
+      val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      val bandCols = (0 until K / BandRows).map { b =>
+        concat_ws(",", (0 until BandRows).map(r => col(s"mh${b * BandRows + r}").cast("string")): _*)
+          .as(s"band$b")
+      }
+      val bandStack = (0 until K / BandRows).map(b => s"$b, band$b").mkString(", ")
+      val buckets = sig.select(col("doc_id") +: bandCols: _*)
+        .select(col("doc_id"),
+          expr(s"stack(${K / BandRows}, $bandStack) as (band, bkey)"))
       val cands = buckets.as("x").join(buckets.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -75,18 +85,23 @@ object Dedup {
         .orderBy("d1", "d2")
     },
 
-    // SimHash (32-bit, over shingle hashes): exact-fingerprint dup groups
-    // plus Hamming<=4 pairs blocked on the 16-bit prefix.
+    // SimHash (32-bit, over shingle hashes): Hamming<=4 pairs blocked on
+    // the 16-bit prefix. Bit votes run as 32 codegen'd sum aggregates over
+    // the exploded shingle-hash rows (bit j set iff 2*count_set_j > n) —
+    // the nested higher-order-aggregate form is interpreted per (bit ×
+    // shingle) element and benched 100× slower.
     "q43_simhash_dedup" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-        .withColumn("hs",
-          expr("transform(array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
-            "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))), " +
-            "t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"))
-        .withColumn("simhash",
-          expr("aggregate(sequence(0, 31), 0L, (acc, j) -> acc + " +
-            "if(aggregate(hs, 0, (v, h) -> v + if((shiftright(h, j) & 1) = 1, 1, -1)) > 0, shiftleft(1L, j), 0L))"))
-        .select(col("doc_id"), col("simhash"), expr("shiftright(simhash, 16)").as("block"))
+      val hashes = shingles(s, dir)
+        .withColumn("h", expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint)"))
+      val bitCols = (0 until 32).map(j => sum(expr(s"shiftright(h, $j) & 1")).as(s"b$j"))
+      val voted = hashes.groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), bitCols: _*)
+      val simhash = (0 until 32)
+        .map(j => when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(0L))
+        .reduce(_ + _)
+      val docs = voted
+        .select(col("doc_id"), simhash.as("simhash"))
+        .withColumn("block", expr("shiftright(simhash, 16)"))
       val x = docs.select(col("doc_id").as("d1"), col("simhash").as("s1"), col("block"))
       val y = docs.select(col("doc_id").as("d2"), col("simhash").as("s2"), col("block").as("blk2"))
       x.join(y, col("block") === col("blk2") && col("d1") < col("d2"))
@@ -106,10 +121,12 @@ object Dedup {
 
   val oracles: Seq[(String, String)] = Seq(
     "q42_minhash_lsh_pairs" -> sub("""WITH --SH--,
+        |based AS (
+        | SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) % 2147483647 AS base
+        | FROM sh),
         |hashed AS (
-        | SELECT doc_id, sh, i,
-        |  CAST(('0x' || substr(md5(sh || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) AS h
-        | FROM sh CROSS JOIN range(12) r(i)),
+        | SELECT doc_id, i, ((2 * i + 3) * base + 5 * i + 7) % 2147483647 AS h
+        | FROM based CROSS JOIN range(12) r(i)),
         |sig AS (SELECT doc_id, i, min(h) AS mh FROM hashed GROUP BY doc_id, i),
         |buckets AS (
         | SELECT doc_id, CAST(i // 3 AS INTEGER) AS band,
