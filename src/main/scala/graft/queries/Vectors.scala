@@ -36,6 +36,26 @@ object Vectors {
   private val dotExpr =
     "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"
 
+  /** Deterministic random-hyperplane matrix for LSH bucketing: 8 planes x
+    * 64 dims, r(p,d) = int64(md5("rp:p:d")[0:8]) % 1000 - 500. md5-derived
+    * so the oracle re-derives the SAME matrix in SQL — no shipped state.
+    */
+  private val Planes = 8
+  private def planeConst(p: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp:$p:$d".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % 1000 - 500
+  }
+  /** SQL expr: LSH bucket id (sign bits of the 8 projections) over col v. */
+  private def bucketExpr: String = {
+    val bits = (0 until Planes).map { pl =>
+      val arr = (0 until 64).map(d => s"${planeConst(pl, d)}D").mkString(",")
+      s"if(aggregate(zip_with(v, array($arr), (x, c) -> x * c), cast(0 as double), (s, x) -> s + x) > 0, ${1L << pl}L, 0L)"
+    }
+    bits.mkString(" + ")
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     // Embedding-cosine near-dup pairs, blocked by label (≈ LSH bucket).
     "q44_embedding_neardup" -> { (s, dir) =>
@@ -48,6 +68,27 @@ object Vectors {
         .filter(col("cos") >= 0.4)
         .select(col("label"), col("d1"), col("d2"), col("cos"))
         .orderBy("label", "d1", "d2")
+    },
+
+    // LSH-bucketed ANN top-k — the 100 TB scale path for q45: candidates
+    // come only from the query's random-hyperplane bucket (256 buckets),
+    // then exact cosine ranks within the bucket. Same answer quality knobs
+    // as production ANN (more planes/probes -> better recall).
+    "q52_ann_lsh_topk" -> { (s, dir) =>
+      val bucketed = vecs(s, dir).withColumn("bucket", expr(bucketExpr))
+      val q = bucketed.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("va"), col("nsq").as("na"),
+          col("bucket").as("qbucket"))
+      val c = bucketed
+        .select(col("vec_id").as("cid"), col("v").as("vb"), col("nsq").as("nb"),
+          col("bucket"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      c.join(broadcast(q), col("bucket") === col("qbucket") && col("cid") =!= col("qid"))
+        .withColumn("cos", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("cid"), col("bucket").cast("long").as("bucket"), col("cos"))
+        .orderBy("qid", "rank")
     },
 
     // Brute-force exact cosine top-k for a fixed query set (vec_id < 5).
@@ -79,9 +120,32 @@ object Vectors {
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (s, x) -> s + x)"
 
   private def sub(sql: String): String =
-    sql.replace("--VEC--", VecCte).replace("--DOT--", DotSql)
+    sql.replace("--VEC--", VecCte).replace("--DOT--", DotSql).replace("--BKT--", BucketCte)
+
+  /** DuckDB re-derivation of the hyperplane matrix + bucket id. */
+  private val BucketCte =
+    """b AS (
+      | SELECT vec_id, label, v, nsq,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), p ->
+      |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i ->
+      |           v[i] * CAST(CAST(('0x' || substr(md5('rp:' || CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 - 500 AS DOUBLE))),
+      |          (s, x) -> s + x) > 0
+      |    THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)),
+      |   (a, x) -> a + x) AS bucket
+      | FROM n)""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q52_ann_lsh_topk" -> sub("""WITH --VEC--,
+        |--BKT--,
+        |scored AS (
+        | SELECT a.vec_id AS qid, b.vec_id AS cid, b.bucket,
+        |  --DOT-- / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
+        | FROM b a JOIN b b ON a.vec_id < 5 AND b.bucket = a.bucket AND b.vec_id <> a.vec_id)
+        |SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rank,
+        | cid, bucket, cos
+        |FROM scored
+        |QUALIFY rank <= 3
+        |ORDER BY qid, rank""".stripMargin),
     "q44_embedding_neardup" -> sub("""WITH --VEC--
         |SELECT a.label, a.vec_id AS d1, b.vec_id AS d2,
         | --DOT-- / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
