@@ -46,6 +46,35 @@ object Extras {
         .orderBy("user_id", "sess_start")
     },
 
+    // A4 — collect_set/sort_array: version list per package (bounded: the
+    // distinct name set is 60 rows).
+    "q37_version_collect" -> { (s, dir) =>
+      Tables.packages(s, dir)
+        .groupBy("name")
+        .agg(sort_array(collect_set(col("version"))).as("versions"),
+          countDistinct("version").as("n_versions"))
+        .orderBy("name")
+    },
+
+    // O2 — OFFSET pagination: page 2 (rows 11-20) of customers by balance.
+    "q38_pagination_offset" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .offset(10).limit(10)
+    },
+
+    // §2.8 map family — parse props into MapType, explode keys/values.
+    "q39_props_map_ops" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType)))
+        .select(col("event_type"), explode(col("m")).as(Seq("k", "v")))
+        .groupBy("event_type", "k")
+        .agg(count(lit(1)).as("n"), min("v").as("min_v"), max("v").as("max_v"))
+        .orderBy("event_type", "k")
+    },
+
     // J10 — interval/overlap join: events × broadcast maintenance windows.
     // The build side is tiny → BroadcastNestedLoopJoin; at scale the same
     // query adds a coarse time-bucket equi-key prefilter to keep the NLJ
@@ -78,6 +107,35 @@ object Extras {
         |ORDER BY l_returnflag""".stripMargin,
 
     // q19: intentionally no oracle (sketches are engine-specific).
+
+    "q37_version_collect" ->
+      """WITH pkg AS (
+        | SELECT 'pkg-' || lpad(CAST(p_partkey % 60 AS VARCHAR), 2, '0') AS name,
+        |  CAST(p_partkey % 4 + 1 AS VARCHAR) || '.' || CAST((p_partkey*7) % 13 AS VARCHAR)
+        |    || '.' || CAST((p_partkey*13) % 7 AS VARCHAR) || '-r' || CAST(p_partkey % 5 + 1 AS VARCHAR) AS version
+        | FROM part)
+        |SELECT name, list_sort(list(DISTINCT version)) AS versions,
+        | count(DISTINCT version) AS n_versions
+        |FROM pkg
+        |GROUP BY name
+        |ORDER BY name""".stripMargin,
+
+    "q38_pagination_offset" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey
+        |LIMIT 10 OFFSET 10""".stripMargin,
+
+    "q39_props_map_ops" ->
+      """WITH kv AS (
+        | SELECT event_type, 'k' AS k,
+        |  CAST(regexp_extract(props, '"k": *(-?\d+)', 1) AS BIGINT) AS v
+        | FROM events
+        | WHERE regexp_extract(props, '"k": *(-?\d+)', 1) <> '')
+        |SELECT event_type, k, count(*) AS n, min(v) AS min_v, max(v) AS max_v
+        |FROM kv
+        |GROUP BY event_type, k
+        |ORDER BY event_type, k""".stripMargin,
 
     "q29_session_window" ->
       """WITH flagged AS (
