@@ -55,6 +55,27 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** T6: arbitrary stateful processing — a running per-user (count, spend)
+    * accumulator via mapGroupsWithState. State survives across
+    * micro-batches; in batch mode the same code degenerates to one pass.
+    * (Spark 4 also offers transformWithState; mapGroupsWithState is used
+    * here for the stable API shape.)
+    */
+  def statefulUserTotals(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          var (n, v) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update((n, v))
+          (uid, n, v)
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
+
   /** Open the events fixture as a file-source STREAM with the batch schema. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

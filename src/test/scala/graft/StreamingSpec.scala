@@ -43,6 +43,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_.toString) === batch.map(_.toString))
   }
 
+  test("T6: mapGroupsWithState running totals equal batch counts") {
+    val streamed = EventStreams.statefulUserTotals(EventStreams.readEventStream(spark, dir))
+    runToMemory(streamed, "state_stream", "update")
+    // update mode emits one row per (key, micro-batch); the final state is
+    // the max event count per user
+    val got = spark.sql(
+      "SELECT user_id, max(n_events) n FROM state_stream GROUP BY user_id ORDER BY user_id").collect()
+    val batch = Tables.events(spark, dir).groupBy("user_id").count()
+      .orderBy("user_id").collect()
+    assert(got.length === batch.length)
+    got.zip(batch).foreach { case (g, b) =>
+      assert(g.getLong(0) === b.getLong(0) && g.getLong(1) === b.getLong(1))
+    }
+  }
+
   test("T5: stateful dedup keeps every distinct event_id") {
     val streamed = EventStreams.dedupedEvents(EventStreams.readEventStream(spark, dir))
       .select("event_id")
