@@ -75,6 +75,33 @@ object Extras {
         .orderBy("event_type", "k")
     },
 
+    // A8 — exact interpolated percentiles (both engines: linear
+    // interpolation over the sorted set; parity holds because the
+    // interpolation arithmetic agrees bit-for-bit on this data).
+    "q53_exact_percentiles" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("price_quartiles"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // W2/W4 — analytic window family: lead, first/last_value, nth_value,
+    // cume_dist over per-nation supplier balances.
+    "q54_window_analytics" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("s_nationkey").orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.supplier(s, dir)
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+          lead("s_acctbal", 1).over(w).as("next_bal"),
+          first("s_acctbal").over(wf).as("top_bal"),
+          last("s_acctbal").over(wf).as("bottom_bal"),
+          nth_value(col("s_acctbal"), 2).over(wf).as("second_bal"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("s_nationkey", "s_suppkey")
+    },
+
     // J10 — interval/overlap join: events × broadcast maintenance windows.
     // The build side is tiny → BroadcastNestedLoopJoin; at scale the same
     // query adds a coarse time-bucket equi-key prefilter to keep the NLJ
@@ -155,6 +182,27 @@ object Extras {
         |FROM sess
         |GROUP BY user_id, sess_id
         |ORDER BY user_id, sess_start""".stripMargin,
+
+    "q53_exact_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS price_quartiles,
+        | count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q54_window_analytics" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal,
+        | lead(s_acctbal) OVER w AS next_bal,
+        | first_value(s_acctbal) OVER wf AS top_bal,
+        | last_value(s_acctbal) OVER wf AS bottom_bal,
+        | nth_value(s_acctbal, 2) OVER wf AS second_bal,
+        | cume_dist() OVER w AS cd
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey),
+        |       wf AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
 
     "q36_interval_overlap_join" ->
       """SELECT win, count(*) AS n_events, count(DISTINCT user_id) AS n_users,

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+
+/** The custom Catalyst expressions through their SQL faces: registration,
+  * null-safety, constant folding, and end-to-end use in max_by/orderBy.
+  */
+class ExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  test("version_compare / version_sort_key register and evaluate via SQL") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      """SELECT version_compare('1.10', '1.9') AS a,
+        |       version_compare('1.0~rc1', '1.0') AS b,
+        |       version_compare('2:0.1', '9.9') AS c,
+        |       version_sort_key('1.2.3-r4') = version_sort_key('1.2.3-r4') AS d""".stripMargin).head()
+    assert(r.getInt(0) > 0 && r.getInt(1) < 0 && r.getInt(2) > 0 && r.getBoolean(3))
+  }
+
+  test("expressions are null-safe") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      "SELECT version_compare(NULL, '1.0') AS a, version_sort_key(NULL) AS b").head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("literal arguments constant-fold in the optimized plan") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = spark.sql("SELECT version_compare('1.10', '1.9') AS c")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("version_compare"), s"not folded:\n$optimized")
+  }
+
+  test("registration is idempotent and extensions class injects the same set") {
+    GraftFunctions.ensureRegistered(spark)
+    GraftFunctions.ensureRegistered(spark) // second call must not throw
+    // the extensions injector exposes exactly the same function names
+    assert(GraftFunctions.all.map(_._1).toSet === Set("version_compare", "version_sort_key"))
+  }
+
+  test("sort by version_sort_key orders a DataFrame by version semantics") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val vs = Seq("1.10", "1.9", "1.0~rc1", "2:0.1", "1.0").toDF("v")
+    val sorted = vs.orderBy(expr("version_sort_key(v)")).as[String].collect().toSeq
+    assert(sorted === Seq("1.0~rc1", "1.0", "1.9", "1.10", "2:0.1"))
+  }
+}

@@ -40,6 +40,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(nonNull === 1000)
   }
 
+  test("S4: from_xml parses rendered repomd-style XML records") {
+    import spark.implicits._
+    val xml = Tables.packages(spark, dir)
+      .select(concat(lit("<pkg><name>"), col("name"), lit("</name><ver>"),
+        col("version"), lit("</ver></pkg>")).as("x"))
+    val schema = "name STRING, ver STRING"
+    val parsed = xml.select(from_xml(col("x"), lit(schema)).as("p"))
+      .select(col("p.name").as("name"), col("p.ver").as("ver"))
+    assert(parsed.count() === Tables.packages(spark, dir).count())
+    assert(parsed.filter(col("name").startsWith("pkg-") && col("ver").rlike("^[0-9]")).count()
+      === parsed.count())
+  }
+
   test("S4: text-source APKINDEX-style stanza parsing") {
     val out = Files.createTempDirectory("graft_idx").toString
     // render an index file from the packages view, then re-ingest via text
