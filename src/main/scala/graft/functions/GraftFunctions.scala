@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the package-metadata layer (SURVEY.md
@@ -35,6 +35,50 @@ case class VersionSortKey(child: Expression)
   override def prettyName: String = "version_sort_key"
 }
 
+/** Codegen'd dot product over two ARRAY<DOUBLE> columns — the vector-math
+  * kernel for cosine similarity / near-dup / ANN (SURVEY.md §4.3-2).
+  * A native Expression with `doGenCode`: the 64-step multiply-add loop
+  * runs inside whole-stage codegen (the aggregate/zip_with fold evaluates
+  * its lambda interpreted per element and benched ~5x slower on the pair
+  * joins). Summation is sequential left-to-right — the same order as the
+  * DuckDB oracle's list_reduce — so results are bit-identical. Inputs are
+  * non-null-element arrays (embedding vectors); element nulls are not
+  * checked, matching the fixture contract.
+  */
+case class ArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ArrayDot =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "array_dot"
+}
+
 /** Registration: both an idempotent per-session helper (works whatever
   * session the driver hands us) and the `SparkSessionExtensions` injection
   * path (`spark.sql.extensions=graft.GraftExtensions`) — the Spark-native
@@ -47,7 +91,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => VersionCompare(args(0), args(1))),
     ("version_sort_key",
       new ExpressionInfo(classOf[VersionSortKey].getName, "version_sort_key"),
-      (args: Seq[Expression]) => VersionSortKey(args.head)))
+      (args: Seq[Expression]) => VersionSortKey(args.head)),
+    ("array_dot",
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (args: Seq[Expression]) => ArrayDot(args(0), args(1))))
 
   /** Idempotent: safe to call at the top of every query builder. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -41,7 +41,10 @@ object Dedup {
     // MinHash signature → banded LSH buckets → candidate pairs → exact
     // Jaccard verify (only over candidates).
     "q42_minhash_lsh_pairs" -> { (s, dir) =>
-      val sh = shingles(s, dir)
+      // one materialization of the shingle set feeds signature building,
+      // both verification sides, and the size table (recomputing the
+      // split+md5 subtree 4x dominated the un-cached plan)
+      val sh = shingles(s, dir).cache()
       // one md5 per shingle, then a universal family h_i = (a_i*x + b_i)
       // mod p over the 31-bit base (12 md5s per shingle benched 6x slower;
       // products stay under 2^62 so the arithmetic is exact int64)
@@ -68,14 +71,14 @@ object Dedup {
         .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .agg(count(lit(1)).as("n_bands"))
       // exact verification on candidates only
-      val a = shingles(s, dir).select(col("doc_id").as("d1"), col("sh"))
-      val b = shingles(s, dir).select(col("doc_id").as("d2"), col("sh"))
+      val a = sh.select(col("doc_id").as("d1"), col("sh"))
+      val b = sh.select(col("doc_id").as("d2"), col("sh"))
       val common = cands
         .join(a.select(col("d1"), col("sh").as("sha")), "d1")
         .join(b.select(col("d2"), col("sh").as("shb")), "d2")
         .filter(col("sha") === col("shb"))
         .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
-      val sizes = shingles(s, dir).groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       cands.join(common, Seq("d1", "d2"))
         .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
         .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")

