@@ -102,6 +102,42 @@ object Extras {
         .orderBy("s_nationkey", "s_suppkey")
     },
 
+    // J3 — outer joins: nation × high-balance customers, keeping empty
+    // nations (left) and a full-outer variant folded to a tag column.
+    "q55_outer_join_coverage" -> { (s, dir) =>
+      val hb = Tables.customer(s, dir).filter(col("c_acctbal") > 9000)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_rich"))
+      Tables.nation(s, dir)
+        .join(hb, col("n_nationkey") === col("c_nationkey"), "left")
+        .select(col("n_name"),
+          coalesce(col("n_rich"), lit(0L)).as("n_rich"),
+          when(col("n_rich").isNull, "none").otherwise("some").as("tag"))
+        .orderBy("n_name")
+    },
+
+    // A6 — explicit GROUPING SETS (beyond rollup/cube): order stats by
+    // (status), (priority), and grand total, via the SQL path.
+    "q56_grouping_sets" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(grouping_id() AS INT) AS gid
+        FROM v_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    },
+
+    // J11 — reverse-dependency self-join on the package graph: for each
+    // package, who depends on it (the reference's "required by" page).
+    "q57_reverse_deps" -> { (s, dir) =>
+      val ed = Tables.dependsEdges(s, dir)
+      ed.select(col("dep").as("name"), col("name").as("rdep"))
+        .groupBy("name")
+        .agg(countDistinct("rdep").as("n_rdeps"),
+          sort_array(collect_set(col("rdep"))).as("rdeps"))
+        .orderBy("name")
+    },
+
     // J10 — interval/overlap join: events × broadcast maintenance windows.
     // The build side is tiny → BroadcastNestedLoopJoin; at scale the same
     // query adds a coarse time-bucket equi-key prefilter to keep the NLJ
@@ -203,6 +239,68 @@ object Extras {
         |       wf AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+
+    "q55_outer_join_coverage" ->
+      """WITH hb AS (
+        | SELECT c_nationkey, count(*) AS n_rich
+        | FROM customer WHERE c_acctbal > 9000
+        | GROUP BY c_nationkey)
+        |SELECT n_name, coalesce(n_rich, 0) AS n_rich,
+        | CASE WHEN n_rich IS NULL THEN 'none' ELSE 'some' END AS tag
+        |FROM nation LEFT JOIN hb ON n_nationkey = c_nationkey
+        |ORDER BY n_name""".stripMargin,
+
+    "q56_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(grouping(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q57_reverse_deps" ->
+      """WITH idx AS (SELECT DISTINCT p_partkey % 60 AS i FROM part),
+        |ed AS (
+        | SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name,
+        |        'pkg-' || lpad(CAST((i*7 + 3) % 60 AS VARCHAR), 2, '0') AS dep FROM idx
+        | UNION
+        | SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name,
+        |        'pkg-' || lpad(CAST((i*3 + 11) % 60 AS VARCHAR), 2, '0') AS dep FROM idx)
+        |SELECT dep AS name, count(DISTINCT name) AS n_rdeps,
+        | list_sort(list(DISTINCT name)) AS rdeps
+        |FROM ed
+        |GROUP BY dep
+        |ORDER BY dep""".stripMargin,
+
+    "q55_outer_join_coverage" ->
+      """WITH hb AS (
+        | SELECT c_nationkey, count(*) AS n_rich
+        | FROM customer WHERE c_acctbal > 9000
+        | GROUP BY c_nationkey)
+        |SELECT n_name, coalesce(n_rich, 0) AS n_rich,
+        | CASE WHEN n_rich IS NULL THEN 'none' ELSE 'some' END AS tag
+        |FROM nation LEFT JOIN hb ON n_nationkey = c_nationkey
+        |ORDER BY n_name""".stripMargin,
+
+    "q56_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(grouping(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q57_reverse_deps" ->
+      """WITH idx AS (SELECT DISTINCT p_partkey % 60 AS i FROM part),
+        |ed AS (
+        | SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name,
+        |        'pkg-' || lpad(CAST((i*7 + 3) % 60 AS VARCHAR), 2, '0') AS dep FROM idx
+        | UNION
+        | SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name,
+        |        'pkg-' || lpad(CAST((i*3 + 11) % 60 AS VARCHAR), 2, '0') AS dep FROM idx)
+        |SELECT dep AS name, count(DISTINCT name) AS n_rdeps,
+        | list_sort(list(DISTINCT name)) AS rdeps
+        |FROM ed
+        |GROUP BY dep
+        |ORDER BY dep""".stripMargin,
 
     "q36_interval_overlap_join" ->
       """SELECT win, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
