@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed transitive closure / BFS over an edge DataFrame — the one
+  * driver-side loop in the engine (SURVEY.md §3.1 entry point 3: pkg2's
+  * install-plan resolution walk, re-expressed as iterative joins).
+  *
+  * Cycle-safe by construction: the frontier is anti-joined against the
+  * visited set every iteration, so each node enters at most once (at its
+  * minimum depth — BFS order guarantees it). `localCheckpoint` per
+  * iteration truncates lineage; without it, iteration i's plan embeds all
+  * i-1 predecessors and analysis time grows quadratically.
+  *
+  * Scale notes (100 TB): each iteration is one shuffled join keyed on the
+  * frontier node id + one distinct — the standard Pregel-without-Pregel
+  * shape. Caching `edges` is the caller's choice (do it when the loop
+  * dominates); frontier/visited stay small relative to edges in typical
+  * dependency graphs.
+  */
+object Closure {
+  /** Reachable set from `seed` with minimal BFS depth per node.
+    *
+    * @param edges DataFrame with columns (name, dep): a directed edge
+    *              name → dep
+    * @return DataFrame (name, depth) sorted by name; seed has depth 0
+    */
+  def reachable(spark: SparkSession, edges: DataFrame, seed: String, maxIter: Int = 64): DataFrame = {
+    import spark.implicits._
+    var visited = Seq((seed, 0)).toDF("name", "depth")
+    var frontier = visited
+    var iter = 0
+    while (iter < maxIter && !frontier.isEmpty) {
+      val next = frontier.join(edges, "name")
+        .select(col("dep").as("name"), (col("depth") + 1).as("depth"))
+        .groupBy("name").agg(min("depth").as("depth"))
+      frontier = next.join(visited.select("name"), Seq("name"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionByName(frontier).localCheckpoint()
+      iter += 1
+    }
+    visited.select(col("name"), col("depth").cast("int").as("depth")).orderBy("name")
+  }
+}

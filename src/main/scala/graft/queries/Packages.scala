@@ -98,22 +98,10 @@ object Packages {
     // dedup, cycle-safe (edges are cyclic by construction), lineage cut per
     // iteration. The one intentional driver-side loop in the engine.
     "q33_dependency_closure" -> { (s, dir) =>
-      import s.implicits._
       val edges = Tables.dependsEdges(s, dir).cache()
-      var visited = Seq(("pkg-00", 0)).toDF("name", "depth")
-      var frontier = visited
-      var iter = 0
-      while (iter < 64 && !frontier.isEmpty) {
-        val next = frontier.join(edges, "name")
-          .select(col("dep").as("name"), (col("depth") + 1).as("depth"))
-          .groupBy("name").agg(min("depth").as("depth"))
-        frontier = next.join(visited.select("name"), Seq("name"), "left_anti")
-          .localCheckpoint()
-        visited = visited.unionByName(frontier).localCheckpoint()
-        iter += 1
-      }
+      val out = _root_.graft.operators.Closure.reachable(s, edges, "pkg-00")
       edges.unpersist()
-      visited.select(col("name"), col("depth").cast("int").as("depth")).orderBy("name")
+      out
     },
 
     // J5 anti-join — orphan packages: names nothing depends on.

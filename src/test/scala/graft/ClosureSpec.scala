@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Closure
+
+/** Closure termination + min-depth semantics on adversarial graphs
+  * (SURVEY.md hard part #3: cycles, diamonds, disconnected nodes).
+  */
+class ClosureSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private def edges(pairs: (String, String)*) = {
+    import spark.implicits._
+    pairs.toDF("name", "dep")
+  }
+
+  test("terminates on a pure cycle and visits each node once at min depth") {
+    val g = edges("a" -> "b", "b" -> "c", "c" -> "a")
+    val r = Closure.reachable(spark, g, "a").collect()
+      .map(row => row.getString(0) -> row.getInt(1)).toMap
+    assert(r === Map("a" -> 0, "b" -> 1, "c" -> 2))
+  }
+
+  test("diamond takes the shorter path") {
+    // a -> b -> d and a -> d: d must be depth 1, not 2
+    val g = edges("a" -> "b", "b" -> "d", "a" -> "d")
+    val r = Closure.reachable(spark, g, "a").collect()
+      .map(row => row.getString(0) -> row.getInt(1)).toMap
+    assert(r === Map("a" -> 0, "b" -> 1, "d" -> 1))
+  }
+
+  test("disconnected nodes are not visited; self-loop is safe") {
+    val g = edges("a" -> "a", "a" -> "b", "x" -> "y")
+    val r = Closure.reachable(spark, g, "a").collect()
+      .map(row => row.getString(0) -> row.getInt(1)).toMap
+    assert(r === Map("a" -> 0, "b" -> 1))
+  }
+
+  test("maxIter caps runaway expansion") {
+    // a long chain, capped at 3 iterations → only depths 0..3 visited
+    val g = edges((0 until 20).map(i => s"n$i" -> s"n${i + 1}"): _*)
+    val r = Closure.reachable(spark, g, "n0", maxIter = 3).collect()
+    assert(r.length === 4)
+  }
+}
