@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.Closure
+
+/** Library façade — the operations a pkg2 user runs today, as one object
+  * (`/root/reference/README.md:1`: search, browse, latest-version, reverse
+  * deps, install-plan resolution), plus the LLM-pipeline surface. Each
+  * method returns a lazy DataFrame; composition and pushdown stay with
+  * Catalyst. The judged query catalog in `graft.queries` exercises these
+  * same shapes with DuckDB oracles.
+  */
+object Graft {
+  /** Register the engine's SQL functions on an existing session. */
+  def init(spark: SparkSession): SparkSession = {
+    GraftFunctions.ensureRegistered(spark)
+    spark
+  }
+
+  // ---- package-metadata surface (the reference's core) ----
+
+  /** Search packages by name substring (case-insensitive), newest first. */
+  def search(packages: DataFrame, query: String, limit: Int = 50): DataFrame = {
+    GraftFunctions.ensureRegistered(packages.sparkSession)
+    packages
+      .filter(lower(col("name")).contains(query.toLowerCase))
+      .orderBy(col("name"), expr("version_sort_key(version)").desc)
+      .limit(limit)
+  }
+
+  /** Latest version per package name under ecosystem version ordering. */
+  def latestVersions(packages: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(packages.sparkSession)
+    packages.groupBy("name")
+      .agg(expr("max_by(version, version_sort_key(version))").as("latest_version"),
+        countDistinct("version").as("n_versions"))
+  }
+
+  /** Rows satisfying a minimum-version constraint (`>= minVersion`). */
+  def satisfying(packages: DataFrame, minVersion: String): DataFrame = {
+    GraftFunctions.ensureRegistered(packages.sparkSession)
+    packages.filter(expr(s"version_compare(version, '$minVersion')") >= 0)
+  }
+
+  /** Transitive dependency closure (install plan) from one package. */
+  def resolve(spark: SparkSession, edges: DataFrame, root: String): DataFrame =
+    Closure.reachable(spark, edges, root)
+
+  /** Reverse dependencies: who depends on each package. */
+  def reverseDeps(edges: DataFrame): DataFrame =
+    edges.select(col("dep").as("name"), col("name").as("rdep"))
+      .groupBy("name")
+      .agg(countDistinct("rdep").as("n_rdeps"),
+        sort_array(collect_set(col("rdep"))).as("rdeps"))
+
+  /** Packages nothing depends on. */
+  def orphans(packages: DataFrame, edges: DataFrame): DataFrame =
+    packages.join(edges.select(col("dep").as("name")).distinct(), Seq("name"), "left_anti")
+
+  // ---- LLM-data-pipeline surface (driver north star) ----
+
+  /** Exact duplicate groups by normalized-content hash. */
+  def exactDupGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(lower(trim(col(textCol)))).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(idCol).as("canonical"))
+      .filter(col("n_docs") > 1)
+
+  /** Cosine similarity column over two ARRAY<DOUBLE> columns (codegen'd). */
+  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dot = expr(s"array_dot(${a.toString}, ${b.toString})")
+    val na = expr(s"array_dot(${a.toString}, ${a.toString})")
+    val nb = expr(s"array_dot(${b.toString}, ${b.toString})")
+    dot / (sqrt(na) * sqrt(nb))
+  }
+}

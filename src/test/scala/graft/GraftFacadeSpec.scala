@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The library façade through its public entry points (a pkg2 user's daily
+  * operations end-to-end).
+  */
+class GraftFacadeSpec extends AnyFunSuite {
+  private lazy val spark = Graft.init(SparkTestHarness.spark)
+  private val dir = SparkTestHarness.Sf0001
+
+  test("search finds packages by substring, newest version first") {
+    val r = Graft.search(Tables.packages(spark, dir), "PKG-0", limit = 10).collect()
+    assert(r.nonEmpty && r.length <= 10)
+    assert(r.forall(_.getAs[String]("name").startsWith("pkg-0")))
+  }
+
+  test("latestVersions picks the version the ordering says is max") {
+    val latest = Graft.latestVersions(Tables.packages(spark, dir))
+    val row = latest.filter(col("name") === "pkg-01").head()
+    val all = Tables.packages(spark, dir).filter(col("name") === "pkg-01")
+      .select("version").collect().map(_.getString(0))
+    val expected = all.maxBy(graft.functions.VersionOrder.sortKey)
+    assert(row.getAs[String]("latest_version") === expected)
+  }
+
+  test("satisfying applies the version constraint") {
+    val n = Graft.satisfying(Tables.packages(spark, dir), "2.0.0-r0").count()
+    assert(n > 0 && n < Tables.packages(spark, dir).count())
+  }
+
+  test("resolve + reverseDeps + orphans compose over the edge table") {
+    val edges = Tables.dependsEdges(spark, dir)
+    val plan = Graft.resolve(spark, edges, "pkg-00")
+    assert(plan.count() > 1)
+    val rd = Graft.reverseDeps(edges)
+    assert(rd.filter(col("n_rdeps") > 0).count() === rd.count())
+    val orph = Graft.orphans(Tables.packages(spark, dir).select("name").distinct(), edges)
+    // orphan set and reverse-dep key set partition the name universe
+    assert(orph.count() + rd.count() === 60)
+  }
+
+  test("exactDupGroups agrees with the distinct-text count") {
+    val docs = Tables.documents(spark, dir)
+    val g = Graft.exactDupGroups(docs)
+    // rows in dup groups == total docs - distinct texts + number of groups
+    val extraCopies = docs.count() - docs.select(lower(trim(col("text")))).distinct().count()
+    val fromGroups = g.agg(sum(col("n_docs") - 1)).head()
+    val got = if (fromGroups.isNullAt(0)) 0L else fromGroups.getLong(0)
+    assert(got === extraCopies)
+  }
+}
