@@ -53,6 +53,26 @@ class SourcesSpec extends AnyFunSuite {
       === parsed.count())
   }
 
+  test("S4: blank-line-separated multi-line stanzas via lineSep") {
+    val out = Files.createTempDirectory("graft_apk").toString
+    // faithful APKINDEX shape: multi-line K:V stanza per package,
+    // blank-line separated
+    Tables.packages(spark, dir)
+      .select(concat(lit("P:"), col("name"), lit("\n"),
+        lit("V:"), col("version"), lit("\n"),
+        lit("A:"), col("arch")).as("value"))
+      .write.mode("overwrite").option("lineSep", "\n\n").text(out)
+    val stanzas = spark.read.option("lineSep", "\n\n").text(out)
+      .filter(length(trim(col("value"))) > 0)
+    val parsed = stanzas.select(
+      regexp_extract(col("value"), "P:([^\n]+)", 1).as("name"),
+      regexp_extract(col("value"), "V:([^\n]+)", 1).as("version"),
+      regexp_extract(col("value"), "A:([^\n]+)", 1).as("arch"))
+    assert(parsed.count() === Tables.packages(spark, dir).count())
+    assert(parsed.filter(col("name").startsWith("pkg-") &&
+      col("arch").isin("x86_64", "aarch64")).count() === parsed.count())
+  }
+
   test("S4: text-source APKINDEX-style stanza parsing") {
     val out = Files.createTempDirectory("graft_idx").toString
     // render an index file from the packages view, then re-ingest via text
