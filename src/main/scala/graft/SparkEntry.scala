@@ -25,7 +25,8 @@ object SparkEntry {
       (_root_.graft.queries.Dedup.queries, _root_.graft.queries.Dedup.oracles),
       (_root_.graft.queries.Vectors.queries, _root_.graft.queries.Vectors.oracles),
       (_root_.graft.queries.Multimodal.queries, _root_.graft.queries.Multimodal.oracles),
-      (_root_.graft.queries.Extras.queries, _root_.graft.queries.Extras.oracles))
+      (_root_.graft.queries.Extras.queries, _root_.graft.queries.Extras.oracles),
+      (_root_.graft.queries.Analytics.queries, _root_.graft.queries.Analytics.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2 (insertion-ordered
     * so Verify/Bench output is stable).

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Statistical text/stream analytics (SURVEY.md M4 "tf-idf-ish", A-family
+  * second moments).
+  *
+  * Parity notes: idf uses the rational form `N/df` (not ln — Math.log and
+  * libm can differ in the last ulp); variance/correlation are computed
+  * from EXACT decimal moment sums (Σx, Σx², Σxy over 2-decimal fixture
+  * values) then finished with identical double arithmetic on both engines
+  * — no Welford-vs-textbook formula divergence, no summation-order noise.
+  */
+object Analytics {
+  type QFn = (SparkSession, String) => DataFrame
+
+  import graft.Tables
+
+  val queries: Seq[(String, QFn)] = Seq(
+    // tf-idf-ish top terms per document (rational idf; bounded output).
+    "q58_tfidf_top_terms" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.count() // tiny table; the count anchors idf
+      val tf = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = docs
+        .select(explode(expr("array_distinct(split(text, ' '))")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+      tf.join(df, "tok")
+        .withColumn("score", col("tf") * lit(nDocs) / col("df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "rank")
+    },
+
+    // per-language token frequency profile (top 5 tokens per lang).
+    "q59_lang_ngram_profile" -> { (s, dir) =>
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tok"))
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy("lang", "rank")
+    },
+
+    // exact second moments: variance/stddev of event value per type, plus
+    // correlation between value and props.k — all from decimal sums.
+    "q60_stats_moments" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,2)")).cast("double").as("sx"),
+          sum((col("value") * col("value")).cast("decimal(30,4)")).cast("double").as("sxx"),
+          sum(col("k").cast("decimal(28,0)")).cast("double").as("sy"),
+          sum((col("k") * col("k")).cast("decimal(30,0)")).cast("double").as("syy"),
+          sum((col("value") * col("k")).cast("decimal(30,2)")).cast("double").as("sxy"))
+        .select(col("event_type"), col("n"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_value"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("stddev_value"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+             sqrt(col("syy") - col("sy") * col("sy") / col("n")))).as("corr_value_k"))
+        .orderBy("event_type")
+    })
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q58_tfidf_top_terms" ->
+      """WITH nd AS (SELECT count(*) AS n FROM documents),
+        |tf AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents WHERE doc_id < 20),
+        |tfc AS (SELECT doc_id, tok, count(*) AS tf FROM tf GROUP BY 1, 2),
+        |dfc AS (
+        | SELECT tok, count(*) AS df FROM (
+        |  SELECT unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents) t
+        | GROUP BY tok),
+        |scored AS (
+        | SELECT doc_id, tok, tf, df, tf * (SELECT n FROM nd) / df AS score
+        | FROM tfc JOIN dfc USING (tok))
+        |SELECT doc_id, CAST(row_number() OVER w AS INTEGER) AS rank, tok, tf, df, score
+        |FROM scored
+        |WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, tok)
+        |QUALIFY rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "q59_lang_ngram_profile" ->
+      """WITH t AS (
+        | SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT lang, tok, count(*) AS n FROM t GROUP BY 1, 2)
+        |SELECT lang, tok, n, CAST(row_number() OVER w AS INTEGER) AS rank
+        |FROM c
+        |WINDOW w AS (PARTITION BY lang ORDER BY n DESC, tok)
+        |QUALIFY rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
+
+    "q60_stats_moments" ->
+      """WITH e AS (
+        | SELECT event_type, value,
+        |  CAST(regexp_extract(props, '"k": *(-?\d+)', 1) AS BIGINT) AS k
+        | FROM events
+        | WHERE regexp_extract(props, '"k": *(-?\d+)', 1) <> ''),
+        |m AS (
+        | SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(value * value AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(k AS DECIMAL(28,0))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(k * k AS DECIMAL(30,0))) AS DOUBLE) AS syy,
+        |  CAST(sum(CAST(value * k AS DECIMAL(30,2))) AS DOUBLE) AS sxy
+        | FROM e GROUP BY event_type)
+        |SELECT event_type, n,
+        | (sxx - sx * sx / n) / (n - 1) AS var_value,
+        | sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_value,
+        | (sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_value_k
+        |FROM m
+        |ORDER BY event_type""".stripMargin)
+}
