@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests (SURVEY.md §4.2, the 100 TB read-path
+  * properties): filters must reach the parquet scan, small dims must
+  * broadcast, projections must prune the scan schema, and no judged query
+  * may plan a cartesian product.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  private val dir = SparkTestHarness.Sf0001
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q06: sargable filters are pushed to the parquet scan") {
+    val p = plan("q06_revenue_forecast")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"missing pushed filters:\n${p.take(2000)}")
+    // the toString truncates long filter lists — match the prefix
+    assert(p.contains("GreaterThanOrEqual(l_shipda"), "range filter not pushed")
+  }
+
+  test("q02: star join broadcasts every dimension (no sort-merge, no cartesian)") {
+    val p = plan("q02_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins")
+    assert(!p.contains("CartesianProduct"), "cartesian product in star join!")
+  }
+
+  test("q01: scan schema is pruned to referenced columns only") {
+    val p = plan("q01_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      s"unpruned columns in $readSchema")
+  }
+
+  test("q03: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan("q03_top_unshipped_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n${p.take(1500)}")
+  }
+
+  test("no judged query plans a CartesianProduct") {
+    // q45/q52 intentionally use BroadcastNestedLoopJoin with a 5-row build
+    // side; cartesian (unbroadcast NLJ over two big sides) is the bug.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+}
