@@ -68,11 +68,11 @@ object Graft {
       .agg(count(lit(1)).as("n_docs"), min(idCol).as("canonical"))
       .filter(col("n_docs") > 1)
 
-  /** Cosine similarity column over two ARRAY<DOUBLE> columns (codegen'd). */
-  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val dot = expr(s"array_dot(${a.toString}, ${b.toString})")
-    val na = expr(s"array_dot(${a.toString}, ${a.toString})")
-    val nb = expr(s"array_dot(${b.toString}, ${b.toString})")
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  /** Cosine similarity column over two ARRAY<DOUBLE> columns (codegen'd
+    * array_dot kernel; resolves through the session function registry, so
+    * arbitrary computed-column inputs work — call `init` first).
+    */
+  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("array_dot", a, b) /
+      (sqrt(call_function("array_dot", a, a)) * sqrt(call_function("array_dot", b, b)))
 }

@@ -41,6 +41,15 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(orph.count() + rd.count() === 60)
   }
 
+  test("cosine works on computed array columns and is 1.0 on self") {
+    val e = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      // computed input: scaled copy — cosine is scale-invariant
+      .withColumn("v2", expr("transform(v, x -> x * 2.0D)"))
+    val r = e.select(Graft.cosine(col("v"), col("v2")).as("c")).agg(min("c"), max("c")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12 && math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("exactDupGroups agrees with the distinct-text count") {
     val docs = Tables.documents(spark, dir)
     val g = Graft.exactDupGroups(docs)
