@@ -49,6 +49,29 @@ object Analytics {
         .orderBy("lang", "rank")
     },
 
+    // KMV (k-minimum-values) distinct sketch with a DETERMINISTIC md5 hash
+    // family — unlike HLL++ (q19, engine-specific), this sketch is fully
+    // oracle-verifiable: both engines compute identical order statistics.
+    // estimate = (k-1) * 2^60 / kth_smallest_hash over distinct 60-bit
+    // hashes of the key.
+    "q61_kmv_distinct_sketch" -> { (s, dir) =>
+      val k = 64
+      val hashes = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)").as("h"))
+        .distinct()
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val kth = hashes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === k)
+        .select(col("event_type"), col("h").as("kth"))
+      val exact = Tables.events(s, dir).groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_distinct"))
+      exact.join(kth, "event_type")
+        .select(col("event_type"), col("exact_distinct"), col("kth"),
+          (lit(k - 1) * lit(1.152921504606846976e18) / col("kth")).as("kmv_estimate"))
+        .orderBy("event_type")
+    },
+
     // exact second moments: variance/stddev of event value per type, plus
     // correlation between value and props.k — all from decimal sums.
     "q60_stats_moments" -> { (s, dir) =>
@@ -100,6 +123,21 @@ object Analytics {
         |WINDOW w AS (PARTITION BY lang ORDER BY n DESC, tok)
         |QUALIFY rank <= 5
         |ORDER BY lang, rank""".stripMargin,
+
+    "q61_kmv_distinct_sketch" ->
+      """WITH h AS (
+        | SELECT DISTINCT event_type,
+        |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        | FROM events),
+        |kth AS (
+        | SELECT event_type, h AS kth
+        | FROM (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h) t
+        | WHERE rn = 64),
+        |exact AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct FROM events GROUP BY event_type)
+        |SELECT e.event_type, e.exact_distinct, k.kth,
+        | 63 * 1.152921504606846976e18 / k.kth AS kmv_estimate
+        |FROM exact e JOIN kth k ON e.event_type = k.event_type
+        |ORDER BY e.event_type""".stripMargin,
 
     "q60_stats_moments" ->
       """WITH e AS (
