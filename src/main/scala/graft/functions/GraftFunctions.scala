@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -16,20 +15,36 @@ import org.apache.spark.unsafe.types.UTF8String
   * #5 — these sit outside the relational hot path).
   */
 case class VersionCompare(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override protected def nullSafeEval(l: Any, r: Any): Any =
     VersionOrder.compare(l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString)
+  // static call into the tested Scala core: keeps the expression INSIDE
+  // whole-stage codegen (CodegenFallback would split the span and fall
+  // back to row-at-a-time eval for the whole operator)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.VersionOrder.compare($l.toString(), $r.toString());")
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VersionCompare =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "version_compare"
 }
 
 case class VersionSortKey(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override protected def nullSafeEval(v: Any): Any =
     UTF8String.fromString(VersionOrder.sortKey(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.VersionOrder.sortKey($c.toString()));")
   override protected def withNewChildInternal(newChild: Expression): VersionSortKey =
     copy(child = newChild)
   override def prettyName: String = "version_sort_key"
