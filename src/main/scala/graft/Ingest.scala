@@ -55,4 +55,26 @@ object Ingest {
       .parquet(s"$outDir/packages")
     spark.read.parquet(s"$outDir/packages")
   }
+
+  /** Incremental refresh: each ingest lands under `snapshot=<id>`; readers
+    * pin the latest snapshot (plain-parquet stand-in for a table format's
+    * snapshot isolation — the reference's periodic cache-refresh
+    * semantics).
+    */
+  def runSnapshot(spark: SparkSession, fixtureDir: String, outDir: String, snapshotId: Long): Unit =
+    parseIndex(renderIndex(spark, fixtureDir))
+      .withColumn("snapshot", lit(snapshotId))
+      .write.mode(SaveMode.Append)
+      .partitionBy("snapshot", "distro", "arch")
+      .parquet(s"$outDir/packages_s")
+
+  /** Read the latest snapshot only (partition pruning keeps older
+    * snapshots untouched on disk and unread at scan time).
+    */
+  def latestSnapshot(spark: SparkSession, outDir: String): DataFrame = {
+    val all = spark.read.parquet(s"$outDir/packages_s")
+    // partition columns come back type-inferred (int for small ids)
+    val latest = all.agg(max(col("snapshot").cast("long"))).head().getLong(0)
+    all.filter(col("snapshot").cast("long") === latest)
+  }
 }

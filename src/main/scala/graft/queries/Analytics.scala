@@ -72,6 +72,20 @@ object Analytics {
         .orderBy("event_type")
     },
 
+    // Spark 4 VariantType path for semi-structured props: parse_json once,
+    // then typed variant_get extraction — the modern engine-native form of
+    // the open key->value metadata the reference kept per package record.
+    "q62_variant_props" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("vp", parse_json(col("props")))
+        .withColumn("k", expr("variant_get(vp, '$.k', 'long')"))
+        .filter(col("k").isNotNull)
+        .groupBy((col("k") / 10).cast("int").as("k_decile"))
+        .agg(count(lit(1)).as("n"), countDistinct("event_type").as("n_types"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("k_decile")
+    },
+
     // exact second moments: variance/stddev of event value per type, plus
     // correlation between value and props.k — all from decimal sums.
     "q60_stats_moments" -> { (s, dir) =>
@@ -138,6 +152,18 @@ object Analytics {
         | 63 * 1.152921504606846976e18 / k.kth AS kmv_estimate
         |FROM exact e JOIN kth k ON e.event_type = k.event_type
         |ORDER BY e.event_type""".stripMargin,
+
+    "q62_variant_props" ->
+      """WITH e AS (
+        | SELECT event_type, value,
+        |  CAST(regexp_extract(props, '"k": *(-?\d+)', 1) AS BIGINT) AS k
+        | FROM events
+        | WHERE regexp_extract(props, '"k": *(-?\d+)', 1) <> '')
+        |SELECT CAST(k // 10 AS INTEGER) AS k_decile, count(*) AS n,
+        | count(DISTINCT event_type) AS n_types, round(sum(value), 2) AS total_value
+        |FROM e
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     "q60_stats_moments" ->
       """WITH e AS (

@@ -26,6 +26,17 @@ class IngestSpec extends AnyFunSuite {
     assert(loaded.agg(sum(md5(concat_ws("|", col("name"), col("version"))).substr(1, 8).cast("string").isNotNull.cast("long"))).head().getLong(0) === src.count())
   }
 
+  test("snapshot ingest: readers pin the latest snapshot, old ones prune away") {
+    val out = Files.createTempDirectory("graft_snap").toString
+    Ingest.runSnapshot(spark, dir, out, snapshotId = 1L)
+    Ingest.runSnapshot(spark, dir, out, snapshotId = 2L)
+    val latest = Ingest.latestSnapshot(spark, out)
+    assert(latest.count() === Tables.packages(spark, dir).count())
+    assert(latest.selectExpr("cast(snapshot as long)").distinct().head().getLong(0) === 2L)
+    val plan = latest.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "snapshot filter should prune partitions")
+  }
+
   test("arch filter prunes partitions at the scan") {
     val out = Files.createTempDirectory("graft_ingest2").toString
     val loaded = Ingest.run(spark, dir, out)

@@ -58,6 +58,22 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("foreachBatch sink: streamed micro-batches append to parquet == batch") {
+    val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val q = EventStreams.hourlyTypeCounts(EventStreams.readEventStream(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/agg")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$out/agg").count()
+    val want = EventStreams.hourlyTypeCounts(Tables.events(spark, dir)).count()
+    assert(got === want)
+  }
+
   test("T5: stateful dedup keeps every distinct event_id") {
     val streamed = EventStreams.dedupedEvents(EventStreams.readEventStream(spark, dir))
       .select("event_id")
