@@ -47,11 +47,13 @@ object VersionOrder {
         if (i < a.length && !a(i).isDigit) i += 1
         if (j < b.length && !b(j).isDigit) j += 1
       }
-      // digit run: strip leading zeros, longer run wins, then lexicographic.
+      // digit run: strip ALL leading zeros (an empty run equals 0 — Debian
+      // semantics, and what the sortKey zero-pad encodes), longer run wins,
+      // then lexicographic.
       var si = i; while (i < a.length && a(i).isDigit) i += 1
       var sj = j; while (j < b.length && b(j).isDigit) j += 1
-      while (si < i - 1 && a(si) == '0') si += 1
-      while (sj < j - 1 && b(sj) == '0') sj += 1
+      while (si < i && a(si) == '0') si += 1
+      while (sj < j && b(sj) == '0') sj += 1
       val la = i - si
       val lb = j - sj
       if (la != lb) return Integer.compare(la, lb)

@@ -56,6 +56,17 @@ class VersionOrderSpec extends AnyFunSuite {
     lt("1.0-1", "1.0-1a") // revision fragment uses the same rules
   }
 
+  test("degenerate inputs are total-ordered, never throw") {
+    val weird = Seq("", "-", ":", "~", ".", "1", "0", "a", "1:", ":1", "1-", "-1",
+      "1..2", "1.2.3-r4-r5", "999999999999999999.1", "0:0-0")
+    for (a <- weird; b <- weird) {
+      val c = VersionOrder.compare(a, b)
+      assert(c === -VersionOrder.compare(b, a), s"antisymmetry broke: $a vs $b")
+      assert(Integer.signum(VersionOrder.sortKey(a).compareTo(VersionOrder.sortKey(b))) === Integer.signum(c),
+        s"key mismatch: $a vs $b")
+    }
+  }
+
   test("debian policy examples") {
     lt("2.6.0", "2.6.0-r1") // r1 revision vs 0
     lt("1.0-1", "1.0-2")
