@@ -30,10 +30,14 @@ object Bench {
       }
       name -> math.min(once(), once())
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision keeps the one-line JSON short: the driver only retains
+    // an output tail of a few KB, and full-precision doubles overflowed it
+    // in round 1 (BENCH_r01.json parsed:null).
+    def f3(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

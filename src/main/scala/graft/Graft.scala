@@ -42,7 +42,9 @@ object Graft {
   /** Rows satisfying a minimum-version constraint (`>= minVersion`). */
   def satisfying(packages: DataFrame, minVersion: String): DataFrame = {
     GraftFunctions.ensureRegistered(packages.sparkSession)
-    packages.filter(expr(s"version_compare(version, '$minVersion')") >= 0)
+    // expression API, not SQL-string interpolation: a quote inside
+    // minVersion must stay a literal, never parsed expression text.
+    packages.filter(call_function("version_compare", col("version"), lit(minVersion)) >= 0)
   }
 
   /** Transitive dependency closure (install plan) from one package. */

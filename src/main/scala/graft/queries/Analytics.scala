@@ -80,7 +80,9 @@ object Analytics {
         .withColumn("vp", parse_json(col("props")))
         .withColumn("k", expr("variant_get(vp, '$.k', 'long')"))
         .filter(col("k").isNotNull)
-        .groupBy((col("k") / 10).cast("int").as("k_decile"))
+        // floor division (matches DuckDB `k // 10`); `/`+cast would
+        // truncate toward zero and diverge for negative k.
+        .groupBy(floor(col("k") / 10).cast("int").as("k_decile"))
         .agg(count(lit(1)).as("n"), countDistinct("event_type").as("n_types"),
           round(sum("value"), 2).as("total_value"))
         .orderBy("k_decile")

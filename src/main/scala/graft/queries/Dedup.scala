@@ -43,8 +43,11 @@ object Dedup {
     "q42_minhash_lsh_pairs" -> { (s, dir) =>
       // one materialization of the shingle set feeds signature building,
       // both verification sides, and the size table (recomputing the
-      // split+md5 subtree 4x dominated the un-cached plan)
-      val sh = shingles(s, dir).cache()
+      // split+md5 subtree 4x dominated the un-cached plan). localCheckpoint,
+      // not cache(): checkpoint blocks are released by the ContextCleaner
+      // once the plan is GC'd; CacheManager entries would pin memory for
+      // the whole session.
+      val sh = shingles(s, dir).localCheckpoint()
       // one md5 per shingle, then a universal family h_i = (a_i*x + b_i)
       // mod p over the 31-bit base (12 md5s per shingle benched 6x slower;
       // products stay under 2^62 so the arithmetic is exact int64)

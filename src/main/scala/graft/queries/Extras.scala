@@ -26,11 +26,16 @@ object Extras {
     // A3/A8 — sketch aggregates (HLL++, GK quantiles). No DuckDB oracle:
     // sketch internals are engine-specific → driver records rows-only.
     // The exact counterparts are oracle-verified in q09/q13.
+    // Quantile array flattened to scalar columns: the driver's pandas-side
+    // sort can't order array cells, so the result surface stays scalar.
     "q19_approx_stats" -> { (s, dir) =>
       Tables.orders(s, dir).agg(
         approx_count_distinct(col("o_custkey")).as("approx_customers"),
-        expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").as("price_quantiles"),
+        expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").as("pq"),
         count(lit(1)).as("n_orders"))
+        .select(col("approx_customers"),
+          col("pq")(0).as("price_p50"), col("pq")(1).as("price_p90"),
+          col("pq")(2).as("price_p99"), col("n_orders"))
     },
 
     // T3 — native session_window (30-min gap). Same shuffle shape under
@@ -51,7 +56,7 @@ object Extras {
     "q37_version_collect" -> { (s, dir) =>
       Tables.packages(s, dir)
         .groupBy("name")
-        .agg(sort_array(collect_set(col("version"))).as("versions"),
+        .agg(array_join(sort_array(collect_set(col("version"))), ",").as("versions"),
           countDistinct("version").as("n_versions"))
         .orderBy("name")
     },
@@ -81,8 +86,11 @@ object Extras {
     "q53_exact_percentiles" -> { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("price_quartiles"),
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("pq"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          col("pq")(0).as("price_p25"), col("pq")(1).as("price_p50"),
+          col("pq")(2).as("price_p75"), col("n"))
         .orderBy("l_returnflag")
     },
 
@@ -134,7 +142,7 @@ object Extras {
       ed.select(col("dep").as("name"), col("name").as("rdep"))
         .groupBy("name")
         .agg(countDistinct("rdep").as("n_rdeps"),
-          sort_array(collect_set(col("rdep"))).as("rdeps"))
+          array_join(sort_array(collect_set(col("rdep"))), ",").as("rdeps"))
         .orderBy("name")
     },
 
@@ -177,7 +185,7 @@ object Extras {
         |  CAST(p_partkey % 4 + 1 AS VARCHAR) || '.' || CAST((p_partkey*7) % 13 AS VARCHAR)
         |    || '.' || CAST((p_partkey*13) % 7 AS VARCHAR) || '-r' || CAST(p_partkey % 5 + 1 AS VARCHAR) AS version
         | FROM part)
-        |SELECT name, list_sort(list(DISTINCT version)) AS versions,
+        |SELECT name, array_to_string(list_sort(list(DISTINCT version)), ',') AS versions,
         | count(DISTINCT version) AS n_versions
         |FROM pkg
         |GROUP BY name
@@ -221,7 +229,9 @@ object Extras {
 
     "q53_exact_percentiles" ->
       """SELECT l_returnflag,
-        | quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS price_quartiles,
+        | quantile_cont(l_extendedprice, 0.25) AS price_p25,
+        | quantile_cont(l_extendedprice, 0.5) AS price_p50,
+        | quantile_cont(l_extendedprice, 0.75) AS price_p75,
         | count(*) AS n
         |FROM lineitem
         |GROUP BY l_returnflag
@@ -266,38 +276,7 @@ object Extras {
         | SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name,
         |        'pkg-' || lpad(CAST((i*3 + 11) % 60 AS VARCHAR), 2, '0') AS dep FROM idx)
         |SELECT dep AS name, count(DISTINCT name) AS n_rdeps,
-        | list_sort(list(DISTINCT name)) AS rdeps
-        |FROM ed
-        |GROUP BY dep
-        |ORDER BY dep""".stripMargin,
-
-    "q55_outer_join_coverage" ->
-      """WITH hb AS (
-        | SELECT c_nationkey, count(*) AS n_rich
-        | FROM customer WHERE c_acctbal > 9000
-        | GROUP BY c_nationkey)
-        |SELECT n_name, coalesce(n_rich, 0) AS n_rich,
-        | CASE WHEN n_rich IS NULL THEN 'none' ELSE 'some' END AS tag
-        |FROM nation LEFT JOIN hb ON n_nationkey = c_nationkey
-        |ORDER BY n_name""".stripMargin,
-
-    "q56_grouping_sets" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        | CAST(grouping(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
-        |FROM orders
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
-
-    "q57_reverse_deps" ->
-      """WITH idx AS (SELECT DISTINCT p_partkey % 60 AS i FROM part),
-        |ed AS (
-        | SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name,
-        |        'pkg-' || lpad(CAST((i*7 + 3) % 60 AS VARCHAR), 2, '0') AS dep FROM idx
-        | UNION
-        | SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name,
-        |        'pkg-' || lpad(CAST((i*3 + 11) % 60 AS VARCHAR), 2, '0') AS dep FROM idx)
-        |SELECT dep AS name, count(DISTINCT name) AS n_rdeps,
-        | list_sort(list(DISTINCT name)) AS rdeps
+        | array_to_string(list_sort(list(DISTINCT name)), ',') AS rdeps
         |FROM ed
         |GROUP BY dep
         |ORDER BY dep""".stripMargin,

@@ -56,9 +56,12 @@ object Text {
     // identical keying so parity is unconditional.
     "q41_shingle_jaccard_pairs" -> { (s, dir) =>
       // materialize the hashed shingle set once: it feeds both join sides
-      // and the size table
+      // and the size table. localCheckpoint, not cache(): checkpoint blocks
+      // are released by the ContextCleaner once the plan is GC'd, while
+      // CacheManager entries would pin memory for the whole session.
       val hk = shingles(s, dir).select(col("doc_id"),
-        expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)").as("hk")).cache()
+        expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)").as("hk"))
+        .localCheckpoint()
       val a = hk
       val b = hk.select(col("doc_id").as("doc_id2"), col("hk").as("hk2"))
       val sizes = hk.groupBy("doc_id").agg(count(lit(1)).as("sz"))
