@@ -33,7 +33,9 @@ object Bench {
     // ms precision keeps the one-line JSON short: the driver only retains
     // an output tail of a few KB, and full-precision doubles overflowed it
     // in round 1 (BENCH_r01.json parsed:null).
-    def f3(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale (de_DE) would emit 0,123
+    // and corrupt the JSON line.
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -22,7 +22,9 @@ object Analytics {
     // tf-idf-ish top terms per document (rational idf; bounded output).
     "q58_tfidf_top_terms" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val nDocs = docs.count() // tiny table; the count anchors idf
+      // idf anchor (N = doc count) as a broadcast single-row crossJoin: one
+      // plan, no driver-side count() job before the query even runs.
+      val nDocs = broadcast(docs.agg(count(lit(1)).as("n_total_docs")))
       val tf = docs.filter(col("doc_id") < 20)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
@@ -31,7 +33,8 @@ object Analytics {
         .groupBy("tok").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
       tf.join(df, "tok")
-        .withColumn("score", col("tf") * lit(nDocs) / col("df"))
+        .crossJoin(nDocs)
+        .withColumn("score", col("tf") * col("n_total_docs") / col("df"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"), col("score"))
@@ -53,20 +56,21 @@ object Analytics {
     // family — unlike HLL++ (q19, engine-specific), this sketch is fully
     // oracle-verifiable: both engines compute identical order statistics.
     // estimate = (k-1) * 2^60 / kth_smallest_hash over distinct 60-bit
-    // hashes of the key.
+    // hashes of the key. The k-th order statistic comes from the
+    // bounded-state KthSmallestDistinct aggregator (O(k) memory per group,
+    // map-side partials, distinctness enforced in-buffer) — NOT a
+    // row_number window, which would shuffle and fully sort every distinct
+    // hash per group to extract 64 values; PlanAuditSpec pins the
+    // no-Window plan shape.
     "q61_kmv_distinct_sketch" -> { (s, dir) =>
       val k = 64
-      val hashes = Tables.events(s, dir)
-        .select(col("event_type"),
+      val kth64 = udaf(new graft.functions.KthSmallestDistinct(k))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"),
           expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)").as("h"))
-        .distinct()
-      val w = Window.partitionBy("event_type").orderBy("h")
-      val kth = hashes.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === k)
-        .select(col("event_type"), col("h").as("kth"))
-      val exact = Tables.events(s, dir).groupBy("event_type")
-        .agg(countDistinct("user_id").as("exact_distinct"))
-      exact.join(kth, "event_type")
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_distinct"), kth64(col("h")).as("kth"))
+        .filter(col("kth").isNotNull) // KMV undefined under k distinct values
         .select(col("event_type"), col("exact_distinct"), col("kth"),
           (lit(k - 1) * lit(1.152921504606846976e18) / col("kth")).as("kmv_estimate"))
         .orderBy("event_type")

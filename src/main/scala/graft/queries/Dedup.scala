@@ -30,30 +30,35 @@ object Dedup {
   private val K = 12     // minhash functions
   private val BandRows = 3 // rows per band → 4 bands
 
-  /** doc_id → distinct word-3-gram shingles (same unit as Text.q41). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        expr("explode(array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
-          "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))))").as("sh"))
+  /** Degenerate-bucket cap for q42's LSH candidate join: a (band, bkey)
+    * bucket holding more than this many documents is a degenerate
+    * collision cluster (boilerplate-dominated signatures) and would emit
+    * O(bucket²) candidate pairs on ONE shuffle key. Dropping such buckets
+    * bounds per-key fan-out at cap²; the recall cost is confined to
+    * documents whose near-dups hide exclusively inside a degenerate
+    * bucket — at 4 bands a true pair usually collides in several bands, so
+    * losing one capped bucket rarely loses the pair. Fixture bucket sizes
+    * max at 17 (sf0.1) / 3 (sf0.01), so 50 is inert on fixtures
+    * (DedupCapSpec proves capped == uncapped) while bounding skew at
+    * scale. The oracle applies the identical cap.
+    */
+  private val BucketCap = 50
 
   val queries: Seq[(String, QFn)] = Seq(
     // MinHash signature → banded LSH buckets → candidate pairs → exact
     // Jaccard verify (only over candidates).
     "q42_minhash_lsh_pairs" -> { (s, dir) =>
-      // one materialization of the shingle set feeds signature building,
-      // both verification sides, and the size table (recomputing the
-      // split+md5 subtree 4x dominated the un-cached plan). localCheckpoint,
-      // not cache(): checkpoint blocks are released by the ContextCleaner
-      // once the plan is GC'd; CacheManager entries would pin memory for
-      // the whole session.
-      val sh = shingles(s, dir).localCheckpoint()
+      // the shared shingle materialization (Shingles.frame) feeds signature
+      // building, both verification sides, and the size table — and is the
+      // same frame q41/q43 use, so the subtree computes once per session.
+      val sh = Shingles.frame(s, dir)
       // one md5 per shingle, then a universal family h_i = (a_i*x + b_i)
       // mod p over the 31-bit base (12 md5s per shingle benched 6x slower;
-      // products stay under 2^62 so the arithmetic is exact int64)
+      // products stay under 2^62 so the arithmetic is exact int64). The
+      // base is an exact projection of the shared 60-bit key:
+      // first-8-hex-chars value = hk >> 28.
       val hashed = sh
-        .withColumn("base",
-          expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint) % 2147483647"))
+        .withColumn("base", expr("shiftright(hk, 28) % 2147483647"))
       // the whole signature in ONE aggregation pass: 12 codegen'd min
       // columns over the shingle rows (a per-(doc,i) shuffle of 12x the
       // rows benched ~4x slower), then stack() unpivots the 4 band keys
@@ -68,7 +73,13 @@ object Dedup {
       val buckets = sig.select(col("doc_id") +: bandCols: _*)
         .select(col("doc_id"),
           expr(s"stack(${K / BandRows}, $bandStack) as (band, bkey)"))
-      val cands = buckets.as("x").join(buckets.as("y"),
+      // skew guard: drop degenerate buckets (size > BucketCap) before the
+      // candidate self-join; the degenerate set is tiny by definition, so
+      // the anti-join broadcasts.
+      val big = buckets.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > BucketCap).select("band", "bkey")
+      val ok = buckets.join(broadcast(big), Seq("band", "bkey"), "left_anti")
+      val cands = ok.as("x").join(ok.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
@@ -97,8 +108,10 @@ object Dedup {
     // the nested higher-order-aggregate form is interpreted per (bit ×
     // shingle) element and benched 100× slower.
     "q43_simhash_dedup" -> { (s, dir) =>
-      val hashes = shingles(s, dir)
-        .withColumn("h", expr("cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint)"))
+      // shared shingle frame; the 32-bit base is hk >> 28 (first 8 hex
+      // chars of the md5), identical to the oracle's direct derivation.
+      val hashes = Shingles.frame(s, dir)
+        .withColumn("h", expr("shiftright(hk, 28)"))
       val bitCols = (0 until 32).map(j => sum(expr(s"shiftright(h, $j) & 1")).as(s"b$j"))
       val voted = hashes.groupBy("doc_id")
         .agg(count(lit(1)).as("n"), bitCols: _*)
@@ -138,9 +151,11 @@ object Dedup {
         | SELECT doc_id, CAST(i // 3 AS INTEGER) AS band,
         |  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
         | FROM sig GROUP BY doc_id, CAST(i // 3 AS INTEGER)),
+        |bsz AS (SELECT band, bkey, count(*) AS bn FROM buckets GROUP BY 1, 2),
+        |okb AS (SELECT b.doc_id, b.band, b.bkey FROM buckets b JOIN bsz USING (band, bkey) WHERE bsz.bn <= 50),
         |cands AS (
         | SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS n_bands
-        | FROM buckets x JOIN buckets y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        | FROM okb x JOIN okb y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
         | GROUP BY 1, 2),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         |common AS (

@@ -64,7 +64,7 @@ object Multimodal {
         .orderBy("kind")
     },
 
-    // Frame sampling: one row per 1 KiB frame, md5 fingerprint per frame —
+    // Frame sampling: one row per 256-byte frame, md5 fingerprint per frame —
     // the fan-out/schema shape of video frame extraction (bounded output:
     // docs with doc_id < 40).
     "q51_frame_sampling" -> { (s, dir) =>

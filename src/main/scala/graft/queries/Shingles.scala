@@ -1,0 +1,48 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Tables
+
+/** One materialized word-3-gram shingle frame per (session, fixture dir),
+  * shared by the near-dup family (q41 inverted-index, q42 MinHash+LSH,
+  * q43 SimHash). The split+transform+array_distinct+explode+md5 subtree is
+  * the dominant common cost of all three queries; materializing it once and
+  * memoizing avoids both (a) recomputing it per query and (b) the round-1
+  * `cache()` approach, whose CacheManager entry pinned session memory and
+  * silently warmed CROSS-query plan matches.
+  *
+  * Columns: (doc_id, sh, hk) where hk is the 60-bit md5-prefix key. The
+  * narrower hash bases the other queries need are exact integer projections
+  * of hk (first-8-hex-chars value = hk >> 28, since 16^7 = 2^28), so one
+  * md5 per shingle serves all three hash families and the DuckDB oracles —
+  * which re-derive from md5 directly — still hash-match bit-for-bit.
+  *
+  * Materialization strategy (ADVICE r2): `localCheckpoint` blocks are
+  * executor-local and unreplicated — fine on local[*] where there is one
+  * "executor" and the ContextCleaner releases blocks on GC, but an executor
+  * loss on a real cluster would kill the job with lineage truncated. So on
+  * a cluster this memoizes a MEMORY_AND_DISK persist instead (recomputable
+  * lineage, released by unpersist/GC).
+  */
+object Shingles {
+  private val memo = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def frame(s: SparkSession, dir: String): DataFrame = {
+    // entries for stopped sessions are dead weight — drop before insert
+    memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    memo.computeIfAbsent((s, dir), _ => {
+      val raw = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("explode(array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
+            "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))))").as("sh"))
+        .withColumn("hk", expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)"))
+      if (s.sparkContext.isLocal) raw.localCheckpoint()
+      else { raw.persist(StorageLevel.MEMORY_AND_DISK); raw }
+    })
+  }
+}

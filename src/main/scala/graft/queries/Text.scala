@@ -27,15 +27,17 @@ import graft.Tables
 object Text {
   type QFn = (SparkSession, String) => DataFrame
 
-  /** Word 3-gram shingle set (distinct) per doc — the discriminative unit
-    * for near-dup on a small-vocabulary corpus (token SETS are degenerate:
-    * every doc contains most of the 31-word vocabulary).
+  /** Hot-shingle document-frequency cap for q41: a shingle present in more
+    * than this many documents is boilerplate (page headers, license
+    * blurbs), carries no near-dup signal, and — being the join key of the
+    * inverted-index self-join — produces a QUADRATIC pair blowup on that
+    * one skewed key at scale. Dropping df > cap keys bounds any key's
+    * pair fan-out at cap², independent of corpus size. Fixture df maxes at
+    * 25 (sf0.1) / 7 (sf0.01), so 20 trims only the sf0.1 tail; production
+    * guidance is an absolute hot bound like this or a small ‰ of the
+    * corpus. The oracle applies the identical cap.
     */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        expr("explode(array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
-          "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))))").as("sh"))
+  private val DfCap = 20
 
   val queries: Seq[(String, QFn)] = Seq(
     // Exact dedup: content-hash groupBy on normalized text.
@@ -55,16 +57,18 @@ object Text {
     // (birthday bound) — effectively exact, and the oracle applies the
     // identical keying so parity is unconditional.
     "q41_shingle_jaccard_pairs" -> { (s, dir) =>
-      // materialize the hashed shingle set once: it feeds both join sides
-      // and the size table. localCheckpoint, not cache(): checkpoint blocks
-      // are released by the ContextCleaner once the plan is GC'd, while
-      // CacheManager entries would pin memory for the whole session.
-      val hk = shingles(s, dir).select(col("doc_id"),
-        expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)").as("hk"))
-        .localCheckpoint()
-      val a = hk
-      val b = hk.select(col("doc_id").as("doc_id2"), col("hk").as("hk2"))
-      val sizes = hk.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      // one shared materialization (Shingles.frame) feeds both join sides
+      // and the size table — and is reused by q42/q43 in the same session.
+      val hk = Shingles.frame(s, dir).select(col("doc_id"), col("hk"))
+      // skew guard: drop boilerplate shingle keys (df > DfCap) from the
+      // representation BEFORE the pair join. The hot set is tiny by
+      // definition, so the anti-join broadcasts.
+      val hot = hk.groupBy("hk").agg(count(lit(1)).as("df"))
+        .filter(col("df") > DfCap).select("hk")
+      val kept = hk.join(broadcast(hot), Seq("hk"), "left_anti")
+      val a = kept
+      val b = kept.select(col("doc_id").as("doc_id2"), col("hk").as("hk2"))
+      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val pairs = a.join(b, col("hk") === col("hk2") && col("doc_id") < col("doc_id2"))
         .groupBy(col("doc_id").as("d1"), col("doc_id2").as("d2"))
         .agg(count(lit(1)).as("common"))
@@ -169,10 +173,12 @@ object Text {
 
     "q41_shingle_jaccard_pairs" -> sub("""WITH --SH--,
         |hk AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS hk FROM sh),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |dfreq AS (SELECT hk, count(*) AS df FROM hk GROUP BY hk),
+        |kept AS (SELECT h.doc_id, h.hk FROM hk h JOIN dfreq d USING (hk) WHERE d.df <= 20),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
         |pairs AS (
         | SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-        | FROM hk a JOIN hk b ON a.hk = b.hk AND a.doc_id < b.doc_id
+        | FROM kept a JOIN kept b ON a.hk = b.hk AND a.doc_id < b.doc_id
         | GROUP BY 1, 2)
         |SELECT d1, d2, common, s1.sz AS sz1, s2.sz AS sz2,
         | common / (s1.sz + s2.sz - common) AS jaccard

@@ -81,21 +81,34 @@ object Vectors {
     // LSH-bucketed ANN top-k — the 100 TB scale path for q45: candidates
     // come from buckets within Hamming distance 2 of the query's random-
     // hyperplane bucket (multi-probe LSH), then exact cosine ranks the
-    // candidates. On THIS corpus (no planted neighbors; max pairwise
+    // candidates. Each query row is EXPLODED into its C(8,0)+C(8,1)+C(8,2)
+    // = 37 probe bucket ids and the corpus is equi-joined on bucket — a
+    // broadcast HASH join that touches only actual bucket members, vs. a
+    // `bit_count(bucket^qbucket)<=2` join predicate which degenerates to a
+    // BroadcastNestedLoopJoin scanning every corpus row per query
+    // (PlanAuditSpec pins the no-BNLJ shape). Probe ids are distinct per
+    // query (distinct XOR masks), so no candidate dedup pass is needed.
+    // On THIS corpus (no planted neighbors; max pairwise
     // cosine ~0.5 = near-random) the measured tradeoff is recall@3 = 27%
     // while scanning ~15% of the corpus; planes/probe-radius are the
     // standard recall knobs when real near-neighbor structure exists.
     "q52_ann_lsh_topk" -> { (s, dir) =>
       val bucketed = vecs(s, dir).withColumn("bucket", expr(bucketExpr))
+      // 37 XOR masks of Hamming weight <= 2 over 8 plane bits
+      val masks = (Seq(0L)
+        ++ (0 until Planes).map(i => 1L << i)
+        ++ (for { i <- 0 until Planes; j <- i + 1 until Planes } yield (1L << i) | (1L << j)))
       val q = bucketed.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("va"), col("nsq").as("na"),
           col("bucket").as("qbucket"))
+        .withColumn("probe",
+          expr(s"explode(transform(array(${masks.map(_ + "L").mkString(",")}), m -> qbucket ^ m))"))
       val c = bucketed
         .select(col("vec_id").as("cid"), col("v").as("vb"), col("nsq").as("nb"),
           col("bucket"))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
       c.join(broadcast(q),
-          expr("bit_count(bucket ^ qbucket) <= 2") && col("cid") =!= col("qid"))
+          col("bucket") === col("probe") && col("cid") =!= col("qid"))
         .withColumn("cos", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)

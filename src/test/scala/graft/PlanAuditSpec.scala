@@ -41,9 +41,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n${p.take(1500)}")
   }
 
+  test("q52: ANN probe is a hash equi-join on bucket id, not a nested loop") {
+    // the r2 plan evaluated bit_count(bucket^qbucket)<=2 against EVERY
+    // corpus row via BroadcastNestedLoopJoin; the probe-bucket explode must
+    // keep it a broadcast HASH join that prunes to actual bucket members.
+    val p = plan("q52_ann_lsh_topk")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q52 probe degenerated to a nested loop:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast hash join on bucket id")
+  }
+
+  test("q61: KMV kth-value runs as bounded-state aggregation, no Window sort") {
+    val p = plan("q61_kmv_distinct_sketch")
+    assert(!p.contains("Window"),
+      s"q61 regressed to a per-group window sort:\n${p.take(2000)}")
+  }
+
   test("no judged query plans a CartesianProduct") {
-    // q45/q52 intentionally use BroadcastNestedLoopJoin with a 5-row build
-    // side; cartesian (unbroadcast NLJ over two big sides) is the bug.
+    // q45 intentionally uses BroadcastNestedLoopJoin with a 5-row build
+    // side (exact brute-force baseline); cartesian (unbroadcast NLJ over
+    // two big sides) is the bug.
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
