@@ -21,6 +21,7 @@ object SparkEntry {
       (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracles),
       (_root_.graft.queries.Events.queries, _root_.graft.queries.Events.oracles),
       (_root_.graft.queries.Packages.queries, _root_.graft.queries.Packages.oracles),
+      (_root_.graft.queries.Resolution.queries, _root_.graft.queries.Resolution.oracles),
       (_root_.graft.queries.Text.queries, _root_.graft.queries.Text.oracles),
       (_root_.graft.queries.Dedup.queries, _root_.graft.queries.Dedup.oracles),
       (_root_.graft.queries.Vectors.queries, _root_.graft.queries.Vectors.oracles),

@@ -76,6 +76,69 @@ object Tables {
       col("p_size").as("size_mb"),
       col("p_retailprice").as("build_cost"))
 
+  /** File list per package *version* — the reference's most-used lookup
+    * shape ("which package owns /usr/bin/x", à la `dpkg -S` /
+    * `apk info --who-owns`; SURVEY.md §1.1 "File lists"). Each package
+    * version pkg_id carries (pkg_id % 4 + 2) files; file j's path id is
+    * (pkg_id*31 + j*17) % 97, so paths are SHARED across packages (a path
+    * has several owning candidates — the lookup is a real resolution, not
+    * a 1:1 join). Pure integer arithmetic end-to-end so the DuckDB oracle
+    * rebuilds the identical relation.
+    *
+    * Scale notes: at 100 TB this is the engine's largest derived relation
+    * (files ≫ packages); it is a narrow projection + generator explode —
+    * no shuffle — and owning-package lookups are a path-key filter
+    * (pushable) + per-path aggregation.
+    */
+  def files(spark: SparkSession, dir: String): DataFrame =
+    packages(spark, dir)
+      .withColumn("fidx", explode(expr("sequence(0, cast(pkg_id % 4 + 1 as int))")))
+      .withColumn("pid", pmod(col("pkg_id") * 31 + col("fidx") * 17, lit(97)))
+      .select(col("pkg_id"), col("name"), col("version"),
+        concat(lit("/usr/"),
+          element_at(array(lit("bin"), lit("lib"), lit("share"), lit("etc")),
+            (pmod(col("pid"), lit(4)) + 1).cast("int")),
+          lit("/f"), lpad(col("pid").cast("string"), 2, "0")).as("path"))
+
+  /** Provides relation (SURVEY.md §1.1 "Relationship lists"): every package
+    * name provides ITSELF plus one virtual alias `virt-XX` with
+    * XX = i % 20 — three real names per virtual name, so alias resolution
+    * (J6) genuinely fans out instead of being name-identity.
+    */
+  def provides(spark: SparkSession, dir: String): DataFrame = {
+    val nm = packages(spark, dir).select(
+      pmod(col("pkg_id"), lit(PackageNameCount)).cast("int").as("i")).distinct()
+    def pkgName(c: org.apache.spark.sql.Column) =
+      concat(lit("pkg-"), lpad(c.cast("string"), 2, "0"))
+    nm.select(pkgName(col("i")).as("name"),
+        array(pkgName(col("i")),
+          concat(lit("virt-"), lpad(pmod(col("i"), lit(20)).cast("string"), 2, "0"))).as("pr"))
+      .select(col("name"), explode(col("pr")).as("provides_name"))
+      .distinct()
+  }
+
+  /** Depends list in the universal packaging form — CONSTRAINT STRINGS
+    * (`virt-07>=2.5.0`, `pkg-44`), not pre-split columns (SURVEY.md §1.1):
+    * name i depends on a constrained virtual name (op cycles >=, <, = by
+    * i % 3; version from i's arithmetic) and on one bare real name.
+    * `parse_constraint` (graft.functions) turns these back into
+    * (name, op, ver) — the end-to-end resolution path q64 exercises.
+    */
+  def dependsSpecs(spark: SparkSession, dir: String): DataFrame = {
+    val nm = packages(spark, dir).select(
+      pmod(col("pkg_id"), lit(PackageNameCount)).cast("int").as("i")).distinct()
+    def pad2(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 2, "0")
+    nm.select(concat(lit("pkg-"), pad2(col("i"))).as("name"),
+        array(
+          concat(lit("virt-"), pad2(pmod(col("i") * 7 + 3, lit(20))),
+            element_at(array(lit(">="), lit("<"), lit("=")), (pmod(col("i"), lit(3)) + 1).cast("int")),
+            (pmod(col("i"), lit(3)) + 1).cast("string"), lit("."),
+            pmod(col("i") * 5, lit(10)).cast("string"), lit(".0")),
+          concat(lit("pkg-"), pad2(pmod(col("i") * 3 + 11, lit(PackageNameCount))))).as("specs"))
+      .select(col("name"), explode(col("specs")).as("spec"))
+      .distinct()
+  }
+
   /** Dependency edges between package *names*: name i depends on names
     * (i*7+3) mod N and (i*3+11) mod N (two out-edges per name, cycles
     * guaranteed — closure must be cycle-safe). Derived from the distinct

@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the package-metadata layer (SURVEY.md
@@ -48,6 +49,62 @@ case class VersionSortKey(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): VersionSortKey =
     copy(child = newChild)
   override def prettyName: String = "version_sort_key"
+}
+
+/** Static core of `parse_constraint` — splits a packaging dependency spec
+  * (`foo>=1.2.3`, `bar<2.0`, `baz~1.4`, bare `qux`) at the FIRST operator
+  * occurrence into (name, op, ver); a bare name yields op = ver = "". The
+  * operator set is the universal APK/Deb/RPM surface: >=, <=, =, >, <, ~.
+  * Kept as a plain Scala object so the Catalyst expression's `doGenCode`
+  * is a static call that stays inside whole-stage codegen.
+  */
+object ConstraintParser {
+  def parse(s: UTF8String): InternalRow = {
+    val str = s.toString
+    var i = 0
+    var opStart = -1
+    var opLen = 0
+    while (opStart < 0 && i < str.length) {
+      val c = str.charAt(i)
+      if (c == '>' || c == '<') {
+        opStart = i
+        opLen = if (i + 1 < str.length && str.charAt(i + 1) == '=') 2 else 1
+      } else if (c == '=' || c == '~') {
+        opStart = i
+        opLen = 1
+      } else i += 1
+    }
+    val (name, op, ver) =
+      if (opStart < 0) (str, "", "")
+      else (str.substring(0, opStart),
+        str.substring(opStart, opStart + opLen),
+        str.substring(opStart + opLen))
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(name), UTF8String.fromString(op), UTF8String.fromString(ver)))
+  }
+}
+
+/** `parse_constraint(spec)` → struct<name, op, ver> (P5 completion;
+  * SURVEY.md §1.1 — depends lists carry embedded constraints in every
+  * real ecosystem). Codegen'd like VersionCompare: a static call into the
+  * tested parser core.
+  */
+case class ParseConstraint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("ver", StringType, nullable = false)))
+  override protected def nullSafeEval(v: Any): Any =
+    ConstraintParser.parse(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ConstraintParser.parse($c);")
+  override protected def withNewChildInternal(newChild: Expression): ParseConstraint =
+    copy(child = newChild)
+  override def prettyName: String = "parse_constraint"
 }
 
 /** Codegen'd dot product over two ARRAY<DOUBLE> columns — the vector-math
@@ -109,7 +166,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => VersionSortKey(args.head)),
     ("array_dot",
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      (args: Seq[Expression]) => ArrayDot(args(0), args(1))))
+      (args: Seq[Expression]) => ArrayDot(args(0), args(1))),
+    ("parse_constraint",
+      new ExpressionInfo(classOf[ParseConstraint].getName, "parse_constraint"),
+      (args: Seq[Expression]) => ParseConstraint(args.head)))
 
   /** Idempotent: safe to call at the top of every query builder. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Truth tables for the constraint-resolution surface (VERDICT r2 item 4):
+  * parse_constraint splitting and the op-CASE satisfaction semantics that
+  * q64 composes with version_compare.
+  */
+class ResolutionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private def parse(spec: String): (String, String, String) = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val r = Seq(spec).toDF("s")
+      .select(expr("parse_constraint(s)").as("c"))
+      .select("c.name", "c.op", "c.ver").head()
+    (r.getString(0), r.getString(1), r.getString(2))
+  }
+
+  test("parse_constraint truth table: every operator plus bare names") {
+    assert(parse("foo>=1.2.3") == ("foo", ">=", "1.2.3"))
+    assert(parse("foo<=1.2.3") == ("foo", "<=", "1.2.3"))
+    assert(parse("foo>1.2") == ("foo", ">", "1.2"))
+    assert(parse("foo<2:1.0-r1") == ("foo", "<", "2:1.0-r1"))
+    assert(parse("foo=1.0") == ("foo", "=", "1.0"))
+    assert(parse("foo~1.4") == ("foo", "~", "1.4"))
+    assert(parse("libc-dev") == ("libc-dev", "", ""))
+    // first operator wins; the rest stays in ver (degenerate but total)
+    assert(parse("a>=1>=2") == ("a", ">=", "1>=2"))
+    assert(parse(">=1.0") == ("", ">=", "1.0"))
+  }
+
+  test("satisfaction semantics: op CASE over version_compare") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val cases = Seq(
+      // (version, spec, expected)
+      ("2.6.0-r1", "x>=2.6.0", true),   // -r1 > no-revision
+      ("2.5.9-r5", "x>=2.6.0", false),
+      ("2.6.0-r1", "x<2.6.0", false),
+      ("1.9.0-r1", "x<1.10.0", true),   // numeric-aware: 9 < 10
+      ("2.6.0-r1", "x=2.6.0", false),   // revision breaks exact equality
+      ("2.6.0", "x=2.6.0", true),
+      ("1.6.2-r1", "x~1.4", true),      // same major, >= 1.4
+      ("2.0.0-r1", "x~1.4", false),     // major moved
+      ("1.2.0-r1", "x~1.4", false),     // below the floor
+      ("0.1.0-r1", "x", true))          // bare name: any version
+    val df = cases.toDF("version", "spec", "expected")
+      .withColumn("c", expr("parse_constraint(spec)"))
+      .withColumn("ok", expr(
+        """case c.op
+          | when '>=' then version_compare(version, c.ver) >= 0
+          | when '>'  then version_compare(version, c.ver) > 0
+          | when '<=' then version_compare(version, c.ver) <= 0
+          | when '<'  then version_compare(version, c.ver) < 0
+          | when '='  then version_compare(version, c.ver) = 0
+          | when '~'  then version_compare(version, c.ver) >= 0
+          |            and split(version, '[.]')[0] = split(c.ver, '[.]')[0]
+          | else version is not null
+          |end""".stripMargin))
+    val bad = df.filter(col("ok") =!= col("expected")).collect()
+    assert(bad.isEmpty, s"satisfaction mismatches: ${bad.mkString(", ")}")
+  }
+
+  test("q63/q64/q65 return non-degenerate results on sf0.001") {
+    val dir = SparkTestHarness.Sf0001
+    val owners = SparkEntry.queries("q63_file_owner")(spark, dir).collect()
+    assert(owners.nonEmpty && owners.forall { r: Row => r.getLong(1) >= 1 })
+    val res = SparkEntry.queries("q64_provides_resolution")(spark, dir).collect()
+    assert(res.length == 120) // 60 names x 2 specs
+    // '>=' specs (i % 3 == 0) must resolve: several providers carry high versions
+    assert(res.exists(r => r.getLong(3) > 1))
+    val rev = SparkEntry.queries("q65_reverse_provides")(spark, dir).collect()
+    assert(rev.length == 20 && rev.forall(_.getLong(1) == 3)) // 60 names / 20 aliases
+  }
+}
