@@ -27,7 +27,13 @@ object Ingest {
     * expressions with a custom line separator).
     */
   def renderIndex(spark: SparkSession, dir: String): DataFrame =
-    Tables.packages(spark, dir).select(
+    renderIndexOf(Tables.packages(spark, dir))
+
+  /** Same stanza rendering over ANY packages-shaped frame (name, version,
+    * arch, size_mb) — lets callers snapshot a mutated release (q67).
+    */
+  def renderIndexOf(pkgs: DataFrame): DataFrame =
+    pkgs.select(
       concat(
         lit("P:"), col("name"),
         lit("|V:"), col("version"),
@@ -62,7 +68,13 @@ object Ingest {
     * semantics).
     */
   def runSnapshot(spark: SparkSession, fixtureDir: String, outDir: String, snapshotId: Long): Unit =
-    parseIndex(renderIndex(spark, fixtureDir))
+    runSnapshotOf(Tables.packages(spark, fixtureDir), outDir, snapshotId)
+
+  /** Snapshot ANY packages-shaped frame through the real render→parse
+    * ingest path into a `snapshot=<id>` partition.
+    */
+  def runSnapshotOf(pkgs: DataFrame, outDir: String, snapshotId: Long): Unit =
+    parseIndex(renderIndexOf(pkgs))
       .withColumn("snapshot", lit(snapshotId))
       .write.mode(SaveMode.Append)
       .partitionBy("snapshot", "distro", "arch")

@@ -15,37 +15,39 @@ import org.apache.spark.unsafe.types.UTF8String
   * start; `doGenCode` only if a bench gap demands it (SURVEY.md hard part
   * #5 — these sit outside the relational hot path).
   */
-case class VersionCompare(left: Expression, right: Expression)
+case class VersionCompare(left: Expression, right: Expression, eco: String = "deb")
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    VersionOrder.compare(l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString)
+    EcoVersion.compare(l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString, eco)
   // static call into the tested Scala core: keeps the expression INSIDE
   // whole-stage codegen (CodegenFallback would split the span and fall
-  // back to row-at-a-time eval for the whole operator)
+  // back to row-at-a-time eval for the whole operator). `eco` is a
+  // builder-validated member of EcoVersion.Known, so embedding it in the
+  // generated source is a fixed safe literal.
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r) =>
-      s"${ev.value} = graft.functions.VersionOrder.compare($l.toString(), $r.toString());")
+      s"""${ev.value} = graft.functions.EcoVersion.compare($l.toString(), $r.toString(), "$eco");""")
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VersionCompare =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "version_compare"
 }
 
-case class VersionSortKey(child: Expression)
+case class VersionSortKey(child: Expression, eco: String = "deb")
     extends UnaryExpression {
   override def dataType: DataType = StringType
   override protected def nullSafeEval(v: Any): Any =
-    UTF8String.fromString(VersionOrder.sortKey(v.asInstanceOf[UTF8String].toString))
+    UTF8String.fromString(EcoVersion.sortKey(v.asInstanceOf[UTF8String].toString, eco))
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
-        s"graft.functions.VersionOrder.sortKey($c.toString()));")
+        s"""graft.functions.EcoVersion.sortKey($c.toString(), "$eco"));""")
   override protected def withNewChildInternal(newChild: Expression): VersionSortKey =
     copy(child = newChild)
   override def prettyName: String = "version_sort_key"
@@ -157,13 +159,29 @@ case class ArrayDot(left: Expression, right: Expression)
   * equivalent of the reference's Starlark script registry (SURVEY.md §2.10).
   */
 object GraftFunctions {
+  /** The optional trailing ecosystem argument must be a string LITERAL —
+    * the ordering algorithm is a plan-time property (it changes the sort
+    * key's collation), not per-row data.
+    */
+  private def ecoArg(e: Expression): String = {
+    require(e.foldable && e.dataType == StringType,
+      "ecosystem must be a string literal: 'deb' | 'rpm' | 'apk'")
+    val v = e.eval(null).asInstanceOf[UTF8String].toString
+    require(EcoVersion.Known.contains(v), s"unknown ecosystem '$v' (want deb|rpm|apk)")
+    v
+  }
+
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("version_compare",
       new ExpressionInfo(classOf[VersionCompare].getName, "version_compare"),
-      (args: Seq[Expression]) => VersionCompare(args(0), args(1))),
+      (args: Seq[Expression]) =>
+        if (args.size >= 3) VersionCompare(args(0), args(1), ecoArg(args(2)))
+        else VersionCompare(args(0), args(1))),
     ("version_sort_key",
       new ExpressionInfo(classOf[VersionSortKey].getName, "version_sort_key"),
-      (args: Seq[Expression]) => VersionSortKey(args.head)),
+      (args: Seq[Expression]) =>
+        if (args.size >= 2) VersionSortKey(args.head, ecoArg(args(1)))
+        else VersionSortKey(args.head)),
     ("array_dot",
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       (args: Seq[Expression]) => ArrayDot(args(0), args(1))),

@@ -82,6 +82,79 @@ object Resolution {
         .orderBy("name", "spec")
     },
 
+    // Ecosystem-aware latest-version: the SAME version strings ordered
+    // under rpm vs deb rules pick DIFFERENT latest versions (suffix family
+    // '' / '.1' / '.a': rpm ranks digit-segment above alpha-segment,
+    // deb ranks bytes — '' < .a < .1 for rpm, '' < .1 < .a for deb). The
+    // oracle re-derives both rankings from integer arithmetic; Spark goes
+    // through the real comparators' sort keys.
+    "q66_eco_version_order" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      // numeric prefix is a function of the NAME (constant within a
+      // group), suffix of the record — so the suffix rank alone decides
+      // "latest" and the rpm/deb divergence is actually exercised
+      val v2 = Tables.packages(s, dir)
+        .withColumn("i", pmod(col("pkg_id"), lit(Tables.PackageNameCount)))
+        .select(col("name"),
+          concat(
+            (pmod(col("i"), lit(3)) + 1).cast("string"), lit("."),
+            pmod(col("i"), lit(7)).cast("string"),
+            element_at(array(lit(""), lit(".1"), lit(".a")),
+              // pkg_id div 60 = the record's version index WITHIN its name
+              // (pkg_id % 3 is constant per name: the stride 60 ≡ 0 mod 3)
+              (pmod(expr("pkg_id div 60"), lit(3)) + 1).cast("int"))).as("ver"))
+      v2.groupBy("name")
+        .agg(
+          countDistinct("ver").as("n_variants"),
+          expr("max_by(ver, version_sort_key(ver, 'rpm'))").as("latest_rpm"),
+          expr("max_by(ver, version_sort_key(ver, 'deb'))").as("latest_deb"))
+        .orderBy("name")
+    },
+
+    // Release diff over REAL snapshot partitions (U2/U3 on the packages
+    // view; SURVEY.md §2.7): snapshot 1 = the current release, snapshot 2
+    // = the next one (every 17th package version retired, every 11th
+    // revision-bumped), both written through the actual ingest path
+    // (render → parse → snapshot=N partition) and read back with
+    // partition pruning. Added/removed are record-level exceptAll
+    // multiset diffs; upgraded/downgraded classify the per-name latest
+    // via version_compare.
+    "q67_snapshot_diff" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      val curr = Tables.packages(s, dir)
+      val next = curr
+        .filter(pmod(col("pkg_id"), lit(17)) =!= 0)
+        .withColumn("version",
+          concat(substring_index(col("version"), "-r", 1), lit("-r"),
+            (pmod(col("pkg_id"), lit(5)) + 1 +
+              when(pmod(col("pkg_id"), lit(11)) === 0, 1).otherwise(0)).cast("string")))
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_snapdiff_${System.nanoTime()}"
+      graft.Ingest.runSnapshotOf(curr, out, 1L)
+      graft.Ingest.runSnapshotOf(next, out, 2L)
+      val all = s.read.parquet(s"$out/packages_s")
+      val sa = all.filter(col("snapshot") === 1).select("name", "version")
+      val sb = all.filter(col("snapshot") === 2).select("name", "version")
+      val added = sb.exceptAll(sa).groupBy("name").agg(count(lit(1)).as("n_added"))
+      val removed = sa.exceptAll(sb).groupBy("name").agg(count(lit(1)).as("n_removed"))
+      val la = sa.groupBy("name")
+        .agg(expr("max_by(version, version_sort_key(version))").as("latest_a"))
+      val lb = sb.groupBy("name")
+        .agg(expr("max_by(version, version_sort_key(version))").as("latest_b"))
+      la.join(lb, Seq("name"), "full")
+        .join(added, Seq("name"), "left")
+        .join(removed, Seq("name"), "left")
+        .select(col("name"),
+          coalesce(col("n_added"), lit(0L)).as("n_added"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          col("latest_a"), col("latest_b"),
+          when(col("latest_a").isNull, "added")
+            .when(col("latest_b").isNull, "removed")
+            .when(expr("version_compare(latest_b, latest_a)") > 0, "upgraded")
+            .when(expr("version_compare(latest_b, latest_a)") < 0, "downgraded")
+            .otherwise("unchanged").as("change"))
+        .orderBy("name")
+    },
+
     // Reverse provides: which real packages provide each virtual name
     // (the `apk info --who-provides` / rpm `whatprovides` view).
     "q65_reverse_provides" -> { (s, dir) =>
@@ -172,6 +245,52 @@ object Resolution {
         |FROM joined
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin),
+
+    "q66_eco_version_order" -> sub("""WITH --PKG--,
+        |v2 AS (
+        | SELECT name,
+        |  CAST((pkg_id % 60) % 3 + 1 AS VARCHAR) || '.' || CAST((pkg_id % 60) % 7 AS VARCHAR) ||
+        |   CASE (pkg_id // 60) % 3 WHEN 0 THEN '' WHEN 1 THEN '.1' ELSE '.a' END AS ver,
+        |  (pkg_id % 60) % 3 + 1 AS nmaj, (pkg_id % 60) % 7 AS nmin,
+        |  CASE (pkg_id // 60) % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 1 END AS rrank,
+        |  CASE (pkg_id // 60) % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END AS drank
+        | FROM pkg),
+        |rl AS (SELECT name, ver AS latest_rpm FROM v2
+        |       QUALIFY row_number() OVER (PARTITION BY name ORDER BY nmaj DESC, nmin DESC, rrank DESC) = 1),
+        |dl AS (SELECT name, ver AS latest_deb FROM v2
+        |       QUALIFY row_number() OVER (PARTITION BY name ORDER BY nmaj DESC, nmin DESC, drank DESC) = 1),
+        |st AS (SELECT name, count(DISTINCT ver) AS n_variants FROM v2 GROUP BY name)
+        |SELECT s.name, s.n_variants, r.latest_rpm, d.latest_deb
+        |FROM st s JOIN rl r USING (name) JOIN dl d USING (name)
+        |ORDER BY s.name""".stripMargin),
+
+    "q67_snapshot_diff" -> sub("""WITH --PKG--,
+        |b AS (
+        | SELECT name,
+        |  CAST(vmaj AS VARCHAR) || '.' || CAST(vmin AS VARCHAR) || '.' || CAST(vpat AS VARCHAR)
+        |    || '-r' || CAST(vrel + CASE WHEN pkg_id % 11 = 0 THEN 1 ELSE 0 END AS VARCHAR) AS version,
+        |  vmaj, vmin, vpat,
+        |  vrel + CASE WHEN pkg_id % 11 = 0 THEN 1 ELSE 0 END AS vrel2
+        | FROM pkg WHERE pkg_id % 17 <> 0),
+        |ad AS (SELECT name, count(*) AS n_added FROM
+        |  (SELECT name, version FROM b EXCEPT ALL SELECT name, version FROM pkg) t GROUP BY name),
+        |rm AS (SELECT name, count(*) AS n_removed FROM
+        |  (SELECT name, version FROM pkg EXCEPT ALL SELECT name, version FROM b) t GROUP BY name),
+        |la AS (SELECT name, version AS latest_a, vmaj, vmin, vpat, vrel FROM pkg
+        |       QUALIFY row_number() OVER (PARTITION BY name ORDER BY vmaj DESC, vmin DESC, vpat DESC, vrel DESC) = 1),
+        |lb AS (SELECT name, version AS latest_b, vmaj AS bmaj, vmin AS bmin, vpat AS bpat, vrel2 FROM b
+        |       QUALIFY row_number() OVER (PARTITION BY name ORDER BY vmaj DESC, vmin DESC, vpat DESC, vrel2 DESC) = 1)
+        |SELECT name,
+        | CAST(coalesce(ad.n_added, 0) AS BIGINT) AS n_added,
+        | CAST(coalesce(rm.n_removed, 0) AS BIGINT) AS n_removed,
+        | la.latest_a, lb.latest_b,
+        | CASE WHEN la.latest_a IS NULL THEN 'added'
+        |      WHEN lb.latest_b IS NULL THEN 'removed'
+        |      WHEN (lb.bmaj, lb.bmin, lb.bpat, lb.vrel2) > (la.vmaj, la.vmin, la.vpat, la.vrel) THEN 'upgraded'
+        |      WHEN (lb.bmaj, lb.bmin, lb.bpat, lb.vrel2) < (la.vmaj, la.vmin, la.vpat, la.vrel) THEN 'downgraded'
+        |      ELSE 'unchanged' END AS change
+        |FROM la FULL JOIN lb USING (name) LEFT JOIN ad USING (name) LEFT JOIN rm USING (name)
+        |ORDER BY name""".stripMargin),
 
     "q65_reverse_provides" -> sub("""WITH --IDX--,
         |prov AS (

@@ -40,7 +40,7 @@ class ExpressionsSpec extends AnyFunSuite {
     GraftFunctions.ensureRegistered(spark) // second call must not throw
     // the extensions injector exposes exactly the same function names
     assert(GraftFunctions.all.map(_._1).toSet ===
-      Set("version_compare", "version_sort_key", "array_dot"))
+      Set("version_compare", "version_sort_key", "array_dot", "parse_constraint"))
   }
 
   test("array_dot matches the higher-order-function fold bit-for-bit") {
