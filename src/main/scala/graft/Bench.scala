@@ -20,16 +20,22 @@ object Bench {
     Seq("q01_pricing_summary", "q22_user_sessions", "q46_token_stats").foreach { n =>
       try SparkEntry.queries(n)(spark, warm).count() catch { case _: Throwable => () }
     }
-    // best of two runs per query: the box carries background load and
-    // single-shot timings vary up to 3x; min-of-2 reports steady state
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> math.min(once(), once())
+    // Interleaved timing passes (VERDICT r3 item 5): back-to-back min-of-2
+    // still absorbs sustained box load into BOTH samples of a query.
+    // Running the whole suite as pass 1 then again as pass 2 and taking the
+    // per-query min separates transient load (hits different queries in
+    // each pass) from steady-state cost; printing both pass totals makes a
+    // loaded box visible in the recorded artifact.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
     }
+    val names = SparkEntry.queries.toSeq
+    val pass1 = names.map { case (n, fn) => n -> once(fn) }
+    val pass2 = names.map { case (n, fn) => n -> once(fn) }
+    val p2m = pass2.toMap
+    val results = pass1.map { case (n, t1) => n -> math.min(t1, p2m(n)) }
     // ms precision keeps the one-line JSON short: the driver only retains
     // an output tail of a few KB, and full-precision doubles overflowed it
     // in round 1 (BENCH_r01.json parsed:null).
@@ -38,8 +44,10 @@ object Bench {
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val t1 = pass1.map(_._2).sum
+    val t2 = pass2.map(_._2).sum
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","pass1_total":${f3(t1)},"pass2_total":${f3(t2)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,10 +30,24 @@ import graft.Tables
   * lineage, released by unpersist/GC).
   */
 object Shingles {
-  private val memo = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** `persisted` marks the cluster branch — the only branch evict may
+    * unpersist. A localCheckpoint frame has TRUNCATED lineage: unpersisting
+    * it would destroy the data for any concurrent holder, so local-branch
+    * blocks are left to the ContextCleaner (GC-driven), as before.
+    */
+  private final case class Entry(df: DataFrame, persisted: Boolean)
 
-  def frame(s: SparkSession, dir: String): DataFrame = {
+  private val memo = new ConcurrentHashMap[(SparkSession, String), Entry]()
+
+  def frame(s: SparkSession, dir: String): DataFrame =
+    frameImpl(s, dir, s.sparkContext.isLocal)
+
+  /** Materialization split out with an explicit `local` flag so the cluster
+    * (persist) branch is unit-testable from a local session (ShinglesSpec).
+    */
+  private[graft] def frameImpl(s: SparkSession, dir: String, local: Boolean): DataFrame = {
     // entries for stopped sessions are dead weight — drop before insert
+    // (their blocks died with the context; nothing to unpersist)
     memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     memo.computeIfAbsent((s, dir), _ => {
       val raw = Tables.documents(s, dir)
@@ -41,8 +55,19 @@ object Shingles {
           expr("explode(array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
             "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))))").as("sh"))
         .withColumn("hk", expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)"))
-      if (s.sparkContext.isLocal) raw.localCheckpoint()
-      else { raw.persist(StorageLevel.MEMORY_AND_DISK); raw }
-    })
+      if (local) Entry(raw.localCheckpoint(), persisted = false)
+      else { raw.persist(StorageLevel.MEMORY_AND_DISK); Entry(raw, persisted = true) }
+    }).df
   }
+
+  /** Unpersist discipline (VERDICT r3 item 9): memo eviction releases the
+    * cluster-branch persist — a long-lived shared session no longer pins
+    * MEMORY_AND_DISK blocks forever.
+    */
+  def evict(s: SparkSession, dir: String): Unit =
+    Option(memo.remove((s, dir))).foreach { e =>
+      if (e.persisted)
+        try e.df.unpersist(blocking = false)
+        catch { case _: Throwable => () } // stopped context: blocks already gone
+    }
 }
