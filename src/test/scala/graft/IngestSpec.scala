@@ -37,6 +37,24 @@ class IngestSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters"), "snapshot filter should prune partitions")
   }
 
+  test("q67's snapshot views roundtrip through the physical snapshot partitions") {
+    // the judged q67 diffs in-plan views; this pins the physical leg: the
+    // same frames written as snapshot=1/2 partitions and read back with
+    // partition pruning are record-identical to the in-plan render→parse.
+    val out = Files.createTempDirectory("graft_snapdiff").toString
+    val curr = queries.Resolution.snapshotCurr(spark, dir)
+    val next = queries.Resolution.snapshotNext(spark, dir)
+    Ingest.runSnapshotOf(curr, out, 1L)
+    Ingest.runSnapshotOf(next, out, 2L)
+    val all = spark.read.parquet(s"$out/packages_s")
+    for ((src, id) <- Seq(curr -> 1, next -> 2)) {
+      val disk = all.filter(col("snapshot") === id).select("name", "version")
+      val plan = Ingest.parseIndex(Ingest.renderIndexOf(src)).select("name", "version")
+      assert(disk.exceptAll(plan).isEmpty && plan.exceptAll(disk).isEmpty,
+        s"snapshot=$id read-back diverges from the in-plan view")
+    }
+  }
+
   test("arch filter prunes partitions at the scan") {
     val out = Files.createTempDirectory("graft_ingest2").toString
     val loaded = Ingest.run(spark, dir, out)
