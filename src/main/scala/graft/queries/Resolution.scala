@@ -40,6 +40,40 @@ object Resolution {
       | else version is not null
       |end""".stripMargin
 
+  /** Satisfiable resolution edges — the composition the reference's
+    * install-plan walk takes at every step (SURVEY.md §3.1 entry point 3):
+    * constraint STRING → `parse_constraint` → providers of the (possibly
+    * virtual) target name → the provider's actual versions →
+    * `version_compare` satisfaction. An edge (name → provider) exists iff
+    * SOME existing version of the provider satisfies the spec; `distinct`
+    * collapses the per-version fan-out before the BFS consumes the edges.
+    *
+    * Takes the three relations as frames so ClosureSpec can drive it with
+    * a constructed fixture where a constraint prunes a branch name-BFS
+    * would take.
+    *
+    * Scale notes (100 TB): two shuffled equi-joins keyed on name columns +
+    * one distinct — no theta join, no driver-side work; constraint
+    * satisfaction is codegen'd scalar work inside the join's project.
+    */
+  private[graft] def resolutionEdges(specs: DataFrame, provides: DataFrame, packages: DataFrame): DataFrame = {
+    val withC = specs.withColumn("c", expr("parse_constraint(spec)"))
+    val pr = provides.select(col("name").as("provider"), col("provides_name"))
+    val pk = packages.select(col("name").as("provider"), col("version"))
+    withC
+      .join(pr, col("c.name") === col("provides_name"))
+      .join(pk, Seq("provider"))
+      .filter(expr(SatisfiesSql))
+      .select(col("name"), col("provider").as("dep"))
+      .distinct()
+  }
+
+  private[graft] def resolvedEdges(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
+    resolutionEdges(Tables.dependsSpecs(s, dir), Tables.provides(s, dir),
+      Tables.packages(s, dir).select("name", "version"))
+  }
+
   /** The two release snapshots q67 diffs — exposed so IngestSpec can push
     * the SAME frames through the physical snapshot-partition path and
     * assert the read-back equals the in-plan views.
@@ -95,6 +129,21 @@ object Resolution {
           sum(when(col("ok"), 1L).otherwise(0L)).as("n_sat_records"),
           countDistinct(when(col("ok"), col("provider"))).as("n_providers"))
         .orderBy("name", "spec")
+    },
+
+    // End-to-end install plan — the reference's signature operation
+    // (SURVEY.md §3.1 entry point 3): BFS from a seed package where every
+    // hop resolves constraint strings through provides and keeps only
+    // version-satisfying providers. Composes Closure.reachable (q33's
+    // cycle-safe min-depth BFS) with resolutionEdges; '=' specs (no exact
+    // match exists in the fixture) and '<' specs against too-new-only
+    // providers prune branches a plain name-BFS would take (pinned by
+    // ClosureSpec).
+    "q68_install_plan" -> { (s, dir) =>
+      val edges = resolvedEdges(s, dir).cache()
+      val out = graft.operators.Closure.reachable(s, edges, "pkg-00")
+      edges.unpersist()
+      out
     },
 
     // Ecosystem-aware latest-version: the SAME version strings ordered
@@ -194,8 +243,38 @@ object Resolution {
 
   private val IdxCte = "idx AS (SELECT DISTINCT p_partkey % 60 AS i FROM part)"
 
+  /** Provides + parsed-specs CTEs shared by q64 and q68 (both re-derive the
+    * constraint fields arithmetically — the oracle never runs the Spark
+    * parser).
+    */
+  private val ProvCte =
+    """prov AS (
+      | SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS provider,
+      |        'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS provides_name FROM idx
+      | UNION
+      | SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0'),
+      |        'virt-' || lpad(CAST(i % 20 AS VARCHAR), 2, '0') FROM idx)""".stripMargin
+
+  private val SpecsCte =
+    """specs AS (
+      | SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name,
+      |  'virt-' || lpad(CAST((i*7+3) % 20 AS VARCHAR), 2, '0')
+      |    || CASE i % 3 WHEN 0 THEN '>=' WHEN 1 THEN '<' ELSE '=' END
+      |    || CAST(i % 3 + 1 AS VARCHAR) || '.' || CAST((i*5) % 10 AS VARCHAR) || '.0' AS spec,
+      |  'virt-' || lpad(CAST((i*7+3) % 20 AS VARCHAR), 2, '0') AS cname,
+      |  CASE i % 3 WHEN 0 THEN '>=' WHEN 1 THEN '<' ELSE '=' END AS cop,
+      |  i % 3 + 1 AS cmaj, (i*5) % 10 AS cmin
+      | FROM idx
+      | UNION ALL
+      | SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0'),
+      |  'pkg-' || lpad(CAST((i*3+11) % 60 AS VARCHAR), 2, '0'),
+      |  'pkg-' || lpad(CAST((i*3+11) % 60 AS VARCHAR), 2, '0'),
+      |  '', 0, 0
+      | FROM idx)""".stripMargin
+
   private def sub(sql: String): String =
     sql.replace("--PKG--", PkgCte).replace("--IDX--", IdxCte)
+      .replace("--PROV--", ProvCte).replace("--SPECS--", SpecsCte)
 
   val oracles: Seq[(String, String)] = Seq(
     "q63_file_owner" -> sub("""WITH --PKG--,
@@ -219,27 +298,8 @@ object Resolution {
 
     "q64_provides_resolution" -> sub("""WITH --IDX--,
         |--PKG--,
-        |prov AS (
-        | SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS provider,
-        |        'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS provides_name FROM idx
-        | UNION
-        | SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0'),
-        |        'virt-' || lpad(CAST(i % 20 AS VARCHAR), 2, '0') FROM idx),
-        |specs AS (
-        | SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name,
-        |  'virt-' || lpad(CAST((i*7+3) % 20 AS VARCHAR), 2, '0')
-        |    || CASE i % 3 WHEN 0 THEN '>=' WHEN 1 THEN '<' ELSE '=' END
-        |    || CAST(i % 3 + 1 AS VARCHAR) || '.' || CAST((i*5) % 10 AS VARCHAR) || '.0' AS spec,
-        |  'virt-' || lpad(CAST((i*7+3) % 20 AS VARCHAR), 2, '0') AS cname,
-        |  CASE i % 3 WHEN 0 THEN '>=' WHEN 1 THEN '<' ELSE '=' END AS cop,
-        |  i % 3 + 1 AS cmaj, (i*5) % 10 AS cmin
-        | FROM idx
-        | UNION ALL
-        | SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0'),
-        |  'pkg-' || lpad(CAST((i*3+11) % 60 AS VARCHAR), 2, '0'),
-        |  'pkg-' || lpad(CAST((i*3+11) % 60 AS VARCHAR), 2, '0'),
-        |  '', 0, 0
-        | FROM idx),
+        |--PROV--,
+        |--SPECS--,
         |joined AS (
         | SELECT s.name, s.spec, p.provider,
         |  CASE s.cop
@@ -256,6 +316,27 @@ object Resolution {
         |FROM joined
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin),
+
+    "q68_install_plan" -> sub("""WITH RECURSIVE --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |edges AS (
+        | SELECT DISTINCT s.name, p.provider AS dep
+        | FROM specs s
+        | JOIN prov p ON p.provides_name = s.cname
+        | JOIN pkg k ON k.name = p.provider
+        | WHERE CASE s.cop
+        |  WHEN '>=' THEN (k.vmaj, k.vmin, k.vpat) >= (s.cmaj, s.cmin, 0)
+        |  WHEN '<'  THEN (k.vmaj, k.vmin, k.vpat) < (s.cmaj, s.cmin, 0)
+        |  WHEN '='  THEN FALSE
+        |  ELSE TRUE END),
+        |r(name, depth) AS (
+        | SELECT 'pkg-00', 0
+        | UNION
+        | SELECT e.dep, r.depth + 1 FROM edges e JOIN r ON e.name = r.name WHERE r.depth < 60)
+        |SELECT name, CAST(min(depth) AS INTEGER) AS depth
+        |FROM r GROUP BY name ORDER BY name""".stripMargin),
 
     "q66_eco_version_order" -> sub("""WITH --PKG--,
         |v2 AS (

@@ -43,4 +43,25 @@ class ClosureSpec extends AnyFunSuite {
     val r = Closure.reachable(spark, g, "n0", maxIter = 3).collect()
     assert(r.length === 4)
   }
+
+  test("install plan: a version constraint prunes a branch name-BFS would take") {
+    import spark.implicits._
+    functions.GraftFunctions.ensureRegistered(spark)
+    // A depends on B at exactly 1.0 (only 2.0 exists → unsatisfiable) and
+    // on C >= 1.0 (satisfiable). C depends on D < 2.0 (only 1.5 exists →
+    // satisfiable). Name-BFS would reach {A, B, C, D}; the constrained
+    // install plan must prune the B branch: {A, C, D}.
+    val specs = Seq("A" -> "B=1.0", "A" -> "C>=1.0", "C" -> "D<2.0").toDF("name", "spec")
+    val provides = Seq("A" -> "A", "B" -> "B", "C" -> "C", "D" -> "D").toDF("name", "provides_name")
+    val packages = Seq("A" -> "1.0", "B" -> "2.0", "C" -> "1.0", "D" -> "1.5").toDF("name", "version")
+    val resolved = queries.Resolution.resolutionEdges(specs, provides, packages)
+    val plan = Closure.reachable(spark, resolved, "A").collect()
+      .map(row => row.getString(0) -> row.getInt(1)).toMap
+    assert(plan === Map("A" -> 0, "C" -> 1, "D" -> 2))
+
+    // and the same walk over UNCONSTRAINED name edges does take the B branch
+    val nameEdges = specs.selectExpr("name", "parse_constraint(spec).name AS dep")
+    val naive = Closure.reachable(spark, nameEdges, "A").collect().map(_.getString(0)).toSet
+    assert(naive === Set("A", "B", "C", "D"))
+  }
 }
