@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list —
+  * the missing half of the near-dup family (VERDICT r3 item 2): q41/q42/q43
+  * emit PAIRS, but a training-data pipeline needs each document's cluster
+  * id and a kept-canonical flag. Pairs → components → canonical-per-cluster
+  * is what turns a duplicate DETECTOR into a DEDUPLICATOR.
+  *
+  * Algorithm: iterative min-label propagation (the undirected analogue of
+  * [[Closure]]'s BFS loop). Each node starts labeled with its own id; each
+  * round every node takes the min of its label and its neighbors' labels;
+  * convergence when no label changes. Rounds needed = graph diameter —
+  * near-dup graphs are dense small clusters (tiny diameter), so this
+  * converges in a handful of rounds; for adversarial long-chain graphs the
+  * large-star/small-star variant (Kiveris et al., "Connected Components in
+  * MapReduce") halves rounds to O(log d) and slots into the same loop.
+  *
+  * Scale notes (100 TB): each round is one shuffled equi-join (labels ⋈
+  * edges, keyed on node id) + one min-aggregation — no cartesian anywhere;
+  * the edge list is symmetrized ONCE up front. Per-round `localCheckpoint`
+  * cuts lineage exactly as in Closure (cluster deployments: replace with
+  * reliable checkpoint / persist, same caveat as ADVICE r2 documents).
+  * The convergence check is a count on the changed-label frame — one extra
+  * small job per round, the standard price of a driver-terminated loop.
+  */
+object Components {
+  /** Connected components of the graph induced by `edges`.
+    *
+    * @param edges DataFrame with columns (src, dst); treated as undirected.
+    * @return DataFrame (id, comp) — one row per node that appears in any
+    *         edge; comp is the minimum node id of its component.
+    */
+  def connected(spark: SparkSession, edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbr = und.join(labels, und("src") === labels("id"))
+        .select(und("dst").as("id"), labels("comp"))
+      val next = labels.unionByName(nbr)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.withColumnRenamed("comp", "comp_old"), "id")
+        .filter(col("comp") < col("comp_old"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+}

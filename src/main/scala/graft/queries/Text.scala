@@ -39,6 +39,34 @@ object Text {
     */
   private val DfCap = 20
 
+  /** q41's full pair pipeline (shingles → df-cap → inverted-index self-join
+    * → Jaccard filter), shared with q69's cluster assignment so the pair
+    * graph and the clusters derive from ONE definition.
+    */
+  private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    // one shared materialization (Shingles.frame) feeds both join sides
+    // and the size table — and is reused by q42/q43 in the same session.
+    val hk = Shingles.frame(s, dir).select(col("doc_id"), col("hk"))
+    // skew guard: drop boilerplate shingle keys (df > DfCap) from the
+    // representation BEFORE the pair join. The hot set is tiny by
+    // definition, so the anti-join broadcasts.
+    val hot = hk.groupBy("hk").agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCap).select("hk")
+    val kept = hk.join(broadcast(hot), Seq("hk"), "left_anti")
+    val a = kept
+    val b = kept.select(col("doc_id").as("doc_id2"), col("hk").as("hk2"))
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = a.join(b, col("hk") === col("hk2") && col("doc_id") < col("doc_id2"))
+      .groupBy(col("doc_id").as("d1"), col("doc_id2").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .withColumn("jaccard", col("common") / (col("sz1") + col("sz2") - col("common")))
+      .filter(col("jaccard") >= 0.6)
+      .select("d1", "d2", "common", "sz1", "sz2", "jaccard")
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     // Exact dedup: content-hash groupBy on normalized text.
     "q40_exact_dedup_groups" -> { (s, dir) =>
@@ -57,28 +85,24 @@ object Text {
     // (birthday bound) — effectively exact, and the oracle applies the
     // identical keying so parity is unconditional.
     "q41_shingle_jaccard_pairs" -> { (s, dir) =>
-      // one shared materialization (Shingles.frame) feeds both join sides
-      // and the size table — and is reused by q42/q43 in the same session.
-      val hk = Shingles.frame(s, dir).select(col("doc_id"), col("hk"))
-      // skew guard: drop boilerplate shingle keys (df > DfCap) from the
-      // representation BEFORE the pair join. The hot set is tiny by
-      // definition, so the anti-join broadcasts.
-      val hot = hk.groupBy("hk").agg(count(lit(1)).as("df"))
-        .filter(col("df") > DfCap).select("hk")
-      val kept = hk.join(broadcast(hot), Seq("hk"), "left_anti")
-      val a = kept
-      val b = kept.select(col("doc_id").as("doc_id2"), col("hk").as("hk2"))
-      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val pairs = a.join(b, col("hk") === col("hk2") && col("doc_id") < col("doc_id2"))
-        .groupBy(col("doc_id").as("d1"), col("doc_id2").as("d2"))
-        .agg(count(lit(1)).as("common"))
-      pairs
-        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
-        .withColumn("jaccard", col("common") / (col("sz1") + col("sz2") - col("common")))
-        .filter(col("jaccard") >= 0.6)
-        .select("d1", "d2", "common", "sz1", "sz2", "jaccard")
-        .orderBy("d1", "d2")
+      jaccardPairs(s, dir).orderBy("d1", "d2")
+    },
+
+    // Cluster assignment over the near-dup pair graph (VERDICT r3 item 2):
+    // connected components via min-label propagation (operators.Components)
+    // turn q41's pairs into per-document (cluster_id, is_canonical) — the
+    // form a training-data pipeline actually consumes (keep one canonical
+    // doc per cluster, drop the rest). Canonical = min doc_id in cluster.
+    "q69_dedup_clusters" -> { (s, dir) =>
+      val edges = jaccardPairs(s, dir)
+        .select(col("d1").as("src"), col("d2").as("dst"))
+      val comp = _root_.graft.operators.Components.connected(s, edges)
+      val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "comp")
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+          col("cluster_size"),
+          (col("id") === col("comp")).cast("int").as("is_canonical"))
+        .orderBy("doc_id")
     },
 
     // Token counting: whitespace tokens + a BPE-ish piece estimate
@@ -160,7 +184,22 @@ object Text {
       |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
       | FROM documents)""".stripMargin
 
-  private def sub(sql: String): String = sql.replace("--SH--", ShCte)
+  /** The q41 pair-pipeline CTE chain (shingle keys → df-cap → self-join →
+    * common counts), shared by the q41 and q69 oracles exactly as
+    * `jaccardPairs` is shared on the Spark side.
+    */
+  private val PairsCte =
+    """hk AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS hk FROM sh),
+      |dfreq AS (SELECT hk, count(*) AS df FROM hk GROUP BY hk),
+      |kept AS (SELECT h.doc_id, h.hk FROM hk h JOIN dfreq d USING (hk) WHERE d.df <= 20),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+      |pairs AS (
+      | SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      | FROM kept a JOIN kept b ON a.hk = b.hk AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2)""".stripMargin
+
+  private def sub(sql: String): String =
+    sql.replace("--SH--", ShCte).replace("--PAIRS--", PairsCte)
 
   val oracles: Seq[(String, String)] = Seq(
     "q40_exact_dedup_groups" ->
@@ -172,19 +211,31 @@ object Text {
         |ORDER BY fp""".stripMargin,
 
     "q41_shingle_jaccard_pairs" -> sub("""WITH --SH--,
-        |hk AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS hk FROM sh),
-        |dfreq AS (SELECT hk, count(*) AS df FROM hk GROUP BY hk),
-        |kept AS (SELECT h.doc_id, h.hk FROM hk h JOIN dfreq d USING (hk) WHERE d.df <= 20),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
-        |pairs AS (
-        | SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-        | FROM kept a JOIN kept b ON a.hk = b.hk AND a.doc_id < b.doc_id
-        | GROUP BY 1, 2)
+        |--PAIRS--
         |SELECT d1, d2, common, s1.sz AS sz1, s2.sz AS sz2,
         | common / (s1.sz + s2.sz - common) AS jaccard
         |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE common / (s1.sz + s2.sz - common) >= 0.6
         |ORDER BY d1, d2""".stripMargin),
+
+    "q69_dedup_clusters" -> sub("""WITH RECURSIVE --SH--,
+        |--PAIRS--,
+        |good AS (
+        | SELECT d1, d2
+        | FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        | WHERE common / (s1.sz + s2.sz - common) >= 0.6),
+        |e AS (SELECT d1 AS a, d2 AS b FROM good UNION SELECT d2, d1 FROM good),
+        |n AS (SELECT DISTINCT a AS id FROM e),
+        |r(id, comp) AS (
+        | SELECT id, id FROM n
+        | UNION
+        | SELECT e.b, r.comp FROM e JOIN r ON e.a = r.id),
+        |cl AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM r GROUP BY id),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id)
+        |SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+        | CAST(doc_id = cluster_id AS INTEGER) AS is_canonical
+        |FROM cl JOIN sz USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin),
 
     "q46_token_stats" ->
       """WITH d AS (
