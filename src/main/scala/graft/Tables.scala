@@ -139,6 +139,42 @@ object Tables {
       .distinct()
   }
 
+  /** Distinct package-name universe with its index i (0..59) — the base of
+    * every name-keyed relation below.
+    */
+  def packageNames(spark: SparkSession, dir: String): DataFrame =
+    packages(spark, dir)
+      .select(pmod(col("pkg_id"), lit(PackageNameCount)).cast("int").as("i")).distinct()
+      .select(col("i"),
+        concat(lit("pkg-"), lpad(col("i").cast("string"), 2, "0")).as("name"))
+
+  /** Conflicts relation (SURVEY.md §1.1 "Relationship lists": depends,
+    * provides, CONFLICTS, REPLACES): name i conflicts with name
+    * (i*11+5) mod 60. Never self-referential: 10i ≡ 55 (mod 60) has no
+    * solution (even lhs, odd rhs).
+    */
+  def conflicts(spark: SparkSession, dir: String): DataFrame = {
+    val nm = packageNames(spark, dir)
+    nm.select(col("name"),
+      concat(lit("pkg-"),
+        lpad(pmod(col("i") * 11 + 5, lit(PackageNameCount)).cast("string"), 2, "0"))
+        .as("conflicts_with"))
+  }
+
+  /** Replaces relation: every fourth name (i % 4 == 0) REPLACES the very
+    * name it conflicts with — the dpkg Conflicts+Replaces takeover pattern
+    * (the replacement ships the files of the package it supersedes, so the
+    * conflict is not a blocker).
+    */
+  def replaces(spark: SparkSession, dir: String): DataFrame = {
+    val nm = packageNames(spark, dir)
+    nm.filter(pmod(col("i"), lit(4)) === 0)
+      .select(col("name"),
+        concat(lit("pkg-"),
+          lpad(pmod(col("i") * 11 + 5, lit(PackageNameCount)).cast("string"), 2, "0"))
+          .as("replaces_name"))
+  }
+
   /** Dependency edges between package *names*: name i depends on names
     * (i*7+3) mod N and (i*3+11) mod N (two out-edges per name, cycles
     * guaranteed — closure must be cycle-safe). Derived from the distinct

@@ -215,6 +215,41 @@ object Resolution {
         .orderBy("name")
     },
 
+    // "What breaks if I install X" (VERDICT r3 item 6): for every
+    // NON-installed candidate, which installed packages block it —
+    // a conflict in EITHER direction (apt refuses both), UNLESS the
+    // candidate REPLACES the blocker (Conflicts+Replaces takeover: the
+    // candidate supersedes the installed package, so the conflict is
+    // resolvable by replacement, not a block). Installed set = every
+    // third name. Anti/semi-join shapes end-to-end; blocker lists are
+    // per-candidate sorted csv.
+    "q70_conflict_check" -> { (s, dir) =>
+      val nm = Tables.packageNames(s, dir)
+      val installed = nm.filter(pmod(col("i"), lit(3)) === 0).select("name")
+      val cand = nm.filter(pmod(col("i"), lit(3)) =!= 0).select("name")
+      val conf = Tables.conflicts(s, dir)
+      // direction 1: the candidate declares the conflict against an installed pkg
+      val d1 = conf
+        .join(installed.select(col("name").as("conflicts_with")), Seq("conflicts_with"))
+        .select(col("name"), col("conflicts_with").as("blocker"))
+      // direction 2: an installed pkg declares the conflict against the candidate
+      val d2 = conf
+        .join(installed, Seq("name"), "left_semi")
+        .select(col("conflicts_with").as("name"), col("name").as("blocker"))
+      val rep = Tables.replaces(s, dir)
+        .select(col("name"), col("replaces_name").as("blocker"))
+      val blockers = d1.unionByName(d2).distinct()
+        .join(cand, Seq("name"), "left_semi")
+        .join(rep, Seq("name", "blocker"), "left_anti")
+      cand.join(blockers, Seq("name"), "left")
+        .groupBy("name")
+        .agg(
+          count(col("blocker")).as("n_blockers"),
+          array_join(sort_array(collect_list(col("blocker"))), ",").as("blockers"))
+        .withColumn("installable", (col("n_blockers") === 0).cast("int"))
+        .orderBy("name")
+    },
+
     // Reverse provides: which real packages provide each virtual name
     // (the `apk info --who-provides` / rpm `whatprovides` view).
     "q65_reverse_provides" -> { (s, dir) =>
@@ -383,6 +418,32 @@ object Resolution {
         |      ELSE 'unchanged' END AS change
         |FROM la FULL JOIN lb USING (name) LEFT JOIN ad USING (name) LEFT JOIN rm USING (name)
         |ORDER BY name""".stripMargin),
+
+    "q70_conflict_check" -> sub("""WITH --IDX--,
+        |nm AS (SELECT i, 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name FROM idx),
+        |conf AS (SELECT i, name,
+        |  'pkg-' || lpad(CAST((i*11+5) % 60 AS VARCHAR), 2, '0') AS conflicts_with FROM nm),
+        |rep AS (SELECT name, conflicts_with AS replaces_name FROM conf WHERE i % 4 = 0),
+        |inst AS (SELECT name FROM nm WHERE i % 3 = 0),
+        |cand AS (SELECT name FROM nm WHERE i % 3 <> 0),
+        |d AS (
+        | SELECT c.name, c.conflicts_with AS blocker
+        | FROM conf c JOIN inst ON c.conflicts_with = inst.name
+        | WHERE c.name IN (SELECT name FROM cand)
+        | UNION
+        | SELECT c.conflicts_with, c.name
+        | FROM conf c JOIN inst ON c.name = inst.name
+        | WHERE c.conflicts_with IN (SELECT name FROM cand)),
+        |db AS (
+        | SELECT d.name, d.blocker FROM d
+        | WHERE NOT EXISTS (SELECT 1 FROM rep
+        |   WHERE rep.name = d.name AND rep.replaces_name = d.blocker))
+        |SELECT cand.name, count(db.blocker) AS n_blockers,
+        | coalesce(string_agg(db.blocker, ',' ORDER BY db.blocker), '') AS blockers,
+        | CAST(count(db.blocker) = 0 AS INTEGER) AS installable
+        |FROM cand LEFT JOIN db ON cand.name = db.name
+        |GROUP BY cand.name
+        |ORDER BY cand.name""".stripMargin),
 
     "q65_reverse_provides" -> sub("""WITH --IDX--,
         |prov AS (

@@ -76,4 +76,18 @@ class ResolutionSpec extends AnyFunSuite {
     val rev = SparkEntry.queries("q65_reverse_provides")(spark, dir).collect()
     assert(rev.length == 20 && rev.forall(_.getLong(1) == 3)) // 60 names / 20 aliases
   }
+
+  test("q70: replaces overrides a conflict, plain conflicts block, both directions count") {
+    val dir = SparkTestHarness.Sf0001
+    val rows = SparkEntry.queries("q70_conflict_check")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2), r.getInt(3)))).toMap
+    assert(rows.size == 40) // 60 names minus 20 installed
+    // i=2: conflicts with pkg-27 (installed, 27%3==0), no replaces (2%4!=0) → blocked
+    assert(rows("pkg-02") == ((1L, "pkg-27", 0)))
+    // i=8: conflicts with pkg-33 (installed) BUT 8%4==0 → replaces overrides → installable
+    assert(rows("pkg-08") == ((0L, "", 1)))
+    // some candidate must be blocked purely by direction 2 (an installed
+    // package declaring the conflict against it)
+    assert(rows.values.exists(_._1 > 0))
+  }
 }
