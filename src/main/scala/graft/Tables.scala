@@ -74,7 +74,21 @@ object Tables {
         (pmod(col("p_partkey"), lit(5)) + 1).cast("string")).as("version"),
       when(pmod(col("p_partkey"), lit(2)) === 0, "x86_64").otherwise("aarch64").as("arch"),
       col("p_size").as("size_mb"),
-      col("p_retailprice").as("build_cost"))
+      col("p_retailprice").as("build_cost"),
+      // Open metadata map (SURVEY.md §1.1 "fixed columns + open string
+      // map"): the dynamic-schema half of the package record. Key presence
+      // VARIES per record — `section` exists only on even pkg_ids —
+      // because an open map whose keys are always present is just fixed
+      // columns in disguise. map_filter drops the null-valued entry.
+      map_filter(
+        map(
+          lit("license"), element_at(
+            array(lit("mit"), lit("gpl"), lit("apache")),
+            (pmod(col("p_partkey"), lit(3)) + 1).cast("int")),
+          lit("maintainer"), concat(lit("m-"), pmod(col("p_partkey"), lit(7)).cast("string")),
+          lit("section"), when(pmod(col("p_partkey"), lit(2)) === 0,
+            when(pmod(col("p_partkey"), lit(4)) === 0, "base").otherwise("dev"))),
+        (_, v) => v.isNotNull).as("extras"))
 
   /** File list per package *version* — the reference's most-used lookup
     * shape ("which package owns /usr/bin/x", à la `dpkg -S` /

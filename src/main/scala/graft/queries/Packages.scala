@@ -114,6 +114,24 @@ object Packages {
         .orderBy("name")
     },
 
+    // §2.8 map ops on the PACKAGE record's open metadata map (VERDICT r3
+    // item 7 — the q39 shape on packages instead of events): element_at
+    // lookups, key-presence tests, and map_keys cardinality over a map
+    // whose key set varies per record (`section` only on even pkg_ids).
+    "q71_package_extras" -> { (s, dir) =>
+      Tables.packages(s, dir)
+        .withColumn("license", element_at(col("extras"), "license"))
+        .withColumn("has_section", element_at(col("extras"), "section").isNotNull)
+        .groupBy("license")
+        .agg(
+          count(lit(1)).as("n_records"),
+          sum(col("has_section").cast("long")).as("n_with_section"),
+          countDistinct(element_at(col("extras"), "maintainer")).as("n_maintainers"),
+          sum(size(map_keys(col("extras"))).cast("long")).as("total_keys"),
+          countDistinct(when(col("has_section"), element_at(col("extras"), "section"))).as("n_sections"))
+        .orderBy("license")
+    },
+
     // S4 ingest shape — render APKINDEX-style K:V stanzas and parse them
     // back with regexp extraction (the reference's index-parse path as
     // relational expressions; the same expressions run over
@@ -187,6 +205,22 @@ object Packages {
         |WHERE name NOT IN (SELECT dep FROM ed)
         |GROUP BY name
         |ORDER BY name""".stripMargin),
+
+    "q71_package_extras" -> sub("""WITH e AS (
+        | SELECT p_partkey AS pkg_id,
+        |  CASE p_partkey % 3 WHEN 0 THEN 'mit' WHEN 1 THEN 'gpl' ELSE 'apache' END AS license,
+        |  'm-' || CAST(p_partkey % 7 AS VARCHAR) AS maintainer,
+        |  CASE WHEN p_partkey % 2 = 0
+        |       THEN (CASE WHEN p_partkey % 4 = 0 THEN 'base' ELSE 'dev' END) END AS section
+        | FROM part)
+        |SELECT license, count(*) AS n_records,
+        | CAST(sum(CASE WHEN section IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_section,
+        | count(DISTINCT maintainer) AS n_maintainers,
+        | CAST(sum(2 + CASE WHEN section IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS total_keys,
+        | count(DISTINCT section) AS n_sections
+        |FROM e
+        |GROUP BY license
+        |ORDER BY license""".stripMargin),
 
     "q35_kv_stanza_roundtrip" -> sub("""WITH --PKG--,
         |st AS (SELECT 'P:' || name || chr(10) || 'V:' || version || chr(10) || 'A:' || arch AS stanza FROM pkg),

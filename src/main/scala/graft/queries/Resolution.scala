@@ -175,6 +175,32 @@ object Resolution {
         .orderBy("name")
     },
 
+    // Alpine ordering judged (VERDICT r3 item 5/8): the SAME version
+    // strings ordered under apk vs deb rules pick DIFFERENT latest
+    // versions. Suffix family '' / '_rc1' / '_p1': apk ranks _rc BEFORE
+    // the bare version and _p AFTER (_rc1 < '' < _p1 → latest _p1), while
+    // deb compares bytes with letters-first ('' < _p1 < _rc1 → latest
+    // _rc1). The numeric prefix is constant within a name group so the
+    // suffix rank alone decides, and the oracle re-derives both rankings
+    // arithmetically.
+    "q72_apk_version_order" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      val v2 = Tables.packages(s, dir)
+        .withColumn("i", pmod(col("pkg_id"), lit(Tables.PackageNameCount)))
+        .select(col("name"),
+          concat(
+            (pmod(col("i"), lit(3)) + 1).cast("string"), lit("."),
+            pmod(col("i"), lit(7)).cast("string"),
+            element_at(array(lit(""), lit("_rc1"), lit("_p1")),
+              (pmod(expr("pkg_id div 60"), lit(3)) + 1).cast("int"))).as("ver"))
+      v2.groupBy("name")
+        .agg(
+          countDistinct("ver").as("n_variants"),
+          expr("max_by(ver, version_sort_key(ver, 'apk'))").as("latest_apk"),
+          expr("max_by(ver, version_sort_key(ver, 'deb'))").as("latest_deb"))
+        .orderBy("name")
+    },
+
     // Release diff between two snapshots of the packages view (U2/U3;
     // SURVEY.md §2.7): snapshot A = the current release, snapshot B = the
     // next one (every 17th package version retired, every 11th
@@ -389,6 +415,23 @@ object Resolution {
         |st AS (SELECT name, count(DISTINCT ver) AS n_variants FROM v2 GROUP BY name)
         |SELECT s.name, s.n_variants, r.latest_rpm, d.latest_deb
         |FROM st s JOIN rl r USING (name) JOIN dl d USING (name)
+        |ORDER BY s.name""".stripMargin),
+
+    "q72_apk_version_order" -> sub("""WITH --PKG--,
+        |v2 AS (
+        | SELECT name,
+        |  CAST((pkg_id % 60) % 3 + 1 AS VARCHAR) || '.' || CAST((pkg_id % 60) % 7 AS VARCHAR) ||
+        |   CASE (pkg_id // 60) % 3 WHEN 0 THEN '' WHEN 1 THEN '_rc1' ELSE '_p1' END AS ver,
+        |  CASE (pkg_id // 60) % 3 WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE 2 END AS arank,
+        |  CASE (pkg_id // 60) % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 1 END AS drank
+        | FROM pkg),
+        |al AS (SELECT name, ver AS latest_apk FROM v2
+        |       QUALIFY row_number() OVER (PARTITION BY name ORDER BY arank DESC) = 1),
+        |dl AS (SELECT name, ver AS latest_deb FROM v2
+        |       QUALIFY row_number() OVER (PARTITION BY name ORDER BY drank DESC) = 1),
+        |st AS (SELECT name, count(DISTINCT ver) AS n_variants FROM v2 GROUP BY name)
+        |SELECT s.name, s.n_variants, a.latest_apk, d.latest_deb
+        |FROM st s JOIN al a USING (name) JOIN dl d USING (name)
         |ORDER BY s.name""".stripMargin),
 
     "q67_snapshot_diff" -> sub("""WITH --PKG--,

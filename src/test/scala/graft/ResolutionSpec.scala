@@ -90,4 +90,16 @@ class ResolutionSpec extends AnyFunSuite {
     // package declaring the conflict against it)
     assert(rows.values.exists(_._1 > 0))
   }
+
+  test("q72: apk and deb pick different latest versions on the _rc/_p family") {
+    val dir = SparkTestHarness.Sf0001
+    val rows = SparkEntry.queries("q72_apk_version_order")(spark, dir).collect()
+    assert(rows.length == 60)
+    val full = rows.filter(_.getLong(1) == 3) // names carrying all three variants
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getString(2).endsWith("_p1"), s"apk latest must be _p1: $r")
+      assert(r.getString(3).endsWith("_rc1"), s"deb latest must be _rc1: $r")
+    }
+  }
 }
