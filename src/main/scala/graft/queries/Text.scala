@@ -105,6 +105,40 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // End-to-end corpus curation — the composition a training-data
+    // pipeline actually runs (driver north star): quality-score every doc
+    // (q47's integer-scaled formula), assign near-dup clusters (q69's
+    // connected components over the q41 pair graph), then keep a doc iff
+    // it is its cluster's canonical (or unpaired) AND clears the quality
+    // bar. Per-language audit counts make every drop attributable:
+    // n_docs = n_kept + n_dup_dropped + n_quality_dropped.
+    "q74_corpus_curation" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("n_dis", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("n_stop",
+          size(expr("filter(toks, t -> t IN ('the', 'a', 'of', 'and'))")).cast("long"))
+        .withColumn("q",
+          ((lit(1000L) * col("n_dis") + lit(10L) * (col("n_chars") - col("n_tok") + 1) +
+            lit(500L) * (col("n_tok") - col("n_stop"))) / col("n_tok")).cast("long"))
+      val edges = jaccardPairs(s, dir)
+        .select(col("d1").as("src"), col("d2").as("dst"))
+      val comp = _root_.graft.operators.Components.connected(s, edges)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      val flagged = docs.join(comp, Seq("doc_id"), "left")
+        .withColumn("dup_drop", col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"))
+        .withColumn("keep", !col("dup_drop") && col("q") >= 900)
+      flagged.groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("dup_drop"), 1L).otherwise(0L)).as("n_dup_dropped"),
+          sum(when(!col("dup_drop") && col("q") < 900, 1L).otherwise(0L)).as("n_quality_dropped"),
+          sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("kept_tokens"))
+        .orderBy("lang")
+    },
+
     // Token counting: whitespace tokens + a BPE-ish piece estimate
     // (ceil(len/4) pieces per token), per language.
     "q46_token_stats" -> { (s, dir) =>
@@ -236,6 +270,40 @@ object Text {
         | CAST(doc_id = cluster_id AS INTEGER) AS is_canonical
         |FROM cl JOIN sz USING (cluster_id)
         |ORDER BY doc_id""".stripMargin),
+
+    "q74_corpus_curation" -> sub("""WITH RECURSIVE --SH--,
+        |--PAIRS--,
+        |good AS (
+        | SELECT d1, d2
+        | FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        | WHERE common / (s1.sz + s2.sz - common) >= 0.6),
+        |e AS (SELECT d1 AS a, d2 AS b FROM good UNION SELECT d2, d1 FROM good),
+        |nd AS (SELECT DISTINCT a AS id FROM e),
+        |r(id, comp) AS (
+        | SELECT id, id FROM nd
+        | UNION
+        | SELECT e.b, r.comp FROM e JOIN r ON e.a = r.id),
+        |cl AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM r GROUP BY id),
+        |d AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dis,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stop,
+        |  n_chars
+        | FROM documents),
+        |f AS (
+        | SELECT d.lang, d.n_tok,
+        |  CAST((1000 * d.n_dis + 10 * (d.n_chars - d.n_tok + 1) + 500 * (d.n_tok - d.n_stop)) // d.n_tok AS BIGINT) AS q,
+        |  (cl.cluster_id IS NOT NULL AND cl.cluster_id <> d.doc_id) AS dup_drop
+        | FROM d LEFT JOIN cl USING (doc_id))
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN NOT dup_drop AND q >= 900 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(sum(CASE WHEN dup_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+        | CAST(sum(CASE WHEN NOT dup_drop AND q < 900 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_dropped,
+        | CAST(sum(CASE WHEN NOT dup_drop AND q >= 900 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM f
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin),
 
     "q46_token_stats" ->
       """WITH d AS (

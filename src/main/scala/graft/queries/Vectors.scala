@@ -64,7 +64,60 @@ object Vectors {
     bits.mkString(" + ")
   }
 
+  /** Deterministic IVF coarse quantizer: 8 centroids x 64 dims from the
+    * same md5 derivation family as the hyperplanes (seed prefix "ivf:"),
+    * so the oracle re-derives the identical codebook in SQL. A real
+    * deployment would train centroids with k-means; the PLAN is identical
+    * — only the literal codebook changes.
+    */
+  private val Cells = 8
+  private def ivfConst(k: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"ivf:$k:$d".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % 1000 - 500
+  }
+  /** SQL expr: array of the 8 centroid dot products for col v. */
+  private def ivfDotsExpr: String = {
+    val per = (0 until Cells).map { k =>
+      val arr = (0 until 64).map(d => s"${ivfConst(k, d)}D").mkString(",")
+      s"array_dot(v, array($arr))"
+    }
+    s"array(${per.mkString(",")})"
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
+    // IVF-style ANN top-k — the second scale path next to q52's multi-probe
+    // LSH (SURVEY.md §2.8 Vector: "IVF or LSH-bucketed variant"). Corpus
+    // vectors are assigned to their nearest coarse centroid (argmax dot —
+    // one codegen'd array of array_dot calls, no shuffle); each query
+    // probes its nprobe=2 closest cells and candidates come from ONE
+    // broadcast hash equi-join on cell id. At 100 TB the cell column is
+    // the partition/bucket key: a probe touches nprobe/Cells of the corpus
+    // and nothing else — no per-row distance test against non-probed
+    // cells, no NLJ (covered by PlanAuditSpec's global cartesian sweep).
+    "q73_ann_ivf_topk" -> { (s, dir) =>
+      val assigned = vecs(s, dir).withColumn("dots", expr(ivfDotsExpr))
+        .withColumn("cell", expr("cast(array_position(dots, array_max(dots)) as int)"))
+      val c = assigned
+        .select(col("vec_id").as("cid"), col("v").as("vb"), col("nsq").as("nb"), col("cell"))
+      val pw = Window.partitionBy("qid").orderBy(col("dot").desc, col("p"))
+      val probes = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("va"), col("nsq").as("na"),
+          posexplode(col("dots")).as(Seq("p", "dot")))
+        .withColumn("pr", row_number().over(pw))
+        .filter(col("pr") <= 2)
+        .select(col("qid"), col("va"), col("na"), (col("p") + 1).cast("int").as("cell"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      c.join(broadcast(probes), Seq("cell"))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("cos", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("cid"), col("cell"), col("cos"))
+        .orderBy("qid", "rank")
+    },
+
     // Embedding-cosine near-dup pairs, blocked by label (≈ LSH bucket).
     "q44_embedding_neardup" -> { (s, dir) =>
       val a = vecs(s, dir).select(col("label"), col("vec_id").as("d1"),
@@ -160,6 +213,34 @@ object Vectors {
       | FROM n)""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q73_ann_ivf_topk" -> sub("""WITH --VEC--,
+        |dts AS (
+        | SELECT vec_id, v, nsq,
+        |  list_transform(range(0, 8), k ->
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i ->
+        |    v[i] * CAST(CAST(('0x' || substr(md5('ivf:' || CAST(k AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 - 500 AS DOUBLE))),
+        |   (s, x) -> s + x)) AS dots
+        | FROM n),
+        |cells AS (
+        | SELECT vec_id, v, nsq, CAST(list_position(dots, list_max(dots)) AS INTEGER) AS cell
+        | FROM dts),
+        |probes AS (
+        | SELECT qid, v, nsq, cell FROM (
+        |  SELECT d.vec_id AS qid, d.v, d.nsq, CAST(t.p + 1 AS INTEGER) AS cell,
+        |   row_number() OVER (PARTITION BY d.vec_id ORDER BY d.dots[t.p + 1] DESC, t.p) AS pr
+        |  FROM dts d CROSS JOIN range(0, 8) t(p)
+        |  WHERE d.vec_id < 5) WHERE pr <= 2),
+        |scored AS (
+        | SELECT q.qid, c.vec_id AS cid, c.cell,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> q.v[i] * c.v[i])), (s, x) -> s + x)
+        |    / (sqrt(q.nsq) * sqrt(c.nsq)) AS cos
+        | FROM cells c JOIN probes q ON c.cell = q.cell AND c.vec_id <> q.qid)
+        |SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rank,
+        | cid, cell, cos
+        |FROM scored
+        |QUALIFY rank <= 3
+        |ORDER BY qid, rank""".stripMargin),
+
     "q52_ann_lsh_topk" -> sub("""WITH --VEC--,
         |--BKT--,
         |scored AS (

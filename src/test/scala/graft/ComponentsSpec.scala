@@ -39,6 +39,17 @@ class ComponentsSpec extends AnyFunSuite {
     assert(r === Map(2L -> 2L, 4L -> 2L))
   }
 
+  test("q74 curation audit: every doc is kept, dup-dropped, or quality-dropped") {
+    val rows = SparkEntry.queries("q74_corpus_curation")(spark, SparkTestHarness.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (docs, kept, dup, qual) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(docs == kept + dup + qual, s"unattributed drops in ${r.getString(0)}")
+    }
+    // the quality bar must actually drop something somewhere
+    assert(rows.map(_.getLong(4)).sum > 0)
+  }
+
   test("q69 cluster assignment: exactly one canonical per cluster, sizes add up") {
     val out = SparkEntry.queries("q69_dedup_clusters")(spark, SparkTestHarness.Sf0001).collect()
     if (out.nonEmpty) {

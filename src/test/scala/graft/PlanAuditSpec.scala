@@ -51,6 +51,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "expected broadcast hash join on bucket id")
   }
 
+  test("q73: IVF probe is a hash equi-join on cell id, not a nested loop") {
+    // same property as q52 for the IVF path: candidates must come from the
+    // probed cells via broadcast HASH join, never a per-row distance test
+    // against the whole corpus.
+    val p = plan("q73_ann_ivf_topk")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q73 probe degenerated to a nested loop:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast hash join on cell id")
+  }
+
   test("q61: KMV kth-value runs as bounded-state aggregation, no Window sort") {
     val p = plan("q61_kmv_distinct_sketch")
     assert(!p.contains("Window"),
