@@ -47,9 +47,38 @@ object Graft {
     packages.filter(call_function("version_compare", col("version"), lit(minVersion)) >= 0)
   }
 
-  /** Transitive dependency closure (install plan) from one package. */
+  /** Transitive dependency closure over plain name edges from one package. */
   def resolve(spark: SparkSession, edges: DataFrame, root: String): DataFrame =
     Closure.reachable(spark, edges, root)
+
+  /** Full install plan honoring version constraints and virtual providers:
+    * BFS where every hop resolves constraint strings (`specs(name, spec)`)
+    * through `provides(name, provides_name)` and keeps only providers with
+    * a satisfying version in `packages(name, version)`.
+    */
+  def installPlan(spark: SparkSession, specs: DataFrame, provides: DataFrame,
+      packages: DataFrame, root: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    Closure.reachable(spark, queries.Resolution.resolutionEdges(specs, provides, packages), root)
+  }
+
+  /** Installability check against an installed set: candidates blocked by a
+    * conflict in either direction, unless the candidate replaces the
+    * conflicting package.
+    */
+  def blockedBy(candidates: DataFrame, installed: DataFrame,
+      conflicts: DataFrame, replaces: DataFrame): DataFrame = {
+    val d1 = conflicts
+      .join(installed.select(col("name").as("conflicts_with")), Seq("conflicts_with"))
+      .select(col("name"), col("conflicts_with").as("blocker"))
+    val d2 = conflicts
+      .join(installed, Seq("name"), "left_semi")
+      .select(col("conflicts_with").as("name"), col("name").as("blocker"))
+    d1.unionByName(d2).distinct()
+      .join(candidates.select("name"), Seq("name"), "left_semi")
+      .join(replaces.select(col("name"), col("replaces_name").as("blocker")),
+        Seq("name", "blocker"), "left_anti")
+  }
 
   /** Reverse dependencies: who depends on each package. */
   def reverseDeps(edges: DataFrame): DataFrame =
@@ -69,6 +98,17 @@ object Graft {
     docs.groupBy(md5(lower(trim(col(textCol)))).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min(idCol).as("canonical"))
       .filter(col("n_docs") > 1)
+
+  /** Near-dup cluster assignment from a pair list (columns d1, d2):
+    * (doc_id, cluster_id, is_canonical) via connected components; keep the
+    * canonical row per cluster to deduplicate a corpus.
+    */
+  def dedupClusters(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    val comp = operators.Components.connected(spark,
+      pairs.select(col("d1").as("src"), col("d2").as("dst")))
+    comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+      (col("id") === col("comp")).cast("int").as("is_canonical"))
+  }
 
   /** Cosine similarity column over two ARRAY<DOUBLE> columns (codegen'd
     * array_dot kernel; resolves through the session function registry, so

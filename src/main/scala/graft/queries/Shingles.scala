@@ -37,7 +37,23 @@ object Shingles {
     */
   private final case class Entry(df: DataFrame, persisted: Boolean)
 
-  private val memo = new ConcurrentHashMap[(SparkSession, String), Entry]()
+  /** Keyed (session, dir, kind): kind "shingles" is the raw shingle-key
+    * frame; kind "pairs" is the q41 pair frame (shared by q41/q69/q74 —
+    * the pair join is the dedup family's second dominant shared cost).
+    */
+  private val memo = new ConcurrentHashMap[(SparkSession, String, String), Entry]()
+
+  private def cached(kind: String, s: SparkSession, dir: String, local: Boolean)(
+      build: => DataFrame): DataFrame = {
+    // entries for stopped sessions are dead weight — drop before insert
+    // (their blocks died with the context; nothing to unpersist)
+    memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    memo.computeIfAbsent((s, dir, kind), _ => {
+      val raw = build
+      if (local) Entry(raw.localCheckpoint(), persisted = false)
+      else { raw.persist(StorageLevel.MEMORY_AND_DISK); Entry(raw, persisted = true) }
+    }).df
+  }
 
   def frame(s: SparkSession, dir: String): DataFrame =
     frameImpl(s, dir, s.sparkContext.isLocal)
@@ -45,29 +61,31 @@ object Shingles {
   /** Materialization split out with an explicit `local` flag so the cluster
     * (persist) branch is unit-testable from a local session (ShinglesSpec).
     */
-  private[graft] def frameImpl(s: SparkSession, dir: String, local: Boolean): DataFrame = {
-    // entries for stopped sessions are dead weight — drop before insert
-    // (their blocks died with the context; nothing to unpersist)
-    memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    memo.computeIfAbsent((s, dir), _ => {
-      val raw = Tables.documents(s, dir)
+  private[graft] def frameImpl(s: SparkSession, dir: String, local: Boolean): DataFrame =
+    cached("shingles", s, dir, local) {
+      Tables.documents(s, dir)
         .select(col("doc_id"),
           expr("explode(array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
             "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))))").as("sh"))
         .withColumn("hk", expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)"))
-      if (local) Entry(raw.localCheckpoint(), persisted = false)
-      else { raw.persist(StorageLevel.MEMORY_AND_DISK); Entry(raw, persisted = true) }
-    }).df
-  }
+    }
+
+  /** Memoized materialization of the q41 near-dup pair frame under the same
+    * (session, dir) discipline as the shingle frame.
+    */
+  private[graft] def pairsFrame(s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+    cached("pairs", s, dir, s.sparkContext.isLocal)(build)
 
   /** Unpersist discipline (VERDICT r3 item 9): memo eviction releases the
-    * cluster-branch persist — a long-lived shared session no longer pins
+    * cluster-branch persists — a long-lived shared session no longer pins
     * MEMORY_AND_DISK blocks forever.
     */
   def evict(s: SparkSession, dir: String): Unit =
-    Option(memo.remove((s, dir))).foreach { e =>
-      if (e.persisted)
-        try e.df.unpersist(blocking = false)
-        catch { case _: Throwable => () } // stopped context: blocks already gone
+    Seq("shingles", "pairs").foreach { kind =>
+      Option(memo.remove((s, dir, kind))).foreach { e =>
+        if (e.persisted)
+          try e.df.unpersist(blocking = false)
+          catch { case _: Throwable => () } // stopped context: blocks already gone
+      }
     }
 }

@@ -40,10 +40,15 @@ object Text {
   private val DfCap = 20
 
   /** q41's full pair pipeline (shingles → df-cap → inverted-index self-join
-    * → Jaccard filter), shared with q69's cluster assignment so the pair
-    * graph and the clusters derive from ONE definition.
+    * → Jaccard filter), shared with q69's cluster assignment and q74's
+    * curation so the pair graph and the clusters derive from ONE
+    * definition — and, like the shingle frame itself, materialized once
+    * per (session, dir) since three judged queries consume it.
     */
-  private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Shingles.pairsFrame(s, dir)(buildJaccardPairs(s, dir))
+
+  private def buildJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     // one shared materialization (Shingles.frame) feeds both join sides
     // and the size table — and is reused by q42/q43 in the same session.
     val hk = Shingles.frame(s, dir).select(col("doc_id"), col("hk"))

@@ -50,6 +50,36 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12 && math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("installPlan matches the judged q68 result on the fixture relations") {
+    val plan = Graft.installPlan(spark,
+      Tables.dependsSpecs(spark, dir), Tables.provides(spark, dir),
+      Tables.packages(spark, dir).select("name", "version"), "pkg-00")
+    val judged = SparkEntry.queries("q68_install_plan")(spark, dir)
+    assert(plan.collect().toSeq === judged.collect().toSeq)
+  }
+
+  test("blockedBy matches q70's blocked candidates") {
+    val nm = Tables.packageNames(spark, dir)
+    val installed = nm.filter(expr("i % 3 = 0")).select("name")
+    val cand = nm.filter(expr("i % 3 <> 0")).select("name")
+    val blocked = Graft.blockedBy(cand, installed,
+      Tables.conflicts(spark, dir), Tables.replaces(spark, dir))
+      .groupBy("name").count()
+    val judged = SparkEntry.queries("q70_conflict_check")(spark, dir)
+      .filter(col("n_blockers") > 0)
+    assert(blocked.count() === judged.count())
+  }
+
+  test("dedupClusters flags exactly one canonical per cluster") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val r = Graft.dedupClusters(spark, pairs).collect()
+      .map(row => row.getLong(0) -> ((row.getLong(1), row.getInt(2)))).toMap
+    assert(r === Map(
+      1L -> ((1L, 1)), 2L -> ((1L, 0)), 3L -> ((1L, 0)),
+      10L -> ((10L, 1)), 11L -> ((10L, 0))))
+  }
+
   test("exactDupGroups agrees with the distinct-text count") {
     val docs = Tables.documents(spark, dir)
     val g = Graft.exactDupGroups(docs)
