@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   *
   * Cycle-safe by construction: the frontier is anti-joined against the
   * visited set every iteration, so each node enters at most once (at its
-  * minimum depth — BFS order guarantees it). `localCheckpoint` per
-  * iteration truncates lineage; without it, iteration i's plan embeds all
-  * i-1 predecessors and analysis time grows quadratically.
+  * minimum depth — BFS order guarantees it). [[Lineage.cut]] per iteration
+  * truncates lineage (reliable checkpoint when the session has a
+  * checkpoint dir, localCheckpoint otherwise); without it, iteration i's
+  * plan embeds all i-1 predecessors and analysis time grows quadratically.
   *
   * Scale notes (100 TB): each iteration is one shuffled join keyed on the
   * frontier node id + one distinct — the standard Pregel-without-Pregel
@@ -35,9 +36,8 @@ object Closure {
       val next = frontier.join(edges, "name")
         .select(col("dep").as("name"), (col("depth") + 1).as("depth"))
         .groupBy("name").agg(min("depth").as("depth"))
-      frontier = next.join(visited.select("name"), Seq("name"), "left_anti")
-        .localCheckpoint()
-      visited = visited.unionByName(frontier).localCheckpoint()
+      frontier = Lineage.cut(next.join(visited.select("name"), Seq("name"), "left_anti"))
+      visited = Lineage.cut(visited.unionByName(frontier))
       iter += 1
     }
     visited.select(col("name"), col("depth").cast("int").as("depth")).orderBy("name")

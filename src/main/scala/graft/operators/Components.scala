@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB): each round is one shuffled equi-join (labels ⋈
   * edges, keyed on node id) + one min-aggregation — no cartesian anywhere;
-  * the edge list is symmetrized ONCE up front. Per-round `localCheckpoint`
-  * cuts lineage exactly as in Closure (cluster deployments: replace with
-  * reliable checkpoint / persist, same caveat as ADVICE r2 documents).
-  * The convergence check is a count on the changed-label frame — one extra
-  * small job per round, the standard price of a driver-terminated loop.
+  * the edge list is symmetrized ONCE up front. Per-round [[Lineage.cut]]
+  * truncates lineage (reliable checkpoint when the session has a
+  * checkpoint dir — the cluster deployment mode — localCheckpoint
+  * otherwise). The convergence check is an isEmpty on the changed-label
+  * frame — one extra small job per round, the standard price of a
+  * driver-terminated loop.
   */
 object Components {
   /** Connected components of the graph induced by `edges`.
@@ -34,21 +35,18 @@ object Components {
     *         edge; comp is the minimum node id of its component.
     */
   def connected(spark: SparkSession, edges: DataFrame, maxIter: Int = 64): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
+    val und = Lineage.cut(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .distinct())
+    var labels = Lineage.cut(und.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val nbr = und.join(labels, und("src") === labels("id"))
         .select(und("dst").as("id"), labels("comp"))
-      val next = labels.unionByName(nbr)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint()
+      val next = Lineage.cut(labels.unionByName(nbr)
+        .groupBy("id").agg(min("comp").as("comp")))
       converged = next.as("n")
         .join(labels.withColumnRenamed("comp", "comp_old"), "id")
         .filter(col("comp") < col("comp_old"))
