@@ -144,6 +144,23 @@ object Text {
         .orderBy("lang")
     },
 
+    // Deterministic train/val/test split assignment — the reproducible-
+    // sampling primitive a corpus pipeline needs at any scale: the split is
+    // a pure function of doc_id's md5 (8/1/1 by hash decile), so it is
+    // stable across runs, engines, partitionings, and corpus growth
+    // (adding docs never reassigns existing ones). No RNG, no
+    // sample()/TABLESAMPLE (whose seeds don't reproduce across engines).
+    "q75_hash_split" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("bucket",
+          expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) as int) % 10"))
+        .withColumn("split",
+          when(col("bucket") < 8, "train").when(col("bucket") === 8, "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("lang", "split")
+    },
+
     // Token counting: whitespace tokens + a BPE-ish piece estimate
     // (ceil(len/4) pieces per token), per language.
     "q46_token_stats" -> { (s, dir) =>
@@ -309,6 +326,18 @@ object Text {
         |FROM f
         |GROUP BY lang
         |ORDER BY lang""".stripMargin),
+
+    "q75_hash_split" ->
+      """WITH h AS (
+        | SELECT lang, n_chars,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10 AS bucket
+        | FROM documents)
+        |SELECT lang,
+        | CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM h
+        |GROUP BY 1, 2
+        |ORDER BY lang, split""".stripMargin,
 
     "q46_token_stats" ->
       """WITH d AS (

@@ -43,6 +43,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_.toString) === batch.map(_.toString))
   }
 
+  test("S2 streaming: parseIndex over readStream.text equals the batch parse") {
+    // the ingest contract is source-pluggable: the SAME parse expressions
+    // run over a streaming text source (continuous index refresh) and the
+    // batch path. Render once to disk, then stream it back through
+    // Ingest.parseIndex and compare to the batch parse of the same files.
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_ingest").toString
+    Ingest.renderIndex(spark, dir).write.mode("overwrite").text(out)
+    val streamed = Ingest.parseIndex(spark.readStream.format("text")
+      .schema("value STRING").load(out))
+      .groupBy("arch").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    runToMemory(streamed, "ingest_stream", "complete")
+    val got = spark.sql("SELECT * FROM ingest_stream ORDER BY arch").collect()
+    val batch = Ingest.parseIndex(spark.read.text(out))
+      .groupBy("arch").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .orderBy("arch").collect()
+    assert(got.length === batch.length && got.map(_.toString) === batch.map(_.toString))
+  }
+
   test("T6: mapGroupsWithState running totals equal batch counts") {
     val streamed = EventStreams.statefulUserTotals(EventStreams.readEventStream(spark, dir))
     runToMemory(streamed, "state_stream", "update")
