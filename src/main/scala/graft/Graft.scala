@@ -99,6 +99,19 @@ object Graft {
       .agg(count(lit(1)).as("n_docs"), min(idCol).as("canonical"))
       .filter(col("n_docs") > 1)
 
+  /** Internal conflicts within an install set (columns: name) — the safety
+    * check an installer runs before committing a transaction: declared
+    * conflicts whose BOTH ends are in the set, minus replaces overrides.
+    * An empty result means the plan is safe to apply.
+    */
+  def planConflicts(plan: DataFrame, conflicts: DataFrame, replaces: DataFrame): DataFrame =
+    conflicts
+      .join(plan.select("name"), Seq("name"), "left_semi")
+      .join(plan.select(col("name").as("conflicts_with")), Seq("conflicts_with"), "left_semi")
+      .join(replaces.select(col("name"), col("replaces_name").as("conflicts_with")),
+        Seq("name", "conflicts_with"), "left_anti")
+      .select("name", "conflicts_with")
+
   /** Near-dup cluster assignment from a pair list (columns d1, d2):
     * (doc_id, cluster_id, is_canonical) via connected components; keep the
     * canonical row per cluster to deduplicate a corpus.

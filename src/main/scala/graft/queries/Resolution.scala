@@ -175,6 +175,29 @@ object Resolution {
         .orderBy("name")
     },
 
+    // Install-plan SAFETY: compose q68's constrained closure with q70's
+    // conflict semantics — a resolved install set can still be internally
+    // inconsistent (two members declaring conflicts against each other).
+    // For every plan member: how many of its declared conflicts land
+    // INSIDE the set (replaces-overridden ones excluded). A plan is safe
+    // iff every n_internal_conflicts is 0 — the final check a real
+    // installer runs before committing a transaction.
+    "q76_install_conflicts" -> { (s, dir) =>
+      val edges = resolvedEdges(s, dir).cache()
+      val plan = graft.operators.Closure.reachable(s, edges, "pkg-00")
+      edges.unpersist()
+      val internal = graft.Graft.planConflicts(plan,
+          Tables.conflicts(s, dir), Tables.replaces(s, dir))
+        .groupBy("name")
+        .agg(count(lit(1)).as("nc"),
+          array_join(sort_array(collect_list("conflicts_with")), ",").as("cn"))
+      plan.join(internal, Seq("name"), "left")
+        .select(col("name"), col("depth"),
+          coalesce(col("nc"), lit(0L)).as("n_internal_conflicts"),
+          coalesce(col("cn"), lit("")).as("conflict_names"))
+        .orderBy("name")
+    },
+
     // Alpine ordering judged (VERDICT r3 item 5/8): the SAME version
     // strings ordered under apk vs deb rules pick DIFFERENT latest
     // versions. Suffix family '' / '_rc1' / '_p1': apk ranks _rc BEFORE
@@ -398,6 +421,41 @@ object Resolution {
         | SELECT e.dep, r.depth + 1 FROM edges e JOIN r ON e.name = r.name WHERE r.depth < 60)
         |SELECT name, CAST(min(depth) AS INTEGER) AS depth
         |FROM r GROUP BY name ORDER BY name""".stripMargin),
+
+    "q76_install_conflicts" -> sub("""WITH RECURSIVE --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |edges AS (
+        | SELECT DISTINCT s.name, p.provider AS dep
+        | FROM specs s
+        | JOIN prov p ON p.provides_name = s.cname
+        | JOIN pkg k ON k.name = p.provider
+        | WHERE CASE s.cop
+        |  WHEN '>=' THEN (k.vmaj, k.vmin, k.vpat) >= (s.cmaj, s.cmin, 0)
+        |  WHEN '<'  THEN (k.vmaj, k.vmin, k.vpat) < (s.cmaj, s.cmin, 0)
+        |  WHEN '='  THEN FALSE
+        |  ELSE TRUE END),
+        |r(name, depth) AS (
+        | SELECT 'pkg-00', 0
+        | UNION
+        | SELECT e.dep, r.depth + 1 FROM edges e JOIN r ON e.name = r.name WHERE r.depth < 60),
+        |m AS (SELECT name, CAST(min(depth) AS INTEGER) AS depth FROM r GROUP BY name),
+        |conf AS (SELECT i, 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name,
+        |  'pkg-' || lpad(CAST((i*11+5) % 60 AS VARCHAR), 2, '0') AS conflicts_with FROM idx),
+        |rep AS (SELECT name, conflicts_with AS replaces_name FROM conf WHERE i % 4 = 0),
+        |ic AS (
+        | SELECT c.name, c.conflicts_with FROM conf c
+        | WHERE c.name IN (SELECT name FROM m)
+        |   AND c.conflicts_with IN (SELECT name FROM m)
+        |   AND NOT EXISTS (SELECT 1 FROM rep
+        |     WHERE rep.name = c.name AND rep.replaces_name = c.conflicts_with))
+        |SELECT m.name, m.depth,
+        | count(ic.conflicts_with) AS n_internal_conflicts,
+        | coalesce(string_agg(ic.conflicts_with, ',' ORDER BY ic.conflicts_with), '') AS conflict_names
+        |FROM m LEFT JOIN ic ON m.name = ic.name
+        |GROUP BY m.name, m.depth
+        |ORDER BY m.name""".stripMargin),
 
     "q66_eco_version_order" -> sub("""WITH --PKG--,
         |v2 AS (

@@ -70,6 +70,20 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(blocked.count() === judged.count())
   }
 
+  test("planConflicts finds an unsafe plan; replaces makes it safe") {
+    import spark.implicits._
+    // plan {A, B, C}; B declares a conflict with C (both in set) and with
+    // X (outside the set — must not count)
+    val plan = Seq("A", "B", "C").toDF("name")
+    val conflicts = Seq("B" -> "C", "B" -> "X").toDF("name", "conflicts_with")
+    val noRep = Seq.empty[(String, String)].toDF("name", "replaces_name")
+    val unsafe = Graft.planConflicts(plan, conflicts, noRep).collect()
+    assert(unsafe.map(r => (r.getString(0), r.getString(1))).toSeq === Seq("B" -> "C"))
+    // B replaces C → the takeover resolves the conflict, plan is safe
+    val rep = Seq("B" -> "C").toDF("name", "replaces_name")
+    assert(Graft.planConflicts(plan, conflicts, rep).isEmpty)
+  }
+
   test("dedupClusters flags exactly one canonical per cluster") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
