@@ -74,6 +74,20 @@ object Resolution {
       Tables.packages(s, dir).select("name", "version"))
   }
 
+  /** The pkg-00 install plan, memoized per (session, dir): q68 judges it
+    * directly and q76 runs the conflict safety check over it — the BFS
+    * driver loop is their dominant shared cost, so it runs once (same
+    * one-materialization discipline as the shingle/pair frames, see
+    * [[Memo]]).
+    */
+  private def installPlanFrame(s: SparkSession, dir: String): DataFrame =
+    Memo.memoized("install_plan", s, dir) {
+      val edges = resolvedEdges(s, dir).cache()
+      val out = graft.operators.Closure.reachable(s, edges, "pkg-00")
+      edges.unpersist()
+      out
+    }
+
   /** The two release snapshots q67 diffs — exposed so IngestSpec can push
     * the SAME frames through the physical snapshot-partition path and
     * assert the read-back equals the in-plan views.
@@ -140,10 +154,7 @@ object Resolution {
     // providers prune branches a plain name-BFS would take (pinned by
     // ClosureSpec).
     "q68_install_plan" -> { (s, dir) =>
-      val edges = resolvedEdges(s, dir).cache()
-      val out = graft.operators.Closure.reachable(s, edges, "pkg-00")
-      edges.unpersist()
-      out
+      installPlanFrame(s, dir).orderBy("name")
     },
 
     // Ecosystem-aware latest-version: the SAME version strings ordered
@@ -183,9 +194,7 @@ object Resolution {
     // iff every n_internal_conflicts is 0 — the final check a real
     // installer runs before committing a transaction.
     "q76_install_conflicts" -> { (s, dir) =>
-      val edges = resolvedEdges(s, dir).cache()
-      val plan = graft.operators.Closure.reachable(s, edges, "pkg-00")
-      edges.unpersist()
+      val plan = installPlanFrame(s, dir)
       val internal = graft.Graft.planConflicts(plan,
           Tables.conflicts(s, dir), Tables.replaces(s, dir))
         .groupBy("name")
