@@ -19,6 +19,22 @@ object Analytics {
   import graft.Tables
 
   val queries: Seq[(String, QFn)] = Seq(
+    // Per-group top-k via a BOUNDED-STATE typed Aggregator (A9/O4) — the
+    // 100 TB formulation of q10's window rank: O(k) state per group with
+    // map-side partial aggregation, vs. the window form's full shuffle +
+    // per-group sort of EVERY row. Same answer as the DuckDB row_number
+    // oracle; PlanAuditSpec pins the no-Window plan.
+    "q77_topk_agg" -> { (s, dir) =>
+      val topk = udaf(new graft.functions.TopKByScore(3))
+      Tables.part(s, dir)
+        .groupBy("p_brand")
+        .agg(topk(col("p_retailprice"), col("p_partkey")).as("top"))
+        .select(col("p_brand"), posexplode(col("top")))
+        .select(col("p_brand"), (col("pos") + 1).cast("int").as("rank"),
+          col("col._2").as("p_partkey"), col("col._1").as("p_retailprice"))
+        .orderBy("p_brand", "rank")
+    },
+
     // tf-idf-ish top terms per document (rational idf; bounded output).
     "q58_tfidf_top_terms" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
@@ -116,6 +132,14 @@ object Analytics {
     })
 
   val oracles: Seq[(String, String)] = Seq(
+    "q77_topk_agg" ->
+      """SELECT p_brand,
+        | CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rank,
+        | p_partkey, p_retailprice
+        |FROM part
+        |QUALIFY rank <= 3
+        |ORDER BY p_brand, rank""".stripMargin,
+
     "q58_tfidf_top_terms" ->
       """WITH nd AS (SELECT count(*) AS n FROM documents),
         |tf AS (

@@ -67,6 +67,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q61 regressed to a per-group window sort:\n${p.take(2000)}")
   }
 
+  test("q77: per-group top-k runs as bounded-state aggregation, no Window sort") {
+    val p = plan("q77_topk_agg")
+    assert(!p.contains("Window"),
+      s"q77 regressed to a per-group window sort:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "expected aggregate-based top-k")
+  }
+
   test("no judged query plans a CartesianProduct") {
     // q45 intentionally uses BroadcastNestedLoopJoin with a 5-row build
     // side (exact brute-force baseline); cartesian (unbroadcast NLJ over
