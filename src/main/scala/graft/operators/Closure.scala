@@ -42,4 +42,32 @@ object Closure {
     }
     visited.select(col("name"), col("depth").cast("int").as("depth")).orderBy("name")
   }
+
+  /** Multi-source BFS: the reachable set WITH min depth from EVERY root at
+    * once — the batch form a package database runs to annotate all
+    * packages (install-set size, tree depth) in one pass instead of
+    * looping `reachable` per root. State is keyed (root, name); each
+    * iteration is still ONE shuffled join + one min-aggregation + one
+    * anti-join, just on the composite key, and all roots advance together
+    * so the iteration count is the MAX closure depth, not the sum.
+    *
+    * @param roots DataFrame with column (root)
+    * @return DataFrame (root, name, depth)
+    */
+  def reachableAll(spark: SparkSession, edges: DataFrame, roots: DataFrame,
+      maxIter: Int = 64): DataFrame = {
+    var visited = roots.select(col("root"), col("root").as("name"), lit(0).as("depth"))
+    var frontier = visited
+    var iter = 0
+    while (iter < maxIter && !frontier.isEmpty) {
+      val next = frontier.join(edges, "name")
+        .select(col("root"), col("dep").as("name"), (col("depth") + 1).as("depth"))
+        .groupBy("root", "name").agg(min("depth").as("depth"))
+      frontier = Lineage.cut(
+        next.join(visited.select("root", "name"), Seq("root", "name"), "left_anti"))
+      visited = Lineage.cut(visited.unionByName(frontier))
+      iter += 1
+    }
+    visited.select(col("root"), col("name"), col("depth").cast("int").as("depth"))
+  }
 }

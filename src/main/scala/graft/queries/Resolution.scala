@@ -186,6 +186,22 @@ object Resolution {
         .orderBy("name")
     },
 
+    // Whole-repo batch resolution: install-plan size and tree depth for
+    // EVERY package at once via multi-source BFS over the constraint-
+    // satisfying resolution edges — one iterative job keyed (root, name)
+    // where all 60 roots advance together (iterations = MAX plan depth,
+    // not the per-root sum). The per-page metadata a package database
+    // precomputes for its whole catalog.
+    "q78_plan_sizes" -> { (s, dir) =>
+      val edges = resolvedEdges(s, dir).cache()
+      val roots = Tables.packageNames(s, dir).select(col("name").as("root"))
+      val all = graft.operators.Closure.reachableAll(s, edges, roots)
+      edges.unpersist()
+      all.groupBy("root")
+        .agg(count(lit(1)).as("n_packages"), max("depth").as("max_depth"))
+        .orderBy("root")
+    },
+
     // Install-plan SAFETY: compose q68's constrained closure with q70's
     // conflict semantics — a resolved install set can still be internally
     // inconsistent (two members declaring conflicts against each other).
@@ -430,6 +446,31 @@ object Resolution {
         | SELECT e.dep, r.depth + 1 FROM edges e JOIN r ON e.name = r.name WHERE r.depth < 60)
         |SELECT name, CAST(min(depth) AS INTEGER) AS depth
         |FROM r GROUP BY name ORDER BY name""".stripMargin),
+
+    "q78_plan_sizes" -> sub("""WITH RECURSIVE --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |edges AS (
+        | SELECT DISTINCT s.name, p.provider AS dep
+        | FROM specs s
+        | JOIN prov p ON p.provides_name = s.cname
+        | JOIN pkg k ON k.name = p.provider
+        | WHERE CASE s.cop
+        |  WHEN '>=' THEN (k.vmaj, k.vmin, k.vpat) >= (s.cmaj, s.cmin, 0)
+        |  WHEN '<'  THEN (k.vmaj, k.vmin, k.vpat) < (s.cmaj, s.cmin, 0)
+        |  WHEN '='  THEN FALSE
+        |  ELSE TRUE END),
+        |nm AS (SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name FROM idx),
+        |r(root, name, depth) AS (
+        | SELECT name, name, 0 FROM nm
+        | UNION
+        | SELECT r.root, e.dep, r.depth + 1 FROM edges e JOIN r ON e.name = r.name WHERE r.depth < 60),
+        |m AS (SELECT root, name, min(depth) AS d FROM r GROUP BY 1, 2)
+        |SELECT root, count(*) AS n_packages, CAST(max(d) AS INTEGER) AS max_depth
+        |FROM m
+        |GROUP BY root
+        |ORDER BY root""".stripMargin),
 
     "q76_install_conflicts" -> sub("""WITH RECURSIVE --IDX--,
         |--PKG--,

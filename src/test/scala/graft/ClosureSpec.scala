@@ -62,6 +62,19 @@ class ClosureSpec extends AnyFunSuite {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("reachableAll equals per-root reachable on every root") {
+    import spark.implicits._
+    val g = edges("a" -> "b", "b" -> "c", "c" -> "a", "b" -> "d", "x" -> "a")
+    val roots = Seq("a", "b", "x").toDF("root")
+    val all = Closure.reachableAll(spark, g, roots).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    for (root <- Seq("a", "b", "x")) {
+      val single = Closure.reachable(spark, g, root).collect()
+        .map(r => (root, r.getString(0)) -> r.getInt(1)).toMap
+      assert(all.filter(_._1._1 == root) === single, s"divergence for root $root")
+    }
+  }
+
   test("install plan: a version constraint prunes a branch name-BFS would take") {
     import spark.implicits._
     functions.GraftFunctions.ensureRegistered(spark)
