@@ -37,7 +37,11 @@ object Closure {
         .select(col("dep").as("name"), (col("depth") + 1).as("depth"))
         .groupBy("name").agg(min("depth").as("depth"))
       frontier = Lineage.cut(next.join(visited.select("name"), Seq("name"), "left_anti"))
-      visited = Lineage.cut(visited.unionByName(frontier))
+      // visited needs NO cut of its own: it is a union of already-cut
+      // frontiers, so its plan is a flat tree of materialized scans —
+      // linear growth, nothing recomputed. Cutting it would write the
+      // (growing) visited set back out every iteration for no benefit.
+      visited = visited.unionByName(frontier)
       iter += 1
     }
     visited.select(col("name"), col("depth").cast("int").as("depth")).orderBy("name")
@@ -65,7 +69,8 @@ object Closure {
         .groupBy("root", "name").agg(min("depth").as("depth"))
       frontier = Lineage.cut(
         next.join(visited.select("root", "name"), Seq("root", "name"), "left_anti"))
-      visited = Lineage.cut(visited.unionByName(frontier))
+      visited = visited.unionByName(frontier) // union of cut frontiers — see reachable
+
       iter += 1
     }
     visited.select(col("root"), col("name"), col("depth").cast("int").as("depth"))

@@ -32,17 +32,34 @@ private[graft] object Memo {
   /** Memoized materialization of `build` under (session, dir, kind). The
     * `local` flag picks the strategy; callers outside tests pass
     * `sparkContext.isLocal`.
+    *
+    * Deliberately get-then-putIfAbsent, NOT computeIfAbsent: builds nest
+    * (the pair frame's build calls the shingle frame), and a nested
+    * insert from inside a computeIfAbsent mapping function throws
+    * ConcurrentHashMap's "Recursive update" — flakily, since detection
+    * depends on the two keys' hash-bin collision. The race cost of the
+    * non-atomic form is a duplicate materialization, and the loser's
+    * persist is released below.
     */
   def cached(kind: String, s: SparkSession, dir: String, local: Boolean)(
       build: => DataFrame): DataFrame = {
     // entries for stopped sessions are dead weight — drop before insert
     // (their blocks died with the context; nothing to unpersist)
     memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    memo.computeIfAbsent((s, dir, kind), _ => {
-      val raw = build
+    val key = (s, dir, kind)
+    val hit = memo.get(key)
+    if (hit != null) return hit.df
+    val raw = build
+    val entry =
       if (local) Entry(raw.localCheckpoint(), persisted = false)
       else { raw.persist(StorageLevel.MEMORY_AND_DISK); Entry(raw, persisted = true) }
-    }).df
+    val prev = memo.putIfAbsent(key, entry)
+    if (prev == null) entry.df
+    else { // lost a race: keep the winner, release our persist
+      if (entry.persisted)
+        try entry.df.unpersist(blocking = false) catch { case _: Throwable => () }
+      prev.df
+    }
   }
 
   def memoized(kind: String, s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
