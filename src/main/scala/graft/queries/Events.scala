@@ -27,6 +27,24 @@ object Events {
   type QFn = (SparkSession, String) => DataFrame
 
   val queries: Seq[(String, QFn)] = Seq(
+    // Funnel analysis — ordered-event conversion without a self-join: one
+    // conditional-min/max aggregation per user (did a purchase happen
+    // AFTER the first view), then one summary row. The standard two-stage
+    // event-sequence shape: per-entity reduce, then global reduce — two
+    // shuffles total, no window over the raw event stream, no
+    // event×event join. Conversion is a raw IEEE division of exact longs.
+    "q80_view_purchase_funnel" -> { (s, dir) =>
+      val per = Tables.events(s, dir).groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+          max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
+      per.agg(
+        count(lit(1)).as("n_users"),
+        count(col("first_view")).as("n_viewers"),
+        sum(when(col("last_purchase") > col("first_view"), 1L).otherwise(0L)).as("n_converted"))
+        .withColumn("conversion", col("n_converted") / col("n_viewers"))
+    },
+
     // T1 tumbling window aggregate (streaming-ready shape).
     "q20_hourly_event_stats" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -160,6 +178,17 @@ object Events {
     * `cast(ts as long)` under the UTC session.
     */
   val oracles: Seq[(String, String)] = Seq(
+    "q80_view_purchase_funnel" ->
+      """WITH per AS (
+        | SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS first_view,
+        |  max(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS last_purchase
+        | FROM events GROUP BY 1)
+        |SELECT count(*) AS n_users, count(first_view) AS n_viewers,
+        | CAST(sum(CASE WHEN last_purchase > first_view THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        | CAST(sum(CASE WHEN last_purchase > first_view THEN 1 ELSE 0 END) AS BIGINT) / count(first_view) AS conversion
+        |FROM per""".stripMargin,
+
     "q20_hourly_event_stats" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
         | count(*) AS n_events, round(sum(value),2) AS total_value,

@@ -13,6 +13,24 @@ object Extras {
   type QFn = (SparkSession, String) => DataFrame
 
   val queries: Seq[(String, QFn)] = Seq(
+    // Unpivot/melt (the reshaping inverse of q27's pivot): wide per-flag
+    // metric columns → long (metric, value) rows via Dataset.unpivot —
+    // a generator projection, no shuffle beyond the feeding aggregation.
+    // Sums are exact-decimal then finished as doubles so both engines
+    // produce identical bits regardless of partial-sum order.
+    "q79_unpivot_metrics" -> { (s, dir) =>
+      val wide = Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(
+          sum(col("l_quantity").cast("decimal(28,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(28,2)")).cast("double").as("sum_price"),
+          sum(col("l_discount").cast("decimal(28,2)")).cast("double").as("sum_disc"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    },
+
     // A9 — typed Aggregator registered as a UDAF (Starlark-reduction analog).
     "q18_custom_udaf_wavg" -> { (s, dir) =>
       val wavg = udaf(WeightedAvgCents)
@@ -168,6 +186,18 @@ object Extras {
     })
 
   val oracles: Seq[(String, String)] = Seq(
+    "q79_unpivot_metrics" ->
+      """WITH w AS (
+        | SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(28,2))) AS DOUBLE) AS sum_disc
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS value FROM w
+        |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+        |UNION ALL SELECT l_returnflag, 'sum_qty', sum_qty FROM w
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
     "q18_custom_udaf_wavg" ->
       """SELECT l_returnflag,
         | CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
