@@ -20,13 +20,7 @@ import graft.Tables
   */
 object Shingles {
   def frame(s: SparkSession, dir: String): DataFrame =
-    frameImpl(s, dir, s.sparkContext.isLocal)
-
-  /** Materialization split out with an explicit `local` flag so the cluster
-    * (persist) branch is unit-testable from a local session (ShinglesSpec).
-    */
-  private[graft] def frameImpl(s: SparkSession, dir: String, local: Boolean): DataFrame =
-    Memo.cached("shingles", s, dir, local) {
+    Memo.memoized("shingles", s, dir) {
       Tables.documents(s, dir)
         .select(col("doc_id"),
           expr("explode(array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
