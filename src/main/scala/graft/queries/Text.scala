@@ -144,6 +144,28 @@ object Text {
         .orderBy("lang")
     },
 
+    // Eval-set decontamination — the pre-training hygiene step: flag
+    // corpus documents sharing >= 5 distinct 3-gram shingles with any
+    // held-out eval document (eval set = doc_id % 31 == 0, the stand-in
+    // for benchmark prompts). At 100 TB the eval shingle set is tiny
+    // relative to the corpus, so the overlap test is a BROADCAST semi-join
+    // on the 60-bit shingle key — map-side, no shuffle of the corpus
+    // representation — followed by one per-doc count. Overlap ratio is a
+    // raw IEEE division of exact counts.
+    "q81_decontamination" -> { (s, dir) =>
+      val hk = Shingles.frame(s, dir).select(col("doc_id"), col("hk"))
+      val ev = broadcast(
+        hk.filter(pmod(col("doc_id"), lit(31)) === 0).select("hk").distinct())
+      val corpus = hk.filter(pmod(col("doc_id"), lit(31)) =!= 0)
+      val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val shared = corpus.join(ev, Seq("hk"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      shared.join(sizes, "doc_id")
+        .filter(col("n_shared") >= 5)
+        .withColumn("overlap", col("n_shared") / col("sz"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic train/val/test split assignment — the reproducible-
     // sampling primitive a corpus pipeline needs at any scale: the split is
     // a pure function of doc_id's md5 (8/1/1 by hash decile), so it is
@@ -326,6 +348,19 @@ object Text {
         |FROM f
         |GROUP BY lang
         |ORDER BY lang""".stripMargin),
+
+    "q81_decontamination" -> sub("""WITH --SH--,
+        |hk AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS hk FROM sh),
+        |ev AS (SELECT DISTINCT hk FROM hk WHERE doc_id % 31 = 0),
+        |corpus AS (SELECT doc_id, hk FROM hk WHERE doc_id % 31 <> 0),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM corpus GROUP BY doc_id),
+        |shared AS (
+        | SELECT doc_id, count(*) AS n_shared FROM corpus
+        | WHERE hk IN (SELECT hk FROM ev) GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_shared, z.sz, s.n_shared / z.sz AS overlap
+        |FROM shared s JOIN sizes z USING (doc_id)
+        |WHERE s.n_shared >= 5
+        |ORDER BY s.doc_id""".stripMargin),
 
     "q75_hash_split" ->
       """WITH h AS (
