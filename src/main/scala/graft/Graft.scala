@@ -59,7 +59,13 @@ object Graft {
   def installPlan(spark: SparkSession, specs: DataFrame, provides: DataFrame,
       packages: DataFrame, root: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
-    Closure.reachable(spark, queries.Resolution.resolutionEdges(specs, provides, packages), root)
+    // cache the resolved edges for the loop's lifetime: the BFS re-reads
+    // them every iteration, and re-running the two-join+distinct edge
+    // derivation per iteration is quadratic work on deep graphs
+    val edges = queries.Resolution.resolutionEdges(specs, provides, packages).cache()
+    val out = Closure.reachable(spark, edges, root) // eager: loop runs here
+    edges.unpersist(blocking = false)
+    out
   }
 
   /** Installability check against an installed set: candidates blocked by a

@@ -29,22 +29,10 @@ object Closure {
     */
   def reachable(spark: SparkSession, edges: DataFrame, seed: String, maxIter: Int = 64): DataFrame = {
     import spark.implicits._
-    var visited = Seq((seed, 0)).toDF("name", "depth")
-    var frontier = visited
-    var iter = 0
-    while (iter < maxIter && !frontier.isEmpty) {
-      val next = frontier.join(edges, "name")
-        .select(col("dep").as("name"), (col("depth") + 1).as("depth"))
-        .groupBy("name").agg(min("depth").as("depth"))
-      frontier = Lineage.cut(next.join(visited.select("name"), Seq("name"), "left_anti"))
-      // visited needs NO cut of its own: it is a union of already-cut
-      // frontiers, so its plan is a flat tree of materialized scans —
-      // linear growth, nothing recomputed. Cutting it would write the
-      // (growing) visited set back out every iteration for no benefit.
-      visited = visited.unionByName(frontier)
-      iter += 1
-    }
-    visited.select(col("name"), col("depth").cast("int").as("depth")).orderBy("name")
+    // the single-source walk IS the multi-source walk with one root — one
+    // loop to maintain, no chance for the two forms to drift
+    reachableAll(spark, edges, Seq(seed).toDF("root"), maxIter)
+      .select(col("name"), col("depth")).orderBy("name")
   }
 
   /** Multi-source BFS: the reachable set WITH min depth from EVERY root at
@@ -69,7 +57,11 @@ object Closure {
         .groupBy("root", "name").agg(min("depth").as("depth"))
       frontier = Lineage.cut(
         next.join(visited.select("root", "name"), Seq("root", "name"), "left_anti"))
-      visited = visited.unionByName(frontier) // union of cut frontiers — see reachable
+      // visited needs NO cut of its own: it is a union of already-cut
+      // frontiers, so its plan is a flat tree of materialized scans —
+      // linear growth, nothing recomputed. Cutting it would write the
+      // (growing) visited set back out every iteration for no benefit.
+      visited = visited.unionByName(frontier)
 
       iter += 1
     }

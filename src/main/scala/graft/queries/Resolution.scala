@@ -301,20 +301,12 @@ object Resolution {
       val nm = Tables.packageNames(s, dir)
       val installed = nm.filter(pmod(col("i"), lit(3)) === 0).select("name")
       val cand = nm.filter(pmod(col("i"), lit(3)) =!= 0).select("name")
-      val conf = Tables.conflicts(s, dir)
-      // direction 1: the candidate declares the conflict against an installed pkg
-      val d1 = conf
-        .join(installed.select(col("name").as("conflicts_with")), Seq("conflicts_with"))
-        .select(col("name"), col("conflicts_with").as("blocker"))
-      // direction 2: an installed pkg declares the conflict against the candidate
-      val d2 = conf
-        .join(installed, Seq("name"), "left_semi")
-        .select(col("conflicts_with").as("name"), col("name").as("blocker"))
-      val rep = Tables.replaces(s, dir)
-        .select(col("name"), col("replaces_name").as("blocker"))
-      val blockers = d1.unionByName(d2).distinct()
-        .join(cand, Seq("name"), "left_semi")
-        .join(rep, Seq("name", "blocker"), "left_anti")
+      // ONE definition of the conflict-direction/replaces-override rule —
+      // the facade's blockedBy — so the judged query and the library API
+      // cannot drift
+      val blockers = graft.Graft.blockedBy(cand, installed,
+          Tables.conflicts(s, dir), Tables.replaces(s, dir))
+        .withColumnRenamed("conflicts_with", "blocker")
       cand.join(blockers, Seq("name"), "left")
         .groupBy("name")
         .agg(
@@ -381,9 +373,26 @@ object Resolution {
       |  '', 0, 0
       | FROM idx)""".stripMargin
 
+  /** Constraint-satisfying resolution edges — shared by the q68/q76/q78
+    * oracles (ONE copy of the satisfaction CASE; requires --IDX--, --PKG--,
+    * --PROV--, --SPECS-- in scope).
+    */
+  private val EdgesCte =
+    """edges AS (
+      | SELECT DISTINCT s.name, p.provider AS dep
+      | FROM specs s
+      | JOIN prov p ON p.provides_name = s.cname
+      | JOIN pkg k ON k.name = p.provider
+      | WHERE CASE s.cop
+      |  WHEN '>=' THEN (k.vmaj, k.vmin, k.vpat) >= (s.cmaj, s.cmin, 0)
+      |  WHEN '<'  THEN (k.vmaj, k.vmin, k.vpat) < (s.cmaj, s.cmin, 0)
+      |  WHEN '='  THEN FALSE
+      |  ELSE TRUE END)""".stripMargin
+
   private def sub(sql: String): String =
     sql.replace("--PKG--", PkgCte).replace("--IDX--", IdxCte)
       .replace("--PROV--", ProvCte).replace("--SPECS--", SpecsCte)
+      .replace("--EDGES--", EdgesCte)
 
   val oracles: Seq[(String, String)] = Seq(
     "q63_file_owner" -> sub("""WITH --PKG--,
@@ -430,16 +439,7 @@ object Resolution {
         |--PKG--,
         |--PROV--,
         |--SPECS--,
-        |edges AS (
-        | SELECT DISTINCT s.name, p.provider AS dep
-        | FROM specs s
-        | JOIN prov p ON p.provides_name = s.cname
-        | JOIN pkg k ON k.name = p.provider
-        | WHERE CASE s.cop
-        |  WHEN '>=' THEN (k.vmaj, k.vmin, k.vpat) >= (s.cmaj, s.cmin, 0)
-        |  WHEN '<'  THEN (k.vmaj, k.vmin, k.vpat) < (s.cmaj, s.cmin, 0)
-        |  WHEN '='  THEN FALSE
-        |  ELSE TRUE END),
+        |--EDGES--,
         |r(name, depth) AS (
         | SELECT 'pkg-00', 0
         | UNION
@@ -451,16 +451,7 @@ object Resolution {
         |--PKG--,
         |--PROV--,
         |--SPECS--,
-        |edges AS (
-        | SELECT DISTINCT s.name, p.provider AS dep
-        | FROM specs s
-        | JOIN prov p ON p.provides_name = s.cname
-        | JOIN pkg k ON k.name = p.provider
-        | WHERE CASE s.cop
-        |  WHEN '>=' THEN (k.vmaj, k.vmin, k.vpat) >= (s.cmaj, s.cmin, 0)
-        |  WHEN '<'  THEN (k.vmaj, k.vmin, k.vpat) < (s.cmaj, s.cmin, 0)
-        |  WHEN '='  THEN FALSE
-        |  ELSE TRUE END),
+        |--EDGES--,
         |nm AS (SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name FROM idx),
         |r(root, name, depth) AS (
         | SELECT name, name, 0 FROM nm
@@ -476,16 +467,7 @@ object Resolution {
         |--PKG--,
         |--PROV--,
         |--SPECS--,
-        |edges AS (
-        | SELECT DISTINCT s.name, p.provider AS dep
-        | FROM specs s
-        | JOIN prov p ON p.provides_name = s.cname
-        | JOIN pkg k ON k.name = p.provider
-        | WHERE CASE s.cop
-        |  WHEN '>=' THEN (k.vmaj, k.vmin, k.vpat) >= (s.cmaj, s.cmin, 0)
-        |  WHEN '<'  THEN (k.vmaj, k.vmin, k.vpat) < (s.cmaj, s.cmin, 0)
-        |  WHEN '='  THEN FALSE
-        |  ELSE TRUE END),
+        |--EDGES--,
         |r(name, depth) AS (
         | SELECT 'pkg-00', 0
         | UNION

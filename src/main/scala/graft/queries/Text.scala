@@ -99,14 +99,13 @@ object Text {
     // form a training-data pipeline actually consumes (keep one canonical
     // doc per cluster, drop the rest). Canonical = min doc_id in cluster.
     "q69_dedup_clusters" -> { (s, dir) =>
-      val edges = jaccardPairs(s, dir)
-        .select(col("d1").as("src"), col("d2").as("dst"))
-      val comp = _root_.graft.operators.Components.connected(s, edges)
-      val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
-      comp.join(sizes, "comp")
-        .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
-          col("cluster_size"),
-          (col("id") === col("comp")).cast("int").as("is_canonical"))
+      // ONE definition of cluster assignment — the facade's dedupClusters —
+      // so the judged query and the library API cannot drift; only the
+      // cluster_size join is local to the query
+      val cl = _root_.graft.Graft.dedupClusters(s, jaccardPairs(s, dir).select("d1", "d2"))
+      val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      cl.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("is_canonical"))
         .orderBy("doc_id")
     },
 

@@ -47,19 +47,28 @@ class ClosureSpec extends AnyFunSuite {
   test("reliable-checkpoint branch: same results once a checkpoint dir is set") {
     // cluster deployments configure sparkContext.setCheckpointDir; the
     // iterative loops must then cut lineage via reliable checkpoint and
-    // still produce identical results. (The dir stays set for the session —
-    // later iterative tests exercise the same branch, which is the point.)
+    // still produce identical results. The dir is RESTORED afterwards
+    // (reflection — SparkContext has no public unset) so the rest of the
+    // suite keeps exercising the localCheckpoint branch regardless of
+    // suite execution order.
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
     assert(spark.sparkContext.getCheckpointDir.isDefined)
-    val g = edges("a" -> "b", "b" -> "c", "c" -> "a", "b" -> "d")
-    val r = Closure.reachable(spark, g, "a").collect()
-      .map(row => row.getString(0) -> row.getInt(1)).toMap
-    assert(r === Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 2))
-    import spark.implicits._
-    val cc = operators.Components.connected(spark, Seq((1L, 2L), (3L, 4L)).toDF("src", "dst"))
-      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
-    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    try {
+      val g = edges("a" -> "b", "b" -> "c", "c" -> "a", "b" -> "d")
+      val r = Closure.reachable(spark, g, "a").collect()
+        .map(row => row.getString(0) -> row.getInt(1)).toMap
+      assert(r === Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 2))
+      import spark.implicits._
+      val cc = operators.Components.connected(spark, Seq((1L, 2L), (3L, 4L)).toDF("src", "dst"))
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    } finally {
+      val f = classOf[org.apache.spark.SparkContext].getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(spark.sparkContext, None)
+      assert(spark.sparkContext.getCheckpointDir.isEmpty, "checkpoint dir must be restored")
+    }
   }
 
   test("reachableAll equals per-root reachable on every root") {
