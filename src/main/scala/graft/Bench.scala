@@ -36,13 +36,15 @@ object Bench {
     val pass2 = names.map { case (n, fn) => n -> once(fn) }
     val p2m = pass2.toMap
     val results = pass1.map { case (n, t1) => n -> math.min(t1, p2m(n)) }
-    // ms precision keeps the one-line JSON short: the driver only retains
-    // an output tail of a few KB, and full-precision doubles overflowed it
-    // in round 1 (BENCH_r01.json parsed:null).
-    // Locale.ROOT: a comma-decimal default locale (de_DE) would emit 0,123
-    // and corrupt the JSON line.
+    // The driver records only the LAST 2000 chars of output and parses the
+    // JSON line out of that tail: with 81 queries the full-name map is
+    // ~2.6 KB, so every recorded BENCH_r*.json so far has parsed:null.
+    // Short qNN keys (the unique query-number prefix) keep the whole line
+    // ~1.2 KB so the tail holds it complete. ms precision for the same
+    // reason; Locale.ROOT because a comma-decimal default locale (de_DE)
+    // would emit 0,123 and corrupt the JSON line.
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val t1 = pass1.map(_._2).sum

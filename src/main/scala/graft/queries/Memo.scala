@@ -52,14 +52,17 @@ private[graft] object Memo {
     val raw = build
     val entry =
       if (local) Entry(raw.localCheckpoint(), persisted = false)
-      else { raw.persist(StorageLevel.MEMORY_AND_DISK); Entry(raw, persisted = true) }
+      else Entry(raw, persisted = true)
     val prev = memo.putIfAbsent(key, entry)
-    if (prev == null) entry.df
-    else { // lost a race: keep the winner, release our persist
-      if (entry.persisted)
-        try entry.df.unpersist(blocking = false) catch { case _: Throwable => () }
-      prev.df
-    }
+    if (prev == null) {
+      // Persist only after winning the slot (ADVICE r4): CacheManager keys
+      // caches by canonicalized plan, so a losing builder's unpersist of its
+      // plan-identical frame would silently drop the winner's cache too.
+      // The loser now touches nothing; its localCheckpoint blocks (local
+      // branch) are released by the ContextCleaner.
+      if (entry.persisted) raw.persist(StorageLevel.MEMORY_AND_DISK)
+      entry.df
+    } else prev.df
   }
 
   def memoized(kind: String, s: SparkSession, dir: String)(build: => DataFrame): DataFrame =

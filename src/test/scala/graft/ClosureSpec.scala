@@ -64,9 +64,20 @@ class ClosureSpec extends AnyFunSuite {
         .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
       assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
     } finally {
-      val f = classOf[org.apache.spark.SparkContext].getDeclaredField("checkpointDir")
-      f.setAccessible(true)
-      f.set(spark.sparkContext, None)
+      // Guarded (ADVICE r4): if a Spark upgrade renames the private field,
+      // fail with an actionable message instead of a bare
+      // NoSuchFieldException that masks the test body's result and silently
+      // leaves every later suite on the reliable-checkpoint branch.
+      try {
+        val f = classOf[org.apache.spark.SparkContext].getDeclaredField("checkpointDir")
+        f.setAccessible(true)
+        f.set(spark.sparkContext, None)
+      } catch {
+        case e: ReflectiveOperationException =>
+          fail("SparkContext.checkpointDir reflection restore broke (Spark internals " +
+            "changed?) — later suites in this shared session would silently run the " +
+            "reliable-checkpoint branch; update ClosureSpec's restore. " + e, e)
+      }
       assert(spark.sparkContext.getCheckpointDir.isEmpty, "checkpoint dir must be restored")
     }
   }

@@ -62,12 +62,18 @@ class GraftFacadeSpec extends AnyFunSuite {
     val nm = Tables.packageNames(spark, dir)
     val installed = nm.filter(expr("i % 3 = 0")).select("name")
     val cand = nm.filter(expr("i % 3 <> 0")).select("name")
+    // Compare per-candidate sorted blocker CSVs, not counts (ADVICE r4):
+    // a direction swap inside blockedBy would preserve counts but not the
+    // blocker names q70 publishes.
     val blocked = Graft.blockedBy(cand, installed,
       Tables.conflicts(spark, dir), Tables.replaces(spark, dir))
-      .groupBy("name").count()
+      .groupBy("name")
+      .agg(array_join(sort_array(collect_list(col("blocker"))), ",").as("blockers"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val judged = SparkEntry.queries("q70_conflict_check")(spark, dir)
-      .filter(col("n_blockers") > 0)
-    assert(blocked.count() === judged.count())
+      .filter(col("n_blockers") > 0).select("name", "blockers")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(blocked === judged)
   }
 
   test("planConflicts finds an unsafe plan; replaces makes it safe") {
