@@ -26,6 +26,7 @@ object SparkEntry {
       (_root_.graft.queries.Dedup.queries, _root_.graft.queries.Dedup.oracles),
       (_root_.graft.queries.Vectors.queries, _root_.graft.queries.Vectors.oracles),
       (_root_.graft.queries.Multimodal.queries, _root_.graft.queries.Multimodal.oracles),
+      (_root_.graft.queries.Archives.queries, _root_.graft.queries.Archives.oracles),
       (_root_.graft.queries.Extras.queries, _root_.graft.queries.Extras.oracles),
       (_root_.graft.queries.Analytics.queries, _root_.graft.queries.Analytics.oracles))
 

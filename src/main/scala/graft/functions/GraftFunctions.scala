@@ -171,6 +171,18 @@ object GraftFunctions {
     v
   }
 
+  /** tar_archive's output codec — a plan-time string literal, like the
+    * ecosystem tag (it selects the compressor class, not per-row data).
+    */
+  private def codecArg(e: Expression): String = {
+    require(e.foldable && e.dataType == StringType,
+      "codec must be a string literal: 'none' | 'gzip' | 'xz' | 'zstd'")
+    val v = e.eval(null).asInstanceOf[UTF8String].toString
+    require(graft.sources.ArchiveCodec.KnownCodecs.contains(v),
+      s"unknown codec '$v' (want none|gzip|xz|zstd)")
+    v
+  }
+
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("version_compare",
       new ExpressionInfo(classOf[VersionCompare].getName, "version_compare"),
@@ -187,7 +199,21 @@ object GraftFunctions {
       (args: Seq[Expression]) => ArrayDot(args(0), args(1))),
     ("parse_constraint",
       new ExpressionInfo(classOf[ParseConstraint].getName, "parse_constraint"),
-      (args: Seq[Expression]) => ParseConstraint(args.head)))
+      (args: Seq[Expression]) => ParseConstraint(args.head)),
+    ("archive_format",
+      new ExpressionInfo(classOf[ArchiveFormat].getName, "archive_format"),
+      (args: Seq[Expression]) => ArchiveFormat(args.head)),
+    ("archive_members",
+      new ExpressionInfo(classOf[ArchiveMembers].getName, "archive_members"),
+      (args: Seq[Expression]) => ArchiveMembers(args.head)),
+    ("archive_extract",
+      new ExpressionInfo(classOf[ArchiveExtract].getName, "archive_extract"),
+      (args: Seq[Expression]) => ArchiveExtract(args(0), args(1))),
+    ("tar_archive",
+      new ExpressionInfo(classOf[TarArchive].getName, "tar_archive"),
+      (args: Seq[Expression]) =>
+        if (args.size >= 3) TarArchive(args(0), args(1), codecArg(args(2)))
+        else TarArchive(args(0), args(1))))
 
   /** Idempotent: safe to call at the top of every query builder. */
   def ensureRegistered(spark: SparkSession): Unit = {

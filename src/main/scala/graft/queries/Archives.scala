@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Archive-source queries (SURVEY.md §2.1 S3 — the reference's file-list
+  * path reads package payload archives: tar / ar(.deb) / cpio(.rpm) with
+  * gzip/xz/zstd compression).
+  *
+  * The fixtures carry no archive files, so — exactly like the Multimodal
+  * corpus (q50/q51) — the archives are DERIVED in-plan: each document is
+  * packed into a two-member tar (`tar_archive`, deterministic metadata)
+  * whose codec varies by doc_id, then parsed BACK through the real readers
+  * (`archive_format` / `archive_members` / `archive_extract`,
+  * commons-compress under codegen'd expressions). The oracle never sees a
+  * byte of tar: it re-derives every judged number (member counts, member
+  * sizes, roundtrip matches) from the TEXT side, so the whole
+  * build→compress→detect→list→extract pipeline is verified against an
+  * independent derivation — through three codecs.
+  *
+  * Scale notes (100 TB): archives stay executor-local `BinaryType` values;
+  * only (name, size) metadata enters the relational plan. Everything here
+  * is per-row expression work inside whole-stage codegen plus ONE 3-group
+  * aggregation — no join, no driver collection, nothing that widens with
+  * corpus size. Malformed payloads become SQL nulls, not task failures, so
+  * one corrupt .deb in a petabyte scan cannot kill the job.
+  */
+object Archives {
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Seq[(String, QFn)] = Seq(
+    "q82_archive_roundtrip" -> { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val packed = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("names", array(
+          concat(lit("data/doc-"), col("doc_id"), lit(".txt")),
+          lit("manifest/len")))
+        .withColumn("contents", array(
+          encode(col("text"), "UTF-8"),
+          encode(octet_length(col("text")).cast("string"), "UTF-8")))
+        .withColumn("bytes",
+          when(pmod(col("doc_id"), lit(3)) === 0, expr("tar_archive(names, contents, 'none')"))
+            .when(pmod(col("doc_id"), lit(3)) === 1, expr("tar_archive(names, contents, 'gzip')"))
+            .otherwise(expr("tar_archive(names, contents, 'zstd')")))
+      packed
+        .withColumn("fmt", expr("archive_format(bytes)"))
+        .withColumn("members", expr("archive_members(bytes)"))
+        .withColumn("extracted",
+          expr("archive_extract(bytes, concat('data/doc-', doc_id, '.txt'))"))
+        .groupBy("fmt")
+        .agg(
+          count(lit(1)).as("n_archives"),
+          sum(size(col("members"))).cast("long").as("n_members"),
+          sum(expr("members[0].size")).as("data_bytes"),
+          sum(expr("members[1].size")).as("meta_bytes"),
+          sum(when(expr("members[0].name") ===
+            concat(lit("data/doc-"), col("doc_id"), lit(".txt")), 1).otherwise(0))
+            .cast("long").as("n_named"),
+          sum(when(decode(col("extracted"), "UTF-8") === col("text"), 1).otherwise(0))
+            .cast("long").as("n_roundtrip"))
+        .orderBy("fmt")
+    })
+
+  val oracles: Seq[(String, String)] = Seq(
+    // Independent text-side derivation: a doc's archive always has exactly
+    // two members — the UTF-8 text (size = its byte length) and the length
+    // manifest (size = digits of that byte length); format follows
+    // doc_id % 3; extraction must reproduce the text byte-for-byte, so
+    // n_named = n_roundtrip = n_archives per format group.
+    "q82_archive_roundtrip" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'tar'
+        |       WHEN doc_id % 3 = 1 THEN 'tar+gzip'
+        |       ELSE 'tar+zstd' END AS fmt,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS data_len
+        | FROM documents)
+        |SELECT fmt, count(*) AS n_archives,
+        | CAST(2 * count(*) AS BIGINT) AS n_members,
+        | CAST(sum(data_len) AS BIGINT) AS data_bytes,
+        | CAST(sum(length(CAST(data_len AS VARCHAR))) AS BIGINT) AS meta_bytes,
+        | count(*) AS n_named,
+        | count(*) AS n_roundtrip
+        |FROM m
+        |GROUP BY fmt
+        |ORDER BY fmt""".stripMargin)
+}

@@ -1,0 +1,164 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.commons.compress.archivers.ar.{ArArchiveEntry, ArArchiveOutputStream}
+import org.apache.commons.compress.archivers.cpio.{CpioArchiveEntry, CpioArchiveOutputStream}
+import org.apache.commons.compress.compressors.xz.XZCompressorOutputStream
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ArchiveCodec
+
+/** S3 archive readers: member listing / extraction across tar, ar(.deb),
+  * cpio(.rpm) and the gzip/xz/zstd compressors, driven through the
+  * registered SQL expressions on non-literal columns (so the codegen path
+  * runs, not constant folding).
+  */
+class ArchiveSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestHarness.spark
+    functions.GraftFunctions.ensureRegistered(s)
+    s
+  }
+
+  private def ar(members: (String, Array[Byte])*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new ArArchiveOutputStream(bos)
+    members.foreach { case (n, b) =>
+      out.putArchiveEntry(new ArArchiveEntry(n, b.length.toLong))
+      out.write(b)
+      out.closeArchiveEntry()
+    }
+    out.close()
+    bos.toByteArray
+  }
+
+  private def cpio(members: (String, Array[Byte])*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new CpioArchiveOutputStream(bos)
+    members.foreach { case (n, b) =>
+      val e = new CpioArchiveEntry(n)
+      e.setSize(b.length.toLong)
+      out.putArchiveEntry(e)
+      out.write(b)
+      out.closeArchiveEntry()
+    }
+    out.close()
+    bos.toByteArray
+  }
+
+  private def xz(b: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new XZCompressorOutputStream(bos)
+    out.write(b); out.close()
+    bos.toByteArray
+  }
+
+  /** Run the expressions over a one-row DataFrame COLUMN (codegen path). */
+  private def probe(bytes: Array[Byte]): (String, Seq[(String, Long)]) = {
+    import spark.implicits._
+    val r = Seq(bytes).toDF("b")
+      .selectExpr("archive_format(b) AS fmt", "archive_members(b) AS ms")
+      .head()
+    val ms = r.getSeq[Row](1).map(m => m.getString(0) -> m.getLong(1))
+    (r.getString(0), ms)
+  }
+
+  private val abc = "abc".getBytes("UTF-8")
+  private val hello = "hello world".getBytes("UTF-8")
+
+  test("tar roundtrip through every codec: format, members, extraction") {
+    import spark.implicits._
+    for (codec <- Seq("none", "gzip", "xz", "zstd")) {
+      val df = Seq(("a.txt", "b/c.txt")).toDF("n1", "n2")
+        .selectExpr(
+          s"tar_archive(array(n1, n2), array(encode('abc', 'UTF-8'), encode('hello world', 'UTF-8')), '$codec') AS t")
+      val r = df.selectExpr(
+        "archive_format(t) AS fmt",
+        "archive_members(t) AS ms",
+        "decode(archive_extract(t, 'b/c.txt'), 'UTF-8') AS x").head()
+      val wantFmt = if (codec == "none") "tar" else s"tar+$codec"
+      assert(r.getString(0) === wantFmt)
+      assert(r.getSeq[Row](1).map(m => m.getString(0) -> m.getLong(1)) ===
+        Seq("a.txt" -> 3L, "b/c.txt" -> 11L))
+      assert(r.getString(2) === "hello world")
+    }
+  }
+
+  test("ar archives (deb outer container) list members") {
+    val (fmt, ms) = probe(ar("debian-binary" -> "2.0\n".getBytes, "control" -> abc))
+    assert(fmt === "ar")
+    assert(ms === Seq("debian-binary" -> 4L, "control" -> 3L))
+  }
+
+  test("cpio archives (rpm payload) list members, trailer excluded") {
+    val (fmt, ms) = probe(cpio("usr/bin/x" -> hello, "etc/x.conf" -> abc))
+    assert(fmt === "cpio")
+    assert(ms === Seq("usr/bin/x" -> 11L, "etc/x.conf" -> 3L))
+  }
+
+  test("compressed ar/cpio detect as fmt+codec") {
+    assert(probe(xz(cpio("f" -> abc)))._1 === "cpio+xz")
+    val gz = {
+      val bos = new ByteArrayOutputStream()
+      val o = new org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream(bos)
+      o.write(ar("f" -> abc)); o.close(); bos.toByteArray
+    }
+    assert(probe(gz)._1 === "ar+gzip")
+  }
+
+  test("deb-shaped nested listing composes in SQL: members of data.tar.xz inside ar") {
+    import spark.implicits._
+    // a .deb is an ar of debian-binary + control.tar.gz + data.tar.xz;
+    // the file-list query is archive_members(archive_extract(deb, 'data.tar.xz'))
+    val dataTar = ArchiveCodec.tarArchive(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(org.apache.spark.unsafe.types.UTF8String.fromString("usr/share/doc/README"))),
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(hello)),
+      "xz")
+    val deb = ar("debian-binary" -> "2.0\n".getBytes, "data.tar.xz" -> dataTar)
+    val r = Seq(deb).toDF("b")
+      .selectExpr("archive_members(archive_extract(b, 'data.tar.xz')) AS ms")
+      .head()
+    assert(r.getSeq[Row](0).map(m => m.getString(0) -> m.getLong(1)) ===
+      Seq("usr/share/doc/README" -> 11L))
+  }
+
+  test("malformed and non-archive payloads are null, absent member is null") {
+    import spark.implicits._
+    val junk: Array[Byte] = Array.fill[Byte](600)(42)
+    val truncatedGz: Array[Byte] = Array(0x1f.toByte, 0x8b.toByte, 8.toByte)
+    val r = Seq((junk, truncatedGz)).toDF("j", "t")
+      .selectExpr(
+        "archive_format(j) AS f1", "archive_members(j) AS m1",
+        "archive_format(t) AS f2", "archive_members(t) AS m2",
+        "archive_extract(tar_archive(array('a'), array(encode('x', 'UTF-8')), 'none'), 'missing') AS x")
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("tar builder is deterministic: identical inputs, identical bytes") {
+    import spark.implicits._
+    val r = Seq(("n.txt", "payload")).toDF("n", "c")
+      .selectExpr(
+        "tar_archive(array(n), array(encode(c, 'UTF-8')), 'gzip') AS a",
+        "tar_archive(array(n), array(encode(c, 'UTF-8')), 'gzip') AS b")
+      .selectExpr("a = b AS same").head()
+    assert(r.getBoolean(0))
+  }
+
+  test("q82 smoke: every fixture archive parses, every roundtrip matches") {
+    val rows = SparkEntry.queries("q82_archive_roundtrip")(spark, SparkTestHarness.Sf0001)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("tar", "tar+gzip", "tar+zstd"))
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      assert(n > 0)
+      assert(r.getLong(2) === 2 * n) // two members per archive
+      assert(r.getAs[Long]("n_named") === n)
+      assert(r.getAs[Long]("n_roundtrip") === n)
+    }
+  }
+}
