@@ -129,6 +129,45 @@ object Analytics {
             (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
              sqrt(col("syy") - col("sy") * col("sy") / col("n")))).as("corr_value_k"))
         .orderBy("event_type")
+    },
+
+    // PII scrubbing — the redaction pass every published training corpus
+    // runs. The PII is DERIVED in-plan (an email from c_name, a phone for
+    // custkey % 3 != 0, an alias address for custkey % 4 == 0) so the
+    // fixture stays clean and the oracle can re-derive the ground truth
+    // independently; the judged surface is find (regexp_extract_all) +
+    // scrub (regexp_replace) + prove-clean (re-scan of the redacted text
+    // must find nothing). Patterns use only character classes and bounded
+    // quantifiers — the regex subset where Java (Spark) and RE2 (DuckDB)
+    // semantics coincide. Pure per-row regex work in whole-stage codegen +
+    // one small aggregation: nothing here widens at 100 TB.
+    "q84_pii_redaction" -> { (s, dir) =>
+      val blurb = Tables.customer(s, dir)
+        .withColumn("email",
+          concat(lower(regexp_replace(col("c_name"), "[^a-zA-Z0-9]", ".")), lit("@example.com")))
+        .withColumn("blurb", concat(
+          lit("Contact "), col("c_name"), lit(" <"), col("email"), lit(">"),
+          when(pmod(col("c_custkey"), lit(4)) === 0,
+            concat(lit(" alias <second."), col("email"), lit(">"))).otherwise(lit("")),
+          when(pmod(col("c_custkey"), lit(3)) =!= 0,
+            concat(lit(" call 555-"), lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          lit(" re "), col("c_mktsegment")))
+      val EmailPat = "[a-z0-9.]+@[a-z.]+"
+      val PhonePat = "555-[0-9]{4}"
+      blurb
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(col("blurb"), EmailPat, "<EMAIL>"), PhonePat, "<PHONE>"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(size(expr(s"regexp_extract_all(blurb, '$EmailPat', 0)"))).cast("long").as("emails_found"),
+          sum(size(expr(s"regexp_extract_all(blurb, '$PhonePat', 0)"))).cast("long").as("phones_found"),
+          sum(length(col("blurb")) - length(col("redacted"))).cast("long").as("chars_removed"),
+          sum(when(size(expr(s"regexp_extract_all(redacted, '$EmailPat', 0)")) === 0 &&
+            size(expr(s"regexp_extract_all(redacted, '$PhonePat', 0)")) === 0, 1).otherwise(0))
+            .cast("long").as("n_clean"))
+        .orderBy("c_mktsegment")
     })
 
   val oracles: Seq[(String, String)] = Seq(
@@ -214,5 +253,36 @@ object Analytics {
         | sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_value,
         | (sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_value_k
         |FROM m
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin,
+
+    // Same derivation + scrub in DuckDB's RE2. regexp_replace needs the
+    // 'g' flag: DuckDB replaces only the first match by default, Spark
+    // replaces all.
+    "q84_pii_redaction" ->
+      """WITH c AS (
+        | SELECT c_mktsegment, c_custkey, c_name,
+        |  lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '.', 'g')) || '@example.com' AS email
+        | FROM customer),
+        |t AS (
+        | SELECT c_mktsegment,
+        |  'Contact ' || c_name || ' <' || email || '>'
+        |   || CASE WHEN c_custkey % 4 = 0 THEN ' alias <second.' || email || '>' ELSE '' END
+        |   || CASE WHEN c_custkey % 3 <> 0
+        |      THEN ' call 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |   || ' re ' || c_mktsegment AS blurb
+        | FROM c),
+        |r AS (
+        | SELECT c_mktsegment, blurb,
+        |  regexp_replace(regexp_replace(blurb, '[a-z0-9.]+@[a-z.]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        | FROM t)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        | CAST(sum(len(regexp_extract_all(blurb, '[a-z0-9.]+@[a-z.]+'))) AS BIGINT) AS emails_found,
+        | CAST(sum(len(regexp_extract_all(blurb, '555-[0-9]{4}'))) AS BIGINT) AS phones_found,
+        | CAST(sum(length(blurb) - length(redacted)) AS BIGINT) AS chars_removed,
+        | CAST(sum(CASE WHEN len(regexp_extract_all(redacted, '[a-z0-9.]+@[a-z.]+')) = 0
+        |   AND len(regexp_extract_all(redacted, '555-[0-9]{4}')) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        |FROM r
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
 }

@@ -253,6 +253,40 @@ object Text {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
         .filter(col("n_docs") > 1)
         .orderBy("fp")
+    },
+
+    // Intra-document repetition metrics (the Gopher-rule family): fraction
+    // of repeated tokens, and how much of the doc the single most frequent
+    // word bigram / trigram accounts for — the standard "remove documents
+    // that repeat themselves" quality signals. All per-row Catalyst HOFs
+    // (no shuffle beyond the scan): the O(distinct·n) mode count runs on a
+    // token window capped at 512 (identity on fixtures — docs are ~100
+    // tokens — and the 100 TB bound on pathological megadocs; real
+    // pipelines cap repetition stats to a document prefix the same way).
+    // Fractions are raw IEEE divisions of exactly-computed integers, per
+    // the module parity discipline.
+    "q83_repetition_metrics" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 60)
+        .withColumn("w", expr("slice(split(text, ' '), 1, 512)"))
+        .filter(expr("size(w) >= 3")) // guards sequence() on degenerate docs
+        .withColumn("bg", expr(
+          "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .withColumn("tg", expr(
+          "transform(sequence(1, size(w) - 2), i -> " +
+            "concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+        .withColumn("top_bg", expr(
+          "array_max(transform(array_distinct(bg), b -> size(filter(bg, x -> x = b))))"))
+        .withColumn("top_tg", expr(
+          "array_max(transform(array_distinct(tg), b -> size(filter(tg, x -> x = b))))"))
+        .select(
+          col("doc_id"), col("lang"),
+          expr("size(w)").as("n_tokens"),
+          expr("(size(w) - size(array_distinct(w))) / size(w)").as("dup_token_frac"),
+          col("top_bg").as("top_bigram_n"),
+          expr("top_bg / size(bg)").as("top_bigram_frac"),
+          expr("top_tg / size(tg)").as("top_trigram_frac"))
+        .orderBy("doc_id")
     })
 
   private val ShCte =
@@ -437,5 +471,30 @@ object Text {
         |FROM f
         |GROUP BY fp
         |HAVING count(*) > 1
-        |ORDER BY fp""".stripMargin)
+        |ORDER BY fp""".stripMargin,
+
+    // Same metrics re-derived through DuckDB's list lambdas; the [1:512]
+    // slice mirrors the Spark-side token cap (identity on fixtures).
+    "q83_repetition_metrics" ->
+      """WITH d AS (
+        | SELECT doc_id, lang, (string_split(text, ' '))[1:512] AS w
+        | FROM documents WHERE doc_id < 60),
+        |b AS (
+        | SELECT doc_id, lang, w,
+        |  list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg,
+        |  list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tg
+        | FROM d WHERE len(w) >= 3),
+        |m AS (
+        | SELECT doc_id, lang, w, bg, tg,
+        |  list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) AS top_bg,
+        |  list_max(list_transform(list_distinct(tg), x -> len(list_filter(tg, y -> y = x)))) AS top_tg
+        | FROM b)
+        |SELECT doc_id, lang,
+        | CAST(len(w) AS INTEGER) AS n_tokens,
+        | (len(w) - len(list_distinct(w))) / len(w) AS dup_token_frac,
+        | CAST(top_bg AS INTEGER) AS top_bigram_n,
+        | top_bg / len(bg) AS top_bigram_frac,
+        | top_tg / len(tg) AS top_trigram_frac
+        |FROM m
+        |ORDER BY doc_id""".stripMargin)
 }
