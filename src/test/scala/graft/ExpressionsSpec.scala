@@ -40,7 +40,8 @@ class ExpressionsSpec extends AnyFunSuite {
     GraftFunctions.ensureRegistered(spark) // second call must not throw
     // the extensions injector exposes exactly the same function names
     assert(GraftFunctions.all.map(_._1).toSet ===
-      Set("version_compare", "version_sort_key", "array_dot", "parse_constraint"))
+      Set("version_compare", "version_sort_key", "array_dot", "parse_constraint",
+        "archive_format", "archive_members", "archive_extract", "tar_archive"))
   }
 
   test("array_dot matches the higher-order-function fold bit-for-bit") {

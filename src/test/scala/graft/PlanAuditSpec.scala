@@ -75,6 +75,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected aggregate-based top-k")
   }
 
+  test("q82: archive work stays in per-row codegen — one shuffle, no join") {
+    // build→compress→detect→list→extract must all be row-local expression
+    // work; the only hash shuffle is the final 3-group aggregate (plus the
+    // ORDER BY's range exchange). A join or second hash exchange means the
+    // archive pipeline stopped being embarrassingly parallel.
+    val df = SparkEntry.queries("q82_archive_roundtrip")(spark, dir)
+    df.collect() // finalize the adaptive plan so codegen spans are printable
+    // a finalized AdaptiveSparkPlan prints BOTH final and initial plans —
+    // audit the final section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"unexpected join in archive pipeline:\n${p.take(2000)}")
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1, s"expected exactly 1 hash shuffle, got $hashExchanges:\n${p.take(2000)}")
+    // toString marks whole-stage-codegen spans as `*(n)`; the Project
+    // evaluating the archive expressions must carry the star
+    val archiveProject = p.linesIterator.find(_.contains("archive_members")).getOrElse("")
+    assert(archiveProject.contains("*("),
+      s"archive expressions fell out of codegen: $archiveProject")
+  }
+
   test("no judged query plans a CartesianProduct") {
     // q45 intentionally uses BroadcastNestedLoopJoin with a 5-row build
     // side (exact brute-force baseline); cartesian (unbroadcast NLJ over
