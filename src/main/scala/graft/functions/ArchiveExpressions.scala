@@ -61,6 +61,31 @@ case class ArchiveExtract(left: Expression, right: Expression) extends BinaryExp
   override def prettyName: String = "archive_extract"
 }
 
+/** `archive_inspect(bytes, name)` → struct<fmt, members, body> in ONE
+  * decompression walk — the hot-path form: calling format/members/extract
+  * separately decompresses the payload three times.
+  */
+case class ArchiveInspect(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("fmt", StringType, nullable = false),
+    StructField("members", ArrayType(StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("size", LongType, nullable = false))), containsNull = false),
+      nullable = false),
+    StructField("body", BinaryType, nullable = true)))
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(b: Any, n: Any): Any =
+    ArchiveCodec.inspect(b.asInstanceOf[Array[Byte]], n.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, n) => s"""
+       |${ev.value} = graft.sources.ArchiveCodec.inspect($b, $n);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ArchiveInspect =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "archive_inspect"
+}
+
 /** `tar_archive(names, contents, 'gzip')` — the codec is a plan-time string
   * literal (validated by the builder in GraftFunctions), embedded in the
   * generated source like VersionCompare's ecosystem tag.

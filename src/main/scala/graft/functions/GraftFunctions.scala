@@ -166,7 +166,9 @@ object GraftFunctions {
   private def ecoArg(e: Expression): String = {
     require(e.foldable && e.dataType == StringType,
       "ecosystem must be a string literal: 'deb' | 'rpm' | 'apk'")
-    val v = e.eval(null).asInstanceOf[UTF8String].toString
+    val raw = e.eval(null) // a foldable NULL would otherwise NPE below
+    require(raw != null, "ecosystem must be a non-null literal (want deb|rpm|apk)")
+    val v = raw.asInstanceOf[UTF8String].toString
     require(EcoVersion.Known.contains(v), s"unknown ecosystem '$v' (want deb|rpm|apk)")
     v
   }
@@ -177,7 +179,9 @@ object GraftFunctions {
   private def codecArg(e: Expression): String = {
     require(e.foldable && e.dataType == StringType,
       "codec must be a string literal: 'none' | 'gzip' | 'xz' | 'zstd'")
-    val v = e.eval(null).asInstanceOf[UTF8String].toString
+    val raw = e.eval(null) // a foldable NULL would otherwise NPE below
+    require(raw != null, "codec must be a non-null literal (want none|gzip|xz|zstd)")
+    val v = raw.asInstanceOf[UTF8String].toString
     require(graft.sources.ArchiveCodec.KnownCodecs.contains(v),
       s"unknown codec '$v' (want none|gzip|xz|zstd)")
     v
@@ -209,6 +213,9 @@ object GraftFunctions {
     ("archive_extract",
       new ExpressionInfo(classOf[ArchiveExtract].getName, "archive_extract"),
       (args: Seq[Expression]) => ArchiveExtract(args(0), args(1))),
+    ("archive_inspect",
+      new ExpressionInfo(classOf[ArchiveInspect].getName, "archive_inspect"),
+      (args: Seq[Expression]) => ArchiveInspect(args(0), args(1))),
     ("tar_archive",
       new ExpressionInfo(classOf[TarArchive].getName, "tar_archive"),
       (args: Seq[Expression]) =>

@@ -46,10 +46,14 @@ object Archives {
             .when(pmod(col("doc_id"), lit(3)) === 1, expr("tar_archive(names, contents, 'gzip')"))
             .otherwise(expr("tar_archive(names, contents, 'zstd')")))
       packed
-        .withColumn("fmt", expr("archive_format(bytes)"))
-        .withColumn("members", expr("archive_members(bytes)"))
-        .withColumn("extracted",
-          expr("archive_extract(bytes, concat('data/doc-', doc_id, '.txt'))"))
+        // ONE decompression walk per row: fmt + member list + extracted
+        // body from archive_inspect (the separate format/members/extract
+        // expressions would each re-decompress the payload — 3x the
+        // dominant CPU cost at scan scale)
+        .withColumn("insp", expr("archive_inspect(bytes, concat('data/doc-', doc_id, '.txt'))"))
+        .withColumn("fmt", col("insp.fmt"))
+        .withColumn("members", col("insp.members"))
+        .withColumn("extracted", col("insp.body"))
         .groupBy("fmt")
         .agg(
           count(lit(1)).as("n_archives"),

@@ -52,17 +52,18 @@ private[graft] object Memo {
     val raw = build
     val entry =
       if (local) Entry(raw.localCheckpoint(), persisted = false)
-      else Entry(raw, persisted = true)
+      else { raw.persist(StorageLevel.MEMORY_AND_DISK); Entry(raw, persisted = true) }
     val prev = memo.putIfAbsent(key, entry)
-    if (prev == null) {
-      // Persist only after winning the slot (ADVICE r4): CacheManager keys
-      // caches by canonicalized plan, so a losing builder's unpersist of its
-      // plan-identical frame would silently drop the winner's cache too.
-      // The loser now touches nothing; its localCheckpoint blocks (local
-      // branch) are released by the ContextCleaner.
-      if (entry.persisted) raw.persist(StorageLevel.MEMORY_AND_DISK)
-      entry.df
-    } else prev.df
+    // On a lost race the loser does NOTHING (ADVICE r4): CacheManager keys
+    // caches by canonicalized plan, so the loser's unpersist of its
+    // plan-identical frame would silently drop the winner's cache too.
+    // And since plan-identical persists share ONE CacheManager entry, the
+    // loser's persist is not a leak: evict's single unpersist releases it.
+    // Persisting BEFORE the insert (not after winning) keeps evict correct
+    // under concurrency — an entry visible in the map is always already
+    // persisted, so evict can never race ahead of the winner's persist and
+    // strand unreleasable blocks.
+    if (prev == null) entry.df else prev.df
   }
 
   def memoized(kind: String, s: SparkSession, dir: String)(build: => DataFrame): DataFrame =

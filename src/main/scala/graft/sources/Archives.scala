@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream}
 
 import scala.collection.mutable.ArrayBuffer
 
+import org.apache.commons.compress.archivers.{ArchiveEntry, ArchiveInputStream}
 import org.apache.commons.compress.archivers.ar.ArArchiveInputStream
 import org.apache.commons.compress.archivers.cpio.CpioArchiveInputStream
 import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveInputStream, TarArchiveOutputStream}
@@ -20,8 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * lists archive members (tar / ar(.deb) / cpio(.rpm), optionally gzip/xz/
   * zstd-compressed) to answer file-list queries. Implemented as a static
   * Scala core (this object) called from codegen'd Catalyst expressions
-  * (graft.functions.GraftFunctions: `tar_archive`, `archive_format`,
-  * `archive_members`, `archive_extract`), so archive parsing runs inside
+  * (graft.functions: `tar_archive`, `archive_format`, `archive_members`,
+  * `archive_extract`, `archive_inspect`), so archive parsing runs inside
   * whole-stage codegen over `BinaryType` columns — the Spark-native shape of
   * "read .deb/.rpm payloads at 100 TB": bytes live in executors, only
   * (name, size) metadata surfaces into the relational plan.
@@ -29,14 +30,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * Built entirely on commons-compress + zstd-jni + xz, which Spark itself
   * ships on every executor classpath — no extra dependency.
   *
-  * Guardrails for untrusted archives: member COUNT capped at [[MaxMembers]]
-  * and decompressed metadata never buffers member bodies (entries are
-  * stream-skipped), so a decompression bomb costs bounded CPU, not memory.
+  * Guardrails for untrusted archives (all STREAMING — decompressed data is
+  * never materialized as a whole):
+  *   - format detection decompresses at most [[DetectBytes]] bytes;
+  *   - member listing reads header metadata and stream-skips bodies, so a
+  *     decompression bomb costs bounded CPU and fixed buffer memory;
+  *   - extraction preallocates nothing from the (attacker-controlled)
+  *     header size and refuses bodies beyond [[MaxMemberBytes]];
+  *   - member COUNT is capped at [[MaxMembers]].
   * Malformed input returns null (SQL three-valued logic), never throws.
   */
 object ArchiveCodec {
   /** Upper bound on members returned/scanned per archive. */
   val MaxMembers = 100000
+
+  /** Decompressed prefix read for format detection (tar needs 512). */
+  val DetectBytes = 1024
+
+  /** Extraction refuses member bodies larger than this (256 MiB) — a
+    * metadata engine reads control files and file lists, not media blobs;
+    * a gzip bomb hiding behind one member name degrades to SQL null.
+    */
+  val MaxMemberBytes: Long = 256L * 1024 * 1024
 
   // ---- format detection ---------------------------------------------------
 
@@ -74,49 +89,69 @@ object ArchiveCodec {
     sum == stored && stored > 0
   }
 
-  private def decompress(b: Array[Byte], codec: String): Array[Byte] = {
-    val in: InputStream = codec match {
-      case "gzip" => new GzipCompressorInputStream(new ByteArrayInputStream(b), true)
-      case "xz" => new XZCompressorInputStream(new ByteArrayInputStream(b))
-      case "zstd" => new ZstdCompressorInputStream(new ByteArrayInputStream(b))
-      case _ => return b
+  /** Streaming decompressor over the raw payload — nothing materialized. */
+  private def decompressStream(b: Array[Byte], codec: String): InputStream = {
+    val raw = new ByteArrayInputStream(b)
+    codec match {
+      case "gzip" => new GzipCompressorInputStream(raw, true)
+      case "xz" => new XZCompressorInputStream(raw)
+      case "zstd" => new ZstdCompressorInputStream(raw)
+      case _ => raw
     }
-    val out = new ByteArrayOutputStream(math.max(64, b.length * 2))
-    val buf = new Array[Byte](64 * 1024)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    in.close()
-    out.toByteArray
   }
+
+  /** At most `limit` decompressed prefix bytes — the bounded read that
+    * makes format detection bomb-proof.
+    */
+  private def decompressPrefix(b: Array[Byte], codec: String, limit: Int): Array[Byte] = {
+    if (codec.isEmpty) return b
+    val in = decompressStream(b, codec)
+    try {
+      val buf = new Array[Byte](limit)
+      var off = 0
+      var n = in.read(buf, off, limit - off)
+      while (n > 0 && off < limit) { off += n; n = in.read(buf, off, limit - off) }
+      java.util.Arrays.copyOf(buf, off)
+    } finally in.close()
+  }
+
+  /** (compressor, archiver) — archiver "" if unrecognized. */
+  private def detect(bytes: Array[Byte]): (String, String) = {
+    val c = compressor(bytes)
+    val head = if (c.isEmpty) bytes else decompressPrefix(bytes, c, DetectBytes)
+    (c, archiver(head))
+  }
+
+  private def fmtString(c: String, a: String): UTF8String =
+    if (a.isEmpty) null
+    else UTF8String.fromString(if (c.isEmpty) a else s"$a+$c")
 
   /** "tar" | "tar+gzip" | "ar" | "cpio+xz" | … — null if unrecognized. */
   def format(bytes: Array[Byte]): UTF8String =
-    try {
-      val c = compressor(bytes)
-      val inner = if (c.isEmpty) bytes else decompress(bytes, c)
-      val a = archiver(inner)
-      if (a.isEmpty) null
-      else UTF8String.fromString(if (c.isEmpty) a else s"$a+$c")
-    } catch { case _: Exception => null }
+    try { val (c, a) = detect(bytes); fmtString(c, a) }
+    catch { case _: Exception => null }
 
   // ---- member listing / extraction ---------------------------------------
 
+  /** Walk members over a STREAMING decompressor; `f` may consume the entry
+    * body from the stream. Returns the first Some produced by `f`.
+    */
   private def eachMember[T](bytes: Array[Byte])(f: (String, Long, InputStream) => Option[T]): Option[T] = {
-    val c = compressor(bytes)
-    val inner = if (c.isEmpty) bytes else decompress(bytes, c)
-    val in: org.apache.commons.compress.archivers.ArchiveInputStream[_ <: org.apache.commons.compress.archivers.ArchiveEntry] =
-      archiver(inner) match {
-        case "tar" => new TarArchiveInputStream(new ByteArrayInputStream(inner))
-        case "ar" => new ArArchiveInputStream(new ByteArrayInputStream(inner))
-        case "cpio" => new CpioArchiveInputStream(new ByteArrayInputStream(inner))
-        case _ => throw new IllegalArgumentException("not an archive")
-      }
+    val (c, a) = detect(bytes)
+    if (a.isEmpty) throw new IllegalArgumentException("not an archive")
+    val in: ArchiveInputStream[_ <: ArchiveEntry] = a match {
+      case "tar" => new TarArchiveInputStream(decompressStream(bytes, c))
+      case "ar" => new ArArchiveInputStream(decompressStream(bytes, c))
+      case _ => new CpioArchiveInputStream(decompressStream(bytes, c))
+    }
     try {
       var e = in.getNextEntry
       var i = 0
       while (e != null && i < MaxMembers) {
-        // cpio streams can surface the trailer record; it is not a member
-        if (e.getName != "TRAILER!!!") {
+        // the cpio trailer is a format artifact, not a member; the name is
+        // only special in cpio (a tar/ar member really named TRAILER!!!
+        // must list normally)
+        if (!(a == "cpio" && e.getName == "TRAILER!!!")) {
           val r = f(e.getName, e.getSize, in)
           if (r.isDefined) return r
         }
@@ -128,6 +163,7 @@ object ArchiveCodec {
 
   /** array<struct<name string, size bigint>> in archive order; null if the
     * payload is not a recognized (possibly compressed) tar/ar/cpio archive.
+    * Bodies are never read — sizes come from headers, the stream skips.
     */
   def members(bytes: Array[Byte]): ArrayData =
     try {
@@ -139,20 +175,56 @@ object ArchiveCodec {
       new GenericArrayData(rows.toArray[Any])
     } catch { case _: Exception => null }
 
+  /** Body bytes from the current stream position — bounded by
+    * [[MaxMemberBytes]] (null beyond: a bomb degrades to SQL null). The
+    * header size is used only as a small-capped allocation HINT, never
+    * trusted for allocation.
+    */
+  private def readBody(in: InputStream, sizeHint: Long): Array[Byte] = {
+    val cap = math.max(64L, math.min(sizeHint, 64L * 1024)).toInt
+    val out = new ByteArrayOutputStream(cap)
+    val buf = new Array[Byte](64 * 1024)
+    var total = 0L
+    var k = in.read(buf)
+    while (k >= 0) {
+      total += k
+      if (total > MaxMemberBytes) return null
+      out.write(buf, 0, k)
+      k = in.read(buf)
+    }
+    out.toByteArray
+  }
+
   /** Body bytes of the named member — null if absent or unparseable. */
   def extract(bytes: Array[Byte], name: UTF8String): Array[Byte] =
     try {
       val want = name.toString
       eachMember(bytes) { (n, size, in) =>
-        if (n != want) None
-        else {
-          val out = new ByteArrayOutputStream(math.max(64, size.toInt.max(0)))
-          val buf = new Array[Byte](64 * 1024)
-          var k = in.read(buf)
-          while (k >= 0) { out.write(buf, 0, k); k = in.read(buf) }
-          Some(out.toByteArray)
-        }
+        if (n != want) None else Option(readBody(in, size))
       }.orNull
+    } catch { case _: Exception => null }
+
+  /** ONE decompression walk producing everything the fan-out queries need:
+    * struct<fmt string, members array<struct<name,size>>, body binary> with
+    * `body` = the bytes of `wantName` (null if absent). `archive_format` +
+    * `archive_members` + `archive_extract` each re-decompress the payload;
+    * at scan scale that triples the dominant CPU cost, so the combined form
+    * is the one hot paths should use (q82 does).
+    */
+  def inspect(bytes: Array[Byte], wantName: UTF8String): InternalRow =
+    try {
+      val (c, a) = detect(bytes)
+      val fmt = fmtString(c, a)
+      if (fmt == null) return null
+      val want = if (wantName == null) null else wantName.toString
+      val rows = new ArrayBuffer[InternalRow]()
+      var body: Array[Byte] = null
+      eachMember(bytes) { (name, size, in) =>
+        rows += new GenericInternalRow(Array[Any](UTF8String.fromString(name), size))
+        if (want != null && name == want && body == null) body = readBody(in, size)
+        None
+      }
+      new GenericInternalRow(Array[Any](fmt, new GenericArrayData(rows.toArray[Any]), body))
     } catch { case _: Exception => null }
 
   // ---- deterministic tar builder ------------------------------------------

@@ -84,9 +84,15 @@ class ArchivePropertySpec extends AnyFunSuite {
     val bytes = build(Seq("dir/file.bin" -> Array.fill[Byte](700)(7)), "gzip")
     for (cut <- 0 to bytes.length by 37) {
       val prefix = java.util.Arrays.copyOf(bytes, cut)
-      // must not throw — null or a (possibly partial) listing are both fine
+      // must not throw — null or a (possibly partial) listing are both
+      // fine; extract additionally covers the truncated-body read path
+      // (header promises 700 bytes the stream no longer carries)
       ArchiveCodec.members(prefix)
       ArchiveCodec.format(prefix)
+      ArchiveCodec.extract(prefix,
+        org.apache.spark.unsafe.types.UTF8String.fromString("dir/file.bin"))
+      ArchiveCodec.inspect(prefix,
+        org.apache.spark.unsafe.types.UTF8String.fromString("dir/file.bin"))
     }
   }
 }

@@ -149,6 +149,62 @@ class ArchiveSpec extends AnyFunSuite {
     assert(r.getBoolean(0))
   }
 
+  test("a tar member literally named TRAILER!!! lists and extracts (cpio-only artifact)") {
+    import spark.implicits._
+    val r = Seq("TRAILER!!!").toDF("n")
+      .selectExpr("tar_archive(array(n), array(encode('x', 'UTF-8')), 'none') AS t")
+      .selectExpr("archive_members(t) AS ms", "decode(archive_extract(t, 'TRAILER!!!'), 'UTF-8') AS x")
+      .head()
+    assert(r.getSeq[Row](0).map(m => m.getString(0) -> m.getLong(1)) === Seq("TRAILER!!!" -> 1L))
+    assert(r.getString(1) === "x")
+  }
+
+  test("decompression bomb: listing streams (no materialization), oversized extract is null") {
+    // ~300 MB of zeros gzips to ~300 KB: listing must stay fast and
+    // bounded (header-only walk), extraction must refuse past the
+    // MaxMemberBytes cap and degrade to SQL null instead of an OOM.
+    val big = 300L * 1024 * 1024
+    assert(big > ArchiveCodec.MaxMemberBytes)
+    val bos = new ByteArrayOutputStream()
+    val gz = new org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream(bos)
+    val tar = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(gz)
+    val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry("bomb.bin")
+    e.setSize(big)
+    tar.putArchiveEntry(e)
+    val zeros = new Array[Byte](1 << 20)
+    var written = 0L
+    while (written < big) { tar.write(zeros); written += zeros.length }
+    tar.closeArchiveEntry(); tar.close()
+    val bomb = bos.toByteArray
+    assert(bomb.length < 2 * 1024 * 1024, s"fixture bomb unexpectedly big: ${bomb.length}")
+
+    val listed = ArchiveCodec.members(bomb)
+    assert(listed != null && listed.numElements() === 1)
+    assert(listed.getStruct(0, 2).getLong(1) === big)
+    assert(ArchiveCodec.extract(bomb,
+      org.apache.spark.unsafe.types.UTF8String.fromString("bomb.bin")) === null)
+  }
+
+  test("archive_inspect equals the three separate calls in one walk") {
+    import spark.implicits._
+    val r = Seq(("a.txt", "b.txt")).toDF("n1", "n2")
+      .selectExpr(
+        "tar_archive(array(n1, n2), array(encode('abc', 'UTF-8'), encode('hello world', 'UTF-8')), 'zstd') AS t")
+      .selectExpr(
+        "archive_inspect(t, 'b.txt') AS i",
+        "archive_format(t) AS fmt", "archive_members(t) AS ms", "archive_extract(t, 'b.txt') AS x")
+      .head()
+    val i = r.getStruct(0)
+    assert(i.getString(0) === r.getString(1))
+    assert(i.getSeq[Row](1) === r.getSeq[Row](2))
+    assert(java.util.Arrays.equals(i.getAs[Array[Byte]](2), r.getAs[Array[Byte]](3)))
+    // absent member: struct present, body null
+    val j = Seq(1).toDF("d")
+      .selectExpr("archive_inspect(tar_archive(array('a'), array(encode('x', 'UTF-8')), 'none'), 'nope') AS i")
+      .head().getStruct(0)
+    assert(j.getString(0) === "tar" && j.isNullAt(2))
+  }
+
   test("q82 smoke: every fixture archive parses, every roundtrip matches") {
     val rows = SparkEntry.queries("q82_archive_roundtrip")(spark, SparkTestHarness.Sf0001)
       .collect()

@@ -54,6 +54,7 @@ class ClosureSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
     assert(spark.sparkContext.getCheckpointDir.isDefined)
+    var bodyError: Throwable = null
     try {
       val g = edges("a" -> "b", "b" -> "c", "c" -> "a", "b" -> "d")
       val r = Closure.reachable(spark, g, "a").collect()
@@ -63,22 +64,27 @@ class ClosureSpec extends AnyFunSuite {
       val cc = operators.Components.connected(spark, Seq((1L, 2L), (3L, 4L)).toDF("src", "dst"))
         .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
       assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    } catch {
+      case t: Throwable => bodyError = t; throw t
     } finally {
       // Guarded (ADVICE r4): if a Spark upgrade renames the private field,
-      // fail with an actionable message instead of a bare
-      // NoSuchFieldException that masks the test body's result and silently
-      // leaves every later suite on the reliable-checkpoint branch.
+      // report it with an actionable message — attached as SUPPRESSED when
+      // the body also failed (a throw from finally would otherwise replace
+      // and hide the body's failure).
       try {
         val f = classOf[org.apache.spark.SparkContext].getDeclaredField("checkpointDir")
         f.setAccessible(true)
         f.set(spark.sparkContext, None)
       } catch {
         case e: ReflectiveOperationException =>
-          fail("SparkContext.checkpointDir reflection restore broke (Spark internals " +
-            "changed?) — later suites in this shared session would silently run the " +
-            "reliable-checkpoint branch; update ClosureSpec's restore. " + e, e)
+          val msg = "SparkContext.checkpointDir reflection restore broke (Spark " +
+            "internals changed?) — later suites in this shared session would silently " +
+            "run the reliable-checkpoint branch; update ClosureSpec's restore."
+          if (bodyError != null) bodyError.addSuppressed(new IllegalStateException(msg, e))
+          else fail(msg, e)
       }
-      assert(spark.sparkContext.getCheckpointDir.isEmpty, "checkpoint dir must be restored")
+      if (bodyError == null)
+        assert(spark.sparkContext.getCheckpointDir.isEmpty, "checkpoint dir must be restored")
     }
   }
 

@@ -41,7 +41,8 @@ class ExpressionsSpec extends AnyFunSuite {
     // the extensions injector exposes exactly the same function names
     assert(GraftFunctions.all.map(_._1).toSet ===
       Set("version_compare", "version_sort_key", "array_dot", "parse_constraint",
-        "archive_format", "archive_members", "archive_extract", "tar_archive"))
+        "archive_format", "archive_members", "archive_extract", "archive_inspect",
+        "tar_archive"))
   }
 
   test("array_dot matches the higher-order-function fold bit-for-bit") {

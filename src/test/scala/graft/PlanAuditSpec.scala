@@ -91,9 +91,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashExchanges === 1, s"expected exactly 1 hash shuffle, got $hashExchanges:\n${p.take(2000)}")
     // toString marks whole-stage-codegen spans as `*(n)`; the Project
     // evaluating the archive expressions must carry the star
-    val archiveProject = p.linesIterator.find(_.contains("archive_members")).getOrElse("")
+    val archiveProject = p.linesIterator.find(_.contains("archive_inspect")).getOrElse("")
     assert(archiveProject.contains("*("),
       s"archive expressions fell out of codegen: $archiveProject")
+    // the single-walk inspect must stay single: project collapse
+    // re-inlining it per consumed field would re-decompress per field
+    val inspectCalls = "archive_inspect".r.findAllIn(archiveProject).size
+    assert(inspectCalls === 1,
+      s"archive_inspect duplicated $inspectCalls times in:\n$archiveProject")
   }
 
   test("no judged query plans a CartesianProduct") {
