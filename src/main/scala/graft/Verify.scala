@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (Array(sfDir, outDir), only) = (args.take(2), args.drop(2).toSet)
+    // optional extra args = query-name filter (dev loop: verify a few
+    // queries without dumping all); the driver always passes exactly two
+    def keep(name: String): Boolean = only.isEmpty || only.exists(name.startsWith)
     // default to the full box (32 hw threads); the driver can pin
     // parallelism with SPARK_GRAFT_CPUS
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -20,7 +23,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

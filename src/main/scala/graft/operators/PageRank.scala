@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixed-point power-iteration PageRank over an edge DataFrame — the
+  * "most-depended-upon" centrality a package database surfaces on its
+  * stats pages (reference analog: pkg2's popularity/importance ranking
+  * over the depends graph; SURVEY.md §2.4 extension family).
+  *
+  * All arithmetic is 64-bit INTEGER fixed-point (`scale` = total rank
+  * mass, integer division for both the per-edge contribution split and
+  * the damping multiply). Floating-point power iteration is not
+  * reproducible across engines (summation order changes low-order bits);
+  * the integer form is bit-exact everywhere, so the DuckDB oracle can
+  * re-derive the identical ranks by unrolling the same iterations.
+  *
+  * Dangling nodes (no out-edges) drop their mass — documented choice,
+  * mirrored by the oracle; ranking is unaffected for the graphs this
+  * engine serves (every rank still has the (1-d) floor).
+  *
+  * Scale notes (100 TB): each iteration is one equi-join of the rank
+  * vector against the (static, cacheable) out-degree-annotated edges plus
+  * one sum-aggregation keyed on the target node — partial aggregation
+  * (map-side combine) applies, and the rank vector (one row per node) is
+  * far smaller than the edge list. [[Lineage.cut]] per iteration keeps
+  * the plan flat, exactly like [[Closure]]. Damping 85/100, the standard
+  * public constant, as integer multiply-then-divide.
+  */
+object PageRank {
+  /** @param edges directed edges (name, dep): rank flows name → dep
+    * @param nodes one row per node (name) — defines the rank universe
+    *              (isolated nodes keep the (1-d) floor)
+    * @param iters fixed iteration count (no convergence test — keeps the
+    *              job deterministic and the oracle unrollable)
+    * @param scale total rank mass in fixed-point units; choose divisible
+    *              by 100*|nodes| so init and floor are exact
+    * @return (name, pr) with pr summing to ≤ scale
+    */
+  def run(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
+      iters: Int, scale: Long): DataFrame = {
+    val n = nodes.count()
+    require(n > 0, "PageRank needs a non-empty node set")
+    val init = scale / n
+    val floor = scale / 100 * 15 / n
+
+    // static per-iteration build side: each edge annotated with its
+    // source's out-degree, so the contribution split is a single project
+    val outdeg = edges.groupBy("name").agg(count(lit(1)).as("od"))
+    val ed = edges.join(outdeg, "name").cache()
+    ed.count() // materialize once; the loop reuses it every iteration
+
+    var pr = nodes.select(col("name"), lit(init).as("pr"))
+    var it = 0
+    while (it < iters) {
+      val contrib = pr.join(ed, "name")
+        .select(col("dep").as("name"), expr("pr div od").as("c"))
+        .groupBy("name").agg(sum("c").as("sc"))
+      pr = Lineage.cut(
+        nodes.join(contrib, Seq("name"), "left")
+          .select(col("name"),
+            (lit(floor) + expr("(85 * coalesce(sc, 0L)) div 100")).as("pr")))
+      it += 1
+    }
+    ed.unpersist()
+    pr
+  }
+}

@@ -23,6 +23,16 @@ import graft.functions.GraftFunctions
 object Resolution {
   type QFn = (SparkSession, String) => DataFrame
 
+  /** q86 PageRank fixed-point parameters, shared verbatim by the Spark
+    * side and the unrolled oracle: total mass divisible by 100×|nodes|
+    * (= 6000) so init (scale/60) and the (1-d) floor (scale/100*15/60)
+    * are exact integers.
+    */
+  private val PrIters = 8
+  private val PrScale = 6000000000000L
+  private val PrInit = PrScale / Tables.PackageNameCount
+  private val PrFloor = PrScale / 100 * 15 / Tables.PackageNameCount
+
   /** Spark-side version-constraint satisfaction over a parsed constraint
     * struct `c` and a package `version` column. `~` is pessimistic-compat:
     * same major AND >= ver. A bare name (op = '') is satisfied by any
@@ -200,6 +210,40 @@ object Resolution {
       all.groupBy("root")
         .agg(count(lit(1)).as("n_packages"), max("depth").as("max_depth"))
         .orderBy("root")
+    },
+
+    // Reverse impact analysis — the CVE triage question ("a vuln landed in
+    // pkg-11: which packages' install plans are exposed, and how directly?"):
+    // transitive closure over the REVERSED constraint-satisfying resolution
+    // edges. Same cycle-safe min-depth BFS as q68 — reversal is a column
+    // swap, not a new operator — and depth ranks the blast radius (1 =
+    // direct dependents, 2+ = transitive). Virtual providers are already
+    // folded in: an edge exists because SOME satisfying version of the
+    // provider exists, so impact flows through virt-* aliases too.
+    "q85_reverse_impact" -> { (s, dir) =>
+      val rev = resolvedEdges(s, dir)
+        .select(col("dep").as("name"), col("name").as("dep"))
+      graft.operators.Closure.reachable(s, rev, "pkg-11")
+    },
+
+    // Dependency-graph centrality: fixed-point integer PageRank over the
+    // constraint-satisfying resolution edges — "most load-bearing package"
+    // for the stats page, where raw in-degree under-counts hubs reached
+    // through long chains. 8 power iterations in 64-bit fixed-point
+    // (operators/PageRank.scala: integer arithmetic is bit-exact across
+    // engines, so the oracle unrolls the SAME iterations in SQL). The
+    // final global rank is a row_number over the 60-row rank vector —
+    // presentation-sized; at catalog scale you'd keep pr_fp and top-k it.
+    "q86_pagerank" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val edges = resolvedEdges(s, dir)
+      val nodes = Tables.packageNames(s, dir).select("name")
+      graft.operators.PageRank.run(s, edges, nodes, PrIters, PrScale)
+        .withColumn("pr_fp", col("pr"))
+        .withColumn("pr_rank", row_number().over(
+          Window.orderBy(col("pr").desc, col("name"))))
+        .select("name", "pr_fp", "pr_rank")
+        .orderBy("name")
     },
 
     // Install-plan SAFETY: compose q68's constrained closure with q70's
@@ -389,6 +433,24 @@ object Resolution {
       |  WHEN '='  THEN FALSE
       |  ELSE TRUE END)""".stripMargin
 
+  /** Unrolled power-iteration CTE chain for the q86 oracle: DuckDB's
+    * recursive CTEs disallow aggregates in the recursive member, and the
+    * iteration count is a fixed constant anyway — so the oracle states
+    * each iteration explicitly, with the SAME integer fixed-point
+    * arithmetic as operators/PageRank.run (`//` ≡ Spark `div` on the
+    * non-negative values here).
+    */
+  private def prUnrolled(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""c$k AS (
+         | SELECT e.dep AS name, sum(p.pr // o.od) AS sc
+         | FROM pr${k - 1} p JOIN outdeg o USING (name) JOIN edges e ON e.name = p.name
+         | GROUP BY e.dep),
+         |pr$k AS (
+         | SELECT n.name, CAST($PrFloor + (85 * coalesce(c.sc, 0)) // 100 AS BIGINT) AS pr
+         | FROM nm n LEFT JOIN c$k c USING (name))""".stripMargin
+    }.mkString(",\n")
+
   private def sub(sql: String): String =
     sql.replace("--PKG--", PkgCte).replace("--IDX--", IdxCte)
       .replace("--PROV--", ProvCte).replace("--SPECS--", SpecsCte)
@@ -462,6 +524,31 @@ object Resolution {
         |FROM m
         |GROUP BY root
         |ORDER BY root""".stripMargin),
+
+    "q85_reverse_impact" -> sub("""WITH RECURSIVE --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |r(name, depth) AS (
+        | SELECT 'pkg-11', 0
+        | UNION
+        | SELECT e.name, r.depth + 1 FROM edges e JOIN r ON e.dep = r.name WHERE r.depth < 60)
+        |SELECT name, CAST(min(depth) AS INTEGER) AS depth
+        |FROM r GROUP BY name ORDER BY name""".stripMargin),
+
+    "q86_pagerank" -> sub(s"""WITH --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |nm AS (SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name FROM idx),
+        |outdeg AS (SELECT name, count(*) AS od FROM edges GROUP BY name),
+        |pr0 AS (SELECT name, CAST($PrInit AS BIGINT) AS pr FROM nm),
+        |${prUnrolled(PrIters)}
+        |SELECT name, pr AS pr_fp,
+        | CAST(row_number() OVER (ORDER BY pr DESC, name) AS INTEGER) AS pr_rank
+        |FROM pr$PrIters ORDER BY name""".stripMargin),
 
     "q76_install_conflicts" -> sub("""WITH RECURSIVE --IDX--,
         |--PKG--,

@@ -102,4 +102,20 @@ class ResolutionSpec extends AnyFunSuite {
       assert(r.getString(3).endsWith("_rc1"), s"deb latest must be _rc1: $r")
     }
   }
+
+  test("reverse impact walks only satisfiable edges, transitively") {
+    // A depends on X with a satisfiable range; B's '=' pin matches no
+    // existing X version (pruned — B is NOT impacted); C reaches X only
+    // through A. Reverse closure from X must be exactly {X:0, A:1, C:2}.
+    import spark.implicits._
+    val packages = Seq("A" -> "1.0", "B" -> "1.0", "C" -> "1.0", "X" -> "2.0")
+      .toDF("name", "version")
+    val provides = packages.select(col("name"), col("name").as("provides_name"))
+    val specs = Seq("A" -> "X>=1.0", "B" -> "X=9.9", "C" -> "A").toDF("name", "spec")
+    val fwd = graft.queries.Resolution.resolutionEdges(specs, provides, packages)
+    val rev = fwd.select(col("dep").as("name"), col("name").as("dep"))
+    val r = graft.operators.Closure.reachable(spark, rev, "X").collect()
+      .map(row => row.getString(0) -> row.getInt(1)).toMap
+    assert(r === Map("X" -> 0, "A" -> 1, "C" -> 2))
+  }
 }
