@@ -165,6 +165,55 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Context-window chunking — the corpus→training-examples reshape every
+    // LLM pipeline runs: each document becomes overlapping 32-token
+    // windows on a 24-token stride (chunk k covers tokens [24k, 24k+32);
+    // the last window is short rather than dropped, so every token lands
+    // in ≥1 chunk). Pure per-row generate+slice — a generator explode with
+    // NO shuffle: at 100 TB this is a map-only stage whose output feeds
+    // the tokenizer, and the md5 chunk hash is the dedup/lineage key each
+    // chunk carries downstream. Tokenization is the module's parity-proven
+    // single-space split; chunk count = floor((n-1)/24)+1.
+    "q87_doc_chunks" -> { (s, dir) =>
+      val C = 32
+      val S = 24
+      Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("chunk_idx",
+          explode(expr(s"sequence(0, cast((size(toks) - 1) div $S as int))")))
+        .withColumn("chunk", expr(s"slice(toks, chunk_idx * $S + 1, $C)"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("n_chunk_tokens"),
+          element_at(col("chunk"), 1).as("first_token"),
+          element_at(col("chunk"), -1).as("last_token"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Stratified deterministic downsampling — corpus rebalancing with a
+    // per-language keep rate (en 50%, zh 25%, everything else 10%) where
+    // membership is a pure function of md5(doc_id): reproducible across
+    // runs/engines/partitionings, and adding documents never flips an
+    // existing keep decision (same contract as q75's split). The judged
+    // output proves MEMBERSHIP, not just counts: sum/min/max of the kept
+    // doc_ids would catch any drift in which docs were kept. Map-only
+    // filter before the per-lang aggregation — no pre-shuffle at scale.
+    "q88_stratified_sample" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("pct",
+          expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) as int) % 100"))
+        .withColumn("rate",
+          when(col("lang") === "en", 50).when(col("lang") === "zh", 25).otherwise(10))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("pct") < col("rate"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("pct") < col("rate"), col("doc_id"))).as("kept_id_sum"),
+          min(when(col("pct") < col("rate"), col("doc_id"))).as("kept_id_min"),
+          max(when(col("pct") < col("rate"), col("doc_id"))).as("kept_id_max"))
+        .orderBy("lang")
+    },
+
     // Deterministic train/val/test split assignment — the reproducible-
     // sampling primitive a corpus pipeline needs at any scale: the split is
     // a pure function of doc_id's md5 (8/1/1 by hash decile), so it is
@@ -394,6 +443,40 @@ object Text {
         |FROM shared s JOIN sizes z USING (doc_id)
         |WHERE s.n_shared >= 5
         |ORDER BY s.doc_id""".stripMargin),
+
+    "q87_doc_chunks" ->
+      """WITH d AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ks AS (
+        | SELECT doc_id, toks,
+        |  unnest(generate_series(0, (len(toks) - 1) // 24)) AS k
+        | FROM d),
+        |c AS (
+        | SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+        |  toks[k*24 + 1 : k*24 + 32] AS chunk
+        | FROM ks)
+        |SELECT doc_id, chunk_idx,
+        | CAST(len(chunk) AS INTEGER) AS n_chunk_tokens,
+        | chunk[1] AS first_token,
+        | chunk[-1] AS last_token,
+        | md5(array_to_string(chunk, ' ')) AS chunk_hash
+        |FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q88_stratified_sample" ->
+      """WITH h AS (
+        | SELECT lang, doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS pct,
+        |  CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 25 ELSE 10 END AS rate
+        | FROM documents)
+        |SELECT lang, count(*) AS n_total,
+        | CAST(sum(CASE WHEN pct < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(sum(CASE WHEN pct < rate THEN doc_id END) AS BIGINT) AS kept_id_sum,
+        | min(CASE WHEN pct < rate THEN doc_id END) AS kept_id_min,
+        | max(CASE WHEN pct < rate THEN doc_id END) AS kept_id_max
+        |FROM h
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     "q75_hash_split" ->
       """WITH h AS (
