@@ -67,6 +67,43 @@ object Packages {
         .orderBy("name")
     },
 
+    // SCD2 version history — the "what did the repo look like at release
+    // k" dimension a package database keeps: four successive snapshots of
+    // the packages view (snapshot 0 = current; later ones retire every
+    // 23rd record on a rotating offset and bump revisions of pkg_id%3!=0
+    // records) collapsed into validity intervals per record key. Classic
+    // gaps-and-islands: one window shuffle keyed pkg_id (lag + running
+    // sum), then one aggregation per island — a presence GAP closes an
+    // interval even when the version returns unchanged. At 100 TB you'd
+    // build this incrementally (MERGE per arriving snapshot); the full
+    // rebuild here is the backfill path, and it's one shuffle end-to-end.
+    "q89_scd2_history" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.packages(s, dir).select(col("pkg_id"), col("name"), col("version"))
+      val snaps = (0 to 3).map { k =>
+        base.filter(pmod(col("pkg_id") + lit(k), lit(23)) =!= 0)
+          .select(col("pkg_id"), col("name"),
+            concat(substring_index(col("version"), "-r", 1), lit("-r"),
+              (lit(1) + pmod(col("pkg_id") + lit(k) * pmod(col("pkg_id"), lit(3)), lit(5)))
+                .cast("string")).as("version"),
+            lit(k).as("snap"))
+      }.reduce(_.unionByName(_))
+      val w = Window.partitionBy("pkg_id").orderBy("snap")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      snaps
+        .withColumn("brk",
+          when(lag("version", 1).over(w).isNull
+            .or(lag("version", 1).over(w) =!= col("version"))
+            .or(lag("snap", 1).over(w) + 1 =!= col("snap")), 1).otherwise(0))
+        .withColumn("island", sum("brk").over(run))
+        .groupBy("pkg_id", "island")
+        .agg(max("name").as("name"), max("version").as("version"),
+          min("snap").as("valid_from"), max("snap").as("valid_to"))
+        .withColumn("is_current", (col("valid_to") === 3).cast("int"))
+        .select("pkg_id", "name", "version", "valid_from", "valid_to", "is_current")
+        .orderBy("pkg_id", "valid_from")
+    },
+
     // P5 constraint predicate + A5 per group — versions satisfying >= 2.6.0-r1.
     "q31_version_constraint_stats" -> { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
@@ -168,6 +205,30 @@ object Packages {
         |FROM pkg p JOIN ranked r ON p.name = r.name AND r.rn = 1
         |GROUP BY p.name, r.version
         |ORDER BY p.name""".stripMargin),
+
+    "q89_scd2_history" -> sub("""WITH --PKG--,
+        |snaps AS (
+        | SELECT pkg_id, name,
+        |  CAST(vmaj AS VARCHAR) || '.' || CAST(vmin AS VARCHAR) || '.' || CAST(vpat AS VARCHAR)
+        |    || '-r' || CAST(1 + (pkg_id + g.k * (pkg_id % 3)) % 5 AS VARCHAR) AS version,
+        |  CAST(g.k AS INTEGER) AS snap
+        | FROM pkg, range(4) g(k)
+        | WHERE (pkg_id + g.k) % 23 <> 0),
+        |w AS (
+        | SELECT *, CASE WHEN lag(version) OVER pw IS NULL
+        |   OR lag(version) OVER pw <> version
+        |   OR lag(snap) OVER pw + 1 <> snap THEN 1 ELSE 0 END AS brk
+        | FROM snaps WINDOW pw AS (PARTITION BY pkg_id ORDER BY snap)),
+        |i AS (
+        | SELECT *, sum(brk) OVER (PARTITION BY pkg_id ORDER BY snap
+        |   ROWS UNBOUNDED PRECEDING) AS island
+        | FROM w)
+        |SELECT pkg_id, max(name) AS name, max(version) AS version,
+        | min(snap) AS valid_from, max(snap) AS valid_to,
+        | CAST(CASE WHEN max(snap) = 3 THEN 1 ELSE 0 END AS INTEGER) AS is_current
+        |FROM i
+        |GROUP BY pkg_id, island
+        |ORDER BY pkg_id, valid_from""".stripMargin),
 
     "q31_version_constraint_stats" -> sub("""WITH --PKG--,
         |mx AS (SELECT arch, version AS max_version FROM pkg

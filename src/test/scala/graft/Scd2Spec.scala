@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q89 SCD2 invariants: intervals are disjoint and ordered, they cover
+  * exactly the snapshots where the record is present, a presence gap
+  * closes an interval, and is_current marks exactly the intervals open at
+  * the last snapshot.
+  */
+class Scd2Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  private case class Iv(pkg: Long, version: String, from: Int, to: Int, current: Int)
+
+  private lazy val ivs: Seq[Iv] =
+    SparkEntry.queries("q89_scd2_history")(spark, SparkTestHarness.Sf0001)
+      .collect()
+      .map(r => Iv(r.getLong(0), r.getString(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+      .toSeq
+
+  // the fixture rule: pkg_id is present in snapshot k iff (pkg_id+k)%23 != 0
+  private def present(pkg: Long, k: Int): Boolean = (pkg + k) % 23 != 0
+
+  test("intervals are well-formed, disjoint, and cover presence exactly") {
+    assert(ivs.nonEmpty)
+    ivs.foreach(iv => assert(iv.from <= iv.to))
+    ivs.groupBy(_.pkg).foreach { case (pkg, rows) =>
+      val sorted = rows.sortBy(_.from)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a.to < b.from, s"pkg $pkg: overlapping intervals $a $b")
+        case _ => ()
+      }
+      val covered = sorted.flatMap(iv => iv.from to iv.to)
+      val expected = (0 to 3).filter(k => present(pkg, k))
+      assert(covered === expected, s"pkg $pkg: intervals must tile the presence set")
+    }
+  }
+
+  test("a revision bump splits the interval; a stable version keeps one") {
+    ivs.groupBy(_.pkg).foreach { case (pkg, rows) =>
+      if (pkg % 3 == 0) {
+        // version never changes: islands are induced by presence gaps only
+        val expectedIslands = (0 to 3).filter(k => present(pkg, k))
+          .foldLeft(List.empty[List[Int]]) {
+            case (acc, k) if acc.nonEmpty && acc.head.head == k - 1 => (k :: acc.head) :: acc.tail
+            case (acc, k) => List(k) :: acc
+          }.length
+        assert(rows.length === expectedIslands, s"pkg $pkg: stable version split unexpectedly")
+      } else {
+        // version changes at every present snapshot: one interval per snapshot
+        assert(rows.length === (0 to 3).count(k => present(pkg, k)),
+          s"pkg $pkg: each bump must open a new interval")
+        assert(rows.map(_.version).distinct.length === rows.length)
+      }
+    }
+  }
+
+  test("is_current marks exactly the intervals open at snapshot 3") {
+    ivs.foreach { iv =>
+      assert((iv.current == 1) === (iv.to == 3), s"bad is_current on $iv")
+    }
+  }
+}
