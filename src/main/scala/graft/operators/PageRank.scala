@@ -45,24 +45,30 @@ object PageRank {
     val floor = scale / 100 * 15 / n
 
     // static per-iteration build side: each edge annotated with its
-    // source's out-degree, so the contribution split is a single project
-    val outdeg = edges.groupBy("name").agg(count(lit(1)).as("od"))
-    val ed = edges.join(outdeg, "name").cache()
-    ed.count() // materialize once; the loop reuses it every iteration
+    // source's out-degree, so the contribution split is a single project.
+    // No cache: all iterations live in ONE plan, where Catalyst dedups the
+    // repeated subtree into a ReusedExchange — same one-materialization
+    // effect with no storage pin to unpersist (PageRankSpec pins this).
+    val ed = edges.join(edges.groupBy("name").agg(count(lit(1)).as("od")), "name")
 
+    // The iteration count is FIXED, so the whole power iteration is one
+    // lazy plan — no per-iteration action, checkpoint, or driver barrier
+    // (unlike Closure, whose loop must run an emptiness test each step).
+    // Each iteration adds one join + one partial-aggregated shuffle to the
+    // chain; 8–16 layers is well inside Catalyst's comfort zone, and the
+    // single job pipelines every stage. Lineage cuts would only add
+    // write-barriers here: nothing is ever recomputed in one action.
     var pr = nodes.select(col("name"), lit(init).as("pr"))
     var it = 0
     while (it < iters) {
       val contrib = pr.join(ed, "name")
         .select(col("dep").as("name"), expr("pr div od").as("c"))
         .groupBy("name").agg(sum("c").as("sc"))
-      pr = Lineage.cut(
-        nodes.join(contrib, Seq("name"), "left")
-          .select(col("name"),
-            (lit(floor) + expr("(85 * coalesce(sc, 0L)) div 100")).as("pr")))
+      pr = nodes.join(contrib, Seq("name"), "left")
+        .select(col("name"),
+          (lit(floor) + expr("(85 * coalesce(sc, 0L)) div 100")).as("pr"))
       it += 1
     }
-    ed.unpersist()
     pr
   }
 }

@@ -221,9 +221,14 @@ object Resolution {
     // folded in: an edge exists because SOME satisfying version of the
     // provider exists, so impact flows through virt-* aliases too.
     "q85_reverse_impact" -> { (s, dir) =>
+      // cache the edge frame for the loop (same discipline as q68/q78):
+      // every BFS iteration joins against it, and without the cache each
+      // iteration would recompute the scan→join→distinct edge derivation
       val rev = resolvedEdges(s, dir)
-        .select(col("dep").as("name"), col("name").as("dep"))
-      graft.operators.Closure.reachable(s, rev, "pkg-11")
+        .select(col("dep").as("name"), col("name").as("dep")).cache()
+      val out = graft.operators.Closure.reachable(s, rev, "pkg-11")
+      rev.unpersist()
+      out
     },
 
     // Dependency-graph centrality: fixed-point integer PageRank over the

@@ -49,6 +49,20 @@ class PageRankSpec extends AnyFunSuite {
     assert(run(nodes, edges) === run(nodes, edges))
   }
 
+  test("one-plan execution: edge subtree is reused, not recomputed or cached") {
+    import spark.implicits._
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a").toDF("name", "dep")
+    val nodes = Seq("a", "b", "c").toDF("name")
+    val pr = graft.operators.PageRank.run(spark, edges, nodes, 8, Scale)
+    pr.collect() // AQE finalizes exchange reuse at runtime
+    val physical = pr.queryExecution.executedPlan.toString
+    assert(physical.contains("ReusedExchange"),
+      "8 iterations over the same out-degree-annotated edges must dedup into ReusedExchange")
+    // and nothing was pinned in the cache manager by the call
+    assert(spark.sharedState.cacheManager.isEmpty ||
+      !pr.queryExecution.withCachedData.toString.contains("InMemoryRelation"))
+  }
+
   test("rank flows: a node fed by a hub outranks one fed by a leaf") {
     // chain everything into a: a is the hub; b is fed by the hub, c by a leaf
     val pr = run(Seq("a", "b", "c", "l1", "l2"),
