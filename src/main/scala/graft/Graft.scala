@@ -86,6 +86,39 @@ object Graft {
         Seq("name", "blocker"), "left_anti")
   }
 
+  /** Autoremove analysis (apt-mark / `apk del` semantics): classify every
+    * installed package as 'explicit' (user-requested), 'kept' (reached
+    * from an explicit root through dependency edges restricted to the
+    * installed set), or 'removable' (installed as a dependency, no longer
+    * needed). `n_keepers` counts the explicit roots whose closure holds
+    * the package; `min_depth` is its shallowest justification (-1 when
+    * removable). One multi-source BFS over the restricted edges — all
+    * roots advance together, so the loop depth is the max plan depth,
+    * not the per-root sum.
+    */
+  def autoremove(spark: SparkSession, edges: DataFrame, installed: DataFrame,
+      explicitRoots: DataFrame): DataFrame = {
+    val inst = installed.select("name")
+    val ie = edges
+      .join(inst, Seq("name"), "left_semi")
+      .join(inst.select(col("name").as("dep")), Seq("dep"), "left_semi")
+      .cache()
+    val reach = Closure.reachableAll(spark, ie,
+      explicitRoots.select(col("name").as("root")))
+    ie.unpersist(blocking = false)
+    val keep = reach.groupBy("name")
+      .agg(countDistinct("root").as("n_keepers"), min("depth").as("min_depth"))
+    inst
+      .join(explicitRoots.select("name").withColumn("is_exp", lit(1)), Seq("name"), "left")
+      .join(keep, Seq("name"), "left")
+      .select(col("name"),
+        when(col("is_exp") === 1, "explicit")
+          .when(col("n_keepers").isNotNull, "kept")
+          .otherwise("removable").as("status"),
+        coalesce(col("n_keepers"), lit(0L)).as("n_keepers"),
+        coalesce(col("min_depth"), lit(-1)).as("min_depth"))
+  }
+
   /** Reverse dependencies: who depends on each package. */
   def reverseDeps(edges: DataFrame): DataFrame =
     edges.select(col("dep").as("name"), col("name").as("rdep"))

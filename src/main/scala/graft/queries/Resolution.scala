@@ -251,6 +251,22 @@ object Resolution {
         .orderBy("name")
     },
 
+    // Autoremove — the package manager's garbage collector ("installed as
+    // a dependency, no longer required"): installed set = every 3rd name
+    // (q70's), explicitly-requested = every 9th; everything installed but
+    // outside the explicit roots' closure over installed-restricted
+    // resolution edges is removable. Delegates to the facade's ONE
+    // implementation (Graft.autoremove) so the judged query and the
+    // library API cannot drift; n_keepers/min_depth come free from the
+    // multi-source BFS state key.
+    "q90_autoremove" -> { (s, dir) =>
+      val nm = Tables.packageNames(s, dir)
+      val installed = nm.filter(pmod(col("i"), lit(3)) === 0).select("name")
+      val explicitRoots = nm.filter(pmod(col("i"), lit(9)) === 0).select("name")
+      graft.Graft.autoremove(s, resolvedEdges(s, dir), installed, explicitRoots)
+        .orderBy("name")
+    },
+
     // Install-plan SAFETY: compose q68's constrained closure with q70's
     // conflict semantics — a resolved install set can still be internally
     // inconsistent (two members declaring conflicts against each other).
@@ -554,6 +570,29 @@ object Resolution {
         |SELECT name, pr AS pr_fp,
         | CAST(row_number() OVER (ORDER BY pr DESC, name) AS INTEGER) AS pr_rank
         |FROM pr$PrIters ORDER BY name""".stripMargin),
+
+    "q90_autoremove" -> sub("""WITH RECURSIVE --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |nm AS (SELECT i, 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name FROM idx),
+        |inst AS (SELECT name FROM nm WHERE i % 3 = 0),
+        |ex AS (SELECT name FROM nm WHERE i % 9 = 0),
+        |ie AS (SELECT e.name, e.dep FROM edges e
+        | WHERE e.name IN (SELECT name FROM inst) AND e.dep IN (SELECT name FROM inst)),
+        |r(root, name, depth) AS (
+        | SELECT name, name, 0 FROM ex
+        | UNION
+        | SELECT r.root, e.dep, r.depth + 1 FROM ie e JOIN r ON e.name = r.name WHERE r.depth < 60),
+        |k AS (SELECT name, count(DISTINCT root) AS n_keepers, min(depth) AS md FROM r GROUP BY name)
+        |SELECT i.name,
+        | CASE WHEN i.name IN (SELECT name FROM ex) THEN 'explicit'
+        |      WHEN k.name IS NOT NULL THEN 'kept' ELSE 'removable' END AS status,
+        | CAST(coalesce(k.n_keepers, 0) AS BIGINT) AS n_keepers,
+        | CAST(coalesce(k.md, -1) AS INTEGER) AS min_depth
+        |FROM inst i LEFT JOIN k ON i.name = k.name
+        |ORDER BY i.name""".stripMargin),
 
     "q76_install_conflicts" -> sub("""WITH RECURSIVE --IDX--,
         |--PKG--,

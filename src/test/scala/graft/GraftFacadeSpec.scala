@@ -100,6 +100,24 @@ class GraftFacadeSpec extends AnyFunSuite {
       10L -> ((10L, 1)), 11L -> ((10L, 0))))
   }
 
+  test("autoremove: explicit kept, dep chains kept, leftovers removable, outside-install edges ignored") {
+    import spark.implicits._
+    // A(explicit) -> B -> C installed; D installed, once needed, now not;
+    // B -> E edge leaves the installed set and must not resurrect E or
+    // extend the walk through it
+    val edges = Seq("A" -> "B", "B" -> "C", "B" -> "E", "E" -> "D").toDF("name", "dep")
+    val installed = Seq("A", "B", "C", "D").toDF("name")
+    val explicitRoots = Seq("A").toDF("name")
+    val r = Graft.autoremove(spark, edges, installed, explicitRoots)
+      .collect().map(x => x.getString(0) -> ((x.getString(1), x.getLong(2), x.getInt(3)))).toMap
+    assert(r("A") === (("explicit", 1L, 0)))
+    assert(r("B") === (("kept", 1L, 1)))
+    assert(r("C") === (("kept", 1L, 2)))
+    // D is only reachable through E, which is not installed: removable
+    assert(r("D") === (("removable", 0L, -1)))
+    assert(!r.contains("E"))
+  }
+
   test("exactDupGroups agrees with the distinct-text count") {
     val docs = Tables.documents(spark, dir)
     val g = Graft.exactDupGroups(docs)
