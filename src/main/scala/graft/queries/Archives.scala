@@ -66,6 +66,52 @@ object Archives {
           sum(when(decode(col("extracted"), "UTF-8") === col("text"), 1).otherwise(0))
             .cast("long").as("n_roundtrip"))
         .orderBy("fmt")
+    },
+
+    // Arch-style `.db` repo index roundtrip — the fourth ecosystem index
+    // format next to APKINDEX K:V (q35), Debian RFC822 and rpm XML: each
+    // package record renders to a `%KEY%\nvalue\n\n` desc stanza stored as
+    // the tar member `name-version/desc` (codec rotates by pkg_id), then
+    // the REAL archive readers pull the member back out and a regexp
+    // stanza parser recovers every field. The oracle never decodes a byte
+    // of tar: it re-derives all judged counts from the package arithmetic,
+    // so build→pack→detect→extract→parse is verified end-to-end. Per-row
+    // codegen'd expression work + one aggregation — no join, no driver
+    // state; one corrupt index member degrades to SQL null, not a failed
+    // job.
+    "q91_arch_db_roundtrip" -> { (s, dir) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val packed = Tables.packages(s, dir)
+        .withColumn("member", concat(col("name"), lit("-"), col("version"), lit("/desc")))
+        .withColumn("desc", concat(
+          lit("%NAME%\n"), col("name"),
+          lit("\n\n%VERSION%\n"), col("version"),
+          lit("\n\n%ARCH%\n"), col("arch"),
+          lit("\n\n%SIZE%\n"), col("size_mb").cast("string"), lit("\n")))
+        .withColumn("bytes",
+          when(pmod(col("pkg_id"), lit(3)) === 0,
+            expr("tar_archive(array(member), array(encode(desc, 'UTF-8')), 'none')"))
+            .when(pmod(col("pkg_id"), lit(3)) === 1,
+              expr("tar_archive(array(member), array(encode(desc, 'UTF-8')), 'gzip')"))
+            .otherwise(expr("tar_archive(array(member), array(encode(desc, 'UTF-8')), 'zstd')")))
+        .withColumn("insp", expr("archive_inspect(bytes, member)"))
+        .withColumn("body", decode(col("insp.body"), "UTF-8"))
+      packed
+        .withColumn("p_name", regexp_extract(col("body"), "%NAME%\\n([^\\n]*)", 1))
+        .withColumn("p_version", regexp_extract(col("body"), "%VERSION%\\n([^\\n]*)", 1))
+        .withColumn("p_arch", regexp_extract(col("body"), "%ARCH%\\n([^\\n]*)", 1))
+        .withColumn("p_size", regexp_extract(col("body"), "%SIZE%\\n([^\\n]*)", 1).cast("long"))
+        .groupBy("p_arch")
+        .agg(
+          count(lit(1)).as("n_pkgs"),
+          sum(when(expr("insp.members[0].name") === col("member"), 1).otherwise(0))
+            .cast("long").as("n_path_ok"),
+          sum(when(col("p_name") === col("name"), 1).otherwise(0))
+            .cast("long").as("n_name_ok"),
+          sum(when(col("p_version") === col("version"), 1).otherwise(0))
+            .cast("long").as("n_version_ok"),
+          sum("p_size").as("size_sum"))
+        .orderBy("p_arch")
     })
 
   val oracles: Seq[(String, String)] = Seq(
@@ -90,5 +136,22 @@ object Archives {
         | count(*) AS n_roundtrip
         |FROM m
         |GROUP BY fmt
-        |ORDER BY fmt""".stripMargin)
+        |ORDER BY fmt""".stripMargin,
+
+    // Text-side re-derivation: every desc parses back to its source
+    // fields, so the three roundtrip counters all equal the per-arch
+    // package count and size_sum is plain arithmetic over p_size.
+    "q91_arch_db_roundtrip" ->
+      """WITH a AS (
+        | SELECT CASE WHEN p_partkey % 2 = 0 THEN 'x86_64' ELSE 'aarch64' END AS p_arch,
+        |  p_size
+        | FROM part)
+        |SELECT p_arch, count(*) AS n_pkgs,
+        | count(*) AS n_path_ok,
+        | count(*) AS n_name_ok,
+        | count(*) AS n_version_ok,
+        | CAST(sum(p_size) AS BIGINT) AS size_sum
+        |FROM a
+        |GROUP BY p_arch
+        |ORDER BY p_arch""".stripMargin)
 }

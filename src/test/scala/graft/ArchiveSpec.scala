@@ -217,4 +217,18 @@ class ArchiveSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_roundtrip") === n)
     }
   }
+
+  test("q91 smoke: every desc stanza survives pack->extract->parse on both arches") {
+    val rows = SparkEntry.queries("q91_arch_db_roundtrip")(spark, SparkTestHarness.Sf0001)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("aarch64", "x86_64"))
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      assert(n > 0)
+      assert(r.getAs[Long]("n_path_ok") === n)
+      assert(r.getAs[Long]("n_name_ok") === n)
+      assert(r.getAs[Long]("n_version_ok") === n)
+      assert(r.getAs[Long]("size_sum") > 0)
+    }
+  }
 }
