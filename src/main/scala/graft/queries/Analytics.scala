@@ -108,6 +108,31 @@ object Analytics {
         .orderBy("k_decile")
     },
 
+    // Unigram-rank fluency scoring — the CCNet-style "does this read like
+    // the corpus" quality filter, in integer-exact form: build a BOUNDED
+    // top-64 vocabulary ranked by (count desc, token asc), broadcast it,
+    // and score each document by the average rank of its tokens (out-of-
+    // vocabulary tokens take rank V+1). The vocabulary bound is the 100 TB
+    // design point: token counts partial-aggregate, the top-V cut is a
+    // TakeOrderedAndProject (never a global sort of the full vocabulary),
+    // and the scoring join is a broadcast of 64 rows. Integer rank sums,
+    // not float log-probs, so the oracle re-derives identical values.
+    "q92_unigram_fluency" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(64)
+        .withColumn("rnk", row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+        .select("tok", "rnk")
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .withColumn("r", coalesce(col("rnk"), lit(65)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("r").as("rank_sum"))
+        .withColumn("fluency_x100", expr("100 * rank_sum div n_tokens"))
+        .orderBy("doc_id")
+    },
+
     // exact second moments: variance/stddev of event value per type, plus
     // correlation between value and props.k — all from decimal sums.
     "q60_stats_moments" -> { (s, dir) =>
@@ -233,6 +258,16 @@ object Analytics {
         |FROM e
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    "q92_unigram_fluency" ->
+      """WITH t AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vc AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok ORDER BY cnt DESC, tok LIMIT 64),
+        |v AS (SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INTEGER) AS rnk FROM vc),
+        |j AS (SELECT t.doc_id, coalesce(v.rnk, 65) AS r FROM t LEFT JOIN v USING (tok))
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(r) AS BIGINT) AS rank_sum,
+        | CAST((100 * sum(r)) // count(*) AS BIGINT) AS fluency_x100
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q60_stats_moments" ->
       """WITH e AS (

@@ -101,6 +101,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"archive_inspect duplicated $inspectCalls times in:\n$archiveProject")
   }
 
+  test("q92: vocab cut is TakeOrdered (no global sort) and scoring join broadcasts") {
+    val p = plan("q92_unigram_fluency")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-V vocabulary must plan as TakeOrderedAndProject, not a full sort")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 64-row vocabulary must broadcast to the scoring join")
+  }
+
   test("no judged query plans a CartesianProduct") {
     // q45 intentionally uses BroadcastNestedLoopJoin with a 5-row build
     // side (exact brute-force baseline); cartesian (unbroadcast NLJ over
