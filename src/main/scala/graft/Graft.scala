@@ -119,6 +119,62 @@ object Graft {
         coalesce(col("min_depth"), lit(-1)).as("min_depth"))
   }
 
+  /** SCD2 rebuild: collapse a stack of snapshots (pkg_id, name, version,
+    * snap) into validity intervals (valid_from, valid_to, is_current).
+    * Gaps-and-islands over ONE window shuffle keyed pkg_id; a presence
+    * gap closes an interval even when the version returns unchanged.
+    * `lastSnap` marks which intervals are open (`is_current`). This is
+    * the backfill path; steady-state ingestion uses [[scd2Merge]].
+    */
+  def scd2History(snaps: DataFrame, lastSnap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("pkg_id").orderBy("snap")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    snaps
+      .withColumn("brk",
+        when(lag("version", 1).over(w).isNull
+          .or(lag("version", 1).over(w) =!= col("version"))
+          .or(lag("snap", 1).over(w) + 1 =!= col("snap")), 1).otherwise(0))
+      .withColumn("island", sum("brk").over(run))
+      .groupBy("pkg_id", "island")
+      .agg(max("name").as("name"), max("version").as("version"),
+        min("snap").as("valid_from"), max("snap").as("valid_to"))
+      .withColumn("is_current", (col("valid_to") === lastSnap).cast("int"))
+      .select("pkg_id", "name", "version", "valid_from", "valid_to", "is_current")
+  }
+
+  /** Incremental SCD2 merge of snapshot `k` into an existing history —
+    * the steady-state path at 100 TB, where rebuilding over every past
+    * snapshot per arrival is unaffordable: ONE full-join shuffle of the
+    * (small) open-interval set against the arriving snapshot. Open
+    * intervals extend when the version matches, close otherwise; arriving
+    * records without a matching open interval open a new [k, k] one.
+    * Equals the rebuild exactly (Scd2Spec pins merge == rebuild).
+    */
+  def scd2Merge(history: DataFrame, snapshot: DataFrame, k: Int): DataFrame = {
+    val cur = history.filter(col("is_current") === 1)
+      .select("pkg_id", "name", "version", "valid_from", "valid_to")
+    val closed = history.filter(col("is_current") === 0)
+    val snap = snapshot.select(col("pkg_id"),
+      col("name").as("s_name"), col("version").as("s_version"))
+    val j = cur.join(snap, Seq("pkg_id"), "full")
+    val extended = j
+      .filter(col("version").isNotNull && (col("version") === col("s_version")))
+      .select(col("pkg_id"), col("name"), col("version"), col("valid_from"),
+        lit(k).as("valid_to"), lit(1).as("is_current"))
+    val closedNow = j
+      .filter(col("version").isNotNull &&
+        (col("s_version").isNull || col("s_version") =!= col("version")))
+      .select(col("pkg_id"), col("name"), col("version"), col("valid_from"),
+        col("valid_to"), lit(0).as("is_current"))
+    val opened = j
+      .filter(col("s_version").isNotNull &&
+        (col("version").isNull || col("version") =!= col("s_version")))
+      .select(col("pkg_id"), col("s_name").as("name"), col("s_version").as("version"),
+        lit(k).as("valid_from"), lit(k).as("valid_to"), lit(1).as("is_current"))
+    closed.unionByName(extended).unionByName(closedNow).unionByName(opened)
+  }
+
   /** Reverse dependencies: who depends on each package. */
   def reverseDeps(edges: DataFrame): DataFrame =
     edges.select(col("dep").as("name"), col("name").as("rdep"))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Graft, Tables}
 import graft.functions.GraftFunctions
 
 /** Package-metadata semantics (SURVEY.md §1.1, §2.2 P5, §2.3 J6/J7, §2.4 A5,
@@ -54,6 +54,19 @@ object Packages {
       | SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name,
       |        'pkg-' || lpad(CAST((i*3 + 11) % 60 AS VARCHAR), 2, '0') AS dep FROM idx)""".stripMargin
 
+  /** Derived release snapshot k of the packages view (q89/Scd2Spec):
+    * every 23rd record retired on a rotating offset, revisions of
+    * pkg_id%3!=0 records bumped per k; snapshot 0 is the current view.
+    */
+  private[graft] def snapshotK(s: SparkSession, dir: String, k: Int): DataFrame =
+    Tables.packages(s, dir)
+      .filter(pmod(col("pkg_id") + lit(k), lit(23)) =!= 0)
+      .select(col("pkg_id"), col("name"),
+        concat(substring_index(col("version"), "-r", 1), lit("-r"),
+          (lit(1) + pmod(col("pkg_id") + lit(k) * pmod(col("pkg_id"), lit(3)), lit(5)))
+            .cast("string")).as("version"),
+        lit(k).as("snap"))
+
   val queries: Seq[(String, QFn)] = Seq(
     // A5/W1 + custom expression — latest version per package name.
     "q30_latest_package_version" -> { (s, dir) =>
@@ -78,29 +91,7 @@ object Packages {
     // build this incrementally (MERGE per arriving snapshot); the full
     // rebuild here is the backfill path, and it's one shuffle end-to-end.
     "q89_scd2_history" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val base = Tables.packages(s, dir).select(col("pkg_id"), col("name"), col("version"))
-      val snaps = (0 to 3).map { k =>
-        base.filter(pmod(col("pkg_id") + lit(k), lit(23)) =!= 0)
-          .select(col("pkg_id"), col("name"),
-            concat(substring_index(col("version"), "-r", 1), lit("-r"),
-              (lit(1) + pmod(col("pkg_id") + lit(k) * pmod(col("pkg_id"), lit(3)), lit(5)))
-                .cast("string")).as("version"),
-            lit(k).as("snap"))
-      }.reduce(_.unionByName(_))
-      val w = Window.partitionBy("pkg_id").orderBy("snap")
-      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      snaps
-        .withColumn("brk",
-          when(lag("version", 1).over(w).isNull
-            .or(lag("version", 1).over(w) =!= col("version"))
-            .or(lag("snap", 1).over(w) + 1 =!= col("snap")), 1).otherwise(0))
-        .withColumn("island", sum("brk").over(run))
-        .groupBy("pkg_id", "island")
-        .agg(max("name").as("name"), max("version").as("version"),
-          min("snap").as("valid_from"), max("snap").as("valid_to"))
-        .withColumn("is_current", (col("valid_to") === 3).cast("int"))
-        .select("pkg_id", "name", "version", "valid_from", "valid_to", "is_current")
+      Graft.scd2History((0 to 3).map(snapshotK(s, dir, _)).reduce(_.unionByName(_)), 3)
         .orderBy("pkg_id", "valid_from")
     },
 

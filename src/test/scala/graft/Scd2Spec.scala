@@ -60,4 +60,24 @@ class Scd2Spec extends AnyFunSuite {
       assert((iv.current == 1) === (iv.to == 3), s"bad is_current on $iv")
     }
   }
+
+  test("incremental merge of snapshot 4 equals the five-snapshot rebuild") {
+    val dir = SparkTestHarness.Sf0001
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getInt(4), r.getInt(5))).toSet
+    val snaps03 = (0 to 3).map(graft.queries.Packages.snapshotK(spark, dir, _))
+      .reduce(_.unionByName(_))
+    val snap4 = graft.queries.Packages.snapshotK(spark, dir, 4)
+      .select("pkg_id", "name", "version")
+    val merged = Graft.scd2Merge(Graft.scd2History(snaps03, 3), snap4, 4)
+    val rebuilt = Graft.scd2History(
+      snaps03.unionByName(graft.queries.Packages.snapshotK(spark, dir, 4)), 4)
+    assert(collect(merged) === collect(rebuilt))
+    // the merge must have actually exercised all three transitions
+    val m = collect(merged)
+    assert(m.exists(iv => iv._6 == 1 && iv._4 < 4 && iv._5 == 4), "no extended interval")
+    assert(m.exists(iv => iv._6 == 1 && iv._4 == 4), "no newly opened interval")
+    assert(m.exists(iv => iv._6 == 0 && iv._5 == 3), "no interval closed by the merge")
+  }
 }
