@@ -20,6 +20,31 @@ import org.apache.spark.sql.functions._
   * (window/user) — the shuffle key — so a 1000-executor cluster partitions
   * state horizontally with no driver involvement.
   */
+/** Spark 4 StatefulProcessor backing [[EventStreams.statefulUserTotalsTws]]:
+  * one ValueState[(n, spend)] per user, updated per micro-batch (or once,
+  * in batch mode). Top-level class — StatefulProcessor instances are
+  * serialized to executors.
+  */
+class UserTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var totals: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Double)]("totals",
+      Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    var (n, v) = if (totals.exists()) totals.get() else (0L, 0.0)
+    rows.foreach { r => n += 1; v += r._2 }
+    totals.update((n, v))
+    Iterator.single((key, n, v))
+  }
+}
+
 object EventStreams {
   /** Normalize a raw events frame (ns-long ts → TIMESTAMP_NTZ micros). */
   def normalize(raw: DataFrame): DataFrame =
@@ -73,6 +98,23 @@ object EventStreams {
           state.update((n, v))
           (uid, n, v)
       }
+      .toDF("user_id", "n_events", "total_value")
+  }
+
+  /** T6 on the Spark 4 API: the same running per-user (count, spend)
+    * accumulator as [[statefulUserTotals]] via `transformWithState` — the
+    * successor to mapGroupsWithState (typed ValueState handles, TTL
+    * support, timers). Streaming use requires the RocksDB state store
+    * provider; batch use degenerates to one pass like mapGroupsWithState.
+    * StreamingSpec asserts both APIs and the plain batch aggregation
+    * agree.
+    */
+  def statefulUserTotalsTws(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTotalsProcessor, TimeMode.None(), OutputMode.Update())
       .toDF("user_id", "n_events", "total_value")
   }
 

@@ -78,6 +78,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("T6: transformWithState (Spark 4 API) equals mapGroupsWithState and batch") {
+    // transformWithState requires the RocksDB state store provider when
+    // streaming; scope the conf to this test and restore afterwards
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = EventStreams.statefulUserTotalsTws(EventStreams.readEventStream(spark, dir))
+      runToMemory(streamed, "tws_stream", "update")
+      val got = spark.sql(
+        "SELECT user_id, max(n_events) n FROM tws_stream GROUP BY user_id ORDER BY user_id").collect()
+      val batch = Tables.events(spark, dir).groupBy("user_id").count()
+        .orderBy("user_id").collect()
+      assert(got.length === batch.length)
+      got.zip(batch).foreach { case (g, b) =>
+        assert(g.getLong(0) === b.getLong(0) && g.getLong(1) === b.getLong(1))
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("foreachBatch sink: streamed micro-batches append to parquet == batch") {
     val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
     val q = EventStreams.hourlyTypeCounts(EventStreams.readEventStream(spark, dir))
