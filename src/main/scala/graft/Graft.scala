@@ -207,6 +207,38 @@ object Graft {
         Seq("name", "conflicts_with"), "left_anti")
       .select("name", "conflicts_with")
 
+  /** Context-window chunking: overlapping `chunkSize`-token windows on a
+    * `stride`-token step per document (the corpus→training-examples
+    * reshape). Map-only generator explode — no shuffle; every token lands
+    * in at least one chunk, the final window is short rather than
+    * dropped. Output: (id, chunk_idx, chunk tokens array).
+    */
+  def chunk(docs: DataFrame, chunkSize: Int, stride: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkSize >= stride && stride > 0, "need chunkSize >= stride > 0")
+    docs
+      .withColumn("toks", split(col(textCol), " "))
+      .withColumn("chunk_idx",
+        explode(expr(s"sequence(0, cast((size(toks) - 1) div $stride as int))")))
+      .select(col(idCol), col("chunk_idx"),
+        expr(s"slice(toks, chunk_idx * $stride + 1, $chunkSize)").as("chunk"))
+  }
+
+  /** Stratified deterministic downsampling: keep a row iff
+    * `md5(id) mod 100 < rate(stratum)` — membership is a pure function of
+    * the id, so the sample is reproducible across runs, engines and
+    * partitionings, and adding rows never flips an existing decision.
+    * Map-only filter; no shuffle.
+    */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Int], defaultRate: Int,
+      stratumCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    val pct = expr(s"cast(conv(substring(md5(cast($idCol as string)), 1, 6), 16, 10) as int) % 100")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (stratum, r)) =>
+      when(col(stratumCol) === stratum, r).otherwise(acc)
+    }
+    docs.filter(pct < rate)
+  }
+
   /** Near-dup cluster assignment from a pair list (columns d1, d2):
     * (doc_id, cluster_id, is_canonical) via connected components; keep the
     * canonical row per cluster to deduplicate a corpus.

@@ -108,6 +108,30 @@ object Analytics {
         .orderBy("k_decile")
     },
 
+    // Percentile outlier gate — the distribution-tail quality filter
+    // (drop docs outside the per-language [p05, p95] length band): exact
+    // per-group percentiles computed IN-PLAN, broadcast back to the scan,
+    // and the gate counts derived in one aggregation. Exact `percentile`
+    // is right here because groups are few and bounded (one row of state
+    // per language); per-KEY percentiles at 100 TB would use
+    // approx_percentile (the q19 sketch path) — the cutoffs' broadcast
+    // shape is identical either way.
+    "q93_outlier_gate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cuts = docs.groupBy("lang").agg(
+        expr("percentile(n_chars, 0.05)").as("p05"),
+        expr("percentile(n_chars, 0.95)").as("p95"))
+      docs.join(broadcast(cuts), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          max("p05").as("p05"), max("p95").as("p95"),
+          sum(when(col("n_chars") < col("p05"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("n_chars") > col("p95"), 1L).otherwise(0L)).as("n_high"),
+          sum(when(col("n_chars") >= col("p05") && col("n_chars") <= col("p95"), 1L)
+            .otherwise(0L)).as("n_kept"))
+        .orderBy("lang")
+    },
+
     // Unigram-rank fluency scoring — the CCNet-style "does this read like
     // the corpus" quality filter, in integer-exact form: build a BOUNDED
     // top-64 vocabulary ranked by (count desc, token asc), broadcast it,
@@ -258,6 +282,21 @@ object Analytics {
         |FROM e
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // quantile_cont matches Spark's exact `percentile` (both linear
+    // interpolation over the sorted group)
+    "q93_outlier_gate" ->
+      """WITH c AS (
+        | SELECT lang, quantile_cont(n_chars, 0.05) AS p05,
+        |  quantile_cont(n_chars, 0.95) AS p95
+        | FROM documents GROUP BY lang)
+        |SELECT d.lang, count(*) AS n_docs, max(c.p05) AS p05, max(c.p95) AS p95,
+        | CAST(sum(CASE WHEN d.n_chars < c.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        | CAST(sum(CASE WHEN d.n_chars > c.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        | CAST(sum(CASE WHEN d.n_chars >= c.p05 AND d.n_chars <= c.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d JOIN c USING (lang)
+        |GROUP BY d.lang
+        |ORDER BY d.lang""".stripMargin,
 
     "q92_unigram_fluency" ->
       """WITH t AS (

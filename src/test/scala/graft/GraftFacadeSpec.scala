@@ -118,6 +118,29 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(!r.contains("E"))
   }
 
+  test("stratifiedSample is append-stable: adding docs never flips a decision") {
+    val docs = Tables.documents(spark, dir)
+    val half = docs.filter(col("doc_id") < 50)
+    val rates = Map("en" -> 50, "zh" -> 25)
+    val fromHalf = Graft.stratifiedSample(half, rates, 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fromAll = Graft.stratifiedSample(docs, rates, 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fromAll.filter(_ < 50) === fromHalf)
+    assert(fromAll.nonEmpty && fromAll.size < docs.count())
+  }
+
+  test("chunk reassembles to the original token stream") {
+    import spark.implicits._
+    val doc = Seq((1L, (1 to 80).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Graft.chunk(doc, chunkSize = 32, stride = 24)
+      .collect().sortBy(_.getInt(1))
+    // stride-prefix of each chunk concatenated + the tail of the last one
+    val reassembled = chunks.dropRight(1).flatMap(_.getSeq[String](2).take(24)) ++
+      chunks.last.getSeq[String](2)
+    assert(reassembled.toSeq === (1 to 80).map(i => s"t$i"))
+  }
+
   test("exactDupGroups agrees with the distinct-text count") {
     val docs = Tables.documents(spark, dir)
     val g = Graft.exactDupGroups(docs)
