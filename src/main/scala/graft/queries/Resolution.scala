@@ -381,6 +381,30 @@ object Resolution {
         .orderBy("name")
     },
 
+    // File-conflict detection — dpkg's "trying to overwrite X, which is
+    // also in package Y" check, run catalog-wide: unordered package pairs
+    // shipping at least one common path, minus pairs where either side
+    // REPLACES the other (the takeover pattern makes the overlap legal).
+    // The self-join runs on the DISTINCT (name, path) projection, whose
+    // per-path multiplicity is bounded by the name universe — at 100 TB
+    // the q41-style df-cap on pathological shared paths (/usr/share/doc
+    // style) applies before the pair join.
+    "q94_file_conflicts" -> { (s, dir) =>
+      val f = Tables.files(s, dir).select("name", "path").distinct()
+      val pairs = f.select(col("path"), col("name").as("n1"))
+        .join(f.select(col("path"), col("name").as("n2")), Seq("path"))
+        .filter(col("n1") < col("n2"))
+      val rep = Tables.replaces(s, dir)
+      pairs
+        .join(rep.select(col("name").as("n1"), col("replaces_name").as("n2")),
+          Seq("n1", "n2"), "left_anti")
+        .join(rep.select(col("replaces_name").as("n1"), col("name").as("n2")),
+          Seq("n1", "n2"), "left_anti")
+        .groupBy("n1", "n2")
+        .agg(countDistinct("path").as("n_shared_paths"), min("path").as("sample_path"))
+        .orderBy("n1", "n2")
+    },
+
     // Reverse provides: which real packages provide each virtual name
     // (the `apk info --who-provides` / rpm `whatprovides` view).
     "q65_reverse_provides" -> { (s, dir) =>
@@ -619,6 +643,27 @@ object Resolution {
         |FROM m LEFT JOIN ic ON m.name = ic.name
         |GROUP BY m.name, m.depth
         |ORDER BY m.name""".stripMargin),
+
+    "q94_file_conflicts" -> sub("""WITH --IDX--,
+        |--PKG--,
+        |f AS (
+        | SELECT DISTINCT k.name,
+        |  '/usr/' || CASE ((k.pkg_id*31 + g.j*17) % 97) % 4
+        |    WHEN 0 THEN 'bin' WHEN 1 THEN 'lib' WHEN 2 THEN 'share' ELSE 'etc' END
+        |  || '/f' || lpad(CAST((k.pkg_id*31 + g.j*17) % 97 AS VARCHAR), 2, '0') AS path
+        | FROM pkg k JOIN range(6) g(j) ON g.j <= k.pkg_id % 4 + 1),
+        |rep AS (SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS a,
+        |        'pkg-' || lpad(CAST((i*11+5) % 60 AS VARCHAR), 2, '0') AS b
+        |        FROM idx WHERE i % 4 = 0),
+        |p AS (
+        | SELECT a.name AS n1, b.name AS n2, a.path
+        | FROM f a JOIN f b ON a.path = b.path AND a.name < b.name),
+        |q AS (
+        | SELECT * FROM p
+        | WHERE NOT EXISTS (SELECT 1 FROM rep WHERE rep.a = p.n1 AND rep.b = p.n2)
+        |   AND NOT EXISTS (SELECT 1 FROM rep WHERE rep.a = p.n2 AND rep.b = p.n1))
+        |SELECT n1, n2, count(DISTINCT path) AS n_shared_paths, min(path) AS sample_path
+        |FROM q GROUP BY n1, n2 ORDER BY n1, n2""".stripMargin),
 
     "q66_eco_version_order" -> sub("""WITH --PKG--,
         |v2 AS (

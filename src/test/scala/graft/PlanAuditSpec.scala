@@ -109,6 +109,34 @@ class PlanAuditSpec extends AnyFunSuite {
       "the 64-row vocabulary must broadcast to the scoring join")
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // the 100 TB read-path feature for selective fact⋈dim joins that are
+    // too big to broadcast: Catalyst injects a bloom_filter_agg on the
+    // filtered build side and a BloomFilterMightContain probe on the scan
+    // side. Thresholds are sized for clusters, so pin them down to make
+    // the injection observable at fixture scale; restore after.
+    import org.apache.spark.sql.functions.col
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.lineitem(spark, dir)
+      val sel = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val j = li.join(sel, li("l_orderkey") === sel("o_orderkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") || p.contains("BloomFilterMightContain"),
+        s"no bloom probe injected:\n${p.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("no judged query plans a CartesianProduct") {
     // q45 intentionally uses BroadcastNestedLoopJoin with a 5-row build
     // side (exact brute-force baseline); cartesian (unbroadcast NLJ over
