@@ -1,17 +1,18 @@
 package graft.sources
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream}
+import java.util.zip.{CRC32, Deflater, Inflater}
 
 import scala.collection.mutable.ArrayBuffer
 
+import com.github.luben.zstd.{Zstd, ZstdCompressCtx, ZstdDecompressCtx}
 import org.apache.commons.compress.archivers.{ArchiveEntry, ArchiveInputStream}
 import org.apache.commons.compress.archivers.ar.ArArchiveInputStream
 import org.apache.commons.compress.archivers.cpio.CpioArchiveInputStream
 import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveInputStream, TarArchiveOutputStream}
 import org.apache.commons.compress.compressors.gzip.GzipCompressorInputStream
-import org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream
 import org.apache.commons.compress.compressors.xz.XZCompressorInputStream
-import org.apache.commons.compress.compressors.zstandard.{ZstdCompressorInputStream, ZstdCompressorOutputStream}
+import org.apache.commons.compress.compressors.zstandard.ZstdCompressorInputStream
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -30,11 +31,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * Built entirely on commons-compress + zstd-jni + xz, which Spark itself
   * ships on every executor classpath — no extra dependency.
   *
-  * Guardrails for untrusted archives (all STREAMING — decompressed data is
-  * never materialized as a whole):
-  *   - format detection decompresses at most [[DetectBytes]] bytes;
-  *   - member listing reads header metadata and stream-skips bodies, so a
-  *     decompression bomb costs bounded CPU and fixed buffer memory;
+  * Two-tier decompression: payloads provably under [[FastPathBytes]]
+  * decompress ONE-SHOT on a reused per-thread codec context (per-row native
+  * context creation — zstd cstream/dstream, zlib Deflater — dominates
+  * archive CPU at scan scale, and package control archives are KBs);
+  * everything else takes the bounded STREAMING walk.
+  *
+  * Guardrails for untrusted archives:
+  *   - the fast path allocates at most [[FastPathBytes]] and falls back to
+  *     streaming on anything oversized, unknown-size, or malformed;
+  *   - streaming format detection decompresses at most [[DetectBytes]] bytes;
+  *   - streaming member listing reads header metadata and stream-skips
+  *     bodies, so a decompression bomb costs bounded CPU and fixed memory;
   *   - extraction preallocates nothing from the (attacker-controlled)
   *     header size and refuses bodies beyond [[MaxMemberBytes]];
   *   - member COUNT is capped at [[MaxMembers]].
@@ -52,6 +60,23 @@ object ArchiveCodec {
     * a gzip bomb hiding behind one member name degrades to SQL null.
     */
   val MaxMemberBytes: Long = 256L * 1024 * 1024
+
+  /** Payloads whose decompressed size is provably under this bound take the
+    * one-shot fast path on a REUSED per-thread codec context; anything
+    * larger (or of unknown size) falls back to the bounded streaming walk.
+    * Per-row native context creation (zstd cstream/dstream, zlib Deflater)
+    * is the dominant cost of archive work at scan scale — package control
+    * archives are KBs, so virtually every real row stays on the fast path.
+    */
+  val FastPathBytes: Int = 16 * 1024 * 1024
+
+  // ---- per-thread codec contexts (task threads are pooled; one native
+  // context per thread amortizes to zero) ------------------------------------
+
+  private val zstdC = ThreadLocal.withInitial[ZstdCompressCtx](() => new ZstdCompressCtx().setLevel(3))
+  private val zstdD = ThreadLocal.withInitial[ZstdDecompressCtx](() => new ZstdDecompressCtx())
+  private val deflaters = ThreadLocal.withInitial[Deflater](() => new Deflater(Deflater.DEFAULT_COMPRESSION, true))
+  private val inflaters = ThreadLocal.withInitial[Inflater](() => new Inflater(true))
 
   // ---- format detection ---------------------------------------------------
 
@@ -115,11 +140,84 @@ object ArchiveCodec {
     } finally in.close()
   }
 
-  /** (compressor, archiver) — archiver "" if unrecognized. */
-  private def detect(bytes: Array[Byte]): (String, String) = {
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u(b, i) | (u(b, i + 1) << 8) | (u(b, i + 2) << 16) | (u(b, i + 3).toLong << 24)) & 0xffffffffL
+
+  /** Whole-payload gunzip on the per-thread Inflater, handling concatenated
+    * members, CRC/ISIZE-verified, output capped at [[FastPathBytes]].
+    * None → caller must use the streaming path (too big, malformed, or any
+    * feature this fast path doesn't model).
+    */
+  private def gunzipFast(b: Array[Byte]): Option[Array[Byte]] = {
+    // last member's ISIZE trailer (mod 2^32) as a cheap oversize pre-check
+    if (b.length >= 4 && le32(b, b.length - 4) > FastPathBytes) return None
+    val out = new ByteArrayOutputStream(math.min(math.max(64, b.length * 4), 1 << 16))
+    val buf = new Array[Byte](64 * 1024)
+    val inf = inflaters.get()
+    var pos = 0
+    while (pos < b.length) {
+      if (b.length - pos < 10 || u(b, pos) != 0x1f || u(b, pos + 1) != 0x8b || b(pos + 2) != 8)
+        return None
+      val flg = u(b, pos + 3)
+      pos += 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (b.length - pos < 2) return None
+        pos += 2 + (u(b, pos) | (u(b, pos + 1) << 8))
+      }
+      if ((flg & 8) != 0) { while (pos < b.length && b(pos) != 0) pos += 1; pos += 1 } // FNAME
+      if ((flg & 16) != 0) { while (pos < b.length && b(pos) != 0) pos += 1; pos += 1 } // FCOMMENT
+      if ((flg & 2) != 0) pos += 2 // FHCRC (header CRC16 not verified on the fast path)
+      if (pos >= b.length) return None
+      inf.reset()
+      inf.setInput(b, pos, b.length - pos)
+      val crc = new CRC32
+      var memberLen = 0L
+      while (!inf.finished()) {
+        val k = inf.inflate(buf)
+        if (k == 0 && (inf.needsInput() || inf.needsDictionary())) return None // truncated/odd
+        crc.update(buf, 0, k)
+        memberLen += k
+        if (out.size().toLong + k > FastPathBytes) return None
+        out.write(buf, 0, k)
+      }
+      pos += inf.getBytesRead.toInt
+      if (b.length - pos < 8) return None
+      if (le32(b, pos) != crc.getValue || le32(b, pos + 4) != (memberLen & 0xffffffffL)) return None
+      pos += 8
+    }
+    Some(out.toByteArray)
+  }
+
+  /** One-shot bounded decompression on the per-thread context; None →
+    * streaming fallback (unknown/oversized content size, multi-frame zstd,
+    * or anything malformed — the slow path re-derives the precise error
+    * semantics).
+    */
+  private def decompressFast(b: Array[Byte], codec: String): Option[Array[Byte]] =
+    try codec match {
+      case "zstd" =>
+        val sz = Zstd.getFrameContentSize(b)
+        if (sz <= 0 || sz > FastPathBytes) None
+        else Some(zstdD.get().decompress(b, sz.toInt))
+      case "gzip" => gunzipFast(b)
+      case _ => None // xz: stream only
+    } catch { case _: Exception => None }
+
+  /** A detected, ready-to-walk payload: exactly ONE codec context for the
+    * fast-path common case (vs. three per row naively: detect prefix,
+    * re-detect, member walk).
+    */
+  private final class Opened(val c: String, val a: String, val in: InputStream)
+
+  private def openPayload(bytes: Array[Byte]): Opened = {
     val c = compressor(bytes)
-    val head = if (c.isEmpty) bytes else decompressPrefix(bytes, c, DetectBytes)
-    (c, archiver(head))
+    if (c.isEmpty) new Opened(c, archiver(bytes), new ByteArrayInputStream(bytes))
+    else decompressFast(bytes, c) match {
+      case Some(plain) => new Opened(c, archiver(plain), new ByteArrayInputStream(plain))
+      case None =>
+        val head = decompressPrefix(bytes, c, DetectBytes)
+        new Opened(c, archiver(head), decompressStream(bytes, c))
+    }
   }
 
   private def fmtString(c: String, a: String): UTF8String =
@@ -128,7 +226,7 @@ object ArchiveCodec {
 
   /** "tar" | "tar+gzip" | "ar" | "cpio+xz" | … — null if unrecognized. */
   def format(bytes: Array[Byte]): UTF8String =
-    try { val (c, a) = detect(bytes); fmtString(c, a) }
+    try { val o = openPayload(bytes); o.in.close(); fmtString(o.c, o.a) }
     catch { case _: Exception => null }
 
   // ---- member listing / extraction ---------------------------------------
@@ -136,13 +234,13 @@ object ArchiveCodec {
   /** Walk members over a STREAMING decompressor; `f` may consume the entry
     * body from the stream. Returns the first Some produced by `f`.
     */
-  private def eachMember[T](bytes: Array[Byte])(f: (String, Long, InputStream) => Option[T]): Option[T] = {
-    val (c, a) = detect(bytes)
-    if (a.isEmpty) throw new IllegalArgumentException("not an archive")
+  private def eachMember[T](o: Opened)(f: (String, Long, InputStream) => Option[T]): Option[T] = {
+    val a = o.a
+    if (a.isEmpty) { o.in.close(); throw new IllegalArgumentException("not an archive") }
     val in: ArchiveInputStream[_ <: ArchiveEntry] = a match {
-      case "tar" => new TarArchiveInputStream(decompressStream(bytes, c))
-      case "ar" => new ArArchiveInputStream(decompressStream(bytes, c))
-      case _ => new CpioArchiveInputStream(decompressStream(bytes, c))
+      case "tar" => new TarArchiveInputStream(o.in)
+      case "ar" => new ArArchiveInputStream(o.in)
+      case _ => new CpioArchiveInputStream(o.in)
     }
     try {
       var e = in.getNextEntry
@@ -168,7 +266,7 @@ object ArchiveCodec {
   def members(bytes: Array[Byte]): ArrayData =
     try {
       val rows = new ArrayBuffer[InternalRow]()
-      eachMember(bytes) { (name, size, _) =>
+      eachMember(openPayload(bytes)) { (name, size, _) =>
         rows += new GenericInternalRow(Array[Any](UTF8String.fromString(name), size))
         None
       }
@@ -199,7 +297,7 @@ object ArchiveCodec {
   def extract(bytes: Array[Byte], name: UTF8String): Array[Byte] =
     try {
       val want = name.toString
-      eachMember(bytes) { (n, size, in) =>
+      eachMember(openPayload(bytes)) { (n, size, in) =>
         if (n != want) None else Option(readBody(in, size))
       }.orNull
     } catch { case _: Exception => null }
@@ -213,13 +311,13 @@ object ArchiveCodec {
     */
   def inspect(bytes: Array[Byte], wantName: UTF8String): InternalRow =
     try {
-      val (c, a) = detect(bytes)
-      val fmt = fmtString(c, a)
-      if (fmt == null) return null
+      val o = openPayload(bytes)
+      val fmt = fmtString(o.c, o.a)
+      if (fmt == null) { o.in.close(); return null }
       val want = if (wantName == null) null else wantName.toString
       val rows = new ArrayBuffer[InternalRow]()
       var body: Array[Byte] = null
-      eachMember(bytes) { (name, size, in) =>
+      eachMember(o) { (name, size, in) =>
         rows += new GenericInternalRow(Array[Any](UTF8String.fromString(name), size))
         if (want != null && name == want && body == null) body = readBody(in, size)
         None
@@ -244,10 +342,10 @@ object ArchiveCodec {
       i += 1
     }
     val raw = new ByteArrayOutputStream(1024)
+    // xz has no pooled one-shot path; gzip/zstd compress the finished tar
+    // bytes below on the per-thread context (no native setup per row)
     val out: java.io.OutputStream = codec match {
-      case "gzip" => new GzipCompressorOutputStream(raw)
       case "xz" => new org.apache.commons.compress.compressors.xz.XZCompressorOutputStream(raw)
-      case "zstd" => new ZstdCompressorOutputStream(raw)
       case _ => raw
     }
     val tar = new TarArchiveOutputStream(out)
@@ -267,7 +365,38 @@ object ArchiveCodec {
       i += 1
     }
     tar.close()
-    raw.toByteArray
+    codec match {
+      case "gzip" => gzipCompress(raw.toByteArray)
+      case "zstd" => zstdC.get().compress(raw.toByteArray)
+      case _ => raw.toByteArray
+    }
+  }
+
+  /** gzip container around a per-thread Deflater — fixed header fields
+    * (mtime 0, XFL 0, OS 255) so bytes stay a pure function of the input.
+    */
+  private def gzipCompress(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length / 2 + 32)
+    out.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte))
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(data)
+    d.finish()
+    val buf = new Array[Byte](64 * 1024)
+    while (!d.finished()) {
+      val k = d.deflate(buf)
+      out.write(buf, 0, k)
+    }
+    val crc = new CRC32
+    crc.update(data)
+    val t = new Array[Byte](8)
+    var v = crc.getValue
+    var i = 0
+    while (i < 4) { t(i) = (v & 0xff).toByte; v >>= 8; i += 1 }
+    v = data.length.toLong
+    while (i < 8) { t(i) = (v & 0xff).toByte; v >>= 8; i += 1 }
+    out.write(t)
+    out.toByteArray
   }
 
   /** Codecs `tar_archive` accepts — validated at plan time by the builder. */

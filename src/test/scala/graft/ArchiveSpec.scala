@@ -159,6 +159,59 @@ class ArchiveSpec extends AnyFunSuite {
     assert(r.getString(1) === "x")
   }
 
+  test("streaming-written zstd (unknown frame content size) parses via the fallback path") {
+    // ZstdCompressorOutputStream writes a frame WITHOUT the content-size
+    // header field, so the one-shot fast path must decline and the
+    // streaming walk must produce identical results.
+    val bos = new ByteArrayOutputStream()
+    val z = new org.apache.commons.compress.compressors.zstandard.ZstdCompressorOutputStream(bos)
+    z.write(ar("ctrl" -> abc, "data" -> hello)); z.close()
+    val (fmt, ms) = probe(bos.toByteArray)
+    assert(fmt === "ar+zstd")
+    assert(ms === Seq("ctrl" -> 3L, "data" -> 11L))
+  }
+
+  test("concatenated gzip members decompress as one stream on both paths") {
+    // gzip allows back-to-back members; tar readers must see the joined
+    // bytes. Exercises the fast inflate loop's multi-member branch.
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val o = new org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream(bos)
+      o.write(b); o.close(); bos.toByteArray
+    }
+    val whole = ArchiveCodec.tarArchive(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(org.apache.spark.unsafe.types.UTF8String.fromString("m1"),
+          org.apache.spark.unsafe.types.UTF8String.fromString("m2"))),
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(abc, hello)),
+      "none")
+    val cut = whole.length / 2
+    val catGz = gz(whole.take(cut)) ++ gz(whole.drop(cut))
+    val (fmt, ms) = probe(catGz)
+    assert(fmt === "tar+gzip")
+    assert(ms === Seq("m1" -> 3L, "m2" -> 11L))
+    assert(new String(ArchiveCodec.extract(catGz,
+      org.apache.spark.unsafe.types.UTF8String.fromString("m2")), "UTF-8") === "hello world")
+  }
+
+  test("payload over the fast-path bound still lists and extracts (streaming fallback)") {
+    // decompressed size > FastPathBytes but < MaxMemberBytes: correctness
+    // must be identical, just via the streaming walk.
+    val n = ArchiveCodec.FastPathBytes + (1 << 20)
+    val body = new Array[Byte](n)
+    java.util.Arrays.fill(body, 'x'.toByte)
+    val t = ArchiveCodec.tarArchive(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(org.apache.spark.unsafe.types.UTF8String.fromString("big.bin"))),
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(body)),
+      "gzip")
+    val listed = ArchiveCodec.members(t)
+    assert(listed != null && listed.numElements() === 1)
+    assert(listed.getStruct(0, 2).getLong(1) === n.toLong)
+    val got = ArchiveCodec.extract(t, org.apache.spark.unsafe.types.UTF8String.fromString("big.bin"))
+    assert(got != null && got.length === n && got(n - 1) === 'x'.toByte)
+  }
+
   test("decompression bomb: listing streams (no materialization), oversized extract is null") {
     // ~300 MB of zeros gzips to ~300 KB: listing must stay fast and
     // bounded (header-only walk), extraction must refuse past the
