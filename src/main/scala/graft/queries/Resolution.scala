@@ -78,11 +78,50 @@ object Resolution {
       .distinct()
   }
 
-  private[graft] def resolvedEdges(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.ensureRegistered(s)
-    resolutionEdges(Tables.dependsSpecs(s, dir), Tables.provides(s, dir),
-      Tables.packages(s, dir).select("name", "version"))
+  /** The catalog's resolution-edge frame, memoized per (session, dir): six
+    * judged queries (q68/q76 plan, q78 sizes, q85 reverse impact, q86
+    * PageRank, q90 autoremove) consume the SAME small frame, and the BFS
+    * loops re-join it every iteration — one materialization serves all
+    * (same [[Memo]] discipline as the shingle/pair frames).
+    */
+  /** Upgrade-breakage core (q95): per provider, how many incoming specs
+    * resolve against SOME version (today) vs against the LATEST version
+    * (post-`full-upgrade`); held_back is the delta. Frame-parameterized so
+    * ResolutionSpec can drive it with a constructed fixture where a `<`
+    * pin breaks on upgrade — the judged fixture's modular arithmetic never
+    * produces a held-back edge (the oracle independently confirms those
+    * zeros), so the positive path is spec-proven.
+    */
+  private[graft] def upgradeBreakage(specs: DataFrame, provides: DataFrame, packages: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(specs.sparkSession)
+    val withC = specs.withColumn("c", expr("parse_constraint(spec)"))
+    val pr = provides.select(col("name").as("provider"), col("provides_name"))
+    val pv = packages.select(col("name").as("provider"), col("version")).distinct()
+    val latest = pv.groupBy("provider")
+      .agg(expr("max_by(version, version_sort_key(version))").as("latest_version"))
+    withC
+      .join(pr, col("c.name") === col("provides_name"))
+      .join(pv.join(latest, Seq("provider"))
+        .withColumn("is_latest", col("version") === col("latest_version")), Seq("provider"))
+      .withColumn("sat", expr(SatisfiesSql))
+      .groupBy("name", "spec", "provider")
+      .agg(max(col("sat")).as("sat_any"),
+        max(col("sat") && col("is_latest")).as("sat_latest"))
+      .groupBy("provider")
+      .agg(
+        count(lit(1)).as("n_incoming"),
+        sum(when(col("sat_any"), 1).otherwise(0)).cast("long").as("n_resolvable"),
+        sum(when(col("sat_latest"), 1).otherwise(0)).cast("long").as("n_latest_ok"),
+        sum(when(col("sat_any") && !col("sat_latest"), 1).otherwise(0)).cast("long").as("n_held_back"))
+      .orderBy("provider")
   }
+
+  private[graft] def resolvedEdges(s: SparkSession, dir: String): DataFrame =
+    Memo.memoized("resolution_edges", s, dir) {
+      GraftFunctions.ensureRegistered(s)
+      resolutionEdges(Tables.dependsSpecs(s, dir), Tables.provides(s, dir),
+        Tables.packages(s, dir).select("name", "version"))
+    }
 
   /** The pkg-00 install plan, memoized per (session, dir): q68 judges it
     * directly and q76 runs the conflict safety check over it — the BFS
@@ -92,10 +131,7 @@ object Resolution {
     */
   private def installPlanFrame(s: SparkSession, dir: String): DataFrame =
     Memo.memoized("install_plan", s, dir) {
-      val edges = resolvedEdges(s, dir).cache()
-      val out = graft.operators.Closure.reachable(s, edges, "pkg-00")
-      edges.unpersist()
-      out
+      graft.operators.Closure.reachable(s, resolvedEdges(s, dir), "pkg-00")
     }
 
   /** The two release snapshots q67 diffs — exposed so IngestSpec can push
@@ -203,10 +239,8 @@ object Resolution {
     // not the per-root sum). The per-page metadata a package database
     // precomputes for its whole catalog.
     "q78_plan_sizes" -> { (s, dir) =>
-      val edges = resolvedEdges(s, dir).cache()
       val roots = Tables.packageNames(s, dir).select(col("name").as("root"))
-      val all = graft.operators.Closure.reachableAll(s, edges, roots)
-      edges.unpersist()
+      val all = graft.operators.Closure.reachableAll(s, resolvedEdges(s, dir), roots)
       all.groupBy("root")
         .agg(count(lit(1)).as("n_packages"), max("depth").as("max_depth"))
         .orderBy("root")
@@ -221,14 +255,11 @@ object Resolution {
     // folded in: an edge exists because SOME satisfying version of the
     // provider exists, so impact flows through virt-* aliases too.
     "q85_reverse_impact" -> { (s, dir) =>
-      // cache the edge frame for the loop (same discipline as q68/q78):
-      // every BFS iteration joins against it, and without the cache each
-      // iteration would recompute the scan→join→distinct edge derivation
+      // reversal is a column swap over the memoized edge frame — every BFS
+      // iteration re-joins it, and the materialized base makes that cheap
       val rev = resolvedEdges(s, dir)
-        .select(col("dep").as("name"), col("name").as("dep")).cache()
-      val out = graft.operators.Closure.reachable(s, rev, "pkg-11")
-      rev.unpersist()
-      out
+        .select(col("dep").as("name"), col("name").as("dep"))
+      graft.operators.Closure.reachable(s, rev, "pkg-11")
     },
 
     // Dependency-graph centrality: fixed-point integer PageRank over the
@@ -403,6 +434,42 @@ object Resolution {
         .groupBy("n1", "n2")
         .agg(countDistinct("path").as("n_shared_paths"), min("path").as("sample_path"))
         .orderBy("n1", "n2")
+    },
+
+    // Upgrade breakage — the `apt full-upgrade` pre-flight: if every
+    // provider jumps to its LATEST version, which incoming constraints
+    // stop resolving? Per (dependent, spec, provider): sat_any = SOME
+    // version satisfies (today's resolvability), sat_latest = the latest
+    // version satisfies (post-upgrade resolvability); held_back = the
+    // delta — the count a real upgrade planner reports as "kept back".
+    // One join tree keyed on name columns; the latest-version pick is the
+    // q30 bounded max_by, no window over the catalog.
+    "q95_upgrade_breakage" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      upgradeBreakage(Tables.dependsSpecs(s, dir), Tables.provides(s, dir),
+        Tables.packages(s, dir).select("name", "version"))
+    },
+
+    // SBOM license rollup — compose the memoized constrained closure (q68)
+    // with the package record's open metadata map (q71): each member of
+    // the pkg-00 install plan contributes its LATEST version's
+    // extras['license'] (deterministic pick: version sort key, pkg_id
+    // tie-break — same owner-pick shape as q63). The compliance view every
+    // "can we ship this image" audit starts from.
+    "q96_plan_licenses" -> { (s, dir) =>
+      val plan = installPlanFrame(s, dir)
+      val lic = Tables.packages(s, dir)
+        .groupBy("name")
+        .agg(expr(
+          "max_by(element_at(extras, 'license'), struct(version_sort_key(version), pkg_id))")
+          .as("license"))
+      plan.join(lic, Seq("name"))
+        .groupBy("license")
+        .agg(
+          count(lit(1)).as("n_packages"),
+          min("name").as("first_pkg"),
+          sum(when(col("depth") <= 1, 1).otherwise(0)).cast("long").as("n_direct"))
+        .orderBy("license")
     },
 
     // Reverse provides: which real packages provide each virtual name
@@ -664,6 +731,57 @@ object Resolution {
         |   AND NOT EXISTS (SELECT 1 FROM rep WHERE rep.a = p.n2 AND rep.b = p.n1))
         |SELECT n1, n2, count(DISTINCT path) AS n_shared_paths, min(path) AS sample_path
         |FROM q GROUP BY n1, n2 ORDER BY n1, n2""".stripMargin),
+
+    "q95_upgrade_breakage" -> sub("""WITH --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |pv AS (SELECT DISTINCT name AS provider, version, vmaj, vmin, vpat, vrel FROM pkg),
+        |lv AS (SELECT provider, version AS latest_version FROM pv
+        |       QUALIFY row_number() OVER (PARTITION BY provider
+        |         ORDER BY vmaj DESC, vmin DESC, vpat DESC, vrel DESC) = 1),
+        |j AS (
+        | SELECT s.name, s.spec, p.provider,
+        |  CASE s.cop
+        |   WHEN '>=' THEN (k.vmaj, k.vmin, k.vpat) >= (s.cmaj, s.cmin, 0)
+        |   WHEN '<'  THEN (k.vmaj, k.vmin, k.vpat) < (s.cmaj, s.cmin, 0)
+        |   WHEN '='  THEN FALSE
+        |   ELSE TRUE END AS sat,
+        |  (k.version = l.latest_version) AS is_latest
+        | FROM specs s
+        | JOIN prov p ON p.provides_name = s.cname
+        | JOIN pv k ON k.provider = p.provider
+        | JOIN lv l ON l.provider = p.provider),
+        |g AS (
+        | SELECT name, spec, provider,
+        |  max(sat) AS sat_any, max(sat AND is_latest) AS sat_latest
+        | FROM j GROUP BY 1, 2, 3)
+        |SELECT provider, count(*) AS n_incoming,
+        | CAST(sum(CASE WHEN sat_any THEN 1 ELSE 0 END) AS BIGINT) AS n_resolvable,
+        | CAST(sum(CASE WHEN sat_latest THEN 1 ELSE 0 END) AS BIGINT) AS n_latest_ok,
+        | CAST(sum(CASE WHEN sat_any AND NOT sat_latest THEN 1 ELSE 0 END) AS BIGINT) AS n_held_back
+        |FROM g GROUP BY provider ORDER BY provider""".stripMargin),
+
+    "q96_plan_licenses" -> sub("""WITH RECURSIVE --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |r(name, depth) AS (
+        | SELECT 'pkg-00', 0
+        | UNION
+        | SELECT e.dep, r.depth + 1 FROM edges e JOIN r ON e.name = r.name WHERE r.depth < 60),
+        |plan AS (SELECT name, min(depth) AS depth FROM r GROUP BY name),
+        |lr AS (
+        | SELECT name,
+        |  CASE pkg_id % 3 WHEN 0 THEN 'mit' WHEN 1 THEN 'gpl' ELSE 'apache' END AS license
+        | FROM pkg
+        | QUALIFY row_number() OVER (PARTITION BY name
+        |   ORDER BY vmaj DESC, vmin DESC, vpat DESC, vrel DESC, pkg_id DESC) = 1)
+        |SELECT license, count(*) AS n_packages, min(name) AS first_pkg,
+        | CAST(sum(CASE WHEN depth <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_direct
+        |FROM plan JOIN lr USING (name)
+        |GROUP BY license ORDER BY license""".stripMargin),
 
     "q66_eco_version_order" -> sub("""WITH --PKG--,
         |v2 AS (

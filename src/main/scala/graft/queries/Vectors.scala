@@ -172,6 +172,50 @@ object Vectors {
         .orderBy("qid", "rank")
     },
 
+    // Hybrid retrieval — reciprocal-rank fusion (RRF, k=60) of the dense
+    // ranking (exact embedding cosine, q45's shape) and the lexical
+    // ranking (word-3-gram shingle Jaccard over the memoized q41 frame)
+    // for the fixed query set (id < 5; the fixtures share one id space).
+    // A doc may rank in either modality alone — full outer on (qid, id),
+    // absent ranks contribute 0. rrf = 1/(60+rank_dense) + 1/(60+rank_lex)
+    // summed in that fixed order so doubles stay bit-identical with the
+    // oracle. Scale notes (100 TB): each modality is its own bounded
+    // ranking (broadcast query side + window over per-query candidates —
+    // swap the dense scan for q52/q73's bucketed ANN at scale); the fusion
+    // join is per-query-candidate sized, never corpus².
+    "q97_hybrid_retrieval" -> { (s, dir) =>
+      val K = 60
+      val dw = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+      val qv = vecs(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("va"), col("nsq").as("na"))
+      val cv = vecs(s, dir)
+        .select(col("vec_id").as("id"), col("v").as("vb"), col("nsq").as("nb"))
+      val dense = cv.join(broadcast(qv), col("id") =!= col("qid"))
+        .withColumn("cos", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+        .select(col("qid"), col("id"), row_number().over(dw).as("rank_d"))
+      val sh = Shingles.frame(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val common = sh.filter(col("doc_id") < 5).select(col("doc_id").as("qid"), col("hk"))
+        .join(sh.select(col("doc_id").as("id"), col("hk")), "hk")
+        .filter(col("qid") =!= col("id"))
+        .groupBy("qid", "id").agg(count(lit(1)).as("common"))
+      val lw = Window.partitionBy("qid").orderBy(col("jac").desc, col("id"))
+      val lex = common
+        .join(sizes.select(col("doc_id").as("qid"), col("sz").as("szq")), "qid")
+        .join(sizes.select(col("doc_id").as("id"), col("sz").as("szc")), "id")
+        .withColumn("jac", col("common") / (col("szq") + col("szc") - col("common")))
+        .select(col("qid"), col("id"), row_number().over(lw).as("rank_l"))
+      val fw = Window.partitionBy("qid").orderBy(col("rrf").desc, col("id"))
+      dense.join(lex, Seq("qid", "id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(K) + col("rank_d")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(K) + col("rank_l")), lit(0.0)))
+        .withColumn("rank", row_number().over(fw))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("id"), col("rrf"))
+        .orderBy("qid", "rank")
+    },
+
     // Brute-force exact cosine top-k for a fixed query set (vec_id < 5).
     "q45_cosine_topk" -> { (s, dir) =>
       val q = vecs(s, dir).filter(col("vec_id") < 5)
@@ -261,6 +305,38 @@ object Vectors {
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE --DOT-- / (sqrt(a.nsq) * sqrt(b.nsq)) >= 0.4
         |ORDER BY a.label, d1, d2""".stripMargin),
+
+    "q97_hybrid_retrieval" -> sub("""WITH --VEC--,
+        |dense AS (
+        | SELECT a.vec_id AS qid, b.vec_id AS id,
+        |  row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY --DOT-- / (sqrt(a.nsq) * sqrt(b.nsq)) DESC, b.vec_id) AS rank_d
+        | FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+        |sh AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
+        | FROM documents),
+        |hk AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS hk FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM hk GROUP BY doc_id),
+        |cm AS (
+        | SELECT a.doc_id AS qid, b.doc_id AS id, count(*) AS common
+        | FROM hk a JOIN hk b ON a.hk = b.hk AND a.doc_id < 5 AND b.doc_id <> a.doc_id
+        | GROUP BY 1, 2),
+        |lex AS (
+        | SELECT qid, id,
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY common / (sq.sz + sc.sz - common) DESC, id) AS rank_l
+        | FROM cm JOIN sizes sq ON sq.doc_id = qid JOIN sizes sc ON sc.doc_id = id),
+        |f AS (
+        | SELECT coalesce(d.qid, l.qid) AS qid, coalesce(d.id, l.id) AS id,
+        |  coalesce(CAST(1 AS DOUBLE) / (60 + d.rank_d), 0)
+        |   + coalesce(CAST(1 AS DOUBLE) / (60 + l.rank_l), 0) AS rrf
+        | FROM dense d FULL OUTER JOIN lex l ON d.qid = l.qid AND d.id = l.id)
+        |SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS INTEGER) AS rank,
+        | id, rrf
+        |FROM f
+        |QUALIFY rank <= 3
+        |ORDER BY qid, rank""".stripMargin),
 
     "q45_cosine_topk" -> sub("""WITH --VEC--,
         |scored AS (

@@ -103,6 +103,42 @@ class ResolutionSpec extends AnyFunSuite {
     }
   }
 
+  test("q95: a < pin held back by the upgrade, a >= spec surviving it, a broken = pin") {
+    import spark.implicits._
+    // X has 1.0 and 3.0: A's "X<2.0" resolves today (1.0) but breaks on
+    // upgrade-to-latest (3.0) -> held_back. B's "X>=1.0" survives. C's
+    // "X=9.9" never resolves (not held back - it was never resolvable).
+    val packages = Seq("X" -> "1.0", "X" -> "3.0", "Y" -> "1.0")
+      .toDF("name", "version")
+    val provides = packages.select(col("name"), col("name").as("provides_name")).distinct()
+    val specs = Seq("A" -> "X<2.0", "B" -> "X>=1.0", "C" -> "X=9.9", "D" -> "Y")
+      .toDF("name", "spec")
+    val r = graft.queries.Resolution.upgradeBreakage(specs, provides, packages)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r("X") === ((3L, 2L, 1L, 1L)), s"got $r") // 3 specs; <2.0 and >=1.0 resolvable; only >=1.0 latest-ok; <2.0 held back
+    assert(r("Y") === ((1L, 1L, 1L, 0L)), s"got $r") // bare name: any version, upgrade-proof
+  }
+
+  test("q95 fixture invariants: latest-ok bounded by resolvable, held_back is the exact delta") {
+    val rows = SparkEntry.queries("q95_upgrade_breakage")(spark, SparkTestHarness.Sf0001).collect()
+    assert(rows.length === 60)
+    rows.foreach { r =>
+      val (inc, res, lat, held) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lat <= res && res <= inc, s"ordering violated: $r")
+      assert(held === res - lat, s"held_back must be resolvable minus latest-ok: $r")
+    }
+  }
+
+  test("q96: plan license rollup partitions the q68 install plan") {
+    val plan = SparkEntry.queries("q68_install_plan")(spark, SparkTestHarness.Sf0001).collect()
+    val roll = SparkEntry.queries("q96_plan_licenses")(spark, SparkTestHarness.Sf0001).collect()
+    assert(roll.map(_.getString(0)).toSet.subsetOf(Set("mit", "gpl", "apache")))
+    assert(roll.map(_.getLong(1)).sum === plan.length.toLong,
+      "every plan member contributes exactly one license")
+    assert(roll.map(_.getLong(3)).sum <= roll.map(_.getLong(1)).sum)
+  }
+
   test("reverse impact walks only satisfiable edges, transitively") {
     // A depends on X with a satisfiable range; B's '=' pin matches no
     // existing X version (pruned — B is NOT impacted); C reaches X only
