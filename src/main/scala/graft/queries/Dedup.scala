@@ -44,6 +44,40 @@ object Dedup {
     */
   private val BucketCap = 50
 
+  /** Capped LSH band buckets (doc_id, band, bkey) over the shared shingle
+    * frame — the candidate-generation half both q42 (full-corpus pairs)
+    * and q99 (incremental new-vs-base) join on.
+    *
+    * One md5 per shingle, then a universal family h_i = (a_i*x + b_i)
+    * mod p over the 31-bit base (12 md5s per shingle benched 6x slower;
+    * products stay under 2^62 so the arithmetic is exact int64). The base
+    * is an exact projection of the shared 60-bit key: first-8-hex-chars
+    * value = hk >> 28. The whole signature computes in ONE aggregation
+    * pass: 12 codegen'd min columns over the shingle rows (a per-(doc,i)
+    * shuffle of 12x the rows benched ~4x slower), then stack() unpivots
+    * the 4 band keys. Degenerate buckets (size > BucketCap) are dropped
+    * before any candidate join — the skew guard; the degenerate set is
+    * tiny by definition, so the anti-join broadcasts.
+    */
+  private def lshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val hashed = Shingles.frame(s, dir)
+      .withColumn("base", expr("shiftright(hk, 28) % 2147483647"))
+    val minCols = (0 until K).map(i =>
+      min(expr(s"((2 * $i + 3) * base + 5 * $i + 7) % 2147483647")).as(s"mh$i"))
+    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until K / BandRows).map { b =>
+      concat_ws(",", (0 until BandRows).map(r => col(s"mh${b * BandRows + r}").cast("string")): _*)
+        .as(s"band$b")
+    }
+    val bandStack = (0 until K / BandRows).map(b => s"$b, band$b").mkString(", ")
+    val buckets = sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        expr(s"stack(${K / BandRows}, $bandStack) as (band, bkey)"))
+    val big = buckets.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > BucketCap).select("band", "bkey")
+    buckets.join(broadcast(big), Seq("band", "bkey"), "left_anti")
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     // MinHash signature → banded LSH buckets → candidate pairs → exact
     // Jaccard verify (only over candidates).
@@ -52,33 +86,7 @@ object Dedup {
       // building, both verification sides, and the size table — and is the
       // same frame q41/q43 use, so the subtree computes once per session.
       val sh = Shingles.frame(s, dir)
-      // one md5 per shingle, then a universal family h_i = (a_i*x + b_i)
-      // mod p over the 31-bit base (12 md5s per shingle benched 6x slower;
-      // products stay under 2^62 so the arithmetic is exact int64). The
-      // base is an exact projection of the shared 60-bit key:
-      // first-8-hex-chars value = hk >> 28.
-      val hashed = sh
-        .withColumn("base", expr("shiftright(hk, 28) % 2147483647"))
-      // the whole signature in ONE aggregation pass: 12 codegen'd min
-      // columns over the shingle rows (a per-(doc,i) shuffle of 12x the
-      // rows benched ~4x slower), then stack() unpivots the 4 band keys
-      val minCols = (0 until K).map(i =>
-        min(expr(s"((2 * $i + 3) * base + 5 * $i + 7) % 2147483647")).as(s"mh$i"))
-      val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-      val bandCols = (0 until K / BandRows).map { b =>
-        concat_ws(",", (0 until BandRows).map(r => col(s"mh${b * BandRows + r}").cast("string")): _*)
-          .as(s"band$b")
-      }
-      val bandStack = (0 until K / BandRows).map(b => s"$b, band$b").mkString(", ")
-      val buckets = sig.select(col("doc_id") +: bandCols: _*)
-        .select(col("doc_id"),
-          expr(s"stack(${K / BandRows}, $bandStack) as (band, bkey)"))
-      // skew guard: drop degenerate buckets (size > BucketCap) before the
-      // candidate self-join; the degenerate set is tiny by definition, so
-      // the anti-join broadcasts.
-      val big = buckets.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
-        .filter(col("bn") > BucketCap).select("band", "bkey")
-      val ok = buckets.join(broadcast(big), Seq("band", "bkey"), "left_anti")
+      val ok = lshBuckets(s, dir)
       val cands = ok.as("x").join(ok.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -100,6 +108,43 @@ object Dedup {
         .filter(col("jaccard") >= 0.5)
         .select("d1", "d2", "n_bands", "jaccard")
         .orderBy("d1", "d2")
+    },
+
+    // Incremental near-dup — the corpus-refresh workflow: a NEW batch
+    // (doc_id % 7 == 0, the fixture stand-in for "this week's crawl")
+    // checked against the existing BASE corpus without re-pairing the
+    // base against itself. Candidates come from the SAME capped LSH
+    // buckets as q42, but the join is new×base (directional), so the
+    // work is |new batch| sized — the property that makes weekly corpus
+    // refreshes O(delta), not O(corpus). Exact Jaccard verifies
+    // candidates; per new doc: candidate count, confirmed-dup count, and
+    // the best base match (max Jaccard, smallest doc_id tie-break).
+    "q99_incremental_neardup" -> { (s, dir) =>
+      val sh = Shingles.frame(s, dir)
+      val ok = lshBuckets(s, dir)
+      val isNew = pmod(col("doc_id"), lit(7)) === 0
+      val cands = ok.filter(isNew).select(col("doc_id").as("d1"), col("band"), col("bkey"))
+        .join(ok.filter(!isNew).select(col("doc_id").as("d2"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .select("d1", "d2").distinct()
+      val common = cands
+        .join(sh.select(col("doc_id").as("d1"), col("sh").as("sha")), "d1")
+        .join(sh.select(col("doc_id").as("d2"), col("sh").as("shb")), "d2")
+        .filter(col("sha") === col("shb"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      cands.join(common, Seq("d1", "d2"), "left")
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+        .withColumn("jaccard",
+          coalesce(col("common"), lit(0L)) / (col("sz1") + col("sz2") - coalesce(col("common"), lit(0L))))
+        .groupBy(col("d1").as("doc_id"))
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("jaccard") >= 0.5, 1).otherwise(0)).cast("long").as("n_dups"),
+          expr("max_by(d2, struct(jaccard, -d2))").as("best_match"),
+          max(col("jaccard")).as("best_jaccard"))
+        .orderBy("doc_id")
     },
 
     // SimHash (32-bit, over shingle hashes): Hamming<=4 pairs blocked on
@@ -136,23 +181,30 @@ object Dedup {
       |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
       | FROM documents)""".stripMargin
 
-  private def sub(sql: String): String = sql.replace("--SH--", ShCte)
+  /** The signature→band→cap CTE chain shared by the q42 and q99 oracles,
+    * exactly as [[lshBuckets]] is shared on the Spark side.
+    */
+  private val BktCte =
+    """based AS (
+      | SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) % 2147483647 AS base
+      | FROM sh),
+      |hashed AS (
+      | SELECT doc_id, i, ((2 * i + 3) * base + 5 * i + 7) % 2147483647 AS h
+      | FROM based CROSS JOIN range(12) r(i)),
+      |sig AS (SELECT doc_id, i, min(h) AS mh FROM hashed GROUP BY doc_id, i),
+      |buckets AS (
+      | SELECT doc_id, CAST(i // 3 AS INTEGER) AS band,
+      |  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+      | FROM sig GROUP BY doc_id, CAST(i // 3 AS INTEGER)),
+      |bsz AS (SELECT band, bkey, count(*) AS bn FROM buckets GROUP BY 1, 2),
+      |okb AS (SELECT b.doc_id, b.band, b.bkey FROM buckets b JOIN bsz USING (band, bkey) WHERE bsz.bn <= 50)""".stripMargin
+
+  private def sub(sql: String): String =
+    sql.replace("--SH--", ShCte).replace("--BKT--", BktCte)
 
   val oracles: Seq[(String, String)] = Seq(
     "q42_minhash_lsh_pairs" -> sub("""WITH --SH--,
-        |based AS (
-        | SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) % 2147483647 AS base
-        | FROM sh),
-        |hashed AS (
-        | SELECT doc_id, i, ((2 * i + 3) * base + 5 * i + 7) % 2147483647 AS h
-        | FROM based CROSS JOIN range(12) r(i)),
-        |sig AS (SELECT doc_id, i, min(h) AS mh FROM hashed GROUP BY doc_id, i),
-        |buckets AS (
-        | SELECT doc_id, CAST(i // 3 AS INTEGER) AS band,
-        |  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
-        | FROM sig GROUP BY doc_id, CAST(i // 3 AS INTEGER)),
-        |bsz AS (SELECT band, bkey, count(*) AS bn FROM buckets GROUP BY 1, 2),
-        |okb AS (SELECT b.doc_id, b.band, b.bkey FROM buckets b JOIN bsz USING (band, bkey) WHERE bsz.bn <= 50),
+        |--BKT--,
         |cands AS (
         | SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS n_bands
         | FROM okb x JOIN okb y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
@@ -168,6 +220,34 @@ object Dedup {
         |JOIN sizes s1 ON c.d1 = s1.doc_id JOIN sizes s2 ON c.d2 = s2.doc_id
         |WHERE m.common / (s1.sz + s2.sz - m.common) >= 0.5
         |ORDER BY c.d1, c.d2""".stripMargin),
+
+    "q99_incremental_neardup" -> sub("""WITH --SH--,
+        |--BKT--,
+        |cands AS (
+        | SELECT DISTINCT n.doc_id AS d1, b.doc_id AS d2
+        | FROM okb n JOIN okb b ON n.band = b.band AND n.bkey = b.bkey
+        | WHERE n.doc_id % 7 = 0 AND b.doc_id % 7 <> 0),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (
+        | SELECT c.d1, c.d2, count(*) AS common
+        | FROM cands c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND a.sh = b.sh
+        | GROUP BY 1, 2),
+        |j AS (
+        | SELECT c.d1, c.d2,
+        |  coalesce(m.common, 0) / (s1.sz + s2.sz - coalesce(m.common, 0)) AS jaccard
+        | FROM cands c
+        | LEFT JOIN common m ON c.d1 = m.d1 AND c.d2 = m.d2
+        | JOIN sizes s1 ON c.d1 = s1.doc_id JOIN sizes s2 ON c.d2 = s2.doc_id),
+        |best AS (
+        | SELECT d1, d2 AS best_match, jaccard AS best_jaccard FROM j
+        | QUALIFY row_number() OVER (PARTITION BY d1 ORDER BY jaccard DESC, d2) = 1)
+        |SELECT j.d1 AS doc_id, count(*) AS n_candidates,
+        | CAST(sum(CASE WHEN j.jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        | any_value(b.best_match) AS best_match,
+        | any_value(b.best_jaccard) AS best_jaccard
+        |FROM j JOIN best b ON b.d1 = j.d1
+        |GROUP BY j.d1
+        |ORDER BY doc_id""".stripMargin),
 
     "q43_simhash_dedup" ->
       """WITH hs AS (

@@ -184,6 +184,36 @@ object Text {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // Sequence packing audit — the GPT-style pretraining packer: documents
+    // concatenated in stream order (per language, by doc_id) and sliced
+    // into fixed 512-token windows; bin = the window a doc STARTS in,
+    // derived from the running token total. Per (lang, bin): doc count,
+    // token mass, and boundary-crossers (docs whose last token lands in a
+    // later window — the count that decides whether you need attention
+    // masking across document boundaries). Scale notes (100 TB): the
+    // running sum partitions on the stream key (lang here); a production
+    // packer sub-shards hot streams (lang, shard) and offsets bins by the
+    // shard's token base — same plan, one more key column.
+    "q98_sequence_packing" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val B = 512
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .withColumn("bin", expr(s"(cum - n_tok) div $B"))
+        .withColumn("crosses",
+          when(expr(s"((cum - 1) div $B) > ((cum - n_tok) div $B)"), 1).otherwise(0))
+        .groupBy("lang", "bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("long").as("n_tokens"),
+          sum("crosses").cast("long").as("n_crossers"))
+        .orderBy("lang", "bin")
+    },
+
     // Stratified deterministic downsampling — corpus rebalancing with a
     // per-language keep rate (en 50%, zh 25%, everything else 10%) where
     // membership is a pure function of md5(doc_id): reproducible across
@@ -457,6 +487,23 @@ object Text {
         | md5(array_to_string(chunk, ' ')) AS chunk_hash
         |FROM c
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q98_sequence_packing" ->
+      """WITH t AS (
+        | SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        | FROM documents),
+        |c AS (
+        | SELECT lang, doc_id, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM t),
+        |b AS (
+        | SELECT lang, (cum - n_tok) // 512 AS bin, n_tok,
+        |  CASE WHEN (cum - 1) // 512 > (cum - n_tok) // 512 THEN 1 ELSE 0 END AS crosses
+        | FROM c)
+        |SELECT lang, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        | CAST(sum(crosses) AS BIGINT) AS n_crossers
+        |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
     "q88_stratified_sample" ->
       """WITH h AS (
