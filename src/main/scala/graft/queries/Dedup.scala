@@ -59,7 +59,10 @@ object Dedup {
     * before any candidate join — the skew guard; the degenerate set is
     * tiny by definition, so the anti-join broadcasts.
     */
-  private def lshBuckets(s: SparkSession, dir: String): DataFrame = {
+  private def lshBuckets(s: SparkSession, dir: String): DataFrame =
+    Memo.memoized("lsh_buckets", s, dir) { buildLshBuckets(s, dir) }
+
+  private def buildLshBuckets(s: SparkSession, dir: String): DataFrame = {
     val hashed = Shingles.frame(s, dir)
       .withColumn("base", expr("shiftright(hk, 28) % 2147483647"))
     val minCols = (0 until K).map(i =>
