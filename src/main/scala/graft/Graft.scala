@@ -107,7 +107,9 @@ object Graft {
       explicitRoots.select(col("name").as("root")))
     ie.unpersist(blocking = false)
     val keep = reach.groupBy("name")
-      .agg(countDistinct("root").as("n_keepers"), min("depth").as("min_depth"))
+      // reachableAll output is keyed (root, name) — already distinct, so a
+      // plain count avoids the distinct-aggregate expand
+      .agg(count(lit(1)).as("n_keepers"), min("depth").as("min_depth"))
     inst
       .join(explicitRoots.select("name").withColumn("is_exp", lit(1)), Seq("name"), "left")
       .join(keep, Seq("name"), "left")
@@ -146,10 +148,13 @@ object Graft {
   /** Incremental SCD2 merge of snapshot `k` into an existing history —
     * the steady-state path at 100 TB, where rebuilding over every past
     * snapshot per arrival is unaffordable: ONE full-join shuffle of the
-    * (small) open-interval set against the arriving snapshot. Open
-    * intervals extend when the version matches, close otherwise; arriving
-    * records without a matching open interval open a new [k, k] one.
-    * Equals the rebuild exactly (Scd2Spec pins merge == rebuild).
+    * (small) open-interval set against the arriving snapshot. An open
+    * interval extends only when it is CONTIGUOUS (valid_to == k-1) and the
+    * version matches; a presence gap (k skipped past valid_to+1) closes
+    * it and the returning record opens a fresh [k, k] interval — exactly
+    * the rebuild's gaps-and-islands break rule, so merge == rebuild for
+    * ANY k beyond the history's last snapshot (Scd2Spec pins both the
+    * contiguous and the gap case).
     */
   def scd2Merge(history: DataFrame, snapshot: DataFrame, k: Int): DataFrame = {
     val cur = history.filter(col("is_current") === 1)
@@ -158,18 +163,19 @@ object Graft {
     val snap = snapshot.select(col("pkg_id"),
       col("name").as("s_name"), col("version").as("s_version"))
     val j = cur.join(snap, Seq("pkg_id"), "full")
+    val contiguous = col("valid_to") === lit(k - 1)
     val extended = j
-      .filter(col("version").isNotNull && (col("version") === col("s_version")))
+      .filter(col("version").isNotNull && (col("version") === col("s_version")) && contiguous)
       .select(col("pkg_id"), col("name"), col("version"), col("valid_from"),
         lit(k).as("valid_to"), lit(1).as("is_current"))
     val closedNow = j
       .filter(col("version").isNotNull &&
-        (col("s_version").isNull || col("s_version") =!= col("version")))
+        (col("s_version").isNull || col("s_version") =!= col("version") || !contiguous))
       .select(col("pkg_id"), col("name"), col("version"), col("valid_from"),
         col("valid_to"), lit(0).as("is_current"))
     val opened = j
       .filter(col("s_version").isNotNull &&
-        (col("version").isNull || col("version") =!= col("s_version")))
+        (col("version").isNull || col("version") =!= col("s_version") || !contiguous))
       .select(col("pkg_id"), col("s_name").as("name"), col("s_version").as("version"),
         lit(k).as("valid_from"), lit(k).as("valid_to"), lit(1).as("is_current"))
     closed.unionByName(extended).unionByName(closedNow).unionByName(opened)

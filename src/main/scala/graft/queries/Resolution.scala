@@ -78,12 +78,6 @@ object Resolution {
       .distinct()
   }
 
-  /** The catalog's resolution-edge frame, memoized per (session, dir): six
-    * judged queries (q68/q76 plan, q78 sizes, q85 reverse impact, q86
-    * PageRank, q90 autoremove) consume the SAME small frame, and the BFS
-    * loops re-join it every iteration — one materialization serves all
-    * (same [[Memo]] discipline as the shingle/pair frames).
-    */
   /** Upgrade-breakage core (q95): per provider, how many incoming specs
     * resolve against SOME version (today) vs against the LATEST version
     * (post-`full-upgrade`); held_back is the delta. Frame-parameterized so
@@ -116,6 +110,12 @@ object Resolution {
       .orderBy("provider")
   }
 
+  /** The catalog's resolution-edge frame, memoized per (session, dir): six
+    * judged queries (q68/q76 plan, q78 sizes, q85 reverse impact, q86
+    * PageRank, q90 autoremove) consume the SAME small frame, and the BFS
+    * loops re-join it every iteration — one materialization serves all
+    * (same [[Memo]] discipline as the shingle/pair frames).
+    */
   private[graft] def resolvedEdges(s: SparkSession, dir: String): DataFrame =
     Memo.memoized("resolution_edges", s, dir) {
       GraftFunctions.ensureRegistered(s)
@@ -432,7 +432,9 @@ object Resolution {
         .join(rep.select(col("replaces_name").as("n1"), col("name").as("n2")),
           Seq("n1", "n2"), "left_anti")
         .groupBy("n1", "n2")
-        .agg(countDistinct("path").as("n_shared_paths"), min("path").as("sample_path"))
+        // paths are unique per pair (f is a distinct projection), so a
+        // plain count avoids the two-phase distinct-aggregate expand
+        .agg(count(lit(1)).as("n_shared_paths"), min("path").as("sample_path"))
         .orderBy("n1", "n2")
     },
 

@@ -159,6 +159,11 @@ object ArchiveCodec {
       if (b.length - pos < 10 || u(b, pos) != 0x1f || u(b, pos + 1) != 0x8b || b(pos + 2) != 8)
         return None
       val flg = u(b, pos + 3)
+      // decline anything the streaming reader treats specially so the two
+      // paths agree on malformed input: reserved FLG bits (streaming path
+      // rejects) and FHCRC (streaming path verifies; rare enough that the
+      // fallback's per-row cost is irrelevant)
+      if ((flg & 0xe2) != 0) return None
       pos += 10
       if ((flg & 4) != 0) { // FEXTRA
         if (b.length - pos < 2) return None
@@ -166,7 +171,6 @@ object ArchiveCodec {
       }
       if ((flg & 8) != 0) { while (pos < b.length && b(pos) != 0) pos += 1; pos += 1 } // FNAME
       if ((flg & 16) != 0) { while (pos < b.length && b(pos) != 0) pos += 1; pos += 1 } // FCOMMENT
-      if ((flg & 2) != 0) pos += 2 // FHCRC (header CRC16 not verified on the fast path)
       if (pos >= b.length) return None
       inf.reset()
       inf.setInput(b, pos, b.length - pos)
@@ -224,10 +228,17 @@ object ArchiveCodec {
     if (a.isEmpty) null
     else UTF8String.fromString(if (c.isEmpty) a else s"$a+$c")
 
-  /** "tar" | "tar+gzip" | "ar" | "cpio+xz" | … — null if unrecognized. */
+  /** "tar" | "tar+gzip" | "ar" | "cpio+xz" | … — null if unrecognized.
+    * Detection-only callers never need the payload, so this inflates at
+    * most [[DetectBytes]] of prefix — NOT the one-shot fast path, which
+    * would decompress megabytes to read 512 bytes of archiver magic.
+    */
   def format(bytes: Array[Byte]): UTF8String =
-    try { val o = openPayload(bytes); o.in.close(); fmtString(o.c, o.a) }
-    catch { case _: Exception => null }
+    try {
+      val c = compressor(bytes)
+      val head = if (c.isEmpty) bytes else decompressPrefix(bytes, c, DetectBytes)
+      fmtString(c, archiver(head))
+    } catch { case _: Exception => null }
 
   // ---- member listing / extraction ---------------------------------------
 

@@ -80,4 +80,30 @@ class Scd2Spec extends AnyFunSuite {
     assert(m.exists(iv => iv._6 == 1 && iv._4 == 4), "no newly opened interval")
     assert(m.exists(iv => iv._6 == 0 && iv._5 == 3), "no interval closed by the merge")
   }
+
+  test("merge across a presence gap closes the open interval like the rebuild does") {
+    // snapshot 4 never arrives; snapshot 5 merges into the history built
+    // through 3. An unchanged version must NOT bridge the gap: the open
+    // [_, 3] interval closes and a fresh [5, 5] one opens — the rebuild's
+    // gaps-and-islands break rule, reproduced incrementally.
+    val dir = SparkTestHarness.Sf0001
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getInt(4), r.getInt(5))).toSet
+    val snaps03 = (0 to 3).map(graft.queries.Packages.snapshotK(spark, dir, _))
+      .reduce(_.unionByName(_))
+    val snap5 = graft.queries.Packages.snapshotK(spark, dir, 5)
+      .select("pkg_id", "name", "version")
+    val merged = Graft.scd2Merge(Graft.scd2History(snaps03, 3), snap5, 5)
+    val rebuilt = Graft.scd2History(
+      snaps03.unionByName(graft.queries.Packages.snapshotK(spark, dir, 5)), 5)
+    assert(collect(merged) === collect(rebuilt))
+    // the gap rule actually fired: some closed interval ends at 3 while
+    // the same pkg reopens at 5 with the SAME version (pkg_id % 3 == 0
+    // packages never change version, so only the gap can split them)
+    val m = collect(merged)
+    assert(m.exists(iv => iv._1 % 3 == 0 && iv._6 == 0 && iv._5 == 3 &&
+      m.exists(o => o._1 == iv._1 && o._3 == iv._3 && o._4 == 5 && o._6 == 1)),
+      "no stable-version interval split by the presence gap")
+  }
 }
