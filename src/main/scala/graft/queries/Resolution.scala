@@ -123,6 +123,45 @@ object Resolution {
         Tables.packages(s, dir).select("name", "version"))
     }
 
+  /** Whole-catalog reachability (root, name, depth) from every package name
+    * over the resolution edges — the multi-source BFS both q78 (plan sizes)
+    * and q100 (dependency cycles) consume; the driver loop is their
+    * dominant shared cost, so it runs once per (session, dir).
+    */
+  private def reachAllFrame(s: SparkSession, dir: String): DataFrame =
+    Memo.memoized("reach_all", s, dir) {
+      graft.operators.Closure.reachableAll(s, resolvedEdges(s, dir),
+        Tables.packageNames(s, dir).select(col("name").as("root")))
+    }
+
+  /** Dependency-cycle core (q100): SCC membership from mutual reachability.
+    * `reach` is a (root, name, depth) closure frame; two distinct nodes
+    * share a cycle iff each reaches the other, and a self-loop cycles on
+    * its own. scc_id = the smallest member name; scc_size counts members.
+    * Frame-parameterized so ClosureSpec can drive constructed cycle,
+    * chain, and self-loop fixtures.
+    */
+  private[graft] def dependencyCycles(reach: DataFrame, edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val mutual = reach.as("f").join(reach.as("b"),
+        col("f.root") === col("b.name") && col("f.name") === col("b.root") &&
+          col("f.root") =!= col("f.name"))
+      .select(col("f.root").as("name"), col("f.name").as("partner"))
+    val selfLoops = edges.filter(col("name") === col("dep"))
+      .select(col("name")).distinct().withColumn("has_self", lit(1))
+    val agg = nodes.select("name")
+      .join(mutual, Seq("name"), "left")
+      .groupBy("name")
+      .agg(min("partner").as("mp"), count(col("partner")).as("np"))
+      .join(selfLoops, Seq("name"), "left")
+      .withColumn("in_cycle", (col("np") > 0 || col("has_self").isNotNull).cast("int"))
+      .withColumn("scc_id",
+        when(col("mp").isNotNull && col("mp") < col("name"), col("mp")).otherwise(col("name")))
+    val sizes = agg.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+    agg.join(sizes, "scc_id")
+      .select("name", "in_cycle", "scc_id", "scc_size")
+      .orderBy("name")
+  }
+
   /** The pkg-00 install plan, memoized per (session, dir): q68 judges it
     * directly and q76 runs the conflict safety check over it — the BFS
     * driver loop is their dominant shared cost, so it runs once (same
@@ -239,11 +278,20 @@ object Resolution {
     // not the per-root sum). The per-page metadata a package database
     // precomputes for its whole catalog.
     "q78_plan_sizes" -> { (s, dir) =>
-      val roots = Tables.packageNames(s, dir).select(col("name").as("root"))
-      val all = graft.operators.Closure.reachableAll(s, resolvedEdges(s, dir), roots)
-      all.groupBy("root")
+      reachAllFrame(s, dir).groupBy("root")
         .agg(count(lit(1)).as("n_packages"), max("depth").as("max_depth"))
         .orderBy("root")
+    },
+
+    // Dependency cycles — the circular-depends case every package manager
+    // special-cases (dpkg breaks loops on configure order; pacman warns):
+    // which packages sit inside a strongly connected component of the
+    // resolution graph, which component, and how big is it. Mutual
+    // reachability over the SHARED whole-catalog closure frame (one
+    // self-join on the memoized BFS output — no second graph walk).
+    "q100_dependency_cycles" -> { (s, dir) =>
+      dependencyCycles(reachAllFrame(s, dir), resolvedEdges(s, dir),
+        Tables.packageNames(s, dir))
     },
 
     // Reverse impact analysis — the CVE triage question ("a vuln landed in
@@ -638,6 +686,36 @@ object Resolution {
         |FROM m
         |GROUP BY root
         |ORDER BY root""".stripMargin),
+
+    "q100_dependency_cycles" -> sub("""WITH RECURSIVE --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |nm AS (SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name FROM idx),
+        |r(root, name, depth) AS (
+        | SELECT name, name, 0 FROM nm
+        | UNION
+        | SELECT r.root, e.dep, r.depth + 1 FROM edges e JOIN r ON e.name = r.name WHERE r.depth < 60),
+        |m AS (SELECT DISTINCT root, name FROM r),
+        |mut AS (
+        | SELECT a.root AS name, a.name AS partner
+        | FROM m a JOIN m b ON a.root = b.name AND a.name = b.root AND a.root <> a.name),
+        |sl AS (SELECT DISTINCT name FROM edges WHERE name = dep),
+        |agg AS (
+        | SELECT n.name, min(t.partner) AS mp, count(t.partner) AS np,
+        |  max(CASE WHEN s.name IS NOT NULL THEN 1 ELSE 0 END) AS has_self
+        | FROM nm n LEFT JOIN mut t ON t.name = n.name LEFT JOIN sl s ON s.name = n.name
+        | GROUP BY n.name),
+        |lab AS (
+        | SELECT name,
+        |  CAST(np > 0 OR has_self = 1 AS INTEGER) AS in_cycle,
+        |  CASE WHEN mp IS NOT NULL AND mp < name THEN mp ELSE name END AS scc_id
+        | FROM agg),
+        |sz AS (SELECT scc_id, count(*) AS scc_size FROM lab GROUP BY scc_id)
+        |SELECT l.name, l.in_cycle, l.scc_id, sz.scc_size
+        |FROM lab l JOIN sz USING (scc_id)
+        |ORDER BY l.name""".stripMargin),
 
     "q85_reverse_impact" -> sub("""WITH RECURSIVE --IDX--,
         |--PKG--,

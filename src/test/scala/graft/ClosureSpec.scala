@@ -121,4 +121,21 @@ class ClosureSpec extends AnyFunSuite {
     val naive = Closure.reachable(spark, nameEdges, "A").collect().map(_.getString(0)).toSet
     assert(naive === Set("A", "B", "C", "D"))
   }
+
+  test("dependency cycles: 2-cycle grouped, chain stays acyclic, self-loop counts alone") {
+    import spark.implicits._
+    // a <-> b form one SCC; c -> a is on a chain INTO the cycle (reaches a,
+    // a does not reach c — must stay acyclic); s -> s self-loops; z is
+    // isolated. scc_id = least member, scc_size counts members.
+    val g = edges("a" -> "b", "b" -> "a", "c" -> "a", "s" -> "s")
+    val nodes = Seq("a", "b", "c", "s", "z").toDF("name")
+    val reach = Closure.reachableAll(spark, g, nodes.selectExpr("name AS root"))
+    val r = queries.Resolution.dependencyCycles(reach, g, nodes).collect()
+      .map(x => x.getString(0) -> ((x.getInt(1), x.getString(2), x.getLong(3)))).toMap
+    assert(r("a") === ((1, "a", 2L)))
+    assert(r("b") === ((1, "a", 2L)))
+    assert(r("c") === ((0, "c", 1L)))
+    assert(r("s") === ((1, "s", 1L)))
+    assert(r("z") === ((0, "z", 1L)))
+  }
 }
