@@ -230,6 +230,35 @@ object Graft {
         expr(s"slice(toks, chunk_idx * $stride + 1, $chunkSize)").as("chunk"))
   }
 
+  /** Sequence-packing audit (the GPT-style pretraining packer): records
+    * concatenated in (`streamCol`, `orderCol`) order and sliced into fixed
+    * `budget`-token windows; bin = the window a record STARTS in. Per
+    * (stream, bin): record count, token mass, boundary-crossers (records
+    * whose last token lands in a later window — what decides cross-document
+    * attention masking). `docs` must carry a `nTokCol` token count. One
+    * window shuffle on the stream key, and the (stream, bin) aggregation
+    * reuses that partitioning — no second shuffle (PlanAuditSpec pins it).
+    * Production packers sub-shard hot streams (stream, shard) and offset
+    * bins by the shard's token base: same plan, one more key column.
+    */
+  def packingAudit(docs: DataFrame, budget: Int, streamCol: String = "lang",
+      orderCol: String = "doc_id", nTokCol: String = "n_tok"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "need a positive token budget")
+    val w = Window.partitionBy(streamCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum", sum(nTokCol).over(w))
+      .withColumn("bin", expr(s"(cum - $nTokCol) div $budget"))
+      .withColumn("crosses",
+        when(expr(s"((cum - 1) div $budget) > ((cum - $nTokCol) div $budget)"), 1).otherwise(0))
+      .groupBy(streamCol, "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTokCol).cast("long").as("n_tokens"),
+        sum("crosses").cast("long").as("n_crossers"))
+  }
+
   /** Stratified deterministic downsampling: keep a row iff
     * `md5(id) mod 100 < rate(stratum)` — membership is a pure function of
     * the id, so the sample is reproducible across runs, engines and

@@ -195,22 +195,12 @@ object Text {
     // packer sub-shards hot streams (lang, shard) and offsets bins by the
     // shard's token base — same plan, one more key column.
     "q98_sequence_packing" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val B = 512
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, dir)
+      // ONE packer implementation — the facade's packingAudit — so the
+      // judged query and the library API cannot drift
+      val docs = Tables.documents(s, dir)
         .select(col("lang"), col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .withColumn("cum", sum("n_tok").over(w))
-        .withColumn("bin", expr(s"(cum - n_tok) div $B"))
-        .withColumn("crosses",
-          when(expr(s"((cum - 1) div $B) > ((cum - n_tok) div $B)"), 1).otherwise(0))
-        .groupBy("lang", "bin")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum("n_tok").cast("long").as("n_tokens"),
-          sum("crosses").cast("long").as("n_crossers"))
+      graft.Graft.packingAudit(docs, budget = 512)
         .orderBy("lang", "bin")
     },
 

@@ -109,6 +109,28 @@ class PlanAuditSpec extends AnyFunSuite {
       "the 64-row vocabulary must broadcast to the scoring join")
   }
 
+  test("q98: the group-by reuses the window's lang partitioning (one exchange total)") {
+    // the packing audit windows over lang then aggregates on (lang, bin);
+    // HashPartitioning(lang) satisfies ClusteredDistribution(lang, bin), so
+    // EnsureRequirements must NOT insert a second data shuffle — the
+    // property that keeps the packer one-pass at corpus scale. (The final
+    // rangepartitioning exchange is the presentation ORDER BY, not data
+    // movement between operators.)
+    val p = plan("q98_sequence_packing")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1, s"expected exactly one hash exchange:\n${p.take(3000)}")
+  }
+
+  test("q97: both modality rankings broadcast their query side") {
+    // dense: 5 query vectors against the corpus; lexical: candidate pairs
+    // from the shingle equi-join. Neither ranking may shuffle the corpus
+    // against an unbroadcast build side, and fusion must stay hash-joined.
+    val p = plan("q97_hybrid_retrieval")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "expected a broadcast query side in the dense ranking")
+    assert(!p.contains("CartesianProduct"), "cartesian in the fusion plan")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // the 100 TB read-path feature for selective fact⋈dim joins that are
     // too big to broadcast: Catalyst injects a bloom_filter_agg on the
