@@ -74,6 +74,17 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("sess_start"),
         col("w.end").as("sess_end"), col("n_events"))
 
+  /** Stream-static enrichment: join (possibly streaming) events against a
+    * STATIC dimension and aggregate per tier. Structured Streaming plans
+    * the static side fresh each micro-batch (broadcast when small) — the
+    * standard enrich-on-ingest shape; no watermark needed because the
+    * static side never grows stale state.
+    */
+  def userTierCounts(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(userDim, "user_id")
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+
   /** T5: stateful dedup on event_id bounded by the watermark. */
   def dedupedEvents(events: DataFrame): DataFrame =
     eventTime(events)

@@ -63,6 +63,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length === batch.length && got.map(_.toString) === batch.map(_.toString))
   }
 
+  test("stream-static join: streamed events enriched against a static dim equal batch") {
+    import org.apache.spark.sql.functions._
+    val dim = Tables.events(spark, dir).select("user_id").distinct()
+      .withColumn("tier", pmod(col("user_id"), lit(3)).cast("int"))
+    val streamed = EventStreams.userTierCounts(
+      EventStreams.readEventStream(spark, dir), dim)
+    runToMemory(streamed, "tier_stream", "complete")
+    val got = spark.sql("SELECT * FROM tier_stream ORDER BY tier").collect()
+    val batch = EventStreams.userTierCounts(Tables.events(spark, dir), dim)
+      .orderBy("tier").collect()
+    assert(got.length === batch.length && got.map(_.toString) === batch.map(_.toString))
+  }
+
   test("T6: mapGroupsWithState running totals equal batch counts") {
     val streamed = EventStreams.statefulUserTotals(EventStreams.readEventStream(spark, dir))
     runToMemory(streamed, "state_stream", "update")
