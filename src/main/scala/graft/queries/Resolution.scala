@@ -464,10 +464,13 @@ object Resolution {
     // also in package Y" check, run catalog-wide: unordered package pairs
     // shipping at least one common path, minus pairs where either side
     // REPLACES the other (the takeover pattern makes the overlap legal).
-    // The self-join runs on the DISTINCT (name, path) projection, whose
-    // per-path multiplicity is bounded by the name universe — at 100 TB
-    // the q41-style df-cap on pathological shared paths (/usr/share/doc
-    // style) applies before the pair join.
+    // The self-join runs on the DISTINCT (name, path) projection, so
+    // per-path fan-out is bounded by the package-NAME universe, not the
+    // row count — it does not grow with data scale. On a catalog whose
+    // name universe is itself huge, pathological shared paths
+    // (/usr/share/doc style) would additionally need a q41-style df-cap
+    // before the pair join; the fixture's 60-name universe makes that cap
+    // unreachable here, so it is intentionally not applied.
     "q94_file_conflicts" -> { (s, dir) =>
       val f = Tables.files(s, dir).select("name", "path").distinct()
       val pairs = f.select(col("path"), col("name").as("n1"))
