@@ -264,6 +264,34 @@ object Text {
         .orderBy("lang")
     },
 
+    // Data-mixture audit — the per-source table a pretraining run is
+    // planned around: token share of the corpus, near-dup casualties
+    // (non-canonical cluster members q69 would drop), and the kept token
+    // mass that actually reaches training. Composes the memoized pair
+    // graph's clusters with token counting; the corpus total rides a
+    // broadcast single-row crossJoin (q58's anchor pattern — never a
+    // driver-side scalar).
+    "q101_data_mixture" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val cl = _root_.graft.Graft.dedupClusters(s, jaccardPairs(s, dir).select("d1", "d2"))
+      val flagged = docs
+        .join(cl.select(col("doc_id"), col("is_canonical")), Seq("doc_id"), "left")
+        .withColumn("dropped", when(col("is_canonical") === 0, 1).otherwise(0))
+      val tot = docs.agg(sum("n_tok").as("corpus_tokens"))
+      flagged.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("long").as("n_tokens"),
+          sum("dropped").cast("long").as("n_dup_dropped"),
+          sum(when(col("dropped") === 0, col("n_tok")).otherwise(0L)).cast("long").as("kept_tokens"))
+        .crossJoin(broadcast(tot))
+        .withColumn("token_share", col("n_tokens") / col("corpus_tokens"))
+        .select("source", "n_docs", "n_tokens", "token_share", "n_dup_dropped", "kept_tokens")
+        .orderBy("source")
+    },
+
     // Quality scoring: integer-scaled per-doc score (type-token ratio,
     // mean token length, stopword share), aggregated per source.
     "q47_quality_scores" -> { (s, dir) =>
@@ -477,6 +505,36 @@ object Text {
         | md5(array_to_string(chunk, ' ')) AS chunk_hash
         |FROM c
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q101_data_mixture" -> sub("""WITH RECURSIVE --SH--,
+        |--PAIRS--,
+        |good AS (
+        | SELECT d1, d2
+        | FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        | WHERE common / (s1.sz + s2.sz - common) >= 0.6),
+        |e AS (SELECT d1 AS a, d2 AS b FROM good UNION SELECT d2, d1 FROM good),
+        |nn AS (SELECT DISTINCT a AS id FROM e),
+        |r(id, comp) AS (
+        | SELECT id, id FROM nn
+        | UNION
+        | SELECT e.b, r.comp FROM e JOIN r ON e.a = r.id),
+        |cl AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM r GROUP BY id),
+        |t AS (
+        | SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        | FROM documents),
+        |f AS (
+        | SELECT t.source, t.n_tok,
+        |  CASE WHEN cl.doc_id IS NOT NULL AND cl.doc_id <> cl.cluster_id THEN 1 ELSE 0 END AS dropped
+        | FROM t LEFT JOIN cl ON cl.doc_id = t.doc_id),
+        |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS corpus_tokens FROM t)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        | CAST(sum(n_tok) AS BIGINT) / tot.corpus_tokens AS token_share,
+        | CAST(sum(dropped) AS BIGINT) AS n_dup_dropped,
+        | CAST(sum(CASE WHEN dropped = 0 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM f, tot
+        |GROUP BY source, tot.corpus_tokens
+        |ORDER BY source""".stripMargin),
 
     "q98_sequence_packing" ->
       """WITH t AS (

@@ -29,6 +29,22 @@ class IncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("q101 mixture table: shares sum to 1, drops equal q69's non-canonical members") {
+    val rows = SparkEntry.queries("q101_data_mixture")(spark, SparkTestHarness.Sf0001).collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"token shares must sum to 1, got $shareSum")
+    rows.foreach { r =>
+      assert(r.getLong(5) <= r.getLong(2), s"kept_tokens must not exceed n_tokens: $r")
+      assert(r.getLong(4) <= r.getLong(1), s"dropped docs must not exceed docs: $r")
+    }
+    val totalDropped = rows.map(_.getLong(4)).sum
+    val q69Dropped = SparkEntry.queries("q69_dedup_clusters")(spark, SparkTestHarness.Sf0001)
+      .collect().count(_.getInt(3) == 0)
+    assert(totalDropped === q69Dropped.toLong,
+      "mixture drop count must equal the cluster assignment's non-canonical members")
+  }
+
   test("q98 conserves token mass per language and bounds crossers") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q98_sequence_packing")(spark, SparkTestHarness.Sf0001).collect()
