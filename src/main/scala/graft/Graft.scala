@@ -245,18 +245,23 @@ object Graft {
       orderCol: String = "doc_id", nTokCol: String = "n_tok"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0, "need a positive token budget")
+    require(!Seq(streamCol, orderCol, nTokCol).exists(_.contains("`")),
+      "backticks in column names are not supported")
     val w = Window.partitionBy(streamCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // internal names prefixed so caller columns can't collide; identifiers
+    // backtick-quoted so arbitrary caller names (spaces, dots) work
     docs
-      .withColumn("cum", sum(nTokCol).over(w))
-      .withColumn("bin", expr(s"(cum - $nTokCol) div $budget"))
-      .withColumn("crosses",
-        when(expr(s"((cum - 1) div $budget) > ((cum - $nTokCol) div $budget)"), 1).otherwise(0))
-      .groupBy(streamCol, "bin")
+      .withColumn("__pack_cum", sum(col(nTokCol)).over(w))
+      .withColumn("__pack_bin", expr(s"(__pack_cum - `$nTokCol`) div $budget"))
+      .withColumn("__pack_crosses",
+        when(expr(s"((__pack_cum - 1) div $budget) > ((__pack_cum - `$nTokCol`) div $budget)"),
+          1).otherwise(0))
+      .groupBy(col(streamCol), col("__pack_bin").as("bin"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(nTokCol).cast("long").as("n_tokens"),
-        sum("crosses").cast("long").as("n_crossers"))
+        sum(col(nTokCol)).cast("long").as("n_tokens"),
+        sum("__pack_crosses").cast("long").as("n_crossers"))
   }
 
   /** Stratified deterministic downsampling: keep a row iff

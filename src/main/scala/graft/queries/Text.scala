@@ -279,14 +279,16 @@ object Text {
       val flagged = docs
         .join(cl.select(col("doc_id"), col("is_canonical")), Seq("doc_id"), "left")
         .withColumn("dropped", when(col("is_canonical") === 0, 1).otherwise(0))
-      val tot = docs.agg(sum("n_tok").as("corpus_tokens"))
-      flagged.groupBy("source")
+      val agged = flagged.groupBy("source")
         .agg(
           count(lit(1)).as("n_docs"),
           sum("n_tok").cast("long").as("n_tokens"),
           sum("dropped").cast("long").as("n_dup_dropped"),
           sum(when(col("dropped") === 0, col("n_tok")).otherwise(0L)).cast("long").as("kept_tokens"))
-        .crossJoin(broadcast(tot))
+      // corpus total = the sum of the 20 per-source rows, not a second
+      // corpus scan; the identical aggregate subtrees share one exchange
+      val tot = agged.agg(sum("n_tokens").as("corpus_tokens"))
+      agged.crossJoin(broadcast(tot))
         .withColumn("token_share", col("n_tokens") / col("corpus_tokens"))
         .select("source", "n_docs", "n_tokens", "token_share", "n_dup_dropped", "kept_tokens")
         .orderBy("source")

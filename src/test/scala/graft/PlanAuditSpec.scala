@@ -121,13 +121,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashExchanges === 1, s"expected exactly one hash exchange:\n${p.take(3000)}")
   }
 
-  test("q97: both modality rankings broadcast their query side") {
-    // dense: 5 query vectors against the corpus; lexical: candidate pairs
-    // from the shingle equi-join. Neither ranking may shuffle the corpus
-    // against an unbroadcast build side, and fusion must stay hash-joined.
+  test("q97: one intentional BNLJ (dense brute-force), lexical stages hash-joined, no cartesian") {
+    // dense: the 5-query brute-force side is the ONE BroadcastNestedLoopJoin
+    // (5-row broadcast build, same documented choice as q45); the lexical
+    // shingle/size joins must stay hash equi-joins; the full-outer fusion
+    // legitimately sort-merges per-query candidate sets (Spark cannot
+    // broadcast a full-outer side). A second BNLJ means a lexical or
+    // fusion join degenerated to per-row scans of the corpus.
     val p = plan("q97_hybrid_retrieval")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      "expected a broadcast query side in the dense ranking")
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj === 1, s"expected exactly the dense-side BNLJ, got $bnlj:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), "lexical candidate joins must be hash joins")
     assert(!p.contains("CartesianProduct"), "cartesian in the fusion plan")
   }
 
