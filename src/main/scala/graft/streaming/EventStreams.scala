@@ -85,6 +85,24 @@ object EventStreams {
       .groupBy("tier")
       .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
 
+  /** Stream-stream interval join: purchases attributed to a view by the
+    * same user within the preceding hour — q80's funnel edge in streaming
+    * form. BOTH sides carry watermarks and the join condition bounds the
+    * event-time range, so each side's buffered state is watermark-bounded
+    * (Spark drops view rows once no future purchase can match them).
+    * Inner join ⇒ matches emit as they arrive under append mode.
+    */
+  def viewToPurchase(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = eventTime(views).withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val p = eventTime(purchases).withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+    v.join(p, col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** T5: stateful dedup on event_id bounded by the watermark. */
   def dedupedEvents(events: DataFrame): DataFrame =
     eventTime(events)

@@ -76,6 +76,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length === batch.length && got.map(_.toString) === batch.map(_.toString))
   }
 
+  test("stream-stream interval join: view->purchase attribution equals batch") {
+    val sv = EventStreams.readEventStream(spark, dir).filter("event_type = 'view'")
+    val sp = EventStreams.readEventStream(spark, dir).filter("event_type = 'purchase'")
+    runToMemory(EventStreams.viewToPurchase(sv, sp), "ss_join_stream", "append")
+    val got = spark.sql(
+      "SELECT * FROM ss_join_stream ORDER BY user_id, view_ts, purchase_ts").collect()
+
+    val bv = Tables.events(spark, dir).filter("event_type = 'view'")
+    val bp = Tables.events(spark, dir).filter("event_type = 'purchase'")
+    val batch = EventStreams.viewToPurchase(bv, bp)
+      .orderBy("user_id", "view_ts", "purchase_ts").collect()
+    assert(batch.nonEmpty, "fixture must produce at least one attributed purchase")
+    assert(got.length === batch.length)
+    assert(got.map(_.toString) === batch.map(_.toString))
+  }
+
   test("T6: mapGroupsWithState running totals equal batch counts") {
     val streamed = EventStreams.statefulUserTotals(EventStreams.readEventStream(spark, dir))
     runToMemory(streamed, "state_stream", "update")
