@@ -525,6 +525,35 @@ object Resolution {
         .orderBy("license")
     },
 
+    // Ownership transitions across a release — for every shipped path,
+    // who owns it (q63's highest-version pick) BEFORE and AFTER the q67
+    // release diff (1-in-17 packages dropped, revisions bumped): the audit
+    // that predicts "file changed hands" surprises before an upgrade is
+    // committed. Owner-next re-ranks under the bumped revisions through
+    // the SAME version_sort_key the engine sorts by everywhere; the oracle
+    // re-derives both rankings from integer tuples.
+    "q102_owner_transitions" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      val fc = Tables.files(s, dir)
+      val ownC = fc.groupBy("path").agg(
+        countDistinct("name").as("n_owners_curr"),
+        expr("max_by(name, struct(version_sort_key(version), name))").as("owner_curr"))
+      val fn = fc.filter(pmod(col("pkg_id"), lit(17)) =!= 0)
+        .withColumn("version",
+          concat(substring_index(col("version"), "-r", 1), lit("-r"),
+            (pmod(col("pkg_id"), lit(5)) + 1 +
+              when(pmod(col("pkg_id"), lit(11)) === 0, 1).otherwise(0)).cast("string")))
+      val ownN = fn.groupBy("path").agg(
+        countDistinct("name").as("n_owners_next"),
+        expr("max_by(name, struct(version_sort_key(version), name))").as("owner_next"))
+      ownC.join(ownN, Seq("path"), "left")
+        .select(col("path"), col("n_owners_curr"),
+          coalesce(col("n_owners_next"), lit(0L)).as("n_owners_next"),
+          col("owner_curr"), col("owner_next"),
+          (col("owner_curr") =!= coalesce(col("owner_next"), lit(""))).cast("int").as("owner_changed"))
+        .orderBy("path")
+    },
+
     // Reverse provides: which real packages provide each virtual name
     // (the `apk info --who-provides` / rpm `whatprovides` view).
     "q65_reverse_provides" -> { (s, dir) =>
@@ -865,6 +894,36 @@ object Resolution {
         | CAST(sum(CASE WHEN depth <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_direct
         |FROM plan JOIN lr USING (name)
         |GROUP BY license ORDER BY license""".stripMargin),
+
+    "q102_owner_transitions" -> sub("""WITH --PKG--,
+        |f AS (
+        | SELECT k.pkg_id, k.name, k.vmaj, k.vmin, k.vpat, k.vrel,
+        |  '/usr/' || CASE ((k.pkg_id*31 + g.j*17) % 97) % 4
+        |    WHEN 0 THEN 'bin' WHEN 1 THEN 'lib' WHEN 2 THEN 'share' ELSE 'etc' END
+        |  || '/f' || lpad(CAST((k.pkg_id*31 + g.j*17) % 97 AS VARCHAR), 2, '0') AS path
+        | FROM pkg k JOIN range(6) g(j) ON g.j <= k.pkg_id % 4 + 1),
+        |oc AS (SELECT path, count(DISTINCT name) AS n_owners_curr FROM f GROUP BY path),
+        |occ AS (
+        | SELECT path, name AS owner_curr FROM f
+        | QUALIFY row_number() OVER (PARTITION BY path
+        |   ORDER BY vmaj DESC, vmin DESC, vpat DESC, vrel DESC, name DESC) = 1),
+        |fn AS (
+        | SELECT *, pkg_id % 5 + 1 + CASE WHEN pkg_id % 11 = 0 THEN 1 ELSE 0 END AS vrel2
+        | FROM f WHERE pkg_id % 17 <> 0),
+        |onx AS (SELECT path, count(DISTINCT name) AS n_owners_next FROM fn GROUP BY path),
+        |onc AS (
+        | SELECT path, name AS owner_next FROM fn
+        | QUALIFY row_number() OVER (PARTITION BY path
+        |   ORDER BY vmaj DESC, vmin DESC, vpat DESC, vrel2 DESC, name DESC) = 1)
+        |SELECT oc.path, oc.n_owners_curr,
+        | coalesce(onx.n_owners_next, 0) AS n_owners_next,
+        | occ.owner_curr, onc.owner_next,
+        | CAST(occ.owner_curr <> coalesce(onc.owner_next, '') AS INTEGER) AS owner_changed
+        |FROM oc
+        |JOIN occ USING (path)
+        |LEFT JOIN onx USING (path)
+        |LEFT JOIN onc USING (path)
+        |ORDER BY oc.path""".stripMargin),
 
     "q66_eco_version_order" -> sub("""WITH --PKG--,
         |v2 AS (

@@ -139,6 +139,23 @@ class ResolutionSpec extends AnyFunSuite {
     assert(roll.map(_.getLong(3)).sum <= roll.map(_.getLong(1)).sum)
   }
 
+  test("q102 owner_curr agrees with q63's owner pick on the /usr/bin subset") {
+    // same snapshot, same (version, name) max-by rule — two independent
+    // query formulations must name the same owner for every shared path
+    val q63 = SparkEntry.queries("q63_file_owner")(spark, SparkTestHarness.Sf0001)
+      .collect().map(r => r.getString(0) -> r.getAs[String]("owner_name")).toMap
+    val q102 = SparkEntry.queries("q102_owner_transitions")(spark, SparkTestHarness.Sf0001)
+      .collect().map(r => r.getString(0) -> r.getAs[String]("owner_curr")).toMap
+    assert(q63.nonEmpty)
+    q63.foreach { case (path, owner) =>
+      assert(q102.get(path).contains(owner), s"owner mismatch on $path")
+    }
+    // and the release must actually move some ownership
+    val changed = SparkEntry.queries("q102_owner_transitions")(spark, SparkTestHarness.Sf0001)
+      .collect().count(_.getAs[Int]("owner_changed") == 1)
+    assert(changed > 0, "fixture release must change at least one path's owner")
+  }
+
   test("reverse impact walks only satisfiable edges, transitively") {
     // A depends on X with a satisfiable range; B's '=' pin matches no
     // existing X version (pruned — B is NOT impacted); C reaches X only
