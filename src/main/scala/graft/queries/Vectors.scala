@@ -86,6 +86,45 @@ object Vectors {
     s"array(${per.mkString(",")})"
   }
 
+  /** q45's exact brute-force ranking (qid, rank, cid, cos) — also the
+    * ground truth q103 measures ANN recall against.
+    */
+  private def exactTopK(s: SparkSession, dir: String): DataFrame = {
+    val q = vecs(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nsq").as("na"))
+    val c = vecs(s, dir)
+      .select(col("vec_id").as("cid"), col("v").as("vb"), col("nsq").as("nb"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    c.join(broadcast(q), col("cid") =!= col("qid"))
+      .withColumn("cos", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("cos"))
+  }
+
+  /** q52's multi-probe LSH ranking (qid, rank, cid, bucket, cos). */
+  private def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    val bucketed = vecs(s, dir).withColumn("bucket", expr(bucketExpr))
+    val masks = (Seq(0L)
+      ++ (0 until Planes).map(i => 1L << i)
+      ++ (for { i <- 0 until Planes; j <- i + 1 until Planes } yield (1L << i) | (1L << j)))
+    val q = bucketed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nsq").as("na"),
+        col("bucket").as("qbucket"))
+      .withColumn("probe",
+        expr(s"explode(transform(array(${masks.map(_ + "L").mkString(",")}), m -> qbucket ^ m))"))
+    val c = bucketed
+      .select(col("vec_id").as("cid"), col("v").as("vb"), col("nsq").as("nb"),
+        col("bucket"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    c.join(broadcast(q),
+        col("bucket") === col("probe") && col("cid") =!= col("qid"))
+      .withColumn("cos", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("bucket").cast("long").as("bucket"), col("cos"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     // IVF-style ANN top-k — the second scale path next to q52's multi-probe
     // LSH (SURVEY.md §2.8 Vector: "IVF or LSH-bucketed variant"). Corpus
@@ -145,31 +184,33 @@ object Vectors {
     // (PlanAuditSpec pins the no-BNLJ shape). Probe ids are distinct per
     // query (distinct XOR masks), so no candidate dedup pass is needed.
     // On THIS corpus (no planted neighbors; max pairwise
-    // cosine ~0.5 = near-random) the measured tradeoff is recall@3 = 27%
-    // while scanning ~15% of the corpus; planes/probe-radius are the
-    // standard recall knobs when real near-neighbor structure exists.
+    // cosine ~0.5 = near-random) the tradeoff is recall@3 = 27% while
+    // scanning ~15% of the corpus — measured IN the engine and
+    // oracle-verified by q103, not hand-measured; planes/probe-radius are
+    // the standard recall knobs when real near-neighbor structure exists.
     "q52_ann_lsh_topk" -> { (s, dir) =>
-      val bucketed = vecs(s, dir).withColumn("bucket", expr(bucketExpr))
-      // 37 XOR masks of Hamming weight <= 2 over 8 plane bits
-      val masks = (Seq(0L)
-        ++ (0 until Planes).map(i => 1L << i)
-        ++ (for { i <- 0 until Planes; j <- i + 1 until Planes } yield (1L << i) | (1L << j)))
-      val q = bucketed.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("v").as("va"), col("nsq").as("na"),
-          col("bucket").as("qbucket"))
-        .withColumn("probe",
-          expr(s"explode(transform(array(${masks.map(_ + "L").mkString(",")}), m -> qbucket ^ m))"))
-      val c = bucketed
-        .select(col("vec_id").as("cid"), col("v").as("vb"), col("nsq").as("nb"),
-          col("bucket"))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-      c.join(broadcast(q),
-          col("bucket") === col("probe") && col("cid") =!= col("qid"))
-        .withColumn("cos", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("rank"), col("cid"), col("bucket").cast("long").as("bucket"), col("cos"))
-        .orderBy("qid", "rank")
+      lshTopK(s, dir).orderBy("qid", "rank")
+    },
+
+    // ANN quality measured IN the engine: recall@3 of the multi-probe LSH
+    // path (q52) against the exact baseline (q45), per query and overall —
+    // the number an ANN deployment monitors when tuning planes/probe
+    // radius. Self-measuring: both rankings are deterministic, so even the
+    // recall fraction is oracle-verified (no more hand-measured claims in
+    // comments). Top-3 sets are 5x3 rows — the comparison is
+    // presentation-sized regardless of corpus scale.
+    "q103_ann_recall" -> { (s, dir) =>
+      val exact = exactTopK(s, dir).select(col("qid"), col("cid"))
+      val ann = lshTopK(s, dir).select(col("qid"), col("cid"))
+      val hits = exact.join(ann, Seq("qid", "cid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("n_exact"),
+          (coalesce(col("n_hits"), lit(0L)) / col("n_exact")).as("recall"))
+        .orderBy("qid")
     },
 
     // Hybrid retrieval — reciprocal-rank fusion (RRF, k=60) of the dense
@@ -218,17 +259,7 @@ object Vectors {
 
     // Brute-force exact cosine top-k for a fixed query set (vec_id < 5).
     "q45_cosine_topk" -> { (s, dir) =>
-      val q = vecs(s, dir).filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("v").as("va"), col("nsq").as("na"))
-      val c = vecs(s, dir)
-        .select(col("vec_id").as("cid"), col("v").as("vb"), col("nsq").as("nb"))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-      c.join(broadcast(q), col("cid") =!= col("qid"))
-        .withColumn("cos", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("rank"), col("cid"), col("cos"))
-        .orderBy("qid", "rank")
+      exactTopK(s, dir).orderBy("qid", "rank")
     })
 
   /** DuckDB vector CTE with the same fold order as the Spark aggregates. */
@@ -305,6 +336,28 @@ object Vectors {
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE --DOT-- / (sqrt(a.nsq) * sqrt(b.nsq)) >= 0.4
         |ORDER BY a.label, d1, d2""".stripMargin),
+
+    "q103_ann_recall" -> sub("""WITH --VEC--,
+        |--BKT--,
+        |ex AS (
+        | SELECT qid, cid FROM (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |   row_number() OVER (PARTITION BY a.vec_id
+        |     ORDER BY --DOT-- / (sqrt(a.nsq) * sqrt(b.nsq)) DESC, b.vec_id) AS rank
+        |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) WHERE rank <= 3),
+        |an AS (
+        | SELECT qid, cid FROM (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |   row_number() OVER (PARTITION BY a.vec_id
+        |     ORDER BY --DOT-- / (sqrt(a.nsq) * sqrt(b.nsq)) DESC, b.vec_id) AS rank
+        |  FROM b a JOIN b b ON a.vec_id < 5 AND bit_count(xor(b.bucket, a.bucket)) <= 2 AND b.vec_id <> a.vec_id)
+        | WHERE rank <= 3),
+        |h AS (SELECT e.qid, count(*) AS n_hits FROM ex e JOIN an USING (qid, cid) GROUP BY e.qid),
+        |t AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid)
+        |SELECT t.qid, coalesce(h.n_hits, 0) AS n_hits, t.n_exact,
+        | coalesce(h.n_hits, 0) / t.n_exact AS recall
+        |FROM t LEFT JOIN h USING (qid)
+        |ORDER BY t.qid""".stripMargin),
 
     "q97_hybrid_retrieval" -> sub("""WITH --VEC--,
         |dense AS (
