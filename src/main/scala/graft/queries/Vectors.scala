@@ -102,6 +102,30 @@ object Vectors {
       .select(col("qid"), col("rank"), col("cid"), col("cos"))
   }
 
+  /** q73's IVF-cell ranking (qid, rank, cid, cell, cos) — also the probe
+    * set q104 measures recall against.
+    */
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val assigned = vecs(s, dir).withColumn("dots", expr(ivfDotsExpr))
+      .withColumn("cell", expr("cast(array_position(dots, array_max(dots)) as int)"))
+    val c = assigned
+      .select(col("vec_id").as("cid"), col("v").as("vb"), col("nsq").as("nb"), col("cell"))
+    val pw = Window.partitionBy("qid").orderBy(col("dot").desc, col("p"))
+    val probes = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nsq").as("na"),
+        posexplode(col("dots")).as(Seq("p", "dot")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= 2)
+      .select(col("qid"), col("va"), col("na"), (col("p") + 1).cast("int").as("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    c.join(broadcast(probes), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("cell"), col("cos"))
+  }
+
   /** q52's multi-probe LSH ranking (qid, rank, cid, bucket, cos). */
   private def lshTopK(s: SparkSession, dir: String): DataFrame = {
     val bucketed = vecs(s, dir).withColumn("bucket", expr(bucketExpr))
@@ -135,29 +159,29 @@ object Vectors {
     // the partition/bucket key: a probe touches nprobe/Cells of the corpus
     // and nothing else — no per-row distance test against non-probed
     // cells, no NLJ (covered by PlanAuditSpec's global cartesian sweep).
-    // Measured on THIS no-planted-neighbors corpus (sf0.01): recall@3 =
-    // 53% vs the exact q45 baseline while probing 2/8 cells (~25% of the
-    // corpus); nprobe and the codebook size are the standard recall knobs.
+    // On THIS no-planted-neighbors corpus (sf0.01): recall@3 = 53% vs the
+    // exact q45 baseline while probing 2/8 cells (~25% of the corpus) —
+    // measured in-engine and oracle-verified by q104; nprobe and the
+    // codebook size are the standard recall knobs.
     "q73_ann_ivf_topk" -> { (s, dir) =>
-      val assigned = vecs(s, dir).withColumn("dots", expr(ivfDotsExpr))
-        .withColumn("cell", expr("cast(array_position(dots, array_max(dots)) as int)"))
-      val c = assigned
-        .select(col("vec_id").as("cid"), col("v").as("vb"), col("nsq").as("nb"), col("cell"))
-      val pw = Window.partitionBy("qid").orderBy(col("dot").desc, col("p"))
-      val probes = assigned.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("v").as("va"), col("nsq").as("na"),
-          posexplode(col("dots")).as(Seq("p", "dot")))
-        .withColumn("pr", row_number().over(pw))
-        .filter(col("pr") <= 2)
-        .select(col("qid"), col("va"), col("na"), (col("p") + 1).cast("int").as("cell"))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-      c.join(broadcast(probes), Seq("cell"))
-        .filter(col("cid") =!= col("qid"))
-        .withColumn("cos", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("rank"), col("cid"), col("cell"), col("cos"))
-        .orderBy("qid", "rank")
+      ivfTopK(s, dir).orderBy("qid", "rank")
+    },
+
+    // IVF-path recall@3 against the exact baseline — q103's measurement for
+    // the second ANN scale path, so BOTH ANN variants carry an
+    // oracle-verified quality number instead of a comment claim.
+    "q104_ivf_recall" -> { (s, dir) =>
+      val exact = exactTopK(s, dir).select(col("qid"), col("cid"))
+      val ann = ivfTopK(s, dir).select(col("qid"), col("cid"))
+      val hits = exact.join(ann, Seq("qid", "cid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("n_exact"),
+          (coalesce(col("n_hits"), lit(0L)) / col("n_exact")).as("recall"))
+        .orderBy("qid")
     },
 
     // Embedding-cosine near-dup pairs, blocked by label (≈ LSH bucket).
@@ -336,6 +360,44 @@ object Vectors {
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE --DOT-- / (sqrt(a.nsq) * sqrt(b.nsq)) >= 0.4
         |ORDER BY a.label, d1, d2""".stripMargin),
+
+    "q104_ivf_recall" -> sub("""WITH --VEC--,
+        |dts AS (
+        | SELECT vec_id, v, nsq,
+        |  list_transform(range(0, 8), k ->
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i ->
+        |    v[i] * CAST(CAST(('0x' || substr(md5('ivf:' || CAST(k AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 - 500 AS DOUBLE))),
+        |   (s, x) -> s + x)) AS dots
+        | FROM n),
+        |cells AS (
+        | SELECT vec_id, v, nsq, CAST(list_position(dots, list_max(dots)) AS INTEGER) AS cell
+        | FROM dts),
+        |probes AS (
+        | SELECT qid, v, nsq, cell FROM (
+        |  SELECT d.vec_id AS qid, d.v, d.nsq, CAST(t.p + 1 AS INTEGER) AS cell,
+        |   row_number() OVER (PARTITION BY d.vec_id ORDER BY d.dots[t.p + 1] DESC, t.p) AS pr
+        |  FROM dts d CROSS JOIN range(0, 8) t(p)
+        |  WHERE d.vec_id < 5) WHERE pr <= 2),
+        |an AS (
+        | SELECT qid, cid FROM (
+        |  SELECT q.qid, c.vec_id AS cid,
+        |   row_number() OVER (PARTITION BY q.qid ORDER BY
+        |     list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> q.v[i] * c.v[i])), (s, x) -> s + x)
+        |       / (sqrt(q.nsq) * sqrt(c.nsq)) DESC, c.vec_id) AS rank
+        |  FROM cells c JOIN probes q ON c.cell = q.cell AND c.vec_id <> q.qid)
+        | WHERE rank <= 3),
+        |ex AS (
+        | SELECT qid, cid FROM (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |   row_number() OVER (PARTITION BY a.vec_id
+        |     ORDER BY --DOT-- / (sqrt(a.nsq) * sqrt(b.nsq)) DESC, b.vec_id) AS rank
+        |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) WHERE rank <= 3),
+        |h AS (SELECT e.qid, count(*) AS n_hits FROM ex e JOIN an USING (qid, cid) GROUP BY e.qid),
+        |t AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid)
+        |SELECT t.qid, coalesce(h.n_hits, 0) AS n_hits, t.n_exact,
+        | coalesce(h.n_hits, 0) / t.n_exact AS recall
+        |FROM t LEFT JOIN h USING (qid)
+        |ORDER BY t.qid""".stripMargin),
 
     "q103_ann_recall" -> sub("""WITH --VEC--,
         |--BKT--,
