@@ -157,8 +157,16 @@ object Graft {
     * contiguous and the gap case).
     */
   def scd2Merge(history: DataFrame, snapshot: DataFrame, k: Int): DataFrame = {
+    // loud in-plan guard: k must be strictly beyond every open interval —
+    // merging an already-covered snapshot would silently emit overlapping
+    // intervals, so the row itself raises instead (the open set is small;
+    // the check rides the existing scan, no extra pass)
     val cur = history.filter(col("is_current") === 1)
-      .select("pkg_id", "name", "version", "valid_from", "valid_to")
+      .select(col("pkg_id"), col("name"), col("version"), col("valid_from"),
+        when(col("valid_to") < lit(k), col("valid_to"))
+          .otherwise(raise_error(concat(
+            lit(s"scd2Merge: snapshot k=$k is not beyond open interval valid_to="),
+            col("valid_to").cast("string")))).as("valid_to"))
     val closed = history.filter(col("is_current") === 0)
     val snap = snapshot.select(col("pkg_id"),
       col("name").as("s_name"), col("version").as("s_version"))
@@ -272,7 +280,10 @@ object Graft {
     */
   def stratifiedSample(docs: DataFrame, rates: Map[String, Int], defaultRate: Int,
       stratumCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
-    val pct = expr(s"cast(conv(substring(md5(cast($idCol as string)), 1, 6), 16, 10) as int) % 100")
+    // column APIs, not string interpolation — arbitrary caller names
+    // (spaces, dots) resolve as identifiers instead of breaking the expr
+    val pct = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+      .cast("int") % 100
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (stratum, r)) =>
       when(col(stratumCol) === stratum, r).otherwise(acc)
     }

@@ -7,8 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (Array(sfDir, outDir), only) = (args.take(2), args.drop(2).toSet)
     // optional extra args = query-name filter (dev loop: verify a few
-    // queries without dumping all); the driver always passes exactly two
-    def keep(name: String): Boolean = only.isEmpty || only.exists(name.startsWith)
+    // queries without dumping all); the driver always passes exactly two.
+    // Exact names only — a trailing '*' opts into prefix matching, so
+    // 'q10' no longer surprise-selects q100–q104.
+    def keep(name: String): Boolean = only.isEmpty || only.exists {
+      case p if p.endsWith("*") => name.startsWith(p.dropRight(1))
+      case p                    => name == p
+    }
     // default to the full box (32 hw threads); the driver can pin
     // parallelism with SPARK_GRAFT_CPUS
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

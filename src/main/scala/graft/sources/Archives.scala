@@ -71,7 +71,11 @@ object ArchiveCodec {
   val FastPathBytes: Int = 16 * 1024 * 1024
 
   // ---- per-thread codec contexts (task threads are pooled; one native
-  // context per thread amortizes to zero) ------------------------------------
+  // context per thread amortizes to zero). Deliberately never end()/closed:
+  // the native memory pinned is bounded by the executor's task-thread count
+  // (a few KB × cores), and Spark task pools live for the executor's
+  // lifetime. If this ever runs on a churning thread pool, swap
+  // ThreadLocal.withInitial for a closing variant keyed on thread death. ----
 
   private val zstdC = ThreadLocal.withInitial[ZstdCompressCtx](() => new ZstdCompressCtx().setLevel(3))
   private val zstdD = ThreadLocal.withInitial[ZstdDecompressCtx](() => new ZstdDecompressCtx())

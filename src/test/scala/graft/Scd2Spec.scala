@@ -106,4 +106,20 @@ class Scd2Spec extends AnyFunSuite {
       m.exists(o => o._1 == iv._1 && o._3 == iv._3 && o._4 == 5 && o._6 == 1)),
       "no stable-version interval split by the presence gap")
   }
+
+  test("merging a snapshot the history already covers fails loudly") {
+    // k=3 is not beyond the open intervals' valid_to=3 — instead of
+    // silently emitting overlapping intervals, the in-plan guard raises.
+    val dir = SparkTestHarness.Sf0001
+    val snaps03 = (0 to 3).map(graft.queries.Packages.snapshotK(spark, dir, _))
+      .reduce(_.unionByName(_))
+    val snap3 = graft.queries.Packages.snapshotK(spark, dir, 3)
+      .select("pkg_id", "name", "version")
+    val ex = intercept[Exception] {
+      Graft.scd2Merge(Graft.scd2History(snaps03, 3), snap3, 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("scd2Merge")), s"unexpected error: $ex")
+  }
 }
