@@ -290,6 +290,65 @@ object Graft {
     docs.filter(pct < rate)
   }
 
+  /** Trigram inverted-index substring search — pkg2's search-box semantics
+    * (SURVEY.md §2.2 P3) made sublinear at corpus scale. A naive
+    * `LIKE '%needle%'` scan reads every byte of a 100 TB corpus per query;
+    * the trigram index instead prunes to documents containing the needle's
+    * rarest `probeTrigrams` trigrams (pg_trgm's design: a superset of true
+    * matches, since trigram containment loses adjacency) and verifies
+    * `contains` on the candidates only. The result is IDENTICAL to the
+    * naive scan — which is exactly what the independent oracle runs.
+    *
+    * Plan shape: postings (doc × distinct trigram, map-only explode) are
+    * pruned to needle trigrams via broadcast before both aggregations, so
+    * the shuffled volume is proportional to the needle trigrams' posting
+    * lists, never the corpus; the df-ranked probe set keeps the hottest
+    * trigrams (" th"-class boilerplate keys) out of the candidate join.
+    * At 100 TB the postings frame is the persisted index artifact
+    * (bucketed by trigram) and queries touch only the probed lists; a
+    * needle trigram ABSENT from the corpus (df 0) stays in the probe set
+    * — it proves zero matches for free. Needles must be >= 3 chars.
+    */
+  def substringSearch(docs: DataFrame, needles: Seq[String], probeTrigrams: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(needles.nonEmpty && needles.forall(_.length >= 3),
+      "substringSearch needles must each be >= 3 chars")
+    require(probeTrigrams > 0, "need a positive probe-trigram budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val text = col(textCol)
+    // distinct character trigrams per document — the inverted index
+    val postings = docs
+      .filter(length(text) >= 3)
+      .select(col(idCol).as("__doc"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(text) - 2),
+          i => text.substr(i, lit(3))))).as("__tri"))
+    val ntri = needles.map(n => (n, n.sliding(3).toSeq.distinct)).toDF("needle", "__tris")
+      .select(col("needle"), explode(col("__tris")).as("__tri"))
+    // document frequency of the NEEDLE trigrams only (broadcast prune —
+    // the df pass never shuffles non-matching postings)
+    val dfreq = postings.join(broadcast(ntri.select("__tri").distinct()), "__tri")
+      .groupBy("__tri").agg(count(lit(1)).as("__df"))
+    // rarest-k probe set per needle; corpus-absent trigrams rank first
+    val probe = ntri.join(dfreq, Seq("__tri"), "left")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("needle").orderBy(coalesce(col("__df"), lit(0L)).asc, col("__tri"))))
+      .filter(col("__rk") <= probeTrigrams)
+      .select("needle", "__tri")
+    val need = probe.groupBy("needle").agg(count(lit(1)).as("__need"))
+    val candidates = postings.join(broadcast(probe), "__tri")
+      .groupBy(col("needle"), col("__doc")).agg(count(lit(1)).as("__got"))
+      .join(broadcast(need), "needle")
+      .filter(col("__got") === col("__need"))
+      .select("needle", "__doc")
+    candidates
+      .join(docs.select(col(idCol).as("__doc"), text.as("__text")), "__doc")
+      .filter(col("__text").contains(col("needle")))
+      .select(col("needle"), col("__doc").as(idCol))
+  }
+
   /** Near-dup cluster assignment from a pair list (columns d1, d2):
     * (doc_id, cluster_id, is_canonical) via connected components; keep the
     * canonical row per cluster to deduplicate a corpus.

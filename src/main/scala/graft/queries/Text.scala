@@ -294,6 +294,29 @@ object Text {
         .orderBy("source")
     },
 
+    // P3 search-box semantics at corpus scale (SURVEY.md §2.2): trigram
+    // inverted-index substring search. The index prunes to docs holding
+    // the needle's rarest trigrams, then verifies `contains` on candidates
+    // only — the oracle runs the NAIVE full scan, so the judged match is
+    // proof the index path returns exactly the scan's answer. The needle
+    // set includes a reversed phrase ('batch merge fast') whose trigrams
+    // all exist in the corpus — candidates without the verify step would
+    // be wrong — and phrases of varying selectivity.
+    "q105_trigram_search" -> { (s, dir) =>
+      import s.implicits._
+      val needles = Seq("batch merge fast", "fast merge batch", "scan query",
+        "value table part", "window data")
+      val m = _root_.graft.Graft.substringSearch(Tables.documents(s, dir), needles)
+      val agg = m.groupBy("needle").agg(
+        count(lit(1)).as("n_docs"),
+        array_join(transform(slice(sort_array(collect_list(col("doc_id"))), 1, 5),
+          _.cast("string")), ",").as("sample_docs"))
+      needles.toDF("needle").join(agg, Seq("needle"), "left")
+        .select(col("needle"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("sample_docs"), lit("")).as("sample_docs"))
+        .orderBy("needle")
+    },
+
     // Quality scoring: integer-scaled per-doc score (type-token ratio,
     // mean token length, stopword share), aggregated per source.
     "q47_quality_scores" -> { (s, dir) =>
@@ -537,6 +560,21 @@ object Text {
         |FROM f, tot
         |GROUP BY source, tot.corpus_tokens
         |ORDER BY source""".stripMargin),
+
+    "q105_trigram_search" ->
+      """WITH needles(needle) AS (VALUES ('batch merge fast'), ('fast merge batch'),
+        | ('scan query'), ('value table part'), ('window data')),
+        |m AS (
+        | SELECT n.needle, d.doc_id
+        | FROM needles n JOIN documents d ON contains(d.text, n.needle)),
+        |a AS (
+        | SELECT needle, count(*) AS n_docs,
+        |  array_to_string((list_sort(list(doc_id)))[1:5], ',') AS sample_docs
+        | FROM m GROUP BY needle)
+        |SELECT n.needle, CAST(COALESCE(a.n_docs, 0) AS BIGINT) AS n_docs,
+        | COALESCE(a.sample_docs, '') AS sample_docs
+        |FROM needles n LEFT JOIN a USING (needle)
+        |ORDER BY needle""".stripMargin,
 
     "q98_sequence_packing" ->
       """WITH t AS (

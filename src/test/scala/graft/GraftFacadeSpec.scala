@@ -141,6 +141,37 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(reassembled.toSeq === (1 to 80).map(i => s"t$i"))
   }
 
+  test("substringSearch returns exactly the naive contains-scan answer") {
+    val docs = Tables.documents(spark, dir)
+    val needles = Seq("batch merge fast", "scan query", "window data", "zz zz zz")
+    val got = Graft.substringSearch(docs, needles)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = needles.flatMap { n =>
+      docs.filter(col("text").contains(n)).select("doc_id")
+        .collect().map(r => (n, r.getLong(0)))
+    }.toSet
+    assert(got === want)
+    assert(got.nonEmpty, "needle set should match at least one doc")
+  }
+
+  test("substringSearch verification kills trigram false positives") {
+    import spark.implicits._
+    // doc 1 contains every trigram of 'abcdef' (via 'abcd' and 'cdef')
+    // but not the substring itself — index candidates alone would be wrong
+    val docs = Seq((1L, "xx abcd yy cdef zz"), (2L, "zz abcdef zz"))
+      .toDF("doc_id", "text")
+    val r = Graft.substringSearch(docs, Seq("abcdef"), probeTrigrams = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(r === Set(2L))
+  }
+
+  test("substringSearch rejects sub-trigram needles") {
+    val docs = Tables.documents(spark, dir)
+    intercept[IllegalArgumentException] {
+      Graft.substringSearch(docs, Seq("ok", "abc"))
+    }
+  }
+
   test("exactDupGroups agrees with the distinct-text count") {
     val docs = Tables.documents(spark, dir)
     val g = Graft.exactDupGroups(docs)
