@@ -189,6 +189,18 @@ object Graft {
     closed.unionByName(extended).unionByName(closedNow).unionByName(opened)
   }
 
+  /** Time-travel read of an SCD2 history: the catalog exactly as of
+    * snapshot k ("what did the repo look like at release k" — the read
+    * side of scd2History/scd2Merge). A validity-interval filter, map-only:
+    * no shuffle, and at 100 TB it prunes to the interval-covering rows
+    * before anything else touches them. Reading THROUGH the history
+    * returns byte-identical rows to re-deriving the raw snapshot — q106's
+    * oracle proves it by doing exactly that re-derivation.
+    */
+  def asOf(history: DataFrame, k: Int): DataFrame =
+    history.filter(col("valid_from") <= lit(k) && col("valid_to") >= lit(k))
+      .select("pkg_id", "name", "version")
+
   /** Reverse dependencies: who depends on each package. */
   def reverseDeps(edges: DataFrame): DataFrame =
     edges.select(col("dep").as("name"), col("name").as("rdep"))

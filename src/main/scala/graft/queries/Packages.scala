@@ -95,6 +95,17 @@ object Packages {
         .orderBy("pkg_id", "valid_from")
     },
 
+    // Time-travel read (the flip side of q89's history build): the catalog
+    // as of snapshot 2, read THROUGH the SCD2 validity intervals. The
+    // oracle never touches the history — it re-derives snapshot 2 straight
+    // from the raw arithmetic — so the hash match proves interval reads
+    // reproduce the original snapshot exactly (the time-travel guarantee).
+    "q106_asof_read" -> { (s, dir) =>
+      val hist = Graft.scd2History(
+        (0 to 3).map(snapshotK(s, dir, _)).reduce(_.unionByName(_)), 3)
+      Graft.asOf(hist, 2).orderBy("pkg_id")
+    },
+
     // P5 constraint predicate + A5 per group — versions satisfying >= 2.6.0-r1.
     "q31_version_constraint_stats" -> { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
@@ -220,6 +231,14 @@ object Packages {
         |FROM i
         |GROUP BY pkg_id, island
         |ORDER BY pkg_id, valid_from""".stripMargin),
+
+    "q106_asof_read" -> sub("""WITH --PKG--
+        |SELECT pkg_id, name,
+        | CAST(vmaj AS VARCHAR) || '.' || CAST(vmin AS VARCHAR) || '.' || CAST(vpat AS VARCHAR)
+        |   || '-r' || CAST(1 + (pkg_id + 2 * (pkg_id % 3)) % 5 AS VARCHAR) AS version
+        |FROM pkg
+        |WHERE (pkg_id + 2) % 23 <> 0
+        |ORDER BY pkg_id""".stripMargin),
 
     "q31_version_constraint_stats" -> sub("""WITH --PKG--,
         |mx AS (SELECT arch, version AS max_version FROM pkg

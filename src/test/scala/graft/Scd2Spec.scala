@@ -107,6 +107,21 @@ class Scd2Spec extends AnyFunSuite {
       "no stable-version interval split by the presence gap")
   }
 
+  test("asOf(k) through the history equals the raw snapshot for every k") {
+    val dir = SparkTestHarness.Sf0001
+    val hist = Graft.scd2History(
+      (0 to 3).map(graft.queries.Packages.snapshotK(spark, dir, _))
+        .reduce(_.unionByName(_)), 3)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    (0 to 3).foreach { k =>
+      val viaHistory = collect(Graft.asOf(hist, k))
+      val direct = collect(graft.queries.Packages.snapshotK(spark, dir, k)
+        .select("pkg_id", "name", "version"))
+      assert(viaHistory === direct, s"asOf($k) diverges from the raw snapshot")
+    }
+  }
+
   test("merging a snapshot the history already covers fails loudly") {
     // k=3 is not beyond the open intervals' valid_to=3 — instead of
     // silently emitting overlapping intervals, the in-plan guard raises.
