@@ -294,6 +294,30 @@ object Text {
         .orderBy("source")
     },
 
+    // Corpus-level boilerplate mining (the exact-substring-dedup signal of
+    // Lee et al.'s "Deduplicating Training Data" line of work, reshaped
+    // for a distributed engine): every positional token 8-gram, counted
+    // across the corpus; grams appearing in >1 document are boilerplate /
+    // near-dup evidence (page headers, license blurbs, templates). One
+    // map-only generator explode then ONE shuffle on the gram; partial
+    // aggregation absorbs within-partition repeats, and the final top-20
+    // is TakeOrderedAndProject, never a full sort. At 100 TB you'd key the
+    // shuffle on a 64-bit gram hash and df-cap the hot tail exactly like
+    // q41's shingle cap; the fixture's gram domain needs neither.
+    "q107_boilerplate_ngrams" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 8)
+      docs.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("toks")) - 7),
+            i => array_join(slice(col("toks"), i, lit(8)), " "))).as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
+        .limit(20)
+    },
+
     // P3 search-box semantics at corpus scale (SURVEY.md §2.2): trigram
     // inverted-index substring search. The index prunes to docs holding
     // the needle's rarest trigrams, then verifies `contains` on candidates
@@ -560,6 +584,17 @@ object Text {
         |FROM f, tot
         |GROUP BY source, tot.corpus_tokens
         |ORDER BY source""".stripMargin),
+
+    "q107_boilerplate_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        | SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+        | FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+        | WHERE len(toks) >= 8)
+        |SELECT gram, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+        |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+        |ORDER BY n_docs DESC, n_occ DESC, gram
+        |LIMIT 20""".stripMargin,
 
     "q105_trigram_search" ->
       """WITH needles(needle) AS (VALUES ('batch merge fast'), ('fast merge batch'),

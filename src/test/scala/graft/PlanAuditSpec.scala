@@ -163,6 +163,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q105: index probes broadcast; the posting join never nested-loops") {
+    // the substring-search candidate path must stay proportional to the
+    // probed posting lists: needle trigrams, probe set, and need counts
+    // all broadcast into hash joins against the postings — a sort-merge or
+    // nested loop there means the index stopped pruning.
+    val p = plan("q105_trigram_search")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast probe joins")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q105 probe degenerated:\n${p.take(2000)}")
+  }
+
+  test("q107: corpus-wide top-20 plans as TakeOrderedAndProject, one gram shuffle") {
+    val p = plan("q107_boilerplate_ngrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 grams must not be a full global sort")
+    assert(!p.contains("Join"), "gram mining needs no join")
+  }
+
   test("no judged query plans a CartesianProduct") {
     // q45 intentionally uses BroadcastNestedLoopJoin with a 5-row build
     // side (exact brute-force baseline); cartesian (unbroadcast NLJ over
