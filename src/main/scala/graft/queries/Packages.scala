@@ -80,6 +80,39 @@ object Packages {
         .orderBy("name")
     },
 
+    // Repo pinning — apt_preferences candidate selection: the same package
+    // name is served by several repos (stable/updates/backports, derived
+    // deterministically from pkg_id), each with a pin priority; the
+    // installer's candidate is the highest-PIN version, with the version
+    // ORDER breaking ties only within a priority tier — so a newer
+    // backports version loses to an older stable one (`pin_overrode`
+    // marks exactly those names). One hash aggregation: both picks are
+    // max_by over struct sort keys (pin, version_sort_key, pkg_id) riding
+    // the native comparator — no window, no second shuffle.
+    "q108_repo_pinning" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      // repo keyed on pkg_id div 60 — the per-name version counter — so a
+      // name's versions SPREAD across repos (pkg_id % k for k | 60 would
+      // pin each name to one repo and make the query degenerate)
+      val idx = (pmod(expr("pkg_id div 60"), lit(3)) + 1).cast("int")
+      val r = Tables.packages(s, dir)
+        .withColumn("repo", element_at(
+          array(lit("stable"), lit("updates"), lit("backports")), idx))
+        .withColumn("pin", element_at(array(lit(990), lit(500), lit(100)), idx))
+      r.groupBy("name")
+        .agg(
+          expr("max_by(struct(version, repo), struct(pin, version_sort_key(version), pkg_id))").as("cand"),
+          expr("max_by(version, struct(version_sort_key(version), pkg_id))").as("newest_version"),
+          countDistinct("repo").as("n_repos"))
+        .select(col("name"),
+          col("cand.version").as("candidate_version"),
+          col("cand.repo").as("candidate_repo"),
+          col("newest_version"),
+          (col("cand.version") =!= col("newest_version")).cast("int").as("pin_overrode"),
+          col("n_repos"))
+        .orderBy("name")
+    },
+
     // SCD2 version history — the "what did the repo look like at release
     // k" dimension a package database keeps: four successive snapshots of
     // the packages view (snapshot 0 = current; later ones retire every
@@ -207,6 +240,27 @@ object Packages {
         |FROM pkg p JOIN ranked r ON p.name = r.name AND r.rn = 1
         |GROUP BY p.name, r.version
         |ORDER BY p.name""".stripMargin),
+
+    "q108_repo_pinning" -> sub("""WITH --PKG--,
+        |r AS (
+        | SELECT p.*,
+        |  CASE (pkg_id // 60) % 3 WHEN 0 THEN 'stable' WHEN 1 THEN 'updates' ELSE 'backports' END AS repo,
+        |  CASE (pkg_id // 60) % 3 WHEN 0 THEN 990 WHEN 1 THEN 500 ELSE 100 END AS pin
+        | FROM pkg p),
+        |c AS (
+        | SELECT name, version AS candidate_version, repo AS candidate_repo
+        | FROM r QUALIFY row_number() OVER (PARTITION BY name
+        |   ORDER BY pin DESC, vmaj DESC, vmin DESC, vpat DESC, vrel DESC, pkg_id DESC) = 1),
+        |nw AS (
+        | SELECT name, version AS newest_version
+        | FROM r QUALIFY row_number() OVER (PARTITION BY name
+        |   ORDER BY vmaj DESC, vmin DESC, vpat DESC, vrel DESC, pkg_id DESC) = 1),
+        |nr AS (SELECT name, count(DISTINCT repo) AS n_repos FROM r GROUP BY name)
+        |SELECT c.name, c.candidate_version, c.candidate_repo, nw.newest_version,
+        | CAST(c.candidate_version <> nw.newest_version AS INTEGER) AS pin_overrode,
+        | nr.n_repos
+        |FROM c JOIN nw USING (name) JOIN nr USING (name)
+        |ORDER BY c.name""".stripMargin),
 
     "q89_scd2_history" -> sub("""WITH --PKG--,
         |snaps AS (
