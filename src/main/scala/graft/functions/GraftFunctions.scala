@@ -153,6 +153,61 @@ case class ArrayDot(left: Expression, right: Expression)
   override def prettyName: String = "array_dot"
 }
 
+/** Static core of `token_ngrams` — all space-delimited token n-grams of a
+  * string. Because grams re-join with the SAME separator the text was
+  * tokenized on, gram i is the contiguous substring from token i's first
+  * char to token (i+n-1)'s last: ONE boundary scan and m substring copies,
+  * no token-array materialization, no per-position slice/array_join (the
+  * equivalent higher-order-function pipeline evaluates its lambda
+  * interpreted per position and benched ~2x slower on q107). Tokens are
+  * maximal non-space runs — consecutive separators yield no empty tokens.
+  */
+object NgramCore {
+  def tokenNgrams(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val len = str.length
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < len) {
+      if (str.charAt(i) != ' ') {
+        starts.add(i)
+        while (i < len && str.charAt(i) != ' ') i += 1
+        ends.add(i)
+      } else i += 1
+    }
+    val m = math.max(starts.size - n + 1, 0)
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      out(j) = UTF8String.fromString(str.substring(starts.get(j), ends.get(j + n - 1)))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `token_ngrams(text, n)` → array<string> of positional token n-grams —
+  * the corpus-mining kernel (q107 boilerplate detection, shingle-family
+  * preprocessing). Codegen'd static call like the other graft expressions.
+  */
+case class TokenNgrams(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(t: Any, n: Any): Any =
+    NgramCore.tokenNgrams(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.functions.NgramCore.tokenNgrams($t, $n);")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): TokenNgrams =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "token_ngrams"
+}
+
 /** Registration: both an idempotent per-session helper (works whatever
   * session the driver hands us) and the `SparkSessionExtensions` injection
   * path (`spark.sql.extensions=graft.GraftExtensions`) — the Spark-native
@@ -201,6 +256,9 @@ object GraftFunctions {
     ("array_dot",
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       (args: Seq[Expression]) => ArrayDot(args(0), args(1))),
+    ("token_ngrams",
+      new ExpressionInfo(classOf[TokenNgrams].getName, "token_ngrams"),
+      (args: Seq[Expression]) => TokenNgrams(args(0), args(1))),
     ("parse_constraint",
       new ExpressionInfo(classOf[ParseConstraint].getName, "parse_constraint"),
       (args: Seq[Expression]) => ParseConstraint(args.head)),

@@ -301,16 +301,17 @@ object Text {
     // near-dup evidence (page headers, license blurbs, templates). One
     // map-only generator explode then ONE shuffle on the gram; partial
     // aggregation absorbs within-partition repeats, and the final top-20
-    // is TakeOrderedAndProject, never a full sort. At 100 TB you'd key the
-    // shuffle on a 64-bit gram hash and df-cap the hot tail exactly like
-    // q41's shingle cap; the fixture's gram domain needs neither.
+    // is TakeOrderedAndProject, never a full sort. Gram construction is
+    // the codegen'd `token_ngrams` expression (one boundary scan + m
+    // contiguous substrings — the HOF transform/slice/array_join pipeline
+    // evaluates interpreted and benched ~2x slower). At 100 TB you'd key
+    // the shuffle on a 64-bit gram hash and df-cap the hot tail exactly
+    // like q41's shingle cap; the fixture's gram domain needs neither.
     "q107_boilerplate_ngrams" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 8)
-      docs.select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("toks")) - 7),
-            i => array_join(slice(col("toks"), i, lit(8)), " "))).as("gram"))
+      _root_.graft.functions.GraftFunctions.ensureRegistered(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(call_function("token_ngrams", col("text"), lit(8))).as("gram"))
         .groupBy("gram")
         .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
         .filter(col("n_docs") > 1)

@@ -41,6 +41,7 @@ class ExpressionsSpec extends AnyFunSuite {
     // the extensions injector exposes exactly the same function names
     assert(GraftFunctions.all.map(_._1).toSet ===
       Set("version_compare", "version_sort_key", "array_dot", "parse_constraint",
+        "token_ngrams",
         "archive_format", "archive_members", "archive_extract", "archive_inspect",
         "tar_archive"))
   }
@@ -56,6 +57,29 @@ class ExpressionsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
     val nulls = spark.sql("SELECT array_dot(NULL, array(1.0D)) AS a").head()
     assert(nulls.isNullAt(0))
+  }
+
+  test("token_ngrams equals the split/slice/array_join pipeline on real docs") {
+    GraftFunctions.ensureRegistered(spark)
+    val rows = Tables.documents(spark, SparkTestHarness.Sf0001)
+      .selectExpr(
+        "token_ngrams(text, 8) AS fast",
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 7, 0)),
+          |  i -> array_join(slice(split(text, ' '), i, 8), ' ')) AS ref""".stripMargin)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
+  test("token_ngrams edge cases: short docs, exact length, null") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      """SELECT token_ngrams('a b c', 4) AS short,
+        |  token_ngrams('a b c', 3) AS exact,
+        |  token_ngrams(NULL, 3) AS n""".stripMargin).head()
+    assert(r.getSeq[String](0) === Seq.empty)
+    assert(r.getSeq[String](1) === Seq("a b c"))
+    assert(r.isNullAt(2))
   }
 
   test("sort by version_sort_key orders a DataFrame by version semantics") {
