@@ -107,6 +107,17 @@ class Scd2Spec extends AnyFunSuite {
       "no stable-version interval split by the presence gap")
   }
 
+  test("one-scan snapshots(maxK) equals the unioned per-k snapshot derivation") {
+    val dir = SparkTestHarness.Sf0001
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3))).toSet
+    val oneScan = collect(graft.queries.Packages.snapshots(spark, dir, 3))
+    val unioned = collect((0 to 3).map(graft.queries.Packages.snapshotK(spark, dir, _))
+      .reduce(_.unionByName(_)))
+    assert(oneScan === unioned)
+  }
+
   test("asOf(k) through the history equals the raw snapshot for every k") {
     val dir = SparkTestHarness.Sf0001
     val hist = Graft.scd2History(
