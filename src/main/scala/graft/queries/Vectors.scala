@@ -281,6 +281,29 @@ object Vectors {
         .orderBy("qid", "rank")
     },
 
+    // Semantic-clustering coherence audit over the IVF cells — the check a
+    // semantic-dedup / curation pipeline runs on its coarse quantizer: per
+    // cell, population, majority label, and purity (majority share). Low
+    // purity means the codebook under-fits and near-dup candidates leak
+    // across cells. Two hash aggregations ((cell,label) then cell) plus a
+    // width-8 window — all tiny because the cell/label domain is fixed; at
+    // 100 TB the per-(cell,label) partial counts absorb the corpus
+    // map-side and ONLY the 80-row summary shuffles twice. Purity is a raw
+    // IEEE division of exact counts (house parity rule).
+    "q109_cell_purity" -> { (s, dir) =>
+      val assigned = vecs(s, dir).withColumn("dots", expr(ivfDotsExpr))
+        .withColumn("cell", expr("cast(array_position(dots, array_max(dots)) as int)"))
+      val byLabel = assigned.groupBy("cell", "label").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("cell").orderBy(col("n").desc, col("label"))
+      val top = byLabel.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("cell"), col("label").as("top_label"), col("n").as("top_label_n"))
+      val sizes = byLabel.groupBy("cell").agg(sum("n").as("n_vecs"))
+      top.join(sizes, "cell")
+        .select(col("cell"), col("n_vecs"), col("top_label"), col("top_label_n"),
+          (col("top_label_n") / col("n_vecs")).as("purity"))
+        .orderBy("cell")
+    },
+
     // Brute-force exact cosine top-k for a fixed query set (vec_id < 5).
     "q45_cosine_topk" -> { (s, dir) =>
       exactTopK(s, dir).orderBy("qid", "rank")
@@ -315,6 +338,27 @@ object Vectors {
       | FROM n)""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q109_cell_purity" -> sub("""WITH --VEC--,
+        |dts AS (
+        | SELECT vec_id, label,
+        |  list_transform(range(0, 8), k ->
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i ->
+        |    v[i] * CAST(CAST(('0x' || substr(md5('ivf:' || CAST(k AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 - 500 AS DOUBLE))),
+        |   (s, x) -> s + x)) AS dots
+        | FROM n),
+        |cells AS (
+        | SELECT vec_id, label, CAST(list_position(dots, list_max(dots)) AS INTEGER) AS cell
+        | FROM dts),
+        |bl AS (SELECT cell, label, count(*) AS n FROM cells GROUP BY cell, label),
+        |top AS (
+        | SELECT cell, label AS top_label, n AS top_label_n
+        | FROM bl QUALIFY row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) = 1),
+        |sz AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_vecs FROM bl GROUP BY cell)
+        |SELECT t.cell, s.n_vecs, t.top_label, t.top_label_n,
+        | t.top_label_n / s.n_vecs AS purity
+        |FROM top t JOIN sz s USING (cell)
+        |ORDER BY t.cell""".stripMargin),
+
     "q73_ann_ivf_topk" -> sub("""WITH --VEC--,
         |dts AS (
         | SELECT vec_id, v, nsq,
