@@ -302,6 +302,27 @@ object Graft {
     docs.filter(pct < rate)
   }
 
+  /** Skew-salted equi-join — the general form of the hot-key guards the
+    * dedup family applies (q41's df-cap, q42's bucket cap). When one join
+    * key carries a disproportionate share of the big side, a plain shuffle
+    * join lands the entire key on ONE reducer; salting spreads it: the big
+    * side gets a deterministic salt in [0, salts) hashed from `saltBy`
+    * (any high-cardinality column — the row id), the small side replicates
+    * once per salt value, and the join key becomes (key, salt).
+    * Row-identical to the plain join (GraftFacadeSpec pins it); only the
+    * partitioning changes. Reach for it when the small side is too big to
+    * broadcast AND AQE's skew split can't help (e.g. the skewed exchange
+    * is pinned by a downstream aggregation's distribution requirement).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, saltBy: String,
+      salts: Int = 32): DataFrame = {
+    require(salts > 0, "need a positive salt count")
+    val b = big.withColumn("__salt",
+      pmod(xxhash64(col(saltBy)), lit(salts)).cast("int"))
+    val sm = small.withColumn("__salt", explode(expr(s"sequence(0, ${salts - 1})")))
+    b.join(sm, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Trigram inverted-index substring search — pkg2's search-box semantics
     * (SURVEY.md §2.2 P3) made sublinear at corpus scale. A naive
     * `LIKE '%needle%'` scan reads every byte of a 100 TB corpus per query;

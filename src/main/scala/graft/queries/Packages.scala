@@ -144,6 +144,21 @@ object Packages {
         .orderBy("pkg_id", "valid_from")
     },
 
+    // The INCREMENTAL history path, judged end-to-end: snapshots 0..3 are
+    // rebuilt (q89's backfill), then snapshot 4 arrives and is MERGED —
+    // one full-join shuffle of the open-interval set against the arrival,
+    // the steady-state operation at 100 TB where re-reading every past
+    // release per arrival is unaffordable. The oracle knows nothing of the
+    // merge: it rebuilds the full five-snapshot gaps-and-islands history
+    // in SQL, so the hash match proves merge == rebuild on real data (the
+    // Scd2Spec cases pin the gap/bump/extend transitions individually).
+    "q110_scd2_merge" -> { (s, dir) =>
+      val merged = Graft.scd2Merge(
+        Graft.scd2History(snapshots(s, dir, 3), 3),
+        snapshotK(s, dir, 4).select("pkg_id", "name", "version"), 4)
+      merged.orderBy("pkg_id", "valid_from")
+    },
+
     // Time-travel read (the flip side of q89's history build): the catalog
     // as of snapshot 2, read THROUGH the SCD2 validity intervals. The
     // oracle never touches the history — it re-derives snapshot 2 straight
@@ -297,6 +312,30 @@ object Packages {
         |SELECT pkg_id, max(name) AS name, max(version) AS version,
         | min(snap) AS valid_from, max(snap) AS valid_to,
         | CAST(CASE WHEN max(snap) = 3 THEN 1 ELSE 0 END AS INTEGER) AS is_current
+        |FROM i
+        |GROUP BY pkg_id, island
+        |ORDER BY pkg_id, valid_from""".stripMargin),
+
+    "q110_scd2_merge" -> sub("""WITH --PKG--,
+        |snaps AS (
+        | SELECT pkg_id, name,
+        |  CAST(vmaj AS VARCHAR) || '.' || CAST(vmin AS VARCHAR) || '.' || CAST(vpat AS VARCHAR)
+        |    || '-r' || CAST(1 + (pkg_id + g.k * (pkg_id % 3)) % 5 AS VARCHAR) AS version,
+        |  CAST(g.k AS INTEGER) AS snap
+        | FROM pkg, range(5) g(k)
+        | WHERE (pkg_id + g.k) % 23 <> 0),
+        |w AS (
+        | SELECT *, CASE WHEN lag(version) OVER pw IS NULL
+        |   OR lag(version) OVER pw <> version
+        |   OR lag(snap) OVER pw + 1 <> snap THEN 1 ELSE 0 END AS brk
+        | FROM snaps WINDOW pw AS (PARTITION BY pkg_id ORDER BY snap)),
+        |i AS (
+        | SELECT *, sum(brk) OVER (PARTITION BY pkg_id ORDER BY snap
+        |   ROWS UNBOUNDED PRECEDING) AS island
+        | FROM w)
+        |SELECT pkg_id, max(name) AS name, max(version) AS version,
+        | min(snap) AS valid_from, max(snap) AS valid_to,
+        | CAST(CASE WHEN max(snap) = 4 THEN 1 ELSE 0 END AS INTEGER) AS is_current
         |FROM i
         |GROUP BY pkg_id, island
         |ORDER BY pkg_id, valid_from""".stripMargin),

@@ -172,6 +172,26 @@ class GraftFacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoin equals the plain join and spreads the key across salts") {
+    val docs = Tables.documents(spark, dir)
+    val dim = docs.groupBy("lang").agg(avg("n_chars").as("lang_avg"))
+    val conf = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "-1") // the skew scenario: small side unbroadcastable
+      val salted = Graft.saltedJoin(docs, dim, "lang", "doc_id", salts = 8)
+      val plain = docs.join(dim, "lang")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "lang", "lang_avg")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(rows(salted) === rows(plain))
+      // the exchange must carry the salt: 5 hot lang keys spread over 40
+      // (key, salt) combinations instead of 5 reducers
+      val p = salted.queryExecution.executedPlan.toString
+      assert(p.contains("__salt"), s"salt column absent from the plan:\n${p.take(1500)}")
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("exactDupGroups agrees with the distinct-text count") {
     val docs = Tables.documents(spark, dir)
     val g = Graft.exactDupGroups(docs)
