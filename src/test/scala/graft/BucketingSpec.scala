@@ -3,57 +3,48 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Bucketed tables co-locate join keys at WRITE time so the join runs with
-  * no shuffle at READ time — the 100 TB answer for repeated fact-fact
-  * joins (SURVEY.md §1.2 "co-located joins via bucketing"). The assertion
-  * is on the physical plan: a SortMergeJoin over two bucketed scans must
-  * contain NO shuffle Exchange.
+/** The co-located join lever (SURVEY.md §2.3 scale notes: "bucketing for
+  * co-located joins"): two tables bucketed AND sorted on the join key join
+  * with ZERO data exchanges — at 100 TB, pre-bucketing the fact tables on
+  * their join keys turns every recurring key join from a full shuffle into
+  * a partition-local merge. Spark's bucketed scan is a catalog property of
+  * saved tables, so this is exercised through saveAsTable into a temp
+  * external location (judged queries read raw fixture parquet, which
+  * carries no bucket metadata — the lever is a deployment choice, pinned
+  * here so the engine is known to deliver it when the layout provides it).
   */
 class BucketingSpec extends AnyFunSuite {
   private lazy val spark = SparkTestHarness.spark
   private val dir = SparkTestHarness.Sf0001
 
-  test("join over co-bucketed tables plans without a shuffle exchange") {
-    // tables land in the default ./spark-warehouse (gitignored);
-    // warehouse.dir is a static conf and cannot be set per-test.
-    // Force the non-broadcast path so the exchange question is real
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+  test("bucketed+sorted tables join with zero exchanges and match the plain join") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket_").toFile
+    val conf = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(conf)
     try {
+      spark.conf.set(conf, "-1") // force the shuffle-join scenario bucketing removes
       Tables.orders(spark, dir)
-        .write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("orders_b")
-      Tables.lineitem(spark, dir)
-        .select("l_orderkey", "l_quantity", "l_extendedprice")
-        .write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("lineitem_b")
-
-      val joined = spark.table("lineitem_b")
-        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
-
-      val plan = joined.queryExecution.executedPlan.toString
-      val joinSection = plan.split("HashAggregate").last // below the final agg
-      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
-        s"expected a shuffle-family join:\n${plan.take(1500)}")
-      // the join inputs are bucketed scans: no Exchange between join and scans
-      val exchangesInJoin = "Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r
-        .findAllIn(plan).length
-      assert(exchangesInJoin === 0,
-        s"join over co-bucketed tables still shuffles:\n${plan.take(2500)}")
-      // and the result is correct vs the plain join
-      val expected = Tables.lineitem(spark, dir)
-        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-        .count()
-      assert(spark.table("lineitem_b")
-        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey")).count() === expected)
+        .write.mode("overwrite").option("path", s"$tmp/orders_b")
+        .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("graft_orders_b")
+      Tables.customer(spark, dir).select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").option("path", s"$tmp/cust_b")
+        .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("graft_cust_b")
+      val j = spark.table("graft_orders_b").join(spark.table("graft_cust_b"), "o_custkey")
+      j.collect() // finalize the adaptive plan before auditing it
+      val p = j.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!p.contains("Exchange"),
+        s"bucketed join still exchanges data:\n${p.take(2000)}")
+      val plain = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      assert(j.count() === plain.count(), "bucketed join changed the result")
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS orders_b")
-      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_cust_b")
+      spark.conf.set(conf, prev)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
     }
   }
 }
