@@ -302,6 +302,35 @@ object Graft {
     docs.filter(pct < rate)
   }
 
+  /** AS-OF join through the engine's own Catalyst operator
+    * (graft.plans.AsOfJoin → AsOfJoinExec): for each left row, the right
+    * row with the greatest `rightTime <= leftTime` within the same key;
+    * left rows with no candidate drop (inner semantics). One shuffle per
+    * side (co-partition on the key), partition-local forward merge, O(1)
+    * state — see the operator's scaladoc for why this beats the window
+    * form at scale. Keys and time columns must be non-null; output carries
+    * left columns then right columns, so rename collisions away upfront.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    plans.AsOfJoinStrategy.ensure(spark)
+    require((left.columns.toSet & right.columns.toSet).isEmpty,
+      "as-of join output would carry duplicate column names — rename first")
+    // re-alias the right side so self-derived inputs (both sides filtered
+    // from the same scan) get fresh attribute ids in the joined output
+    val r = right.select(right.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column '$n' on the as-of join input"))
+    val plan = plans.AsOfJoin(lPlan, rPlan,
+      Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
+      attr(lPlan, leftTime), attr(rPlan, rightTime))
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, plan)
+  }
+
   /** Skew-salted equi-join — the general form of the hot-key guards the
     * dedup family applies (q41's df-cap, q42's bucket cap). When one join
     * key carries a disproportionate share of the big side, a plain shuffle

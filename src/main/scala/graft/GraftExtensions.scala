@@ -12,8 +12,11 @@ import graft.functions.GraftFunctions
   * `GraftFunctions.ensureRegistered`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // the engine's whole-operator extension: plans graft.plans.AsOfJoin
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

@@ -115,6 +115,27 @@ object Events {
         .orderBy("event_id")
     },
 
+    // The SAME as-of semantics as q23, but through the engine's own
+    // Catalyst operator (graft.plans.AsOfJoin: custom LogicalPlan +
+    // Strategy + SparkPlan — SURVEY.md §2 extension path (c)) instead of
+    // the window workaround: co-partition both event streams on user_id,
+    // one forward merge per partition, O(1) state. Judged against DuckDB's
+    // NATIVE ASOF JOIN — the custom operator is verified by an engine that
+    // implements the semantics independently.
+    "q111_asof_custom" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("view_ts")).distinct()
+      _root_.graft.Graft.asofJoin(purchases, views, "user_id", "v_user", "ts", "view_ts")
+        .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+          col("view_ts").as("last_view_ts"),
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("view_ts").cast("timestamp"))).as("view_to_buy_us"))
+        .orderBy("event_id")
+    },
+
     // W2 lag/lead — inter-event gap stats per event type.
     "q24_inter_event_gaps" -> { (s, dir) =>
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -227,6 +248,15 @@ object Events {
         |ORDER BY user_id, sess_id""".stripMargin,
 
     "q23_purchase_asof_view" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        | CAST(v.ts AS TIMESTAMP) AS last_view_ts,
+        | epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) AS view_to_buy_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'view') v
+        | ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q111_asof_custom" ->
       """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
         | CAST(v.ts AS TIMESTAMP) AS last_view_ts,
         | epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) AS view_to_buy_us
