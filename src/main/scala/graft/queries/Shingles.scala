@@ -21,10 +21,14 @@ import graft.Tables
 object Shingles {
   def frame(s: SparkSession, dir: String): DataFrame =
     Memo.memoized("shingles", s, dir) {
+      // shingle construction is the codegen'd token_ngrams kernel (one
+      // boundary scan per doc); ExpressionsSpec pins it equal to the
+      // split/slice/concat HOF pipeline it replaced, so every oracle that
+      // re-derives shingles from string ops still hash-matches
+      graft.functions.GraftFunctions.ensureRegistered(s)
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          expr("explode(array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
-            "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))))").as("sh"))
+          explode(array_distinct(call_function("token_ngrams", col("text"), lit(3)))).as("sh"))
         .withColumn("hk", expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)"))
     }
 
