@@ -45,6 +45,42 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("composite keys: matches the brute-force model on (k1, k2)") {
+    import spark.implicits._
+    val trip = Gen.zip(Gen.choose(0L, 3L), Gen.oneOf("a", "b"), Gen.choose(0L, 30L))
+    val gen = Gen.zip(Gen.listOf(trip), Gen.listOf(trip))
+    (0 until 10).foreach { i =>
+      val (l, r0) = gen(Gen.Parameters.default, Seed(100L + i)).getOrElse((Nil, Nil))
+      val r = r0.distinct
+      val left = l.zipWithIndex.map { case ((k1, k2, t), j) => (j.toLong, k1, k2, t) }
+        .toDF("lid", "k1", "k2", "t")
+      val right = r.toDF("rk1", "rk2", "rt")
+      val got = plansAsOf(left, right)
+        .select("lid", "rt").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val want = l.zipWithIndex.flatMap { case ((k1, k2, t), j) =>
+        val cand = r.filter(p => p._1 == k1 && p._2 == k2 && p._3 <= t)
+        if (cand.isEmpty) None else Some((j.toLong, cand.map(_._3).max))
+      }.toSet
+      assert(got === want, s"seed ${100 + i}: composite-key as-of diverges")
+    }
+  }
+
+  /** Two-key as-of through the logical node directly (the facade's single
+    * string-key signature is a convenience; the operator is N-key).
+    */
+  private def plansAsOf(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.plans.AsOfJoinStrategy.ensure(spark)
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark,
+      graft.plans.AsOfJoin(lp, rp,
+        Seq(a(lp, "k1"), a(lp, "k2")), Seq(a(rp, "rk1"), a(rp, "rk2")),
+        a(lp, "t"), a(rp, "rt")))
+  }
+
   test("unmatched keys drop; empty right side yields empty result") {
     import spark.implicits._
     val left = Seq((1L, 10L, 5L), (2L, 20L, 5L), (3L, 10L, 2L)).toDF("lid", "k", "t")
