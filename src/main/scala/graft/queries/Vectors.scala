@@ -304,6 +304,53 @@ object Vectors {
         .orderBy("cell")
     },
 
+    // Per-label embedding centroids + cohesion — the mean-pooling /
+    // class-centroid operator every embedding pipeline runs (pooled doc
+    // vectors, k-means update step, per-class cohesion QA). Element sums
+    // are DECIMAL-exact (order-independent — a double sum would be
+    // partition-order nondeterministic and break parity; q60's house
+    // trick), divided in double only at the end; the centroid array is
+    // reassembled pos-ordered so every subsequent fold (norm, member
+    // cosines) runs left-to-right in the same order as the oracle's
+    // list_reduce. Plan: one posexplode + (label, pos) aggregation —
+    // 64 partial sums per label absorb the corpus map-side — then a
+    // broadcast of the 10 centroids back to the members for cohesion.
+    "q112_label_centroids" -> { (s, dir) =>
+      val base = vecs(s, dir)
+      // each element → exact int64 BINARY fixed-point (floor(x * 2^24))
+      // BEFORE summing: scaling by a power of two is exact in IEEE doubles
+      // and floor is exact, so the per-element integer is bit-identical on
+      // both engines — unlike a decimal(_,k) cast, where a float32 that is
+      // an odd multiple of 2^-(k+1) ties and Spark (half-up) and DuckDB
+      // (half-even) round APART (the fixture really contains one:
+      // -0.27392578125). Integer sums are order-independent, and the final
+      // mean divides two exactly-represented integers — one correctly
+      // rounded IEEE op, identical everywhere.
+      val sums = base
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(sum(floor(col("x") * lit(16777216.0))).as("sxn"), count(lit(1)).as("nn"))
+      val cent = sums
+        .select(col("label"), col("pos"),
+          (col("sxn").cast("double") /
+            (col("nn") * lit(16777216L)).cast("double")).as("c"), col("nn"))
+        .groupBy("label")
+        .agg(
+          expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cv"),
+          max("nn").as("n_vecs"))
+      val cohesion = base.join(broadcast(cent), "label")
+        .withColumn("cos",
+          expr("array_dot(v, cv)") / (sqrt(col("nsq")) * sqrt(expr("array_dot(cv, cv)"))))
+        .groupBy("label")
+        .agg((sum(floor(col("cos") * lit(1099511627776.0))).cast("double") /
+          (count(lit(1)) * lit(1099511627776L)).cast("double"))
+          .as("mean_cos_to_centroid"))
+      cent.select(col("label"), col("n_vecs"),
+          sqrt(expr("array_dot(cv, cv)")).as("centroid_norm"))
+        .join(cohesion, "label")
+        .orderBy("label")
+    },
+
     // Brute-force exact cosine top-k for a fixed query set (vec_id < 5).
     "q45_cosine_topk" -> { (s, dir) =>
       exactTopK(s, dir).orderBy("qid", "rank")
@@ -338,6 +385,37 @@ object Vectors {
       | FROM n)""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q112_label_centroids" -> sub("""WITH --VEC--,
+        |pe AS (
+        | SELECT label, CAST(i - 1 AS INTEGER) AS pos, v[CAST(i AS INTEGER)] AS x
+        | FROM n, range(1, 65) t(i)),
+        |sums AS (
+        | SELECT label, pos,
+        |  CAST(sum(CAST(floor(x * 16777216) AS BIGINT)) AS BIGINT) AS sxn,
+        |  count(*) AS nn
+        | FROM pe GROUP BY label, pos),
+        |cent AS (
+        | SELECT label,
+        |  list(CAST(sxn AS DOUBLE) / CAST(nn * 16777216 AS DOUBLE) ORDER BY pos) AS cv,
+        |  max(nn) AS n_vecs
+        | FROM sums GROUP BY label),
+        |cn AS (
+        | SELECT label, cv, n_vecs,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> cv[i] * cv[i])), (s, x) -> s + x) AS cnsq
+        | FROM cent),
+        |coh AS (
+        | SELECT m.label,
+        |  CAST(CAST(sum(CAST(floor(
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> m.v[i] * c.cv[i])), (s, x) -> s + x)
+        |     / (sqrt(m.nsq) * sqrt(c.cnsq)) * 1099511627776) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |   / CAST(count(*) * 1099511627776 AS DOUBLE) AS mean_cos_to_centroid
+        | FROM n m JOIN cn c USING (label)
+        | GROUP BY m.label)
+        |SELECT c.label, CAST(c.n_vecs AS BIGINT) AS n_vecs, sqrt(c.cnsq) AS centroid_norm,
+        | coh.mean_cos_to_centroid
+        |FROM cn c JOIN coh USING (label)
+        |ORDER BY c.label""".stripMargin),
+
     "q109_cell_purity" -> sub("""WITH --VEC--,
         |dts AS (
         | SELECT vec_id, label,
