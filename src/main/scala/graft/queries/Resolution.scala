@@ -230,6 +230,62 @@ object Resolution {
         .orderBy("name", "spec")
     },
 
+    // Joint constraint satisfiability — the SAT primitive under a
+    // dependency solver: a virtual name is installable only if ONE
+    // provider version satisfies EVERY dependent's constraint at once
+    // (q64 checks each spec in isolation; coexistence is the harder
+    // question an installer actually answers). Two tiers are reported:
+    // the RANGE intersection (all >=/< constraints — the classic version
+    // range) with its best pick, and the full joint including '='
+    // (upstream-prefix pin, apt `Pin: version X.Y.0` style). The fixture's
+    // constraint sets pin '=3.x' against '<2.x' on every virtual name, so
+    // n_joint_ok = 0 across the board — a real conflict the engine (and
+    // the independent oracle) both detect, while the range tier varies.
+    "q113_joint_constraints" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      val con = Tables.dependsSpecs(s, dir)
+        .select(expr("parse_constraint(spec)").as("c"))
+        .select(col("c.name").as("cname"), col("c.op").as("cop"), col("c.ver").as("cver"))
+        .filter(col("cop") =!= "")
+      val nCon = con.groupBy("cname").agg(
+        count(lit(1)).as("n_constraints"),
+        sum(when(col("cop") =!= "=", 1L).otherwise(0L)).as("n_range_con"))
+      val cand = Tables.provides(s, dir)
+        .select(col("provides_name").as("cname"), col("name").as("provider"))
+        .join(con.select("cname").distinct(), Seq("cname"), "left_semi")
+        .join(Tables.packages(s, dir).select(col("name").as("provider"), col("version")).distinct(),
+          Seq("provider"))
+      val nCand = cand.groupBy("cname").agg(count(lit(1)).as("n_candidates"))
+      val sat = cand.join(con, "cname")
+        .withColumn("cmp", expr("version_compare(version, cver)"))
+        .withColumn("ok",
+          (col("cop") === ">=" && col("cmp") >= 0) ||
+          (col("cop") === "<" && col("cmp") < 0) ||
+          (col("cop") === "=" &&
+            substring_index(col("version"), "-r", 1) === col("cver")))
+        .groupBy("cname", "provider", "version")
+        .agg(
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("ok") && col("cop") =!= "=", 1L).otherwise(0L)).as("n_ok_range"))
+        .join(nCon, "cname")
+      val rangeAgg = sat.filter(col("n_ok_range") === col("n_range_con"))
+        .groupBy("cname").agg(
+          count(lit(1)).as("n_range_ok"),
+          expr("max_by(struct(provider, version), struct(version_sort_key(version), provider, version))").as("b"))
+      val jointAgg = sat.filter(col("n_ok") === col("n_constraints"))
+        .groupBy("cname").agg(count(lit(1)).as("n_joint_ok"))
+      nCon.join(nCand, "cname")
+        .join(rangeAgg, Seq("cname"), "left")
+        .join(jointAgg, Seq("cname"), "left")
+        .select(col("cname"), col("n_constraints"), col("n_candidates"),
+          coalesce(col("n_range_ok"), lit(0L)).as("n_range_ok"),
+          coalesce(col("n_joint_ok"), lit(0L)).as("n_joint_ok"),
+          coalesce(col("b.provider"), lit("")).as("best_range_provider"),
+          coalesce(col("b.version"), lit("")).as("best_range_version"),
+          (coalesce(col("n_range_ok"), lit(0L)) > 0).cast("int").as("range_satisfiable"))
+        .orderBy("cname")
+    },
+
     // End-to-end install plan — the reference's signature operation
     // (SURVEY.md §3.1 entry point 3): BFS from a seed package where every
     // hop resolves constraint strings through provides and keeps only
@@ -690,6 +746,58 @@ object Resolution {
         |FROM joined
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin),
+
+    "q113_joint_constraints" -> sub("""WITH --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |con AS (SELECT cname, cop, cmaj, cmin FROM specs WHERE cop <> ''),
+        |ncon AS (
+        | SELECT cname, count(*) AS n_constraints,
+        |  sum(CASE WHEN cop <> '=' THEN 1 ELSE 0 END) AS n_range_con
+        | FROM con GROUP BY cname),
+        |cand AS (
+        | SELECT DISTINCT c.cname, p.provider, k.version, k.vmaj, k.vmin, k.vpat, k.vrel
+        | FROM (SELECT DISTINCT cname FROM con) c
+        | JOIN prov p ON p.provides_name = c.cname
+        | JOIN pkg k ON k.name = p.provider),
+        |ncand AS (SELECT cname, count(*) AS n_candidates FROM cand GROUP BY cname),
+        |evalc AS (
+        | SELECT c.cname, c.provider, c.version, c.vmaj, c.vmin, c.vpat, c.vrel, s.cop,
+        |  CASE s.cop
+        |   WHEN '>=' THEN (c.vmaj, c.vmin, c.vpat) >= (s.cmaj, s.cmin, 0)
+        |   WHEN '<'  THEN (c.vmaj, c.vmin, c.vpat) < (s.cmaj, s.cmin, 0)
+        |   WHEN '='  THEN (c.vmaj, c.vmin, c.vpat) = (s.cmaj, s.cmin, 0)
+        |   ELSE FALSE END AS ok
+        | FROM cand c JOIN con s USING (cname)),
+        |agg AS (
+        | SELECT cname, provider, version, vmaj, vmin, vpat, vrel,
+        |  sum(CASE WHEN ok THEN 1 ELSE 0 END) AS n_ok,
+        |  sum(CASE WHEN ok AND cop <> '=' THEN 1 ELSE 0 END) AS n_ok_range
+        | FROM evalc GROUP BY 1, 2, 3, 4, 5, 6, 7),
+        |range_ok AS (
+        | SELECT a.* FROM agg a JOIN ncon n USING (cname)
+        | WHERE a.n_ok_range = n.n_range_con),
+        |joint AS (
+        | SELECT a.* FROM agg a JOIN ncon n USING (cname)
+        | WHERE a.n_ok = n.n_constraints),
+        |rcnt AS (SELECT cname, count(*) AS n_range_ok FROM range_ok GROUP BY cname),
+        |jcnt AS (SELECT cname, count(*) AS n_joint_ok FROM joint GROUP BY cname),
+        |bestpick AS (
+        | SELECT cname, provider AS best_range_provider, version AS best_range_version
+        | FROM range_ok
+        | QUALIFY row_number() OVER (PARTITION BY cname
+        |   ORDER BY vmaj DESC, vmin DESC, vpat DESC, vrel DESC, provider DESC, version DESC) = 1)
+        |SELECT n.cname, n.n_constraints, c.n_candidates,
+        | COALESCE(rcnt.n_range_ok, 0) AS n_range_ok,
+        | COALESCE(jcnt.n_joint_ok, 0) AS n_joint_ok,
+        | COALESCE(b.best_range_provider, '') AS best_range_provider,
+        | COALESCE(b.best_range_version, '') AS best_range_version,
+        | CAST(COALESCE(rcnt.n_range_ok, 0) > 0 AS INTEGER) AS range_satisfiable
+        |FROM ncon n JOIN ncand c USING (cname)
+        |LEFT JOIN rcnt USING (cname) LEFT JOIN jcnt USING (cname)
+        |LEFT JOIN bestpick b USING (cname)
+        |ORDER BY n.cname""".stripMargin),
 
     "q68_install_plan" -> sub("""WITH RECURSIVE --IDX--,
         |--PKG--,
