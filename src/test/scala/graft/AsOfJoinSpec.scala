@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -93,6 +94,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     val none = Graft.asofJoin(left, Seq.empty[(Long, Long)].toDF("rk", "rt"),
       "k", "rk", "t", "rt")
     assert(none.count() === 0L)
+  }
+
+  test("mismatched pre-partitioning re-co-partitions instead of mis-zipping") {
+    import spark.implicits._
+    // left arrives already hash-partitioned on the key with a partition
+    // count different from the session default: EnsureRequirements must
+    // re-co-partition (or align) the sides — a silent zip of misaligned
+    // partitions would drop matches
+    val l = (0L until 40L).map(i => (i, i % 7, i % 13)).toDF("lid", "k", "t")
+      .repartition(7, col("k"))
+    val r = (0L until 60L).map(i => (i % 7, i % 11)).distinct.toDF("rk", "rt")
+      .repartition(3, col("rk"))
+    val got = Graft.asofJoin(l, r, "k", "rk", "t", "rt")
+      .select("lid", "rt").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = (0L until 40L).flatMap { i =>
+      val (k, t) = (i % 7, i % 13)
+      val cand = (0L until 60L).map(j => (j % 7, j % 11)).distinct
+        .filter(p => p._1 == k && p._2 <= t)
+      if (cand.isEmpty) None else Some((i, cand.map(_._2).max))
+    }.toSet
+    assert(got === want)
   }
 
   test("the operator plans itself: AsOfJoin node present, no Window") {
