@@ -38,7 +38,11 @@ object Ingest {
         lit("P:"), col("name"),
         lit("|V:"), col("version"),
         lit("|A:"), col("arch"),
-        lit("|S:"), col("size_mb").cast("string")).as("value"))
+        lit("|S:"), col("size_mb").cast("string"),
+        // record id rides the stanza like APKINDEX's extra keys — it is
+        // what lets a physically-landed snapshot MERGE into the pkg_id-
+        // keyed SCD2 history (IngestSpec's release-arrival lifecycle)
+        lit("|I:"), col("pkg_id").cast("string")).as("value"))
 
   /** Parse raw index lines into typed package records. */
   def parseIndex(raw: DataFrame): DataFrame =
@@ -46,7 +50,9 @@ object Ingest {
       regexp_extract(col("value"), "P:([^|]+)", 1).as("name"),
       regexp_extract(col("value"), "V:([^|]+)", 1).as("version"),
       regexp_extract(col("value"), "A:([^|]+)", 1).as("arch"),
-      regexp_extract(col("value"), "S:([^|]+)", 1).cast("long").as("size_mb"))
+      regexp_extract(col("value"), "S:([^|]+)", 1).cast("long").as("size_mb"),
+      // absent on foreign indexes → null, exactly like any open-map extra
+      regexp_extract(col("value"), "I:([^|]+)", 1).cast("long").as("pkg_id"))
       .withColumn("distro", lit("graftlinux"))
 
   /** Full pipeline: render → (write/read text cache) → parse → partitioned

@@ -55,6 +55,28 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("release-arrival lifecycle: physical snapshot ingest → merge → asOf reads the arrival") {
+    // the whole steady-state story in one pass: a history through release
+    // 3 exists; release 4 arrives through the REAL ingest path (render →
+    // text → parse → snapshot=4 partition → pruned read-back), merges
+    // incrementally, and time-travel reads return exactly the landed
+    // snapshot for k=4 while older reads stay untouched.
+    val out = Files.createTempDirectory("graft_lifecycle").toString
+    val hist = Graft.scd2History(queries.Packages.snapshots(spark, dir, 3), 3)
+    val arrival = queries.Packages.snapshotK(spark, dir, 4)
+      .join(Tables.packages(spark, dir).select("pkg_id", "arch", "size_mb"), "pkg_id")
+    Ingest.runSnapshotOf(arrival, out, 4L)
+    val landed = Ingest.latestSnapshot(spark, out).select("pkg_id", "name", "version")
+    val merged = Graft.scd2Merge(hist, landed, 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows(Graft.asOf(merged, 4)) === rows(landed),
+      "asOf(4) through the merged history diverges from the landed snapshot")
+    assert(rows(Graft.asOf(merged, 2)) ===
+      rows(queries.Packages.snapshotK(spark, dir, 2).select("pkg_id", "name", "version")),
+      "merging release 4 perturbed the history before it")
+  }
+
   test("arch filter prunes partitions at the scan") {
     val out = Files.createTempDirectory("graft_ingest2").toString
     val loaded = Ingest.run(spark, dir, out)
