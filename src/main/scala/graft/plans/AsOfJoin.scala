@@ -87,6 +87,10 @@ case class AsOfJoinExec(
     rightTime: Expression) extends BinaryExecNode {
   override def output: Seq[Attribute] = left.output ++ right.output
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
@@ -98,6 +102,7 @@ case class AsOfJoinExec(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
 
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
     val out = output
     val lOut = left.output
     val rOut = right.output
@@ -145,8 +150,10 @@ case class AsOfJoinExec(
               matchedKey = rRowKey
               advanceRight()
             }
-            if (matched != null && keyOrd.compare(matchedKey, lk) == 0)
+            if (matched != null && keyOrd.compare(matchedKey, lk) == 0) {
+              numOutputRows += 1
               return joiner(joined(l, matched))
+            }
           }
           null
         }
