@@ -394,6 +394,31 @@ object Resolution {
     // implementation (Graft.autoremove) so the judged query and the
     // library API cannot drift; n_keepers/min_depth come free from the
     // multi-source BFS state key.
+    // The search ENDPOINT a package site serves (SURVEY.md §1.1 web
+    // front-end evidence): substring candidates over the name universe,
+    // ranked by match tier (exact > prefix > substring) then centrality —
+    // q86's fixed-point PageRank is the popularity signal, so heavily
+    // depended-on packages surface first within a tier. The name universe
+    // is small by definition (names ≪ records), so the term×name candidate
+    // step is a broadcast; top-10 per term via one width-bounded window.
+    "q114_ranked_search" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val terms = Seq("pkg-07", "pkg-1", "g-2")
+      val ranks = graft.operators.PageRank.run(s, resolvedEdges(s, dir),
+        Tables.packageNames(s, dir).select("name"), PrIters, PrScale)
+      val cand = terms.toDF("term").crossJoin(broadcast(ranks))
+        .filter(col("name").contains(col("term")))
+        .withColumn("tier",
+          when(col("name") === col("term"), 0)
+            .when(col("name").startsWith(col("term")), 1)
+            .otherwise(2))
+      val w = Window.partitionBy("term").orderBy(col("tier"), col("pr").desc, col("name"))
+      cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select(col("term"), col("rank"), col("name"), col("tier"), col("pr").as("pr_fp"))
+        .orderBy("term", "rank")
+    },
+
     "q90_autoremove" -> { (s, dir) =>
       val nm = Tables.packageNames(s, dir)
       val installed = nm.filter(pmod(col("i"), lit(3)) === 0).select("name")
@@ -881,6 +906,28 @@ object Resolution {
         |SELECT name, pr AS pr_fp,
         | CAST(row_number() OVER (ORDER BY pr DESC, name) AS INTEGER) AS pr_rank
         |FROM pr$PrIters ORDER BY name""".stripMargin),
+
+    "q114_ranked_search" -> sub(s"""WITH --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |nm AS (SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name FROM idx),
+        |outdeg AS (SELECT name, count(*) AS od FROM edges GROUP BY name),
+        |pr0 AS (SELECT name, CAST($PrInit AS BIGINT) AS pr FROM nm),
+        |${prUnrolled(PrIters)},
+        |terms(term) AS (VALUES ('pkg-07'), ('pkg-1'), ('g-2')),
+        |cand AS (
+        | SELECT t.term, p.name, p.pr,
+        |  CASE WHEN p.name = t.term THEN 0
+        |   WHEN p.name LIKE t.term || '%' THEN 1 ELSE 2 END AS tier
+        | FROM terms t JOIN pr$PrIters p ON contains(p.name, t.term))
+        |SELECT term,
+        | CAST(row_number() OVER (PARTITION BY term ORDER BY tier, pr DESC, name) AS INTEGER) AS rank,
+        | name, tier, pr AS pr_fp
+        |FROM cand
+        |QUALIFY rank <= 10
+        |ORDER BY term, rank""".stripMargin),
 
     "q90_autoremove" -> sub("""WITH RECURSIVE --IDX--,
         |--PKG--,
