@@ -123,6 +123,18 @@ object Resolution {
         Tables.packages(s, dir).select("name", "version"))
     }
 
+  /** Fixed-point PageRank over the resolution edges, materialized once per
+    * (session, dir) — the centrality signal BOTH q86 (the ranking itself)
+    * and q114 (the ranked search endpoint) consume; without the memo the
+    * 8-iteration chain re-plans per query (and a broadcast hint over the
+    * live chain loses its ReusedExchange sharing).
+    */
+  private[graft] def prFrame(s: SparkSession, dir: String): DataFrame =
+    Memo.memoized("pagerank", s, dir) {
+      graft.operators.PageRank.run(s, resolvedEdges(s, dir),
+        Tables.packageNames(s, dir).select("name"), PrIters, PrScale)
+    }
+
   /** Whole-catalog reachability (root, name, depth) from every package name
     * over the resolution edges — the multi-source BFS both q78 (plan sizes)
     * and q100 (dependency cycles) consume; the driver loop is their
@@ -376,9 +388,7 @@ object Resolution {
     // presentation-sized; at catalog scale you'd keep pr_fp and top-k it.
     "q86_pagerank" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val edges = resolvedEdges(s, dir)
-      val nodes = Tables.packageNames(s, dir).select("name")
-      graft.operators.PageRank.run(s, edges, nodes, PrIters, PrScale)
+      prFrame(s, dir)
         .withColumn("pr_fp", col("pr"))
         .withColumn("pr_rank", row_number().over(
           Window.orderBy(col("pr").desc, col("name"))))
@@ -405,9 +415,7 @@ object Resolution {
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
       val terms = Seq("pkg-07", "pkg-1", "g-2")
-      val ranks = graft.operators.PageRank.run(s, resolvedEdges(s, dir),
-        Tables.packageNames(s, dir).select("name"), PrIters, PrScale)
-      val cand = terms.toDF("term").crossJoin(broadcast(ranks))
+      val cand = terms.toDF("term").crossJoin(broadcast(prFrame(s, dir)))
         .filter(col("name").contains(col("term")))
         .withColumn("tier",
           when(col("name") === col("term"), 0)
