@@ -101,6 +101,12 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
 
+  // rows stay in their left partition (partition i zips with right i), so
+  // the left child's clustering survives — declaring it saves downstream
+  // operators keyed on the same columns a needless re-shuffle
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val out = output
