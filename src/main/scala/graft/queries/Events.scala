@@ -136,6 +136,31 @@ object Events {
         .orderBy("event_id")
     },
 
+    // Retention cohorts — the classic event-analytics matrix: users
+    // grouped by first-seen week, activity counted per week offset,
+    // retention = active/cohort-size. One distinct (user, week) shuffle,
+    // one first-seen aggregation, one cohort aggregation; the ratio is a
+    // raw IEEE division of exact counts (house parity rule). At 100 TB
+    // the (user, week) distinct is the only corpus-sized exchange and
+    // partial aggregation absorbs within-partition repeats.
+    "q115_retention_cohorts" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val first = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      val act = e.join(first, "user_id")
+        .withColumn("week_offset",
+          (datediff(col("wk").cast("date"), col("cohort_wk").cast("date")) / 7).cast("int"))
+        .groupBy("cohort_wk", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+      val sizes = act.filter(col("week_offset") === 0)
+        .select(col("cohort_wk"), col("n_users").as("cohort_size"))
+      act.join(sizes, "cohort_wk")
+        .withColumn("retention", col("n_users") / col("cohort_size"))
+        .select("cohort_wk", "week_offset", "n_users", "cohort_size", "retention")
+        .orderBy("cohort_wk", "week_offset")
+    },
+
     // W2 lag/lead — inter-event gap stats per event type.
     "q24_inter_event_gaps" -> { (s, dir) =>
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -264,6 +289,23 @@ object Events {
         |ASOF JOIN (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'view') v
         | ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q115_retention_cohorts" ->
+      """WITH e AS (
+        | SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+        | FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+        |a AS (
+        | SELECT f.cohort_wk,
+        |  CAST(date_diff('day', CAST(f.cohort_wk AS DATE), CAST(e.wk AS DATE)) / 7 AS INTEGER) AS week_offset,
+        |  count(*) AS n_users
+        | FROM e JOIN f USING (user_id)
+        | GROUP BY 1, 2),
+        |c AS (SELECT cohort_wk, n_users AS cohort_size FROM a WHERE week_offset = 0)
+        |SELECT a.cohort_wk, a.week_offset, a.n_users, c.cohort_size,
+        | a.n_users / c.cohort_size AS retention
+        |FROM a JOIN c USING (cohort_wk)
+        |ORDER BY a.cohort_wk, a.week_offset""".stripMargin,
 
     "q24_inter_event_gaps" ->
       """WITH g AS (
