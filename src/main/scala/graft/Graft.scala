@@ -322,8 +322,11 @@ object Graft {
     val r = right.select(right.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = r.queryExecution.analyzed
+    // the session resolver honors spark.sql.caseSensitive, matching how
+    // every other DataFrame API resolves names
+    val resolver = spark.sessionState.analyzer.resolver
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
-      p.output.find(_.name == n).getOrElse(
+      p.output.find(a => resolver(a.name, n)).getOrElse(
         throw new IllegalArgumentException(s"no column '$n' on the as-of join input"))
     val plan = plans.AsOfJoin(lPlan, rPlan,
       Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),

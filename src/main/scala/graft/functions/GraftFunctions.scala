@@ -159,28 +159,32 @@ case class ArrayDot(left: Expression, right: Expression)
   * char to token (i+n-1)'s last: ONE boundary scan and m substring copies,
   * no token-array materialization, no per-position slice/array_join (the
   * equivalent higher-order-function pipeline evaluates its lambda
-  * interpreted per position and benched ~2x slower on q107). Tokens are
-  * maximal non-space runs — consecutive separators yield no empty tokens.
+  * interpreted per position and benched ~2x slower on q107).
+  *
+  * Tokenization is EXACTLY `split(text, ' ')`: consecutive/leading/trailing
+  * separators yield empty tokens (token k spans between space k-1 and
+  * space k), so results stay bit-identical to every split-based oracle on
+  * ANY input — not just single-spaced fixtures. The contiguous-substring
+  * property survives empty tokens because rejoining them with the same
+  * separator reproduces the original spacing. n <= 0 yields an empty array.
   */
 object NgramCore {
   def tokenNgrams(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val str = s.toString
     val len = str.length
-    val starts = new java.util.ArrayList[Integer]()
-    val ends = new java.util.ArrayList[Integer]()
+    // space positions; token i spans (space(i-1), space(i)) exclusive
+    val spaces = new java.util.ArrayList[Integer]()
     var i = 0
-    while (i < len) {
-      if (str.charAt(i) != ' ') {
-        starts.add(i)
-        while (i < len && str.charAt(i) != ' ') i += 1
-        ends.add(i)
-      } else i += 1
-    }
-    val m = math.max(starts.size - n + 1, 0)
+    while (i < len) { if (str.charAt(i) == ' ') spaces.add(i); i += 1 }
+    val nTok = spaces.size + 1
+    def tokStart(t: Int): Int = if (t == 0) 0 else spaces.get(t - 1) + 1
+    def tokEnd(t: Int): Int = if (t == spaces.size) len else spaces.get(t)
+    val m = math.max(nTok - n + 1, 0)
     val out = new Array[Any](m)
     var j = 0
     while (j < m) {
-      out(j) = UTF8String.fromString(str.substring(starts.get(j), ends.get(j + n - 1)))
+      out(j) = UTF8String.fromString(str.substring(tokStart(j), tokEnd(j + n - 1)))
       j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

@@ -41,6 +41,12 @@ case class AsOfJoin(
     rightTime: Expression) extends BinaryNode {
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
     "as-of join needs matching non-empty key lists")
+  // orderings and the co-partitioning hash are built from the LEFT types;
+  // a type mismatch would silently mis-partition/mis-compare, so fail loudly
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"as-of join key types differ: ${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of join time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =

@@ -58,13 +58,23 @@ object Packages {
     * every 23rd record retired on a rotating offset, revisions of
     * pkg_id%3!=0 records bumped per k; snapshot 0 is the current view.
     */
+  /** ONE definition of the snapshot mutation rules, shared by the per-k and
+    * the all-snapshots derivations so they cannot drift (review finding):
+    * retirement drops every 23rd record on a rotating offset; the revision
+    * bumps per snapshot for pkg_id % 3 != 0 records.
+    */
+  private def snapKeeps(snap: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(col("pkg_id") + snap, lit(23)) =!= 0
+  private def snapVersion(snap: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(substring_index(col("version"), "-r", 1), lit("-r"),
+      (lit(1) + pmod(col("pkg_id") + snap * pmod(col("pkg_id"), lit(3)), lit(5)))
+        .cast("string"))
+
   private[graft] def snapshotK(s: SparkSession, dir: String, k: Int): DataFrame =
     Tables.packages(s, dir)
-      .filter(pmod(col("pkg_id") + lit(k), lit(23)) =!= 0)
+      .filter(snapKeeps(lit(k)))
       .select(col("pkg_id"), col("name"),
-        concat(substring_index(col("version"), "-r", 1), lit("-r"),
-          (lit(1) + pmod(col("pkg_id") + lit(k) * pmod(col("pkg_id"), lit(3)), lit(5)))
-            .cast("string")).as("version"),
+        snapVersion(lit(k)).as("version"),
         lit(k).as("snap"))
 
   /** The snapshots-0..3 SCD2 history, materialized once per (session, dir)
@@ -86,11 +96,9 @@ object Packages {
   private[graft] def snapshots(s: SparkSession, dir: String, maxK: Int): DataFrame =
     Tables.packages(s, dir)
       .withColumn("snap", explode(expr(s"sequence(0, $maxK)")))
-      .filter(pmod(col("pkg_id") + col("snap"), lit(23)) =!= 0)
+      .filter(snapKeeps(col("snap")))
       .select(col("pkg_id"), col("name"),
-        concat(substring_index(col("version"), "-r", 1), lit("-r"),
-          (lit(1) + pmod(col("pkg_id") + col("snap") * pmod(col("pkg_id"), lit(3)), lit(5)))
-            .cast("string")).as("version"),
+        snapVersion(col("snap")).as("version"),
         col("snap").cast("int").as("snap"))
 
   val queries: Seq[(String, QFn)] = Seq(

@@ -396,14 +396,6 @@ object Resolution {
         .orderBy("name")
     },
 
-    // Autoremove — the package manager's garbage collector ("installed as
-    // a dependency, no longer required"): installed set = every 3rd name
-    // (q70's), explicitly-requested = every 9th; everything installed but
-    // outside the explicit roots' closure over installed-restricted
-    // resolution edges is removable. Delegates to the facade's ONE
-    // implementation (Graft.autoremove) so the judged query and the
-    // library API cannot drift; n_keepers/min_depth come free from the
-    // multi-source BFS state key.
     // The search ENDPOINT a package site serves (SURVEY.md §1.1 web
     // front-end evidence): substring candidates over the name universe,
     // ranked by match tier (exact > prefix > substring) then centrality —
@@ -427,6 +419,14 @@ object Resolution {
         .orderBy("term", "rank")
     },
 
+    // Autoremove — the package manager's garbage collector ("installed as
+    // a dependency, no longer required"): installed set = every 3rd name
+    // (q70's), explicitly-requested = every 9th; everything installed but
+    // outside the explicit roots' closure over installed-restricted
+    // resolution edges is removable. Delegates to the facade's ONE
+    // implementation (Graft.autoremove) so the judged query and the
+    // library API cannot drift; n_keepers/min_depth come free from the
+    // multi-source BFS state key.
     "q90_autoremove" -> { (s, dir) =>
       val nm = Tables.packageNames(s, dir)
       val installed = nm.filter(pmod(col("i"), lit(3)) === 0).select("name")

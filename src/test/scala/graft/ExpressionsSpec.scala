@@ -62,24 +62,44 @@ class ExpressionsSpec extends AnyFunSuite {
   test("token_ngrams equals the split/slice/array_join pipeline on real docs") {
     GraftFunctions.ensureRegistered(spark)
     val rows = Tables.documents(spark, SparkTestHarness.Sf0001)
+      .where("size(split(text, ' ')) >= 8") // sequence(1, n<1) is descending, not empty
       .selectExpr(
         "token_ngrams(text, 8) AS fast",
-        """transform(sequence(1, greatest(size(split(text, ' ')) - 7, 0)),
+        """transform(sequence(1, size(split(text, ' ')) - 7),
           |  i -> array_join(slice(split(text, ' '), i, 8), ' ')) AS ref""".stripMargin)
       .collect()
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
 
-  test("token_ngrams edge cases: short docs, exact length, null") {
+  test("token_ngrams keeps split()'s empty-token semantics on irregular spacing") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    // consecutive/leading/trailing separators produce empty tokens exactly
+    // like split(text, ' ') — oracle parity must not depend on clean input
+    val docs = Seq("a  b c", " x y", "z ", "  ", "a b  c d").toDF("text")
+    val rows = docs
+      .selectExpr(
+        "token_ngrams(text, 2) AS fast",
+        """transform(sequence(1, size(split(text, ' ')) - 1),
+          |  i -> array_join(slice(split(text, ' '), i, 2), ' ')) AS ref""".stripMargin)
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
+  test("token_ngrams edge cases: short docs, exact length, null, n <= 0") {
     GraftFunctions.ensureRegistered(spark)
     val r = spark.sql(
       """SELECT token_ngrams('a b c', 4) AS short,
         |  token_ngrams('a b c', 3) AS exact,
-        |  token_ngrams(NULL, 3) AS n""".stripMargin).head()
+        |  token_ngrams(NULL, 3) AS n,
+        |  token_ngrams('a b c', 0) AS zero,
+        |  token_ngrams('a b c', -2) AS neg""".stripMargin).head()
     assert(r.getSeq[String](0) === Seq.empty)
     assert(r.getSeq[String](1) === Seq("a b c"))
     assert(r.isNullAt(2))
+    assert(r.getSeq[String](3) === Seq.empty)
+    assert(r.getSeq[String](4) === Seq.empty)
   }
 
   test("sort by version_sort_key orders a DataFrame by version semantics") {
