@@ -160,13 +160,17 @@ object Graft {
     // loud in-plan guard: k must be strictly beyond every open interval —
     // merging an already-covered snapshot would silently emit overlapping
     // intervals, so the row itself raises instead (the open set is small;
-    // the check rides the existing scan, no extra pass)
+    // the check rides the existing scan, no extra pass). Anchored in a
+    // Filter, not a projected column: a downstream projection that prunes
+    // valid_to would let Catalyst eliminate a CaseWhen-based check, but a
+    // Filter condition always evaluates (assert_true yields NULL when the
+    // condition holds, so isNull keeps every row — Scd2Spec pins that the
+    // guard still fires under a pkg_id-only downstream select).
     val cur = history.filter(col("is_current") === 1)
-      .select(col("pkg_id"), col("name"), col("version"), col("valid_from"),
-        when(col("valid_to") < lit(k), col("valid_to"))
-          .otherwise(raise_error(concat(
-            lit(s"scd2Merge: snapshot k=$k is not beyond open interval valid_to="),
-            col("valid_to").cast("string")))).as("valid_to"))
+      .filter(assert_true(col("valid_to") < lit(k), concat(
+        lit(s"scd2Merge: snapshot k=$k is not beyond open interval valid_to="),
+        col("valid_to").cast("string"))).isNull)
+      .select("pkg_id", "name", "version", "valid_from", "valid_to")
     val closed = history.filter(col("is_current") === 0)
     val snap = snapshot.select(col("pkg_id"),
       col("name").as("s_name"), col("version").as("s_version"))
@@ -326,8 +330,16 @@ object Graft {
     // every other DataFrame API resolves names
     val resolver = spark.sessionState.analyzer.resolver
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
-      p.output.find(a => resolver(a.name, n)).getOrElse(
-        throw new IllegalArgumentException(s"no column '$n' on the as-of join input"))
+      p.output.filter(a => resolver(a.name, n)) match {
+        case collection.Seq(one) => one
+        case collection.Seq() =>
+          throw new IllegalArgumentException(s"no column '$n' on the as-of join input")
+        case many =>
+          // mirror Spark's ambiguous-reference error rather than silently
+          // binding to whichever duplicate happens to come first
+          throw new IllegalArgumentException(
+            s"ambiguous column '$n' on the as-of join input (${many.size} matches)")
+      }
     val plan = plans.AsOfJoin(lPlan, rPlan,
       Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
       attr(lPlan, leftTime), attr(rPlan, rightTime))
@@ -349,6 +361,8 @@ object Graft {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, saltBy: String,
       salts: Int = 32): DataFrame = {
     require(salts > 0, "need a positive salt count")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name — rename it on the inputs first")
     val b = big.withColumn("__salt",
       pmod(xxhash64(col(saltBy)), lit(salts)).cast("int"))
     val sm = small.withColumn("__salt", explode(expr(s"sequence(0, ${salts - 1})")))

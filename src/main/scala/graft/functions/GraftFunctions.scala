@@ -196,7 +196,14 @@ object NgramCore {
   * preprocessing). Codegen'd static call like the other graft expressions.
   */
 case class TokenNgrams(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  // declared input types: a mistyped call (e.g. a BIGINT n, or a non-string
+  // first argument) gets an analysis-time error or an implicit cast instead
+  // of a runtime ClassCastException
+  // return type inferred: Seq[DataType] <: Seq[AbstractDataType], whose
+  // name is private[sql] and can't be written here
+  override def inputTypes = Seq(StringType, IntegerType)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(t: Any, n: Any): Any =

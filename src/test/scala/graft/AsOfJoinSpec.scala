@@ -130,4 +130,17 @@ class AsOfJoinSpec extends AnyFunSuite {
       Graft.asofJoin(docs, docs, "doc_id", "doc_id", "n_chars", "n_chars")
     }
   }
+
+  test("a duplicate name WITHIN a side is ambiguous, not first-match") {
+    import spark.implicits._
+    // two attributes named "k" on the left — binding must refuse, never
+    // silently pick whichever duplicate comes first in the output
+    val left = Seq((1L, 2L, 10L)).toDF("a", "b", "t")
+      .select(col("a").as("k"), col("b").as("k"), col("t"))
+    val right = Seq((1L, 5L)).toDF("rk", "rt")
+    val ex = intercept[IllegalArgumentException] {
+      Graft.asofJoin(left, right, "k", "rk", "t", "rt")
+    }
+    assert(ex.getMessage.contains("ambiguous"))
+  }
 }

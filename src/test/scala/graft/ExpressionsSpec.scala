@@ -102,6 +102,18 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](4) === Seq.empty)
   }
 
+  test("token_ngrams implicit-casts n and type-errors at analysis time") {
+    GraftFunctions.ensureRegistered(spark)
+    // BIGINT n narrows via ImplicitCastInputTypes instead of a runtime
+    // ClassCastException
+    val r = spark.sql("SELECT token_ngrams('a b c', CAST(2 AS BIGINT)) AS g").head()
+    assert(r.getSeq[String](0) === Seq("a b", "b c"))
+    // a non-string first argument that can't cast fails during analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT token_ngrams(array(1), 2)").head()
+    }
+  }
+
   test("sort by version_sort_key orders a DataFrame by version semantics") {
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._

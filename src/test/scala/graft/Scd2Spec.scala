@@ -148,4 +148,21 @@ class Scd2Spec extends AnyFunSuite {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(ex).exists(_.contains("scd2Merge")), s"unexpected error: $ex")
   }
+
+  test("the merge overlap guard survives a downstream projection pruning valid_to") {
+    // the guard is anchored in a Filter condition — a pkg_id-only select
+    // downstream must not let Catalyst column-prune it away
+    val dir = SparkTestHarness.Sf0001
+    val snaps03 = (0 to 3).map(graft.queries.Packages.snapshotK(spark, dir, _))
+      .reduce(_.unionByName(_))
+    val snap3 = graft.queries.Packages.snapshotK(spark, dir, 3)
+      .select("pkg_id", "name", "version")
+    val ex = intercept[Exception] {
+      Graft.scd2Merge(Graft.scd2History(snaps03, 3), snap3, 3)
+        .select("pkg_id").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("scd2Merge")), s"unexpected error: $ex")
+  }
 }

@@ -57,4 +57,12 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.getLong(0) === plain.getLong(0))
     assert(math.abs(salted.getDouble(1) - plain.getDouble(1)) < 1e-6)
   }
+
+  test("saltedJoin refuses inputs that already carry a __salt column") {
+    import spark.implicits._
+    val big = Seq((1, "a")).toDF("k", "__salt")
+    val small = Seq((1, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] { Graft.saltedJoin(big, small, "k", "__salt") }
+    intercept[IllegalArgumentException] { Graft.saltedJoin(small, big, "k", "v") }
+  }
 }
