@@ -86,6 +86,31 @@ object Vectors {
     s"array(${per.mkString(",")})"
   }
 
+  /** Deterministic k-means init: 8 seeds x 64 dims from the same md5
+    * derivation family as the hyperplanes / IVF codebook (prefix "km:"),
+    * so the oracle re-derives the identical starting point in SQL.
+    */
+  private val KmK = 8
+  private val KmIters = 3
+  private def kmConst(k: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"km:$k:$d".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % 1000 - 500
+  }
+  private def kmInit: IndexedSeq[IndexedSeq[Double]] =
+    (0 until KmK).map(k => (0 until 64).map(d => kmConst(k, d).toDouble))
+
+  /** Trained-and-assigned embedding frame (vec_id, label, v, nsq, cluster)
+    * — KMeans.fit runs one Spark job per iteration (driver-held centroids,
+    * like MLlib), so the trained assignment is memoized per (session, dir)
+    * and both q116 and q117 read the same materialization.
+    */
+  private def kmFrame(s: SparkSession, dir: String): DataFrame =
+    Memo.memoized("kmeans", s, dir) {
+      graft.operators.KMeans.fitAssign(vecs(s, dir), kmInit, KmIters)
+    }
+
   /** q45's exact brute-force ranking (qid, rank, cid, cos) — also the
     * ground truth q103 measures ANN recall against.
     */
@@ -351,6 +376,42 @@ object Vectors {
         .orderBy("label")
     },
 
+    // Lloyd's k-means over the embedding corpus — the trainer the IVF
+    // family's scaladoc promises ("a real deployment would train centroids
+    // with k-means"). Three fixed iterations from the md5-derived init;
+    // every step is exact IEEE or int64 fixed-point (operators/KMeans
+    // scaladoc), so the oracle unrolls the SAME three iterations in SQL
+    // and the final per-vector assignment hash-matches. Assignment is a
+    // map-only codegen'd pass (centroids ride the plan as literals — no
+    // join, no shuffle); each update is one partial-aggregated shuffle of
+    // k*64 fixed-point groups. At 100 TB this plan IS MLlib's: corpus
+    // scans scale out, centroid state stays driver-tiny.
+    "q116_kmeans_train" -> { (s, dir) =>
+      kmFrame(s, dir)
+        .select(col("vec_id"), col("label"), col("cluster"))
+        .orderBy("vec_id")
+    },
+
+    // Semantic dedup: near-duplicate pairs under the TRAINED clustering —
+    // cluster id is the blocking key (q44's label stand-in, now learned),
+    // so the pair join is per-cluster, never a global cross join. Cosines
+    // reuse the sequential-fold kernel, so the emitted scores are
+    // bit-identical to the oracle with no rounding. The scale path: train
+    // once (q116's plan), write cluster as a partition key, and pairwise
+    // comparison touches one partition at a time.
+    "q117_semantic_dedup" -> { (s, dir) =>
+      val asg = kmFrame(s, dir)
+      val a = asg.select(col("cluster"), col("vec_id").as("d1"),
+        col("v").as("va"), col("nsq").as("na"))
+      val b = asg.select(col("cluster").as("cb"), col("vec_id").as("d2"),
+        col("v").as("vb"), col("nsq").as("nb"))
+      a.join(b, col("cluster") === col("cb") && col("d1") < col("d2"))
+        .withColumn("cos", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+        .filter(col("cos") >= 0.42)
+        .select(col("d1"), col("d2"), col("cluster"), col("cos"))
+        .orderBy("d1", "d2")
+    },
+
     // Brute-force exact cosine top-k for a fixed query set (vec_id < 5).
     "q45_cosine_topk" -> { (s, dir) =>
       exactTopK(s, dir).orderBy("qid", "rank")
@@ -371,6 +432,53 @@ object Vectors {
 
   private def sub(sql: String): String =
     sql.replace("--VEC--", VecCte).replace("--DOT--", DotSql).replace("--BKT--", BucketCte)
+      .replace("--KM--", KmCte)
+
+  /** Same sequential fold as the codegen'd array_dot, over two named list
+    * columns.
+    */
+  private def kmDotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), j -> $a[j] * $b[j])), (s, x) -> s + x)"
+
+  /** DuckDB re-derivation of the k-means run: c0 from the md5 "km:" init,
+    * then per iteration an assignment under the previous centroids and the
+    * fixed-point centroid update (empty clusters keep their centroid via
+    * the LEFT JOIN coalesce); `af` is the final assignment under the
+    * trained centroids — exactly operators.KMeans.fitAssign's output.
+    * row_number ORDER BY score DESC, cluster == array_position's
+    * first-maximal index (ties to the lowest cluster id).
+    */
+  private def KmCte: String = {
+    def assign(name: String, prev: String) =
+      s"""s_$name AS (
+         | SELECT m.vec_id, m.v, m.nsq, c.cluster,
+         |  ${kmDotSql("m.v", "c.cv")} - 0.5 * ${kmDotSql("c.cv", "c.cv")} AS score
+         | FROM n m CROSS JOIN $prev c),
+         |$name AS (
+         | SELECT vec_id, v, nsq, cluster FROM (
+         |  SELECT vec_id, v, nsq, cluster,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn
+         |  FROM s_$name) WHERE rn = 1)""".stripMargin
+    def update(i: Int) =
+      s"""u$i AS (
+         | SELECT a.cluster, CAST(j AS INTEGER) AS pos,
+         |  CAST(sum(CAST(floor(a.v[j] * 16777216) AS BIGINT)) AS BIGINT) AS sxn, count(*) AS nn
+         | FROM a$i a, range(1, 65) t(j) GROUP BY a.cluster, pos),
+         |uc$i AS (
+         | SELECT cluster, list(CAST(sxn AS DOUBLE) / CAST(nn * 16777216 AS DOUBLE) ORDER BY pos) AS cv
+         | FROM u$i GROUP BY cluster),
+         |c$i AS (
+         | SELECT p.cluster, coalesce(u.cv, p.cv) AS cv
+         | FROM c${i - 1} p LEFT JOIN uc$i u USING (cluster))""".stripMargin
+    val init =
+      s"""c0 AS (
+         | SELECT CAST(k + 1 AS INTEGER) AS cluster,
+         |  list_transform(range(0, 64), d -> CAST(CAST(('0x' || substr(md5('km:' || CAST(k AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 - 500 AS DOUBLE)) AS cv
+         | FROM range(0, $KmK) t(k))""".stripMargin
+    (Seq(init)
+      ++ (1 to KmIters).flatMap(i => Seq(assign(s"a$i", s"c${i - 1}"), update(i)))
+      ++ Seq(assign("af", s"c$KmIters"))).mkString(",\n")
+  }
 
   /** DuckDB re-derivation of the hyperplane matrix + bucket id. */
   private val BucketCte =
@@ -385,6 +493,22 @@ object Vectors {
       | FROM n)""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q116_kmeans_train" -> sub("""WITH --VEC--,
+        |--KM--
+        |SELECT a.vec_id, m.label, CAST(a.cluster AS INTEGER) AS cluster
+        |FROM af a JOIN n m USING (vec_id)
+        |ORDER BY a.vec_id""".stripMargin),
+
+    "q117_semantic_dedup" -> sub(s"""WITH --VEC--,
+        |--KM--,
+        |pr AS (
+        | SELECT a.vec_id AS d1, b.vec_id AS d2, a.cluster,
+        |  ${kmDotSql("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
+        | FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+        |SELECT d1, d2, CAST(cluster AS INTEGER) AS cluster, cos
+        |FROM pr WHERE cos >= 0.42
+        |ORDER BY d1, d2""".stripMargin),
+
     "q112_label_centroids" -> sub("""WITH --VEC--,
         |pe AS (
         | SELECT label, CAST(i - 1 AS INTEGER) AS pos, v[CAST(i AS INTEGER)] AS x
