@@ -369,6 +369,34 @@ object Graft {
     b.join(sm, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Bloom-pruned equi-join: semi-join reduction of the big side BEFORE
+    * its shuffle. The small side aggregates into a compact bloom sketch
+    * (distributed build via `stat.bloomFilter` — the driver holds only the
+    * sketch, never the keys), and the big side drops non-candidate rows in
+    * a map-only codegen'd probe ([[functions.BloomMightContain]]) ahead of
+    * the join exchange. No false negatives, so the result is ROW-IDENTICAL
+    * to `big.join(small, key)` (BloomSpec + q118's oracle pin it); false
+    * positives only cost wasted shuffle, bounded by `fpp`.
+    *
+    * At 100 TB this is the difference between shuffling the full fact
+    * table and shuffling only rows that can match: a ~1‰-selective dim
+    * cuts the exchange by ~1000× for the price of a megabyte-scale sketch
+    * per task. Spark's own runtime bloom filter (AQE `InjectRuntimeFilter`)
+    * does this automatically but only past size thresholds and only for
+    * shuffle-join shapes it recognizes; this is the explicit, always-on
+    * form. The key must be integral (the sketch stores longs).
+    */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, key: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    GraftFunctions.ensureRegistered(big.sparkSession)
+    require(expectedItems > 0 && fpp > 0 && fpp < 1, "need expectedItems > 0, 0 < fpp < 1")
+    val bf = small.stat.bloomFilter(key, expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    big.filter(call_function("bloom_might_contain", col(key), lit(bos.toByteArray)))
+      .join(small, Seq(key))
+  }
+
   /** Trigram inverted-index substring search — pkg2's search-box semantics
     * (SURVEY.md §2.2 P3) made sublinear at corpus scale. A naive
     * `LIKE '%needle%'` scan reads every byte of a 100 TB corpus per query;

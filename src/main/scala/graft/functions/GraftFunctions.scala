@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the package-metadata layer (SURVEY.md
@@ -219,6 +219,45 @@ case class TokenNgrams(left: Expression, right: Expression)
   override def prettyName: String = "token_ngrams"
 }
 
+/** Serializable holder for a serialized bloom filter (the probe side of
+  * [[graft.Graft.bloomPrunedJoin]]). The sketch deserializes ONCE per
+  * deserialization site (executor plan instance) through the transient
+  * lazy val, so the codegen'd per-row probe is a single virtual call into
+  * the public `org.apache.spark.util.sketch.BloomFilter` bit test.
+  */
+final class BloomRef(val bytes: Array[Byte]) extends Serializable {
+  @transient private lazy val bf =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  def mightContainLong(v: Long): Boolean = bf.mightContainLong(v)
+}
+
+/** `bloom_might_contain(key, filter_bytes)` → boolean: probes a serialized
+  * bloom filter (built by `DataFrame.stat.bloomFilter`, which puts integral
+  * keys as longs). False positives possible (bounded by the build fpp),
+  * false negatives impossible — so `filter(bloom_might_contain(...))`
+  * before a join never changes the join's result, only its input volume.
+  * The filter bytes ride the plan as a reference object, not per-row data.
+  */
+case class BloomMightContain(child: Expression, bloom: BloomRef)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(v: Any): Any =
+    bloom.mightContainLong(v.asInstanceOf[Long])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", bloom, classOf[BloomRef].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.mightContainLong($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_might_contain"
+}
+
 /** Registration: both an idempotent per-session helper (works whatever
   * session the driver hands us) and the `SparkSessionExtensions` injection
   * path (`spark.sql.extensions=graft.GraftExtensions`) — the Spark-native
@@ -289,7 +328,21 @@ object GraftFunctions {
       new ExpressionInfo(classOf[TarArchive].getName, "tar_archive"),
       (args: Seq[Expression]) =>
         if (args.size >= 3) TarArchive(args(0), args(1), codecArg(args(2)))
-        else TarArchive(args(0), args(1))))
+        else TarArchive(args(0), args(1))),
+    ("bloom_might_contain",
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => BloomMightContain(args(0), new BloomRef(bytesArg(args(1))))))
+
+  /** The serialized filter must be a binary LITERAL — the sketch is a
+    * plan-time artifact (like the ecosystem tag), not per-row data.
+    */
+  private def bytesArg(e: Expression): Array[Byte] = {
+    require(e.foldable && e.dataType == BinaryType,
+      "bloom filter must be a binary literal (DataFrame.stat.bloomFilter output)")
+    val raw = e.eval(null)
+    require(raw != null, "bloom filter literal must be non-null")
+    raw.asInstanceOf[Array[Byte]]
+  }
 
   /** Idempotent: safe to call at the top of every query builder. */
   def ensureRegistered(spark: SparkSession): Unit = {

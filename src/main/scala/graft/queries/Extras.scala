@@ -13,6 +13,27 @@ object Extras {
   type QFn = (SparkSession, String) => DataFrame
 
   val queries: Seq[(String, QFn)] = Seq(
+    // Bloom-pruned fact→dim equi-join (Graft.bloomPrunedJoin): the 9-part
+    // dim subset builds a distributed bloom sketch; every lineitem row
+    // probes it in a map-only codegen'd filter BEFORE the join exchange,
+    // so the shuffle carries ~0.5% of the fact table instead of all of it.
+    // No false negatives → the result is row-identical to the plain join,
+    // which is exactly what the oracle runs. At 100 TB the probe saves the
+    // fact-side shuffle; the sketch (not the key set) is all that ships.
+    "q118_bloom_join" -> { (s, dir) =>
+      val parts = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#23" && col("p_size") >= 45)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("p_partkey"), col("l_quantity"), col("l_extendedprice"))
+      graft.Graft.bloomPrunedJoin(li, parts, "p_partkey", 64L, 0.01)
+        .groupBy("p_partkey", "p_brand", "p_size")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(28,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(28,2)")).cast("double").as("sum_price"))
+        .orderBy("p_partkey")
+    },
+
     // Unpivot/melt (the reshaping inverse of q27's pivot): wide per-flag
     // metric columns → long (metric, value) rows via Dataset.unpivot —
     // a generator projection, no shuffle beyond the feeding aggregation.
@@ -186,6 +207,16 @@ object Extras {
     })
 
   val oracles: Seq[(String, String)] = Seq(
+    "q118_bloom_join" ->
+      """SELECT p.p_partkey, p.p_brand, p.p_size,
+        | CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(sum(CAST(l.l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand = 'Brand#23' AND p.p_size >= 45
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1""".stripMargin,
+
     "q79_unpivot_metrics" ->
       """WITH w AS (
         | SELECT l_returnflag,
