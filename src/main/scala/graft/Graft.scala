@@ -456,6 +456,38 @@ object Graft {
       .select(col("needle"), col("__doc").as(idCol))
   }
 
+  /** Single-pass column profiler — the data-quality sweep a pipeline runs
+    * before training on a new corpus drop: per column its row count, null
+    * count, exact distinct count, and lexical min/max of the STRING form
+    * (string-first, so one output schema covers every input type and the
+    * ordering is engine-portable binary collation — ISO dates stay
+    * chronological). ONE scan computes every column's aggregates together
+    * (a single agg node, then a map-only explode to long form — no
+    * per-column jobs). The exact distincts make the row judge-able; at
+    * 100 TB swap `countDistinct` for `approx_count_distinct` — same plan,
+    * one Expand lighter per column.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = Seq(count(lit(1)).as("__total")) ++ cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        countDistinct(col(c)).as(s"__d_$c"),
+        min(col(c).cast("string")).as(s"__min_$c"),
+        max(col(c).cast("string")).as(s"__max_$c"))
+    }
+    val structs = array(cols.map(c => struct(
+      lit(c).as("col_name"),
+      col("__total").as("n_rows"),
+      (col("__total") - col(s"__n_$c")).as("n_nulls"),
+      col(s"__d_$c").as("n_distinct"),
+      col(s"__min_$c").as("min_value"),
+      col(s"__max_$c").as("max_value"))): _*)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(structs).as("p"))
+      .select("p.*")
+  }
+
   /** Near-dup cluster assignment from a pair list (columns d1, d2):
     * (doc_id, cluster_id, is_canonical) via connected components; keep the
     * canonical row per cluster to deduplicate a corpus.

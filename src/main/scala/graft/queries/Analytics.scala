@@ -57,6 +57,43 @@ object Analytics {
         .orderBy("doc_id", "rank")
     },
 
+    // BM25 ranked retrieval for a fixed 3-term query — the canonical
+    // sparse-retrieval scorer (q58's tf-idf plus term-frequency saturation
+    // k1=1.2 and length normalization b=0.75). idf stays RATIONAL
+    // ((N - df + 0.5)/(df + 0.5), no ln — Math.log and DuckDB ln round
+    // differently); per-term contributions are exact-identical doubles, and
+    // the per-doc sum goes through binary fixed-point (floor(x * 2^40)
+    // int64) so summation order can't flip low bits — the final ORDER BY
+    // score is deterministic cross-engine with NO rounding. Plan: the term
+    // filter prunes the posting explode before both aggregations; df and
+    // the corpus stats ride broadcasts; at 100 TB the tf frame is the
+    // (bucketed) inverted index and a query touches 3 posting lists.
+    "q120_bm25_retrieval" -> { (s, dir) =>
+      val terms = Seq("join", "vector", "stream")
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("dl", size(col("toks")))
+      val stats = broadcast(base.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")))
+      val tf = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = base.select(explode(expr("array_distinct(toks)")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "tok").crossJoin(stats)
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+        .withColumn("idf", (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        .withColumn("tfn", col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+        .withColumn("contrib", floor(col("idf") * col("tfn") * lit(1099511627776.0)).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum("contrib").as("sfix"))
+        .select(col("doc_id"), col("n_terms"),
+          (col("sfix").cast("double") / lit(1099511627776L).cast("double")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
+    },
+
     // per-language token frequency profile (top 5 tokens per lang).
     "q59_lang_ngram_profile" -> { (s, dir) =>
       val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tok"))
@@ -227,6 +264,38 @@ object Analytics {
         |FROM part
         |QUALIFY rank <= 3
         |ORDER BY p_brand, rank""".stripMargin,
+
+    "q120_bm25_retrieval" ->
+      """WITH base AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS dl
+        | FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM base),
+        |tf AS (
+        | SELECT doc_id, dl, tok, count(*) AS tf
+        | FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM base) t
+        | WHERE tok IN ('join', 'vector', 'stream')
+        | GROUP BY doc_id, dl, tok),
+        |dfq AS (
+        | SELECT tok, count(*) AS df
+        | FROM (SELECT unnest(list_distinct(toks)) AS tok FROM base) t
+        | WHERE tok IN ('join', 'vector', 'stream')
+        | GROUP BY tok),
+        |sc AS (
+        | SELECT t.doc_id, count(*) AS n_terms,
+        |  CAST(sum(CAST(floor(
+        |   ((s.n_docs - d.df + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE)))
+        |   * (t.tf * CAST(2.2 AS DOUBLE) / (t.tf + CAST(1.2 AS DOUBLE)
+        |      * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (t.dl
+        |         / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
+        |   * 1099511627776) AS BIGINT)) AS BIGINT) AS sfix
+        | FROM tf t JOIN dfq d USING (tok) CROSS JOIN stats s
+        | GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+        | CAST(sfix AS DOUBLE) / CAST(1099511627776 AS DOUBLE) AS score
+        |FROM sc
+        |ORDER BY score DESC, doc_id
+        |LIMIT 15""".stripMargin,
 
     "q58_tfidf_top_terms" ->
       """WITH nd AS (SELECT count(*) AS n FROM documents),

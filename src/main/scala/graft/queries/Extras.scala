@@ -13,6 +13,16 @@ object Extras {
   type QFn = (SparkSession, String) => DataFrame
 
   val queries: Seq[(String, QFn)] = Seq(
+    // Single-pass column profiler (Graft.profile): one scan, one agg node
+    // carrying every column's count/nulls/exact-distinct/lexical-min-max,
+    // then a map-only explode to long (col_name, stat...) form — the
+    // pre-training data-quality sweep as ONE job, not one per column.
+    "q119_profile" -> { (s, dir) =>
+      graft.Graft.profile(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("col_name")
+    },
+
     // Bloom-pruned fact→dim equi-join (Graft.bloomPrunedJoin): the 9-part
     // dim subset builds a distributed bloom sketch; every lineitem row
     // probes it in a map-only codegen'd filter BEFORE the join exchange,
@@ -207,6 +217,29 @@ object Extras {
     })
 
   val oracles: Seq[(String, String)] = Seq(
+    "q119_profile" ->
+      """WITH s AS (
+        | SELECT count(*) AS total,
+        |  count(o_orderkey) AS na, count(DISTINCT o_orderkey) AS da,
+        |  min(CAST(o_orderkey AS VARCHAR)) AS mna, max(CAST(o_orderkey AS VARCHAR)) AS mxa,
+        |  count(o_custkey) AS nb, count(DISTINCT o_custkey) AS db,
+        |  min(CAST(o_custkey AS VARCHAR)) AS mnb, max(CAST(o_custkey AS VARCHAR)) AS mxb,
+        |  count(o_orderstatus) AS nc, count(DISTINCT o_orderstatus) AS dc,
+        |  min(CAST(o_orderstatus AS VARCHAR)) AS mnc, max(CAST(o_orderstatus AS VARCHAR)) AS mxc,
+        |  count(o_orderpriority) AS nd, count(DISTINCT o_orderpriority) AS dd,
+        |  min(CAST(o_orderpriority AS VARCHAR)) AS mnd, max(CAST(o_orderpriority AS VARCHAR)) AS mxd
+        | FROM orders)
+        |SELECT 'o_custkey' AS col_name, CAST(total AS BIGINT) AS n_rows,
+        | CAST(total - nb AS BIGINT) AS n_nulls, CAST(db AS BIGINT) AS n_distinct,
+        | mnb AS min_value, mxb AS max_value FROM s
+        |UNION ALL SELECT 'o_orderkey', CAST(total AS BIGINT), CAST(total - na AS BIGINT),
+        | CAST(da AS BIGINT), mna, mxa FROM s
+        |UNION ALL SELECT 'o_orderpriority', CAST(total AS BIGINT), CAST(total - nd AS BIGINT),
+        | CAST(dd AS BIGINT), mnd, mxd FROM s
+        |UNION ALL SELECT 'o_orderstatus', CAST(total AS BIGINT), CAST(total - nc AS BIGINT),
+        | CAST(dc AS BIGINT), mnc, mxc FROM s
+        |ORDER BY col_name""".stripMargin,
+
     "q118_bloom_join" ->
       """SELECT p.p_partkey, p.p_brand, p.p_size,
         | CAST(count(*) AS BIGINT) AS n_items,

@@ -192,6 +192,23 @@ class GraftFacadeSpec extends AnyFunSuite {
     } finally spark.conf.set(conf, prev)
   }
 
+  test("profile counts nulls, exact distincts, and lexical min/max in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(3L), Some("b")), (None, Some("a")), (Some(10L), None), (Some(3L), Some("c")))
+      .toDF("k", "s")
+    val got = Graft.profile(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    // lexical min/max over the STRING form: "10" < "3"
+    assert(got("k") === ((4L, 1L, 2L, "10", "3")))
+    assert(got("s") === ((4L, 1L, 3L, "a", "c")))
+    // single scan: exactly one aggregate source, no join/union fan-out
+    val plan = Graft.profile(df, Seq("k", "s")).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Union"),
+      s"profile should be one aggregation pass:\n$plan")
+  }
+
   test("exactDupGroups agrees with the distinct-text count") {
     val docs = Tables.documents(spark, dir)
     val g = Graft.exactDupGroups(docs)
