@@ -456,6 +456,29 @@ object Graft {
       .select(col("needle"), col("__doc").as(idCol))
   }
 
+  /** Incremental aggregate maintenance — the aggregate-side sibling of
+    * [[scd2Merge]]: a standing per-key aggregate (counts / sums / any
+    * sum-mergeable state) absorbs a new batch WITHOUT rescanning history.
+    * `state` and `delta` share one schema (keys + mergeable value columns,
+    * counts already encoded as summable longs); the merge is
+    * union + re-sum, so `merge(agg(old), agg(new)) == agg(old ∪ new)`
+    * exactly — q122 judges that identity against a full recompute. At
+    * 100 TB the state frame is the stored artifact (partitioned by key)
+    * and each arrival costs one delta-sized aggregation plus a merge
+    * shuffled on the SAME key layout — never a corpus rescan. Decimal
+    * sums keep the merge exact; finish to double only at read time.
+    */
+  def mergeAggState(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one grouping key")
+    require(state.columns.toSet == delta.columns.toSet,
+      s"state/delta schema mismatch: ${state.columns.mkString(",")} vs ${delta.columns.mkString(",")}")
+    val vals = state.columns.filterNot(keys.contains).toSeq
+    require(vals.nonEmpty, "need at least one mergeable value column")
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(vals.head).as(vals.head), vals.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+
   /** Single-pass column profiler — the data-quality sweep a pipeline runs
     * before training on a new corpus drop: per column its row count, null
     * count, exact distinct count, and lexical min/max of the STRING form

@@ -27,6 +27,29 @@ object Events {
   type QFn = (SparkSession, String) => DataFrame
 
   val queries: Seq[(String, QFn)] = Seq(
+    // Incremental aggregate maintenance (Graft.mergeAggState): the standing
+    // per-type aggregate over events before the cut absorbs the post-cut
+    // delta batch by union + re-sum — judged against the oracle's FULL
+    // recompute over the whole stream, proving merge(agg(old), agg(new)) ==
+    // agg(old ∪ new). Counts merge as summable longs; value mass stays
+    // decimal through the merge (exact, order-free) and finishes to double
+    // at read time. The 100 TB steady state: the stored state frame is
+    // key-partitioned, each arrival costs one delta-sized aggregation plus
+    // a state-sized merge — never a history rescan.
+    "q122_incremental_agg" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val cut = lit("2024-01-20").cast("timestamp_ntz")
+      def aggOf(df: org.apache.spark.sql.DataFrame) = df.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(28,2)")).as("sum_value"))
+      graft.Graft.mergeAggState(
+          aggOf(ev.filter(col("ts") < cut)),
+          aggOf(ev.filter(col("ts") >= cut)), Seq("event_type"))
+        .select(col("event_type"), col("n_events"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+
     // Funnel analysis — ordered-event conversion without a self-join: one
     // conditional-min/max aggregation per user (did a purchase happen
     // AFTER the first view), then one summary row. The standard two-stage
@@ -224,6 +247,13 @@ object Events {
     * `cast(ts as long)` under the UTC session.
     */
   val oracles: Seq[(String, String)] = Seq(
+    "q122_incremental_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     "q80_view_purchase_funnel" ->
       """WITH per AS (
         | SELECT user_id,

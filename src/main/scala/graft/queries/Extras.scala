@@ -13,6 +13,33 @@ object Extras {
   type QFn = (SparkSession, String) => DataFrame
 
   val queries: Seq[(String, QFn)] = Seq(
+    // Z-order (Morton) clustering audit — the data-LAYOUT optimization a
+    // lakehouse applies before writing: interleave the bits of two scaled
+    // dimensions (customer, order-day) so that sorting by the single z
+    // value co-locates rows that are close in BOTH dimensions; each
+    // 16k-wide z-bin then spans a narrow customer range AND a narrow date
+    // range (the min/max columns show it), which is exactly what makes
+    // min/max file pruning work for either predicate at 100 TB. All-integer
+    // bit arithmetic — bit-identical cross-engine by construction.
+    "q121_zorder_layout" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .withColumn("a", pmod(col("o_custkey"), lit(1024L)))
+        .withColumn("b", pmod(
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).cast("long"),
+          lit(1024L)))
+      val z = (0 until 10).map { i =>
+        shiftleft(shiftright(col("a"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
+          shiftleft(shiftright(col("b"), i).bitwiseAND(lit(1L)), 2 * i)
+      }.reduce(_ + _)
+      o.withColumn("z", z)
+        .withColumn("zbin", expr("z div 16384"))
+        .groupBy("zbin")
+        .agg(count(lit(1)).as("n_orders"),
+          min("a").as("min_cust"), max("a").as("max_cust"),
+          min("b").as("min_day"), max("b").as("max_day"))
+        .orderBy("zbin")
+    },
+
     // Single-pass column profiler (Graft.profile): one scan, one agg node
     // carrying every column's count/nulls/exact-distinct/lexical-min-max,
     // then a map-only explode to long (col_name, stat...) form — the
@@ -217,6 +244,20 @@ object Extras {
     })
 
   val oracles: Seq[(String, String)] = Seq(
+    "q121_zorder_layout" -> {
+      val zExpr = (0 until 10).map(i =>
+        s"(((a >> $i) & 1) << ${2 * i + 1}) + (((b >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      s"""WITH ab AS (
+        | SELECT ((o_custkey % 1024) + 1024) % 1024 AS a,
+        |  ((date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 1024) + 1024) % 1024 AS b
+        | FROM orders),
+        |zv AS (SELECT a, b, $zExpr AS z FROM ab)
+        |SELECT z // 16384 AS zbin, CAST(count(*) AS BIGINT) AS n_orders,
+        | min(a) AS min_cust, max(a) AS max_cust, min(b) AS min_day, max(b) AS max_day
+        |FROM zv GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "q119_profile" ->
       """WITH s AS (
         | SELECT count(*) AS total,

@@ -209,6 +209,37 @@ class GraftFacadeSpec extends AnyFunSuite {
       s"profile should be one aggregation pass:\n$plan")
   }
 
+  test("mergeAggState over any batch split equals the full recompute") {
+    val ev = Tables.events(spark, dir)
+    def aggOf(df: org.apache.spark.sql.DataFrame) = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(28,2)")).as("sv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    val full = rows(aggOf(ev))
+    // three-way split, merged pairwise — associativity of the merge
+    val Seq(b1, b2, b3) = Seq(
+      ev.filter(col("user_id") % 3 === 0), ev.filter(col("user_id") % 3 === 1),
+      ev.filter(col("user_id") % 3 === 2))
+    val merged = Graft.mergeAggState(
+      Graft.mergeAggState(aggOf(b1), aggOf(b2), Seq("event_type")),
+      aggOf(b3), Seq("event_type"))
+    assert(rows(merged) === full)
+    intercept[IllegalArgumentException] {
+      Graft.mergeAggState(aggOf(ev), aggOf(ev).drop("sv"), Seq("event_type"))
+    }
+  }
+
+  test("z-order bins are narrow in BOTH dimensions") {
+    val r = SparkEntry.queries("q121_zorder_layout")(spark, dir).collect()
+    assert(r.nonEmpty)
+    // a 16384-wide z-bin covers 2^14 Morton codes = a 128x128 tile of the
+    // 1024x1024 (cust, day) grid — both per-bin spans must stay <= 127
+    r.foreach { row =>
+      assert(row.getLong(3) - row.getLong(2) <= 127, s"cust span wide in bin ${row.getLong(0)}")
+      assert(row.getLong(5) - row.getLong(4) <= 127, s"day span wide in bin ${row.getLong(0)}")
+    }
+  }
+
   test("exactDupGroups agrees with the distinct-text count") {
     val docs = Tables.documents(spark, dir)
     val g = Graft.exactDupGroups(docs)
