@@ -41,7 +41,7 @@ class ExpressionsSpec extends AnyFunSuite {
     // the extensions injector exposes exactly the same function names
     assert(GraftFunctions.all.map(_._1).toSet ===
       Set("version_compare", "version_sort_key", "array_dot", "parse_constraint",
-        "token_ngrams",
+        "token_ngrams", "bloom_might_contain",
         "archive_format", "archive_members", "archive_extract", "archive_inspect",
         "tar_archive"))
   }
