@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -13,6 +14,24 @@ object Extras {
   type QFn = (SparkSession, String) => DataFrame
 
   val queries: Seq[(String, QFn)] = Seq(
+    // Equi-depth (equal-height) histogram of order value per priority —
+    // the optimizer-statistics / skew-diagnosis view (A8 composition):
+    // ntile(4) over a fully tie-broken order assigns each row a depth
+    // bucket, then per-bucket count + [lo, hi] bounds. Bounds are RAW
+    // column values (no interpolation arithmetic, unlike percentile_cont)
+    // so cross-engine parity is exact. One window shuffle keyed on the
+    // stratum; the (stratum, bucket) aggregate reuses that partitioning.
+    "q124_equidepth_hist" -> { (s, dir) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("bucket", ntile(4).over(w))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+        .orderBy("o_orderpriority", "bucket")
+    },
+
     // Z-order (Morton) clustering audit — the data-LAYOUT optimization a
     // lakehouse applies before writing: interleave the bits of two scaled
     // dimensions (customer, order-day) so that sorting by the single z
@@ -244,6 +263,18 @@ object Extras {
     })
 
   val oracles: Seq[(String, String)] = Seq(
+    "q124_equidepth_hist" ->
+      """WITH b AS (
+        | SELECT o_orderpriority, o_totalprice,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS bucket
+        | FROM orders)
+        |SELECT o_orderpriority, bucket, CAST(count(*) AS BIGINT) AS n_orders,
+        | min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM b
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
     "q121_zorder_layout" -> {
       val zExpr = (0 until 10).map(i =>
         s"(((a >> $i) & 1) << ${2 * i + 1}) + (((b >> $i) & 1) << ${2 * i})")
