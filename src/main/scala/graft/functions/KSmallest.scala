@@ -5,22 +5,19 @@ import java.util.Arrays
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.{Encoder, Encoders}
 
-/** Bounded-state k-smallest-DISTINCT aggregator — the scale-safe core of
-  * the KMV distinct sketch (q61). State is a sorted array of at most k
-  * distinct values, so partial aggregation runs map-side with O(k) memory
-  * per group and merge is an O(k) sorted merge; contrast with the
-  * window-sort formulation (`row_number() OVER (ORDER BY h)` then
-  * `rn = k`), which shuffles and SORTS every distinct hash in each group
-  * to extract 64 values. Distinctness is enforced inside the buffer
-  * (binary search on insert), so no upstream `.distinct()` shuffle is
-  * needed either — the whole sketch is one aggregation pass.
-  *
-  * `finish` returns the k-th smallest distinct value, or null when the
-  * group holds fewer than k distinct values (the KMV estimator is
-  * undefined there — callers filter, exactly as the old `rn = k` inner
-  * join dropped those groups).
+/** Bounded-state k-smallest-DISTINCT aggregation — the scale-safe core of
+  * the KMV distinct sketch (q61) and of KMV set-operation estimation
+  * (q125). State is a sorted array of at most k distinct values, so
+  * partial aggregation runs map-side with O(k) memory per group and merge
+  * is an O(k) sorted merge; contrast with the window-sort formulation
+  * (`row_number() OVER (ORDER BY h)` then `rn = k`), which shuffles and
+  * SORTS every distinct hash in each group to extract 64 values.
+  * Distinctness is enforced inside the buffer (binary search on insert),
+  * so no upstream `.distinct()` shuffle is needed either — the whole
+  * sketch is one aggregation pass.
   */
-class KthSmallestDistinct(k: Int) extends Aggregator[Long, Array[Long], java.lang.Long] {
+abstract class KSmallestDistinctBase[OUT](k: Int)
+    extends Aggregator[Long, Array[Long], OUT] {
   require(k >= 1)
 
   override def zero: Array[Long] = Array.emptyLongArray
@@ -62,12 +59,32 @@ class KthSmallestDistinct(k: Int) extends Aggregator[Long, Array[Long], java.lan
     if (n == out.length) out else Arrays.copyOf(out, n)
   }
 
-  override def finish(buf: Array[Long]): java.lang.Long =
-    if (buf.length >= k) Long.box(buf(k - 1)) else null
-
   // native long-array encoder: the buffer ships as an UnsafeArrayData of
   // primitives between partial and final aggregation, not Java serialization
   override def bufferEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+/** `finish` returns the k-th smallest distinct value, or null when the
+  * group holds fewer than k distinct values (the KMV estimator is
+  * undefined there — callers filter, exactly as the old `rn = k` inner
+  * join dropped those groups).
+  */
+class KthSmallestDistinct(k: Int) extends KSmallestDistinctBase[java.lang.Long](k) {
+  override def finish(buf: Array[Long]): java.lang.Long =
+    if (buf.length >= k) Long.box(buf(k - 1)) else null
   override def outputEncoder: Encoder[java.lang.Long] = Encoders.LONG
+}
+
+/** `finish` returns the whole sorted k-smallest-distinct array — the
+  * mergeable KMV SKETCH itself. Sketches compose relationally: the k
+  * smallest of `array_distinct(concat(sk_a, sk_b))` IS the union sketch
+  * (KMV mergeability), which q125 exploits for union/intersection
+  * cardinality estimates between groups without touching the raw data
+  * again.
+  */
+class KSmallestDistinctList(k: Int) extends KSmallestDistinctBase[Array[Long]](k) {
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

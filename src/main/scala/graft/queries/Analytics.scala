@@ -129,6 +129,50 @@ object Analytics {
         .orderBy("event_type")
     },
 
+    // KMV set-operation estimation — cross-segment audience overlap from
+    // SKETCHES alone (q61's deterministic KMV generalized from cardinality
+    // to set algebra). Each event type keeps its k=64 smallest distinct
+    // 60-bit user hashes (bounded-state aggregator, one pass); for every
+    // type pair the UNION sketch is just the k smallest of
+    // array_distinct(concat(sk_a, sk_b)) — KMV mergeability means that
+    // EQUALS the sketch of the raw union, which is exactly what the oracle
+    // computes from scratch — and intersection falls out by
+    // inclusion-exclusion. Exact counts ride along to expose the error.
+    // At 100 TB the sketch table (5 rows × 64 longs) replaces re-scanning
+    // the event stream for every pair: set-op estimates become metadata
+    // lookups, the same way the incremental-agg state (q122) replaces
+    // recomputation.
+    "q125_kmv_set_ops" -> { (s, dir) =>
+      val k = 64
+      val kl = udaf(new graft.functions.KSmallestDistinctList(k))
+      val tu = Tables.events(s, dir).select(col("event_type").as("t"), col("user_id"),
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)").as("h"))
+      val sk = tu.groupBy("t")
+        .agg(kl(col("h")).as("sk"), countDistinct("user_id").as("exact"))
+      val a = sk.select(col("t").as("ta"), col("sk").as("ska"), col("exact").as("xa"))
+      val b = sk.select(col("t").as("tb"), col("sk").as("skb"), col("exact").as("xb"))
+      val du = tu.select("t", "user_id").distinct()
+      val xinter = du.join(du.select(col("t").as("tb"), col("user_id")), "user_id")
+        .filter(col("t") < col("tb"))
+        .groupBy(col("t").as("ta"), col("tb")).agg(count(lit(1)).as("x_inter"))
+      val C = 1.152921504606846976e18 // 2^60, the hash range
+      a.join(b, col("ta") < col("tb"))
+        .join(xinter, Seq("ta", "tb"), "left")
+        .withColumn("x_inter", coalesce(col("x_inter"), lit(0L)))
+        .withColumn("ka", expr(s"try_element_at(ska, $k)"))
+        .withColumn("kb", expr(s"try_element_at(skb, $k)"))
+        .withColumn("ku",
+          expr(s"try_element_at(array_sort(array_distinct(concat(ska, skb))), $k)"))
+        .filter(col("ka").isNotNull && col("kb").isNotNull && col("ku").isNotNull)
+        .withColumn("est_a", lit(k - 1) * lit(C) / col("ka"))
+        .withColumn("est_b", lit(k - 1) * lit(C) / col("kb"))
+        .withColumn("est_union", lit(k - 1) * lit(C) / col("ku"))
+        .withColumn("est_inter", col("est_a") + col("est_b") - col("est_union"))
+        .select("ta", "tb", "xa", "xb", "x_inter",
+          "est_a", "est_b", "est_union", "est_inter")
+        .orderBy("ta", "tb")
+    },
+
     // Spark 4 VariantType path for semi-structured props: parse_json once,
     // then typed variant_get extraction — the modern engine-native form of
     // the open key->value metadata the reference kept per package record.
@@ -324,6 +368,44 @@ object Analytics {
         |WINDOW w AS (PARTITION BY lang ORDER BY n DESC, tok)
         |QUALIFY rank <= 5
         |ORDER BY lang, rank""".stripMargin,
+
+    "q125_kmv_set_ops" ->
+      """WITH th AS (
+        | SELECT DISTINCT event_type AS t, user_id,
+        |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        | FROM events),
+        |hs AS (SELECT DISTINCT t, h FROM th),
+        |rn AS (SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM hs),
+        |kth AS (SELECT t, h AS kv FROM rn WHERE rn = 64),
+        |ex AS (SELECT t, count(DISTINCT user_id) AS x FROM th GROUP BY t),
+        |prs AS (SELECT a.t AS ta, b.t AS tb FROM ex a JOIN ex b ON a.t < b.t),
+        |uh AS (
+        | SELECT p.ta, p.tb, s.h
+        | FROM prs p JOIN hs s ON s.t = p.ta OR s.t = p.tb
+        | GROUP BY p.ta, p.tb, s.h),
+        |urn AS (SELECT ta, tb, h, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn FROM uh),
+        |ukth AS (SELECT ta, tb, h AS ku FROM urn WHERE rn = 64),
+        |xi AS (
+        | SELECT a.t AS ta, b.t AS tb, count(*) AS x_inter
+        | FROM (SELECT DISTINCT t, user_id FROM th) a
+        | JOIN (SELECT DISTINCT t, user_id FROM th) b
+        |  ON a.user_id = b.user_id AND a.t < b.t
+        | GROUP BY 1, 2)
+        |SELECT p.ta, p.tb, ea.x AS xa, eb.x AS xb,
+        | CAST(coalesce(xi.x_inter, 0) AS BIGINT) AS x_inter,
+        | 63 * 1.152921504606846976e18 / ka.kv AS est_a,
+        | 63 * 1.152921504606846976e18 / kb.kv AS est_b,
+        | 63 * 1.152921504606846976e18 / uk.ku AS est_union,
+        | (63 * 1.152921504606846976e18 / ka.kv) + (63 * 1.152921504606846976e18 / kb.kv)
+        |  - (63 * 1.152921504606846976e18 / uk.ku) AS est_inter
+        |FROM prs p
+        |JOIN ex ea ON ea.t = p.ta
+        |JOIN ex eb ON eb.t = p.tb
+        |JOIN kth ka ON ka.t = p.ta
+        |JOIN kth kb ON kb.t = p.tb
+        |JOIN ukth uk ON uk.ta = p.ta AND uk.tb = p.tb
+        |LEFT JOIN xi ON xi.ta = p.ta AND xi.tb = p.tb
+        |ORDER BY p.ta, p.tb""".stripMargin,
 
     "q61_kmv_distinct_sketch" ->
       """WITH h AS (

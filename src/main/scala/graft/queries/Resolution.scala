@@ -362,6 +362,44 @@ object Resolution {
         Tables.packageNames(s, dir))
     },
 
+    // Triangle census of the resolution graph — the clustering-coefficient
+    // numerator ("how co-dependent is this ecosystem": shared-dependency
+    // triads are what makes transaction ordering hard). The algorithm is
+    // the scale-canonical DEGREE-ORIENTED edge iterator: each undirected
+    // edge points from its lower-(degree, name) endpoint to the higher, so
+    // every out-adjacency is O(sqrt(m))-bounded and the wedge self-join
+    // never explodes on hub nodes — a plain wedge join on the raw graph
+    // quadratic-blows on exactly the virt-* hubs the fixture ships. Each
+    // triangle has EXACTLY ONE source with out-edges to the other two
+    // under the total order, so the count is join-once exact; the oracle
+    // counts the same triangles via the independent a<b<c formulation.
+    "q126_triangle_count" -> { (s, dir) =>
+      val und = resolvedEdges(s, dir).filter(col("name") =!= col("dep"))
+        .select(least(col("name"), col("dep")).as("a"),
+          greatest(col("name"), col("dep")).as("b"))
+        .distinct()
+      val deg = und.select(col("a").as("n")).unionByName(und.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val oriented = und
+        .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+        .select(
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("s"), col("b").as("t")))
+            .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t"))
+      val wedges = oriented.select(col("s"), col("t").as("x"))
+        .join(oriented.select(col("s"), col("t").as("y")), "s")
+        .filter(col("x") =!= col("y"))
+      val tri = wedges
+        .join(oriented.select(col("s").as("x"), col("t").as("y")), Seq("x", "y"))
+        .agg(count(lit(1)).as("n_triangles"))
+      tri
+        .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+        .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
+        .select("n_nodes", "n_edges", "n_triangles")
+    },
+
     // Reverse impact analysis — the CVE triage question ("a vuln landed in
     // pkg-11: which packages' install plans are exposed, and how directly?"):
     // transitive closure over the REVERSED constraint-satisfying resolution
@@ -889,6 +927,27 @@ object Resolution {
         |SELECT l.name, l.in_cycle, l.scc_id, sz.scc_size
         |FROM lab l JOIN sz USING (scc_id)
         |ORDER BY l.name""".stripMargin),
+
+    "q126_triangle_count" -> sub("""WITH --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |und AS (
+        | SELECT DISTINCT least(name, dep) AS a, greatest(name, dep) AS b
+        | FROM edges WHERE name <> dep),
+        |nd AS (
+        | SELECT CAST(count(DISTINCT n) AS BIGINT) AS n_nodes
+        | FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und) t),
+        |tri AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        | FROM und e1
+        | JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        | JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT nd.n_nodes,
+        | (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+        | tri.n_triangles
+        |FROM nd, tri""".stripMargin),
 
     "q85_reverse_impact" -> sub("""WITH RECURSIVE --IDX--,
         |--PKG--,

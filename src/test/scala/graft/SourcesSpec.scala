@@ -27,6 +27,20 @@ class SourcesSpec extends AnyFunSuite {
       docs.agg(sum("n_chars")).head().getLong(0))
   }
 
+  test("S6+: ORC sink/source roundtrip with predicate pushdown") {
+    val out = Files.createTempDirectory("graft_orc").toString
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
+    docs.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema === docs.schema)
+    assert(back.count() === docs.count())
+    // the columnar second format keeps filter pushdown, like parquet
+    val planned = back.filter(col("doc_id") < 10)
+      .queryExecution.executedPlan.toString
+    assert(planned.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]"),
+      s"no pushed filter in ORC scan:\n${planned.take(1200)}")
+  }
+
   test("S5: JSON sink/source roundtrip + from_json extraction") {
     val out = Files.createTempDirectory("graft_json").toString
     Tables.events(spark, dir).select("event_id", "event_type", "props")
