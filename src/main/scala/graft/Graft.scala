@@ -157,19 +157,26 @@ object Graft {
     * contiguous and the gap case).
     */
   def scd2Merge(history: DataFrame, snapshot: DataFrame, k: Int): DataFrame = {
-    // loud in-plan guard: k must be strictly beyond every open interval —
+    // loud EAGER guard: k must be strictly beyond every open interval —
     // merging an already-covered snapshot would silently emit overlapping
-    // intervals, so the row itself raises instead (the open set is small;
-    // the check rides the existing scan, no extra pass). Anchored in a
-    // Filter, not a projected column: a downstream projection that prunes
-    // valid_to would let Catalyst eliminate a CaseWhen-based check, but a
-    // Filter condition always evaluates (assert_true yields NULL when the
-    // condition holds, so isNull keeps every row — Scd2Spec pins that the
-    // guard still fires under a pkg_id-only downstream select).
+    // intervals. This is a driver-side limit-1 probe, NOT an in-plan
+    // assert: every in-plan anchoring loses to the optimizer eventually
+    // (a projected CaseWhen dies to column pruning; a Filter-side
+    // assert_true gets pushed below joins INSIDE the caller's history
+    // frame once outer-join elimination runs, raising on pre-join rows
+    // the history never contained). The probe evaluates the history
+    // frame's actual semantics, costs one pushdown-friendly filtered scan
+    // of the open set with an early-out limit, and scd2Merge runs once
+    // per arriving snapshot — the merge itself dwarfs it. Scd2Spec pins
+    // all three behaviors: a covered snapshot raises, the raise survives
+    // any downstream projection, and a history whose internal join drops
+    // the violating rows stays silent.
+    val bad = history
+      .filter(col("is_current") === 1 && col("valid_to") >= lit(k))
+      .select(col("valid_to")).limit(1).collect()
+    require(bad.isEmpty,
+      s"scd2Merge: snapshot k=$k is not beyond open interval valid_to=${bad.headOption.map(_.get(0)).getOrElse("")}")
     val cur = history.filter(col("is_current") === 1)
-      .filter(assert_true(col("valid_to") < lit(k), concat(
-        lit(s"scd2Merge: snapshot k=$k is not beyond open interval valid_to="),
-        col("valid_to").cast("string"))).isNull)
       .select("pkg_id", "name", "version", "valid_from", "valid_to")
     val closed = history.filter(col("is_current") === 0)
     val snap = snapshot.select(col("pkg_id"),
@@ -390,6 +397,15 @@ object Graft {
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     GraftFunctions.ensureRegistered(big.sparkSession)
     require(expectedItems > 0 && fpp > 0 && fpp < 1, "need expectedItems > 0, 0 < fpp < 1")
+    // the sketch stores longs (stat.bloomFilter puts integral keys as
+    // longs) and the probe casts its input to long — a string key would
+    // hash DIFFERENT values on the two sides and silently false-negative
+    // away matching rows, so refuse anything non-integral loudly
+    Seq(big, small).foreach { df =>
+      val dt = df.schema(key).dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"bloomPrunedJoin key '$key' must be integral, got ${dt.typeName}")
+    }
     val bf = small.stat.bloomFilter(key, expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
@@ -472,6 +488,14 @@ object Graft {
     require(keys.nonEmpty, "need at least one grouping key")
     require(state.columns.toSet == delta.columns.toSet,
       s"state/delta schema mismatch: ${state.columns.mkString(",")} vs ${delta.columns.mkString(",")}")
+    // names matching is not enough: unionByName would silently coerce a
+    // type-drifted delta (e.g. a string sum_value from a CSV read) to the
+    // common type and degrade the documented exact-decimal merge — check
+    // types by name and fail at the first bad delta instead
+    state.columns.foreach { c =>
+      val (st, dt) = (state.schema(c).dataType, delta.schema(c).dataType)
+      require(st == dt, s"state/delta type mismatch on '$c': $st vs $dt")
+    }
     val vals = state.columns.filterNot(keys.contains).toSeq
     require(vals.nonEmpty, "need at least one mergeable value column")
     state.unionByName(delta)
@@ -492,6 +516,11 @@ object Graft {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.distinct == cols, "profile column list has duplicates")
+    // the per-column aliases embed the name verbatim; dots/backticks would
+    // mis-resolve as nested-field references downstream
+    require(!cols.exists(c => c.contains(".") || c.contains("`")),
+      "profile does not support dotted or backticked column names")
     val aggs = Seq(count(lit(1)).as("__total")) ++ cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__n_$c"),

@@ -44,17 +44,25 @@ object Vectors {
 
   private val dotExpr = "array_dot(va, vb)"
 
+  /** ONE md5 constant-derivation for every deterministic matrix family
+    * (hyperplanes "rp:", IVF codebook "ivf:", k-means init "km:"):
+    * int32(md5(s"$prefix:$a:$b")[0:4]) % 1000 - 500. Shared so a change
+    * here cannot desynchronize one family's Spark side from the SQL
+    * re-derivation the oracles all use.
+    */
+  private def mdConst(prefix: String, a: Int, b: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$prefix:$a:$b".getBytes("UTF-8"))
+      .take(4).map(x => f"${x & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % 1000 - 500
+  }
+
   /** Deterministic random-hyperplane matrix for LSH bucketing: 8 planes x
-    * 64 dims, r(p,d) = int64(md5("rp:p:d")[0:8]) % 1000 - 500. md5-derived
+    * 64 dims, r(p,d) = int32(md5("rp:p:d")[0:4]) % 1000 - 500. md5-derived
     * so the oracle re-derives the SAME matrix in SQL — no shipped state.
     */
   private val Planes = 8
-  private def planeConst(p: Int, d: Int): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"rp:$p:$d".getBytes("UTF-8"))
-      .take(4).map(b => f"${b & 0xff}%02x").mkString
-    java.lang.Long.parseLong(hex, 16) % 1000 - 500
-  }
+  private def planeConst(p: Int, d: Int): Long = mdConst("rp", p, d)
   /** SQL expr: LSH bucket id (sign bits of the 8 projections) over col v. */
   private def bucketExpr: String = {
     val bits = (0 until Planes).map { pl =>
@@ -71,12 +79,7 @@ object Vectors {
     * — only the literal codebook changes.
     */
   private val Cells = 8
-  private def ivfConst(k: Int, d: Int): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"ivf:$k:$d".getBytes("UTF-8"))
-      .take(4).map(b => f"${b & 0xff}%02x").mkString
-    java.lang.Long.parseLong(hex, 16) % 1000 - 500
-  }
+  private def ivfConst(k: Int, d: Int): Long = mdConst("ivf", k, d)
   /** SQL expr: array of the 8 centroid dot products for col v. */
   private def ivfDotsExpr: String = {
     val per = (0 until Cells).map { k =>
@@ -92,14 +95,8 @@ object Vectors {
     */
   private val KmK = 8
   private val KmIters = 3
-  private def kmConst(k: Int, d: Int): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"km:$k:$d".getBytes("UTF-8"))
-      .take(4).map(b => f"${b & 0xff}%02x").mkString
-    java.lang.Long.parseLong(hex, 16) % 1000 - 500
-  }
   private def kmInit: IndexedSeq[IndexedSeq[Double]] =
-    (0 until KmK).map(k => (0 until 64).map(d => kmConst(k, d).toDouble))
+    (0 until KmK).map(k => (0 until 64).map(d => mdConst("km", k, d).toDouble))
 
   /** Trained-and-assigned embedding frame (vec_id, label, v, nsq, cluster)
     * — KMeans.fit runs one Spark job per iteration (driver-held centroids,

@@ -51,6 +51,15 @@ class BloomSpec extends AnyFunSuite {
     assert(probeLine.contains("*("), s"bloom probe fell out of codegen: $probeLine")
   }
 
+  test("a non-integral join key is rejected loudly") {
+    val docs = Tables.documents(spark, dir).select("lang", "doc_id")
+    val dim = Tables.documents(spark, dir).select(col("lang").as("lang"), col("n_chars")).limit(5)
+    val ex = intercept[IllegalArgumentException] {
+      Graft.bloomPrunedJoin(docs, dim.drop("n_chars"), "lang")
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
   test("the filter argument must be a binary literal") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     import spark.implicits._

@@ -227,6 +227,11 @@ class GraftFacadeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Graft.mergeAggState(aggOf(ev), aggOf(ev).drop("sv"), Seq("event_type"))
     }
+    // a name-matching but type-drifted delta must fail, not coerce
+    intercept[IllegalArgumentException] {
+      Graft.mergeAggState(aggOf(ev),
+        aggOf(ev).withColumn("sv", col("sv").cast("string")), Seq("event_type"))
+    }
   }
 
   test("z-order bins are narrow in BOTH dimensions") {

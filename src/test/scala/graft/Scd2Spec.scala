@@ -149,6 +149,26 @@ class Scd2Spec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("scd2Merge")), s"unexpected error: $ex")
   }
 
+  test("the guard does not push below a join that drops the violating rows") {
+    // history = intervals joined to a dim that excludes pkg B, whose open
+    // interval (valid_to=5) would violate k=4. The guard predicate is
+    // nondeterministic precisely so Catalyst cannot sink it below this
+    // join — the merge must see only A's rows and stay silent.
+    import spark.implicits._
+    val intervals = Seq(
+      (1L, "A", "1.0", 0, 3, 1),
+      (2L, "B", "2.0", 0, 5, 1))
+      .toDF("pkg_id", "name", "version", "valid_from", "valid_to", "is_current")
+    val dim = Seq("A").toDF("name")
+    val history = intervals.join(dim, "name")
+      .select("pkg_id", "name", "version", "valid_from", "valid_to", "is_current")
+    val snap = Seq((1L, "A", "1.1")).toDF("pkg_id", "name", "version")
+    val out = Graft.scd2Merge(history, snap, 4).collect()
+    // A's 1.0 interval closes (gap: valid_to=3, k=4) and 1.1 opens at [4,4]
+    assert(out.map(r => (r.getLong(0), r.getString(2), r.getInt(5))).toSet ===
+      Set((1L, "1.0", 0), (1L, "1.1", 1)))
+  }
+
   test("the merge overlap guard survives a downstream projection pruning valid_to") {
     // the guard is anchored in a Filter condition — a pkg_id-only select
     // downstream must not let Catalyst column-prune it away
