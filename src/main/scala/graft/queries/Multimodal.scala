@@ -38,6 +38,9 @@ object Multimodal {
   /** Decoded record produced by the stubbed per-partition decoder. */
   final case class Decoded(doc_id: Long, kind: String, byte_len: Long, header: Long, checksum: Long)
 
+  /** Image feature record from the REAL javax.imageio decode (q128). */
+  final case class ImgStats(doc_id: Long, width: Int, height: Int, sum_r: Long, sum_g: Long)
+
   val queries: Seq[(String, QFn)] = Seq(
     // Typed mapPartitions "decode": byte length, 4-byte big-endian header
     // word, checksum over the first 64 bytes. Pixel/sample decode is the
@@ -62,6 +65,68 @@ object Multimodal {
           min("header").as("min_header"), max("header").as("max_header"),
           (sum("checksum") / count(lit(1))).as("avg_checksum"))
         .orderBy("kind")
+    },
+
+    // REAL image decode through javax.imageio (the JDK's actual PNG codec
+    // — no stub): per doc a deterministic RGB image is rendered from
+    // doc_id's pixel formula, ENCODED to real PNG bytes on the executors
+    // (ImageIO.write → the opaque BinaryType media column), then a second
+    // typed mapPartitions stage DECODES those bytes back (ImageIO.read)
+    // and extracts features (dimensions, per-channel sums). The oracle
+    // never sees a PNG: it recomputes the features arithmetically from
+    // the same pixel formula — so a hash match proves the full
+    // encode→bytes→decode roundtrip through the real codec is lossless
+    // and the decode stage reads exactly what was written. This is the
+    // q50 plumbing with the codec made real; at 100 TB the decode stage
+    // is the same batched per-partition iterator, just behind a scan of
+    // stored media instead of a render.
+    "q128_image_decode" -> { (s, dir) =>
+      import s.implicits._
+      val pngs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 40).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 8 + (id % 9).toInt
+            val h = 8 + (id % 7).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+                val g = ((id * 17 + x * 3 + y * 11) % 256).toInt
+                val b = ((id * 23 + x * 5 + y * 19) % 256).toInt
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, bos.toByteArray)
+          }
+        }.toDF("doc_id", "blob")
+      pngs.as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            var sr = 0L; var sg = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff
+                sg += (p >> 8) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            ImgStats(id, img.getWidth, img.getHeight, sr, sg)
+          }
+        }.toDF()
+        .orderBy("doc_id")
     },
 
     // Frame sampling: one row per 256-byte frame, md5 fingerprint per frame —
@@ -98,6 +163,24 @@ object Multimodal {
         |FROM m
         |GROUP BY kind
         |ORDER BY kind""".stripMargin,
+
+    // Arithmetic oracle: the decode output must equal the generating pixel
+    // formula — the PNG roundtrip itself is what's under test.
+    "q128_image_decode" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+        |px AS (
+        | SELECT doc_id, CAST(8 + doc_id % 9 AS INTEGER) AS width,
+        |  CAST(8 + doc_id % 7 AS INTEGER) AS height
+        | FROM d),
+        |s AS (
+        | SELECT p.doc_id, p.width, p.height,
+        |  CAST(sum((p.doc_id * 31 + x.x * 7 + y.y * 13) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((p.doc_id * 17 + x.x * 3 + y.y * 11) % 256) AS BIGINT) AS sum_g
+        | FROM px p, range(0, 17) x(x), range(0, 15) y(y)
+        | WHERE x.x < p.width AND y.y < p.height
+        | GROUP BY 1, 2, 3)
+        |SELECT doc_id, width, height, sum_r, sum_g FROM s
+        |ORDER BY doc_id""".stripMargin,
 
     "q51_frame_sampling" ->
       """WITH m AS (

@@ -362,6 +362,67 @@ object Resolution {
         Tables.packageNames(s, dir))
     },
 
+    // Dependency ALTERNATION (Debian `Depends: a | b` or-deps): each
+    // package's two specs joined as "preferred|fallback" (virt constraint
+    // first, as Debian lists the preferred alternative first), then apt's
+    // selection policy — the FIRST alternative with any satisfying
+    // provider wins; later alternatives are consulted only when every
+    // earlier one is unsatisfiable. The fixture makes the fallback REAL:
+    // '=' constraints never satisfy, so i%3==2 packages resolve through
+    // their bare second alternative (win_idx 1), while satisfiable virt
+    // constraints win at idx 0. Same two-join resolution plan as
+    // resolutionEdges — alternation adds one posexplode and one
+    // min-aggregation, no new shuffle shape.
+    "q127_ordep_resolution" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      val alts = Tables.dependsSpecs(s, dir).groupBy("name")
+        .agg(concat_ws("|", sort_array(collect_list("spec"), asc = false)).as("ordep"))
+      val exploded = alts.select(col("name"), col("ordep"),
+        posexplode(split(col("ordep"), "\\|")).as(Seq("alt_idx", "spec")))
+      val pr = Tables.provides(s, dir).select(col("name").as("provider"), col("provides_name"))
+      val pk = Tables.packages(s, dir).select(col("name").as("provider"), col("version"))
+      val sat = exploded.withColumn("c", expr("parse_constraint(spec)"))
+        .join(pr, col("c.name") === col("provides_name"))
+        .join(pk, Seq("provider"))
+        .filter(expr(SatisfiesSql))
+        .select(col("name"), col("ordep"), col("alt_idx"), col("provider"))
+        .distinct()
+      val win = sat.groupBy("name", "ordep").agg(min("alt_idx").as("win_idx"))
+      sat.join(win, Seq("name", "ordep"))
+        .filter(col("alt_idx") === col("win_idx"))
+        .groupBy("name", "ordep", "win_idx")
+        .agg(count(lit(1)).as("n_providers"),
+          sort_array(collect_set("provider")).as("providers"))
+        .orderBy("name")
+    },
+
+    // Recommends-aware closure policy (apt's --install-recommends vs
+    // --no-install-recommends): every resolution edge carries a
+    // deterministic md5-derived class (depends | recommends), and the
+    // install plan from one root is walked under BOTH policies — the
+    // strict closure follows hard depends only, the full closure follows
+    // both. `recommends_only` marks the weight a site's "installed-size
+    // with recommends" toggle adds; depth_strict = -1 for packages only
+    // reachable through a recommends edge. Two BFS walks over the SAME
+    // memoized edge frame — the class split is a map-only projection.
+    "q129_recommends_closure" -> { (s, dir) =>
+      val edges = resolvedEdges(s, dir)
+        .withColumn("cls", when(
+          expr("cast(conv(substring(md5(concat(name, '>', dep)), 1, 2), 16, 10) as int) % 2 = 0"),
+          "depends").otherwise("recommends"))
+      val root = "pkg-07"
+      val full = graft.operators.Closure.reachable(s, edges.select("name", "dep"), root)
+        .select(col("name"), col("depth").as("depth_full"))
+      val strict = graft.operators.Closure.reachable(s,
+          edges.filter(col("cls") === "depends").select("name", "dep"), root)
+        .select(col("name"), col("depth").as("depth_strict"))
+      full.join(strict, Seq("name"), "left")
+        .select(col("name"), col("depth_full"),
+          coalesce(col("depth_strict"), lit(-1)).as("depth_strict"),
+          col("depth_strict").isNull.cast("int").as("recommends_only"))
+        .orderBy("name")
+    },
+
     // Triangle census of the resolution graph — the clustering-coefficient
     // numerator ("how co-dependent is this ecosystem": shared-dependency
     // triads are what makes transaction ordering hard). The algorithm is
@@ -927,6 +988,63 @@ object Resolution {
         |SELECT l.name, l.in_cycle, l.scc_id, sz.scc_size
         |FROM lab l JOIN sz USING (scc_id)
         |ORDER BY l.name""".stripMargin),
+
+    "q127_ordep_resolution" -> sub("""WITH --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |og AS (SELECT name, string_agg(spec, '|' ORDER BY spec DESC) AS ordep FROM specs GROUP BY name),
+        |sa AS (
+        | SELECT name, spec, cname, cop, cmaj, cmin,
+        |  CAST(row_number() OVER (PARTITION BY name ORDER BY spec DESC) - 1 AS INTEGER) AS alt_idx
+        | FROM specs),
+        |sat AS (
+        | SELECT DISTINCT s.name, s.alt_idx, p.provider
+        | FROM sa s
+        | JOIN prov p ON p.provides_name = s.cname
+        | JOIN pkg k ON k.name = p.provider
+        | WHERE CASE s.cop
+        |  WHEN '>=' THEN (k.vmaj, k.vmin, k.vpat) >= (s.cmaj, s.cmin, 0)
+        |  WHEN '<'  THEN (k.vmaj, k.vmin, k.vpat) < (s.cmaj, s.cmin, 0)
+        |  WHEN '='  THEN FALSE
+        |  ELSE TRUE END),
+        |win AS (SELECT name, CAST(min(alt_idx) AS INTEGER) AS win_idx FROM sat GROUP BY name),
+        |ch AS (
+        | SELECT s.name, w.win_idx, s.provider
+        | FROM sat s JOIN win w ON s.name = w.name AND s.alt_idx = w.win_idx)
+        |SELECT o.name, o.ordep, c.win_idx,
+        | CAST(count(*) AS BIGINT) AS n_providers,
+        | list(c.provider ORDER BY c.provider) AS providers
+        |FROM og o JOIN ch c ON c.name = o.name
+        |GROUP BY o.name, o.ordep, c.win_idx
+        |ORDER BY o.name""".stripMargin),
+
+    "q129_recommends_closure" -> sub("""WITH RECURSIVE --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |ce AS (
+        | SELECT name, dep,
+        |  CASE WHEN CAST(('0x' || substr(md5(name || '>' || dep), 1, 2)) AS INTEGER) % 2 = 0
+        |   THEN 'depends' ELSE 'recommends' END AS cls
+        | FROM edges),
+        |rfull(name, depth) AS (
+        | SELECT 'pkg-07', 0
+        | UNION
+        | SELECT e.dep, r.depth + 1 FROM ce e JOIN rfull r ON e.name = r.name WHERE r.depth < 60),
+        |rs(name, depth) AS (
+        | SELECT 'pkg-07', 0
+        | UNION
+        | SELECT e.dep, r.depth + 1 FROM ce e JOIN rs r ON e.name = r.name
+        | WHERE e.cls = 'depends' AND r.depth < 60),
+        |f AS (SELECT name, min(depth) AS depth_full FROM rfull GROUP BY name),
+        |st AS (SELECT name, min(depth) AS depth_strict FROM rs GROUP BY name)
+        |SELECT f.name, CAST(f.depth_full AS INTEGER) AS depth_full,
+        | CAST(coalesce(st.depth_strict, -1) AS INTEGER) AS depth_strict,
+        | CAST(CASE WHEN st.name IS NULL THEN 1 ELSE 0 END AS INTEGER) AS recommends_only
+        |FROM f LEFT JOIN st USING (name)
+        |ORDER BY f.name""".stripMargin),
 
     "q126_triangle_count" -> sub("""WITH --IDX--,
         |--PKG--,
