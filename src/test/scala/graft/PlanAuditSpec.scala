@@ -75,6 +75,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected aggregate-based top-k")
   }
 
+  test("q125: KMV sketches run as bounded-state aggregation, no Window sort") {
+    val p = plan("q125_kmv_set_ops")
+    assert(!p.contains("Window"),
+      s"q125 regressed to a per-group window sort:\n${p.take(2000)}")
+  }
+
+  test("q120: BM25 df and corpus stats ride broadcasts, posting filter precedes the explode consumer") {
+    val p = plan("q120_bm25_retrieval")
+    // both the per-term df table and the single-row corpus stats must
+    // broadcast — a shuffle join on 3 terms or 1 row is a plan bug
+    val broadcasts = "BroadcastExchange".r.findAllIn(p).size
+    assert(broadcasts >= 2, s"expected >= 2 broadcast exchanges, got $broadcasts:\n${p.take(2000)}")
+    // the term filter must prune postings BEFORE the tf aggregation
+    assert(p.contains("Generate explode"), "expected generator-based posting explode")
+  }
+
   test("q82: archive work stays in per-row codegen — one shuffle, no join") {
     // build→compress→detect→list→extract must all be row-local expression
     // work; the only hash shuffle is the final 3-group aggregate (plus the
