@@ -86,6 +86,39 @@ object Ingest {
       .partitionBy("snapshot", "distro", "arch")
       .parquet(s"$outDir/packages_s")
 
+  /** Order-free content fingerprint of a rendered index: exact decimal sum
+    * of per-line xxhash64 plus the line count — the ETag stand-in
+    * (decimal, not long, so a corpus-scale sum can't overflow under ANSI
+    * arithmetic; order-free so partitioning never changes the value).
+    */
+  def indexFingerprint(raw: DataFrame): (java.math.BigDecimal, Long) = {
+    val r = raw.agg(
+      coalesce(sum(xxhash64(col("value")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("h"),
+      count(lit(1)).as("n")).head()
+    (r.getDecimal(0), r.getLong(1))
+  }
+
+  /** Conditional refresh — HTTP ETag / If-None-Match semantics in the
+    * zero-egress form: land `snapshotId` ONLY when the rendered index's
+    * content fingerprint differs from the latest landed snapshot's
+    * (re-rendered from the store, so the check is self-healing — no side
+    * metadata file to drift). Returns true when a new snapshot landed.
+    * Against a real mirror the fingerprint comparison is exactly what a
+    * conditional GET saves: an unchanged index costs one aggregation over
+    * the cached text, never a re-parse or a new partition.
+    */
+  def refreshIfChanged(pkgs: DataFrame, outDir: String, snapshotId: Long): Boolean = {
+    val spark = pkgs.sparkSession
+    val fp = indexFingerprint(renderIndexOf(pkgs))
+    val prev =
+      try Some(indexFingerprint(renderIndexOf(latestSnapshot(spark, outDir))))
+      catch { case _: org.apache.spark.sql.AnalysisException => None } // first landing
+    val unchanged = prev.exists(p => p._1.compareTo(fp._1) == 0 && p._2 == fp._2)
+    if (unchanged) false
+    else { runSnapshotOf(pkgs, outDir, snapshotId); true }
+  }
+
   /** Read the latest snapshot only (partition pruning keeps older
     * snapshots untouched on disk and unread at scan time).
     */

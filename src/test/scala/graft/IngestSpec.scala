@@ -77,6 +77,25 @@ class IngestSpec extends AnyFunSuite {
       "merging release 4 perturbed the history before it")
   }
 
+  test("conditional refresh lands only when the index content changed") {
+    val out = java.nio.file.Files.createTempDirectory("graft_refresh").toString
+    val pkgs = Tables.packages(spark, dir)
+      .select("name", "version", "arch", "size_mb", "pkg_id")
+    assert(Ingest.refreshIfChanged(pkgs, out, 0L), "first landing must write")
+    assert(!Ingest.refreshIfChanged(pkgs, out, 1L), "unchanged content must skip")
+    // the skip really skipped: latest is still snapshot 0
+    def latestId = Ingest.latestSnapshot(spark, out)
+      .select(col("snapshot").cast("long")).distinct().head().getLong(0)
+    assert(latestId === 0L)
+    // content change (one version bumped) → lands as snapshot 2
+    val mutated = pkgs.withColumn("version",
+      when(col("pkg_id") === 1, concat(col("version"), lit(".r1"))).otherwise(col("version")))
+    assert(Ingest.refreshIfChanged(mutated, out, 2L), "changed content must write")
+    assert(latestId === 2L)
+    // row-order permutation is NOT a content change (order-free fingerprint)
+    assert(!Ingest.refreshIfChanged(mutated.orderBy(col("pkg_id").desc), out, 3L))
+  }
+
   test("arch filter prunes partitions at the scan") {
     val out = Files.createTempDirectory("graft_ingest2").toString
     val loaded = Ingest.run(spark, dir, out)
