@@ -167,12 +167,15 @@ object Graft {
     // the history never contained). The probe evaluates the history
     // frame's actual semantics, costs one pushdown-friendly filtered scan
     // of the open set with an early-out limit, and scd2Merge runs once
-    // per arriving snapshot — the merge itself dwarfs it. Scd2Spec pins
-    // all three behaviors: a covered snapshot raises, the raise survives
-    // any downstream projection, and a history whose internal join drops
-    // the violating rows stays silent.
+    // per arriving snapshot — the merge itself dwarfs it. A NULL valid_to
+    // on an open interval is malformed input and raises too (the merge's
+    // branch filters would otherwise silently drop the row). Scd2Spec
+    // pins: a covered snapshot raises, the raise is independent of any
+    // downstream projection, and a history whose internal join drops the
+    // violating rows stays silent.
     val bad = history
-      .filter(col("is_current") === 1 && col("valid_to") >= lit(k))
+      .filter(col("is_current") === 1 &&
+        (col("valid_to") >= lit(k) || col("valid_to").isNull))
       .select(col("valid_to")).limit(1).collect()
     require(bad.isEmpty,
       s"scd2Merge: snapshot k=$k is not beyond open interval valid_to=${bad.headOption.map(_.get(0)).getOrElse("")}")
@@ -187,11 +190,26 @@ object Graft {
       .filter(col("version").isNotNull && (col("version") === col("s_version")) && contiguous)
       .select(col("pkg_id"), col("name"), col("version"), col("valid_from"),
         lit(k).as("valid_to"), lit(1).as("is_current"))
+    // best-effort second line at EVALUATION time: the probe runs once at
+    // call time, so a history path whose data changes between the probe
+    // and a (re-)materialization of the returned lazy frame would merge
+    // unguarded — this CaseWhen re-checks the violating rows (every open
+    // interval with valid_to >= k lands in closedNow: it is never
+    // `contiguous`) on each evaluation. It sits in a projection ABOVE the
+    // merge's own join, which column pruning never relocates below a join
+    // — unlike the cur-side placements, where pushdown re-created the
+    // pre-join spurious-raise problem. Best-effort only (a downstream
+    // select that prunes valid_to may eliminate it); the probe is the
+    // contractual guard, this catches the storage race.
     val closedNow = j
       .filter(col("version").isNotNull &&
         (col("s_version").isNull || col("s_version") =!= col("version") || !contiguous))
       .select(col("pkg_id"), col("name"), col("version"), col("valid_from"),
-        col("valid_to"), lit(0).as("is_current"))
+        when(col("valid_to") < lit(k), col("valid_to"))
+          .otherwise(raise_error(concat(
+            lit(s"scd2Merge: snapshot k=$k is not beyond open interval valid_to="),
+            col("valid_to").cast("string")))).as("valid_to"),
+        lit(0).as("is_current"))
     val opened = j
       .filter(col("s_version").isNotNull &&
         (col("version").isNull || col("version") =!= col("s_version") || !contiguous))
@@ -400,11 +418,15 @@ object Graft {
     // the sketch stores longs (stat.bloomFilter puts integral keys as
     // longs) and the probe casts its input to long — a string key would
     // hash DIFFERENT values on the two sides and silently false-negative
-    // away matching rows, so refuse anything non-integral loudly
+    // away matching rows, so refuse anything non-integral loudly. The
+    // lookup honors the session resolver (spark.sql.caseSensitive), like
+    // every other column reference this call makes.
+    val resolver = big.sparkSession.sessionState.analyzer.resolver
     Seq(big, small).foreach { df =>
-      val dt = df.schema(key).dataType
-      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
-        s"bloomPrunedJoin key '$key' must be integral, got ${dt.typeName}")
+      val field = df.schema.find(f => resolver(f.name, key)).getOrElse(
+        throw new IllegalArgumentException(s"bloomPrunedJoin: no column '$key' on an input"))
+      require(Seq("byte", "short", "integer", "long").contains(field.dataType.typeName),
+        s"bloomPrunedJoin key '$key' must be integral, got ${field.dataType.typeName}")
     }
     val bf = small.stat.bloomFilter(key, expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()

@@ -111,9 +111,15 @@ object Ingest {
   def refreshIfChanged(pkgs: DataFrame, outDir: String, snapshotId: Long): Boolean = {
     val spark = pkgs.sparkSession
     val fp = indexFingerprint(renderIndexOf(pkgs))
+    // first-landing detection probes PATH EXISTENCE explicitly — catching
+    // AnalysisException here would also swallow a present-but-malformed
+    // store (corrupt footer, lost column) and overwrite it as if empty;
+    // real read errors must propagate
+    val store = new org.apache.hadoop.fs.Path(s"$outDir/packages_s")
+    val exists = store.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(store)
     val prev =
-      try Some(indexFingerprint(renderIndexOf(latestSnapshot(spark, outDir))))
-      catch { case _: org.apache.spark.sql.AnalysisException => None } // first landing
+      if (exists) Some(indexFingerprint(renderIndexOf(latestSnapshot(spark, outDir))))
+      else None
     val unchanged = prev.exists(p => p._1.compareTo(fp._1) == 0 && p._2 == fp._2)
     if (unchanged) false
     else { runSnapshotOf(pkgs, outDir, snapshotId); true }

@@ -375,10 +375,14 @@ object Resolution {
     // min-aggregation, no new shuffle shape.
     "q127_ordep_resolution" -> { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
+      // the alternative LIST is the source of truth; ordep is derived
+      // display text — never re-split (a real Debian spec can itself
+      // contain '|', and a split-roundtrip would mis-index alternatives)
       val alts = Tables.dependsSpecs(s, dir).groupBy("name")
-        .agg(concat_ws("|", sort_array(collect_list("spec"), asc = false)).as("ordep"))
+        .agg(sort_array(collect_list("spec"), asc = false).as("alt_list"))
+        .withColumn("ordep", concat_ws("|", col("alt_list")))
       val exploded = alts.select(col("name"), col("ordep"),
-        posexplode(split(col("ordep"), "\\|")).as(Seq("alt_idx", "spec")))
+        posexplode(col("alt_list")).as(Seq("alt_idx", "spec")))
       val pr = Tables.provides(s, dir).select(col("name").as("provider"), col("provides_name"))
       val pk = Tables.packages(s, dir).select(col("name").as("provider"), col("version"))
       val sat = exploded.withColumn("c", expr("parse_constraint(spec)"))

@@ -81,13 +81,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q125 regressed to a per-group window sort:\n${p.take(2000)}")
   }
 
-  test("q120: BM25 df and corpus stats ride broadcasts, posting filter precedes the explode consumer") {
+  test("q120: BM25 df and corpus stats ride broadcasts") {
     val p = plan("q120_bm25_retrieval")
     // both the per-term df table and the single-row corpus stats must
     // broadcast — a shuffle join on 3 terms or 1 row is a plan bug
     val broadcasts = "BroadcastExchange".r.findAllIn(p).size
     assert(broadcasts >= 2, s"expected >= 2 broadcast exchanges, got $broadcasts:\n${p.take(2000)}")
-    // the term filter must prune postings BEFORE the tf aggregation
     assert(p.contains("Generate explode"), "expected generator-based posting explode")
   }
 

@@ -135,7 +135,8 @@ class Scd2Spec extends AnyFunSuite {
 
   test("merging a snapshot the history already covers fails loudly") {
     // k=3 is not beyond the open intervals' valid_to=3 — instead of
-    // silently emitting overlapping intervals, the in-plan guard raises.
+    // silently emitting overlapping intervals, the eager call-time probe
+    // raises.
     val dir = SparkTestHarness.Sf0001
     val snaps03 = (0 to 3).map(graft.queries.Packages.snapshotK(spark, dir, _))
       .reduce(_.unionByName(_))
@@ -149,11 +150,12 @@ class Scd2Spec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("scd2Merge")), s"unexpected error: $ex")
   }
 
-  test("the guard does not push below a join that drops the violating rows") {
+  test("the guard does not fire on rows a join inside the history drops") {
     // history = intervals joined to a dim that excludes pkg B, whose open
-    // interval (valid_to=5) would violate k=4. The guard predicate is
-    // nondeterministic precisely so Catalyst cannot sink it below this
-    // join — the merge must see only A's rows and stay silent.
+    // interval (valid_to=5) would violate k=4. The eager probe evaluates
+    // the history frame's POST-join semantics (unlike an in-plan assert,
+    // which predicate pushdown can sink below this join) — the merge must
+    // see only A's rows and stay silent.
     import spark.implicits._
     val intervals = Seq(
       (1L, "A", "1.0", 0, 3, 1),
@@ -169,9 +171,20 @@ class Scd2Spec extends AnyFunSuite {
       Set((1L, "1.0", 0), (1L, "1.1", 1)))
   }
 
+  test("an open interval with NULL valid_to is malformed and raises") {
+    // without the probe's null arm, the merge's branch filters would
+    // silently drop both the open row and the arriving record
+    import spark.implicits._
+    val hist = Seq((1L, "A", "1.0", 0, Option.empty[Int], 1))
+      .toDF("pkg_id", "name", "version", "valid_from", "valid_to", "is_current")
+    val snap = Seq((1L, "A", "1.0")).toDF("pkg_id", "name", "version")
+    val ex = intercept[IllegalArgumentException] { Graft.scd2Merge(hist, snap, 4) }
+    assert(ex.getMessage.contains("scd2Merge"))
+  }
+
   test("the merge overlap guard survives a downstream projection pruning valid_to") {
-    // the guard is anchored in a Filter condition — a pkg_id-only select
-    // downstream must not let Catalyst column-prune it away
+    // the guard is an eager call-time probe, so no downstream projection
+    // (here a pkg_id-only select) can optimize it away
     val dir = SparkTestHarness.Sf0001
     val snaps03 = (0 to 3).map(graft.queries.Packages.snapshotK(spark, dir, _))
       .reduce(_.unionByName(_))
