@@ -125,6 +125,27 @@ object Ingest {
     else { runSnapshotOf(pkgs, outDir, snapshotId); true }
   }
 
+  /** Snapshot retention: drop every `snapshot=<id>` partition except the
+    * newest `keep` — the expiry half of the land→read-latest→expire
+    * lifecycle (a table format's expire-snapshots, in plain-parquet
+    * form). Partition directories delete wholesale; no data files are
+    * rewritten, and readers pinned to surviving snapshots are untouched.
+    * Returns the ids removed (ascending).
+    */
+  def expireSnapshots(spark: SparkSession, outDir: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least one snapshot")
+    val store = new org.apache.hadoop.fs.Path(s"$outDir/packages_s")
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(store)) return Seq.empty
+    val ids = fs.listStatus(store).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snapshot="))
+      .map(s => s.getPath.getName.stripPrefix("snapshot=").toLong)
+      .sorted
+    val drop = ids.dropRight(keep)
+    drop.foreach(id => fs.delete(new org.apache.hadoop.fs.Path(store, s"snapshot=$id"), true))
+    drop
+  }
+
   /** Read the latest snapshot only (partition pruning keeps older
     * snapshots untouched on disk and unread at scan time).
     */

@@ -96,6 +96,39 @@ class IngestSpec extends AnyFunSuite {
     assert(!Ingest.refreshIfChanged(mutated.orderBy(col("pkg_id").desc), out, 3L))
   }
 
+  test("snapshot expiry drops old partitions, keeps readers of the survivors intact") {
+    val out = java.nio.file.Files.createTempDirectory("graft_expire").toString
+    (0L to 3L).foreach(Ingest.runSnapshot(spark, dir, out, _))
+    assert(Ingest.expireSnapshots(spark, out, keep = 2) === Seq(0L, 1L))
+    val left = Ingest.latestSnapshot(spark, out)
+    assert(left.select(col("snapshot").cast("long")).distinct().head().getLong(0) === 3L)
+    // surviving older snapshot still readable
+    val all = spark.read.parquet(s"$out/packages_s")
+    assert(all.select(col("snapshot").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet === Set(2L, 3L))
+    // idempotent once inside the retention budget
+    assert(Ingest.expireSnapshots(spark, out, keep = 2) === Seq.empty)
+  }
+
+  test("streaming ingest: file-source readStream over the cache parses like batch") {
+    // continuous-ingest form of the same parse contract: new index files
+    // landing in the cache dir stream through parseIndex unchanged
+    val cache = java.nio.file.Files.createTempDirectory("graft_stream_cache").toString
+    Ingest.renderIndex(spark, dir).write.mode("overwrite").text(cache)
+    val streamed = Ingest.parseIndex(
+      spark.readStream.schema("value STRING").text(cache))
+    assert(streamed.isStreaming)
+    val q = streamed.writeStream.format("memory").queryName("ingest_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ingest_stream")
+      .select("name", "version", "arch", "size_mb", "pkg_id")
+    val want = Ingest.parseIndex(spark.read.text(cache))
+      .select("name", "version", "arch", "size_mb", "pkg_id")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("arch filter prunes partitions at the scan") {
     val out = Files.createTempDirectory("graft_ingest2").toString
     val loaded = Ingest.run(spark, dir, out)
