@@ -51,19 +51,37 @@ object Closure {
     var visited = roots.select(col("root"), col("root").as("name"), lit(0).as("depth"))
     var frontier = visited
     var iter = 0
-    while (iter < maxIter && !frontier.isEmpty) {
-      val next = frontier.join(edges, "name")
+    // one hop: expand, min-depth per (root, name), drop already-visited
+    def hop(fr: DataFrame, vis: DataFrame): DataFrame =
+      fr.join(edges, "name")
         .select(col("root"), col("dep").as("name"), (col("depth") + 1).as("depth"))
         .groupBy("root", "name").agg(min("depth").as("depth"))
-      frontier = Lineage.cut(
-        next.join(visited.select("root", "name"), Seq("root", "name"), "left_anti"))
+        .join(vis.select("root", "name"), Seq("root", "name"), "left_anti")
+    while (iter < maxIter && !frontier.isEmpty) {
+      // TWO hops per driver barrier: the per-iteration cost on typical
+      // dependency graphs is the DRIVER round-trip (eager lineage cut +
+      // emptiness test), not the joins — batching halves those barriers
+      // while the intermediate anti-join stays a lazy plan op. Depths are
+      // exact: every new node's minimal parent sits in the current
+      // frontier (else it would have been discovered earlier), so h1
+      // carries all odd-layer minima and h2 — expanded from h1's NEW
+      // nodes, anti-joined against visited ∪ h1 — all even-layer minima;
+      // the two are disjoint by construction.
+      val h1 = hop(frontier, visited)
+      if (iter + 1 < maxIter) {
+        val h2 = hop(h1, visited.unionByName(h1))
+        frontier = Lineage.cut(h1.unionByName(h2))
+        iter += 2
+      } else {
+        // odd hop budget left: a second hop would overshoot maxIter
+        frontier = Lineage.cut(h1)
+        iter += 1
+      }
       // visited needs NO cut of its own: it is a union of already-cut
       // frontiers, so its plan is a flat tree of materialized scans —
       // linear growth, nothing recomputed. Cutting it would write the
       // (growing) visited set back out every iteration for no benefit.
       visited = visited.unionByName(frontier)
-
-      iter += 1
     }
     visited.select(col("root"), col("name"), col("depth").cast("int").as("depth"))
   }

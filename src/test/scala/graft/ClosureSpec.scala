@@ -101,6 +101,32 @@ class ClosureSpec extends AnyFunSuite {
     }
   }
 
+  test("random graphs: depths match an in-memory BFS model (two-hop batching exact)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    (0 until 8).foreach { trial =>
+      val n = 12
+      val es = Seq.fill(30)((s"v${rng.nextInt(n)}", s"v${rng.nextInt(n)}")).distinct
+      val g = es.toDF("name", "dep")
+      val root = "v0"
+      // in-memory BFS
+      val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      var depth = Map(root -> 0)
+      var front = Seq(root)
+      var d = 0
+      while (front.nonEmpty) {
+        d += 1
+        val nxt = front.flatMap(u => adj.getOrElse(u, Nil))
+          .distinct.filterNot(depth.contains)
+        nxt.foreach(v => depth += v -> d)
+        front = nxt
+      }
+      val got = Closure.reachable(spark, g, root).collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(got === depth, s"trial $trial: edges $es")
+    }
+  }
+
   test("install plan: a version constraint prunes a branch name-BFS would take") {
     import spark.implicits._
     functions.GraftFunctions.ensureRegistered(spark)
