@@ -494,6 +494,36 @@ object Graft {
       .select(col("needle"), col("__doc").as(idCol))
   }
 
+  /** Small-files compaction — the table-maintenance pass every
+    * incrementally-ingested store eventually needs (each
+    * `Ingest.runSnapshotOf` append lands task-count files; thousands of
+    * KB-scale files make every downstream scan open/footer-read bound).
+    * Rewrites `path` in place to ceil(bytes / targetFileBytes) files via a
+    * round-robin repartition (no shuffle KEY — pure size balancing), then
+    * an atomic-enough swap (write to `<path>.__compact`, move the old dir
+    * aside, move the new one in, drop the old). Row-identical by
+    * construction; GraftFacadeSpec pins content and file count. Returns
+    * (filesBefore, filesAfter). Partitioned stores compact per partition
+    * directory — point this at one partition, not the root (preserves
+    * hive layout by never touching sibling partitions).
+    */
+  def compact(spark: SparkSession, path: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetFileBytes > 0, "need a positive target file size")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(d: org.apache.hadoop.fs.Path) =
+      fs.listStatus(d).toSeq.filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    val before = dataFiles(p)
+    val nOut = math.max(1, math.ceil(before.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__compact")
+    val old = new org.apache.hadoop.fs.Path(path + ".__old")
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(p, old) && fs.rename(tmp, p), s"compact: swap failed for $path")
+    fs.delete(old, true)
+    (before.size, dataFiles(p).size)
+  }
+
   /** Incremental aggregate maintenance — the aggregate-side sibling of
     * [[scd2Merge]]: a standing per-key aggregate (counts / sums / any
     * sum-mergeable state) absorbs a new batch WITHOUT rescanning history.

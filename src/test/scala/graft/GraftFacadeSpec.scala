@@ -245,6 +245,21 @@ class GraftFacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("compact rewrites many small files into few, row-identically") {
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
+    docs.repartition(24).write.parquet(out)
+    val want = docs.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val (nb, na) = Graft.compact(spark, out, targetFileBytes = 64L << 20)
+    assert(nb >= 24 && na < nb && na >= 1, s"before=$nb after=$na")
+    val back = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"))).sorted.toSeq
+    assert(back === want)
+    // no leftover working dirs
+    assert(!new java.io.File(out + ".__compact").exists())
+    assert(!new java.io.File(out + ".__old").exists())
+  }
+
   test("exactDupGroups agrees with the distinct-text count") {
     val docs = Tables.documents(spark, dir)
     val g = Graft.exactDupGroups(docs)
