@@ -514,12 +514,19 @@ object Graft {
     def dataFiles(d: org.apache.hadoop.fs.Path) =
       fs.listStatus(d).toSeq.filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
     val before = dataFiles(p)
+    require(before.nonEmpty, s"compact: no data files under $path")
     val nOut = math.max(1, math.ceil(before.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + ".__compact")
     val old = new org.apache.hadoop.fs.Path(path + ".__old")
     spark.read.parquet(path).repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
-    require(fs.rename(p, old) && fs.rename(tmp, p), s"compact: swap failed for $path")
+    require(fs.rename(p, old), s"compact: could not move $path aside")
+    if (!fs.rename(tmp, p)) {
+      // restore the original store before failing — never leave the main
+      // path missing with the data stranded at .__old
+      fs.rename(old, p)
+      throw new IllegalStateException(s"compact: swap failed for $path; original restored")
+    }
     fs.delete(old, true)
     (before.size, dataFiles(p).size)
   }
