@@ -149,6 +149,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("IVM x streaming: foreachBatch merging micro-batches through mergeAggState equals batch") {
+    // the streaming form of q122's identity: each micro-batch aggregates
+    // alone (delta-sized work), then merges into the standing keyed state
+    // with Graft.mergeAggState — the final state must equal the one-shot
+    // batch aggregate over the whole stream. This is how the IVM operator
+    // deploys continuously: state in a store, merge per micro-batch,
+    // never a history rescan.
+    import org.apache.spark.sql.functions._
+    def aggOf(df: org.apache.spark.sql.DataFrame) = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(28,2)")).as("sv"))
+    val state = new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame](null)
+    val raw = EventStreams.readEventStream(spark, dir)
+      .select(col("event_type"), col("value"))
+    val q = raw.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = aggOf(batch).localCheckpoint(true)
+        state.getAndUpdate(s =>
+          if (s == null) delta
+          else Graft.mergeAggState(s, delta, Seq("event_type")).localCheckpoint(true))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(state.get() != null, "no micro-batch arrived")
+    assert(rows(state.get()) === rows(aggOf(Tables.events(spark, dir))))
+  }
+
   test("T5: stateful dedup keeps every distinct event_id") {
     val streamed = EventStreams.dedupedEvents(EventStreams.readEventStream(spark, dir))
       .select("event_id")
