@@ -599,6 +599,57 @@ object Graft {
       .select("p.*")
   }
 
+  /** BM25 ranked retrieval over a text column for a fixed term set — the
+    * canonical sparse-retrieval scorer (tf saturation `k1`, length
+    * normalization `b`). idf stays RATIONAL ((N - df + 0.5)/(df + 0.5), no
+    * ln — engines round ln differently) and the per-doc score sums in
+    * binary fixed-point (floor(x·2^40) int64), so scores and the ranking
+    * are bit-identical across engines (q120 judges this form against
+    * DuckDB). Plan: the term filter prunes the posting explode before both
+    * aggregations; df and corpus stats ride broadcasts. At 100 TB the tf
+    * frame is the (bucketed) inverted index — a query touches |terms|
+    * posting lists, never the corpus.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val base = docs
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = broadcast(base.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")))
+    val tf = base.select(col(idCol), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(idCol, "dl", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = base.select(explode(expr("array_distinct(toks)")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok").crossJoin(stats)
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf", (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("tfn", col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl")))))
+      .withColumn("contrib", floor(col("idf") * col("tfn") * lit(1099511627776.0)).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_terms"), sum("contrib").as("sfix"))
+      .select(col(idCol), col("n_terms"),
+        (col("sfix").cast("double") / lit(1099511627776L).cast("double")).as("score"))
+  }
+
+  /** Morton (z-order) interleave column over two pre-bucketed non-negative
+    * integer dimensions (`bits` low bits each) — sort-by-z before writing
+    * co-locates rows close in BOTH dimensions, which is what makes min/max
+    * file pruning work for either predicate (q121 audits the property).
+    * All-integer bit arithmetic: exact on any engine.
+    */
+  def zorder(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 10): org.apache.spark.sql.Column = {
+    require(bits > 0 && bits <= 31, "need 1..31 interleave bits per dimension")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+  }
+
   /** Near-dup cluster assignment from a pair list (columns d1, d2):
     * (doc_id, cluster_id, is_canonical) via connected components; keep the
     * canonical row per cluster to deduplicate a corpus.

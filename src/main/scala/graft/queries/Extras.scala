@@ -41,16 +41,14 @@ object Extras {
     // min/max file pruning work for either predicate at 100 TB. All-integer
     // bit arithmetic — bit-identical cross-engine by construction.
     "q121_zorder_layout" -> { (s, dir) =>
+      // ONE definition of the interleave — the facade's Graft.zorder — so
+      // the judged query and the library API cannot drift
       val o = Tables.orders(s, dir)
         .withColumn("a", pmod(col("o_custkey"), lit(1024L)))
         .withColumn("b", pmod(
           datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).cast("long"),
           lit(1024L)))
-      val z = (0 until 10).map { i =>
-        shiftleft(shiftright(col("a"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
-          shiftleft(shiftright(col("b"), i).bitwiseAND(lit(1L)), 2 * i)
-      }.reduce(_ + _)
-      o.withColumn("z", z)
+      o.withColumn("z", graft.Graft.zorder(col("a"), col("b")))
         .withColumn("zbin", expr("z div 16384"))
         .groupBy("zbin")
         .agg(count(lit(1)).as("n_orders"),
