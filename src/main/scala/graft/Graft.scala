@@ -507,26 +507,50 @@ object Graft {
     * directory — point this at one partition, not the root (preserves
     * hive layout by never touching sibling partitions).
     */
-  def compact(spark: SparkSession, path: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {
+  def compact(spark: SparkSession, path: String, targetFileBytes: Long = 128L << 20,
+      sortBy: Seq[String] = Nil): (Int, Int) = {
     require(targetFileBytes > 0, "need a positive target file size")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__compact")
+    val old = new org.apache.hadoop.fs.Path(path + ".__old")
+    // self-heal residue from a crashed prior run BEFORE touching anything:
+    // a missing main path with .__old present means a crash mid-swap — the
+    // original data lives at .__old, restore it; stale working dirs from
+    // any other interrupted run are discarded
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"compact: crash recovery failed — data is at $old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    // '_'-prefixed (markers) and '.'-prefixed (committer temps, checksums)
+    // files are non-data by Spark/Hadoop convention — exclude from sizing
     def dataFiles(d: org.apache.hadoop.fs.Path) =
-      fs.listStatus(d).toSeq.filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      fs.listStatus(d).toSeq.filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     val before = dataFiles(p)
     require(before.nonEmpty, s"compact: no data files under $path")
     val nOut = math.max(1, math.ceil(before.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".__compact")
-    val old = new org.apache.hadoop.fs.Path(path + ".__old")
-    spark.read.parquet(path).repartition(nOut)
-      .write.mode("overwrite").parquet(tmp.toString)
+    // sortBy preserves a clustered layout through the rewrite (range
+    // partition + in-file sort — e.g. a z-order column, so min/max file
+    // pruning survives compaction); the default round-robin is pure size
+    // balancing and DESTROYS any existing clustering
+    val df = spark.read.parquet(path)
+    val reshaped =
+      if (sortBy.isEmpty) df.repartition(nOut)
+      else df.repartitionByRange(nOut, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
+    reshaped.write.mode("overwrite").parquet(tmp.toString)
     require(fs.rename(p, old), s"compact: could not move $path aside")
     if (!fs.rename(tmp, p)) {
       // restore the original store before failing — never leave the main
-      // path missing with the data stranded at .__old
-      fs.rename(old, p)
-      throw new IllegalStateException(s"compact: swap failed for $path; original restored")
+      // path missing with the data stranded at .__old — and report what
+      // actually happened
+      val restored = fs.rename(old, p)
+      throw new IllegalStateException(
+        s"compact: swap failed for $path; original ${if (restored) "restored" else s"STRANDED at $old"}")
     }
+    // best-effort: a false here just leaves residue the next run's
+    // self-heal prelude removes
     fs.delete(old, true)
     (before.size, dataFiles(p).size)
   }

@@ -68,6 +68,12 @@ object Ingest {
     spark.read.parquet(s"$outDir/packages")
   }
 
+  /** One definition of the snapshot store layout — every writer/reader/
+    * maintenance path derives from it, so retention can never operate on a
+    * different directory than ingest writes to.
+    */
+  def snapshotStorePath(outDir: String): String = s"$outDir/packages_s"
+
   /** Incremental refresh: each ingest lands under `snapshot=<id>`; readers
     * pin the latest snapshot (plain-parquet stand-in for a table format's
     * snapshot isolation — the reference's periodic cache-refresh
@@ -84,7 +90,7 @@ object Ingest {
       .withColumn("snapshot", lit(snapshotId))
       .write.mode(SaveMode.Append)
       .partitionBy("snapshot", "distro", "arch")
-      .parquet(s"$outDir/packages_s")
+      .parquet(snapshotStorePath(outDir))
 
   /** Order-free content fingerprint of a rendered index: exact decimal sum
     * of per-line xxhash64 plus the line count — the ETag stand-in
@@ -115,7 +121,7 @@ object Ingest {
     // AnalysisException here would also swallow a present-but-malformed
     // store (corrupt footer, lost column) and overwrite it as if empty;
     // real read errors must propagate
-    val store = new org.apache.hadoop.fs.Path(s"$outDir/packages_s")
+    val store = new org.apache.hadoop.fs.Path(snapshotStorePath(outDir))
     val exists = store.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(store)
     val prev =
       if (exists) Some(indexFingerprint(renderIndexOf(latestSnapshot(spark, outDir))))
@@ -134,23 +140,25 @@ object Ingest {
     */
   def expireSnapshots(spark: SparkSession, outDir: String, keep: Int): Seq[Long] = {
     require(keep >= 1, "must keep at least one snapshot")
-    val store = new org.apache.hadoop.fs.Path(s"$outDir/packages_s")
+    val store = new org.apache.hadoop.fs.Path(snapshotStorePath(outDir))
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(store)) return Seq.empty
     val ids = fs.listStatus(store).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("snapshot="))
       .map(s => s.getPath.getName.stripPrefix("snapshot=").toLong)
       .sorted
-    val drop = ids.dropRight(keep)
-    drop.foreach(id => fs.delete(new org.apache.hadoop.fs.Path(store, s"snapshot=$id"), true))
-    drop
+    // report only snapshots whose delete actually succeeded — a failed
+    // delete (permissions, open handle) stays visible to scans AND to the
+    // next expireSnapshots call, so the caller's bookkeeping never drifts
+    ids.dropRight(keep).filter(id =>
+      fs.delete(new org.apache.hadoop.fs.Path(store, s"snapshot=$id"), true))
   }
 
   /** Read the latest snapshot only (partition pruning keeps older
     * snapshots untouched on disk and unread at scan time).
     */
   def latestSnapshot(spark: SparkSession, outDir: String): DataFrame = {
-    val all = spark.read.parquet(s"$outDir/packages_s")
+    val all = spark.read.parquet(snapshotStorePath(outDir))
     // partition columns come back type-inferred (int for small ids)
     val latest = all.agg(max(col("snapshot").cast("long"))).head().getLong(0)
     all.filter(col("snapshot").cast("long") === latest)

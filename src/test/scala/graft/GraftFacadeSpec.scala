@@ -260,6 +260,33 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(!new java.io.File(out + ".__old").exists())
   }
 
+  test("compact self-heals crash residue and sortBy preserves clustered layout") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact2").toString
+    val out = base + "/t"
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang")
+    docs.repartition(16).write.parquet(out)
+    // stale residue from a "crashed" prior run must not break the next one
+    new java.io.File(out + ".__old").mkdirs()
+    new java.io.File(out + ".__compact").mkdirs()
+    // sortBy: tiny target forces several output files; each must cover a
+    // disjoint doc_id range (the min/max pruning property)
+    val (_, na) = Graft.compact(spark, out, targetFileBytes = 2048L, sortBy = Seq("doc_id"))
+    assert(na > 1, s"expected multiple output files, got $na")
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getPath).sorted
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("doc_id"), max("doc_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    // rows intact
+    assert(spark.read.parquet(out).count() === docs.count())
+  }
+
   test("exactDupGroups agrees with the distinct-text count") {
     val docs = Tables.documents(spark, dir)
     val g = Graft.exactDupGroups(docs)

@@ -173,7 +173,9 @@ class StreamingSpec extends AnyFunSuite {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    // assert completion: a timeout here would otherwise race later tests
+    // on the shared session and misreport partial state as a merge bug
+    assert(q.awaitTermination(120000), "streaming IVM query timed out")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
     assert(state.get() != null, "no micro-batch arrived")
