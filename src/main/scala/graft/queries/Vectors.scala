@@ -114,9 +114,14 @@ object Vectors {
     */
   private val kmCentCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), IndexedSeq[IndexedSeq[Double]]]()
-  private def kmCentroids(s: SparkSession, dir: String): IndexedSeq[IndexedSeq[Double]] =
+  private def kmCentroids(s: SparkSession, dir: String): IndexedSeq[IndexedSeq[Double]] = {
+    // entries for stopped sessions are dead weight — drop before insert
+    // (Memo.cached's discipline; the values are plain driver arrays, so
+    // there is nothing to unpersist)
+    kmCentCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     kmCentCache.computeIfAbsent((s, dir),
       _ => graft.operators.KMeans.fit(vecs(s, dir), kmInit, KmIters))
+  }
 
   /** q45's exact brute-force ranking (qid, rank, cid, cos) — also the
     * ground truth q103 measures ANN recall against.
