@@ -439,20 +439,27 @@ object Resolution {
     // under the total order, so the count is join-once exact; the oracle
     // counts the same triangles via the independent a<b<c formulation.
     "q126_triangle_count" -> { (s, dir) =>
-      val und = resolvedEdges(s, dir).filter(col("name") =!= col("dep"))
-        .select(least(col("name"), col("dep")).as("a"),
-          greatest(col("name"), col("dep")).as("b"))
-        .distinct()
+      // und feeds the degree table, the orientation, and the edge count;
+      // oriented feeds THREE join inputs whose differing keys defeat
+      // ReusedExchange — materialize each once (Lineage.cut, the BFS
+      // loops' own discipline) instead of re-planning the subtree per
+      // consumer (un-cut this query carried 35 hash exchanges; at corpus
+      // scale that is 3x the orientation's scan-and-join work)
+      val und = graft.operators.Lineage.cut(
+        resolvedEdges(s, dir).filter(col("name") =!= col("dep"))
+          .select(least(col("name"), col("dep")).as("a"),
+            greatest(col("name"), col("dep")).as("b"))
+          .distinct())
       val deg = und.select(col("a").as("n")).unionByName(und.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
-      val oriented = und
+      val oriented = graft.operators.Lineage.cut(und
         .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
         .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
         .select(
           when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
             struct(col("a").as("s"), col("b").as("t")))
             .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
-        .select(col("e.s").as("s"), col("e.t").as("t"))
+        .select(col("e.s").as("s"), col("e.t").as("t")))
       val wedges = oriented.select(col("s"), col("t").as("x"))
         .join(oriented.select(col("s"), col("t").as("y")), "s")
         .filter(col("x") =!= col("y"))
