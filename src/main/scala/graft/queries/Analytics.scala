@@ -129,8 +129,10 @@ object Analytics {
       val kl = udaf(new graft.functions.KSmallestDistinctList(k))
       val tu = Tables.events(s, dir).select(col("event_type").as("t"), col("user_id"),
         expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)").as("h"))
-      val sk = tu.groupBy("t")
-        .agg(kl(col("h")).as("sk"), countDistinct("user_id").as("exact"))
+      // the sketch table feeds both join sides — materialize once; it is
+      // 5 rows of 64 longs, the whole point of sketching
+      val sk = graft.operators.Lineage.cut(tu.groupBy("t")
+        .agg(kl(col("h")).as("sk"), countDistinct("user_id").as("exact")))
       val a = sk.select(col("t").as("ta"), col("sk").as("ska"), col("exact").as("xa"))
       val b = sk.select(col("t").as("tb"), col("sk").as("skb"), col("exact").as("xb"))
       val du = tu.select("t", "user_id").distinct()

@@ -385,12 +385,15 @@ object Resolution {
         posexplode(col("alt_list")).as(Seq("alt_idx", "spec")))
       val pr = Tables.provides(s, dir).select(col("name").as("provider"), col("provides_name"))
       val pk = Tables.packages(s, dir).select(col("name").as("provider"), col("version"))
-      val sat = exploded.withColumn("c", expr("parse_constraint(spec)"))
-        .join(pr, col("c.name") === col("provides_name"))
-        .join(pk, Seq("provider"))
-        .filter(expr(SatisfiesSql))
-        .select(col("name"), col("ordep"), col("alt_idx"), col("provider"))
-        .distinct()
+      // sat feeds both the winner aggregation and the provider join —
+      // materialize once (q126's discipline) rather than re-resolving
+      val sat = graft.operators.Lineage.cut(
+        exploded.withColumn("c", expr("parse_constraint(spec)"))
+          .join(pr, col("c.name") === col("provides_name"))
+          .join(pk, Seq("provider"))
+          .filter(expr(SatisfiesSql))
+          .select(col("name"), col("ordep"), col("alt_idx"), col("provider"))
+          .distinct())
       val win = sat.groupBy("name", "ordep").agg(min("alt_idx").as("win_idx"))
       sat.join(win, Seq("name", "ordep"))
         .filter(col("alt_idx") === col("win_idx"))
