@@ -174,6 +174,18 @@ object Resolution {
       .orderBy("name")
   }
 
+  /** SCC labeling of the resolution graph (name, in_cycle, scc_id,
+    * scc_size), memoized: q100 judges it directly and q131's install-wave
+    * condensation builds on the same labels — the mutual-reachability
+    * self-join over the (memoized) whole-catalog closure is their shared
+    * dominant cost.
+    */
+  private def sccFrame(s: SparkSession, dir: String): DataFrame =
+    Memo.memoized("scc", s, dir) {
+      dependencyCycles(reachAllFrame(s, dir), resolvedEdges(s, dir),
+        Tables.packageNames(s, dir))
+    }
+
   /** The pkg-00 install plan, memoized per (session, dir): q68 judges it
     * directly and q76 runs the conflict safety check over it — the BFS
     * driver loop is their dominant shared cost, so it runs once (same
@@ -358,8 +370,42 @@ object Resolution {
     // reachability over the SHARED whole-catalog closure frame (one
     // self-join on the memoized BFS output — no second graph walk).
     "q100_dependency_cycles" -> { (s, dir) =>
-      dependencyCycles(reachAllFrame(s, dir), resolvedEdges(s, dir),
-        Tables.packageNames(s, dir))
+      sccFrame(s, dir)
+    },
+
+    // Install-order WAVES — the sequencing an installer actually executes
+    // (dpkg/apt configure order: dependencies before dependents, cycles
+    // broken by collapsing each SCC into one unit, exactly dpkg's
+    // documented loop handling). wave(unit) = the longest dependency
+    // chain below it in the SCC-condensed DAG: wave-0 units install
+    // first, ties within a wave are order-free. The Spark side enumerates
+    // (unit, chain-depth) pairs with the same bounded recursion as the
+    // oracle's recursive CTE; the condensation guarantees termination.
+    // Completes the q68 story: q68 says WHAT to install, q131 says WHEN.
+    "q131_install_waves" -> { (s, dir) =>
+      val scc = sccFrame(s, dir).select("name", "scc_id")
+      val ce = graft.operators.Lineage.cut(resolvedEdges(s, dir)
+        .join(scc.select(col("name"), col("scc_id").as("cs")), "name")
+        .join(scc.select(col("name").as("dep"), col("scc_id").as("cd")), "dep")
+        .filter(col("cs") =!= col("cd"))
+        .select(col("cs").as("src"), col("cd").as("dst")).distinct())
+      var seen = scc.select(col("scc_id").as("comp")).distinct()
+        .withColumn("d", lit(0))
+      var frontier = seen
+      var iter = 0
+      while (iter < 60 && !frontier.isEmpty) {
+        val nxt = frontier.join(ce, frontier("comp") === ce("dst"))
+          .select(col("src").as("comp"), (col("d") + 1).as("d"))
+          .distinct()
+        frontier = graft.operators.Lineage.cut(
+          nxt.join(seen, Seq("comp", "d"), "left_anti"))
+        seen = seen.unionByName(frontier)
+        iter += 1
+      }
+      val waves = seen.groupBy("comp").agg(max("d").as("wave"))
+      scc.join(waves, scc("scc_id") === waves("comp"))
+        .select(col("name"), col("scc_id"), col("wave").cast("int").as("wave"))
+        .orderBy("name")
     },
 
     // Dependency ALTERNATION (Debian `Depends: a | b` or-deps): each
@@ -1001,6 +1047,44 @@ object Resolution {
         |sz AS (SELECT scc_id, count(*) AS scc_size FROM lab GROUP BY scc_id)
         |SELECT l.name, l.in_cycle, l.scc_id, sz.scc_size
         |FROM lab l JOIN sz USING (scc_id)
+        |ORDER BY l.name""".stripMargin),
+
+    "q131_install_waves" -> sub("""WITH RECURSIVE --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |nm AS (SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name FROM idx),
+        |r(root, name, depth) AS (
+        | SELECT name, name, 0 FROM nm
+        | UNION
+        | SELECT r.root, e.dep, r.depth + 1 FROM edges e JOIN r ON e.name = r.name WHERE r.depth < 60),
+        |m AS (SELECT DISTINCT root, name FROM r),
+        |mut AS (
+        | SELECT a.root AS name, a.name AS partner
+        | FROM m a JOIN m b ON a.root = b.name AND a.name = b.root AND a.root <> a.name),
+        |agg AS (
+        | SELECT n.name, min(t.partner) AS mp
+        | FROM nm n LEFT JOIN mut t ON t.name = n.name
+        | GROUP BY n.name),
+        |lab AS (
+        | SELECT name,
+        |  CASE WHEN mp IS NOT NULL AND mp < name THEN mp ELSE name END AS scc_id
+        | FROM agg),
+        |ce AS (
+        | SELECT DISTINCT la.scc_id AS src, lb.scc_id AS dst
+        | FROM edges e
+        | JOIN lab la ON la.name = e.name
+        | JOIN lab lb ON lb.name = e.dep
+        | WHERE la.scc_id <> lb.scc_id),
+        |comps AS (SELECT DISTINCT scc_id AS comp FROM lab),
+        |lp(comp, d) AS (
+        | SELECT comp, 0 FROM comps
+        | UNION
+        | SELECT c.src, l.d + 1 FROM ce c JOIN lp l ON c.dst = l.comp WHERE l.d < 60),
+        |wv AS (SELECT comp, CAST(max(d) AS INTEGER) AS wave FROM lp GROUP BY comp)
+        |SELECT l.name, l.scc_id, w.wave
+        |FROM lab l JOIN wv w ON w.comp = l.scc_id
         |ORDER BY l.name""".stripMargin),
 
     "q127_ordep_resolution" -> sub("""WITH --IDX--,
