@@ -38,8 +38,14 @@ object Multimodal {
   /** Decoded record produced by the stubbed per-partition decoder. */
   final case class Decoded(doc_id: Long, kind: String, byte_len: Long, header: Long, checksum: Long)
 
-  /** Image feature record from the REAL javax.imageio decode (q128). */
-  final case class ImgStats(doc_id: Long, width: Int, height: Int, sum_r: Long, sum_g: Long)
+  /** Image feature record from the REAL javax.imageio decode (q128):
+    * native dimensions, channel sums, and channel sums AFTER the
+    * nearest-neighbor resize to the fixed 8x8 thumbnail (src pixel =
+    * floor(t*w/8), floor(t*h/8) — pure integer sampling, so the oracle
+    * recomputes the resized sums arithmetically).
+    */
+  final case class ImgStats(doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, rs_r: Long, rs_g: Long)
 
   val queries: Seq[(String, QFn)] = Seq(
     // Typed mapPartitions "decode": byte length, 4-byte big-endian header
@@ -111,11 +117,12 @@ object Multimodal {
         .mapPartitions { it =>
           it.map { case (id, bytes) =>
             val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            val (w, h) = (img.getWidth, img.getHeight)
             var sr = 0L; var sg = 0L
             var y = 0
-            while (y < img.getHeight) {
+            while (y < h) {
               var x = 0
-              while (x < img.getWidth) {
+              while (x < w) {
                 val p = img.getRGB(x, y)
                 sr += (p >> 16) & 0xff
                 sg += (p >> 8) & 0xff
@@ -123,7 +130,21 @@ object Multimodal {
               }
               y += 1
             }
-            ImgStats(id, img.getWidth, img.getHeight, sr, sg)
+            // resize stage: nearest-neighbor 8x8 thumbnail over the REAL
+            // decoded pixels (integer source sampling — floor(t*dim/8))
+            var rsr = 0L; var rsg = 0L
+            var ty = 0
+            while (ty < 8) {
+              var tx = 0
+              while (tx < 8) {
+                val p = img.getRGB(tx * w / 8, ty * h / 8)
+                rsr += (p >> 16) & 0xff
+                rsg += (p >> 8) & 0xff
+                tx += 1
+              }
+              ty += 1
+            }
+            ImgStats(id, w, h, sr, sg, rsr, rsg)
           }
         }.toDF()
         .orderBy("doc_id")
@@ -178,9 +199,16 @@ object Multimodal {
         |  CAST(sum((p.doc_id * 17 + x.x * 3 + y.y * 11) % 256) AS BIGINT) AS sum_g
         | FROM px p, range(0, 17) x(x), range(0, 15) y(y)
         | WHERE x.x < p.width AND y.y < p.height
-        | GROUP BY 1, 2, 3)
-        |SELECT doc_id, width, height, sum_r, sum_g FROM s
-        |ORDER BY doc_id""".stripMargin,
+        | GROUP BY 1, 2, 3),
+        |rs AS (
+        | SELECT p.doc_id,
+        |  CAST(sum((p.doc_id * 31 + ((t.tx * p.width) // 8) * 7 + ((t2.ty * p.height) // 8) * 13) % 256) AS BIGINT) AS rs_r,
+        |  CAST(sum((p.doc_id * 17 + ((t.tx * p.width) // 8) * 3 + ((t2.ty * p.height) // 8) * 11) % 256) AS BIGINT) AS rs_g
+        | FROM px p, range(0, 8) t(tx), range(0, 8) t2(ty)
+        | GROUP BY 1)
+        |SELECT s.doc_id, s.width, s.height, s.sum_r, s.sum_g, rs.rs_r, rs.rs_g
+        |FROM s JOIN rs USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q51_frame_sampling" ->
       """WITH m AS (
