@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   * vector against the (static, cacheable) out-degree-annotated edges plus
   * one sum-aggregation keyed on the target node — partial aggregation
   * (map-side combine) applies, and the rank vector (one row per node) is
-  * far smaller than the edge list. [[Lineage.cut]] per iteration keeps
-  * the plan flat, exactly like [[Closure]]. Damping 85/100, the standard
+  * far smaller than the edge list. The fixed iteration count keeps the
+  * whole power iteration one lazy plan (no per-step driver barrier, unlike
+  * [[Closure]]'s emptiness-tested loop). Damping 85/100, the standard
   * public constant, as integer multiply-then-divide.
   */
 object PageRank {
@@ -39,10 +40,17 @@ object PageRank {
     */
   def run(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
       iters: Int, scale: Long): DataFrame = {
-    val n = nodes.count()
-    require(n > 0, "PageRank needs a non-empty node set")
-    val init = scale / n
-    val floor = scale / 100 * 15 / n
+    // Precondition probe must be eager and driver-side (an in-plan
+    // assert_true would be pruned with its column); limit-1, not a full
+    // count — the node COUNT itself stays in the plan below.
+    require(!nodes.isEmpty, "PageRank needs a non-empty node set")
+    // n folded in as a broadcast one-row aggregate instead of a driver
+    // count(): building the rank frame costs zero full-table jobs, and at
+    // 100x the node scan happens once inside the job instead of once
+    // before it. `scale div 100 * 15` is n-free literal arithmetic.
+    val consts = broadcast(nodes.agg(
+      expr(s"$scale div count(1)").as("__init"),
+      expr(s"${scale / 100 * 15} div count(1)").as("__floor")))
 
     // static per-iteration build side: each edge annotated with its
     // source's out-degree, so the contribution split is a single project.
@@ -58,15 +66,15 @@ object PageRank {
     // chain; 8–16 layers is well inside Catalyst's comfort zone, and the
     // single job pipelines every stage. Lineage cuts would only add
     // write-barriers here: nothing is ever recomputed in one action.
-    var pr = nodes.select(col("name"), lit(init).as("pr"))
+    var pr = nodes.crossJoin(consts).select(col("name"), col("__init").as("pr"))
     var it = 0
     while (it < iters) {
       val contrib = pr.join(ed, "name")
         .select(col("dep").as("name"), expr("pr div od").as("c"))
         .groupBy("name").agg(sum("c").as("sc"))
-      pr = nodes.join(contrib, Seq("name"), "left")
+      pr = nodes.join(contrib, Seq("name"), "left").crossJoin(consts)
         .select(col("name"),
-          (lit(floor) + expr("(85 * coalesce(sc, 0L)) div 100")).as("pr"))
+          (col("__floor") + expr("(85 * coalesce(sc, 0L)) div 100")).as("pr"))
       it += 1
     }
     pr

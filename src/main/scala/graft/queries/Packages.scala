@@ -114,6 +114,27 @@ object Packages {
         .orderBy("name")
     },
 
+    // Pure-SQL endpoint (VERDICT r7 item 5): the whole query — including
+    // the CUSTOM Catalyst expressions version_sort_key / version_compare —
+    // arrives as an ANSI SQL string over a registered view, the way pkg2
+    // served ad-hoc HTTP queries (SURVEY.md §1.1). Same engine surface as
+    // q30's DataFrame form plus a version_compare threshold count, proving
+    // the FunctionRegistry path end-to-end: a reference user could POST
+    // this text without touching the DataFrame API.
+    "q132_sql_endpoint" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      Tables.packages(s, dir).createOrReplaceTempView("v_packages")
+      s.sql("""
+        SELECT name,
+               max_by(version, version_sort_key(version)) AS latest_version,
+               count(DISTINCT version) AS n_versions,
+               sum(CASE WHEN version_compare(version, '3.0.0-r1') >= 0
+                        THEN 1 ELSE 0 END) AS n_ge_3
+        FROM v_packages
+        GROUP BY name
+        ORDER BY name""")
+    },
+
     // Repo pinning — apt_preferences candidate selection: the same package
     // name is served by several repos (stable/updates/backports, derived
     // deterministically from pkg_id), each with a pin priority; the
@@ -283,6 +304,19 @@ object Packages {
         | FROM pkg)
         |SELECT p.name, r.version AS latest_version,
         | count(DISTINCT p.version) AS n_versions, count(*) AS n_records
+        |FROM pkg p JOIN ranked r ON p.name = r.name AND r.rn = 1
+        |GROUP BY p.name, r.version
+        |ORDER BY p.name""".stripMargin),
+
+    "q132_sql_endpoint" -> sub("""WITH --PKG--,
+        |ranked AS (
+        | SELECT name, version,
+        |  row_number() OVER (PARTITION BY name ORDER BY vmaj DESC, vmin DESC, vpat DESC, vrel DESC) AS rn
+        | FROM pkg)
+        |SELECT p.name, r.version AS latest_version,
+        | count(DISTINCT p.version) AS n_versions,
+        | CAST(sum(CASE WHEN (p.vmaj, p.vmin, p.vpat, p.vrel) >= (3, 0, 0, 1)
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_3
         |FROM pkg p JOIN ranked r ON p.name = r.name AND r.rn = 1
         |GROUP BY p.name, r.version
         |ORDER BY p.name""".stripMargin),

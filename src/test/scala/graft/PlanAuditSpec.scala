@@ -189,6 +189,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q105 probe degenerated:\n${p.take(2000)}")
   }
 
+  test("q114: candidates come from the trigram index, never a name-universe scan") {
+    // VERDICT r7 item 6: the ranked-search probe path must ride q105's
+    // posting-list equi-joins; a BroadcastNestedLoopJoin here means the
+    // term x name contains() scan came back.
+    val p = plan("q114_ranked_search")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q114 probe degenerated to a name-universe scan:\n${p.take(2000)}")
+  }
+
   test("q107: corpus-wide top-20 plans as TakeOrderedAndProject, one gram shuffle") {
     val p = plan("q107_boilerplate_ngrams")
     assert(p.contains("TakeOrderedAndProject"),
