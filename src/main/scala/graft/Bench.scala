@@ -49,6 +49,17 @@ object Bench {
     val total = results.map(_._2).sum
     val t1 = pass1.map(_._2).sum
     val t2 = pass2.map(_._2).sum
+    // Per-query pass1/pass2 to a side file (VERDICT r7 item 8): the stdout
+    // JSON line must stay inside the driver's 2000-char tail capture, so
+    // the per-query load diagnosis (which pass was contaminated, for which
+    // query) lands next to the repo's BENCH_r*.json artifacts instead.
+    val p1m = pass1.toMap
+    val detail = names.map { case (n, _) =>
+      s"\"$n\":[${f3(p1m(n))},${f3(p2m(n))}]"
+    }.mkString("{", ",", "}")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_passes.json"),
+      s"""{"sf":"$sfDir","passes":$detail}""".getBytes("UTF-8"))
+    catch { case _: Throwable => () } // diagnostics must never fail the bench
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","pass1_total":${f3(t1)},"pass2_total":${f3(t2)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -56,4 +56,67 @@ object Components {
     }
     labels
   }
+
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — public algorithm). Same contract and output as
+    * [[connected]]; different round economics: label propagation needs
+    * rounds = graph DIAMETER, the star operations contract paths
+    * doubly-exponentially fast, so adversarial long-chain graphs (diameter
+    * in the thousands) finish in O(log d) rounds. For the near-dup
+    * workloads this engine serves (dense, tiny-diameter clusters) plain
+    * [[connected]] is the cheaper loop; this variant is the escape hatch
+    * when the pair graph chains.
+    *
+    * Round shape (100 TB): large-star = one groupBy(min) over the
+    * symmetrized edges + one re-join; small-star the same over the
+    * max-oriented edges — all hash-partitioned on node id, no cartesian,
+    * per-round [[Lineage.cut]]. Convergence = the canonical edge set is
+    * stable (two anti-join emptiness probes, the driver-loop price every
+    * fixed-point operator here pays).
+    */
+  def connectedStars(spark: SparkSession, edges: DataFrame, maxIter: Int = 32): DataFrame = {
+    val nodes = Lineage.cut(edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct())
+    // canonical undirected edge set (a < b); self-loops carry no
+    // connectivity and are re-labeled from the node universe at the end
+    var g = Lineage.cut(edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    var iter = 0
+    var converged = g.isEmpty
+    while (iter < maxIter && !converged) {
+      // large-star: every neighbor v > u links to u's closed-neighborhood min
+      val nb = g.select(col("a").as("u"), col("b").as("v"))
+        .union(g.select(col("b").as("u"), col("a").as("v")))
+      val lmin = nb.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = nb.join(lmin, "u").filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b")).distinct()
+      // small-star: orient max → min; every smaller neighbor (and u) links
+      // to the neighborhood min. m <= v for all emitted pairs by
+      // construction, so (m, v) is already canonical.
+      val nb2 = large.select(col("b").as("u"), col("a").as("v"))
+      val smin = nb2.groupBy("u").agg(min("v").as("m"))
+      val next = Lineage.cut(
+        nb2.join(smin, "u").select(col("m"), col("v"))
+          .union(smin.select(col("m"), col("u").as("v")))
+          .filter(col("m") =!= col("v"))
+          .select(col("m").as("a"), col("v").as("b")).distinct())
+      converged =
+        next.join(g, Seq("a", "b"), "left_anti").isEmpty &&
+        g.join(next, Seq("a", "b"), "left_anti").isEmpty
+      g = next
+      iter += 1
+    }
+    // stable star forest: a = component min (root), b = member
+    val members = g.select(col("b").as("id"), col("a").as("comp"))
+    val roots = g.select(col("a").as("id"), col("a").as("comp")).distinct()
+    val labeled = members.unionByName(roots)
+    labeled.unionByName(
+        nodes.join(labeled, Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("comp")))
+      .distinct()
+  }
 }

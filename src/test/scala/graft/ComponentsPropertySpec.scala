@@ -50,4 +50,50 @@ class ComponentsPropertySpec extends AnyFunSuite {
       assert(got === expect, s"graph $g (n=$n, m=$m, edges=$edges)")
     }
   }
+
+  test("connectedStars == connected == union-find on 8 deterministic random graphs") {
+    import spark.implicits._
+    var state = 0x51AF37B8C4D96A23L
+    def next(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % bound) + bound).toInt % bound
+    }
+    for (g <- 0 until 8) {
+      val n = 6 + next(20)
+      val m = 3 + next(2 * n)
+      val edges = Seq.fill(m)((next(n).toLong, next(n).toLong))
+      val df = edges.toDF("src", "dst")
+      val expect = unionFind(edges)
+      val stars = Components.connectedStars(spark, df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prop = Components.connected(spark, df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stars === expect, s"stars vs union-find, graph $g (edges=$edges)")
+      assert(stars === prop, s"stars vs label-propagation, graph $g (edges=$edges)")
+    }
+  }
+
+  test("connectedStars collapses a 200-node chain in O(log d) rounds, not diameter") {
+    // the adversarial shape for label propagation: a path graph of
+    // diameter 199 would need ~200 propagation rounds; the star operators
+    // must finish within the default maxIter=32 budget (doubly-exponential
+    // contraction) AND still label every node with the chain's min id.
+    import spark.implicits._
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    val got = Components.connectedStars(spark, chain.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 200)
+    assert(got.values.forall(_ === 0L), "every chain node must label to the min id 0")
+  }
+
+  test("connectedStars handles self-loops and isolated-in-edges nodes like connected") {
+    import spark.implicits._
+    val edges = Seq((7L, 7L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val stars = Components.connectedStars(spark, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Components.connected(spark, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars === Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+    assert(stars === prop)
+  }
 }
