@@ -135,6 +135,72 @@ object Packages {
         ORDER BY name""")
     },
 
+    // Security-advisory scan — the security-tracker view every package
+    // site serves ("which packages have an open CVE, is the candidate
+    // fixed"): an advisory exists for every 5th name, carrying a severity
+    // and a FIXED-IN version (the shape Debian DSAs / Alpine secdb
+    // publish). A shipped record is affected iff its version orders
+    // strictly below the fix; the installed candidate is the catalog
+    // latest (q30's pick), vulnerable iff still below the fix. The fix
+    // version rides the same arithmetic as the catalog (fmaj = the name's
+    // constant major, +1 for odd names — so roughly half the advisories
+    // are unfixable-by-upgrade and stay vulnerable: both branches real).
+    // One catalog scan + broadcast advisory join; version_compare is the
+    // codegen'd comparator on both the affected filter and the verdict.
+    "q134_security_advisories" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      val adv = Tables.packageNames(s, dir)
+        .filter(pmod(col("i"), lit(5)) === 2)
+        .select(col("name"),
+          element_at(array(lit("low"), lit("high"), lit("critical")),
+            (pmod(col("i"), lit(3)) + 1).cast("int")).as("severity"),
+          concat((pmod(col("i"), lit(4)) + 1 + pmod(col("i"), lit(2))).cast("string"),
+            lit("."), pmod(col("i") * 7, lit(13)).cast("string"), lit(".0"))
+            .as("fix_version"))
+      val pk = Tables.packages(s, dir)
+      val latest = pk.groupBy("name")
+        .agg(expr("max_by(version, version_sort_key(version))").as("installed_version"))
+      val affected = pk.join(broadcast(adv), "name")
+        .filter(expr("version_compare(version, fix_version) < 0"))
+        .groupBy("name").agg(countDistinct("version").as("n_affected_versions"))
+      adv.join(latest, "name")
+        .join(affected, Seq("name"), "left")
+        .select(col("name"), col("severity"), col("fix_version"),
+          col("installed_version"),
+          (expr("version_compare(installed_version, fix_version)") < 0)
+            .cast("int").as("vulnerable"),
+          coalesce(col("n_affected_versions"), lit(0L)).as("n_affected_versions"))
+        .orderBy("name")
+    },
+
+    // License-compatibility audit over the dependency graph — the SBOM
+    // compliance check ("can I ship this"): a permissively-licensed
+    // package (mit/apache) that depends on a copyleft one (gpl) is a
+    // license leak the legal review flags. Per-name license is constant
+    // by construction (pkg_id ≡ name-index mod 3, exactly the extras-map
+    // derivation q96 aggregates). Two broadcast-sized dimension joins on
+    // the name-edge list; at 100x the edge list is the big side and both
+    // license lookups broadcast.
+    "q135_license_compat" -> { (s, dir) =>
+      val lic = Tables.packageNames(s, dir)
+        .select(col("name"),
+          element_at(array(lit("mit"), lit("gpl"), lit("apache")),
+            (pmod(col("i"), lit(3)) + 1).cast("int")).as("license"))
+      Tables.dependsEdges(s, dir)
+        .join(lic, "name")
+        .join(lic.select(col("name").as("dep"), col("license").as("dep_license")),
+          "dep")
+        .groupBy("name", "license").agg(
+          count(lit(1)).as("n_deps"),
+          sum(when(col("dep_license") === "gpl" && col("license") =!= "gpl", 1)
+            .otherwise(0)).cast("long").as("n_copyleft_leaks"),
+          array_join(sort_array(collect_list(
+            when(col("dep_license") === "gpl" && col("license") =!= "gpl",
+              col("dep")))), ",").as("leak_deps"))
+        .withColumn("clean", (col("n_copyleft_leaks") === 0L).cast("int"))
+        .orderBy("name")
+    },
+
     // Repo pinning — apt_preferences candidate selection: the same package
     // name is served by several repos (stable/updates/backports, derived
     // deterministically from pkg_id), each with a pin priority; the
@@ -320,6 +386,49 @@ object Packages {
         |FROM pkg p JOIN ranked r ON p.name = r.name AND r.rn = 1
         |GROUP BY p.name, r.version
         |ORDER BY p.name""".stripMargin),
+
+    "q134_security_advisories" -> sub("""WITH --PKG--,
+        |idx AS (SELECT DISTINCT p_partkey % 60 AS i FROM part),
+        |adv AS (
+        | SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name,
+        |  CASE i % 3 WHEN 0 THEN 'low' WHEN 1 THEN 'high' ELSE 'critical' END AS severity,
+        |  CAST(i % 4 + 1 + i % 2 AS VARCHAR) || '.' || CAST((i*7) % 13 AS VARCHAR) || '.0' AS fix_version,
+        |  i % 4 + 1 + i % 2 AS fmaj, (i*7) % 13 AS fmin
+        | FROM idx WHERE i % 5 = 2),
+        |latest AS (
+        | SELECT name, version AS installed_version, vmaj, vmin, vpat
+        | FROM pkg
+        | QUALIFY row_number() OVER (PARTITION BY name
+        |   ORDER BY vmaj DESC, vmin DESC, vpat DESC, vrel DESC) = 1),
+        |aff AS (
+        | SELECT p.name, count(DISTINCT p.version) AS n_affected_versions
+        | FROM pkg p JOIN adv a USING (name)
+        | WHERE (p.vmaj, p.vmin, p.vpat) < (a.fmaj, a.fmin, 0)
+        | GROUP BY p.name)
+        |SELECT a.name, a.severity, a.fix_version, l.installed_version,
+        | CAST((l.vmaj, l.vmin, l.vpat) < (a.fmaj, a.fmin, 0) AS INTEGER) AS vulnerable,
+        | COALESCE(f.n_affected_versions, 0) AS n_affected_versions
+        |FROM adv a
+        |JOIN latest l USING (name)
+        |LEFT JOIN aff f USING (name)
+        |ORDER BY a.name""".stripMargin),
+
+    "q135_license_compat" -> sub("""WITH --ED--,
+        |lic AS (
+        | SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name,
+        |  CASE i % 3 WHEN 0 THEN 'mit' WHEN 1 THEN 'gpl' ELSE 'apache' END AS license
+        | FROM idx)
+        |SELECT e.name, l.license,
+        | count(*) AS n_deps,
+        | CAST(sum(CASE WHEN d.license = 'gpl' AND l.license <> 'gpl' THEN 1 ELSE 0 END) AS BIGINT) AS n_copyleft_leaks,
+        | COALESCE(string_agg(CASE WHEN d.license = 'gpl' AND l.license <> 'gpl' THEN e.dep END, ','
+        |   ORDER BY CASE WHEN d.license = 'gpl' AND l.license <> 'gpl' THEN e.dep END), '') AS leak_deps,
+        | CAST(sum(CASE WHEN d.license = 'gpl' AND l.license <> 'gpl' THEN 1 ELSE 0 END) = 0 AS INTEGER) AS clean
+        |FROM ed e
+        |JOIN lic l ON l.name = e.name
+        |JOIN lic d ON d.name = e.dep
+        |GROUP BY e.name, l.license
+        |ORDER BY e.name""".stripMargin),
 
     "q108_repo_pinning" -> sub("""WITH --PKG--,
         |r AS (

@@ -511,19 +511,30 @@ object Resolution {
     // strict closure follows hard depends only, the full closure follows
     // both. `recommends_only` marks the weight a site's "installed-size
     // with recommends" toggle adds; depth_strict = -1 for packages only
-    // reachable through a recommends edge. Two BFS walks over the SAME
-    // memoized edge frame — the class split is a map-only projection.
+    // reachable through a recommends edge. ONE BFS over the policy-tagged
+    // product graph (node = policy|name; the strict layer keeps hard
+    // depends only) instead of two sequential loops: both policies advance
+    // together, so driver barriers scale with max(depth), not the sum —
+    // the same total edge work, half the fixed-point round-trips.
     "q129_recommends_closure" -> { (s, dir) =>
+      import s.implicits._
       val edges = resolvedEdges(s, dir)
         .withColumn("cls", when(
           expr("cast(conv(substring(md5(concat(name, '>', dep)), 1, 2), 16, 10) as int) % 2 = 0"),
           "depends").otherwise("recommends"))
       val root = "pkg-07"
-      val full = graft.operators.Closure.reachable(s, edges.select("name", "dep"), root)
-        .select(col("name"), col("depth").as("depth_full"))
-      val strict = graft.operators.Closure.reachable(s,
-          edges.filter(col("cls") === "depends").select("name", "dep"), root)
-        .select(col("name"), col("depth").as("depth_strict"))
+      val tagged = edges
+        .select(concat(lit("full|"), col("name")).as("name"),
+          concat(lit("full|"), col("dep")).as("dep"))
+        .unionByName(edges.filter(col("cls") === "depends")
+          .select(concat(lit("strict|"), col("name")).as("name"),
+            concat(lit("strict|"), col("dep")).as("dep")))
+      val reach = graft.operators.Closure.reachableAll(s, tagged,
+        Seq(s"full|$root", s"strict|$root").toDF("root"))
+      val full = reach.filter(col("root") === s"full|$root")
+        .select(expr("substring(name, 6)").as("name"), col("depth").as("depth_full"))
+      val strict = reach.filter(col("root") === s"strict|$root")
+        .select(expr("substring(name, 8)").as("name"), col("depth").as("depth_strict"))
       full.join(strict, Seq("name"), "left")
         .select(col("name"), col("depth_full"),
           coalesce(col("depth_strict"), lit(-1)).as("depth_strict"),

@@ -91,12 +91,16 @@ object Vectors {
 
   /** Deterministic k-means init: 8 seeds x 64 dims from the same md5
     * derivation family as the hyperplanes / IVF codebook (prefix "km:"),
-    * so the oracle re-derives the identical starting point in SQL.
+    * scaled /1000 onto the DATA's unit-norm range — an init 500x the data
+    * scale collapses Lloyd to one cluster (every vector nearest the same
+    * smallest-norm seed; measured before the fix: 500/500 in cluster 8).
+    * One exact IEEE divide, so the oracle re-derives the identical
+    * starting point in SQL.
     */
   private val KmK = 8
   private val KmIters = 3
   private def kmInit: IndexedSeq[IndexedSeq[Double]] =
-    (0 until KmK).map(k => (0 until 64).map(d => mdConst("km", k, d).toDouble))
+    (0 until KmK).map(k => (0 until 64).map(d => mdConst("km", k, d).toDouble / 1000.0))
 
   /** Trained-and-assigned embedding frame (vec_id, label, v, nsq, cluster)
     * — KMeans.fit runs one Spark job per iteration (driver-held centroids,
@@ -121,6 +125,95 @@ object Vectors {
     kmCentCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     kmCentCache.computeIfAbsent((s, dir),
       _ => graft.operators.KMeans.fit(vecs(s, dir), kmInit, KmIters))
+  }
+
+  /** Product-quantization parameters (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI'11 — public): 64 dims split into
+    * M=4 subspaces of 16; each subspace gets its own K=32-codeword k-means
+    * codebook (2 Lloyd iterations from the md5 "pqM:" init, data-scaled
+    * like [[kmInit]]). A vector's
+    * code is 4 small ints — at 100 TB that is the difference between
+    * scanning 64 doubles per candidate and 4 table lookups: the memory-
+    * bound regime where brute-force cosine dies and PQ-ADC survives.
+    */
+  private val PqM = 4
+  private val PqDims = 16
+  private val PqK = 32
+  private val PqIters = 2
+  private def pqInit(m: Int): IndexedSeq[IndexedSeq[Double]] =
+    (0 until PqK).map(k => (0 until PqDims).map(d => mdConst(s"pq$m", k, d).toDouble / 1000.0))
+
+  /** Trained PQ codebooks (m -> k -> 16 doubles), cached per (session,
+    * dir) like [[kmCentroids]]: each subspace's fit is PqIters tiny jobs
+    * over the 16-dim slices.
+    */
+  private val pqCbCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), IndexedSeq[IndexedSeq[IndexedSeq[Double]]]]()
+  private def pqCodebooks(s: SparkSession, dir: String): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    pqCbCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    pqCbCache.computeIfAbsent((s, dir), _ => (0 until PqM).map { m =>
+      graft.operators.KMeans.fit(
+        vecs(s, dir).select(col("vec_id"),
+          slice(col("v"), m * PqDims + 1, PqDims).as("v")),
+        pqInit(m), PqIters)
+    })
+  }
+
+  /** PQ-encoded corpus: (vec_id, label, v, nsq, code0..code3) — each code
+    * is the 1-based argmin-distance codeword of the vector's m-th 16-dim
+    * slice under the trained subspace codebook. Encoding is MAP-ONLY
+    * (literal codebooks inside whole-stage codegen, like the IVF/k-means
+    * assignment); memoized because both judged PQ queries read it.
+    */
+  private def pqEncFrame(s: SparkSession, dir: String): DataFrame =
+    Memo.memoized("pq_encode", s, dir) {
+      val cb = pqCodebooks(s, dir)
+      (0 until PqM).foldLeft(vecs(s, dir)) { (df, m) =>
+        df.withColumn(s"__sub$m", slice(col("v"), m * PqDims + 1, PqDims))
+          .withColumn(s"code$m", graft.operators.KMeans.assignColumn(cb(m), s"__sub$m"))
+          .drop(s"__sub$m")
+      }
+    }
+
+  /** PQ retrieve-then-rerank top-3 per query (qid, rank, cid, cos) — the
+    * production PQ deployment shape: the ADC pass (a 4xK LUT of subspace
+    * dots per query, then FOUR element_at lookups per candidate instead of
+    * a 64-term dot) shortlists [[PqShortlist]] candidates (10% of the fixture corpus;
+    * the ratio shrinks with scale); only the shortlist pays an exact
+    * cosine, and the final top-3 comes from the
+    * exact re-rank. Approximate scores RETRIEVE, exact scores RANK —
+    * quantized dots alone cannot resolve within-label fine structure
+    * (measured at K=32: recall@3 = 1/15 ranking by raw ADC). Shared by
+    * q137 (the ranking) and q138 (recall vs exact).
+    */
+  private val PqShortlist = 50
+  private def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebooks(s, dir)
+    val enc = pqEncFrame(s, dir)
+    val luts = (0 until PqM).map { m =>
+      array(cb(m).map(c => call_function("array_dot",
+        slice(col("v"), m * PqDims + 1, PqDims),
+        array(c.map(lit): _*))): _*).as(s"lut$m")
+    }
+    val q = enc.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid") +: col("v").as("va") +: col("nsq").as("na") +: luts: _*)
+    val c = enc.select(col("vec_id").as("cid") +:
+      (0 until PqM).map(m => col(s"code$m")): _*)
+    val aw = Window.partitionBy("qid").orderBy(col("adc").desc, col("cid"))
+    val shortlist = c.join(broadcast(q), col("cid") =!= col("qid"))
+      .withColumn("adc",
+        (0 until PqM).map(m => element_at(col(s"lut$m"), col(s"code$m")))
+          .reduce(_ + _))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") <= PqShortlist)
+      .select("qid", "cid", "va", "na")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    shortlist
+      .join(enc.select(col("vec_id").as("cid"), col("v").as("vb"), col("nsq").as("nb")), "cid")
+      .withColumn("cos", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("cos"))
   }
 
   /** q45's exact brute-force ranking (qid, rank, cid, cos) — also the
@@ -463,6 +556,56 @@ object Vectors {
     },
 
     // Brute-force exact cosine top-k for a fixed query set (vec_id < 5).
+    // PQ encode — the compression half of product quantization: every
+    // corpus vector becomes M=4 codeword ids (its 16-dim slices' nearest
+    // trained codewords). The judged surface proves the TRAINED encode
+    // end-to-end: 4 independent subspace k-means runs (same fixed-point
+    // Lloyd as q116, on slices) and the map-only assignment pass. The
+    // oracle re-trains all four codebooks in SQL and re-encodes.
+    "q136_pq_encode" -> { (s, dir) =>
+      pqEncFrame(s, dir)
+        .select(col("vec_id") +: col("label") +:
+          (0 until PqM).map(m => col(s"code$m")): _*)
+        .orderBy("vec_id")
+    },
+
+    // PQ-ADC search — the serving half (asymmetric distance computation),
+    // in the production retrieve-then-rerank shape: the query keeps its
+    // full vector and precomputes a 4xK lookup table of subspace dots
+    // against the codebooks; every candidate is scored with FOUR table
+    // lookups instead of a 64-term dot, the ADC shortlist keeps 50 (10%
+    // of the corpus; at real scale this ratio is 1e-6), and only those
+    // 50 pay an exact cosine for the final top-3. The ADC scan
+    // is an intentional broadcast-NLJ over the 5-query build side (the
+    // same labeled-baseline shape as q45) — the point of PQ at 100 TB is
+    // not avoiding the scan but making each scanned candidate cost O(M)
+    // memory-bound lookups on 4 small codes instead of O(D) multiplies on
+    // 512-byte vectors, with exact math confined to shortlist x queries.
+    // The oracle re-derives codebooks, codes, LUT sums (same
+    // left-associated order), shortlist, and re-rank.
+    "q137_pq_adc_search" -> { (s, dir) =>
+      pqTopK(s, dir).orderBy("qid", "rank")
+    },
+
+    // PQ recall@3 vs the exact baseline — the same self-measurement
+    // discipline as q103 (LSH) and q104 (IVF): compression loses
+    // information, so the engine MEASURES what the 4x4 codebooks cost in
+    // ranking quality rather than asserting it. The oracle re-derives
+    // both rankings independently.
+    "q138_pq_recall" -> { (s, dir) =>
+      val exact = exactTopK(s, dir).select(col("qid"), col("cid"))
+      val ann = pqTopK(s, dir).select(col("qid"), col("cid"))
+      val hits = exact.join(ann, Seq("qid", "cid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("n_exact"),
+          (coalesce(col("n_hits"), lit(0L)) / col("n_exact")).as("recall"))
+        .orderBy("qid")
+    },
+
     "q45_cosine_topk" -> { (s, dir) =>
       exactTopK(s, dir).orderBy("qid", "rank")
     })
@@ -489,6 +632,52 @@ object Vectors {
     */
   private def kmDotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), j -> $a[j] * $b[j])), (s, x) -> s + x)"
+
+  /** Same sequential fold over PqDims-length subvector lists. */
+  private def pqDotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${PqDims + 1}), j -> $a[j] * $b[j])), (s, x) -> s + x)"
+
+  /** DuckDB re-derivation of subspace m's PQ k-means: vm$m = the 16-dim
+    * slices, cpq{m}_0 from the md5 "pqM:" init, PqIters assign+update
+    * rounds (same fixed-point arithmetic as --KM--), afpq$m = the final
+    * code per vector. Mirrors [[KmCte]] with sliced vectors.
+    */
+  private def PqCte(m: Int): String = {
+    val off = m * PqDims
+    def assign(name: String, prev: String) =
+      s"""s_$name AS (
+         | SELECT v.vec_id, v.vm, c.cluster,
+         |  ${pqDotSql("v.vm", "c.cv")} - 0.5 * ${pqDotSql("c.cv", "c.cv")} AS score
+         | FROM vm$m v CROSS JOIN $prev c),
+         |$name AS (
+         | SELECT vec_id, vm, cluster FROM (
+         |  SELECT vec_id, vm, cluster,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn
+         |  FROM s_$name) WHERE rn = 1)""".stripMargin
+    def update(i: Int) =
+      s"""upq${m}_$i AS (
+         | SELECT a.cluster, CAST(j AS INTEGER) AS pos,
+         |  CAST(sum(CAST(floor(a.vm[j] * 16777216) AS BIGINT)) AS BIGINT) AS sxn, count(*) AS nn
+         | FROM apq${m}_$i a, range(1, ${PqDims + 1}) t(j) GROUP BY a.cluster, pos),
+         |ucpq${m}_$i AS (
+         | SELECT cluster, list(CAST(sxn AS DOUBLE) / CAST(nn * 16777216 AS DOUBLE) ORDER BY pos) AS cv
+         | FROM upq${m}_$i GROUP BY cluster),
+         |cpq${m}_$i AS (
+         | SELECT p.cluster, coalesce(u.cv, p.cv) AS cv
+         | FROM cpq${m}_${i - 1} p LEFT JOIN ucpq${m}_$i u USING (cluster))""".stripMargin
+    val slices =
+      s"""vm$m AS (
+         | SELECT vec_id, list_transform(range(1, ${PqDims + 1}), j -> v[$off + j]) AS vm
+         | FROM n)""".stripMargin
+    val init =
+      s"""cpq${m}_0 AS (
+         | SELECT CAST(k + 1 AS INTEGER) AS cluster,
+         |  list_transform(range(0, $PqDims), d -> CAST(CAST(('0x' || substr(md5('pq$m:' || CAST(k AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 - 500 AS DOUBLE) / 1000) AS cv
+         | FROM range(0, $PqK) t(k))""".stripMargin
+    (Seq(slices, init)
+      ++ (1 to PqIters).flatMap(i => Seq(assign(s"apq${m}_$i", s"cpq${m}_${i - 1}"), update(i)))
+      ++ Seq(assign(s"afpq$m", s"cpq${m}_$PqIters"))).mkString(",\n")
+  }
 
   /** DuckDB re-derivation of the k-means run: c0 from the md5 "km:" init,
     * then per iteration an assignment under the previous centroids and the
@@ -523,7 +712,7 @@ object Vectors {
     val init =
       s"""c0 AS (
          | SELECT CAST(k + 1 AS INTEGER) AS cluster,
-         |  list_transform(range(0, 64), d -> CAST(CAST(('0x' || substr(md5('km:' || CAST(k AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 - 500 AS DOUBLE)) AS cv
+         |  list_transform(range(0, 64), d -> CAST(CAST(('0x' || substr(md5('km:' || CAST(k AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 - 500 AS DOUBLE) / 1000) AS cv
          | FROM range(0, $KmK) t(k))""".stripMargin
     (Seq(init)
       ++ (1 to KmIters).flatMap(i => Seq(assign(s"a$i", s"c${i - 1}"), update(i)))
@@ -564,6 +753,103 @@ object Vectors {
         |FROM scored
         |QUALIFY rank <= 3
         |ORDER BY qid, rank""".stripMargin),
+
+    "q136_pq_encode" -> sub(s"""WITH --VEC--,
+        |${PqCte(0)},
+        |${PqCte(1)},
+        |${PqCte(2)},
+        |${PqCte(3)}
+        |SELECT b.vec_id, b.label,
+        | CAST(a0.cluster AS INTEGER) AS code0, CAST(a1.cluster AS INTEGER) AS code1,
+        | CAST(a2.cluster AS INTEGER) AS code2, CAST(a3.cluster AS INTEGER) AS code3
+        |FROM n b
+        |JOIN afpq0 a0 USING (vec_id) JOIN afpq1 a1 USING (vec_id)
+        |JOIN afpq2 a2 USING (vec_id) JOIN afpq3 a3 USING (vec_id)
+        |ORDER BY b.vec_id""".stripMargin),
+
+    "q137_pq_adc_search" -> sub(s"""WITH --VEC--,
+        |${PqCte(0)},
+        |${PqCte(1)},
+        |${PqCte(2)},
+        |${PqCte(3)},
+        |sc AS (
+        | SELECT q0.vec_id AS qid, a0.vec_id AS cid,
+        |  ((${pqDotSql("q0.vm", "c0.cv")} +
+        |    ${pqDotSql("q1.vm", "c1.cv")}) +
+        |    ${pqDotSql("q2.vm", "c2.cv")}) +
+        |    ${pqDotSql("q3.vm", "c3.cv")} AS score
+        | FROM afpq0 a0
+        | JOIN afpq1 a1 USING (vec_id) JOIN afpq2 a2 USING (vec_id)
+        | JOIN afpq3 a3 USING (vec_id)
+        | JOIN cpq0_$PqIters c0 ON c0.cluster = a0.cluster
+        | JOIN cpq1_$PqIters c1 ON c1.cluster = a1.cluster
+        | JOIN cpq2_$PqIters c2 ON c2.cluster = a2.cluster
+        | JOIN cpq3_$PqIters c3 ON c3.cluster = a3.cluster
+        | JOIN vm0 q0 ON q0.vec_id < 5 AND q0.vec_id <> a0.vec_id
+        | JOIN vm1 q1 ON q1.vec_id = q0.vec_id
+        | JOIN vm2 q2 ON q2.vec_id = q0.vec_id
+        | JOIN vm3 q3 ON q3.vec_id = q0.vec_id),
+        |sl AS (
+        | SELECT qid, cid FROM (SELECT qid, cid,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM sc)
+        | WHERE rn <= $PqShortlist),
+        |rr AS (
+        | SELECT s.qid, s.cid,
+        |  ${kmDotSql("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
+        | FROM sl s JOIN n a ON a.vec_id = s.qid JOIN n b ON b.vec_id = s.cid)
+        |SELECT qid,
+        | CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rank,
+        | cid, cos
+        |FROM rr
+        |QUALIFY rank <= 3
+        |ORDER BY qid, rank""".stripMargin),
+
+    "q138_pq_recall" -> sub(s"""WITH --VEC--,
+        |${PqCte(0)},
+        |${PqCte(1)},
+        |${PqCte(2)},
+        |${PqCte(3)},
+        |sc AS (
+        | SELECT q0.vec_id AS qid, a0.vec_id AS cid,
+        |  ((${pqDotSql("q0.vm", "c0.cv")} +
+        |    ${pqDotSql("q1.vm", "c1.cv")}) +
+        |    ${pqDotSql("q2.vm", "c2.cv")}) +
+        |    ${pqDotSql("q3.vm", "c3.cv")} AS score
+        | FROM afpq0 a0
+        | JOIN afpq1 a1 USING (vec_id) JOIN afpq2 a2 USING (vec_id)
+        | JOIN afpq3 a3 USING (vec_id)
+        | JOIN cpq0_$PqIters c0 ON c0.cluster = a0.cluster
+        | JOIN cpq1_$PqIters c1 ON c1.cluster = a1.cluster
+        | JOIN cpq2_$PqIters c2 ON c2.cluster = a2.cluster
+        | JOIN cpq3_$PqIters c3 ON c3.cluster = a3.cluster
+        | JOIN vm0 q0 ON q0.vec_id < 5 AND q0.vec_id <> a0.vec_id
+        | JOIN vm1 q1 ON q1.vec_id = q0.vec_id
+        | JOIN vm2 q2 ON q2.vec_id = q0.vec_id
+        | JOIN vm3 q3 ON q3.vec_id = q0.vec_id),
+        |sl AS (
+        | SELECT qid, cid FROM (SELECT qid, cid,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM sc)
+        | WHERE rn <= $PqShortlist),
+        |rr AS (
+        | SELECT s.qid, s.cid,
+        |  ${kmDotSql("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
+        | FROM sl s JOIN n a ON a.vec_id = s.qid JOIN n b ON b.vec_id = s.cid),
+        |an AS (
+        | SELECT qid, cid FROM (SELECT qid, cid,
+        |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM rr)
+        | WHERE rn <= 3),
+        |ex AS (
+        | SELECT qid, cid FROM (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |   row_number() OVER (PARTITION BY a.vec_id
+        |     ORDER BY --DOT-- / (sqrt(a.nsq) * sqrt(b.nsq)) DESC, b.vec_id) AS rank
+        |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) WHERE rank <= 3),
+        |h AS (SELECT e.qid, count(*) AS n_hits FROM ex e JOIN an USING (qid, cid) GROUP BY e.qid),
+        |t AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid)
+        |SELECT t.qid, coalesce(h.n_hits, 0) AS n_hits, t.n_exact,
+        | coalesce(h.n_hits, 0) / t.n_exact AS recall
+        |FROM t LEFT JOIN h USING (qid)
+        |ORDER BY t.qid""".stripMargin),
 
     "q116_kmeans_train" -> sub("""WITH --VEC--,
         |--KM--

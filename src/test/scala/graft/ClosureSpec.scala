@@ -101,7 +101,7 @@ class ClosureSpec extends AnyFunSuite {
     }
   }
 
-  test("random graphs: depths match an in-memory BFS model (two-hop batching exact)") {
+  test("random graphs: depths match an in-memory BFS model (hop batching exact)") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
     (0 until 8).foreach { trial =>

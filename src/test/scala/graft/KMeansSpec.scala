@@ -77,4 +77,24 @@ class KMeansSpec extends AnyFunSuite {
     assert(r1.nonEmpty && r1.forall { case (_, c) => c >= 1 && c <= 8 })
     assert(r1 === r2)
   }
+
+  test("trained components are not degenerate: clusters, PQ codes, PQ recall") {
+    // Regression pin for the round-8 init-scale bug: the md5 init at +-500
+    // scale vs unit-norm embeddings collapsed Lloyd to ONE cluster — and
+    // the oracle collapsed identically, so hash parity stayed green for two
+    // rounds. Health is a property of the OUTPUT DISTRIBUTION, so pin it
+    // here where the hash gate cannot see it.
+    val km = SparkEntry.queries("q116_kmeans_train")(spark, SparkTestHarness.Sf0001)
+      .collect().map(_.getInt(2))
+    assert(km.distinct.length >= 2, "k-means collapsed to one cluster")
+    val enc = SparkEntry.queries("q136_pq_encode")(spark, SparkTestHarness.Sf0001).collect()
+    (0 until 4).foreach { m =>
+      val codes = enc.map(_.getInt(2 + m)).distinct
+      assert(codes.length >= 2, s"PQ subspace $m collapsed to one codeword")
+    }
+    val rec = SparkEntry.queries("q138_pq_recall")(spark, SparkTestHarness.Sf0001)
+      .collect().map(r => r.getDouble(3))
+    assert(rec.sum / rec.length > 0.2,
+      s"PQ retrieve-rerank recall@3 degenerated: ${rec.toSeq}")
+  }
 }
