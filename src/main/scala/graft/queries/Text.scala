@@ -332,6 +332,30 @@ object Text {
     // evaluates interpreted and benched ~2x slower). At 100 TB you'd key
     // the shuffle on a 64-bit gram hash and df-cap the hot tail exactly
     // like q41's shingle cap; the fixture's gram domain needs neither.
+    // BPE merge-pair mining — step 1 of tokenizer training (Sennrich et
+    // al., "Neural Machine Translation of Rare Words with Subword Units",
+    // public): per language, count adjacent CHARACTER pairs inside tokens
+    // (weighted by occurrence, as real BPE is) and rank the top-5 merge
+    // candidates. Map-only generator explode (token split, then a
+    // sequence/substring transform — all codegen), one (lang, pair)
+    // shuffle, width-bounded top-5 window. At 100x: pair cardinality is
+    // bounded by alphabet^2 per language, so the aggregate stays tiny no
+    // matter the corpus; iterating merges re-runs this same plan on
+    // re-segmented tokens.
+    "q141_bpe_pairs" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("pair"))
+      pairs.groupBy("lang", "pair").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+        .orderBy("lang", "rank")
+    },
+
     "q107_boilerplate_ngrams" -> { (s, dir) =>
       _root_.graft.functions.GraftFunctions.ensureRegistered(s)
       Tables.documents(s, dir)
@@ -610,6 +634,21 @@ object Text {
         |FROM f, tot
         |GROUP BY source, tot.corpus_tokens
         |ORDER BY source""".stripMargin),
+
+    "q141_bpe_pairs" ->
+      """WITH toks AS (
+        | SELECT lang, t.tok
+        | FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+        | WHERE len(t.tok) >= 2),
+        |p AS (
+        | SELECT lang, substr(tok, CAST(r.i AS INTEGER), 2) AS pair
+        | FROM toks, unnest(range(1, len(tok))) AS r(i)),
+        |c AS (SELECT lang, pair, count(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT lang, pair, n,
+        | CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, pair) AS INTEGER) AS rank
+        |FROM c
+        |QUALIFY rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
 
     "q107_boilerplate_ngrams" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

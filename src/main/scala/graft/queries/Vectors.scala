@@ -187,23 +187,35 @@ object Vectors {
     * q137 (the ranking) and q138 (recall vs exact).
     */
   private val PqShortlist = 50
-  private def pqTopK(s: SparkSession, dir: String): DataFrame = {
-    val cb = pqCodebooks(s, dir)
-    val enc = pqEncFrame(s, dir)
-    val luts = (0 until PqM).map { m =>
+
+  /** Query-side ADC lookup tables: lut$m[k] = dot(v's m-th slice,
+    * codebook m's k-th codeword). Shared by the flat PQ scan (q137/q138)
+    * and the IVF-pruned composition (q139/q140).
+    */
+  private def pqLutCols(cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Seq[org.apache.spark.sql.Column] =
+    (0 until PqM).map { m =>
       array(cb(m).map(c => call_function("array_dot",
         slice(col("v"), m * PqDims + 1, PqDims),
         array(c.map(lit): _*))): _*).as(s"lut$m")
     }
+
+  /** ADC score: four element_at lookups, left-associated sum (the oracle
+    * states the same parenthesization).
+    */
+  private def adcScore: org.apache.spark.sql.Column =
+    (0 until PqM).map(m => element_at(col(s"lut$m"), col(s"code$m"))).reduce(_ + _)
+
+  private def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebooks(s, dir)
+    val enc = pqEncFrame(s, dir)
+    val luts = pqLutCols(cb)
     val q = enc.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid") +: col("v").as("va") +: col("nsq").as("na") +: luts: _*)
     val c = enc.select(col("vec_id").as("cid") +:
       (0 until PqM).map(m => col(s"code$m")): _*)
     val aw = Window.partitionBy("qid").orderBy(col("adc").desc, col("cid"))
     val shortlist = c.join(broadcast(q), col("cid") =!= col("qid"))
-      .withColumn("adc",
-        (0 until PqM).map(m => element_at(col(s"lut$m"), col(s"code$m")))
-          .reduce(_ + _))
+      .withColumn("adc", adcScore)
       .withColumn("arn", row_number().over(aw))
       .filter(col("arn") <= PqShortlist)
       .select("qid", "cid", "va", "na")
@@ -214,6 +226,54 @@ object Vectors {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("rank"), col("cid"), col("cos"))
+  }
+
+  /** IVF+PQ composed serving path — the canonical large-scale ANN layout
+    * (FAISS IVFPQ, public): the TRAINED coarse quantizer prunes the scan
+    * to the 2 best-scoring cells, the PQ codes ADC-score only those
+    * cells' members (hash equi-join on the cell id — never a corpus
+    * scan), and the exact cosine re-ranks a [[IvfPqShortlist]]-candidate
+    * shortlist. This variant quantizes RAW vectors (reusing q136's codes)
+    * rather than per-cell residuals — the residual refinement changes the
+    * codebooks, not the plan. Shared by q139 (ranking) and q140 (recall).
+    */
+  private val IvfPqShortlist = 20
+  private def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val asg = kmFrame(s, dir)
+    val cent = kmCentroids(s, dir)
+    val cb = pqCodebooks(s, dir)
+    val enc = pqEncFrame(s, dir)
+    val qs = enc.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid") +: col("v").as("va") +:
+        col("nsq").as("na") +: pqLutCols(cb): _*)
+    val cellScores = cent.zipWithIndex.map { case (c, i) =>
+      struct(lit(i + 1).as("cell"),
+        (call_function("array_dot", col("va"), array(c.map(lit): _*)) -
+          lit(0.5 * graft.operators.KMeans.sqNorm(c))).as("score"))
+    }
+    val pw = Window.partitionBy("qid").orderBy(col("cscore").desc, col("cluster"))
+    val probes = qs
+      .withColumn("sc", explode(array(cellScores: _*)))
+      .withColumn("cluster", col("sc.cell")).withColumn("cscore", col("sc.score"))
+      .withColumn("prn", row_number().over(pw)).filter(col("prn") <= 2)
+      .drop("sc", "cscore", "prn")
+    val cand = asg.select(col("vec_id").as("cid"), col("cluster"))
+      .join(enc.select(col("vec_id").as("cid") +:
+        (0 until PqM).map(m => col(s"code$m")): _*), "cid")
+    val aw = Window.partitionBy("qid").orderBy(col("adc").desc, col("cid"))
+    val shortlist = cand.join(broadcast(probes), Seq("cluster"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("adc", adcScore)
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") <= IvfPqShortlist)
+      .select("qid", "cid", "cluster", "va", "na")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    shortlist
+      .join(enc.select(col("vec_id").as("cid"), col("v").as("vb"), col("nsq").as("nb")), "cid")
+      .withColumn("cos", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("cluster").as("cell"), col("cos"))
   }
 
   /** q45's exact brute-force ranking (qid, rank, cid, cos) — also the
@@ -587,6 +647,33 @@ object Vectors {
       pqTopK(s, dir).orderBy("qid", "rank")
     },
 
+    // IVF+PQ — the composed serving stack (coarse prune, then quantized
+    // scan, then exact re-rank of 20): at 100 TB this is the layout that
+    // touches ~nprobe/k of the corpus with O(M)-per-candidate math and
+    // confines exact 64-dim work to shortlist x queries. The oracle
+    // re-trains BOTH quantizer levels in SQL and replays the same probe,
+    // ADC, and re-rank arithmetic.
+    "q139_ivfpq_search" -> { (s, dir) =>
+      ivfPqTopK(s, dir).orderBy("qid", "rank")
+    },
+
+    // IVF+PQ recall@3 vs exact — the composed stack's measured quality
+    // (compare q138's flat-PQ recall: coarse pruning costs recall when a
+    // true neighbor lives in an unprobed cell; the number quantifies it).
+    "q140_ivfpq_recall" -> { (s, dir) =>
+      val exact = exactTopK(s, dir).select(col("qid"), col("cid"))
+      val ann = ivfPqTopK(s, dir).select(col("qid"), col("cid"))
+      val hits = exact.join(ann, Seq("qid", "cid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("n_exact"),
+          (coalesce(col("n_hits"), lit(0L)) / col("n_exact")).as("recall"))
+        .orderBy("qid")
+    },
+
     // PQ recall@3 vs the exact baseline — the same self-measurement
     // discipline as q103 (LSH) and q104 (IVF): compression loses
     // information, so the engine MEASURES what the 4x4 codebooks cost in
@@ -803,6 +890,112 @@ object Vectors {
         |FROM rr
         |QUALIFY rank <= 3
         |ORDER BY qid, rank""".stripMargin),
+
+    "q139_ivfpq_search" -> sub(s"""WITH --VEC--,
+        |--KM--,
+        |${PqCte(0)},
+        |${PqCte(1)},
+        |${PqCte(2)},
+        |${PqCte(3)},
+        |ps AS (
+        | SELECT m.vec_id AS qid, c.cluster,
+        |  ${kmDotSql("m.v", "c.cv")} - 0.5 * ${kmDotSql("c.cv", "c.cv")} AS score
+        | FROM n m CROSS JOIN c$KmIters c WHERE m.vec_id < 5),
+        |pr AS (
+        | SELECT qid, cluster FROM (
+        |  SELECT qid, cluster,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cluster) AS rn
+        |  FROM ps) WHERE rn <= 2),
+        |cand AS (
+        | SELECT p.qid, a.vec_id AS cid, a.cluster
+        | FROM af a JOIN pr p ON a.cluster = p.cluster AND a.vec_id <> p.qid),
+        |sc AS (
+        | SELECT c.qid, c.cid, c.cluster,
+        |  ((${pqDotSql("q0.vm", "k0.cv")} +
+        |    ${pqDotSql("q1.vm", "k1.cv")}) +
+        |    ${pqDotSql("q2.vm", "k2.cv")}) +
+        |    ${pqDotSql("q3.vm", "k3.cv")} AS score
+        | FROM cand c
+        | JOIN afpq0 a0 ON a0.vec_id = c.cid JOIN afpq1 a1 ON a1.vec_id = c.cid
+        | JOIN afpq2 a2 ON a2.vec_id = c.cid JOIN afpq3 a3 ON a3.vec_id = c.cid
+        | JOIN cpq0_$PqIters k0 ON k0.cluster = a0.cluster
+        | JOIN cpq1_$PqIters k1 ON k1.cluster = a1.cluster
+        | JOIN cpq2_$PqIters k2 ON k2.cluster = a2.cluster
+        | JOIN cpq3_$PqIters k3 ON k3.cluster = a3.cluster
+        | JOIN vm0 q0 ON q0.vec_id = c.qid JOIN vm1 q1 ON q1.vec_id = c.qid
+        | JOIN vm2 q2 ON q2.vec_id = c.qid JOIN vm3 q3 ON q3.vec_id = c.qid),
+        |sl AS (
+        | SELECT qid, cid, cluster FROM (SELECT qid, cid, cluster,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM sc)
+        | WHERE rn <= $IvfPqShortlist),
+        |rr AS (
+        | SELECT s.qid, s.cid, s.cluster,
+        |  ${kmDotSql("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
+        | FROM sl s JOIN n a ON a.vec_id = s.qid JOIN n b ON b.vec_id = s.cid)
+        |SELECT qid,
+        | CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rank,
+        | cid, CAST(cluster AS INTEGER) AS cell, cos
+        |FROM rr
+        |QUALIFY rank <= 3
+        |ORDER BY qid, rank""".stripMargin),
+
+    "q140_ivfpq_recall" -> sub(s"""WITH --VEC--,
+        |--KM--,
+        |${PqCte(0)},
+        |${PqCte(1)},
+        |${PqCte(2)},
+        |${PqCte(3)},
+        |ps AS (
+        | SELECT m.vec_id AS qid, c.cluster,
+        |  ${kmDotSql("m.v", "c.cv")} - 0.5 * ${kmDotSql("c.cv", "c.cv")} AS score
+        | FROM n m CROSS JOIN c$KmIters c WHERE m.vec_id < 5),
+        |pr AS (
+        | SELECT qid, cluster FROM (
+        |  SELECT qid, cluster,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cluster) AS rn
+        |  FROM ps) WHERE rn <= 2),
+        |cand AS (
+        | SELECT p.qid, a.vec_id AS cid, a.cluster
+        | FROM af a JOIN pr p ON a.cluster = p.cluster AND a.vec_id <> p.qid),
+        |sc AS (
+        | SELECT c.qid, c.cid,
+        |  ((${pqDotSql("q0.vm", "k0.cv")} +
+        |    ${pqDotSql("q1.vm", "k1.cv")}) +
+        |    ${pqDotSql("q2.vm", "k2.cv")}) +
+        |    ${pqDotSql("q3.vm", "k3.cv")} AS score
+        | FROM cand c
+        | JOIN afpq0 a0 ON a0.vec_id = c.cid JOIN afpq1 a1 ON a1.vec_id = c.cid
+        | JOIN afpq2 a2 ON a2.vec_id = c.cid JOIN afpq3 a3 ON a3.vec_id = c.cid
+        | JOIN cpq0_$PqIters k0 ON k0.cluster = a0.cluster
+        | JOIN cpq1_$PqIters k1 ON k1.cluster = a1.cluster
+        | JOIN cpq2_$PqIters k2 ON k2.cluster = a2.cluster
+        | JOIN cpq3_$PqIters k3 ON k3.cluster = a3.cluster
+        | JOIN vm0 q0 ON q0.vec_id = c.qid JOIN vm1 q1 ON q1.vec_id = c.qid
+        | JOIN vm2 q2 ON q2.vec_id = c.qid JOIN vm3 q3 ON q3.vec_id = c.qid),
+        |sl AS (
+        | SELECT qid, cid FROM (SELECT qid, cid,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM sc)
+        | WHERE rn <= $IvfPqShortlist),
+        |rr AS (
+        | SELECT s.qid, s.cid,
+        |  ${kmDotSql("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
+        | FROM sl s JOIN n a ON a.vec_id = s.qid JOIN n b ON b.vec_id = s.cid),
+        |an AS (
+        | SELECT qid, cid FROM (SELECT qid, cid,
+        |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM rr)
+        | WHERE rn <= 3),
+        |ex AS (
+        | SELECT qid, cid FROM (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |   row_number() OVER (PARTITION BY a.vec_id
+        |     ORDER BY --DOT-- / (sqrt(a.nsq) * sqrt(b.nsq)) DESC, b.vec_id) AS rank
+        |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) WHERE rank <= 3),
+        |h AS (SELECT e.qid, count(*) AS n_hits FROM ex e JOIN an USING (qid, cid) GROUP BY e.qid),
+        |t AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid)
+        |SELECT t.qid, coalesce(h.n_hits, 0) AS n_hits, t.n_exact,
+        | coalesce(h.n_hits, 0) / t.n_exact AS recall
+        |FROM t LEFT JOIN h USING (qid)
+        |ORDER BY t.qid""".stripMargin),
 
     "q138_pq_recall" -> sub(s"""WITH --VEC--,
         |${PqCte(0)},
