@@ -154,6 +154,50 @@ object Ingest {
       fs.delete(new org.apache.hadoop.fs.Path(store, s"snapshot=$id"), true))
   }
 
+  /** Result of a conditional index fetch: `notModified` maps HTTP 304,
+    * `etag` echoes the validator for the next conditional GET.
+    */
+  final case class Fetched(status: Int, etag: Option[String], body: Option[String]) {
+    def notModified: Boolean = status == 304
+  }
+
+  /** Driver-side HTTP fetch of an index document with conditional-GET
+    * support (If-None-Match / ETag / 304) — the network half of the
+    * reference's fetch-then-cache loop, on the JDK's own HttpClient (no
+    * new dependencies). IngestSpec drives it against an in-JVM loopback
+    * server, so the REAL socket path is exercised without egress.
+    *
+    * Scale notes: the index fetch is a tiny driver-side metadata
+    * operation — the 100 TB lives in the parquet store, not the index
+    * text. Fan-out fetches (per-package archives) would run the same
+    * client pattern inside mapPartitions on executors, one client per
+    * partition.
+    */
+  def fetchIndex(url: String, etag: Option[String] = None): Fetched = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET()
+    etag.foreach(t => b.header("If-None-Match", t))
+    val resp = client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+    val tag = Option(resp.headers().firstValue("ETag").orElse(null))
+    if (resp.statusCode() == 304) Fetched(304, tag, None)
+    else Fetched(resp.statusCode(), tag, Some(resp.body()))
+  }
+
+  /** Land fetched index text as a `snapshot=<id>` partition through the
+    * standard parse pipeline — the write half [[fetchIndex]]'s body feeds.
+    */
+  def landIndexText(spark: SparkSession, text: String, outDir: String, snapshotId: Long): Unit = {
+    import spark.implicits._
+    val raw = spark.createDataset(
+      text.split("\n", -1).toIndexedSeq.filter(_.nonEmpty)).toDF("value")
+    parseIndex(raw)
+      .withColumn("snapshot", lit(snapshotId))
+      .write.mode(SaveMode.Append)
+      .partitionBy("snapshot", "distro", "arch")
+      .parquet(snapshotStorePath(outDir))
+  }
+
   /** Read the latest snapshot only (partition pruning keeps older
     * snapshots untouched on disk and unread at scan time).
     */

@@ -365,6 +365,45 @@ object Resolution {
         .orderBy("name")
     },
 
+    // File-list diff between a package's two newest builds — the "what
+    // changed in this upgrade" view (`apt-file diff` / release-notes
+    // tooling; SURVEY.md §1.1 file lists): per name, the newest and
+    // previous pkg_id's file sets are compared into added/removed/kept
+    // censuses. Two anti-joins + one semi-join keyed on (name, path) —
+    // the file relation is the engine's largest, and everything here
+    // shuffles on its natural key once; the per-name top-2 pick is a
+    // bounded window over the package catalog, not the file list.
+    "q142_filelist_diff" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("name").orderBy(col("pkg_id").desc)
+      val pk = Tables.packages(s, dir)
+        .select(col("name"), col("pkg_id"), col("version"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+      val f = Tables.files(s, dir).select(col("pkg_id"), col("path"))
+      val cur = pk.filter(col("rn") === 1)
+        .select(col("name"), col("pkg_id").as("cur_id"), col("version").as("cur_version"))
+      val prev = pk.filter(col("rn") === 2)
+        .select(col("name"), col("pkg_id").as("prev_id"), col("version").as("prev_version"))
+      val cf = cur.join(f.withColumnRenamed("pkg_id", "cur_id"), "cur_id")
+        .select("name", "path")
+      val pf = prev.join(f.withColumnRenamed("pkg_id", "prev_id"), "prev_id")
+        .select("name", "path")
+      def census(df: DataFrame, alias: String) =
+        df.groupBy("name").agg(count(lit(1)).as(alias))
+      val added = census(cf.join(pf, Seq("name", "path"), "left_anti"), "n_added")
+      val removed = census(pf.join(cf, Seq("name", "path"), "left_anti"), "n_removed")
+      val kept = census(cf.join(pf, Seq("name", "path"), "left_semi"), "n_kept")
+      cur.join(prev, "name")
+        .join(added, Seq("name"), "left").join(removed, Seq("name"), "left")
+        .join(kept, Seq("name"), "left")
+        .select(col("name"), col("cur_version"), col("prev_version"),
+          coalesce(col("n_added"), lit(0L)).as("n_added"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("name")
+    },
+
     // End-to-end install plan — the reference's signature operation
     // (SURVEY.md §3.1 entry point 3): BFS from a seed package where every
     // hop resolves constraint strings through provides and keeps only
@@ -1060,6 +1099,35 @@ object Resolution {
         |LEFT JOIN rcnt USING (cname) LEFT JOIN jcnt USING (cname)
         |LEFT JOIN bestpick b USING (cname)
         |ORDER BY n.cname""".stripMargin),
+
+    "q142_filelist_diff" -> sub("""WITH --PKG--,
+        |top2 AS (
+        | SELECT name, pkg_id, version,
+        |  row_number() OVER (PARTITION BY name ORDER BY pkg_id DESC) AS rn
+        | FROM pkg QUALIFY rn <= 2),
+        |f AS (
+        | SELECT k.pkg_id,
+        |  '/usr/' || CASE ((k.pkg_id*31 + g.j*17) % 97) % 4
+        |    WHEN 0 THEN 'bin' WHEN 1 THEN 'lib' WHEN 2 THEN 'share' ELSE 'etc' END
+        |  || '/f' || lpad(CAST((k.pkg_id*31 + g.j*17) % 97 AS VARCHAR), 2, '0') AS path
+        | FROM pkg k JOIN range(6) g(j) ON g.j <= k.pkg_id % 4 + 1),
+        |cur AS (SELECT name, pkg_id AS cur_id, version AS cur_version FROM top2 WHERE rn = 1),
+        |prev AS (SELECT name, pkg_id AS prev_id, version AS prev_version FROM top2 WHERE rn = 2),
+        |cf AS (SELECT c.name, f.path FROM cur c JOIN f ON f.pkg_id = c.cur_id),
+        |pf AS (SELECT p.name, f.path FROM prev p JOIN f ON f.pkg_id = p.prev_id),
+        |ad AS (SELECT name, count(*) AS n_added FROM (
+        |  SELECT name, path FROM cf EXCEPT SELECT name, path FROM pf) GROUP BY name),
+        |rm AS (SELECT name, count(*) AS n_removed FROM (
+        |  SELECT name, path FROM pf EXCEPT SELECT name, path FROM cf) GROUP BY name),
+        |kp AS (SELECT name, count(*) AS n_kept FROM (
+        |  SELECT name, path FROM cf INTERSECT SELECT name, path FROM pf) GROUP BY name)
+        |SELECT c.name, c.cur_version, p.prev_version,
+        | COALESCE(ad.n_added, 0) AS n_added,
+        | COALESCE(rm.n_removed, 0) AS n_removed,
+        | COALESCE(kp.n_kept, 0) AS n_kept
+        |FROM cur c JOIN prev p USING (name)
+        |LEFT JOIN ad USING (name) LEFT JOIN rm USING (name) LEFT JOIN kp USING (name)
+        |ORDER BY c.name""".stripMargin),
 
     "q133_multiarch_resolution" -> sub("""WITH --IDX--,
         |--PKG--,

@@ -13,6 +13,65 @@ class IngestSpec extends AnyFunSuite {
   private lazy val spark = SparkTestHarness.spark
   private val dir = SparkTestHarness.Sf0001
 
+  test("HTTP fetch-then-cache over a real socket: 200 lands, 304 skips, new ETag re-lands") {
+    // The network half of S2, driven against an in-JVM loopback server
+    // (JDK HttpServer on 127.0.0.1 — the real HttpClient/socket path, no
+    // egress): GET with no validator fetches the index; a conditional GET
+    // with the current ETag comes back 304 with no body; after the server
+    // publishes a new release + ETag, the stale validator fetches again.
+    val indexV1 = Ingest.renderIndex(spark, dir).collect().map(_.getString(0)).sorted
+    val indexV2 = indexV1.map(_.replace("|S:", "|S:9"))
+    @volatile var serveV2 = false
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/APKINDEX", { exchange =>
+      val (body, tag) =
+        if (serveV2) (indexV2.mkString("\n"), "\"v2\"") else (indexV1.mkString("\n"), "\"v1\"")
+      val inm = exchange.getRequestHeaders.getFirst("If-None-Match")
+      exchange.getResponseHeaders.set("ETag", tag)
+      if (inm == tag) {
+        exchange.sendResponseHeaders(304, -1)
+      } else {
+        val bytes = body.getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, bytes.length.toLong)
+        exchange.getResponseBody.write(bytes)
+      }
+      exchange.close()
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/APKINDEX"
+    val out = Files.createTempDirectory("ingest_http").toString
+    try {
+      val first = Ingest.fetchIndex(url)
+      assert(first.status === 200 && first.etag === Some("\"v1\""))
+      Ingest.landIndexText(spark, first.body.get, out, snapshotId = 1L)
+      // the landed snapshot parses identically to the direct pipeline
+      val landed = Ingest.latestSnapshot(spark, out)
+        .select("name", "version", "arch", "size_mb", "pkg_id")
+        .collect().map(_.toString).sorted
+      val direct = Ingest.parseIndex(Ingest.renderIndex(spark, dir))
+        .select("name", "version", "arch", "size_mb", "pkg_id")
+        .collect().map(_.toString).sorted
+      assert(landed === direct)
+      // conditional GET with the live validator: 304, nothing to land
+      val second = Ingest.fetchIndex(url, etag = first.etag)
+      assert(second.notModified && second.body.isEmpty)
+      // release arrives: the stale validator misses, the new body lands
+      serveV2 = true
+      val third = Ingest.fetchIndex(url, etag = first.etag)
+      assert(third.status === 200 && third.etag === Some("\"v2\""))
+      Ingest.landIndexText(spark, third.body.get, out, snapshotId = 2L)
+      // readers pin snapshot 2 and see the new release's 9-prefixed sizes
+      val latest = Ingest.latestSnapshot(spark, out)
+      val directMax = Ingest.parseIndex(Ingest.renderIndex(spark, dir))
+        .agg(max("size_mb")).head().getLong(0)
+      assert(latest.agg(max("size_mb")).head().getLong(0) > directMax)
+      assert(latest.select("snapshot").distinct().head().get(0).toString === "2")
+    } finally {
+      server.stop(0)
+    }
+  }
+
   test("ingest roundtrip preserves records and partitions by distro/arch") {
     val out = Files.createTempDirectory("graft_ingest").toString
     val loaded = Ingest.run(spark, dir, out)
