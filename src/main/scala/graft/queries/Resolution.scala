@@ -365,6 +365,55 @@ object Resolution {
         .orderBy("name")
     },
 
+    // Per-arch install PLANS — q133 gives the per-arch candidate and spec
+    // satisfiability; this walks the FULL transitive closure from one
+    // seed under each target's visible universe (a resolution edge exists
+    // for target A iff SOME A-visible provider version satisfies the
+    // constraint). Both walks ride ONE tagged-graph BFS (q129's idiom:
+    // node = target|name), so driver barriers scale with max depth across
+    // arches. depth = -1 marks packages only installable on the other
+    // arch — the difference a cross-compiling user actually hits.
+    "q143_multiarch_plan" -> { (s, dir) =>
+      import s.implicits._
+      GraftFunctions.ensureRegistered(s)
+      val visible = Tables.packages(s, dir)
+        .withColumn("arch_eff",
+          when(pmod(col("pkg_id"), lit(9)) === 4, "all").otherwise(col("arch")))
+        .withColumn("target",
+          explode(when(col("arch_eff") === "all",
+              array(lit("x86_64"), lit("aarch64")))
+            .otherwise(array(col("arch_eff")))))
+        .select(col("name").as("provider"), col("version"), col("target"))
+        .distinct()
+      val withC = Tables.dependsSpecs(s, dir)
+        .withColumn("c", expr("parse_constraint(spec)"))
+      val edges = withC
+        .join(Tables.provides(s, dir)
+          .select(col("name").as("provider"), col("provides_name")),
+          col("c.name") === col("provides_name"))
+        .join(visible, Seq("provider"))
+        .filter(expr(SatisfiesSql))
+        .select(col("target"), col("name"), col("provider").as("dep"))
+        .distinct()
+      val tagged = edges.select(
+        concat(col("target"), lit("|"), col("name")).as("name"),
+        concat(col("target"), lit("|"), col("dep")).as("dep"))
+      val root = "pkg-07"
+      val reach = graft.operators.Closure.reachableAll(s, tagged,
+        Seq(s"x86_64|$root", s"aarch64|$root").toDF("root"))
+      val x = reach.filter(col("root") === s"x86_64|$root")
+        .select(expr("substring(name, 8)").as("name"), col("depth").as("depth_x86"))
+      val a = reach.filter(col("root") === s"aarch64|$root")
+        .select(expr("substring(name, 9)").as("name"), col("depth").as("depth_arm"))
+      x.join(a, Seq("name"), "full_outer")
+        .select(col("name"),
+          (col("depth_x86").isNotNull && col("depth_arm").isNotNull)
+            .cast("int").as("in_both"),
+          coalesce(col("depth_x86"), lit(-1)).as("depth_x86"),
+          coalesce(col("depth_arm"), lit(-1)).as("depth_arm"))
+        .orderBy("name")
+    },
+
     // File-list diff between a package's two newest builds — the "what
     // changed in this upgrade" view (`apt-file diff` / release-notes
     // tooling; SURVEY.md §1.1 file lists): per name, the newest and
@@ -1099,6 +1148,46 @@ object Resolution {
         |LEFT JOIN rcnt USING (cname) LEFT JOIN jcnt USING (cname)
         |LEFT JOIN bestpick b USING (cname)
         |ORDER BY n.cname""".stripMargin),
+
+    "q143_multiarch_plan" -> sub("""WITH RECURSIVE --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |vis AS (
+        | SELECT k.name AS provider, k.vmaj, k.vmin, k.vpat, t.target
+        | FROM pkg k
+        | JOIN (VALUES ('x86_64'), ('aarch64')) t(target)
+        |  ON (CASE WHEN k.pkg_id % 9 = 4 THEN 'all'
+        |           WHEN k.pkg_id % 2 = 0 THEN 'x86_64' ELSE 'aarch64' END)
+        |     IN ('all', t.target)),
+        |edg AS (
+        | SELECT DISTINCT v.target, s.name, p.provider AS dep
+        | FROM specs s
+        | JOIN prov p ON p.provides_name = s.cname
+        | JOIN vis v ON v.provider = p.provider
+        | WHERE CASE s.cop
+        |  WHEN '>=' THEN (v.vmaj, v.vmin, v.vpat) >= (s.cmaj, s.cmin, 0)
+        |  WHEN '<'  THEN (v.vmaj, v.vmin, v.vpat) < (s.cmaj, s.cmin, 0)
+        |  WHEN '='  THEN FALSE
+        |  ELSE TRUE END),
+        |rx(name, depth) AS (
+        | SELECT 'pkg-07', 0
+        | UNION
+        | SELECT e.dep, r.depth + 1 FROM edg e JOIN rx r
+        |  ON e.name = r.name AND e.target = 'x86_64' WHERE r.depth < 60),
+        |ra(name, depth) AS (
+        | SELECT 'pkg-07', 0
+        | UNION
+        | SELECT e.dep, r.depth + 1 FROM edg e JOIN ra r
+        |  ON e.name = r.name AND e.target = 'aarch64' WHERE r.depth < 60),
+        |mx AS (SELECT name, min(depth) AS depth_x86 FROM rx GROUP BY name),
+        |ma AS (SELECT name, min(depth) AS depth_arm FROM ra GROUP BY name)
+        |SELECT COALESCE(mx.name, ma.name) AS name,
+        | CAST(mx.name IS NOT NULL AND ma.name IS NOT NULL AS INTEGER) AS in_both,
+        | CAST(COALESCE(mx.depth_x86, -1) AS INTEGER) AS depth_x86,
+        | CAST(COALESCE(ma.depth_arm, -1) AS INTEGER) AS depth_arm
+        |FROM mx FULL OUTER JOIN ma ON mx.name = ma.name
+        |ORDER BY name""".stripMargin),
 
     "q142_filelist_diff" -> sub("""WITH --PKG--,
         |top2 AS (

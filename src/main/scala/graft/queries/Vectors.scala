@@ -676,7 +676,7 @@ object Vectors {
 
     // PQ recall@3 vs the exact baseline — the same self-measurement
     // discipline as q103 (LSH) and q104 (IVF): compression loses
-    // information, so the engine MEASURES what the 4x4 codebooks cost in
+    // information, so the engine MEASURES what the 4x32 codebooks cost in
     // ranking quality rather than asserting it. The oracle re-derives
     // both rankings independently.
     "q138_pq_recall" -> { (s, dir) =>
