@@ -175,6 +175,97 @@ object Vectors {
       }
     }
 
+  /** Residual PQ — true IVFPQ quantization (Jégou et al. §III): the codes
+    * compress `v - centroid[cluster]` (the within-cell deviation) instead
+    * of the raw vector, so the codebooks spend their bits on exactly the
+    * structure the coarse quantizer can't express. rpqM: init seeds,
+    * data-scaled like [[pqInit]] (residuals are sub-unit).
+    */
+  private def rpqInit(m: Int): IndexedSeq[IndexedSeq[Double]] =
+    (0 until PqK).map(k => (0 until PqDims).map(d => mdConst(s"rpq$m", k, d).toDouble / 1000.0))
+
+  /** (vec_id, label, v, nsq, cluster, rv): the trained coarse assignment
+    * plus the elementwise residual against its centroid — one exact IEEE
+    * subtract per element, reproduced verbatim by [[RsdCte]].
+    */
+  private def residFrame(s: SparkSession, dir: String): DataFrame =
+    Memo.memoized("pq_residual", s, dir) {
+      val cent = kmCentroids(s, dir)
+      val centArr = array(cent.map(c => array(c.map(lit): _*)): _*)
+      kmFrame(s, dir).withColumn("rv",
+        zip_with(col("v"), element_at(centArr, col("cluster")), (a, b) => a - b))
+    }
+
+  private val rpqCbCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), IndexedSeq[IndexedSeq[IndexedSeq[Double]]]]()
+  private def rpqCodebooks(s: SparkSession, dir: String): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    rpqCbCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    rpqCbCache.computeIfAbsent((s, dir), _ => (0 until PqM).map { m =>
+      graft.operators.KMeans.fit(
+        residFrame(s, dir).select(col("vec_id"),
+          slice(col("rv"), m * PqDims + 1, PqDims).as("v")),
+        rpqInit(m), PqIters)
+    })
+  }
+
+  /** Residual-encoded corpus: (…, cluster, rcode0..rcode3). */
+  private def rpqEncFrame(s: SparkSession, dir: String): DataFrame =
+    Memo.memoized("rpq_encode", s, dir) {
+      val cb = rpqCodebooks(s, dir)
+      (0 until PqM).foldLeft(residFrame(s, dir)) { (df, m) =>
+        df.withColumn(s"__sub$m", slice(col("rv"), m * PqDims + 1, PqDims))
+          .withColumn(s"rcode$m", graft.operators.KMeans.assignColumn(cb(m), s"__sub$m"))
+          .drop(s"__sub$m")
+      }
+    }
+
+  /** IVFPQ with residual codes, retrieve-then-rerank: reconstruction
+    * x_hat = centroid[cell] + decoded residual, so the approximate score
+    * decomposes as dot(q, centroid[cell]) + sum_m LUT_m[rcode_m] — the
+    * cell term comes free from the probe pass, the residual term is the
+    * same four lookups as flat PQ. Exact cosine re-ranks the
+    * [[IvfPqShortlist]]-candidate shortlist. Shared by q144/q145.
+    */
+  private def ivfPqResidualTopK(s: SparkSession, dir: String): DataFrame = {
+    val cent = kmCentroids(s, dir)
+    val cb = rpqCodebooks(s, dir)
+    val enc = rpqEncFrame(s, dir)
+    val qs = enc.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid") +: col("v").as("va") +:
+        col("nsq").as("na") +:
+        array(cent.map(c => call_function("array_dot", col("v"),
+          array(c.map(lit): _*))): _*).as("cd") +: pqLutCols(cb): _*)
+    val cellScores = cent.zipWithIndex.map { case (c, i) =>
+      struct(lit(i + 1).as("cell"),
+        (element_at(col("cd"), i + 1) - lit(0.5 * graft.operators.KMeans.sqNorm(c)))
+          .as("score"))
+    }
+    val pw = Window.partitionBy("qid").orderBy(col("cscore").desc, col("cluster"))
+    val probes = qs
+      .withColumn("sc", explode(array(cellScores: _*)))
+      .withColumn("cluster", col("sc.cell")).withColumn("cscore", col("sc.score"))
+      .withColumn("prn", row_number().over(pw)).filter(col("prn") <= 2)
+      .withColumn("celldot", element_at(col("cd"), col("cluster")))
+      .drop("sc", "cscore", "prn", "cd")
+    val cand = enc.select(col("vec_id").as("cid") +: col("cluster") +:
+      (0 until PqM).map(m => col(s"rcode$m")): _*)
+    val aw = Window.partitionBy("qid").orderBy(col("adc").desc, col("cid"))
+    val shortlist = cand.join(broadcast(probes), Seq("cluster"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("adc", col("celldot") +
+        (0 until PqM).map(m => element_at(col(s"lut$m"), col(s"rcode$m"))).reduce(_ + _))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") <= IvfPqShortlist)
+      .select("qid", "cid", "cluster", "va", "na")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    shortlist
+      .join(enc.select(col("vec_id").as("cid"), col("v").as("vb"), col("nsq").as("nb")), "cid")
+      .withColumn("cos", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("cluster").as("cell"), col("cos"))
+  }
+
   /** PQ retrieve-then-rerank top-3 per query (qid, rank, cid, cos) — the
     * production PQ deployment shape: the ADC pass (a 4xK LUT of subspace
     * dots per query, then FOUR element_at lookups per candidate instead of
@@ -674,6 +765,34 @@ object Vectors {
         .orderBy("qid")
     },
 
+    // Residual IVFPQ — the true Jégou-layout refinement of q139: codes
+    // quantize v - centroid[cell], and the approximate score decomposes
+    // as dot(q, centroid) + four LUT lookups. Same plan shape as q139
+    // (probe -> cell equi-join -> shortlist -> exact rerank); only the
+    // codebooks' TRAINING INPUT changed, which is the whole point — the
+    // residual bits encode what the coarse level can't.
+    "q144_ivfpq_residual_search" -> { (s, dir) =>
+      ivfPqResidualTopK(s, dir).orderBy("qid", "rank")
+    },
+
+    // Residual-IVFPQ recall@3 vs exact — measured against q140's
+    // raw-vector composition: the residual codes recover ranking quality
+    // inside the probed cells (the standard IVFPQ claim, quantified here
+    // instead of asserted).
+    "q145_ivfpq_residual_recall" -> { (s, dir) =>
+      val exact = exactTopK(s, dir).select(col("qid"), col("cid"))
+      val ann = ivfPqResidualTopK(s, dir).select(col("qid"), col("cid"))
+      val hits = exact.join(ann, Seq("qid", "cid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("n_exact"),
+          (coalesce(col("n_hits"), lit(0L)) / col("n_exact")).as("recall"))
+        .orderBy("qid")
+    },
+
     // PQ recall@3 vs the exact baseline — the same self-measurement
     // discipline as q103 (LSH) and q104 (IVF): compression loses
     // information, so the engine MEASURES what the 4x32 codebooks cost in
@@ -724,47 +843,63 @@ object Vectors {
   private def pqDotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${PqDims + 1}), j -> $a[j] * $b[j])), (s, x) -> s + x)"
 
-  /** DuckDB re-derivation of subspace m's PQ k-means: vm$m = the 16-dim
-    * slices, cpq{m}_0 from the md5 "pqM:" init, PqIters assign+update
-    * rounds (same fixed-point arithmetic as --KM--), afpq$m = the final
-    * code per vector. Mirrors [[KmCte]] with sliced vectors.
+  /** DuckDB re-derivation of subspace m's PQ k-means: {p}vm$m = the
+    * 16-dim slices of `srcCol` from `srcTable`, {p}cpq{m}_0 from the md5
+    * "{seed}M:" init, PqIters assign+update rounds (same fixed-point
+    * arithmetic as --KM--), {p}afpq$m = the final code per vector.
+    * Mirrors [[KmCte]] with sliced vectors; the `p` prefix keeps the raw
+    * ("" / source n.v / seed pq) and residual ("r" / source rsd.rv /
+    * seed rpq) chains coexisting in one statement.
     */
-  private def PqCte(m: Int): String = {
+  private def pqCteGen(m: Int, p: String, srcTable: String, srcCol: String,
+      seed: String): String = {
     val off = m * PqDims
     def assign(name: String, prev: String) =
       s"""s_$name AS (
          | SELECT v.vec_id, v.vm, c.cluster,
          |  ${pqDotSql("v.vm", "c.cv")} - 0.5 * ${pqDotSql("c.cv", "c.cv")} AS score
-         | FROM vm$m v CROSS JOIN $prev c),
+         | FROM ${p}vm$m v CROSS JOIN $prev c),
          |$name AS (
          | SELECT vec_id, vm, cluster FROM (
          |  SELECT vec_id, vm, cluster,
          |   row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn
          |  FROM s_$name) WHERE rn = 1)""".stripMargin
     def update(i: Int) =
-      s"""upq${m}_$i AS (
+      s"""${p}upq${m}_$i AS (
          | SELECT a.cluster, CAST(j AS INTEGER) AS pos,
          |  CAST(sum(CAST(floor(a.vm[j] * 16777216) AS BIGINT)) AS BIGINT) AS sxn, count(*) AS nn
-         | FROM apq${m}_$i a, range(1, ${PqDims + 1}) t(j) GROUP BY a.cluster, pos),
-         |ucpq${m}_$i AS (
+         | FROM ${p}apq${m}_$i a, range(1, ${PqDims + 1}) t(j) GROUP BY a.cluster, pos),
+         |${p}ucpq${m}_$i AS (
          | SELECT cluster, list(CAST(sxn AS DOUBLE) / CAST(nn * 16777216 AS DOUBLE) ORDER BY pos) AS cv
-         | FROM upq${m}_$i GROUP BY cluster),
-         |cpq${m}_$i AS (
+         | FROM ${p}upq${m}_$i GROUP BY cluster),
+         |${p}cpq${m}_$i AS (
          | SELECT p.cluster, coalesce(u.cv, p.cv) AS cv
-         | FROM cpq${m}_${i - 1} p LEFT JOIN ucpq${m}_$i u USING (cluster))""".stripMargin
+         | FROM ${p}cpq${m}_${i - 1} p LEFT JOIN ${p}ucpq${m}_$i u USING (cluster))""".stripMargin
     val slices =
-      s"""vm$m AS (
-         | SELECT vec_id, list_transform(range(1, ${PqDims + 1}), j -> v[$off + j]) AS vm
-         | FROM n)""".stripMargin
+      s"""${p}vm$m AS (
+         | SELECT vec_id, list_transform(range(1, ${PqDims + 1}), j -> $srcCol[$off + j]) AS vm
+         | FROM $srcTable)""".stripMargin
     val init =
-      s"""cpq${m}_0 AS (
+      s"""${p}cpq${m}_0 AS (
          | SELECT CAST(k + 1 AS INTEGER) AS cluster,
-         |  list_transform(range(0, $PqDims), d -> CAST(CAST(('0x' || substr(md5('pq$m:' || CAST(k AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 - 500 AS DOUBLE) / 1000) AS cv
+         |  list_transform(range(0, $PqDims), d -> CAST(CAST(('0x' || substr(md5('$seed$m:' || CAST(k AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 - 500 AS DOUBLE) / 1000) AS cv
          | FROM range(0, $PqK) t(k))""".stripMargin
     (Seq(slices, init)
-      ++ (1 to PqIters).flatMap(i => Seq(assign(s"apq${m}_$i", s"cpq${m}_${i - 1}"), update(i)))
-      ++ Seq(assign(s"afpq$m", s"cpq${m}_$PqIters"))).mkString(",\n")
+      ++ (1 to PqIters).flatMap(i => Seq(assign(s"${p}apq${m}_$i", s"${p}cpq${m}_${i - 1}"), update(i)))
+      ++ Seq(assign(s"${p}afpq$m", s"${p}cpq${m}_$PqIters"))).mkString(",\n")
   }
+  private def PqCte(m: Int): String = pqCteGen(m, "", "n", "v", "pq")
+  private def RPqCte(m: Int): String = pqCteGen(m, "r", "rsd", "rv", "rpq")
+
+  /** Residual frame CTE: rv = v - the vector's trained coarse centroid
+    * (elementwise IEEE subtract — exact on both engines). Requires --KM--
+    * in scope for af/c$KmIters.
+    */
+  private def RsdCte: String =
+    s"""rsd AS (
+       | SELECT a.vec_id, a.cluster,
+       |  list_transform(range(1, 65), j -> a.v[j] - c.cv[j]) AS rv
+       | FROM af a JOIN c$KmIters c USING (cluster))""".stripMargin
 
   /** DuckDB re-derivation of the k-means run: c0 from the md5 "km:" init,
     * then per iteration an assignment under the previous centroids and the
@@ -972,6 +1107,124 @@ object Vectors {
         | JOIN cpq3_$PqIters k3 ON k3.cluster = a3.cluster
         | JOIN vm0 q0 ON q0.vec_id = c.qid JOIN vm1 q1 ON q1.vec_id = c.qid
         | JOIN vm2 q2 ON q2.vec_id = c.qid JOIN vm3 q3 ON q3.vec_id = c.qid),
+        |sl AS (
+        | SELECT qid, cid FROM (SELECT qid, cid,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM sc)
+        | WHERE rn <= $IvfPqShortlist),
+        |rr AS (
+        | SELECT s.qid, s.cid,
+        |  ${kmDotSql("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
+        | FROM sl s JOIN n a ON a.vec_id = s.qid JOIN n b ON b.vec_id = s.cid),
+        |an AS (
+        | SELECT qid, cid FROM (SELECT qid, cid,
+        |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM rr)
+        | WHERE rn <= 3),
+        |ex AS (
+        | SELECT qid, cid FROM (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |   row_number() OVER (PARTITION BY a.vec_id
+        |     ORDER BY --DOT-- / (sqrt(a.nsq) * sqrt(b.nsq)) DESC, b.vec_id) AS rank
+        |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) WHERE rank <= 3),
+        |h AS (SELECT e.qid, count(*) AS n_hits FROM ex e JOIN an USING (qid, cid) GROUP BY e.qid),
+        |t AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid)
+        |SELECT t.qid, coalesce(h.n_hits, 0) AS n_hits, t.n_exact,
+        | coalesce(h.n_hits, 0) / t.n_exact AS recall
+        |FROM t LEFT JOIN h USING (qid)
+        |ORDER BY t.qid""".stripMargin),
+
+    "q144_ivfpq_residual_search" -> sub(s"""WITH --VEC--,
+        |--KM--,
+        |$RsdCte,
+        |${RPqCte(0)},
+        |${RPqCte(1)},
+        |${RPqCte(2)},
+        |${RPqCte(3)},
+        |${(0 until PqM).map(m =>
+            s"""qvm$m AS (
+               | SELECT vec_id, list_transform(range(1, ${PqDims + 1}), j -> v[${m * PqDims} + j]) AS vm
+               | FROM n WHERE vec_id < 5)""".stripMargin).mkString(",\n")},
+        |cdq AS (
+        | SELECT m.vec_id AS qid, c.cluster,
+        |  ${kmDotSql("m.v", "c.cv")} AS celldot,
+        |  ${kmDotSql("m.v", "c.cv")} - 0.5 * ${kmDotSql("c.cv", "c.cv")} AS score
+        | FROM n m CROSS JOIN c$KmIters c WHERE m.vec_id < 5),
+        |pr AS (
+        | SELECT qid, cluster, celldot FROM (
+        |  SELECT qid, cluster, celldot,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cluster) AS rn
+        |  FROM cdq) WHERE rn <= 2),
+        |cand AS (
+        | SELECT p.qid, p.celldot, a.vec_id AS cid, a.cluster
+        | FROM af a JOIN pr p ON a.cluster = p.cluster AND a.vec_id <> p.qid),
+        |sc AS (
+        | SELECT c.qid, c.cid, c.cluster,
+        |  c.celldot + (((${pqDotSql("q0.vm", "k0.cv")} +
+        |    ${pqDotSql("q1.vm", "k1.cv")}) +
+        |    ${pqDotSql("q2.vm", "k2.cv")}) +
+        |    ${pqDotSql("q3.vm", "k3.cv")}) AS score
+        | FROM cand c
+        | JOIN rafpq0 a0 ON a0.vec_id = c.cid JOIN rafpq1 a1 ON a1.vec_id = c.cid
+        | JOIN rafpq2 a2 ON a2.vec_id = c.cid JOIN rafpq3 a3 ON a3.vec_id = c.cid
+        | JOIN rcpq0_$PqIters k0 ON k0.cluster = a0.cluster
+        | JOIN rcpq1_$PqIters k1 ON k1.cluster = a1.cluster
+        | JOIN rcpq2_$PqIters k2 ON k2.cluster = a2.cluster
+        | JOIN rcpq3_$PqIters k3 ON k3.cluster = a3.cluster
+        | JOIN qvm0 q0 ON q0.vec_id = c.qid JOIN qvm1 q1 ON q1.vec_id = c.qid
+        | JOIN qvm2 q2 ON q2.vec_id = c.qid JOIN qvm3 q3 ON q3.vec_id = c.qid),
+        |sl AS (
+        | SELECT qid, cid, cluster FROM (SELECT qid, cid, cluster,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM sc)
+        | WHERE rn <= $IvfPqShortlist),
+        |rr AS (
+        | SELECT s.qid, s.cid, s.cluster,
+        |  ${kmDotSql("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
+        | FROM sl s JOIN n a ON a.vec_id = s.qid JOIN n b ON b.vec_id = s.cid)
+        |SELECT qid,
+        | CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rank,
+        | cid, CAST(cluster AS INTEGER) AS cell, cos
+        |FROM rr
+        |QUALIFY rank <= 3
+        |ORDER BY qid, rank""".stripMargin),
+
+    "q145_ivfpq_residual_recall" -> sub(s"""WITH --VEC--,
+        |--KM--,
+        |$RsdCte,
+        |${RPqCte(0)},
+        |${RPqCte(1)},
+        |${RPqCte(2)},
+        |${RPqCte(3)},
+        |${(0 until PqM).map(m =>
+            s"""qvm$m AS (
+               | SELECT vec_id, list_transform(range(1, ${PqDims + 1}), j -> v[${m * PqDims} + j]) AS vm
+               | FROM n WHERE vec_id < 5)""".stripMargin).mkString(",\n")},
+        |cdq AS (
+        | SELECT m.vec_id AS qid, c.cluster,
+        |  ${kmDotSql("m.v", "c.cv")} AS celldot,
+        |  ${kmDotSql("m.v", "c.cv")} - 0.5 * ${kmDotSql("c.cv", "c.cv")} AS score
+        | FROM n m CROSS JOIN c$KmIters c WHERE m.vec_id < 5),
+        |pr AS (
+        | SELECT qid, cluster, celldot FROM (
+        |  SELECT qid, cluster, celldot,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cluster) AS rn
+        |  FROM cdq) WHERE rn <= 2),
+        |cand AS (
+        | SELECT p.qid, p.celldot, a.vec_id AS cid, a.cluster
+        | FROM af a JOIN pr p ON a.cluster = p.cluster AND a.vec_id <> p.qid),
+        |sc AS (
+        | SELECT c.qid, c.cid,
+        |  c.celldot + (((${pqDotSql("q0.vm", "k0.cv")} +
+        |    ${pqDotSql("q1.vm", "k1.cv")}) +
+        |    ${pqDotSql("q2.vm", "k2.cv")}) +
+        |    ${pqDotSql("q3.vm", "k3.cv")}) AS score
+        | FROM cand c
+        | JOIN rafpq0 a0 ON a0.vec_id = c.cid JOIN rafpq1 a1 ON a1.vec_id = c.cid
+        | JOIN rafpq2 a2 ON a2.vec_id = c.cid JOIN rafpq3 a3 ON a3.vec_id = c.cid
+        | JOIN rcpq0_$PqIters k0 ON k0.cluster = a0.cluster
+        | JOIN rcpq1_$PqIters k1 ON k1.cluster = a1.cluster
+        | JOIN rcpq2_$PqIters k2 ON k2.cluster = a2.cluster
+        | JOIN rcpq3_$PqIters k3 ON k3.cluster = a3.cluster
+        | JOIN qvm0 q0 ON q0.vec_id = c.qid JOIN qvm1 q1 ON q1.vec_id = c.qid
+        | JOIN qvm2 q2 ON q2.vec_id = c.qid JOIN qvm3 q3 ON q3.vec_id = c.qid),
         |sl AS (
         | SELECT qid, cid FROM (SELECT qid, cid,
         |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM sc)

@@ -96,5 +96,11 @@ class KMeansSpec extends AnyFunSuite {
       .collect().map(r => r.getDouble(3))
     assert(rec.sum / rec.length > 0.2,
       s"PQ retrieve-rerank recall@3 degenerated: ${rec.toSeq}")
+    // residual IVFPQ: recall must not collapse, and must hold up against
+    // the raw-vector composition (the whole point of residual codes)
+    val rrec = SparkEntry.queries("q145_ivfpq_residual_recall")(spark, SparkTestHarness.Sf0001)
+      .collect().map(r => r.getDouble(3))
+    assert(rrec.sum / rrec.length > 0.2,
+      s"residual-IVFPQ recall@3 degenerated: ${rrec.toSeq}")
   }
 }
