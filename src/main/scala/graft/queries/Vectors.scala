@@ -765,6 +765,27 @@ object Vectors {
         .orderBy("qid")
     },
 
+    // Trained-index health audit — the dashboard an ANN deployment
+    // actually watches: per coarse cell, occupancy (skewed cells break
+    // probe-cost assumptions) and mean squared quantization error (what
+    // the residual codes have to absorb). One aggregation over the
+    // memoized residual frame; the mean rides q112's order-free binary
+    // fixed-point pooling so the doubles hash identically cross-engine.
+    "q146_index_health" -> { (s, dir) =>
+      val r = residFrame(s, dir)
+      val per = r.withColumn("err", expr("array_dot(rv, rv)"))
+        .groupBy("cluster").agg(
+          count(lit(1)).as("n_vecs"),
+          sum(floor(col("err") * lit(1099511627776.0))).cast("long").as("sfp"))
+      val tot = broadcast(r.agg(count(lit(1)).as("__n")))
+      per.crossJoin(tot)
+        .select(col("cluster"), col("n_vecs"),
+          (col("n_vecs").cast("double") / col("__n").cast("double")).as("share"),
+          (col("sfp").cast("double") /
+            (col("n_vecs") * lit(1099511627776L)).cast("double")).as("mean_sq_err"))
+        .orderBy("cluster")
+    },
+
     // Residual IVFPQ — the true Jégou-layout refinement of q139: codes
     // quantize v - centroid[cell], and the approximate score decomposes
     // as dot(q, centroid) + four LUT lookups. Same plan shape as q139
@@ -1131,6 +1152,21 @@ object Vectors {
         | coalesce(h.n_hits, 0) / t.n_exact AS recall
         |FROM t LEFT JOIN h USING (qid)
         |ORDER BY t.qid""".stripMargin),
+
+    "q146_index_health" -> sub(s"""WITH --VEC--,
+        |--KM--,
+        |$RsdCte,
+        |qerr AS (SELECT r.cluster, ${kmDotSql("r.rv", "r.rv")} AS err FROM rsd r),
+        |per AS (
+        | SELECT cluster, count(*) AS n_vecs,
+        |  CAST(sum(CAST(floor(err * 1099511627776) AS BIGINT)) AS BIGINT) AS sfp
+        | FROM qerr GROUP BY cluster),
+        |tot AS (SELECT count(*) AS n FROM af)
+        |SELECT CAST(p.cluster AS INTEGER) AS cluster, p.n_vecs,
+        | CAST(p.n_vecs AS DOUBLE) / CAST(t.n AS DOUBLE) AS share,
+        | CAST(p.sfp AS DOUBLE) / CAST(p.n_vecs * 1099511627776 AS DOUBLE) AS mean_sq_err
+        |FROM per p CROSS JOIN tot t
+        |ORDER BY p.cluster""".stripMargin),
 
     "q144_ivfpq_residual_search" -> sub(s"""WITH --VEC--,
         |--KM--,
