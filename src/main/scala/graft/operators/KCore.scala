@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition by iterative peeling (A11/A12 graph-family annex):
+  * repeatedly drop nodes whose degree in the SURVIVING subgraph is < k
+  * until a fixpoint — the standard density filter for dependency-graph
+  * "load-bearing core" analysis and for community pre-filtering before
+  * more expensive graph passes.
+  *
+  * Each round is one alive-semi-join on both edge endpoints + one degree
+  * aggregation + one emptiness probe — the same
+  * Pregel-without-Pregel economics as [[Closure]]: per-round cost at toy
+  * scale is the driver barrier; the joins scale out with executors. The
+  * round count is bounded by the peeling depth (≤ |V|, in practice a few
+  * rounds), and every round strictly shrinks the alive set or stops.
+  */
+object KCore {
+  /** Nodes of the k-core of an UNDIRECTED graph.
+    *
+    * @param edges undirected edge list given as a DISTINCT symmetric-closed
+    *              (name, dep) frame (callers pass both directions; see
+    *              [[undirect]]) with no self-loops
+    * @return single-column (name) frame of surviving core members
+    */
+  def run(spark: SparkSession, edges: DataFrame, k: Int, maxIter: Int = 64): DataFrame = {
+    var alive = Lineage.cut(edges.select("name").distinct())
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      val survivingEdges = edges
+        .join(alive, "name")
+        .join(alive.select(col("name").as("dep")), "dep")
+      val next = Lineage.cut(
+        survivingEdges.groupBy("name").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select("name"))
+      // fixpoint test = "did this round drop anyone": isolated nodes fall
+      // out of the degree frame entirely, so next ⊆ alive by construction
+      if (alive.join(next, Seq("name"), "left_anti").isEmpty) done = true
+      else alive = next
+      iter += 1
+    }
+    alive
+  }
+
+  /** Symmetric closure of a directed edge frame, self-loops dropped — the
+    * canonical input shape for [[run]].
+    */
+  def undirect(edges: DataFrame): DataFrame = {
+    val fwd = edges.filter(col("name") =!= col("dep")).select("name", "dep")
+    fwd.unionByName(fwd.select(col("dep").as("name"), col("name").as("dep")))
+      .distinct()
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Single-source minimum-cost path over node-weighted edges — distributed
+  * Bellman-Ford by iterated relaxation (the weighted companion to
+  * [[Closure]]'s BFS; SURVEY.md §2 J7 annex).
+  *
+  * The cost model is NODE weights (install/download cost of the dependency
+  * being pulled in): reaching `n` along a path costs the sum of the weights
+  * of every node on the path, seed included. That is the package-manager
+  * question "what is the cheapest chain that forces this dependency in",
+  * as opposed to [[Closure]]'s unweighted "how deep is it".
+  *
+  * Each iteration is ONE shuffled join keyed on the frontier node + one
+  * min-aggregation + one improvement anti-filter — the same
+  * Pregel-without-Pregel shape as [[Closure.reachableAll]], so the 100 TB
+  * economics are identical (per-iteration driver barrier dominates at toy
+  * scale; joins scale with executors). Positive weights guarantee
+  * convergence in at most |V|-1 rounds; the loop stops as soon as a round
+  * improves nothing. [[Lineage.cut]] per round keeps the plan flat.
+  */
+object ShortestPath {
+  /** Min-cost distances from `seed` to every reachable node.
+    *
+    * @param edges   (name, dep) directed edges
+    * @param weights (name, wt) — positive integral node weights; nodes
+    *                missing from `weights` are unreachable by construction
+    *                (the relaxation joins through it)
+    * @return (name, cost) with cost = weight-sum of the cheapest path
+    *         from seed (inclusive of both endpoints), sorted by name
+    */
+  def run(spark: SparkSession, edges: DataFrame, weights: DataFrame,
+      seed: String, maxIter: Int = 64): DataFrame = {
+    var dist = weights.filter(col("name") === seed)
+      .select(col("name"), col("wt").cast("long").as("cost"))
+    var frontier = dist
+    var iter = 0
+    while (iter < maxIter && !frontier.isEmpty) {
+      // relax every out-edge of last round's improved nodes; keep only
+      // candidates that beat the incumbent (or reach a new node)
+      val cand = frontier.join(edges, "name")
+        .select(col("dep").as("name"), col("cost"))
+        .join(weights, "name")
+        .select(col("name"), (col("cost") + col("wt").cast("long")).as("cost"))
+        .groupBy("name").agg(min("cost").as("cost"))
+      val improved = cand.as("c")
+        .join(dist.select(col("name"), col("cost").as("best")), Seq("name"), "left")
+        .filter(col("best").isNull || col("cost") < col("best"))
+        .select(col("name"), col("cost"))
+      frontier = Lineage.cut(improved)
+      dist = Lineage.cut(
+        dist.unionByName(frontier).groupBy("name").agg(min("cost").as("cost")))
+      iter += 1
+    }
+    dist.orderBy("name")
+  }
+}

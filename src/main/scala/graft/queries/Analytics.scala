@@ -19,6 +19,39 @@ object Analytics {
   import graft.Tables
 
   val queries: Seq[(String, QFn)] = Seq(
+    // Count-min sketch heavy hitters (A3/A8 sketch-family annex): a
+    // d=3 × w=64 CMS over the event stream's user_id with DETERMINISTIC
+    // arithmetic hashes ((a·u + b) mod P mod w — both engines compute the
+    // identical counters, so the sketch itself is judged, not just its
+    // users). 150 distinct keys into 64 cells forces real collisions; the
+    // query reports est vs exact and the measured overestimate for the
+    // top-10 exact heavy hitters, quantifying the sketch's error instead
+    // of asserting it. The 100 TB story: counters are (d·w) bounded state
+    // with map-side partial aggregation — the batch twin of the streaming
+    // sketch every telemetry pipeline keeps; estimates never under-count
+    // (CMS guarantee: min over d counters ≥ true count).
+    "q150_cms_heavy_hitters" -> { (s, dir) =>
+      val P = 1048573L
+      val W = 64L
+      val hashes = Seq((0, 31L, 7L), (1, 37L, 11L), (2, 41L, 13L))
+      val ev = Tables.events(s, dir).select("user_id")
+      def cell(a: Long, b: Long) = pmod(pmod(col("user_id") * a + b, lit(P)), lit(W))
+      val counters = hashes.map { case (r, a, b) =>
+          ev.select(lit(r).as("r"), cell(a, b).as("cell"))
+        }.reduce(_ unionByName _)
+        .groupBy("r", "cell").agg(count(lit(1)).as("cnt"))
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      val probes = hashes.map { case (r, a, b) =>
+          exact.select(col("user_id"), lit(r).as("r"), cell(a, b).as("cell"))
+        }.reduce(_ unionByName _)
+      val est = probes.join(counters, Seq("r", "cell"))
+        .groupBy("user_id").agg(min("cnt").as("est_cnt"))
+      exact.join(est, "user_id")
+        .select(col("user_id"), col("exact_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("exact_cnt")).as("overestimate"))
+        .orderBy(desc("exact_cnt"), col("user_id")).limit(10)
+    },
+
     // Per-group top-k via a BOUNDED-STATE typed Aggregator (A9/O4) — the
     // 100 TB formulation of q10's window rank: O(k) state per group with
     // map-side partial aggregation, vs. the window form's full shuffle +
@@ -285,6 +318,29 @@ object Analytics {
     })
 
   val oracles: Seq[(String, String)] = Seq(
+    "q150_cms_heavy_hitters" ->
+      """WITH h AS (
+        | SELECT r,
+        |  CASE r WHEN 0 THEN 31 WHEN 1 THEN 37 ELSE 41 END AS a,
+        |  CASE r WHEN 0 THEN 7 WHEN 1 THEN 11 ELSE 13 END AS b
+        | FROM range(3) t(r)),
+        |cells AS (
+        | SELECT h.r, ((e.user_id * h.a + h.b) % 1048573) % 64 AS cell
+        | FROM events e CROSS JOIN h),
+        |counters AS (SELECT r, cell, count(*) AS cnt FROM cells GROUP BY 1, 2),
+        |ex AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),
+        |probes AS (
+        | SELECT ex.user_id, h.r, ((ex.user_id * h.a + h.b) % 1048573) % 64 AS cell
+        | FROM ex CROSS JOIN h),
+        |est AS (
+        | SELECT p.user_id, min(c.cnt) AS est_cnt
+        | FROM probes p JOIN counters c USING (r, cell)
+        | GROUP BY 1)
+        |SELECT e.user_id, e.exact_cnt, s.est_cnt, s.est_cnt - e.exact_cnt AS overestimate
+        |FROM ex e JOIN est s USING (user_id)
+        |ORDER BY e.exact_cnt DESC, e.user_id
+        |LIMIT 10""".stripMargin,
+
     "q77_topk_agg" ->
       """SELECT p_brand,
         | CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rank,

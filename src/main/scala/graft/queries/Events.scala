@@ -27,6 +27,33 @@ object Events {
   type QFn = (SparkSession, String) => DataFrame
 
   val queries: Seq[(String, QFn)] = Seq(
+    // Path mining (W5 annex): the most common 3-step event-type sequences
+    // WITHIN a session — the "what do users do next" funnel-discovery
+    // query product analytics runs daily. Same 30-min-gap sessionization
+    // as q22, then two leads over the session-ordered stream; both
+    // windows share the user_id shuffle (one exchange), the trigram
+    // count is one more, and the top-20 is TakeOrderedAndProject (no
+    // global sort materialization at 100 TB).
+    "q149_session_paths" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sessions = Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("prev_us", lag("us", 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+        .withColumn("sess_id",
+          sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      val bySess = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+      sessions
+        .withColumn("e2", lead("event_type", 1).over(bySess))
+        .withColumn("e3", lead("event_type", 2).over(bySess))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("path")).limit(20)
+    },
+
     // Incremental aggregate maintenance (Graft.mergeAggState): the standing
     // per-type aggregate over events before the cut absorbs the post-cut
     // delta batch by union + re-sum — judged against the oracle's FULL
@@ -247,6 +274,30 @@ object Events {
     * `cast(ts as long)` under the UTC session.
     */
   val oracles: Seq[(String, String)] = Seq(
+    "q149_session_paths" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id, ts, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        | FROM flagged),
+        |steps AS (
+        | SELECT event_type,
+        |  lead(event_type, 1) OVER s AS e2,
+        |  lead(event_type, 2) OVER s AS e3
+        | FROM sess
+        | WINDOW s AS (PARTITION BY user_id, sess_id ORDER BY ts, event_id))
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        |FROM steps WHERE e3 IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY n DESC, path
+        |LIMIT 20""".stripMargin,
+
     "q122_incremental_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value

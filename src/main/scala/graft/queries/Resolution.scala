@@ -960,6 +960,36 @@ object Resolution {
         .orderBy("path")
     },
 
+    // Weighted shortest path (J7 annex): the cheapest dependency CHAIN
+    // that forces each package into pkg-00's install set, costed by
+    // download size (max p_size across the name's versions — both engines
+    // aggregate the same fixture column). Distributed Bellman-Ford
+    // relaxation over the SAME memoized resolution edges the closure
+    // family walks; the oracle unrolls the identical relax rounds (60
+    // nodes ⇒ ≤ |V|-1 rounds; the generator emits a fixed 14, idempotent
+    // past convergence).
+    "q147_install_cost_path" -> { (s, dir) =>
+      val w = Tables.packages(s, dir)
+        .groupBy("name").agg(max(col("size_mb")).cast("long").as("wt"))
+      graft.operators.ShortestPath.run(s, resolvedEdges(s, dir), w, "pkg-00")
+    },
+
+    // k-core of the (undirected) resolution graph — the density filter
+    // that isolates the load-bearing dependency core (peel nodes with
+    // degree < 3 in the surviving subgraph to fixpoint). The fixture edge
+    // set derives from the DISTINCT name universe, so the graph — and the
+    // peel-round count (3) — is identical at every scale factor; the
+    // oracle unrolls 8 rounds (idempotent past convergence).
+    "q148_kcore" -> { (s, dir) =>
+      val core = graft.operators.KCore
+        .run(s, graft.operators.KCore.undirect(resolvedEdges(s, dir)), 3)
+        .withColumn("flag", lit(1))
+      Tables.packageNames(s, dir).select("name")
+        .join(core, Seq("name"), "left")
+        .select(col("name"), coalesce(col("flag"), lit(0)).cast("int").as("in_core"))
+        .orderBy("name")
+    },
+
     // Reverse provides: which real packages provide each virtual name
     // (the `apk info --who-provides` / rpm `whatprovides` view).
     "q65_reverse_provides" -> { (s, dir) =>
@@ -1051,12 +1081,77 @@ object Resolution {
          | FROM nm n LEFT JOIN c$k c USING (name))""".stripMargin
     }.mkString(",\n")
 
+  /** Unrolled Bellman-Ford relax rounds for the q147 oracle (DuckDB's
+    * recursive CTEs cannot prune dominated paths, so an unbounded
+    * recursion over the cyclic edge set would enumerate exponentially
+    * many path costs; a fixed relax chain is both bounded and exactly
+    * the algorithm the Spark operator runs). Round k takes the running
+    * minimum of round k-1 and every one-edge relaxation of it; rounds
+    * past convergence are identity, so a fixed count ≥ the (≤ |V|-1)
+    * convergence bound is safe. Requires edges + w CTEs in scope.
+    */
+  private def spUnrolled(rounds: Int): String =
+    (1 to rounds).map { k =>
+      s"""d$k AS MATERIALIZED (
+         | SELECT name, min(cost) AS cost FROM (
+         |  SELECT name, cost FROM d${k - 1}
+         |  UNION ALL
+         |  SELECT w.name, d.cost + w.wt AS cost
+         |  FROM d${k - 1} d JOIN em e ON e.name = d.name JOIN w ON w.name = e.dep)
+         | GROUP BY name)""".stripMargin
+    }.mkString(",\n")
+
+  /** Unrolled peel rounds for the q148 oracle — round r keeps nodes with
+    * ≥ k surviving-subgraph neighbors; each round references the previous
+    * alive set twice (both edge endpoints), so every round is MATERIALIZED
+    * to stop DuckDB's CTE inlining from doubling the plan per round.
+    * Requires the u (undirected edges) CTE in scope.
+    */
+  private def kcUnrolled(rounds: Int, k: Int): String =
+    (1 to rounds).map { r =>
+      s"""a$r AS MATERIALIZED (
+         | SELECT u.name FROM u
+         | JOIN a${r - 1} x ON x.name = u.name
+         | JOIN a${r - 1} y ON y.name = u.dep
+         | GROUP BY u.name HAVING count(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+
   private def sub(sql: String): String =
     sql.replace("--PKG--", PkgCte).replace("--IDX--", IdxCte)
       .replace("--PROV--", ProvCte).replace("--SPECS--", SpecsCte)
       .replace("--EDGES--", EdgesCte)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q148_kcore" -> sub(s"""WITH --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |nm AS (SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name FROM idx),
+        |u AS MATERIALIZED (
+        | SELECT name, dep FROM edges WHERE name <> dep
+        | UNION
+        | SELECT dep, name FROM edges WHERE name <> dep),
+        |a0 AS MATERIALIZED (SELECT DISTINCT name FROM u),
+        |${kcUnrolled(8, 3)}
+        |SELECT n.name, CAST(CASE WHEN a.name IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS in_core
+        |FROM nm n LEFT JOIN a8 a ON a.name = n.name
+        |ORDER BY n.name""".stripMargin),
+
+    "q147_install_cost_path" -> sub(s"""WITH --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |w AS MATERIALIZED (
+        | SELECT 'pkg-' || lpad(CAST(p_partkey % 60 AS VARCHAR), 2, '0') AS name,
+        |  CAST(max(p_size) AS BIGINT) AS wt
+        | FROM part GROUP BY 1),
+        |em AS MATERIALIZED (SELECT name, dep FROM edges),
+        |d0 AS (SELECT name, wt AS cost FROM w WHERE name = 'pkg-00'),
+        |${spUnrolled(14)}
+        |SELECT name, cost FROM d14 ORDER BY name""".stripMargin),
+
     "q63_file_owner" -> sub("""WITH --PKG--,
         |f AS (
         | SELECT k.name, k.version, k.vmaj, k.vmin, k.vpat, k.vrel,
