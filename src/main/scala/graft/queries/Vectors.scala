@@ -405,18 +405,21 @@ object Vectors {
         .agg(
           expr("transform(array_sort(collect_list(struct(p, mn))), s -> s.mn)").as("mn"),
           expr("transform(array_sort(collect_list(struct(p, mx))), s -> s.mx)").as("mx")))
-    // codes then dequantized values; a flat dimension (mx = mn) encodes 0
-    // and dequantizes to mn exactly. floor (not round): HALF_UP-vs-banker's
+    // code (floor onto the 8-bit grid) and dequantize fused into ONE
+    // transform: a separate `codes` column referenced from dq's lambda
+    // gets CollapseProject-inlined INTO the lambda body, re-running the
+    // full 64-element encode on every iteration (O(d^2) per row — measured
+    // 4.2s vs 1.3s for this query at sf0.1). A flat dimension (mx = mn)
+    // dequantizes to mn exactly. floor (not round): HALF_UP-vs-banker's
     // tie divergence can't exist, and the oracle replays the identical
-    // grid arithmetic.
+    // grid arithmetic (codes → dequantize, same values).
     val enc = base.crossJoin(stats)
-      .withColumn("codes", expr(
-        "transform(sequence(1, 64), i -> if(element_at(mx, i) = element_at(mn, i), 0, " +
-          "cast(least(floor((element_at(v, i) - element_at(mn, i)) * 255.0D " +
-          "/ (element_at(mx, i) - element_at(mn, i))), 255.0D) as int)))"))
       .withColumn("dq", expr(
-        "transform(sequence(1, 64), i -> element_at(mn, i) " +
-          "+ element_at(codes, i) * (element_at(mx, i) - element_at(mn, i)) / 255.0D)"))
+        "transform(sequence(1, 64), i -> if(element_at(mx, i) = element_at(mn, i), " +
+          "element_at(mn, i), element_at(mn, i) + " +
+          "cast(least(floor((element_at(v, i) - element_at(mn, i)) * 255.0D " +
+          "/ (element_at(mx, i) - element_at(mn, i))), 255.0D) as int) " +
+          "* (element_at(mx, i) - element_at(mn, i)) / 255.0D))"))
       .select(col("vec_id"), col("v"), col("nsq"), col("dq"))
     val q = base.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("va"), col("nsq").as("na"))
