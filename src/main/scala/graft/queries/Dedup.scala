@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -176,6 +177,55 @@ object Dedup {
         .filter(col("hamming") <= 4)
         .select("d1", "d2", "s1", "s2", "hamming")
         .orderBy("d1", "d2")
+    },
+
+    // Exact duplicated-SUBSTRING spans — the span-level counterpart of the
+    // doc-level family above (cf. Lee et al. 2022, "Deduplicating Training
+    // Data Makes Language Models Better": remove repeated spans, not whole
+    // docs). Any 8-token window whose text occurs >= 2 times ANYWHERE in
+    // the corpus marks its tokens duplicated; overlapping/adjacent marked
+    // windows merge into maximal spans per doc (gaps-and-islands over ONE
+    // doc-keyed window shuffle). Per doc: span count, duplicated-token
+    // count, and the duplicated fraction a span-cutter would remove.
+    //
+    // Scale shape: the positional-gram frame is the big intermediate
+    // (docs × tokens rows); grams ship as 64-bit md5 prefixes, not
+    // strings, so the frequency shuffle carries 16-byte keys (the
+    // full-suffix-array construction the paper uses is a different
+    // build; the windowed-hash form is the standard distributed
+    // approximation — identical hashing on both engines makes any
+    // collision, vanishingly rare at 2^64, affect both sides equally).
+    // The join back to positions is a semi-join on the same key; at
+    // 100 TB the duplicated-gram side is small (dups are rare), so it
+    // broadcasts or bloom-prunes.
+    "q154_substring_spans" -> { (s, dir) =>
+      _root_.graft.functions.GraftFunctions.ensureRegistered(s)
+      val k = 8
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"),
+          posexplode(call_function("token_ngrams", col("text"), lit(k)))
+            .as(Seq("pos", "gram")))
+        .withColumn("h", substring(md5(col("gram")), 1, 16))
+        .select("doc_id", "n_tok", "pos", "h")
+      val dup = grams.groupBy("h").agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") >= 2).select("h")
+      val hits = grams.join(dup, Seq("h")).select("doc_id", "n_tok", "pos")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hits
+        .withColumn("brk", when(lag("pos", 1).over(w).isNull
+          .or(col("pos") > lag("pos", 1).over(w) + k), 1).otherwise(0))
+        .withColumn("island", sum("brk").over(run))
+        .groupBy("doc_id", "island")
+        .agg(max("n_tok").as("n_tok"), min("pos").as("s"),
+          (max("pos") + k - 1).as("e"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s") + 1).as("dup_tokens"),
+          max("n_tok").cast("long").as("n_tok"))
+        .withColumn("dup_frac",
+          round(col("dup_tokens").cast("double") / col("n_tok"), 4))
+        .orderBy("doc_id")
     })
 
   private val ShCte =
@@ -271,5 +321,28 @@ object Dedup {
         | CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
         |FROM sim x JOIN sim y ON (x.simhash >> 16) = (y.simhash >> 16) AND x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 4
-        |ORDER BY d1, d2""".stripMargin)
+        |ORDER BY d1, d2""".stripMargin,
+
+    "q154_substring_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        | SELECT doc_id, len(toks) AS n_tok, i AS pos,
+        |  substring(md5(array_to_string(toks[i:i+7], ' ')), 1, 16) AS h
+        | FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+        | WHERE len(toks) >= 8),
+        |d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |x AS (SELECT doc_id, n_tok, pos FROM g JOIN d USING (h)),
+        |m AS (SELECT doc_id, n_tok, pos,
+        |  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 THEN 1 ELSE 0 END AS brk
+        | FROM x),
+        |i AS (SELECT doc_id, n_tok, pos,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM m),
+        |sp AS (SELECT doc_id, island, max(n_tok) AS n_tok, min(pos) AS s, max(pos) + 7 AS e
+        | FROM i GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        | CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+        | CAST(max(n_tok) AS BIGINT) AS n_tok,
+        | round(CAST(sum(e - s + 1) AS DOUBLE) / max(n_tok), 4) AS dup_frac
+        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -267,6 +267,53 @@ object Events {
         .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"))
         .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
         .orderBy("dow", "hr")
+    },
+
+    // Time-series gap-fill + linear interpolation — the resample operator:
+    // per event type, a complete hourly spine from first to last observed
+    // hour (sequence + explode — generated distributed, never collected),
+    // observed hours carry the hour's mean value, missing hours
+    // interpolate linearly between the nearest observed neighbors. The
+    // hourly mean rides the DECIMAL(28,6) exact-sum idiom (q21) so both
+    // engines agree bit-for-bit before any rounding. Neighbor lookup is
+    // last/first(..., ignoreNulls) over the spine — two frame-bounded
+    // passes of ONE type-keyed window shuffle, O(1) state per row, no
+    // self-join. Spine bounds are observed hours, so every gap has both
+    // neighbors (no extrapolation branch). At 100 TB the spine is tiny
+    // relative to events (hours × types), and the window partitions by
+    // type — skew-free as long as type cardinality scales with the data.
+    "q155_gapfill_interpolate" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"), col("value"))
+      val obs = ev.groupBy("event_type", "h")
+        .agg(round(sum(col("value").cast("decimal(28,6)")).cast("double") / count(lit(1)), 6).as("v"),
+          count(lit(1)).as("n_events"))
+      val spine = ev.groupBy("event_type").agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val wAll = Window.partitionBy("event_type").orderBy("h")
+      val wPrec = wAll.rowsBetween(Window.unboundedPreceding, -1)
+      val wFoll = wAll.rowsBetween(1, Window.unboundedFollowing)
+      spine.join(obs, Seq("event_type", "h"), "left")
+        .withColumn("p", row_number().over(wAll))
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrec))
+        .withColumn("pp", last(when(col("v").isNotNull, col("p")), ignoreNulls = true).over(wPrec))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wFoll))
+        .withColumn("np", first(when(col("v").isNotNull, col("p")), ignoreNulls = true).over(wFoll))
+        // NO final rounding: both engines replay the identical double
+        // expression tree over deterministic inputs (v exact via the
+        // decimal idiom, positions integral), so the interpolated doubles
+        // are bit-equal — a round(_, 4) here actually BROKE parity once on
+        // a half-way-boundary double the two engines' round() treat
+        // differently.
+        .select(col("event_type"), col("h"),
+          when(col("v").isNotNull, col("v"))
+            .otherwise(col("pv") + (col("nv") - col("pv"))
+              * (col("p") - col("pp")).cast("double") / (col("np") - col("pp")))
+            .as("v_filled"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          when(col("v").isNotNull, lit("obs")).otherwise(lit("interp")).as("src"))
+        .orderBy("event_type", "h")
     })
 
   /** DuckDB reads events.ts as TIMESTAMP_NS; CAST to TIMESTAMP matches
@@ -435,5 +482,33 @@ object Events {
         | count(*) AS n_events, count(DISTINCT user_id) AS n_users
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q155_gapfill_interpolate" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value FROM events),
+        |o AS (SELECT event_type, h,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS v,
+        |  count(*) AS n_events FROM e GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM e GROUP BY 1),
+        |sp AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+        |j AS (SELECT sp.event_type, sp.h, o.v, o.n_events
+        | FROM sp LEFT JOIN o ON o.event_type = sp.event_type AND o.h = sp.h),
+        |w AS (SELECT event_type, h, v, n_events,
+        |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY h) AS INTEGER) AS p FROM j),
+        |f AS (SELECT event_type, h, v, n_events, p,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp,
+        |  first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY p
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY p
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+        | FROM w)
+        |SELECT event_type, h,
+        | CASE WHEN v IS NOT NULL THEN v
+        |   ELSE pv + (nv - pv) * CAST(p - pp AS DOUBLE) / (np - pp) END AS v_filled,
+        | CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+        | CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+        |FROM f ORDER BY event_type, h""".stripMargin)
 }
