@@ -218,6 +218,51 @@ object Graft {
     closed.unionByName(extended).unionByName(closedNow).unionByName(opened)
   }
 
+  /** CDC apply — latest-wins merge of a change log into a base table (the
+    * MERGE/upsert semantics every lakehouse table format ships: Delta
+    * `MERGE`, Hudi upsert, Iceberg `MERGE INTO` — here as a pure
+    * DataFrame transform). `changes` carries (key, seqCol, opCol,
+    * payload...) where payload columns are a subset of `base`'s columns;
+    * per key only the change with the greatest `seqCol` applies:
+    *
+    *   - op 'D': the key is deleted (base row dropped, insert suppressed)
+    *   - any other op: upsert — payload columns take the change's values,
+    *     non-payload columns keep the base values (NULL when the key is
+    *     new to the base)
+    *
+    * Plan: ONE key-grouped aggregate collapses the log (max_by over the
+    * payload struct — partial aggregation halves the shuffle when a key's
+    * changes co-locate), then ONE full outer join against the base. At
+    * 100 TB the log is typically a small fraction of the base, so the
+    * collapsed log broadcasts and the base never shuffles; both frames
+    * bucketed on the key make the join co-located either way. Output
+    * column set and order = base's. Seq ties are caller's responsibility
+    * (use a unique log offset).
+    */
+  def cdcApply(base: DataFrame, changes: DataFrame, key: String,
+      seqCol: String = "seq", opCol: String = "op"): DataFrame = {
+    val reserved = Set(key, seqCol, opCol)
+    val payload = changes.columns.filterNot(reserved).toSeq
+    require(changes.columns.contains(key) && changes.columns.contains(seqCol)
+      && changes.columns.contains(opCol),
+      s"cdcApply: changes must carry '$key', '$seqCol', '$opCol'")
+    require(payload.nonEmpty && payload.forall(base.columns.contains),
+      s"cdcApply: payload columns ${payload.filterNot(base.columns.contains).mkString(",")} not in base")
+    require(base.columns.contains(key), s"cdcApply: base must carry '$key'")
+    val latest = changes.groupBy(key)
+      .agg(max_by(struct((opCol +: payload).map(col): _*), col(seqCol)).as("__c"))
+      .select(col(key) +: col(s"__c.$opCol").as("__op")
+        +: payload.map(p => col(s"__c.$p").as(s"__p_$p")): _*)
+    val outCols = base.columns.toIndexedSeq.map { c =>
+      if (payload.contains(c))
+        when(col("__op").isNotNull, col(s"__p_$c")).otherwise(col(c)).as(c)
+      else col(c)
+    }
+    base.join(latest, Seq(key), "full")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(outCols: _*)
+  }
+
   /** Time-travel read of an SCD2 history: the catalog exactly as of
     * snapshot k ("what did the repo look like at release k" — the read
     * side of scd2History/scd2Merge). A validity-interval filter, map-only:

@@ -314,6 +314,27 @@ object Events {
           coalesce(col("n_events"), lit(0L)).as("n_events"),
           when(col("v").isNotNull, lit("obs")).otherwise(lit("interp")).as("src"))
         .orderBy("event_type", "h")
+    },
+
+    // CDC apply (lakehouse MERGE semantics as a pure transform —
+    // Graft.cdcApply): the event stream replayed as a change log over the
+    // customer table. Fixture mapping: key = user_id * 11 (spreads the 150
+    // users across the 0..1639 key space so all three paths run on
+    // fixtures — updates against existing customers, INSERTS for keys past
+    // 1499, deletes), seq = event_id (unique, so latest-wins is total),
+    // op: error→D, signup→I, else U, payload = the new account balance.
+    // The judged output is the ENTIRE post-merge table state, so the
+    // delete/upsert/insert arithmetic is hash-verified row by row.
+    "q156_cdc_apply" -> { (s, dir) =>
+      val base = Tables.customer(s, dir)
+      val changes = Tables.events(s, dir).select(
+        (col("user_id") * 11).as("c_custkey"),
+        col("event_id").as("seq"),
+        when(col("event_type") === "error", "D")
+          .when(col("event_type") === "signup", "I").otherwise("U").as("op"),
+        round(col("value"), 2).as("c_acctbal"))
+      graft.Graft.cdcApply(base, changes, "c_custkey")
+        .orderBy("c_custkey")
     })
 
   /** DuckDB reads events.ts as TIMESTAMP_NS; CAST to TIMESTAMP matches
@@ -510,5 +531,22 @@ object Events {
         |   ELSE pv + (nv - pv) * CAST(p - pp AS DOUBLE) / (np - pp) END AS v_filled,
         | CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
         | CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
-        |FROM f ORDER BY event_type, h""".stripMargin)
+        |FROM f ORDER BY event_type, h""".stripMargin,
+
+    "q156_cdc_apply" ->
+      """WITH ch AS (
+        | SELECT user_id * 11 AS c_custkey, event_id AS seq,
+        |  CASE event_type WHEN 'error' THEN 'D' WHEN 'signup' THEN 'I' ELSE 'U' END AS op,
+        |  round(value, 2) AS acct
+        | FROM events),
+        |l AS (
+        | SELECT c_custkey, op, acct FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM ch)
+        | WHERE rn = 1)
+        |SELECT COALESCE(b.c_custkey, l.c_custkey) AS c_custkey, b.c_name, b.c_nationkey,
+        | CASE WHEN l.c_custkey IS NOT NULL THEN l.acct ELSE b.c_acctbal END AS c_acctbal,
+        | b.c_mktsegment
+        |FROM customer b FULL JOIN l ON b.c_custkey = l.c_custkey
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY 1""".stripMargin)
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Graft.cdcApply — latest-wins CDC merge semantics (delete / update /
+  * insert, per-key latest change only, non-payload columns preserved).
+  */
+class CdcApplySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+    .toDF("id", "name", "bal")
+
+  test("latest change wins per key; updates keep non-payload columns") {
+    val ch = Seq(
+      (1L, 1L, "U", 11.0), (1L, 5L, "U", 15.0), (1L, 3L, "U", 13.0))
+      .toDF("id", "seq", "op", "bal")
+    val r = Graft.cdcApply(base, ch, "id").orderBy("id").collect()
+    assert(r.map(x => (x.getLong(0), x.getString(1), x.getDouble(2))).toSeq ===
+      Seq((1L, "a", 15.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+  }
+
+  test("delete drops the key; a later upsert after a delete resurrects it") {
+    val ch = Seq(
+      (2L, 1L, "D", 0.0),          // delete key 2
+      (3L, 1L, "D", 0.0), (3L, 2L, "U", 33.0)) // delete then re-upsert key 3
+      .toDF("id", "seq", "op", "bal")
+    val r = Graft.cdcApply(base, ch, "id").orderBy("id").collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(r.find(_.getLong(0) == 3L).get.getDouble(2) === 33.0)
+    // non-payload column survives the delete+upsert round trip
+    assert(r.find(_.getLong(0) == 3L).get.getString(1) === "c")
+  }
+
+  test("insert on a key absent from base fills non-payload columns with null") {
+    val ch = Seq((9L, 1L, "I", 99.0)).toDF("id", "seq", "op", "bal")
+    val r = Graft.cdcApply(base, ch, "id").orderBy("id").collect()
+    assert(r.length === 4)
+    val ins = r.find(_.getLong(0) == 9L).get
+    assert(ins.isNullAt(1) && ins.getDouble(2) === 99.0)
+    // output column order is the base's
+    assert(Graft.cdcApply(base, ch, "id").columns.toSeq === base.columns.toSeq)
+  }
+
+  test("a delete for a key absent from base is a no-op") {
+    val ch = Seq((9L, 1L, "D", 0.0)).toDF("id", "seq", "op", "bal")
+    assert(Graft.cdcApply(base, ch, "id").count() === 3)
+  }
+
+  test("payload columns must exist in base; reserved columns must exist in changes") {
+    val bad = Seq((1L, 1L, "U", 1.0)).toDF("id", "seq", "op", "nope")
+    intercept[IllegalArgumentException](Graft.cdcApply(base, bad, "id"))
+    val noOp = Seq((1L, 1L, 1.0)).toDF("id", "seq", "bal")
+    intercept[IllegalArgumentException](Graft.cdcApply(base, noOp, "id"))
+  }
+}
