@@ -94,6 +94,54 @@ object Text {
       jaccardPairs(s, dir).orderBy("d1", "d2")
     },
 
+    // Lossless prefix-filtered set-similarity join (the AllPairs/PPJoin
+    // prefix filter): EXACT Jaccard >= 3/5 pairs with no cap and no
+    // recall loss — the third point on the module's accuracy/cost curve
+    // (q41 df-capped index: cheap, bounded loss; q42 LSH: cheapest,
+    // probabilistic; this: exact). Every doc's shingle keys sort in ONE
+    // global order (df ascending — rarest first — then key); only the
+    // first sz - ceil(t*sz) + 1 keys are indexed, and the prefix lemma
+    // guarantees any pair at or above the threshold shares an indexed
+    // key. Candidates then pass the length filter (5*min >= 3*max) and
+    // exact verification over the FULL sets. All thresholds are exact
+    // integer arithmetic (ceil(3*sz/5) = (3*sz+4) div 5) — a float 0.6
+    // here can round the prefix too short and silently lose pairs.
+    //
+    // Scale: the index carries ~2/5 of the tokens; rare-first ordering
+    // makes prefix keys the LEAST shared ones, so candidate fan-out per
+    // key stays small without any lossy cap, and verification cost is
+    // bounded by the candidate count, not the corpus.
+    "q157_prefix_filter_join" -> { (s, dir) =>
+      val hk = Shingles.frame(s, dir).select(col("doc_id"), col("hk"))
+      val dfreq = hk.groupBy("hk").agg(count(lit(1)).as("df"))
+      val sizes = hk.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val w = Window.partitionBy("doc_id").orderBy("df", "hk")
+      // sz rides the SAME doc-partitioned window shuffle as pos (an
+      // unordered count-over-partition frame) instead of a join against
+      // the sizes aggregate — one exchange less on each self-join side
+      val pre = hk.join(dfreq, "hk")
+        .withColumn("pos", row_number().over(w))
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .filter(col("pos") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
+        .select("doc_id", "hk", "sz")
+      val cand = pre.select(col("doc_id").as("d1"), col("hk"), col("sz").as("sz1"))
+        .join(pre.select(col("doc_id").as("d2"), col("hk"), col("sz").as("sz2")), Seq("hk"))
+        .filter(col("d1") < col("d2") &&
+          lit(5) * least(col("sz1"), col("sz2")) >= lit(3) * greatest(col("sz1"), col("sz2")))
+        .select("d1", "d2").distinct()
+      val common = cand
+        .join(hk.select(col("doc_id").as("d1"), col("hk")), "d1")
+        .join(hk.select(col("doc_id").as("d2"), col("hk")), Seq("d2", "hk"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+        .filter(lit(8) * col("common") >= lit(3) * (col("sz1") + col("sz2")))
+        .withColumn("jaccard", col("common") / (col("sz1") + col("sz2") - col("common")))
+        .select("d1", "d2", "common", "sz1", "sz2", "jaccard")
+        .orderBy("d1", "d2")
+    },
+
     // Cluster assignment over the near-dup pair graph (VERDICT r3 item 2):
     // connected components via min-label propagation (operators.Components)
     // turn q41's pairs into per-document (cluster_id, is_canonical) — the
@@ -518,6 +566,21 @@ object Text {
         | common / (s1.sz + s2.sz - common) AS jaccard
         |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE common / (s1.sz + s2.sz - common) >= 0.6
+        |ORDER BY d1, d2""".stripMargin),
+
+    // Exact, uncapped inverted join — the brute-force ground truth the
+    // prefix-filtered path must reproduce verbatim (losslessness proof).
+    "q157_prefix_filter_join" -> sub("""WITH --SH--,
+        |hkx AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS hk FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM hkx GROUP BY doc_id),
+        |co AS (
+        | SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        | FROM hkx a JOIN hkx b ON a.hk = b.hk AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT d1, d2, common, s1.sz AS sz1, s2.sz AS sz2,
+        | common / (s1.sz + s2.sz - common) AS jaccard
+        |FROM co JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE 8 * common >= 3 * (s1.sz + s2.sz)
         |ORDER BY d1, d2""".stripMargin),
 
     "q69_dedup_clusters" -> sub("""WITH RECURSIVE --SH--,
