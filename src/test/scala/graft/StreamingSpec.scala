@@ -182,6 +182,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(state.get()) === rows(aggOf(Tables.events(spark, dir))))
   }
 
+  test("streaming CDC: foreachBatch cdcApply per micro-batch equals one-shot batch apply") {
+    // the streaming deployment of Graft.cdcApply (q156's operator): each
+    // micro-batch's change log merges into the standing table state —
+    // exactly how a lakehouse MERGE consumes a CDC stream. Final state
+    // must equal applying the whole log at once. (Cross-batch ordering
+    // rides on monotone log offsets, as in a real changelog source; the
+    // fixture arrives in one AvailableNow pass.)
+    import org.apache.spark.sql.functions._
+    def changesOf(df: org.apache.spark.sql.DataFrame) = df.select(
+      (col("user_id") * 11).as("c_custkey"),
+      col("event_id").as("seq"),
+      when(col("event_type") === "error", "D")
+        .when(col("event_type") === "signup", "I").otherwise("U").as("op"),
+      round(col("value"), 2).as("c_acctbal"))
+    val base = Tables.customer(spark, dir)
+    val state = new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame](base)
+    val q = EventStreams.readEventStream(spark, dir).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state.getAndUpdate(s =>
+          Graft.cdcApply(s, changesOf(batch), "c_custkey").localCheckpoint(true))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "streaming CDC query timed out")
+    val expected = Graft.cdcApply(base, changesOf(Tables.events(spark, dir)), "c_custkey")
+    assert(state.get().collect().toSet === expected.collect().toSet)
+    // the merge actually changed something (deletes and/or upserts applied)
+    assert(state.get().collect().toSet !== base.collect().toSet)
+  }
+
   test("T5: stateful dedup keeps every distinct event_id") {
     val streamed = EventStreams.dedupedEvents(EventStreams.readEventStream(spark, dir))
       .select("event_id")
