@@ -263,6 +263,25 @@ object Graft {
       .select(outCols: _*)
   }
 
+  /** Write `df` as a hash-BUCKETED, per-bucket-sorted parquet table — the
+    * layout that makes repeated joins and aggregations on `key`
+    * exchange-free: the scan reports HashPartitioning(key, buckets), so
+    * EnsureRequirements inserts NO shuffle for joins between tables
+    * bucketed the same way, nor for groupBy(key). At 100 TB this is THE
+    * lever for fact-to-fact joins too big to broadcast: pay one shuffle
+    * at write time, amortize it over every downstream join/agg.
+    * Bucket counts must match across join sides (Spark only coalesces
+    * ratios when bucketing.coalesceBucketsInJoin is on); pick a count
+    * sized so one bucket's data fits an executor core's memory at target
+    * scale. BucketedJoinSpec pins the exchange-free plans and row parity
+    * with the unbucketed join.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    require(buckets > 0, "need a positive bucket count")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
+
   /** Time-travel read of an SCD2 history: the catalog exactly as of
     * snapshot k ("what did the repo look like at release k" — the read
     * side of scd2History/scd2Merge). A validity-interval filter, map-only:
