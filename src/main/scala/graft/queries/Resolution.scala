@@ -395,9 +395,14 @@ object Resolution {
         .filter(expr(SatisfiesSql))
         .select(col("target"), col("name"), col("provider").as("dep"))
         .distinct()
-      val tagged = edges.select(
+      // materialize the tagged edge set ONCE before the loop: unlike
+      // q129's (memoized resolvedEdges + cheap projection), this edge
+      // pipeline starts at the raw tables (constraint parse, provides +
+      // visibility joins, satisfiability filter, distinct) and every BFS
+      // action would otherwise replay all of it per iteration
+      val tagged = graft.operators.Lineage.cut(edges.select(
         concat(col("target"), lit("|"), col("name")).as("name"),
-        concat(col("target"), lit("|"), col("dep")).as("dep"))
+        concat(col("target"), lit("|"), col("dep")).as("dep")))
       val root = "pkg-07"
       val reach = graft.operators.Closure.reachableAll(s, tagged,
         Seq(s"x86_64|$root", s"aarch64|$root").toDF("root"))
