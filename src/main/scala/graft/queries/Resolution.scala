@@ -511,6 +511,34 @@ object Resolution {
         .orderBy("root")
     },
 
+    // Closeness + harmonic centrality — which packages sit nearest the
+    // rest of the catalog (the "everything pulls this in quickly" core;
+    // harmonic is the disconnected-safe variant). NO new graph walk: both
+    // read the SAME memoized all-roots BFS frame as q78/q100/q131 —
+    // closeness composes from per-depth counts, and the harmonic sum
+    // folds over the depth-sorted count list (aggregate over
+    // array_sort(collect_list(...)) ↔ list() with ORDER BY — a
+    // plain sum of 1/depth doubles would be summation-order
+    // nondeterministic across engines).
+    "q158_closeness_centrality" -> { (s, dir) =>
+      val perDepth = reachAllFrame(s, dir).filter(col("depth") > 0)
+        .groupBy("root", "depth").agg(count(lit(1)).as("n"))
+      val aggs = perDepth.groupBy("root")
+        .agg(sum("n").cast("long").as("n_reach"),
+          sum(col("n") * col("depth")).cast("long").as("sum_depth"),
+          expr("aggregate(array_sort(collect_list(struct(depth, n))), " +
+            "cast(0 as double), (acc, x) -> acc + x.n / x.depth)").as("harmonic"))
+      Tables.packageNames(s, dir).select(col("name").as("root"))
+        .join(aggs, Seq("root"), "left")
+        .select(col("root"),
+          coalesce(col("n_reach"), lit(0L)).as("n_reach"),
+          coalesce(col("sum_depth"), lit(0L)).as("sum_depth"),
+          coalesce(col("n_reach").cast("double") / col("sum_depth"), lit(0.0))
+            .as("closeness"),
+          coalesce(col("harmonic"), lit(0.0)).as("harmonic"))
+        .orderBy("root")
+    },
+
     // Dependency cycles — the circular-depends case every package manager
     // special-cases (dpkg breaks loops on configure order; pacman warns):
     // which packages sit inside a strongly connected component of the
@@ -1389,6 +1417,32 @@ object Resolution {
         |SELECT root, count(*) AS n_packages, CAST(max(d) AS INTEGER) AS max_depth
         |FROM m
         |GROUP BY root
+        |ORDER BY root""".stripMargin),
+
+    "q158_closeness_centrality" -> sub("""WITH RECURSIVE --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |nm AS (SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name FROM idx),
+        |r(root, name, depth) AS (
+        | SELECT name, name, 0 FROM nm
+        | UNION
+        | SELECT r.root, e.dep, r.depth + 1 FROM edges e JOIN r ON e.name = r.name WHERE r.depth < 60),
+        |m AS (SELECT root, name, min(depth) AS d FROM r GROUP BY 1, 2),
+        |c AS (SELECT root, d AS depth, count(*) AS n FROM m WHERE d > 0 GROUP BY 1, 2),
+        |a AS (
+        | SELECT root, CAST(sum(n) AS BIGINT) AS n_reach,
+        |  CAST(sum(n * depth) AS BIGINT) AS sum_depth,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(CAST(n AS DOUBLE) / depth ORDER BY depth)), (x, y) -> x + y) AS harmonic
+        | FROM c GROUP BY root)
+        |SELECT nm.name AS root,
+        | COALESCE(a.n_reach, 0) AS n_reach,
+        | COALESCE(a.sum_depth, 0) AS sum_depth,
+        | COALESCE(CAST(a.n_reach AS DOUBLE) / a.sum_depth, 0.0) AS closeness,
+        | COALESCE(a.harmonic, 0.0) AS harmonic
+        |FROM nm LEFT JOIN a ON a.root = nm.name
         |ORDER BY root""".stripMargin),
 
     "q100_dependency_cycles" -> sub("""WITH RECURSIVE --IDX--,
