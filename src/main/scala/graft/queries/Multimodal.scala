@@ -38,6 +38,10 @@ object Multimodal {
   /** Decoded record produced by the stubbed per-partition decoder. */
   final case class Decoded(doc_id: Long, kind: String, byte_len: Long, header: Long, checksum: Long)
 
+  /** Audio feature record from the REAL javax.sound WAV decode (q159). */
+  final case class AudioStats(doc_id: Long, n_samples: Long, sum_sq: Long,
+      peak: Long, n_silent_win: Long)
+
   /** Image feature record from the REAL javax.imageio decode (q128):
     * native dimensions, channel sums, and channel sums AFTER the
     * nearest-neighbor resize to the fixed 8x8 thumbnail (src pixel =
@@ -162,6 +166,62 @@ object Multimodal {
         .withColumn("frame_fp", md5(expr("substring(blob, cast(offset + 1 as int), 256)")))
         .select("doc_id", "kind", "frame_id", "offset", "frame_fp")
         .orderBy("doc_id", "frame_id")
+    },
+
+    // REAL audio decode through javax.sound.sampled (the JDK's actual WAV
+    // codec — q128's discipline for the audio modality): per 'audio' doc a
+    // deterministic 16-bit mono PCM clip renders from doc_id's sample
+    // formula (windows with index % 3 == 2 are attenuated — the "silence"),
+    // ENCODEs to real WAVE bytes on the executors (AudioSystem.write),
+    // then a second stage DECODEs those bytes back (getAudioInputStream)
+    // and extracts features: sample count, energy (sum of squares), peak
+    // amplitude, and silence-gated window count (max |s| < 200 per
+    // 64-sample window — the VAD/silence-trim primitive). The oracle
+    // recomputes every feature arithmetically from the formula, so a hash
+    // match proves the container roundtrip is lossless and the feature
+    // pass reads exactly the written samples. All-integer features — no
+    // float parity risk.
+    "q159_audio_decode" -> { (s, dir) =>
+      import s.implicits._
+      val ids = media(s, dir).filter(col("kind") === "audio")
+        .select(col("doc_id")).as[Long]
+      val stats = ids.mapPartitions { it =>
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        it.map { id =>
+          val n = 256 + (id % 64).toInt * 4
+          val samples = Array.tabulate(n) { t =>
+            val base = ((id * 31 + t.toLong * 17) % 2001).toInt
+            val quiet = (t / 64) % 3 == 2
+            (if (quiet) (base % 256) - 128 else base - 1000).toShort
+          }
+          val pcm = java.nio.ByteBuffer.allocate(n * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          samples.foreach(pcm.putShort)
+          val in = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm.array()), fmt, n.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(in,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          // decode the real container back; features come from the
+          // DECODED samples only
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(out.toByteArray))
+          val raw = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(raw)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val dec = Array.fill(raw.length / 2)(bb.getShort)
+          var ss = 0L
+          var peak = 0L
+          dec.foreach { v =>
+            ss += v.toLong * v
+            if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+          }
+          val nSil = dec.indices.groupBy(_ / 64)
+            .count { case (_, idx) => idx.forall(i => math.abs(dec(i).toInt) < 200) }
+          AudioStats(id, dec.length.toLong, ss, peak, nSil.toLong)
+        }
+      }
+      stats.toDF().orderBy("doc_id")
     })
 
   val oracles: Seq[(String, String)] = Seq(
@@ -223,5 +283,27 @@ object Multimodal {
         |SELECT doc_id, kind, CAST(fid AS INTEGER) AS frame_id, fid * 256 AS offset,
         | md5(substr(text, CAST(fid * 256 + 1 AS INTEGER), 256)) AS frame_fp
         |FROM f
-        |ORDER BY doc_id, frame_id""".stripMargin)
+        |ORDER BY doc_id, frame_id""".stripMargin,
+
+    // Arithmetic oracle: the decoded-feature output must equal the
+    // generating sample formula — the WAV roundtrip itself is under test.
+    "q159_audio_decode" ->
+      """WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+        |t AS (SELECT doc_id, CAST(256 + (doc_id % 64) * 4 AS INTEGER) AS n FROM a),
+        |smp AS (
+        | SELECT doc_id, i AS t,
+        |  CASE WHEN ((i // 64) % 3) = 2
+        |   THEN ((doc_id * 31 + i * 17) % 2001) % 256 - 128
+        |   ELSE (doc_id * 31 + i * 17) % 2001 - 1000 END AS s
+        | FROM t, unnest(generate_series(0, n - 1)) AS u(i)),
+        |w AS (SELECT doc_id, t // 64 AS win, max(abs(s)) AS mx FROM smp GROUP BY 1, 2),
+        |ws AS (SELECT doc_id, count(*) FILTER (WHERE mx < 200) AS n_sil FROM w GROUP BY doc_id)
+        |SELECT smp.doc_id,
+        | CAST(count(*) AS BIGINT) AS n_samples,
+        | CAST(sum(s * s) AS BIGINT) AS sum_sq,
+        | CAST(max(abs(s)) AS BIGINT) AS peak,
+        | CAST(any_value(ws.n_sil) AS BIGINT) AS n_silent_win
+        |FROM smp JOIN ws USING (doc_id)
+        |GROUP BY smp.doc_id
+        |ORDER BY smp.doc_id""".stripMargin)
 }
