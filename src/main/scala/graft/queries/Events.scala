@@ -335,6 +335,29 @@ object Events {
         round(col("value"), 2).as("c_acctbal"))
       graft.Graft.cdcApply(base, changes, "c_custkey")
         .orderBy("c_custkey")
+    },
+
+    // Daily growth curve — active vs NEW users per day and the cumulative
+    // acquisition count (the first-seen trick: a user's min(day) marks
+    // them new exactly once, so the running sum of news IS the distinct
+    // cumulative user count without any running-distinct state). Two
+    // small aggregates + one 30-row global window; at 100 TB the
+    // first-seen aggregate is the only user-keyed shuffle and the global
+    // cumulative window runs over days, not events.
+    "q161_daily_growth" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        // date_trunc (timestamp), not to_date — q27's dtype note applies
+        .select(date_trunc("day", col("ts")).as("d"), col("user_id"))
+      val daily = ev.groupBy("d")
+        .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_active"))
+      val firstSeen = ev.groupBy("user_id").agg(min("d").as("d"))
+        .groupBy("d").agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(firstSeen, Seq("d"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("cum_users", sum("n_new").over(w))
+        .select("d", "n_events", "n_active", "n_new", "cum_users")
+        .orderBy("d")
     })
 
   /** DuckDB reads events.ts as TIMESTAMP_NS; CAST to TIMESTAMP matches
@@ -548,5 +571,19 @@ object Events {
         | b.c_mktsegment
         |FROM customer b FULL JOIN l ON b.c_custkey = l.c_custkey
         |WHERE l.op IS NULL OR l.op <> 'D'
-        |ORDER BY 1""".stripMargin)
+        |ORDER BY 1""".stripMargin,
+
+    "q161_daily_growth" ->
+      """WITH e AS (
+        | SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, user_id
+        | FROM events),
+        |daily AS (SELECT d, count(*) AS n_events, count(DISTINCT user_id) AS n_active
+        | FROM e GROUP BY d),
+        |f AS (SELECT user_id, min(d) AS d FROM e GROUP BY user_id),
+        |nw AS (SELECT d, count(*) AS n_new FROM f GROUP BY d)
+        |SELECT daily.d, daily.n_events, daily.n_active,
+        | CAST(COALESCE(nw.n_new, 0) AS BIGINT) AS n_new,
+        | CAST(sum(COALESCE(nw.n_new, 0)) OVER (ORDER BY daily.d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM daily LEFT JOIN nw USING (d)
+        |ORDER BY d""".stripMargin)
 }
