@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -262,6 +262,36 @@ object Graft {
       .filter(col("__op").isNull || col("__op") =!= "D")
       .select(outCols: _*)
   }
+
+  // ---- Data-quality checks (Deequ/dbt-test shape: each check returns a
+  // one-row (check, n_violations) frame; union them into a report) ----
+
+  /** Rows violating a predicate: `violation` is the FAILURE condition. */
+  def dqPredicateViolations(df: DataFrame, check: String, violation: Column): DataFrame =
+    df.filter(violation).agg(count(lit(1)).as("n_violations"))
+      .select(lit(check).as("check_name"), col("n_violations"))
+
+  /** Duplicate-key rows beyond the first per key (0 = the key is unique).
+    * ONE pass: total minus distinct — no self-join, no groupBy-then-filter
+    * rescan; at 100 TB this is a single shuffle-free-partial + final agg.
+    */
+  def dqUniqueViolations(df: DataFrame, check: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one key column")
+    df.agg((count(lit(1)) - countDistinct(struct(cols.map(col): _*))).as("n_violations"))
+      .select(lit(check).as("check_name"), col("n_violations"))
+  }
+
+  /** Child rows whose `key` has no match in `parent.pkey` (referential
+    * integrity). Anti-join on the distinct parent key set — broadcast when
+    * the parent key set is small, shuffle otherwise; NULL child keys are
+    * not FK violations (SQL semantics) and are left to a not-null check.
+    */
+  def dqFkViolations(child: DataFrame, key: String, parent: DataFrame, pkey: String,
+      check: String): DataFrame =
+    child.filter(col(key).isNotNull)
+      .join(parent.select(col(pkey).as(key)).distinct(), Seq(key), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit(check).as("check_name"), col("n_violations"))
 
   /** Write `df` as a hash-BUCKETED, per-bucket-sorted parquet table — the
     * layout that makes repeated joins and aggregations on `key`

@@ -258,9 +258,64 @@ object Extras {
         .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"),
           round(sum("value"), 2).as("total_value"))
         .orderBy("win")
+    },
+
+    // Data-quality report — the dbt-test/Deequ constraint-validation pass a
+    // pipeline runs before publishing a table: uniqueness, referential
+    // integrity, not-null, accepted-range and accepted-values checks, one
+    // (check, n_violations) row each (Graft.dqPredicateViolations /
+    // dqUniqueViolations / dqFkViolations). Each check is a single
+    // aggregate or anti-join — uniqueness is count-minus-distinct in ONE
+    // pass, never a groupBy-then-rescan. The range checks are picked to
+    // demonstrate both outcomes on real data: some hold (0), some report
+    // genuine violation mass.
+    "q162_data_quality" -> { (s, dir) =>
+      val g = graft.Graft
+      val orders = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val ev = Tables.events(s, dir)
+      g.dqUniqueViolations(orders, "orders_pk_unique", Seq("o_orderkey"))
+        .unionByName(g.dqUniqueViolations(li, "lineitem_pk_unique",
+          Seq("l_orderkey", "l_linenumber")))
+        .unionByName(g.dqFkViolations(orders, "o_custkey",
+          Tables.customer(s, dir), "c_custkey", "orders_custkey_fk"))
+        .unionByName(g.dqFkViolations(li, "l_orderkey", orders, "o_orderkey",
+          "lineitem_orderkey_fk"))
+        .unionByName(g.dqPredicateViolations(orders, "orders_date_notnull",
+          col("o_orderdate").isNull))
+        .unionByName(g.dqPredicateViolations(li, "lineitem_discount_range",
+          !col("l_discount").between(0.0, 0.1)))
+        .unionByName(g.dqPredicateViolations(ev, "events_value_cap_50",
+          col("value") > 50.0))
+        .unionByName(g.dqPredicateViolations(orders, "orders_status_domain",
+          !col("o_orderstatus").isin("O", "F", "P")))
+        .orderBy("check_name")
     })
 
   val oracles: Seq[(String, String)] = Seq(
+    "q162_data_quality" ->
+      """SELECT * FROM (
+        | SELECT 'orders_pk_unique' AS check_name, count(*) - count(DISTINCT o_orderkey) AS n_violations FROM orders
+        | UNION ALL
+        | SELECT 'lineitem_pk_unique', count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+        | UNION ALL
+        | SELECT 'orders_custkey_fk', count(*) FROM orders o
+        |  WHERE o.o_custkey IS NOT NULL AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)
+        | UNION ALL
+        | SELECT 'lineitem_orderkey_fk', count(*) FROM lineitem l
+        |  WHERE l.l_orderkey IS NOT NULL AND l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        | UNION ALL
+        | SELECT 'orders_date_notnull', count(*) FROM orders WHERE o_orderdate IS NULL
+        | UNION ALL
+        | SELECT 'lineitem_discount_range', count(*) FROM lineitem
+        |  WHERE NOT (l_discount BETWEEN CAST(0.0 AS DOUBLE) AND CAST(0.1 AS DOUBLE))
+        | UNION ALL
+        | SELECT 'events_value_cap_50', count(*) FROM events WHERE value > CAST(50.0 AS DOUBLE)
+        | UNION ALL
+        | SELECT 'orders_status_domain', count(*) FROM orders
+        |  WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+        |ORDER BY check_name""".stripMargin,
+
     "q124_equidepth_hist" ->
       """WITH b AS (
         | SELECT o_orderpriority, o_totalprice,
