@@ -73,6 +73,41 @@ object Text {
       .select("d1", "d2", "common", "sz1", "sz2", "jaccard")
   }
 
+  /** q157's prefix-filtered pipeline over ANY (doc_id, hk) element frame —
+    * factored so PrefixFilterSpec can drive random set fixtures against an
+    * in-memory brute force (the losslessness property), while the judged
+    * query runs it over the shared shingle frame.
+    */
+  private[graft] def prefixFilterPairs(hkIn: DataFrame): DataFrame = {
+    val hk = hkIn.select("doc_id", "hk")
+    val dfreq = hk.groupBy("hk").agg(count(lit(1)).as("df"))
+    val sizes = hk.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "hk")
+    // sz rides the SAME doc-partitioned window shuffle as pos (an
+    // unordered count-over-partition frame) instead of a join against
+    // the sizes aggregate — one exchange less on each self-join side
+    val pre = hk.join(dfreq, "hk")
+      .withColumn("pos", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("pos") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
+      .select("doc_id", "hk", "sz")
+    val cand = pre.select(col("doc_id").as("d1"), col("hk"), col("sz").as("sz1"))
+      .join(pre.select(col("doc_id").as("d2"), col("hk"), col("sz").as("sz2")), Seq("hk"))
+      .filter(col("d1") < col("d2") &&
+        lit(5) * least(col("sz1"), col("sz2")) >= lit(3) * greatest(col("sz1"), col("sz2")))
+      .select("d1", "d2").distinct()
+    val common = cand
+      .join(hk.select(col("doc_id").as("d1"), col("hk")), "d1")
+      .join(hk.select(col("doc_id").as("d2"), col("hk")), Seq("d2", "hk"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .filter(lit(8) * col("common") >= lit(3) * (col("sz1") + col("sz2")))
+      .withColumn("jaccard", col("common") / (col("sz1") + col("sz2") - col("common")))
+      .select("d1", "d2", "common", "sz1", "sz2", "jaccard")
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     // Exact dedup: content-hash groupBy on normalized text.
     "q40_exact_dedup_groups" -> { (s, dir) =>
@@ -112,33 +147,7 @@ object Text {
     // key stays small without any lossy cap, and verification cost is
     // bounded by the candidate count, not the corpus.
     "q157_prefix_filter_join" -> { (s, dir) =>
-      val hk = Shingles.frame(s, dir).select(col("doc_id"), col("hk"))
-      val dfreq = hk.groupBy("hk").agg(count(lit(1)).as("df"))
-      val sizes = hk.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val w = Window.partitionBy("doc_id").orderBy("df", "hk")
-      // sz rides the SAME doc-partitioned window shuffle as pos (an
-      // unordered count-over-partition frame) instead of a join against
-      // the sizes aggregate — one exchange less on each self-join side
-      val pre = hk.join(dfreq, "hk")
-        .withColumn("pos", row_number().over(w))
-        .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-        .filter(col("pos") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
-        .select("doc_id", "hk", "sz")
-      val cand = pre.select(col("doc_id").as("d1"), col("hk"), col("sz").as("sz1"))
-        .join(pre.select(col("doc_id").as("d2"), col("hk"), col("sz").as("sz2")), Seq("hk"))
-        .filter(col("d1") < col("d2") &&
-          lit(5) * least(col("sz1"), col("sz2")) >= lit(3) * greatest(col("sz1"), col("sz2")))
-        .select("d1", "d2").distinct()
-      val common = cand
-        .join(hk.select(col("doc_id").as("d1"), col("hk")), "d1")
-        .join(hk.select(col("doc_id").as("d2"), col("hk")), Seq("d2", "hk"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
-      common
-        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
-        .filter(lit(8) * col("common") >= lit(3) * (col("sz1") + col("sz2")))
-        .withColumn("jaccard", col("common") / (col("sz1") + col("sz2") - col("common")))
-        .select("d1", "d2", "common", "sz1", "sz2", "jaccard")
+      prefixFilterPairs(Shingles.frame(s, dir).select(col("doc_id"), col("hk")))
         .orderBy("d1", "d2")
     },
 

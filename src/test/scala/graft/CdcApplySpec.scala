@@ -50,6 +50,34 @@ class CdcApplySpec extends AnyFunSuite {
     assert(Graft.cdcApply(base, ch, "id").count() === 3)
   }
 
+  test("matches the in-memory model on random change logs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val chGen = Gen.listOf(Gen.zip(Gen.choose(0L, 14L), Gen.oneOf("D", "U", "I"),
+      Gen.choose(0, 999).map(_.toDouble)))
+    (0 until 15).foreach { seed =>
+      val baseRows = (0L to 9L).map(i => (i, s"n$i", i * 10.0))
+      val log = chGen(Gen.Parameters.default, Seed(seed.toLong)).getOrElse(Nil)
+        .zipWithIndex.map { case ((k, op, b), i) => (k, i.toLong, op, b) }
+      // in-memory model: per key the max-seq change; D drops, else upsert
+      val latest = log.groupBy(_._1).map { case (k, cs) => k -> cs.maxBy(_._2) }
+      val baseMap = baseRows.map(r => r._1 -> r).toMap
+      val expected = (baseMap.keySet ++ latest.keySet).flatMap { k =>
+        latest.get(k) match {
+          case Some((_, _, "D", _)) => None
+          case Some((_, _, _, b))   =>
+            Some((k, baseMap.get(k).map(_._2).orNull, b))
+          case None                 => baseMap.get(k).map(r => (k, r._2, r._3))
+        }
+      }
+      val got = Graft.cdcApply(
+          baseRows.toDF("id", "name", "bal"),
+          log.toDF("id", "seq", "op", "bal"), "id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got === expected, s"seed $seed log=$log")
+    }
+  }
+
   test("payload columns must exist in base; reserved columns must exist in changes") {
     val bad = Seq((1L, 1L, "U", 1.0)).toDF("id", "seq", "op", "nope")
     intercept[IllegalArgumentException](Graft.cdcApply(base, bad, "id"))
