@@ -290,9 +290,48 @@ object Extras {
         .unionByName(g.dqPredicateViolations(orders, "orders_status_domain",
           !col("o_orderstatus").isin("O", "F", "P")))
         .orderBy("check_name")
+    },
+
+    // Materialized-summary routing (plans.SummaryRouting — the engine's
+    // optimizer Rule[LogicalPlan]): the rollup is materialized once, the
+    // registered rule transparently rewrites the covered aggregate to a
+    // scan of it, and the ROUTED result is what gets judged against the
+    // oracle's direct aggregation — rewrite soundness is hash-verified,
+    // and an eager plan probe raises if the route did not engage (so this
+    // can never silently degrade into judging the direct path). The
+    // registration is scoped to this body (register → execute the routed
+    // plan → clear in a finally), so the session-global rule never leaks
+    // a live route into other queries run on the same session. The
+    // 100 TB story: a dashboard GROUP BY over the fact table becomes an
+    // MB-scale summary read, query text unchanged.
+    "q163_summary_routing" -> { (s, dir) =>
+      val basePath = s"$dir/events.parquet"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mv_")
+        .toFile.getAbsolutePath
+      val raw = s.read.parquet(basePath)
+      raw.groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("user_id").as("sum_uid"))
+        .write.mode("overwrite").parquet(s"$tmp/summary")
+      graft.plans.SummaryRouting.register(s, basePath,
+        s.read.parquet(s"$tmp/summary"),
+        Seq("event_type"), Some("cnt"), Map("user_id" -> "sum_uid"))
+      try {
+        val routed = raw.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum("user_id").as("sum_uid"))
+        require(routed.queryExecution.executedPlan.toString.contains("graft_mv_"),
+          "summary routing did not engage — the judged result would not exercise the rewrite")
+        // executing the write re-optimizes under the live rule, so the
+        // materialized rows are the routed plan's output
+        routed.write.mode("overwrite").parquet(s"$tmp/routed")
+      } finally graft.plans.SummaryRouting.clear(s)
+      s.read.parquet(s"$tmp/routed").orderBy("event_type")
     })
 
   val oracles: Seq[(String, String)] = Seq(
+    "q163_summary_routing" ->
+      """SELECT event_type, count(*) AS n_events, CAST(sum(user_id) AS BIGINT) AS sum_uid
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q162_data_quality" ->
       """SELECT * FROM (
         | SELECT 'orders_pk_unique' AS check_name, count(*) - count(DISTINCT o_orderkey) AS n_violations FROM orders

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.SummaryRouting
+
+/** The materialized-summary optimizer rule: covered aggregates must read
+  * the registered rollup (not the base relation), uncovered shapes must
+  * NOT be routed, and routed results must equal the direct computation.
+  */
+class SummaryRoutingSpec extends AnyFunSuite {
+  // own session: registrations are keyed by session and the rule rides
+  // session-local extraOptimizations, so this spec can never race the
+  // shared harness session (q163 runs there during PlanAuditSpec's sweep)
+  private lazy val spark = SparkTestHarness.spark.newSession()
+  private val dir = SparkTestHarness.Sf0001
+
+  private def withSummary[A](body: (String, String) => A): A = {
+    SummaryRouting.clear(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mv").toFile
+    val basePath = s"$dir/events.parquet"
+    try {
+      val sumPath = new java.io.File(tmp, "summary").getAbsolutePath
+      spark.read.parquet(basePath).groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("user_id").as("sum_uid"))
+        .write.mode("overwrite").parquet(sumPath)
+      SummaryRouting.register(spark, "events.parquet",
+        spark.read.parquet(sumPath), Seq("event_type"),
+        Some("cnt"), Map("user_id" -> "sum_uid"))
+      body(basePath, sumPath)
+    } finally {
+      SummaryRouting.clear(spark)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
+  test("covered aggregate routes to the summary scan and matches the direct result") {
+    // expected computed with routing cleared (afterwards the same query routes)
+    SummaryRouting.clear(spark)
+    val expected = spark.read.parquet(s"$dir/events.parquet").groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("user_id").as("su"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    withSummary { (basePath, sumPath) =>
+      val q = spark.read.parquet(basePath).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("user_id").as("su"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("summary"), s"not routed to the summary:\n${p.take(1500)}")
+      assert(!p.contains("events.parquet"), "routed plan still scans the base relation")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet === expected)
+    }
+  }
+
+  test("a filtered aggregate is NOT routed (a total rollup cannot answer it)") {
+    withSummary { (basePath, _) =>
+      val q = spark.read.parquet(basePath)
+        .filter(col("user_id") > 5).groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+      assert(q.queryExecution.executedPlan.toString.contains("events.parquet"))
+    }
+  }
+
+  test("a different grouping or an uncovered aggregate is NOT routed") {
+    withSummary { (basePath, _) =>
+      val g = spark.read.parquet(basePath).groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n"))
+      assert(g.queryExecution.executedPlan.toString.contains("events.parquet"))
+      val m = spark.read.parquet(basePath).groupBy("event_type")
+        .agg(max("user_id").as("mx"))
+      assert(m.queryExecution.executedPlan.toString.contains("events.parquet"))
+      val d = spark.read.parquet(basePath).groupBy("event_type")
+        .agg(countDistinct("user_id").as("nd"))
+      assert(d.queryExecution.executedPlan.toString.contains("events.parquet"))
+    }
+  }
+}
