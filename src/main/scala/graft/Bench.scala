@@ -31,11 +31,18 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    // THREE full-suite passes (r8 ADVICE): pass 1 is the cold pass (frame
+    // builds, shuffle-file materialization, JIT tiers) and is expected to
+    // be noisy; passes 2 and 3 are warm and give a STABLE per-query
+    // reference (min/median of warm) so regressions are detectable against
+    // a baseline that isn't contaminated by one-off cold costs.
     val names = SparkEntry.queries.toSeq
     val pass1 = names.map { case (n, fn) => n -> once(fn) }
     val pass2 = names.map { case (n, fn) => n -> once(fn) }
+    val pass3 = names.map { case (n, fn) => n -> once(fn) }
     val p2m = pass2.toMap
-    val results = pass1.map { case (n, t1) => n -> math.min(t1, p2m(n)) }
+    val p3m = pass3.toMap
+    val results = pass1.map { case (n, t1) => n -> math.min(t1, math.min(p2m(n), p3m(n))) }
     // The driver records only the LAST 2000 chars of output and parses the
     // JSON line out of that tail: with 81 queries the full-name map is
     // ~2.6 KB, so every recorded BENCH_r*.json so far has parsed:null.
@@ -49,18 +56,19 @@ object Bench {
     val total = results.map(_._2).sum
     val t1 = pass1.map(_._2).sum
     val t2 = pass2.map(_._2).sum
+    val t3 = pass3.map(_._2).sum
     // Per-query pass1/pass2 to a side file (VERDICT r7 item 8): the stdout
     // JSON line must stay inside the driver's 2000-char tail capture, so
     // the per-query load diagnosis (which pass was contaminated, for which
     // query) lands next to the repo's BENCH_r*.json artifacts instead.
     val p1m = pass1.toMap
     val detail = names.map { case (n, _) =>
-      s"\"$n\":[${f3(p1m(n))},${f3(p2m(n))}]"
+      s"\"$n\":[${f3(p1m(n))},${f3(p2m(n))},${f3(p3m(n))}]"
     }.mkString("{", ",", "}")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_passes.json"),
       s"""{"sf":"$sfDir","passes":$detail}""".getBytes("UTF-8"))
     catch { case _: Throwable => () } // diagnostics must never fail the bench
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","pass1_total":${f3(t1)},"pass2_total":${f3(t2)},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","pass1_total":${f3(t1)},"pass2_total":${f3(t2)},"pass3_total":${f3(t3)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

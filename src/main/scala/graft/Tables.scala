@@ -38,16 +38,27 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read it as raw nanos (legacy conf) and truncate to micros as
-    * TIMESTAMP_NTZ — exactly what DuckDB's `CAST(ts AS TIMESTAMP)` does, so
-    * oracle parity holds. Integer `div` (not `/`) — ns epoch values overflow
-    * a double's 53-bit mantissa.
+  /** `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across fixture generations, and a hard-coded
+    * conversion for either silently breaks the whole events family when
+    * the driver regenerates the data (round 8 lost all 18 event queries
+    * this way). Adapt on the DRIVER-SIDE schema (metadata only, no job):
+    * nanos arrive as raw longs (legacy conf; Spark's vectorized reader
+    * rejects nanos) and truncate to micros; micros arrive as a timestamp
+    * already. Either way the column lands as TIMESTAMP_NTZ micros —
+    * exactly what DuckDB's `CAST(ts AS TIMESTAMP)` yields, so oracle
+    * parity holds for both vintages. Integer `div` (not `/`) — ns epoch
+    * values overflow a double's 53-bit mantissa.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = read(spark, dir, "events")
+    val conv = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ts", conv)
   }
 
   /** Number of distinct synthetic package names. Small enough that every

@@ -48,7 +48,13 @@ class UserTotalsProcessor
 object EventStreams {
   /** Normalize a raw events frame (ns-long ts → TIMESTAMP_NTZ micros). */
   def normalize(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    // schema-adaptive like Tables.events: the fixture has shipped ts as
+    // both raw nanos longs and TIMESTAMP(MICROS) across generations
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
 
   /** Watermarks require TimestampType; the UTC session makes NTZ→TZ a
     * same-instant cast.
