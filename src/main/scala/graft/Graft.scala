@@ -550,12 +550,25 @@ object Graft {
     */
   def substringSearch(docs: DataFrame, needles: Seq[String], probeTrigrams: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(needles.nonEmpty && needles.forall(_.length >= 3),
       "substringSearch needles must each be >= 3 chars")
-    require(probeTrigrams > 0, "need a positive probe-trigram budget")
     val spark = docs.sparkSession
     import spark.implicits._
+    substringSearchDF(docs, needles.toDF("needle"), probeTrigrams, textCol, idCol)
+  }
+
+  /** [[substringSearch]] with the needle set as a DATAFRAME (one `needle`
+    * column) instead of a driver-side list — the form decontamination
+    * needs, where the needles are themselves derived in-plan from an eval
+    * table and must never round-trip through the driver. Needles shorter
+    * than 3 chars are dropped (no trigram to probe with). The needle side
+    * is assumed human-scale (an eval set, a query log) and rides broadcast
+    * joins; the corpus side is the 100 TB side.
+    */
+  def substringSearchDF(docs: DataFrame, needles: DataFrame, probeTrigrams: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probeTrigrams > 0, "need a positive probe-trigram budget")
     val text = col(textCol)
     // distinct character trigrams per document — the inverted index
     val postings = docs
@@ -564,8 +577,11 @@ object Graft {
         explode(array_distinct(transform(
           sequence(lit(1), length(text) - 2),
           i => text.substr(i, lit(3))))).as("__tri"))
-    val ntri = needles.map(n => (n, n.sliding(3).toSeq.distinct)).toDF("needle", "__tris")
-      .select(col("needle"), explode(col("__tris")).as("__tri"))
+    val ntri = needles.select(col("needle")).distinct()
+      .filter(length(col("needle")) >= 3)
+      .select(col("needle"), explode(array_distinct(transform(
+        sequence(lit(1), length(col("needle")) - 2),
+        i => col("needle").substr(i, lit(3))))).as("__tri"))
     // document frequency of the NEEDLE trigrams only (broadcast prune —
     // the df pass never shuffles non-matching postings)
     val dfreq = postings.join(broadcast(ntri.select("__tri").distinct()), "__tri")
@@ -772,6 +788,51 @@ object Graft {
     * (doc_id, cluster_id, is_canonical) via connected components; keep the
     * canonical row per cluster to deduplicate a corpus.
     */
+  /** Fuzzy join on edit distance <= 1 via FastSS/SymSpell
+    * deletion-neighborhood blocking (public algorithm): each string
+    * generates itself + its 1-deletion variants (map-only explode,
+    * <= len+1 keys), and any pair within edit distance 1 provably shares
+    * a variant key — equal strings trivially; a deletion lands in the
+    * longer side's neighborhood; an insertion is the mirror; a
+    * substitution at position i collides on both sides' deletion at i.
+    * So ONE variant equi-join yields a lossless candidate set and
+    * `levenshtein` runs on candidates only — never |left| × |right|.
+    * Column names of `left` and `right` must be disjoint; the result
+    * carries both sides' columns for every matched pair (distance 0 or 1).
+    */
+  def fuzzyJoin(left: DataFrame, leftCol: String,
+      right: DataFrame, rightCol: String): DataFrame = {
+    def withVars(df: DataFrame, c: String): DataFrame =
+      df.withColumn("__var", explode(array_distinct(concat(array(col(c)), transform(
+        sequence(lit(1), length(col(c))),
+        i => concat(col(c).substr(lit(1), i - 1),
+          col(c).substr(i + 1, length(col(c)))))))))
+    withVars(left, leftCol).join(withVars(right, rightCol), "__var")
+      .drop("__var").distinct()
+      .filter(levenshtein(col(leftCol), col(rightCol)) <= 1)
+  }
+
+  /** 2-D Pareto skyline (maximize BOTH columns): a row survives iff no
+    * other row is ≥ on both dimensions and > on at least one. The
+    * sort-based algorithm, not the O(n²) dominance self-join: collapse to
+    * per-x maxima (partial-aggregated shuffle), then ONE running max over
+    * x-descending order decides domination — a point survives iff it is
+    * its x group's max y and strictly beats every higher-x group's best y.
+    * The global window runs over the distinct-x maxima only (≪ input; the
+    * skyline of n points has at most |distinct x| members). Equal (x, y)
+    * ties all survive — neither dominates the other.
+    */
+  def skyline2d(points: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = points.groupBy(xCol).agg(max(yCol).as("__grp_max"))
+    val w = Window.orderBy(col(xCol).desc).rowsBetween(Window.unboundedPreceding, -1)
+    val run = grp.withColumn("__prev_max", max("__grp_max").over(w))
+    points.join(run, xCol)
+      .filter(col(yCol) === col("__grp_max") &&
+        (col("__prev_max").isNull || col(yCol) > col("__prev_max")))
+      .drop("__grp_max", "__prev_max")
+  }
+
   def dedupClusters(spark: SparkSession, pairs: DataFrame): DataFrame = {
     val comp = operators.Components.connected(spark,
       pairs.select(col("d1").as("src"), col("d2").as("dst")))

@@ -104,9 +104,12 @@ object Components {
           .union(smin.select(col("m"), col("u").as("v")))
           .filter(col("m") =!= col("v"))
           .select(col("m").as("a"), col("v").as("b")).distinct())
-      converged =
-        next.join(g, Seq("a", "b"), "left_anti").isEmpty &&
-        g.join(next, Seq("a", "b"), "left_anti").isEmpty
+      // set equality in ONE probe job (not two anti-join isEmpty passes):
+      // a full-outer join row with either side missing is a difference
+      converged = next.withColumn("__l", lit(1))
+        .join(g.withColumn("__r", lit(1)), Seq("a", "b"), "full_outer")
+        .filter(col("__l").isNull || col("__r").isNull)
+        .isEmpty
       g = next
       iter += 1
     }

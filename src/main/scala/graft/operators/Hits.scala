@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HITS hubs & authorities (Kleinberg, "Authoritative Sources in a
+  * Hyperlinked Environment" — public algorithm): the mutual-reinforcement
+  * centrality pair next to [[PageRank]]'s single score. Authorities are
+  * nodes many hubs point AT; hubs are nodes whose out-edges point at good
+  * authorities.
+  *
+  * All arithmetic is 64-bit integer fixed point like [[PageRank]]: each
+  * half-iteration is one equi-join + one partial-aggregated sum, then an
+  * L1 normalization to total mass `scale` via a broadcast one-row total
+  * (integer multiply-then-div — bit-exact across engines, so a SQL oracle
+  * can unroll identical values). Keep `scale` small enough that
+  * value × scale stays far inside int64 (values are ≤ a few × scale).
+  *
+  * Unlike PageRank's single-use chain, each normalization consumes its
+  * raw-sum frame TWICE (values + the total), so the lazy plan would double
+  * per half-iteration — every normalized vector is lineage-cut instead
+  * (one small materialization per step, constant plan depth; the Closure
+  * loop economics).
+  */
+object Hits {
+  /** @param edges directed edges (name, dep): hub mass flows name → dep
+    * @param nodes one row per node (name) — the score universe
+    * @return (name, auth, hub) after `iters` full iterations
+    */
+  def run(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
+      iters: Int, scale: Long): DataFrame = {
+    require(!nodes.isEmpty, "HITS needs a non-empty node set")
+    val consts = broadcast(nodes.agg(expr(s"$scale div count(1)").as("__init")))
+    var hub = nodes.crossJoin(consts).select(col("name"), col("__init").as("hub"))
+    var auth = hub.select(col("name"), col("hub").as("auth"))
+    for (_ <- 1 to iters) {
+      val a0 = hub.join(edges, "name")
+        .select(col("dep").as("name"), col("hub").as("c"))
+        .groupBy("name").agg(sum("c").as("v"))
+      val at = broadcast(a0.agg(sum("v").as("__t")))
+      auth = Lineage.cut(
+        nodes.join(a0, Seq("name"), "left").crossJoin(at)
+          .select(col("name"), expr(s"coalesce(v, 0L) * $scale div __t").as("auth")))
+      val h0 = edges.join(auth.select(col("name").as("dep"), col("auth").as("c")), "dep")
+        .select(col("name"), col("c"))
+        .groupBy("name").agg(sum("c").as("v"))
+      val ht = broadcast(h0.agg(sum("v").as("__t")))
+      hub = Lineage.cut(
+        nodes.join(h0, Seq("name"), "left").crossJoin(ht)
+          .select(col("name"), expr(s"coalesce(v, 0L) * $scale div __t").as("hub")))
+    }
+    auth.join(hub, "name").select(col("name"), col("auth"), col("hub"))
+  }
+}

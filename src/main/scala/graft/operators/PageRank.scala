@@ -79,4 +79,49 @@ object PageRank {
     }
     pr
   }
+
+  /** Personalized PageRank (random walk with restart): the restart mass
+    * returns to the SEED set instead of spreading uniformly, so ranks
+    * measure proximity to the seeds — "what does this part of the graph
+    * depend on", the recommendation/affinity signal next to [[run]]'s
+    * global popularity. Same integer fixed-point contract as [[run]]
+    * (bit-exact, oracle-unrollable); non-seed nodes start at 0 and earn
+    * rank only through in-edges from the seeds' neighborhoods.
+    *
+    * Scale notes: identical per-iteration shape to [[run]] — one equi-join
+    * against the degree-annotated edges + one partial-aggregated sum. The
+    * seed set joins as a broadcast (seed lists are human-sized); the rank
+    * vector stays one row per node.
+    *
+    * @param seeds one-column DataFrame (name) ⊆ nodes; restart mass splits
+    *              evenly across it — pick `scale` divisible by
+    *              100×|seeds| so init and restart floor are exact
+    */
+  def personalized(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
+      seeds: DataFrame, iters: Int, scale: Long): DataFrame = {
+    require(!seeds.isEmpty, "personalized PageRank needs a non-empty seed set")
+    val consts = broadcast(seeds.agg(
+      expr(s"$scale div count(1)").as("__init"),
+      expr(s"${scale / 100 * 15} div count(1)").as("__floor")))
+    val seed = broadcast(seeds.select(col("name")).distinct()
+      .withColumn("__is_seed", lit(1)))
+    val ed = edges.join(edges.groupBy("name").agg(count(lit(1)).as("od")), "name")
+    def withSeed(df: DataFrame): DataFrame =
+      df.join(seed, Seq("name"), "left").crossJoin(consts)
+    var pr = withSeed(nodes)
+      .select(col("name"),
+        when(col("__is_seed") === 1, col("__init")).otherwise(0L).as("pr"))
+    var it = 0
+    while (it < iters) {
+      val contrib = pr.join(ed, "name")
+        .select(col("dep").as("name"), expr("pr div od").as("c"))
+        .groupBy("name").agg(sum("c").as("sc"))
+      pr = withSeed(nodes.join(contrib, Seq("name"), "left"))
+        .select(col("name"),
+          (when(col("__is_seed") === 1, col("__floor")).otherwise(0L) +
+            expr("(85 * coalesce(sc, 0L)) div 100")).as("pr"))
+      it += 1
+    }
+    pr
+  }
 }
