@@ -230,6 +230,33 @@ object Analytics {
         .orderBy("lang")
     },
 
+    // Bigram-LM fluency — the next rung above q92's unigram ranks: score
+    // each document by its average corpus-conditional bigram probability
+    // (the perplexity-filter shape real pretraining pipelines run, with
+    // the LM trained on the corpus itself in the same plan). Integer-exact
+    // throughout: per adjacent pair (a,b), p(b|a) ≈ (1000·C(a,b)) div C(a→·)
+    // in parts-per-thousand, document score = mean. Training is two
+    // partial-aggregated counts; scoring re-joins the pair stream on
+    // (a,b) and (a) — hash equi-joins keyed on the n-gram, the join shape
+    // that survives a 100 TB corpus (the LM tables shard with the data;
+    // nothing driver-side).
+    "q166_bigram_fluency" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
+      val w = Window.partitionBy("doc_id").orderBy("i")
+      val pairs = toks.withColumn("nxt", lead("tok", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"), col("tok").as("a"), col("nxt").as("b"))
+      val bc = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      val uc = pairs.groupBy("a").agg(count(lit(1)).as("ca"))
+      pairs.join(bc, Seq("a", "b")).join(uc, Seq("a"))
+        .withColumn("sc", expr("(1000 * cab) div ca"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"), sum("sc").as("prob_sum_x1000"))
+        .withColumn("fluency_x1000", expr("prob_sum_x1000 div n_pairs"))
+        .orderBy("doc_id")
+    },
+
     // Unigram-rank fluency scoring — the CCNet-style "does this read like
     // the corpus" quality filter, in integer-exact form: build a BOUNDED
     // top-64 vocabulary ranked by (count desc, token asc), broadcast it,
@@ -488,6 +515,20 @@ object Analytics {
         |FROM documents d JOIN c USING (lang)
         |GROUP BY d.lang
         |ORDER BY d.lang""".stripMargin,
+
+    "q166_bigram_fluency" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |p AS (
+        | SELECT doc_id, l[i] AS a, l[i + 1] AS b
+        | FROM d, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) g),
+        |bc AS (SELECT a, b, count(*) AS cab FROM p GROUP BY a, b),
+        |uc AS (SELECT a, count(*) AS ca FROM p GROUP BY a),
+        |sc AS (
+        | SELECT p.doc_id, (1000 * bc.cab) // uc.ca AS s
+        | FROM p JOIN bc USING (a, b) JOIN uc USING (a))
+        |SELECT doc_id, count(*) AS n_pairs, CAST(sum(s) AS BIGINT) AS prob_sum_x1000,
+        | CAST(sum(s) // count(*) AS BIGINT) AS fluency_x1000
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q92_unigram_fluency" ->
       """WITH t AS (

@@ -27,6 +27,88 @@ object Events {
   type QFn = (SparkSession, String) => DataFrame
 
   val queries: Seq[(String, QFn)] = Seq(
+    // Rolling-window anomaly detection over the daily event stream — the
+    // data-quality monitor a 100 TB ingest runs nightly ("did yesterday's
+    // volume jump?"). Per (event_type, day): trailing-7-day baseline
+    // (EXCLUDING the current day), flag |z| > 2. The z-test is INTEGER
+    // arithmetic throughout — (n·x − s)² > 4·(n·ss − s²) is z² > 4 with
+    // both sides exact int64 — so the oracle re-derives identical flags
+    // with no float variance/sqrt drift. One shuffle to daily counts
+    // (partial-aggregated), one bounded 7-row window per type partition.
+    "q169_rolling_anomaly" -> { (s, dir) =>
+      // day as yyyy-MM-dd TEXT: parquet date32 and DuckDB DATE land as
+      // different pandas dtypes in the hash compare
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("n_win", count("cnt").over(w))
+        .withColumn("s", coalesce(sum("cnt").over(w), lit(0L)))
+        .withColumn("ss", coalesce(sum(col("cnt") * col("cnt")).over(w), lit(0L)))
+        .withColumn("is_anomaly",
+          (col("n_win") >= 4 &&
+            (col("n_win") * col("cnt") - col("s")) * (col("n_win") * col("cnt") - col("s")) >
+              lit(4L) * (col("n_win") * col("ss") - col("s") * col("s"))).cast("int"))
+        .select(col("event_type"), col("day"), col("cnt"),
+          col("n_win"), col("is_anomaly"))
+        .orderBy("event_type", "day")
+    },
+
+    // Corrupt-record audit — the PERMISSIVE-parse DQ gate every untrusted
+    // ingest needs: a derived feed truncates every 7th record's props
+    // mid-JSON (arithmetic corruption, so the oracle knows ground truth
+    // independently), from_json turns malformed rows into null structs,
+    // and the audit counts corrupt/valid/salvaged-sum per type. The judged
+    // claim is that Spark's parser verdict matches the arithmetic ground
+    // truth on every row — parse behavior itself is under test, not
+    // assumed. Pure per-row codegen work + one aggregation.
+    "q175_corrupt_record_audit" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      // PERMISSIVE from_json never nulls the whole struct — the malformed
+      // input lands VERBATIM in the declared corrupt-record column (the
+      // standard quarantine pattern); that column being set IS the
+      // parser's corrupt verdict
+      val feed = Tables.events(s, dir)
+        .withColumn("raw", when(pmod(col("event_id"), lit(7)) === 0,
+          expr("substring(props, 1, 5)")).otherwise(col("props")))
+        .withColumn("j", from_json(col("raw"),
+          StructType(Seq(StructField("k", LongType), StructField("_bad", StringType))),
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_bad")))
+      feed.groupBy("event_type")
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("j._bad").isNotNull.cast("long")).as("n_corrupt"),
+          sum(col("j._bad").isNull.cast("long")).as("n_valid"),
+          sum(col("j.k")).as("sum_k"))
+        .orderBy("event_type")
+    },
+
+    // Late-arrival audit — the BATCH measurement that justifies T4's
+    // watermark choice: replay the log in commit order (event_id) and
+    // track each type's event-time high-watermark; an event is out of
+    // order iff it arrives below the running max, and would be DROPPED
+    // by the streaming pipeline iff it trails by more than the 2-hour
+    // watermark. Per-type census of both + worst lateness — exactly the
+    // evidence that sizes withWatermark() in EventStreams. One bounded
+    // running-max window per type partition, integer microseconds.
+    "q174_late_event_audit" -> { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("hwm", max("us").over(w))
+        .withColumn("late_us",
+          when(col("hwm").isNull || col("hwm") <= col("us"), 0L)
+            .otherwise(col("hwm") - col("us")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("late_us") > 0).cast("long")).as("n_out_of_order"),
+          sum((col("late_us") > 7200000000L).cast("long")).as("n_beyond_watermark"),
+          max("late_us").as("max_late_us"))
+        .orderBy("event_type")
+    },
+
     // Path mining (W5 annex): the most common 3-step event-type sequences
     // WITHIN a session — the "what do users do next" funnel-discovery
     // query product analytics runs daily. Same 30-min-gap sessionization
@@ -406,6 +488,62 @@ object Events {
         | CAST(sum(CASE WHEN last_purchase > first_view THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
         | CAST(sum(CASE WHEN last_purchase > first_view THEN 1 ELSE 0 END) AS BIGINT) / count(first_view) AS conversion
         |FROM per""".stripMargin,
+
+    "q175_corrupt_record_audit" ->
+      """WITH f AS (
+        | SELECT event_type,
+        |  CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 5) ELSE props END AS raw
+        | FROM events),
+        |p AS (
+        | SELECT event_type, json_valid(raw) AS ok,
+        |  CASE WHEN json_valid(raw) THEN CAST(json_extract_string(raw, '$.k') AS BIGINT) END AS k
+        | FROM f)
+        |SELECT event_type, count(*) AS n_records,
+        | CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+        | CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        | CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM p
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q174_late_event_audit" ->
+      """WITH e AS (
+        | SELECT event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        | FROM events),
+        |h AS (
+        | SELECT event_type, us,
+        |  max(us) OVER (PARTITION BY event_type ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        | FROM e),
+        |l AS (
+        | SELECT event_type,
+        |  CASE WHEN hwm IS NULL OR hwm <= us THEN 0 ELSE hwm - us END AS late_us
+        | FROM h)
+        |SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+        | CAST(sum(CASE WHEN late_us > 7200000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_watermark,
+        | CAST(max(late_us) AS BIGINT) AS max_late_us
+        |FROM l
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q169_rolling_anomaly" ->
+      """WITH d AS (
+        | SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, count(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |w AS (
+        | SELECT event_type, day, cnt,
+        |  count(cnt) OVER tw AS n_win,
+        |  coalesce(sum(cnt) OVER tw, 0) AS s,
+        |  coalesce(sum(cnt * cnt) OVER tw, 0) AS ss
+        | FROM d
+        | WINDOW tw AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, cnt, n_win,
+        | CAST(CASE WHEN n_win >= 4
+        |  AND (n_win * cnt - s) * (n_win * cnt - s) > 4 * (n_win * ss - s * s)
+        |  THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+        |FROM w
+        |ORDER BY event_type, day""".stripMargin,
 
     "q20_hourly_event_stats" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,

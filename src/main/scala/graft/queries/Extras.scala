@@ -304,6 +304,57 @@ object Extras {
     // a live route into other queries run on the same session. The
     // 100 TB story: a dashboard GROUP BY over the fact table becomes an
     // MB-scale summary read, query text unchanged.
+    // 2-D Pareto skyline ("best customers": no one dominates on BOTH
+    // total spend and order count). The scale-canonical sort-based
+    // algorithm, not the O(n²) dominance join: group to per-spend maxima,
+    // then one running max over spend-descending order — a point survives
+    // iff it is its spend group's max AND strictly beats every higher
+    // spender's best order count. The global window runs over DISTINCT
+    // SPEND GROUP MAXIMA (already aggregated, ≪ input); the oracle proves
+    // the same set through the independent NOT EXISTS dominance
+    // definition. Money in exact cents — float spend would make
+    // domination ties engine-dependent.
+    "q167_skyline_customers" -> { (s, dir) =>
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as long)")).as("spend_cents"),
+          count(lit(1)).as("n_orders"))
+      // ONE implementation — the facade's skyline2d — so the judged query
+      // and the library API cannot drift (SkylineSpec property-tests it)
+      _root_.graft.Graft.skyline2d(spend, "spend_cents", "n_orders")
+        .select(col("o_custkey"), col("spend_cents"), col("n_orders"))
+        .orderBy("o_custkey")
+    },
+
+    // Small-file compaction PLANNING — the OPTIMIZE/bin-pack pass every
+    // incrementally-ingested lakehouse table needs (companion to
+    // Graft.compact, which executes the rewrite; this is the judged plan
+    // the maintenance job prints first). Each lineitem row models one
+    // committed data file in its ship-month partition; files pack in
+    // commit order (orderkey, linenumber) into ~4 MB bins via a running
+    // byte total — next-fit packing, the deterministic policy streaming
+    // ingest actually uses (FFD would re-sort history on every pass).
+    // One window per partition, no global sort; bin assignment is integer
+    // division of the running total.
+    "q168_compaction_plan" -> { (s, dir) =>
+      val files = Tables.lineitem(s, dir).select(
+        date_format(col("l_shipdate"), "yyyy-MM").as("part"),
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        expr("cast(round(l_extendedprice) as long)").as("bytes"))
+      // (orderkey, linenumber) is NOT unique in this fixture (202 dup
+      // groups at sf0.01) — the exact price completes a total order, or
+      // the running total flaps files across bin boundaries per run
+      val w = Window.partitionBy("part")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+      val binned = files
+        .withColumn("cum_before",
+          coalesce(sum("bytes").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("bin", expr("cum_before div 4000000"))
+      binned.groupBy("part", "bin")
+        .agg(count(lit(1)).as("n_files"), sum("bytes").as("bin_bytes"))
+        .orderBy("part", "bin")
+    },
+
     "q163_summary_routing" -> { (s, dir) =>
       val basePath = s"$dir/events.parquet"
       val tmp = java.nio.file.Files.createTempDirectory("graft_mv_")
@@ -328,6 +379,38 @@ object Extras {
     })
 
   val oracles: Seq[(String, String)] = Seq(
+    // independent dominance definition — NOT the sort-based algorithm the
+    // Spark side runs (O(n²) NOT EXISTS is fine at oracle scale)
+    "q167_skyline_customers" ->
+      """WITH c AS (
+        | SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+        |  count(*) AS n_orders
+        | FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, spend_cents, n_orders
+        |FROM c a
+        |WHERE NOT EXISTS (
+        | SELECT 1 FROM c b
+        | WHERE b.spend_cents >= a.spend_cents AND b.n_orders >= a.n_orders
+        |  AND (b.spend_cents > a.spend_cents OR b.n_orders > a.n_orders))
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q168_compaction_plan" ->
+      """WITH f AS (
+        | SELECT strftime(l_shipdate, '%Y-%m') AS part, l_orderkey, l_linenumber,
+        |  l_extendedprice, CAST(round(l_extendedprice) AS BIGINT) AS bytes
+        | FROM lineitem),
+        |b AS (
+        | SELECT part, bytes,
+        |  coalesce(sum(bytes) OVER (PARTITION BY part
+        |   ORDER BY l_orderkey, l_linenumber, l_extendedprice
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4000000 AS bin
+        | FROM f)
+        |SELECT part, CAST(bin AS BIGINT) AS bin, count(*) AS n_files,
+        | CAST(sum(bytes) AS BIGINT) AS bin_bytes
+        |FROM b GROUP BY part, bin
+        |ORDER BY part, bin""".stripMargin,
+
     "q163_summary_routing" ->
       """SELECT event_type, count(*) AS n_events, CAST(sum(user_id) AS BIGINT) AS sum_uid
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

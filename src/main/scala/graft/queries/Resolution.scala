@@ -33,6 +33,20 @@ object Resolution {
   private val PrInit = PrScale / Tables.PackageNameCount
   private val PrFloor = PrScale / 100 * 15 / Tables.PackageNameCount
 
+  /** q165 personalized-PageRank fixed point: same scale, but init/restart
+    * mass splits across the SEED set (2 seeds — divisible by 100×2, so
+    * both are exact integers).
+    */
+  private val PprScale = 6000000000000L
+  private val PprSeeds = 2
+  private val PprInit = PprScale / PprSeeds
+  private val PprFloor = PprScale / 100 * 15 / PprSeeds
+
+  /** q173 HITS: iteration count shared by the Spark loop and the unrolled
+    * oracle; scale bounded so normalize's value×scale stays inside int64.
+    */
+  private val HitsIters = 4
+
   /** Spark-side version-constraint satisfaction over a parsed constraint
     * struct `c` and a package `version` column. `~` is pessimistic-compat:
     * same major AND >= ver. A bare name (op = '') is satisfied by any
@@ -651,7 +665,11 @@ object Resolution {
         .filter(col("alt_idx") === col("win_idx"))
         .groupBy("name", "ordep", "win_idx")
         .agg(count(lit(1)).as("n_providers"),
-          sort_array(collect_set("provider")).as("providers"))
+          // joined to a STRING, not an array column: the driver's oracle
+          // comparator sorts result columns through pandas, and an
+          // array-typed cell is unhashable there (r8 ADVICE) — the
+          // canonical sorted provider list survives as CSV text
+          concat_ws(",", sort_array(collect_set("provider"))).as("providers"))
         .orderBy("name")
     },
 
@@ -1063,6 +1081,111 @@ object Resolution {
           countDistinct("name").as("n_providers"),
           array_join(sort_array(collect_set(col("name"))), ",").as("providers"))
         .orderBy("provides_name")
+    },
+
+    // Personalized PageRank (random walk with restart) — the affinity
+    // complement to q86's global centrality: restart mass returns to the
+    // SEED packages, so rank measures "how much of the graph does THIS
+    // installation's roots lean on". Same bit-exact integer fixed point
+    // as q86 (the oracle unrolls the identical iterations); the seed set
+    // is a broadcast. ppr_fp = 0 ⟺ unreachable from the seeds.
+    "q165_personalized_pagerank" -> { (s, dir) =>
+      import s.implicits._
+      val seeds = Seq("pkg-07", "pkg-21").toDF("name")
+      graft.operators.PageRank.personalized(s, resolvedEdges(s, dir),
+          Tables.packageNames(s, dir).select("name"), seeds, PrIters, PprScale)
+        .join(broadcast(seeds.withColumn("is_seed", lit(1))), Seq("name"), "left")
+        .select(col("name"), col("pr").as("ppr_fp"),
+          coalesce(col("is_seed"), lit(0)).as("is_seed"))
+        .orderBy("name")
+    },
+
+    // HITS hubs & authorities (Kleinberg, public) — the centrality pair
+    // PageRank doesn't give: authorities = packages many hubs point AT
+    // (the depended-upon core), hubs = packages whose dependency lists
+    // point at good authorities (the integrators). Mutual-reinforcement
+    // fixed point in 64-bit integer arithmetic: each half-iteration is
+    // one equi-join + one partial-aggregated sum (the same shape as
+    // PageRank), then an L1 normalization to total mass `scale` via a
+    // broadcast one-row total — integer multiply-then-div, so the oracle
+    // unrolls identical values. Scale chosen so value×scale stays far
+    // inside int64 (values ≤ a few×scale, scale² ≈ 3.6e13).
+    "q173_hits" -> { (s, dir) =>
+      // ONE implementation — operators.Hits — shared with HitsSpec's toy
+      // graphs; fixed iteration count matches the unrolled oracle
+      graft.operators.Hits.run(s, resolvedEdges(s, dir),
+          Tables.packageNames(s, dir).select("name"), HitsIters, 6000000L)
+        .select(col("name"), col("auth").as("auth_fp"), col("hub").as("hub_fp"))
+        .orderBy("name")
+    },
+
+    // Fuzzy name matching (edit distance <= 1) via DELETION-NEIGHBORHOOD
+    // blocking — the FastSS/SymSpell shape (public algorithm), the
+    // "did you mean" layer of the search endpoint and the record-linkage
+    // primitive of a metadata pipeline. Every string generates itself +
+    // its 1-deletion variants (<= len+1 keys, map-only explode); any pair
+    // within edit distance 1 provably shares a variant key (equal /
+    // deletion / insertion / substitution all collide on a common
+    // deletion), so one variant equi-join generates a LOSSLESS candidate
+    // set and levenshtein runs only on candidates — never the name
+    // universe per query. Queries are derived typos (delete / substitute
+    // at an arithmetic position / unchanged), so every edit class is
+    // exercised and the oracle re-derives them and verifies by
+    // brute-force levenshtein.
+    "q172_fuzzy_name_join" -> { (s, dir) =>
+      val nm = Tables.packageNames(s, dir)
+      // typo position p = i % 4 + 2 (1-based, chars 2..5 of "pkg-NN")
+      val qs = nm.select(col("i").as("q_id"),
+        when(pmod(col("i"), lit(3)) === 0,
+            concat(expr("substring(name, 1, i % 4 + 1)"), expr("substring(name, i % 4 + 3)")))
+          .when(pmod(col("i"), lit(3)) === 1,
+            concat(expr("substring(name, 1, i % 4 + 1)"), lit("x"), expr("substring(name, i % 4 + 3)")))
+          .otherwise(col("name")).as("q"))
+      // ONE implementation — the facade's fuzzyJoin — shared with
+      // Round9Spec's losslessness property test
+      val verified = graft.Graft.fuzzyJoin(qs, "q", nm.select("name"), "name")
+      qs.join(verified.groupBy("q_id").agg(
+            count(lit(1)).as("n_matches"),
+            array_join(sort_array(collect_set(col("name"))), ",").as("matches")),
+          Seq("q_id"), "left")
+        .select(col("q_id"), col("q"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("matches"), lit("")).as("matches"))
+        .orderBy("q_id")
+    },
+
+    // `apt upgrade` simulation with holds — the plan a package manager
+    // prints before touching anything: per name, installed = OLDEST
+    // catalog version, candidate = NEWEST (both through the ecosystem
+    // sort key), then policy: held names (i % 7 == 3 — the `apt-mark
+    // hold` set) never move; an upgradable package whose resolution
+    // edges lead to a held dependency is kept back (apt's "have been
+    // kept back"); the rest upgrade. One catalog aggregation + one
+    // broadcast holds join + one edge aggregation — no new shuffle shape.
+    "q170_upgrade_plan" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      val vs = Tables.packages(s, dir)
+        .groupBy("name")
+        .agg(
+          expr("min_by(version, version_sort_key(version))").as("installed"),
+          expr("max_by(version, version_sort_key(version))").as("candidate"))
+      val holds = broadcast(Tables.packageNames(s, dir)
+        .filter(pmod(col("i"), lit(7)) === 3)
+        .select(col("name"), lit(1).as("held")))
+      val heldDeps = resolvedEdges(s, dir)
+        .join(holds.select(col("name").as("dep")), Seq("dep"))
+        .groupBy("name").agg(countDistinct("dep").as("n_held_deps"))
+      vs.join(holds, Seq("name"), "left")
+        .join(heldDeps, Seq("name"), "left")
+        .withColumn("n_held_deps", coalesce(col("n_held_deps"), lit(0L)))
+        .withColumn("action",
+          when(col("installed") === col("candidate"), "current")
+            .when(col("held") === 1, "hold")
+            .when(col("n_held_deps") > 0, "kept_back")
+            .otherwise("upgrade"))
+        .select(col("name"), col("installed"), col("candidate"),
+          col("action"), col("n_held_deps"))
+        .orderBy("name")
     })
 
   /** Oracle CTEs re-derive every relation arithmetically (the Spark side
@@ -1142,6 +1265,48 @@ object Resolution {
          |pr$k AS (
          | SELECT n.name, CAST($PrFloor + (85 * coalesce(c.sc, 0)) // 100 AS BIGINT) AS pr
          | FROM nm n LEFT JOIN c$k c USING (name))""".stripMargin
+    }.mkString(",\n")
+
+  /** Unrolled personalized-PageRank iterations for the q165 oracle — the
+    * restart floor lands only on seed rows (requires nm, outdeg, edges,
+    * seeds CTEs in scope). Same `//` ≡ `div` integer arithmetic as
+    * [[prUnrolled]].
+    */
+  private def pprUnrolled(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""pc$k AS (
+         | SELECT e.dep AS name, sum(p.pr // o.od) AS sc
+         | FROM ppr${k - 1} p JOIN outdeg o USING (name) JOIN edges e ON e.name = p.name
+         | GROUP BY e.dep),
+         |ppr$k AS (
+         | SELECT n.name,
+         |  CAST(CASE WHEN s.name IS NOT NULL THEN $PprFloor ELSE 0 END
+         |   + (85 * coalesce(c.sc, 0)) // 100 AS BIGINT) AS pr
+         | FROM nm n LEFT JOIN seeds s ON s.name = n.name
+         | LEFT JOIN pc$k c ON c.name = n.name)""".stripMargin
+    }.mkString(",\n")
+
+  /** Unrolled HITS half-iterations for the q173 oracle (requires nm +
+    * edges in scope): raw sums MATERIALIZED so the L1-total scalar
+    * subquery reads one small relation instead of re-expanding the chain.
+    * Same integer multiply-then-div normalization as the Spark loop.
+    */
+  private def hitsUnrolled(iters: Int, scale: Long): String =
+    (1 to iters).map { k =>
+      s"""ar$k AS MATERIALIZED (
+         | SELECT e.dep AS name, sum(h.hub) AS v
+         | FROM h${k - 1} h JOIN edges e ON e.name = h.name GROUP BY e.dep),
+         |a$k AS MATERIALIZED (
+         | SELECT n.name,
+         |  CAST(coalesce(r.v, 0) * $scale // (SELECT sum(v) FROM ar$k) AS BIGINT) AS auth
+         | FROM nm n LEFT JOIN ar$k r USING (name)),
+         |hr$k AS MATERIALIZED (
+         | SELECT e.name AS name, sum(a.auth) AS v
+         | FROM a$k a JOIN edges e ON e.dep = a.name GROUP BY e.name),
+         |h$k AS MATERIALIZED (
+         | SELECT n.name,
+         |  CAST(coalesce(r.v, 0) * $scale // (SELECT sum(v) FROM hr$k) AS BIGINT) AS hub
+         | FROM nm n LEFT JOIN hr$k r USING (name))""".stripMargin
     }.mkString(",\n")
 
   /** Unrolled Bellman-Ford relax rounds for the q147 oracle (DuckDB's
@@ -1588,7 +1753,7 @@ object Resolution {
         | FROM sat s JOIN win w ON s.name = w.name AND s.alt_idx = w.win_idx)
         |SELECT o.name, o.ordep, c.win_idx,
         | CAST(count(*) AS BIGINT) AS n_providers,
-        | list(c.provider ORDER BY c.provider) AS providers
+        | string_agg(c.provider, ',' ORDER BY c.provider) AS providers
         |FROM og o JOIN ch c ON c.name = o.name
         |GROUP BY o.name, o.ordep, c.win_idx
         |ORDER BY o.name""".stripMargin),
@@ -1652,6 +1817,82 @@ object Resolution {
         | SELECT e.name, r.depth + 1 FROM edges e JOIN r ON e.dep = r.name WHERE r.depth < 60)
         |SELECT name, CAST(min(depth) AS INTEGER) AS depth
         |FROM r GROUP BY name ORDER BY name""".stripMargin),
+
+    "q165_personalized_pagerank" -> sub(s"""WITH --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |nm AS (SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name FROM idx),
+        |seeds(name) AS (VALUES ('pkg-07'), ('pkg-21')),
+        |outdeg AS (SELECT name, count(*) AS od FROM edges GROUP BY name),
+        |ppr0 AS (
+        | SELECT n.name,
+        |  CAST(CASE WHEN s.name IS NOT NULL THEN $PprInit ELSE 0 END AS BIGINT) AS pr
+        | FROM nm n LEFT JOIN seeds s ON s.name = n.name),
+        |${pprUnrolled(PrIters)}
+        |SELECT p.name, p.pr AS ppr_fp,
+        | CAST(CASE WHEN s.name IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_seed
+        |FROM ppr$PrIters p LEFT JOIN seeds s ON s.name = p.name
+        |ORDER BY p.name""".stripMargin),
+
+    "q173_hits" -> sub(s"""WITH --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |nm AS (SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name FROM idx),
+        |h0 AS (SELECT name, CAST(${6000000L / Tables.PackageNameCount} AS BIGINT) AS hub FROM nm),
+        |${hitsUnrolled(HitsIters, 6000000L)}
+        |SELECT a.name, a.auth AS auth_fp, h.hub AS hub_fp
+        |FROM a$HitsIters a JOIN h$HitsIters h USING (name)
+        |ORDER BY a.name""".stripMargin),
+
+    "q172_fuzzy_name_join" -> sub("""WITH --IDX--,
+        |nm AS (SELECT i, 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name FROM idx),
+        |qs AS (
+        | SELECT CAST(i AS INTEGER) AS q_id,
+        |  CASE i % 3
+        |   WHEN 0 THEN substr(name, 1, i % 4 + 1) || substr(name, i % 4 + 3)
+        |   WHEN 1 THEN substr(name, 1, i % 4 + 1) || 'x' || substr(name, i % 4 + 3)
+        |   ELSE name END AS q
+        | FROM nm),
+        |m AS (
+        | SELECT s.q_id, s.q, n.name
+        | FROM qs s JOIN nm n ON levenshtein(s.q, n.name) <= 1)
+        |SELECT q_id, q, CAST(count(*) AS BIGINT) AS n_matches,
+        | string_agg(name, ',' ORDER BY name) AS matches
+        |FROM m GROUP BY q_id, q
+        |ORDER BY q_id""".stripMargin),
+
+    "q170_upgrade_plan" -> sub("""WITH --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |ranked AS (
+        | SELECT name, version,
+        |  row_number() OVER (PARTITION BY name ORDER BY vmaj, vmin, vpat, vrel) AS rn_asc,
+        |  row_number() OVER (PARTITION BY name ORDER BY vmaj DESC, vmin DESC, vpat DESC, vrel DESC) AS rn_desc
+        | FROM pkg),
+        |vs AS (
+        | SELECT lo.name, lo.version AS installed, hi.version AS candidate
+        | FROM ranked lo JOIN ranked hi ON lo.name = hi.name AND lo.rn_asc = 1 AND hi.rn_desc = 1),
+        |holds AS (SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name FROM idx WHERE i % 7 = 3),
+        |hd AS (
+        | SELECT e.name, count(DISTINCT e.dep) AS n_held_deps
+        | FROM edges e JOIN holds h ON h.name = e.dep
+        | GROUP BY e.name)
+        |SELECT v.name, v.installed, v.candidate,
+        | CASE WHEN v.installed = v.candidate THEN 'current'
+        |      WHEN h.name IS NOT NULL THEN 'hold'
+        |      WHEN coalesce(d.n_held_deps, 0) > 0 THEN 'kept_back'
+        |      ELSE 'upgrade' END AS action,
+        | CAST(coalesce(d.n_held_deps, 0) AS BIGINT) AS n_held_deps
+        |FROM vs v
+        |LEFT JOIN holds h ON h.name = v.name
+        |LEFT JOIN hd d ON d.name = v.name
+        |ORDER BY v.name""".stripMargin),
 
     "q86_pagerank" -> sub(s"""WITH --IDX--,
         |--PKG--,

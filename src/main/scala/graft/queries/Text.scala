@@ -47,9 +47,20 @@ object Text {
     * per (session, dir) since three judged queries consume it.
     */
   private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    Shingles.pairsFrame(s, dir)(buildJaccardPairs(s, dir))
+    rawShinglePairs(s, dir)
+      .withColumn("jaccard", col("common") / (col("sz1") + col("sz2") - col("common")))
+      .filter(col("jaccard") >= 0.6)
+      .select("d1", "d2", "common", "sz1", "sz2", "jaccard")
 
-  private def buildJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  /** The MEMOIZED frame is now the pre-threshold candidate-pair relation
+    * (d1, d2, common, sz1, sz2): q41/q69/q74 derive the >= 0.6 pairs from
+    * it with a free filter, and q176's calibration histogram reads the
+    * whole similarity landscape from the same one materialization.
+    */
+  private[graft] def rawShinglePairs(s: SparkSession, dir: String): DataFrame =
+    Shingles.pairsFrame(s, dir)(buildRawPairs(s, dir))
+
+  private def buildRawPairs(s: SparkSession, dir: String): DataFrame = {
     // one shared materialization (Shingles.frame) feeds both join sides
     // and the size table — and is reused by q42/q43 in the same session.
     val hk = Shingles.frame(s, dir).select(col("doc_id"), col("hk"))
@@ -68,9 +79,7 @@ object Text {
     pairs
       .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
-      .withColumn("jaccard", col("common") / (col("sz1") + col("sz2") - col("common")))
-      .filter(col("jaccard") >= 0.6)
-      .select("d1", "d2", "common", "sz1", "sz2", "jaccard")
+      .select("d1", "d2", "common", "sz1", "sz2")
   }
 
   /** q157's prefix-filtered pipeline over ANY (doc_id, hk) element frame —
@@ -149,6 +158,76 @@ object Text {
     "q157_prefix_filter_join" -> { (s, dir) =>
       prefixFilterPairs(Shingles.frame(s, dir).select(col("doc_id"), col("hk")))
         .orderBy("d1", "d2")
+    },
+
+    // Connected components on an ADVERSARIAL long-chain graph via the
+    // alternating large-star/small-star operator (Kiveris et al. SoCC'14;
+    // operators/Components.connectedStars). Near-dup pair graphs (q69) are
+    // dense tiny-diameter clusters where plain label propagation wins;
+    // this fixture is the OTHER regime — each source's documents chained
+    // in doc_id order, so component diameter grows linearly with corpus
+    // size and propagation would need diameter rounds, while the star
+    // rounds contract paths doubly-exponentially (O(log d) driver
+    // round-trips at any scale). The oracle re-derives the components
+    // arithmetically (a chain's component is its source's min doc_id) —
+    // no recursion needed, so the check is independent of any graph
+    // algorithm.
+    "q164_components_stars" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "source")
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val edges = docs.withColumn("nxt", lead("doc_id", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id").as("src"), col("nxt").as("dst"))
+      val comp = _root_.graft.operators.Components.connectedStars(s, edges)
+        .select(col("id").as("doc_id"), col("comp"))
+      val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      docs.join(comp, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
+        .join(sizes.withColumnRenamed("comp", "cluster_id"), Seq("cluster_id"), "left")
+        .select(col("doc_id"), col("cluster_id"),
+          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+        .orderBy("doc_id")
+    },
+
+    // Exact-substring eval decontamination — the sharper sibling of q81's
+    // shingle-overlap screen: an eval row is contaminated iff its probe
+    // span appears VERBATIM in some other document. Probe spans (25 chars
+    // from offset 11 of every doc_id % 101 == 7 document) are derived
+    // in-plan and flow through the DataFrame needle variant of the q105
+    // trigram index (Graft.substringSearchDF): rarest-k posting probe,
+    // contains() verify on candidates only — never a per-needle corpus
+    // scan. The oracle verifies by brute-force contains() over the full
+    // cross product (independent of the index).
+    "q171_exact_decontamination" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val evals = docs
+        .filter(pmod(col("doc_id"), lit(101)) === 7 && length(col("text")) >= 35)
+        .select(col("doc_id").as("eval_id"), substring(col("text"), 11, 25).as("needle"))
+      val hits = _root_.graft.Graft.substringSearchDF(docs, evals.select("needle"))
+      // left join keeps clean evals; the self-hit (every needle matches
+      // its own eval doc) maps to null rather than being filtered, so an
+      // eval whose ONLY match is itself still groups to a zero-count row
+      evals.join(hits, Seq("needle"), "left")
+        .withColumn("hit", when(col("doc_id") =!= col("eval_id"), col("doc_id")))
+        .groupBy("eval_id", "needle")
+        .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
+          coalesce(min("hit"), lit(-1L)).as("first_hit"))
+        .orderBy("eval_id")
+    },
+
+    // Similarity-threshold calibration histogram — the measurement that
+    // justifies the 0.6 everywhere else: bucket EVERY candidate pair (any
+    // shared shingle, pre-threshold) by integer-decile Jaccard and count.
+    // The dedup operator's main tuning knob stops being folklore: the
+    // curve shows where the near-dup mass actually sits. Free at the
+    // margin — it reads the SAME memoized raw-pair frame q41/q69/q74
+    // filter, adding one 11-bucket aggregation.
+    "q176_similarity_histogram" -> { (s, dir) =>
+      rawShinglePairs(s, dir)
+        .withColumn("bucket", expr("(10 * common) div (sz1 + sz2 - common)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"), sum("common").as("sum_common"))
+        .orderBy("bucket")
     },
 
     // Cluster assignment over the near-dup pair graph (VERDICT r3 item 2):
@@ -561,6 +640,40 @@ object Text {
     sql.replace("--SH--", ShCte).replace("--PAIRS--", PairsCte)
 
   val oracles: Seq[(String, String)] = Seq(
+    // chain components re-derived arithmetically: every source's docs form
+    // one chain, so the component IS the source's min doc_id — the check
+    // never runs a graph algorithm
+    "q164_components_stars" ->
+      """SELECT doc_id,
+        | min(doc_id) OVER (PARTITION BY source) AS cluster_id,
+        | count(*) OVER (PARTITION BY source) AS cluster_size
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q176_similarity_histogram" -> sub("""WITH --SH--,
+        |--PAIRS--
+        |SELECT (10 * p.common) // (s1.sz + s2.sz - p.common) AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(p.common) AS BIGINT) AS sum_common
+        |FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id JOIN sizes s2 ON p.d2 = s2.doc_id
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin),
+
+    // brute-force contains() verify, independent of the trigram index
+    "q171_exact_decontamination" ->
+      """WITH ev AS (
+        | SELECT doc_id AS eval_id, substr(text, 11, 25) AS needle
+        | FROM documents WHERE doc_id % 101 = 7 AND length(text) >= 35),
+        |m AS (
+        | SELECT e.eval_id, e.needle, d.doc_id
+        | FROM ev e JOIN documents d
+        | ON contains(d.text, e.needle) AND d.doc_id <> e.eval_id)
+        |SELECT e.eval_id, e.needle,
+        | CAST(count(m.doc_id) AS BIGINT) AS n_contaminated,
+        | CAST(coalesce(min(m.doc_id), -1) AS BIGINT) AS first_hit
+        |FROM ev e LEFT JOIN m ON m.eval_id = e.eval_id AND m.needle = e.needle
+        |GROUP BY e.eval_id, e.needle
+        |ORDER BY e.eval_id""".stripMargin,
+
     "q40_exact_dedup_groups" ->
       """SELECT md5(lower(trim(text))) AS fp, count(*) AS n_docs,
         | min(doc_id) AS canonical_doc, count(DISTINCT lang) AS n_langs
