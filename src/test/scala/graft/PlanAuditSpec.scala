@@ -28,6 +28,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "cartesian product in star join!")
   }
 
+  test("q02: with broadcast unavailable the star join degrades to SortMergeJoin, never a nested loop") {
+    // the 100 TB regime: when no side fits in memory, every equi-join must
+    // take the shuffle-sort-merge path — a BroadcastNestedLoopJoin here
+    // would mean a join lost its equi keys and only worked because the
+    // fixture dims happened to broadcast. newSession() inherits the conf
+    // but isolates the override from every other suite.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = SparkEntry.queries("q02_revenue_by_nation")(s2, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected sort-merge joins:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "a join degraded to a nested loop without broadcast")
+  }
+
   test("q01: scan schema is pruned to referenced columns only") {
     val p = plan("q01_pricing_summary")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

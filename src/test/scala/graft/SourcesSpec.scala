@@ -27,6 +27,21 @@ class SourcesSpec extends AnyFunSuite {
       docs.agg(sum("n_chars")).head().getLong(0))
   }
 
+  test("S1+: parquet schema evolution — mergeSchema unions generations, old rows null-fill") {
+    // an incrementally-ingested store accretes columns across snapshot
+    // generations; the read path must union the schemas instead of
+    // failing or silently dropping the new column
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a1")).toDF("id", "a").write.parquet(s"$out/gen=1")
+    Seq((2L, "a2", 20L)).toDF("id", "a", "b").write.parquet(s"$out/gen=2")
+    val df = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(df.columns.toSet == Set("id", "a", "b", "gen"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getAs[Any]("b") == null, "pre-evolution rows must null-fill")
+    assert(rows(1).getAs[Long]("b") == 20L)
+  }
+
   test("S6+: ORC sink/source roundtrip with predicate pushdown") {
     val out = Files.createTempDirectory("graft_orc").toString
     val docs = Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
