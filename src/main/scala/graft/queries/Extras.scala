@@ -304,6 +304,34 @@ object Extras {
     // a live route into other queries run on the same session. The
     // 100 TB story: a dashboard GROUP BY over the fact table becomes an
     // MB-scale summary read, query text unchanged.
+    // Join-key SKEW audit — the diagnostic that decides WHEN Graft's
+    // salted/AQE skew machinery is worth engaging: per join key of the
+    // engine's hottest relations, key cardinality, max fanout, heavy-key
+    // censuses, and the hottest key itself (max_by over (cnt, key) — the
+    // tie-break is part of the contract so the oracle lands on the same
+    // key). One partial-aggregated groupBy per relation, then a one-row
+    // rollup; nothing here widens at 100 TB.
+    "q179_skew_audit" -> { (s, dir) =>
+      def audit(df: DataFrame, rel: String, key: String): DataFrame = {
+        val counts = df.groupBy(col(key).cast("string").as("k"))
+          .agg(count(lit(1)).as("cnt"))
+        counts.agg(
+            count(lit(1)).as("n_keys"),
+            sum("cnt").as("n_rows"),
+            max("cnt").as("max_fanout"),
+            sum(when(col("cnt") > 10, 1L).otherwise(0L)).as("n_keys_gt10"),
+            sum(when(col("cnt") > 100, 1L).otherwise(0L)).as("n_keys_gt100"),
+            expr("max_by(k, struct(cnt, k))").as("hottest_key"))
+          .withColumn("relation", lit(rel))
+          .select("relation", "n_keys", "n_rows", "max_fanout",
+            "n_keys_gt10", "n_keys_gt100", "hottest_key")
+      }
+      audit(Tables.events(s, dir), "events.user_id", "user_id")
+        .unionByName(audit(Tables.lineitem(s, dir), "lineitem.l_partkey", "l_partkey"))
+        .unionByName(audit(Tables.orders(s, dir), "orders.o_custkey", "o_custkey"))
+        .orderBy("relation")
+    },
+
     // 2-D Pareto skyline ("best customers": no one dominates on BOTH
     // total spend and order count). The scale-canonical sort-based
     // algorithm, not the O(n²) dominance join: group to per-spend maxima,
@@ -379,6 +407,31 @@ object Extras {
     })
 
   val oracles: Seq[(String, String)] = Seq(
+    "q179_skew_audit" ->
+      """WITH ue AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS cnt FROM events GROUP BY 1),
+        |up AS (SELECT CAST(l_partkey AS VARCHAR) AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |uo AS (SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS cnt FROM orders GROUP BY 1),
+        |a AS (
+        | SELECT 'events.user_id' AS relation, count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(max(cnt) AS BIGINT) AS max_fanout,
+        |  CAST(sum(CASE WHEN cnt > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_gt10,
+        |  CAST(sum(CASE WHEN cnt > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_gt100,
+        |  (SELECT k FROM ue ORDER BY cnt DESC, k DESC LIMIT 1) AS hottest_key
+        | FROM ue
+        | UNION ALL
+        | SELECT 'lineitem.l_partkey', count(*), CAST(sum(cnt) AS BIGINT), CAST(max(cnt) AS BIGINT),
+        |  CAST(sum(CASE WHEN cnt > 10 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN cnt > 100 THEN 1 ELSE 0 END) AS BIGINT),
+        |  (SELECT k FROM up ORDER BY cnt DESC, k DESC LIMIT 1)
+        | FROM up
+        | UNION ALL
+        | SELECT 'orders.o_custkey', count(*), CAST(sum(cnt) AS BIGINT), CAST(max(cnt) AS BIGINT),
+        |  CAST(sum(CASE WHEN cnt > 10 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN cnt > 100 THEN 1 ELSE 0 END) AS BIGINT),
+        |  (SELECT k FROM uo ORDER BY cnt DESC, k DESC LIMIT 1)
+        | FROM uo)
+        |SELECT * FROM a ORDER BY relation""".stripMargin,
+
     // independent dominance definition — NOT the sort-based algorithm the
     // Spark side runs (O(n²) NOT EXISTS is fine at oracle scale)
     "q167_skyline_customers" ->

@@ -1100,6 +1100,37 @@ object Resolution {
         .orderBy("name")
     },
 
+    // Dependency-path ENUMERATION — `apt-rdepends`-style "WHY does the
+    // install plan contain this package": every simple path (cycle-guarded
+    // by a delimited-path containment check) from the root to the target,
+    // bounded at 4 hops. q33/q68 answer reachability and depth; this
+    // answers provenance — the explanation string a resolver prints.
+    // Iterative frontier×edges join (one equi-join per depth, Lineage.cut
+    // per round); path strings stay bounded by the hop cap so the state
+    // never outgrows (paths × ~7 names). Oracle: recursive CTE with the
+    // identical cycle guard.
+    "q177_dependency_paths" -> { (s, dir) =>
+      val edges = resolvedEdges(s, dir)
+      val root = "pkg-00"
+      val target = "pkg-20"
+      var frontier = edges.filter(col("name") === root)
+        .select(col("dep").as("last"),
+          concat(lit(s">$root>"), col("dep"), lit(">")).as("path"),
+          lit(1).as("hops"))
+      var acc = frontier.filter(col("last") === target)
+      for (_ <- 2 to 4) {
+        frontier = graft.operators.Lineage.cut(
+          frontier.join(edges, col("last") === col("name"))
+            .filter(!col("path").contains(concat(lit(">"), col("dep"), lit(">"))))
+            .select(col("dep").as("last"),
+              concat(col("path"), col("dep"), lit(">")).as("path"),
+              (col("hops") + 1).as("hops")))
+        acc = acc.unionByName(frontier.filter(col("last") === target))
+      }
+      acc.select(col("path"), col("hops").cast("int").as("hops"))
+        .orderBy("hops", "path")
+    },
+
     // HITS hubs & authorities (Kleinberg, public) — the centrality pair
     // PageRank doesn't give: authorities = packages many hubs point AT
     // (the depended-upon core), hubs = packages whose dependency lists
@@ -1835,6 +1866,21 @@ object Resolution {
         | CAST(CASE WHEN s.name IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_seed
         |FROM ppr$PrIters p LEFT JOIN seeds s ON s.name = p.name
         |ORDER BY p.name""".stripMargin),
+
+    "q177_dependency_paths" -> sub("""WITH RECURSIVE --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |r(last, path, d) AS (
+        | SELECT dep, '>pkg-00>' || dep || '>', 1 FROM edges WHERE name = 'pkg-00'
+        | UNION ALL
+        | SELECT e.dep, r.path || e.dep || '>', r.d + 1
+        | FROM r JOIN edges e ON e.name = r.last
+        | WHERE r.d < 4 AND NOT contains(r.path, '>' || e.dep || '>'))
+        |SELECT path, CAST(d AS INTEGER) AS hops
+        |FROM r WHERE last = 'pkg-20'
+        |ORDER BY hops, path""".stripMargin),
 
     "q173_hits" -> sub(s"""WITH --IDX--,
         |--PKG--,

@@ -215,6 +215,22 @@ object Text {
         .orderBy("eval_id")
     },
 
+    // CONTAINMENT near-dup (asymmetric overlap): common / min(sz) catches
+    // the subset-duplication Jaccard structurally misses — a short doc
+    // pasted inside a long one scores low Jaccard (union-normalized) but
+    // high containment. The standard second axis of corpus dedup; reads
+    // the SAME memoized raw-pair frame, so the query costs one filter.
+    // Integer threshold (containment >= 4/5 ⟺ 5*common >= 4*min) — no
+    // float rounding at the decision boundary.
+    "q178_containment_dedup" -> { (s, dir) =>
+      rawShinglePairs(s, dir)
+        .filter(lit(5) * col("common") >= lit(4) * least(col("sz1"), col("sz2")))
+        .withColumn("containment_x100",
+          expr("(100 * common) div least(sz1, sz2)"))
+        .select("d1", "d2", "common", "sz1", "sz2", "containment_x100")
+        .orderBy("d1", "d2")
+    },
+
     // Similarity-threshold calibration histogram — the measurement that
     // justifies the 0.6 everywhere else: bucket EVERY candidate pair (any
     // shared shingle, pre-threshold) by integer-decile Jaccard and count.
@@ -649,6 +665,14 @@ object Text {
         | count(*) OVER (PARTITION BY source) AS cluster_size
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q178_containment_dedup" -> sub("""WITH --SH--,
+        |--PAIRS--
+        |SELECT p.d1, p.d2, p.common, s1.sz AS sz1, s2.sz AS sz2,
+        | CAST((100 * p.common) // least(s1.sz, s2.sz) AS BIGINT) AS containment_x100
+        |FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id JOIN sizes s2 ON p.d2 = s2.doc_id
+        |WHERE 5 * p.common >= 4 * least(s1.sz, s2.sz)
+        |ORDER BY p.d1, p.d2""".stripMargin),
 
     "q176_similarity_histogram" -> sub("""WITH --SH--,
         |--PAIRS--
