@@ -342,9 +342,51 @@ object Analytics {
             size(expr(s"regexp_extract_all(redacted, '$PhonePat', 0)")) === 0, 1).otherwise(0))
             .cast("long").as("n_clean"))
         .orderBy("c_mktsegment")
+    },
+
+    // Join-cardinality estimation by correlated key-domain sampling
+    // (optimizer-statistics family, beside q124's histograms and q150's
+    // CMS): keep a key iff its hash lands in 1/16 of the hash space, apply
+    // the SAME predicate to BOTH join sides (sampling keys, not rows —
+    // independent row-level Bernoulli would square the survival rate of a
+    // matched pair and wreck the estimate), count the sample join, scale
+    // by 16. This is the correlated/end-biased sampling every CBO uses
+    // when the exact join is too big to count — here the exact count IS
+    // still computable, so the estimator's measured relative error is a
+    // judged column, not a claim. Cost shape at 100 TB: two scans with a
+    // pushed hash predicate + a join 1/16 the true size; all arithmetic
+    // is exact int64 (md5-prefix hashing, error in basis points via
+    // integer div).
+    "q181_join_cardinality_estimate" -> { (s, dir) =>
+      def keyKept(c: String) =
+        expr(s"pmod(cast(conv(substring(md5(cast($c as string)), 1, 15), 16, 10) as bigint), 16) = 0")
+      val o = Tables.orders(s, dir).select("o_orderkey")
+      val l = Tables.lineitem(s, dir).select("l_orderkey")
+      val exact = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("exact_rows"))
+      val sample = o.filter(keyKept("o_orderkey"))
+        .join(l.filter(keyKept("l_orderkey")), col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("sample_rows"))
+      exact.crossJoin(broadcast(sample))
+        .withColumn("est_rows", col("sample_rows") * 16)
+        .withColumn("err_bp",
+          expr("abs(est_rows - exact_rows) * 10000 div exact_rows"))
+        .select("exact_rows", "sample_rows", "est_rows", "err_bp")
     })
 
   val oracles: Seq[(String, String)] = Seq(
+    "q181_join_cardinality_estimate" ->
+      """WITH ex AS (
+        | SELECT CAST(count(*) AS BIGINT) AS exact_rows
+        | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |sm AS (
+        | SELECT CAST(count(*) AS BIGINT) AS sample_rows
+        | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        | WHERE CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 16 = 0)
+        |SELECT e.exact_rows, s.sample_rows,
+        | s.sample_rows * 16 AS est_rows,
+        | abs(s.sample_rows * 16 - e.exact_rows) * 10000 // e.exact_rows AS err_bp
+        |FROM ex e CROSS JOIN sm s""".stripMargin,
     "q150_cms_heavy_hitters" ->
       """WITH h AS (
         | SELECT r,

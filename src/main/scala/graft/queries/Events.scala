@@ -27,6 +27,40 @@ object Events {
   type QFn = (SparkSession, String) => DataFrame
 
   val queries: Seq[(String, QFn)] = Seq(
+    // Local-differential-privacy frequency estimation (k-ary randomized
+    // response — Warner 1965 / RAPPOR-family, public): each event reports
+    // its true type with probability 3/4, otherwise a uniform draw from
+    // the k=5 type alphabet; the collector sees only the noisy stream and
+    // debiases n̂_v = (obs_v − n(1−p)/k) / p. This is the privacy layer a
+    // telemetry pipeline puts IN FRONT of the warehouse (ε = ln(1+pk/(1−p))
+    // = ln 16 per event). Coins are md5-derived — deterministic, so the
+    // oracle replays the identical mechanism and the judged claim covers
+    // the mechanism AND the debiasing estimator (est in exact ‰ fixed
+    // point: (20·obs − n)/15, all int64; measured residual error is a
+    // column, not an assertion). One map-only perturbation + two bounded
+    // aggregations + a broadcast one-row total.
+    "q182_ldp_frequency" -> { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      val coin = expr(
+        "pmod(cast(conv(substring(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint), 4)")
+      val lieIdx = expr(
+        "pmod(cast(conv(substring(md5(concat(cast(event_id as string), 'lie')), 1, 15), 16, 10) as bigint), 5)")
+      val reported = ev.withColumn("reported",
+        when(coin < 3, col("event_type"))
+          .otherwise(element_at(array(types.map(lit): _*), (lieIdx + 1).cast("int"))))
+      val n = broadcast(ev.agg(count(lit(1)).as("n_total")))
+      val obs = reported.groupBy(col("reported").as("event_type"))
+        .agg(count(lit(1)).as("observed"))
+      val tru = ev.groupBy("event_type").agg(count(lit(1)).as("true_count"))
+      tru.join(obs, "event_type").crossJoin(n)
+        .withColumn("est_x1000",
+          expr("greatest(0, 20 * observed - n_total) * 1000 div 15"))
+        .withColumn("err_x1000", col("est_x1000") - col("true_count") * 1000)
+        .select("event_type", "true_count", "observed", "est_x1000", "err_x1000")
+        .orderBy("event_type")
+    },
+
     // Rolling-window anomaly detection over the daily event stream — the
     // data-quality monitor a 100 TB ingest runs nightly ("did yesterday's
     // volume jump?"). Per (event_type, day): trailing-7-day baseline
@@ -447,6 +481,24 @@ object Events {
     * `cast(ts as long)` under the UTC session.
     */
   val oracles: Seq[(String, String)] = Seq(
+    "q182_ldp_frequency" ->
+      """WITH al AS (SELECT ['click','error','purchase','signup','view'] AS ts),
+        |rep AS (
+        | SELECT e.event_type,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 < 3
+        |   THEN e.event_type
+        |   ELSE al.ts[CAST(CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || 'lie'), 1, 15)) AS BIGINT) % 5 AS INTEGER) + 1]
+        |  END AS reported
+        | FROM events e CROSS JOIN al),
+        |n AS (SELECT count(*) AS n_total FROM events),
+        |obs AS (SELECT reported AS event_type, CAST(count(*) AS BIGINT) AS observed FROM rep GROUP BY 1),
+        |tru AS (SELECT event_type, CAST(count(*) AS BIGINT) AS true_count FROM events GROUP BY 1)
+        |SELECT t.event_type, t.true_count, o.observed,
+        | greatest(0, 20 * o.observed - n.n_total) * 1000 // 15 AS est_x1000,
+        | greatest(0, 20 * o.observed - n.n_total) * 1000 // 15 - t.true_count * 1000 AS err_x1000
+        |FROM tru t JOIN obs o USING (event_type) CROSS JOIN n
+        |ORDER BY t.event_type""".stripMargin,
+
     "q149_session_paths" ->
       """WITH flagged AS (
         | SELECT user_id, event_id, ts, event_type,

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.functions.GraftFunctions
@@ -46,6 +47,12 @@ object Resolution {
     * oracle; scale bounded so normalize's value×scale stays inside int64.
     */
   private val HitsIters = 4
+
+  /** q187 label propagation: fixed synchronous round count, shared by the
+    * Spark loop and the unrolled oracle (fixed rounds + deterministic
+    * tie-break = exact judged output; convergence is not assumed).
+    */
+  private val LpaRounds = 4
 
   /** Spark-side version-constraint satisfaction over a parsed constraint
     * struct `c` and a package `version` column. `~` is pessimistic-compat:
@@ -1217,6 +1224,71 @@ object Resolution {
         .select(col("name"), col("installed"), col("candidate"),
           col("action"), col("n_held_deps"))
         .orderBy("name")
+    },
+
+    // Pure-SQL RECURSIVE closure — Spark 4's native `WITH RECURSIVE`
+    // (analyzed by ResolveWithCTE, executed by UnionLoopExec): the
+    // dependency walk arrives as SQL TEXT over a registered edge view,
+    // with NO driver-side loop anywhere — the engine itself iterates the
+    // anchor∪step plan until the frontier empties. This is the SQL-parity
+    // twin of q33's DataFrame BFS and the second half of the q132 ad-hoc
+    // endpoint story: a reference user can POST a recursive graph query
+    // as text. Depth-bounded walk enumeration (the recursion is UNION ALL
+    // on both engines, so cycles terminate via the depth guard, and
+    // `n_walks` — the bounded-walk count — is judged alongside min-depth
+    // reachability. Edge universe is the memoized resolution frame.
+    "q180_sql_recursive_closure" -> { (s, dir) =>
+      resolvedEdges(s, dir).createOrReplaceTempView("v_res_edges")
+      s.sql("""
+        WITH RECURSIVE reach AS (
+          SELECT 'pkg-00' AS name, 0 AS depth
+          UNION ALL
+          SELECT e.dep AS name, r.depth + 1 AS depth
+          FROM reach r JOIN v_res_edges e ON e.name = r.name
+          WHERE r.depth < 6)
+        SELECT name, CAST(min(depth) AS INT) AS depth,
+               CAST(count(*) AS BIGINT) AS n_walks
+        FROM reach
+        GROUP BY name
+        ORDER BY name""")
+    },
+
+    // Community detection via synchronous label propagation (Raghavan et
+    // al. 2007, public) — the graph-clustering operator beside components
+    // (q69: connectivity) and PageRank (q86: centrality): densely
+    // interconnected dependency neighborhoods converge onto one label.
+    // FIXED round count + deterministic tie-break (most-frequent neighbor
+    // label, ties to the lexicographically smallest) make the judged
+    // output exact — the oracle unrolls the identical rounds. Each round
+    // is one edge⋈label equi-join + one (node,label) count + one
+    // row_number pick — all hash-partitioned on the node key; per-round
+    // Lineage.cut keeps the iterated plan flat, the same discipline as
+    // every other fixed-point loop in the module. Undirected view of the
+    // memoized resolution edges; isolated nodes keep their own label.
+    "q187_label_propagation" -> { (s, dir) =>
+      val e0 = resolvedEdges(s, dir).filter(col("name") =!= col("dep"))
+      val und = e0.select(col("name").as("src"), col("dep").as("dst"))
+        .unionByName(e0.select(col("dep").as("src"), col("name").as("dst")))
+        .distinct()
+      var labels = Tables.packageNames(s, dir).select("name")
+        .withColumn("label", col("name"))
+      for (_ <- 1 to LpaRounds) {
+        val nb = und.join(labels.select(col("name").as("dst"), col("label")), Seq("dst"))
+          .select(col("src").as("name"), col("label"))
+        val cnt = nb.groupBy("name", "label").agg(count(lit(1)).as("cnt"))
+        val pick = cnt
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("name").orderBy(desc("cnt"), col("label"))))
+          .filter(col("rn") === 1)
+          .select(col("name"), col("label").as("new_label"))
+        labels = graft.operators.Lineage.cut(
+          labels.join(pick, Seq("name"), "left")
+            .select(col("name"), coalesce(col("new_label"), col("label")).as("label")))
+      }
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
+      labels.join(sizes, "label")
+        .select(col("name"), col("label").as("community"), col("community_size"))
+        .orderBy("name")
     })
 
   /** Oracle CTEs re-derive every relation arithmetically (the Spark side
@@ -1373,6 +1445,30 @@ object Resolution {
          | JOIN a${r - 1} x ON x.name = u.name
          | JOIN a${r - 1} y ON y.name = u.dep
          | GROUP BY u.name HAVING count(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+
+  /** Unrolled synchronous label-propagation rounds for the q187 oracle
+    * (requires nm + u — undirected edges — CTEs in scope): round k picks
+    * each node's most-frequent neighbor label from round k-1, ties to the
+    * smallest label, keeping the old label when a node has no neighbors.
+    * Every round is MATERIALIZED — l{k-1} feeds both the neighbor join
+    * and the keep-old fallback, and CTE inlining would double the plan
+    * per round.
+    */
+  private def lpaUnrolled(rounds: Int): String =
+    (1 to rounds).map { k =>
+      s"""ct$k AS MATERIALIZED (
+         | SELECT u.src AS name, l.label, count(*) AS cnt
+         | FROM u JOIN l${k - 1} l ON l.name = u.dst
+         | GROUP BY u.src, l.label),
+         |pk$k AS MATERIALIZED (
+         | SELECT name, label FROM (
+         |  SELECT name, label,
+         |   row_number() OVER (PARTITION BY name ORDER BY cnt DESC, label) AS rn
+         |  FROM ct$k) WHERE rn = 1),
+         |l$k AS MATERIALIZED (
+         | SELECT l.name, coalesce(p.label, l.label) AS label
+         | FROM l${k - 1} l LEFT JOIN pk$k p USING (name))""".stripMargin
     }.mkString(",\n")
 
   private def sub(sql: String): String =
@@ -1866,6 +1962,41 @@ object Resolution {
         | CAST(CASE WHEN s.name IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_seed
         |FROM ppr$PrIters p LEFT JOIN seeds s ON s.name = p.name
         |ORDER BY p.name""".stripMargin),
+
+    "q180_sql_recursive_closure" -> sub("""WITH RECURSIVE --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |reach AS (
+        | SELECT 'pkg-00' AS name, 0 AS depth
+        | UNION ALL
+        | SELECT e.dep, r.depth + 1
+        | FROM reach r JOIN edges e ON e.name = r.name
+        | WHERE r.depth < 6)
+        |SELECT name, CAST(min(depth) AS INTEGER) AS depth,
+        | CAST(count(*) AS BIGINT) AS n_walks
+        |FROM reach
+        |GROUP BY name
+        |ORDER BY name""".stripMargin),
+
+    "q187_label_propagation" -> sub(s"""WITH --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |nm AS (SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name FROM idx),
+        |u AS (
+        | SELECT name AS src, dep AS dst FROM edges WHERE name <> dep
+        | UNION
+        | SELECT dep, name FROM edges WHERE name <> dep),
+        |l0 AS (SELECT name, name AS label FROM nm),
+        |${lpaUnrolled(LpaRounds)},
+        |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+        |       FROM l$LpaRounds GROUP BY label)
+        |SELECT l.name, l.label AS community, s.community_size
+        |FROM l$LpaRounds l JOIN sz s ON s.label = l.label
+        |ORDER BY l.name""".stripMargin),
 
     "q177_dependency_paths" -> sub("""WITH RECURSIVE --IDX--,
         |--PKG--,
