@@ -630,6 +630,177 @@ object Text {
           expr("top_bg / size(bg)").as("top_bigram_frac"),
           expr("top_tg / size(tg)").as("top_trigram_frac"))
         .orderBy("doc_id")
+    },
+
+    // BPE merge APPLICATION — the serving half of q141's tokenizer-training
+    // story: the same per-language pair census picks the top-5 merges
+    // (rank order, count-desc tie-to-pair), and every document's
+    // char-symbol stream applies them sequentially (Sennrich et al.'s
+    // greedy merge order, one left-to-right non-overlapping `replace`
+    // pass per merge — identical semantics on both engines). Words ride
+    // as single-spaced symbol streams joined by a '|' sentinel, so a
+    // merge can never fire across a word boundary. The judged output is
+    // the compression the learned merges actually buy per language —
+    // symbols before/after and the ‰ ratio, all exact integers. Plan
+    // shape: the merge table is a 5-row-per-lang broadcast; application
+    // is ONE map-only projection with 5 chained replaces — at 100 TB the
+    // apply stage is embarrassingly parallel and the train stage stays
+    // alphabet-bounded (q141's argument).
+    "q183_bpe_apply" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val census = docs
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+        .groupBy("lang", "pair").agg(count(lit(1)).as("n"))
+      val rk = Window.partitionBy("lang").orderBy(col("n").desc, col("pair"))
+      val merges = census.withColumn("rank", row_number().over(rk))
+        .filter(col("rank") <= 5)
+        .groupBy("lang")
+        .agg(max(when(col("rank") === 1, col("pair"))).as("m1"),
+          (2 to 5).map(k => max(when(col("rank") === k, col("pair"))).as(s"m$k")): _*)
+      val spaced = docs.select(col("doc_id"), col("lang"),
+        concat(lit(" "), array_join(expr(
+          "transform(split(text, ' '), w -> concat_ws(' ', transform(sequence(1, length(w)), i -> substring(w, i, 1))))"),
+          " | "), lit(" ")).as("sp"))
+      def applyMerge(c: org.apache.spark.sql.Column, m: org.apache.spark.sql.Column) =
+        replace(c,
+          concat(lit(" "), substring(m, 1, 1), lit(" "), substring(m, 2, 1), lit(" ")),
+          concat(lit(" "), m, lit(" ")))
+      val applied = spaced.join(broadcast(merges), "lang")
+        .withColumn("r", (1 to 5).foldLeft(col("sp")) { (acc, k) =>
+          applyMerge(acc, col(s"m$k"))
+        })
+      def nSyms(c: String) =
+        expr(s"size(filter(split($c, ' '), x -> x != '' and x != '|'))").cast("long")
+      applied
+        .select(col("lang"), nSyms("sp").as("nb"), nSyms("r").as("na"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nb").as("syms_before"), sum("na").as("syms_after"))
+        .withColumn("ratio_x1000", expr("syms_after * 1000 div syms_before"))
+        .orderBy("lang")
+    },
+
+    // Content-defined chunking (Rabin/FastCDC-family boundary policy,
+    // public) — the storage-dedup primitive: a chunk boundary falls after
+    // any token whose trailing 3-gram hashes into 1/8 of the key space,
+    // so boundaries are CONTENT-anchored, not offset-anchored. The query
+    // judges the property that makes CDC worth its cost: after a one-token
+    // prefix insertion (every offset shifts), content-defined chunk hashes
+    // still match the originals, while fixed-width (every-8-tokens)
+    // chunking loses almost everything. Both policies and both variants
+    // ride ONE doc-keyed window pass (lag + two running sums share the
+    // shuffle); chunk identity is md5 over the pos-ordered token run.
+    // Columns: per-policy chunk/dup census + shifted-survival ‰ — the
+    // dedup ratio AND the shift-resistance, measured not asserted.
+    "q184_content_chunking" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val both = docs.select(col("doc_id"), lit(0).as("vr"), col("text"))
+        .unionByName(docs.select(col("doc_id"), lit(1).as("vr"),
+          concat(lit("zz "), col("text")).as("text")))
+      val toks = both.select(col("doc_id"), col("vr"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val w = Window.partitionBy("doc_id", "vr").orderBy("pos")
+      val flagged = toks
+        .withColumn("g2", lag(col("tok"), 2).over(w))
+        .withColumn("g1", lag(col("tok"), 1).over(w))
+        .withColumn("fc", when(col("g2").isNotNull &&
+          expr("pmod(cast(conv(substring(md5(concat(g2, ' ', g1, ' ', tok)), 1, 15), 16, 10) as bigint), 8)") === 0,
+          1L).otherwise(0L))
+        .withColumn("ff", when(pmod(col("pos"), lit(8)) === 7, 1L).otherwise(0L))
+        .withColumn("cc", sum("fc").over(w) - col("fc"))
+        .withColumn("cf", sum("ff").over(w) - col("ff"))
+      def chunkFrame(cidCol: String) = flagged
+        .groupBy(col("doc_id"), col("vr"), col(cidCol).as("cid"))
+        .agg(md5(array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ")).as("chash"))
+      def policyStats(cidCol: String, label: String) = {
+        val ch = chunkFrame(cidCol)
+        val base = ch.filter(col("vr") === 0)
+        val shif = ch.filter(col("vr") === 1)
+        val tot = base.agg(count(lit(1)).as("n_chunks"),
+          countDistinct("chash").as("n_distinct"))
+        val keysB = base.select("doc_id", "chash").distinct()
+        val nKeys = keysB.agg(count(lit(1)).as("n_base_keys"))
+        val surv = keysB.join(shif.select("doc_id", "chash").distinct(), Seq("doc_id", "chash"))
+          .agg(count(lit(1)).as("n_surviving"))
+        tot.crossJoin(broadcast(nKeys)).crossJoin(broadcast(surv))
+          .select(lit(label).as("policy"), col("n_chunks"), col("n_distinct"),
+            col("n_base_keys"), col("n_surviving"),
+            expr("n_surviving * 1000 div n_base_keys").as("survival_x1000"))
+      }
+      policyStats("cc", "cdc").unionByName(policyStats("cf", "fixed"))
+        .orderBy("policy")
+    },
+
+    // Quality-aware canonical selection — the step between q69 (who is a
+    // duplicate of whom) and the curated corpus (which copy do we KEEP):
+    // per near-dup cluster, the representative is the highest-quality
+    // member (q47's integer score; ties to the smallest doc_id), not the
+    // arbitrary min-id member — and the judged q_gain column measures
+    // exactly what the smarter pick buys over the naive canonical. One
+    // row_number window over the cluster key on the memoized pair frame's
+    // components; token drop accounting makes the dedup cost auditable.
+    "q185_dedup_representatives" -> { (s, dir) =>
+      val cl = _root_.graft.Graft.dedupClusters(s, jaccardPairs(s, dir).select("d1", "d2"))
+        .select(col("doc_id"), col("cluster_id"))
+      val scored = Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("n_dis", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("n_stop",
+          size(expr("filter(toks, t -> t IN ('the', 'a', 'of', 'and'))")).cast("long"))
+        .withColumn("q",
+          ((lit(1000L) * col("n_dis") + lit(10L) * (col("n_chars") - col("n_tok") + 1) +
+            lit(500L) * (col("n_tok") - col("n_stop"))) / col("n_tok")).cast("long"))
+        .select("doc_id", "q", "n_tok")
+      val j = cl.join(scored, "doc_id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("cluster_id").orderBy(desc("q"), col("doc_id"))))
+      j.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"),
+          max(when(col("rn") === 1, col("doc_id"))).as("rep_doc"),
+          max(when(col("rn") === 1, col("q"))).as("rep_q"),
+          max(when(col("doc_id") === col("cluster_id"), col("q"))).as("naive_q"),
+          (sum("n_tok") - max(when(col("rn") === 1, col("n_tok")))).as("dropped_tokens"))
+        .withColumn("q_gain", col("rep_q") - col("naive_q"))
+        .select("cluster_id", "cluster_size", "rep_doc", "rep_q", "naive_q",
+          "q_gain", "dropped_tokens")
+        .orderBy("cluster_id")
+    },
+
+    // INCREMENTAL connected components — the steady-state form of q69's
+    // cluster assignment (the dedup twin of q99/q110's O(delta) paths):
+    // base labels are computed once over the base edge set, and a delta
+    // edge batch re-converges by CONTRACTING each base component to its
+    // label and running components over only the delta edges mapped into
+    // label space — a graph bounded by the delta, not the corpus. The
+    // final label provably equals the full recompute (min-label is
+    // associative under contraction: min over labels = global min), and
+    // the oracle IS the from-scratch recompute over all edges — the
+    // incremental path is judged against the batch answer it must match.
+    "q186_incremental_components" -> { (s, dir) =>
+      val good = jaccardPairs(s, dir).select("d1", "d2")
+      val base = good.filter(pmod(col("d1"), lit(7)) =!= 0 && pmod(col("d2"), lit(7)) =!= 0)
+      val delta = good.filter(pmod(col("d1"), lit(7)) === 0 || pmod(col("d2"), lit(7)) === 0)
+      val lab = _root_.graft.operators.Components.connected(s,
+        base.select(col("d1").as("src"), col("d2").as("dst")))
+      val mapped = delta
+        .join(lab.select(col("id").as("d1"), col("comp").as("c1")), Seq("d1"), "left")
+        .join(lab.select(col("id").as("d2"), col("comp").as("c2")), Seq("d2"), "left")
+        .select(coalesce(col("c1"), col("d1")).as("src"),
+          coalesce(col("c2"), col("d2")).as("dst"))
+      val superComp = _root_.graft.operators.Components.connected(s, mapped)
+      val nodes = good.select(col("d1").as("doc_id"))
+        .unionByName(good.select(col("d2").as("doc_id"))).distinct()
+      nodes
+        .join(lab.select(col("id").as("doc_id"), col("comp").as("base_lab")), Seq("doc_id"), "left")
+        .withColumn("lab0", coalesce(col("base_lab"), col("doc_id")))
+        .join(superComp.select(col("id").as("lab0"), col("comp").as("sc")), Seq("lab0"), "left")
+        .select(col("doc_id"), coalesce(col("sc"), col("lab0")).as("cluster_id"))
+        .orderBy("doc_id")
     })
 
   private val ShCte =
@@ -656,6 +827,137 @@ object Text {
     sql.replace("--SH--", ShCte).replace("--PAIRS--", PairsCte)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q183_bpe_apply" ->
+      """WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |pr AS (SELECT lang, unnest(list_transform(range(1, len(tok)), i -> substr(tok, i, 2))) AS pair
+        |       FROM tk WHERE len(tok) >= 2),
+        |cn AS (SELECT lang, pair, count(*) AS n FROM pr GROUP BY 1, 2),
+        |rk AS (SELECT lang, pair, row_number() OVER (PARTITION BY lang ORDER BY n DESC, pair) AS rank FROM cn),
+        |mg AS (SELECT lang,
+        |  max(CASE WHEN rank = 1 THEN pair END) AS m1,
+        |  max(CASE WHEN rank = 2 THEN pair END) AS m2,
+        |  max(CASE WHEN rank = 3 THEN pair END) AS m3,
+        |  max(CASE WHEN rank = 4 THEN pair END) AS m4,
+        |  max(CASE WHEN rank = 5 THEN pair END) AS m5
+        | FROM rk WHERE rank <= 5 GROUP BY lang),
+        |sp AS (SELECT doc_id, lang,
+        |  ' ' || array_to_string(list_transform(string_split(text, ' '),
+        |    w -> array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), ' ')), ' | ') || ' ' AS sp
+        | FROM documents),
+        |ap AS (SELECT s.lang, s.sp,
+        |  replace(replace(replace(replace(replace(s.sp,
+        |    ' ' || substr(m.m1, 1, 1) || ' ' || substr(m.m1, 2, 1) || ' ', ' ' || m.m1 || ' '),
+        |    ' ' || substr(m.m2, 1, 1) || ' ' || substr(m.m2, 2, 1) || ' ', ' ' || m.m2 || ' '),
+        |    ' ' || substr(m.m3, 1, 1) || ' ' || substr(m.m3, 2, 1) || ' ', ' ' || m.m3 || ' '),
+        |    ' ' || substr(m.m4, 1, 1) || ' ' || substr(m.m4, 2, 1) || ' ', ' ' || m.m4 || ' '),
+        |    ' ' || substr(m.m5, 1, 1) || ' ' || substr(m.m5, 2, 1) || ' ', ' ' || m.m5 || ' ') AS r
+        | FROM sp s JOIN mg m USING (lang)),
+        |ct AS (SELECT lang,
+        |  CAST(len(list_filter(string_split(sp, ' '), x -> x <> '' AND x <> '|')) AS BIGINT) AS nb,
+        |  CAST(len(list_filter(string_split(r, ' '), x -> x <> '' AND x <> '|')) AS BIGINT) AS na
+        | FROM ap)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(nb) AS BIGINT) AS syms_before,
+        | CAST(sum(na) AS BIGINT) AS syms_after,
+        | CAST(sum(na) AS BIGINT) * 1000 // CAST(sum(nb) AS BIGINT) AS ratio_x1000
+        |FROM ct GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q184_content_chunking" ->
+      """WITH bd AS (
+        | SELECT doc_id, 0 AS vr, text FROM documents
+        | UNION ALL
+        | SELECT doc_id, 1, 'zz ' || text FROM documents),
+        |tk AS (
+        | SELECT doc_id, vr, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok
+        | FROM (SELECT doc_id, vr, string_split(text, ' ') AS toks FROM bd)),
+        |lg AS (
+        | SELECT doc_id, vr, pos, tok,
+        |  lag(tok, 2) OVER w AS g2, lag(tok, 1) OVER w AS g1
+        | FROM tk WINDOW w AS (PARTITION BY doc_id, vr ORDER BY pos)),
+        |fl AS (
+        | SELECT doc_id, vr, pos, tok,
+        |  CASE WHEN g2 IS NOT NULL AND CAST(('0x' || substr(md5(g2 || ' ' || g1 || ' ' || tok), 1, 15)) AS BIGINT) % 8 = 0
+        |   THEN 1 ELSE 0 END AS fc,
+        |  CASE WHEN pos % 8 = 7 THEN 1 ELSE 0 END AS ff
+        | FROM lg),
+        |ch AS (
+        | SELECT doc_id, vr, pos, tok,
+        |  sum(fc) OVER w - fc AS cc, sum(ff) OVER w - ff AS cf
+        | FROM fl WINDOW w AS (PARTITION BY doc_id, vr ORDER BY pos)),
+        |ccd AS (SELECT doc_id, vr, cc AS cid, md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
+        |        FROM ch GROUP BY doc_id, vr, cc),
+        |cfd AS (SELECT doc_id, vr, cf AS cid, md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
+        |        FROM ch GROUP BY doc_id, vr, cf),
+        |st AS (
+        | SELECT 'cdc' AS policy,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ccd WHERE vr = 0) AS n_chunks,
+        |  (SELECT CAST(count(DISTINCT chash) AS BIGINT) FROM ccd WHERE vr = 0) AS n_distinct,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT doc_id, chash FROM ccd WHERE vr = 0)) AS n_base_keys,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM
+        |    (SELECT DISTINCT doc_id, chash FROM ccd WHERE vr = 0) a
+        |    JOIN (SELECT DISTINCT doc_id, chash FROM ccd WHERE vr = 1) b USING (doc_id, chash)) AS n_surviving
+        | UNION ALL
+        | SELECT 'fixed',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cfd WHERE vr = 0),
+        |  (SELECT CAST(count(DISTINCT chash) AS BIGINT) FROM cfd WHERE vr = 0),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT doc_id, chash FROM cfd WHERE vr = 0)),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM
+        |    (SELECT DISTINCT doc_id, chash FROM cfd WHERE vr = 0) a
+        |    JOIN (SELECT DISTINCT doc_id, chash FROM cfd WHERE vr = 1) b USING (doc_id, chash)))
+        |SELECT policy, n_chunks, n_distinct, n_base_keys, n_surviving,
+        | n_surviving * 1000 // n_base_keys AS survival_x1000
+        |FROM st ORDER BY policy""".stripMargin,
+
+    "q185_dedup_representatives" -> sub("""WITH RECURSIVE --SH--,
+        |--PAIRS--,
+        |good AS (
+        | SELECT d1, d2
+        | FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        | WHERE common / (s1.sz + s2.sz - common) >= 0.6),
+        |e AS (SELECT d1 AS a, d2 AS b FROM good UNION SELECT d2, d1 FROM good),
+        |nd AS (SELECT DISTINCT a AS id FROM e),
+        |r(id, comp) AS (
+        | SELECT id, id FROM nd
+        | UNION
+        | SELECT e.b, r.comp FROM e JOIN r ON e.a = r.id),
+        |cl AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM r GROUP BY id),
+        |qd AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dis,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stop,
+        |  n_chars
+        | FROM documents),
+        |qs AS (SELECT doc_id,
+        |  CAST((1000 * n_dis + 10 * (n_chars - n_tok + 1) + 500 * (n_tok - n_stop)) // n_tok AS BIGINT) AS q,
+        |  n_tok FROM qd),
+        |jn AS (
+        | SELECT cl.cluster_id, cl.doc_id, q.q, q.n_tok,
+        |  row_number() OVER (PARTITION BY cl.cluster_id ORDER BY q.q DESC, cl.doc_id) AS rn
+        | FROM cl JOIN qs q USING (doc_id))
+        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+        | max(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc,
+        | max(CASE WHEN rn = 1 THEN q END) AS rep_q,
+        | max(CASE WHEN doc_id = cluster_id THEN q END) AS naive_q,
+        | max(CASE WHEN rn = 1 THEN q END) - max(CASE WHEN doc_id = cluster_id THEN q END) AS q_gain,
+        | CAST(sum(n_tok) - max(CASE WHEN rn = 1 THEN n_tok END) AS BIGINT) AS dropped_tokens
+        |FROM jn GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
+
+    "q186_incremental_components" -> sub("""WITH RECURSIVE --SH--,
+        |--PAIRS--,
+        |good AS (
+        | SELECT d1, d2
+        | FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        | WHERE common / (s1.sz + s2.sz - common) >= 0.6),
+        |e AS (SELECT d1 AS a, d2 AS b FROM good UNION SELECT d2, d1 FROM good),
+        |nd AS (SELECT DISTINCT a AS id FROM e),
+        |r(id, comp) AS (
+        | SELECT id, id FROM nd
+        | UNION
+        | SELECT e.b, r.comp FROM e JOIN r ON e.a = r.id)
+        |SELECT id AS doc_id, min(comp) AS cluster_id FROM r GROUP BY id
+        |ORDER BY doc_id""".stripMargin),
+
     // chain components re-derived arithmetically: every source's docs form
     // one chain, so the component IS the source's min doc_id — the check
     // never runs a graph algorithm
