@@ -272,6 +272,31 @@ object Packages {
       Graft.asOf(historyFrame(s, dir), 2).orderBy("pkg_id")
     },
 
+    // Temporal (duration-weighted) aggregation over the SCD2 history —
+    // the query layer a temporal database puts ON TOP of validity
+    // intervals (q89 builds them, q106 reads one instant; this reads the
+    // whole timeline): per name, how many snapshot-units each interval
+    // covered and the TIME-WEIGHTED mean revision, where an interval's
+    // weight is its duration — a revision that survived 3 snapshots
+    // counts 3×. All integer arithmetic (durations are snapshot counts,
+    // revision parses from the version string on the engine side while
+    // the oracle re-derives it from the generating arithmetic — the
+    // parse is judged against an independent derivation). One aggregation
+    // over the memoized history frame; no new shuffle shape.
+    "q188_temporal_weighted" -> { (s, dir) =>
+      val h = historyFrame(s, dir)
+        .withColumn("dur", (col("valid_to") - col("valid_from") + 1).cast("long"))
+        .withColumn("rel", expr("cast(substring_index(version, '-r', -1) as bigint)"))
+      h.groupBy("name")
+        .agg(countDistinct("pkg_id").as("n_records"),
+          count(lit(1)).as("n_intervals"),
+          sum("dur").as("covered_snaps"),
+          sum(col("rel") * col("dur")).as("rel_mass"))
+        .withColumn("twa_rel_x1000", expr("rel_mass * 1000 div covered_snaps"))
+        .select("name", "n_records", "n_intervals", "covered_snaps", "twa_rel_x1000")
+        .orderBy("name")
+    },
+
     // P5 constraint predicate + A5 per group — versions satisfying >= 2.6.0-r1.
     "q31_version_constraint_stats" -> { (s, dir) =>
       GraftFunctions.ensureRegistered(s)
@@ -474,6 +499,36 @@ object Packages {
         |FROM i
         |GROUP BY pkg_id, island
         |ORDER BY pkg_id, valid_from""".stripMargin),
+
+    "q188_temporal_weighted" -> sub("""WITH --PKG--,
+        |snaps AS (
+        | SELECT pkg_id, name,
+        |  CAST(vmaj AS VARCHAR) || '.' || CAST(vmin AS VARCHAR) || '.' || CAST(vpat AS VARCHAR)
+        |    || '-r' || CAST(1 + (pkg_id + g.k * (pkg_id % 3)) % 5 AS VARCHAR) AS version,
+        |  CAST(g.k AS INTEGER) AS snap
+        | FROM pkg, range(4) g(k)
+        | WHERE (pkg_id + g.k) % 23 <> 0),
+        |w AS (
+        | SELECT *, CASE WHEN lag(version) OVER pw IS NULL
+        |   OR lag(version) OVER pw <> version
+        |   OR lag(snap) OVER pw + 1 <> snap THEN 1 ELSE 0 END AS brk
+        | FROM snaps WINDOW pw AS (PARTITION BY pkg_id ORDER BY snap)),
+        |i AS (
+        | SELECT *, sum(brk) OVER (PARTITION BY pkg_id ORDER BY snap
+        |   ROWS UNBOUNDED PRECEDING) AS island
+        | FROM w),
+        |iv AS (
+        | SELECT pkg_id, max(name) AS name,
+        |  min(snap) AS valid_from, max(snap) AS valid_to,
+        |  CAST(1 + (pkg_id + min(snap) * (pkg_id % 3)) % 5 AS BIGINT) AS rel
+        | FROM i GROUP BY pkg_id, island)
+        |SELECT name,
+        | CAST(count(DISTINCT pkg_id) AS BIGINT) AS n_records,
+        | CAST(count(*) AS BIGINT) AS n_intervals,
+        | CAST(sum(valid_to - valid_from + 1) AS BIGINT) AS covered_snaps,
+        | CAST(sum(rel * (valid_to - valid_from + 1)) AS BIGINT) * 1000
+        |   // CAST(sum(valid_to - valid_from + 1) AS BIGINT) AS twa_rel_x1000
+        |FROM iv GROUP BY name ORDER BY name""".stripMargin),
 
     "q110_scd2_merge" -> sub("""WITH --PKG--,
         |snaps AS (

