@@ -57,6 +57,40 @@ object Components {
     labels
   }
 
+  /** INCREMENTAL connected components — the steady-state path when a delta
+    * edge batch arrives against labels already computed by [[connected]]:
+    * contract each base component to its label, run components over ONLY
+    * the delta edges mapped into label space (a graph bounded by the
+    * delta, not the corpus), and compose. Correct because min-label is
+    * associative under contraction: the min over component labels IS the
+    * global min, so the output provably equals a from-scratch recompute
+    * over base ∪ delta (ComponentsPropertySpec proves it on random
+    * graph/delta splits; q186 judges it against the full-recompute
+    * oracle).
+    *
+    * @param baseLabels (id, comp) from a prior [[connected]] run.
+    * @param deltaEdges new (src, dst) edges; endpoints absent from the
+    *                   base keep themselves as their contraction label.
+    * @return (id, comp) for every node in base ∪ delta.
+    */
+  def incremental(spark: SparkSession, baseLabels: DataFrame, deltaEdges: DataFrame): DataFrame = {
+    val lab = baseLabels.select(col("id"), col("comp"))
+    val mapped = deltaEdges
+      .join(lab.select(col("id").as("src"), col("comp").as("c1")), Seq("src"), "left")
+      .join(lab.select(col("id").as("dst"), col("comp").as("c2")), Seq("dst"), "left")
+      .select(coalesce(col("c1"), col("src")).as("src"),
+        coalesce(col("c2"), col("dst")).as("dst"))
+    val sup = connected(spark, mapped)
+    val nodes = baseLabels.select("id")
+      .unionByName(deltaEdges.select(col("src").as("id")))
+      .unionByName(deltaEdges.select(col("dst").as("id")))
+      .distinct()
+    nodes.join(lab, Seq("id"), "left")
+      .withColumn("lab0", coalesce(col("comp"), col("id")))
+      .join(sup.select(col("id").as("lab0"), col("comp").as("sc")), Seq("lab0"), "left")
+      .select(col("id"), coalesce(col("sc"), col("lab0")).as("comp"))
+  }
+
   /** Connected components via alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14 — public algorithm). Same contract and output as

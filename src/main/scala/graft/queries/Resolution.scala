@@ -1266,28 +1266,15 @@ object Resolution {
     // every other fixed-point loop in the module. Undirected view of the
     // memoized resolution edges; isolated nodes keep their own label.
     "q187_label_propagation" -> { (s, dir) =>
-      val e0 = resolvedEdges(s, dir).filter(col("name") =!= col("dep"))
-      val und = e0.select(col("name").as("src"), col("dep").as("dst"))
-        .unionByName(e0.select(col("dep").as("src"), col("name").as("dst")))
-        .distinct()
-      var labels = Tables.packageNames(s, dir).select("name")
-        .withColumn("label", col("name"))
-      for (_ <- 1 to LpaRounds) {
-        val nb = und.join(labels.select(col("name").as("dst"), col("label")), Seq("dst"))
-          .select(col("src").as("name"), col("label"))
-        val cnt = nb.groupBy("name", "label").agg(count(lit(1)).as("cnt"))
-        val pick = cnt
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("name").orderBy(desc("cnt"), col("label"))))
-          .filter(col("rn") === 1)
-          .select(col("name"), col("label").as("new_label"))
-        labels = graft.operators.Lineage.cut(
-          labels.join(pick, Seq("name"), "left")
-            .select(col("name"), coalesce(col("new_label"), col("label")).as("label")))
-      }
+      // ONE implementation — operators.LabelProp — shared with the
+      // Round9Spec barbell-community test; fixed round count matches the
+      // unrolled oracle
+      val labels = graft.operators.LabelProp.run(s,
+        resolvedEdges(s, dir).select(col("name").as("src"), col("dep").as("dst")),
+        Tables.packageNames(s, dir).select(col("name").as("id")), LpaRounds)
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
       labels.join(sizes, "label")
-        .select(col("name"), col("label").as("community"), col("community_size"))
+        .select(col("id").as("name"), col("label").as("community"), col("community_size"))
         .orderBy("name")
     })
 

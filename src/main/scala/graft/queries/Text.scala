@@ -782,24 +782,16 @@ object Text {
     // the oracle IS the from-scratch recompute over all edges — the
     // incremental path is judged against the batch answer it must match.
     "q186_incremental_components" -> { (s, dir) =>
+      // ONE implementation — operators.Components.incremental — shared
+      // with ComponentsPropertySpec's random graph/delta-split property
       val good = jaccardPairs(s, dir).select("d1", "d2")
       val base = good.filter(pmod(col("d1"), lit(7)) =!= 0 && pmod(col("d2"), lit(7)) =!= 0)
       val delta = good.filter(pmod(col("d1"), lit(7)) === 0 || pmod(col("d2"), lit(7)) === 0)
       val lab = _root_.graft.operators.Components.connected(s,
         base.select(col("d1").as("src"), col("d2").as("dst")))
-      val mapped = delta
-        .join(lab.select(col("id").as("d1"), col("comp").as("c1")), Seq("d1"), "left")
-        .join(lab.select(col("id").as("d2"), col("comp").as("c2")), Seq("d2"), "left")
-        .select(coalesce(col("c1"), col("d1")).as("src"),
-          coalesce(col("c2"), col("d2")).as("dst"))
-      val superComp = _root_.graft.operators.Components.connected(s, mapped)
-      val nodes = good.select(col("d1").as("doc_id"))
-        .unionByName(good.select(col("d2").as("doc_id"))).distinct()
-      nodes
-        .join(lab.select(col("id").as("doc_id"), col("comp").as("base_lab")), Seq("doc_id"), "left")
-        .withColumn("lab0", coalesce(col("base_lab"), col("doc_id")))
-        .join(superComp.select(col("id").as("lab0"), col("comp").as("sc")), Seq("lab0"), "left")
-        .select(col("doc_id"), coalesce(col("sc"), col("lab0")).as("cluster_id"))
+      _root_.graft.operators.Components.incremental(s, lab,
+          delta.select(col("d1").as("src"), col("d2").as("dst")))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
         .orderBy("doc_id")
     })
 

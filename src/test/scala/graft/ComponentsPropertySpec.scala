@@ -86,6 +86,38 @@ class ComponentsPropertySpec extends AnyFunSuite {
     assert(got.values.forall(_ === 0L), "every chain node must label to the min id 0")
   }
 
+  test("incremental(base labels, delta) == connected(full) on 8 random graph/delta splits") {
+    import spark.implicits._
+    var state = 0x7C15D96A23B8F4A7L
+    def next(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % bound) + bound).toInt % bound
+    }
+    for (g <- 0 until 8) {
+      val n = 6 + next(20)
+      val m = 4 + next(2 * n)
+      val edges = Seq.fill(m)((next(n).toLong, next(n).toLong))
+      // random split — delta may touch nodes the base never saw, merge
+      // several base components, or be entirely novel
+      val (base, delta) = edges.partition(_ => next(3) != 0)
+      val baseLab = Components.connected(spark, base.toDF("src", "dst"))
+      val got = Components.incremental(spark, baseLab, delta.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = unionFind(edges)
+      assert(got === expect, s"graph $g (base=$base, delta=$delta)")
+    }
+  }
+
+  test("incremental with an empty delta returns the base labels unchanged") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("src", "dst")
+    val lab = Components.connected(spark, base)
+    val got = Components.incremental(spark, lab,
+        Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("connectedStars handles self-loops and isolated-in-edges nodes like connected") {
     import spark.implicits._
     val edges = Seq((7L, 7L), (1L, 2L), (2L, 1L)).toDF("src", "dst")

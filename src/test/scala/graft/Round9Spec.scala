@@ -120,4 +120,95 @@ class Round9Spec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == Set(("bcd", 1L)))
   }
+
+  test("label propagation resolves a barbell into its two communities") {
+    import spark.implicits._
+    // two triangles joined by one bridge edge: after enough synchronous
+    // rounds every triangle member carries its triangle's min label; the
+    // bridge never overwhelms the in-triangle majority
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d")).toDF("src", "dst")
+    val nodes = Seq("a", "b", "c", "d", "e", "f", "z").toDF("id")
+    val got = operators.LabelProp.run(spark, edges, nodes, 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("a") == "a" && got("b") == "a" && got("c") == "a")
+    assert(Set("d", "e", "f").map(got).size == 1, s"right triangle split: $got")
+    assert(got("z") == "z", "isolated node must keep its own label")
+  }
+
+  test("label propagation with zero rounds is the identity labeling") {
+    import spark.implicits._
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val nodes = Seq("a", "b").toDF("id")
+    val got = operators.LabelProp.run(spark, edges, nodes, 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "b"))
+  }
+
+  test("q180's recursive-CTE min depth agrees with the driver-loop BFS closure") {
+    // two independent implementations of the same walk — Spark's native
+    // UnionLoopExec recursion (SQL text) vs operators.Closure's driver
+    // loop — must report the same (name, min depth) reachability set
+    // within the recursion bound
+    val dir = SparkTestHarness.Sf0001
+    val viaSql = SparkEntry.queries("q180_sql_recursive_closure")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val viaLoop = queries.Resolution.resolvedEdges(spark, dir)
+    val bfs = operators.Closure.reachable(spark, viaLoop, "pkg-00")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val bounded = bfs.filter(_._2 <= 6) + ("pkg-00" -> 0)
+    assert(viaSql.keySet == bounded.keySet, s"sql=$viaSql bfs=$bounded")
+    viaSql.foreach { case (n, d) => assert(bounded(n) == d, s"depth mismatch at $n") }
+  }
+
+  test("q184 content-defined chunking beats fixed-width on shift survival") {
+    val rows = SparkEntry.queries("q184_content_chunking")(spark, SparkTestHarness.Sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(4), r.getLong(5))).toMap
+    val (cdcChunks, cdcSurv, cdcSurvPm) = rows("cdc")
+    val (_, fixSurv, fixSurvPm) = rows("fixed")
+    assert(cdcChunks > 0)
+    assert(cdcSurv > 0 && cdcSurvPm > 500, s"cdc survival too low: $rows")
+    assert(fixSurvPm < 100, s"fixed-width should lose nearly all chunks: $rows")
+    assert(cdcSurv > fixSurv)
+  }
+
+  test("q188 covered snapshot-units reconcile with raw per-name presence counts") {
+    import org.apache.spark.sql.functions._
+    val dir = SparkTestHarness.Sf0001
+    val got = SparkEntry.queries("q188_temporal_weighted")(spark, dir)
+      .select("name", "covered_snaps")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent reconciliation: every (pkg_id, snap) presence row is
+    // covered by exactly one validity interval, so per-name presence
+    // counts must equal per-name covered durations
+    val presence = queries.Packages.snapshots(spark, dir, 3)
+      .groupBy("name").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == presence)
+  }
+
+  test("q189 pruned exact MIPS equals an in-memory brute force on the derived corpus") {
+    import org.apache.spark.sql.functions._
+    val dir = SparkTestHarness.Sf0001
+    val out = SparkEntry.queries("q189_blockmax_mips")(spark, dir).collect()
+    assert(out.forall(_.getLong(5) > 0), "pruning must actually engage")
+    // independent in-memory model of the derived clustered corpus
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), expr("transform(embedding, x -> cast(x as double))"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).toArray))
+    val w = emb.map { case (id, lab, v) =>
+      (id, v.zipWithIndex.map { case (x, i) => if (i == lab * 6) x + 2.0 else x })
+    }
+    val wm = w.toMap
+    for (qid <- 0L until 5L) {
+      val qv = wm(qid)
+      val want = w.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, cv.zip(qv).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (cid, d) => (-d, cid) }.take(3).map(_._1).toSeq
+      val got = out.filter(_.getLong(0) == qid).sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      assert(got == want, s"qid=$qid got=$got want=$want")
+    }
+  }
 }
