@@ -61,6 +61,91 @@ object Events {
         .orderBy("event_type")
     },
 
+    // EWMA forecasting over the daily event stream — the capacity-planning
+    // twin of q169's anomaly gate: tomorrow's expected volume per type is
+    // the exponentially-weighted mean of the trailing 8 days (α = 1/2,
+    // weights 2^-k). EVERY arithmetic step is exact: counts are int64,
+    // 2^-k weights are dyadic (int/2^k division is one exact IEEE op),
+    // and the dyadic partial sums stay exactly representable — the final
+    // normalize is the only rounded op, identical on both engines, so the
+    // forecast needs no round() to hash-match. One daily aggregation +
+    // one bounded 8-lag window per type partition; at 100 TB the daily
+    // count table is tiny regardless of event volume.
+    "q190_ewma_forecast" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lagged = (1 to 8).foldLeft(daily) { (df, k) =>
+        df.withColumn(s"l$k", lag("cnt", k).over(w))
+      }
+      val num = (1 to 8).map(k => s"coalesce(l$k, 0) / ${1 << k}").mkString(" + ")
+      val den = (1 to 8)
+        .map(k => s"(case when l$k is not null then cast(1 as double) / ${1 << k} else cast(0 as double) end)")
+        .mkString(" + ")
+      lagged
+        .withColumn("ewma", expr(s"($num) / ($den)"))
+        .filter(col("l1").isNotNull)
+        .select(col("event_type"), col("day"), col("cnt"), col("ewma"),
+          (col("cnt") - col("ewma")).as("err"))
+        .orderBy("event_type", "day")
+    },
+
+    // CUPED variance reduction for A/B readouts (Deng et al. 2013,
+    // public — the standard experimentation trick): users hash-split into
+    // two arms, the outcome is each user's POST-period value mass, and
+    // the PRE-period mass is the covariate — adjusted outcome
+    // y − θ(x − x̄) with θ = cov(x,y)/var(x) pooled across arms removes
+    // the between-user variance the pre-period already explains. All
+    // moments are exact decimal sums (q60's discipline) finished with
+    // identical double algebra, so means, θ, and the per-arm variance
+    // reduction are bit-identical across engines — the judged claim
+    // covers the whole estimator, not just the sums. One user-keyed
+    // aggregation + two tiny moment rollups; nothing widens at scale.
+    "q192_cuped_abtest" -> { (s, dir) =>
+      val perUser = Tables.events(s, dir)
+        .withColumn("arm",
+          expr("pmod(cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint), 2)").cast("int"))
+        .withColumn("pre", date_format(col("ts"), "yyyy-MM-dd") <= "2024-01-15")
+        .groupBy("user_id", "arm")
+        .agg(
+          sum(when(col("pre"), col("value").cast("decimal(28,2)"))
+            .otherwise(lit(0).cast("decimal(28,2)"))).cast("double").as("x"),
+          sum(when(!col("pre"), col("value").cast("decimal(28,2)"))
+            .otherwise(lit(0).cast("decimal(28,2)"))).cast("double").as("y"))
+      def moments(df: DataFrame) = df.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,2)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(28,2)")).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(30,4)")).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(30,4)")).cast("double").as("syy"),
+        sum((col("x") * col("y")).cast("decimal(30,4)")).cast("double").as("sxy"))
+      val pooled = broadcast(moments(perUser)
+        .select(((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n"))).as("theta"),
+          (col("sx") / col("n")).as("xbar")))
+      perUser.groupBy("arm")
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(col("x").cast("decimal(28,2)")).cast("double").as("sx"),
+          sum(col("y").cast("decimal(28,2)")).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast("decimal(30,4)")).cast("double").as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(30,4)")).cast("double").as("syy"),
+          sum((col("x") * col("y")).cast("decimal(30,4)")).cast("double").as("sxy"))
+        .crossJoin(pooled)
+        .select(col("arm"), col("n_users"),
+          (col("sy") / col("n_users")).as("mean_y"),
+          (col("sy") / col("n_users") -
+            col("theta") * (col("sx") / col("n_users") - col("xbar"))).as("mean_y_adj"),
+          ((col("syy") - col("sy") * col("sy") / col("n_users")) / (col("n_users") - 1)).as("var_y"),
+          (((col("syy") - col("sy") * col("sy") / col("n_users")) / (col("n_users") - 1)) -
+            lit(2) * col("theta") *
+              ((col("sxy") - col("sx") * col("sy") / col("n_users")) / (col("n_users") - 1)) +
+            col("theta") * col("theta") *
+              ((col("sxx") - col("sx") * col("sx") / col("n_users")) / (col("n_users") - 1))).as("var_y_adj"))
+        .orderBy("arm")
+    },
+
     // Rolling-window anomaly detection over the daily event stream — the
     // data-quality monitor a 100 TB ingest runs nightly ("did yesterday's
     // volume jump?"). Per (event_type, day): trailing-7-day baseline
@@ -481,6 +566,61 @@ object Events {
     * `cast(ts as long)` under the UTC session.
     */
   val oracles: Seq[(String, String)] = Seq(
+    "q190_ewma_forecast" -> {
+      val lags = (1 to 8).map(k => s"lag(cnt, $k) OVER w AS l$k").mkString(", ")
+      val num = (1 to 8).map(k => s"coalesce(l$k, 0) / ${1 << k}").mkString(" + ")
+      val den = (1 to 8)
+        .map(k => s"(CASE WHEN l$k IS NOT NULL THEN CAST(1 AS DOUBLE) / ${1 << k} ELSE CAST(0 AS DOUBLE) END)")
+        .mkString(" + ")
+      s"""WITH d AS (
+         | SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, count(*) AS cnt
+         | FROM events GROUP BY 1, 2),
+         |lg AS (
+         | SELECT event_type, day, cnt, $lags
+         | FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |se AS (
+         | SELECT event_type, day, cnt, ($num) / ($den) AS ewma
+         | FROM lg WHERE l1 IS NOT NULL)
+         |SELECT event_type, day, cnt, ewma, cnt - ewma AS err
+         |FROM se ORDER BY event_type, day""".stripMargin
+    },
+
+    "q192_cuped_abtest" ->
+      """WITH pu AS (
+        | SELECT user_id,
+        |  CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS INTEGER) AS arm,
+        |  CAST(sum(CASE WHEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') <= '2024-01-15'
+        |    THEN CAST(value AS DECIMAL(28,2)) ELSE CAST(0 AS DECIMAL(28,2)) END) AS DOUBLE) AS x,
+        |  CAST(sum(CASE WHEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') <= '2024-01-15'
+        |    THEN CAST(0 AS DECIMAL(28,2)) ELSE CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS y
+        | FROM events GROUP BY 1, 2),
+        |pl AS (
+        | SELECT count(*) AS n,
+        |  CAST(sum(CAST(x AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(y AS DECIMAL(28,2))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(x * x AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(y * y AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+        |  CAST(sum(CAST(x * y AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+        | FROM pu),
+        |th AS (SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta, sx / n AS xbar FROM pl),
+        |ar AS (
+        | SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(x AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(y AS DECIMAL(28,2))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(x * x AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(y * y AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+        |  CAST(sum(CAST(x * y AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+        | FROM pu GROUP BY arm)
+        |SELECT a.arm, a.n_users,
+        | a.sy / a.n_users AS mean_y,
+        | a.sy / a.n_users - t.theta * (a.sx / a.n_users - t.xbar) AS mean_y_adj,
+        | (a.syy - a.sy * a.sy / a.n_users) / (a.n_users - 1) AS var_y,
+        | ((a.syy - a.sy * a.sy / a.n_users) / (a.n_users - 1))
+        |  - 2 * t.theta * ((a.sxy - a.sx * a.sy / a.n_users) / (a.n_users - 1))
+        |  + t.theta * t.theta * ((a.sxx - a.sx * a.sx / a.n_users) / (a.n_users - 1)) AS var_y_adj
+        |FROM ar a CROSS JOIN th t
+        |ORDER BY a.arm""".stripMargin,
+
     "q182_ldp_frequency" ->
       """WITH al AS (SELECT ['click','error','purchase','signup','view'] AS ts),
         |rep AS (

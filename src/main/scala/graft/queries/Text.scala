@@ -771,6 +771,43 @@ object Text {
         .orderBy("cluster_id")
     },
 
+    // Greedy max-coverage corpus selection (the Nemhauser greedy for
+    // submodular coverage, public — the "pick the K docs that span the
+    // most content" curation step, the coverage-maximizing complement of
+    // q88/q123's representative sampling): 5 rounds, each picking the doc
+    // with the most NOT-yET-covered shingle keys (tie to min doc_id) and
+    // retiring its keys. Marginal gains are judged per round, plus the
+    // running coverage in ‰ of the key universe — the (1−1/e) guarantee's
+    // actual trajectory, measured. Each round is one count aggregation +
+    // a TakeOrdered-1 pick + one anti-join against the picked keys, with
+    // per-round lineage cuts; at 100 TB the uncovered frame only shrinks
+    // and the pick is a broadcast single row, so round cost is bounded by
+    // one scan of the remaining representation.
+    "q191_coverage_selection" -> { (s, dir) =>
+      val hk = Shingles.frame(s, dir).select("doc_id", "hk")
+      var uncovered = hk
+      var picksAcc: DataFrame = null
+      for (r <- 1 to 5) {
+        val pick = _root_.graft.operators.Lineage.cut(
+          uncovered.groupBy("doc_id").agg(count(lit(1)).as("gain"))
+            .orderBy(desc("gain"), col("doc_id")).limit(1)
+            .withColumn("round", lit(r)))
+        picksAcc = if (picksAcc == null) pick else picksAcc.unionByName(pick)
+        val pickedKeys = hk.join(pick.select("doc_id"), "doc_id").select("hk").distinct()
+        uncovered = _root_.graft.operators.Lineage.cut(
+          uncovered.join(pickedKeys, Seq("hk"), "left_anti"))
+      }
+      val total = broadcast(hk.select("hk").distinct().agg(count(lit(1)).as("universe")))
+      picksAcc
+        .withColumn("covered_total", sum("gain").over(
+          Window.orderBy("round").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(total)
+        .select(col("round").cast("int").as("round"), col("doc_id"), col("gain"),
+          col("covered_total"),
+          expr("covered_total * 1000 div universe").as("coverage_x1000"))
+        .orderBy("round")
+    },
+
     // INCREMENTAL connected components — the steady-state form of q69's
     // cluster assignment (the dedup twin of q99/q110's O(delta) paths):
     // base labels are computed once over the base edge set, and a delta
@@ -819,6 +856,27 @@ object Text {
     sql.replace("--SH--", ShCte).replace("--PAIRS--", PairsCte)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q191_coverage_selection" -> {
+      def round(r: Int) =
+        s"""p$r AS MATERIALIZED (
+           | SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM u${r - 1} GROUP BY doc_id
+           | ORDER BY gain DESC, doc_id LIMIT 1),
+           |u$r AS MATERIALIZED (
+           | SELECT u.doc_id, u.hk FROM u${r - 1} u
+           | WHERE u.hk NOT IN (SELECT h.hk FROM hk h JOIN p$r p ON h.doc_id = p.doc_id))""".stripMargin
+      sub(s"""WITH --SH--,
+         |hk AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS hk FROM sh),
+         |u0 AS (SELECT doc_id, hk FROM hk),
+         |${(1 to 5).map(round).mkString(",\n")},
+         |pk AS (${(1 to 5).map(r => s"SELECT $r AS round, doc_id, gain FROM p$r").mkString(" UNION ALL ")}),
+         |un AS (SELECT CAST(count(DISTINCT hk) AS BIGINT) AS universe FROM hk)
+         |SELECT CAST(pk.round AS INTEGER) AS round, pk.doc_id, pk.gain,
+         | CAST(sum(pk.gain) OVER (ORDER BY pk.round) AS BIGINT) AS covered_total,
+         | CAST(sum(pk.gain) OVER (ORDER BY pk.round) AS BIGINT) * 1000 // un.universe AS coverage_x1000
+         |FROM pk CROSS JOIN un
+         |ORDER BY pk.round""".stripMargin)
+    },
+
     "q183_bpe_apply" ->
       """WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
         |pr AS (SELECT lang, unnest(list_transform(range(1, len(tok)), i -> substr(tok, i, 2))) AS pair
