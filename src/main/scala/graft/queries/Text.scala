@@ -771,6 +771,42 @@ object Text {
         .orderBy("cluster_id")
     },
 
+    // Domain-mixture drift monitor — the DQ gate a corpus refresh runs
+    // ("did source X's token distribution move away from the corpus?"):
+    // a per-source chi-square statistic over the contingency table of the
+    // corpus's top-20 tokens. The cell statistic is computed in the
+    // engine-identical form (o·N − n_s·c_t)²/(N·n_s·c_t) — all-int64
+    // numerators, one double division — and per-source summation goes
+    // through the q112 fixed-point trick (floor(stat·2^20) int64 sums,
+    // order-free) so the judged total never depends on float summation
+    // order. Zero cells are REAL rows (a source missing a hot token is
+    // exactly the drift signal), via a sources×top-tokens grid. Bounded
+    // state: 20 columns × |sources| cells regardless of corpus size.
+    "q194_mixture_drift" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("ct"))
+        .orderBy(desc("ct"), col("tok")).limit(20)
+      val obs = toks.join(broadcast(top.select("tok")), "tok")
+        .groupBy("source", "tok").agg(count(lit(1)).as("o"))
+      val grid = Tables.documents(s, dir).select("source").distinct()
+        .crossJoin(broadcast(top))
+        .join(obs, Seq("source", "tok"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+      val ns = grid.groupBy("source").agg(sum("o").as("ns"))
+      val totals = broadcast(top.agg(sum("ct").as("N")))
+      grid.join(ns, "source").crossJoin(totals)
+        .withColumn("num", col("o") * col("N") - col("ns") * col("ct"))
+        .withColumn("stat",
+          (col("num").cast("double") * col("num").cast("double")) /
+            (col("N").cast("double") * col("ns").cast("double") * col("ct").cast("double")))
+        .withColumn("fp", floor(col("stat") * lit(1048576.0)).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_cells"), sum("fp").as("chi2_fp"),
+          expr("max_by(tok, struct(fp, tok))").as("top_drift_token"))
+        .orderBy("source")
+    },
+
     // Greedy max-coverage corpus selection (the Nemhauser greedy for
     // submodular coverage, public — the "pick the K docs that span the
     // most content" curation step, the coverage-maximizing complement of
@@ -856,6 +892,33 @@ object Text {
     sql.replace("--SH--", ShCte).replace("--PAIRS--", PairsCte)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q194_mixture_drift" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |top AS (SELECT tok, CAST(count(*) AS BIGINT) AS ct FROM tk GROUP BY tok
+        |        ORDER BY ct DESC, tok LIMIT 20),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |ob AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS o FROM tk
+        |       WHERE tok IN (SELECT tok FROM top) GROUP BY 1, 2),
+        |cells AS (
+        | SELECT g.source, g.tok, g.ct, coalesce(o.o, 0) AS o
+        | FROM (SELECT s.source, t.tok, t.ct FROM srcs s CROSS JOIN top t) g
+        | LEFT JOIN ob o ON o.source = g.source AND o.tok = g.tok),
+        |ns AS (SELECT source, CAST(sum(o) AS BIGINT) AS ns FROM cells GROUP BY source),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS N FROM top),
+        |st AS (
+        | SELECT c.source, c.tok,
+        |  CAST(floor(
+        |   (CAST(c.o * t.N - n.ns * c.ct AS DOUBLE) * CAST(c.o * t.N - n.ns * c.ct AS DOUBLE))
+        |    / (CAST(t.N AS DOUBLE) * CAST(n.ns AS DOUBLE) * CAST(c.ct AS DOUBLE))
+        |    * CAST(1048576 AS DOUBLE)) AS BIGINT) AS fp
+        | FROM cells c JOIN ns n USING (source) CROSS JOIN tot t),
+        |rk AS (SELECT source, tok, fp,
+        |  row_number() OVER (PARTITION BY source ORDER BY fp DESC, tok DESC) AS rn FROM st)
+        |SELECT s.source, CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(s.fp) AS BIGINT) AS chi2_fp,
+        | max(CASE WHEN r.rn = 1 THEN r.tok END) AS top_drift_token
+        |FROM st s JOIN rk r ON r.source = s.source AND r.tok = s.tok
+        |GROUP BY s.source ORDER BY s.source""".stripMargin,
+
     "q191_coverage_selection" -> {
       def round(r: Int) =
         s"""p$r AS MATERIALIZED (
