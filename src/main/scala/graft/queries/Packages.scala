@@ -272,6 +272,30 @@ object Packages {
       Graft.asOf(historyFrame(s, dir), 2).orderBy("pkg_id")
     },
 
+    // SQL SCRIPTING endpoint (Spark 4's BEGIN…END compound statements,
+    // SqlScriptingExecution) — the third leg of the ad-hoc text surface
+    // beside q132 (plain SQL + custom functions) and q180 (recursive
+    // CTE): a script DECLAREs a session variable, computes a data-derived
+    // threshold into it with one statement, and the final SELECT consumes
+    // it — the parameterized-report shape an HTTP query endpoint serves.
+    // The oracle re-derives the same report with a plain scalar subquery,
+    // so the scripting machinery (variable scope, compound execution,
+    // last-statement result) is what the hash match proves.
+    "q198_sql_scripting" -> { (s, dir) =>
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      Tables.packages(s, dir).createOrReplaceTempView("v_pkg_script")
+      s.sql("""
+        BEGIN
+          DECLARE avg_n BIGINT DEFAULT 0;
+          SET avg_n = (SELECT count(*) div count(DISTINCT name) FROM v_pkg_script);
+          SELECT name, count(*) AS n_records, avg_n AS threshold
+          FROM v_pkg_script
+          GROUP BY name, avg_n
+          HAVING count(*) >= avg_n
+          ORDER BY name;
+        END""")
+    },
+
     // Temporal (duration-weighted) aggregation over the SCD2 history —
     // the query layer a temporal database puts ON TOP of validity
     // intervals (q89 builds them, q106 reads one instant; this reads the
@@ -499,6 +523,14 @@ object Packages {
         |FROM i
         |GROUP BY pkg_id, island
         |ORDER BY pkg_id, valid_from""".stripMargin),
+
+    "q198_sql_scripting" -> sub("""WITH --PKG--,
+        |t AS (SELECT count(*) // count(DISTINCT name) AS thr FROM pkg)
+        |SELECT p.name, CAST(count(*) AS BIGINT) AS n_records, t.thr AS threshold
+        |FROM pkg p CROSS JOIN t
+        |GROUP BY p.name, t.thr
+        |HAVING count(*) >= t.thr
+        |ORDER BY p.name""".stripMargin),
 
     "q188_temporal_weighted" -> sub("""WITH --PKG--,
         |snaps AS (
