@@ -272,6 +272,36 @@ object Packages {
       Graft.asOf(historyFrame(s, dir), 2).orderBy("pkg_id")
     },
 
+    // Semantic-version bump classification — the changelog view a package
+    // site renders per name ("2 major, 5 minor, 1 patch release in this
+    // range"): distinct versions ordered by the ecosystem sort key, each
+    // consecutive step classified major/minor/patch/revision by FIRST
+    // differing component. The engine classifies by string-splitting real
+    // version text in sort-key order; the oracle re-derives both the
+    // ordering and the classification from the generating integer tuples
+    // — the parse AND the custom ordering judged against independent
+    // arithmetic. One window pass over the distinct catalog.
+    "q199_version_bumps" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      import org.apache.spark.sql.expressions.Window
+      val pk = Tables.packages(s, dir).select("name", "version").distinct()
+      val w = Window.partitionBy("name").orderBy(expr("version_sort_key(version)"))
+      pk.withColumn("prev", lag("version", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("bump",
+          when(expr("split(version, '[.]')[0] != split(prev, '[.]')[0]"), "major")
+            .when(expr("split(version, '[.]')[1] != split(prev, '[.]')[1]"), "minor")
+            .when(expr("split(split(version, '-')[0], '[.]')[2] != split(split(prev, '-')[0], '[.]')[2]"), "patch")
+            .otherwise("revision"))
+        .groupBy("name")
+        .agg(count(lit(1)).as("n_steps"),
+          sum(when(col("bump") === "major", 1L).otherwise(0L)).as("n_major"),
+          sum(when(col("bump") === "minor", 1L).otherwise(0L)).as("n_minor"),
+          sum(when(col("bump") === "patch", 1L).otherwise(0L)).as("n_patch"),
+          sum(when(col("bump") === "revision", 1L).otherwise(0L)).as("n_revision"))
+        .orderBy("name")
+    },
+
     // SQL SCRIPTING endpoint (Spark 4's BEGIN…END compound statements,
     // SqlScriptingExecution) — the third leg of the ad-hoc text surface
     // beside q132 (plain SQL + custom functions) and q180 (recursive
@@ -523,6 +553,27 @@ object Packages {
         |FROM i
         |GROUP BY pkg_id, island
         |ORDER BY pkg_id, valid_from""".stripMargin),
+
+    "q199_version_bumps" -> sub("""WITH --PKG--,
+        |dv AS (SELECT DISTINCT name, version, vmaj, vmin, vpat, vrel FROM pkg),
+        |lg AS (
+        | SELECT name, version, vmaj, vmin, vpat, vrel,
+        |  lag(vmaj) OVER w AS pmaj, lag(vmin) OVER w AS pmin,
+        |  lag(vpat) OVER w AS ppat, lag(vrel) OVER w AS prel
+        | FROM dv WINDOW w AS (PARTITION BY name ORDER BY vmaj, vmin, vpat, vrel)),
+        |cl AS (
+        | SELECT name,
+        |  CASE WHEN vmaj <> pmaj THEN 'major'
+        |       WHEN vmin <> pmin THEN 'minor'
+        |       WHEN vpat <> ppat THEN 'patch'
+        |       ELSE 'revision' END AS bump
+        | FROM lg WHERE pmaj IS NOT NULL)
+        |SELECT name, CAST(count(*) AS BIGINT) AS n_steps,
+        | CAST(sum(CASE WHEN bump = 'major' THEN 1 ELSE 0 END) AS BIGINT) AS n_major,
+        | CAST(sum(CASE WHEN bump = 'minor' THEN 1 ELSE 0 END) AS BIGINT) AS n_minor,
+        | CAST(sum(CASE WHEN bump = 'patch' THEN 1 ELSE 0 END) AS BIGINT) AS n_patch,
+        | CAST(sum(CASE WHEN bump = 'revision' THEN 1 ELSE 0 END) AS BIGINT) AS n_revision
+        |FROM cl GROUP BY name ORDER BY name""".stripMargin),
 
     "q198_sql_scripting" -> sub("""WITH --PKG--,
         |t AS (SELECT count(*) // count(DISTINCT name) AS thr FROM pkg)

@@ -1226,6 +1226,38 @@ object Resolution {
         .orderBy("name")
     },
 
+    // Advisory blast-radius ranking — the security-tracker triage view
+    // (q134 says which packages HAVE an open advisory; this says which
+    // one to fix FIRST): per advisory, the count of packages that
+    // directly and TRANSITIVELY depend on the vulnerable name, ranked.
+    // NO new graph walk — transitive dependents fall out of the shared
+    // all-roots BFS frame (count of roots that reach the name at depth
+    // > 0), the same memoized relation q78/q100/q131/q158 read; direct
+    // dependents are one aggregation over the memoized edges. The oracle
+    // re-walks the closure with a recursive CTE — composition judged
+    // end-to-end.
+    "q200_advisory_impact" -> { (s, dir) =>
+      val adv = Tables.packageNames(s, dir)
+        .filter(pmod(col("i"), lit(5)) === 2)
+        .select(col("name"),
+          element_at(array(lit("low"), lit("high"), lit("critical")),
+            (pmod(col("i"), lit(3)) + 1).cast("int")).as("severity"))
+      val impact = reachAllFrame(s, dir)
+        .filter(col("depth") > 0)
+        .groupBy("name").agg(countDistinct("root").as("n_transitive_dependents"))
+      val direct = resolvedEdges(s, dir).filter(col("name") =!= col("dep"))
+        .select(col("name").as("depender"), col("dep").as("name"))
+        .groupBy("name").agg(countDistinct("depender").as("n_direct_dependents"))
+      adv.join(impact, Seq("name"), "left").join(direct, Seq("name"), "left")
+        .withColumn("n_transitive_dependents", coalesce(col("n_transitive_dependents"), lit(0L)))
+        .withColumn("n_direct_dependents", coalesce(col("n_direct_dependents"), lit(0L)))
+        .withColumn("impact_rank", row_number().over(
+          Window.orderBy(desc("n_transitive_dependents"), col("name"))).cast("int"))
+        .select("name", "severity", "n_direct_dependents",
+          "n_transitive_dependents", "impact_rank")
+        .orderBy("name")
+    },
+
     // Pure-SQL RECURSIVE closure — Spark 4's native `WITH RECURSIVE`
     // (analyzed by ResolveWithCTE, executed by UnionLoopExec): the
     // dependency walk arrives as SQL TEXT over a registered edge view,
@@ -1949,6 +1981,32 @@ object Resolution {
         | CAST(CASE WHEN s.name IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_seed
         |FROM ppr$PrIters p LEFT JOIN seeds s ON s.name = p.name
         |ORDER BY p.name""".stripMargin),
+
+    "q200_advisory_impact" -> sub("""WITH RECURSIVE --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |nm AS (SELECT i, 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name FROM idx),
+        |adv AS (
+        | SELECT name, CASE i % 3 WHEN 0 THEN 'low' WHEN 1 THEN 'high' ELSE 'critical' END AS severity
+        | FROM nm WHERE i % 5 = 2),
+        |r(root, name, depth) AS (
+        | SELECT name, name, 0 FROM nm
+        | UNION
+        | SELECT r.root, e.dep, r.depth + 1 FROM edges e JOIN r ON e.name = r.name WHERE r.depth < 60),
+        |mr AS (SELECT root, name, min(depth) AS d FROM r GROUP BY 1, 2),
+        |imp AS (SELECT name, CAST(count(DISTINCT root) AS BIGINT) AS nt FROM mr WHERE d > 0 GROUP BY name),
+        |dr AS (SELECT dep AS name, CAST(count(DISTINCT name) AS BIGINT) AS nd
+        |       FROM edges WHERE name <> dep GROUP BY dep),
+        |base AS (
+        | SELECT a.name, a.severity,
+        |  coalesce(d.nd, 0) AS n_direct_dependents,
+        |  coalesce(i.nt, 0) AS n_transitive_dependents
+        | FROM adv a LEFT JOIN imp i USING (name) LEFT JOIN dr d USING (name))
+        |SELECT name, severity, n_direct_dependents, n_transitive_dependents,
+        | CAST(row_number() OVER (ORDER BY n_transitive_dependents DESC, name) AS INTEGER) AS impact_rank
+        |FROM base ORDER BY name""".stripMargin),
 
     "q180_sql_recursive_closure" -> sub("""WITH RECURSIVE --IDX--,
         |--PKG--,
