@@ -130,6 +130,51 @@ object Analytics {
     // row_number window, which would shuffle and fully sort every distinct
     // hash per group to extract 64 values; PlanAuditSpec pins the
     // no-Window plan shape.
+    // DETERMINISTIC bootstrap confidence intervals (Efron's nonparametric
+    // bootstrap, public — with md5-derived resampling in place of RNG, so
+    // the oracle replays the identical replicas and the whole uncertainty
+    // estimate is judged, not just the point estimate): per event type,
+    // B=40 replicas each draw n indices via md5(type:b:j) mod n, replica
+    // means come from exact decimal sums, and the 95%-ish band is the
+    // 2nd/39th ORDER-STATISTIC pick over the 40 means (tie-broken
+    // row_number — no interpolation). The resample join is a hash
+    // equi-join on (type, idx): B×n rows against the indexed base — at
+    // scale B caps the blow-up and the replica means partial-aggregate,
+    // the standard distributed-bootstrap shape.
+    "q202_bootstrap_ci" -> { (s, dir) =>
+      val B = 40
+      val ev = Tables.events(s, dir).select("event_type", "event_id", "value")
+      val idxd = ev
+        .withColumn("idx", row_number().over(
+          Window.partitionBy("event_type").orderBy("event_id")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      val nPer = idxd.select("event_type", "n").distinct()
+      val draws = nPer
+        .select(col("event_type"), col("n"), explode(expr(s"sequence(1, $B)")).as("b"))
+        .select(col("event_type"), col("n"), col("b"),
+          explode(expr("sequence(1, n)")).as("j"))
+        .withColumn("idx", expr(
+          """pmod(cast(conv(substring(md5(concat(event_type, ':',
+             cast(b as string), ':', cast(j as string))), 1, 15), 16, 10) as bigint), n)""")
+          .cast("int") + 1)
+      val reps = draws
+        .join(idxd.select(col("event_type"), col("idx"), col("value")), Seq("event_type", "idx"))
+        .groupBy("event_type", "b")
+        .agg((sum(col("value").cast("decimal(28,2)")).cast("double") / count(lit(1))).as("m"))
+      val ranked = reps.withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("m"), col("b"))))
+      val lo = ranked.filter(col("rn") === 2)
+        .select(col("event_type"), col("m").as("boot_lo"))
+      val hi = ranked.filter(col("rn") === B - 1)
+        .select(col("event_type"), col("m").as("boot_hi"))
+      val base = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("value").cast("decimal(28,2)")).cast("double") / count(lit(1))).as("mean_value"))
+      base.join(lo, "event_type").join(hi, "event_type")
+        .select("event_type", "n_events", "mean_value", "boot_lo", "boot_hi")
+        .orderBy("event_type")
+    },
+
     // Sliding-window distinct counting from MERGEABLE daily sketches —
     // the streaming-dashboard shape ("7-day active users per type") where
     // exact sliding distinct forces either a per-window rescan or an
@@ -419,6 +464,32 @@ object Analytics {
     })
 
   val oracles: Seq[(String, String)] = Seq(
+    "q202_bootstrap_ci" ->
+      """WITH iv AS (
+        | SELECT event_type, value,
+        |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS INTEGER) AS idx,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events),
+        |np AS (SELECT DISTINCT event_type, n FROM iv),
+        |bs AS (SELECT event_type, n, unnest(range(1, 41)) AS b FROM np),
+        |dr AS (
+        | SELECT event_type, n, b, t2.j,
+        |  CAST(CAST(('0x' || substr(md5(event_type || ':' || CAST(b AS VARCHAR) || ':' || CAST(t2.j AS VARCHAR)), 1, 15)) AS BIGINT) % n AS INTEGER) + 1 AS idx
+        | FROM bs, unnest(range(1, CAST(bs.n AS INTEGER) + 1)) AS t2(j)),
+        |rep AS (
+        | SELECT d.event_type, d.b,
+        |  CAST(sum(CAST(i.value AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS m
+        | FROM dr d JOIN iv i ON i.event_type = d.event_type AND i.idx = d.idx
+        | GROUP BY 1, 2),
+        |rk AS (SELECT event_type, m, row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS rn FROM rep),
+        |base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS mean_value FROM events GROUP BY 1)
+        |SELECT b.event_type, b.n_events, b.mean_value, lo.m AS boot_lo, hi.m AS boot_hi
+        |FROM base b
+        |JOIN rk lo ON lo.event_type = b.event_type AND lo.rn = 2
+        |JOIN rk hi ON hi.event_type = b.event_type AND hi.rn = 39
+        |ORDER BY b.event_type""".stripMargin,
+
     "q195_sliding_distinct" ->
       """WITH ev AS (
         | SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,

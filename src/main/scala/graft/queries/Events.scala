@@ -91,6 +91,61 @@ object Events {
         .orderBy("event_type", "day")
     },
 
+    // Multi-touch attribution — the marketing-analytics operator on top
+    // of q22's sessionization: every purchase credits the view/click
+    // touches that preceded it IN ITS SESSION under three standard
+    // models (first-touch, last-touch, linear), and purchases with no
+    // preceding touch land in the 'direct' channel so credit mass is
+    // conserved per model. Linear credit is EXACT integer arithmetic:
+    // 1000 div n per touch with the remainder assigned to the last touch
+    // (documented policy — float splitting would leak per-mille off the
+    // judged totals). One session window pass + one (user, session)
+    // equi-join whose fan-out is bounded by session length; all three
+    // models ride the same joined frame.
+    "q201_attribution" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("prev_us", lag("us", 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+        .withColumn("sess_id", sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("sess_id"), col("event_id").as("p_id"),
+          col("us").as("p_us"))
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("sess_id"), col("event_id").as("t_id"),
+          col("us").as("t_us"), col("event_type").as("channel"))
+      // qualifying = session touches strictly before the purchase (ties
+      // broken by event id); purchases with none fall to 'direct' via an
+      // anti-join, so no conversion is silently dropped
+      val touched = purchases.join(touches, Seq("user_id", "sess_id"))
+        .filter(col("t_us") < col("p_us") ||
+          (col("t_us") === col("p_us") && col("t_id") < col("p_id")))
+        .withColumn("n_touch", count(lit(1)).over(Window.partitionBy("p_id")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("p_id").orderBy(col("t_us"), col("t_id"))))
+      val first = touched.filter(col("rn") === 1)
+        .select(lit("first").as("model"), col("channel"), col("p_id"), lit(1000L).as("credit"))
+      val last = touched.filter(col("rn") === col("n_touch"))
+        .select(lit("last").as("model"), col("channel"), col("p_id"), lit(1000L).as("credit"))
+      val linear = touched
+        .select(lit("linear").as("model"), col("channel"), col("p_id"),
+          (expr("1000 div n_touch") +
+            when(col("rn") === col("n_touch"), expr("1000 % n_touch")).otherwise(lit(0L))).as("credit"))
+      val directRows = purchases
+        .join(touched.select("p_id").distinct(), Seq("p_id"), "left_anti")
+        .select("p_id")
+      val directAll = Seq("first", "last", "linear").map(m =>
+        directRows.select(lit(m).as("model"), lit("direct").as("channel"),
+          col("p_id"), lit(1000L).as("credit"))).reduce(_ unionByName _)
+      first.unionByName(last).unionByName(linear).unionByName(directAll)
+        .groupBy("model", "channel")
+        .agg(countDistinct("p_id").as("n_conversions"), sum("credit").as("credit_x1000"))
+        .orderBy("model", "channel")
+    },
+
     // Theil–Sen robust trend estimation per event type (public estimator:
     // the MEDIAN of all pairwise slopes — one wild day cannot drag it the
     // way it drags least squares): daily counts → all day pairs → slope
@@ -161,6 +216,42 @@ object Events {
         .select(col("event_type"), col("day"), col("cnt"), col("med"), col("mad"),
           when(col("dev") > lit(3) * col("mad"), 1).otherwise(0).cast("int").as("is_outlier"))
         .orderBy("event_type", "day")
+    },
+
+    // Two-proportion significance test for the A/B readout (the pooled
+    // z-test, judged in EXACT arithmetic like q169's z-gate): users
+    // hash-split into q192's arms, "converted" = the user has any
+    // purchase event; with d = c₁n₂−c₂n₁ and N = n₁+n₂ the identity
+    // z² = d²·N / (n₁·n₂·c·(N−c)) clears |z| > 1.96 to the exact
+    // cross-multiplication 2500·d²·N > 9604·c·(N−c)·n₁·n₂ — no float
+    // anywhere near the verdict. The magnitudes exceed int64, so both
+    // engines compare in exact wide integers (Spark DECIMAL(38,0),
+    // DuckDB HUGEINT). One user-level aggregate + one 2-row rollup.
+    "q204_ab_significance" -> { (s, dir) =>
+      val perUser = Tables.events(s, dir)
+        .withColumn("arm",
+          expr("pmod(cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint), 2)").cast("int"))
+        .groupBy("user_id", "arm")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      val arms = perUser.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      val a0 = arms.filter(col("arm") === 0)
+        .select(col("n").as("n1"), col("c").as("c1"))
+      val a1 = arms.filter(col("arm") === 1)
+        .select(col("n").as("n2"), col("c").as("c2"))
+      a0.crossJoin(broadcast(a1))
+        .withColumn("nn", col("n1") + col("n2"))
+        .withColumn("cc", col("c1") + col("c2"))
+        .withColumn("d", col("c1") * col("n2") - col("c2") * col("n1"))
+        .withColumn("lhs", (col("d").cast("decimal(38,0)") * col("d").cast("decimal(38,0)"))
+          * lit(2500).cast("decimal(38,0)") * col("nn").cast("decimal(38,0)"))
+        .withColumn("rhs", lit(9604).cast("decimal(38,0)")
+          * col("cc").cast("decimal(38,0)") * (col("nn") - col("cc")).cast("decimal(38,0)")
+          * col("n1").cast("decimal(38,0)") * col("n2").cast("decimal(38,0)"))
+        .select(col("n1"), col("c1"), col("n2"), col("c2"),
+          (col("c1").cast("double") / col("n1")).as("p1"),
+          (col("c2").cast("double") / col("n2")).as("p2"),
+          when(col("lhs") > col("rhs"), 1).otherwise(0).cast("int").as("significant"))
     },
 
     // CUPED variance reduction for A/B readouts (Deng et al. 2013,
@@ -638,6 +729,66 @@ object Events {
     * `cast(ts as long)` under the UTC session.
     */
   val oracles: Seq[(String, String)] = Seq(
+    "q204_ab_significance" ->
+      """WITH pu AS (
+        | SELECT user_id,
+        |  CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS INTEGER) AS arm,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        | FROM events GROUP BY 1, 2),
+        |ar AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c FROM pu GROUP BY arm),
+        |j AS (
+        | SELECT a.n AS n1, a.c AS c1, b.n AS n2, b.c AS c2
+        | FROM (SELECT n, c FROM ar WHERE arm = 0) a
+        | CROSS JOIN (SELECT n, c FROM ar WHERE arm = 1) b),
+        |f AS (
+        | SELECT n1, c1, n2, c2, n1 + n2 AS nn, c1 + c2 AS cc,
+        |  c1 * n2 - c2 * n1 AS d
+        | FROM j)
+        |SELECT n1, c1, n2, c2,
+        | CAST(c1 AS DOUBLE) / n1 AS p1, CAST(c2 AS DOUBLE) / n2 AS p2,
+        | CAST(CASE WHEN CAST(d AS HUGEINT) * CAST(d AS HUGEINT) * 2500 * CAST(nn AS HUGEINT)
+        |   > 9604 * CAST(cc AS HUGEINT) * CAST(nn - cc AS HUGEINT) * CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT)
+        |  THEN 1 ELSE 0 END AS INTEGER) AS significant
+        |FROM f""".stripMargin,
+
+    "q201_attribution" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        | FROM flagged),
+        |pur AS (SELECT user_id, sess_id, event_id AS p_id, us AS p_us FROM sess WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, sess_id, event_id AS t_id, us AS t_us, event_type AS channel
+        |        FROM sess WHERE event_type IN ('view', 'click')),
+        |q AS (
+        | SELECT p.p_id, t.t_id, t.t_us, t.channel,
+        |  count(*) OVER (PARTITION BY p.p_id) AS n_touch,
+        |  row_number() OVER (PARTITION BY p.p_id ORDER BY t.t_us, t.t_id) AS rn
+        | FROM pur p JOIN tch t ON t.user_id = p.user_id AND t.sess_id = p.sess_id
+        | WHERE t.t_us < p.p_us OR (t.t_us = p.p_us AND t.t_id < p.p_id)),
+        |dr AS (SELECT p_id FROM pur WHERE p_id NOT IN (SELECT DISTINCT p_id FROM q)),
+        |cr AS (
+        | SELECT 'first' AS model, channel, p_id, CAST(1000 AS BIGINT) AS credit FROM q WHERE rn = 1
+        | UNION ALL
+        | SELECT 'last', channel, p_id, 1000 FROM q WHERE rn = n_touch
+        | UNION ALL
+        | SELECT 'linear', channel, p_id,
+        |  1000 // n_touch + CASE WHEN rn = n_touch THEN 1000 % n_touch ELSE 0 END
+        | FROM q
+        | UNION ALL
+        | SELECT m.model, 'direct', d.p_id, 1000
+        | FROM dr d CROSS JOIN (SELECT unnest(['first', 'last', 'linear']) AS model) m)
+        |SELECT model, channel, CAST(count(DISTINCT p_id) AS BIGINT) AS n_conversions,
+        | CAST(sum(credit) AS BIGINT) AS credit_x1000
+        |FROM cr GROUP BY model, channel
+        |ORDER BY model, channel""".stripMargin,
+
     "q196_theilsen_trend" ->
       """WITH d AS (
         | SELECT event_type, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di, count(*) AS cnt

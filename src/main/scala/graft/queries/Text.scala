@@ -771,6 +771,42 @@ object Text {
         .orderBy("cluster_id")
     },
 
+    // Fair-share token budgeting across sources (iterative water-filling,
+    // the max-min fairness allocation every multi-tenant sampler runs):
+    // a 20%-of-corpus token budget splits evenly per source; sources
+    // under their cap keep everything, and the unused slack re-spreads
+    // over the still-capped sources — three FIXED rounds, all integer
+    // division, so the oracle unrolls the identical schedule. The final
+    // per-source allocation (and who stayed capped) is the judged
+    // surface — the quota table a mixture-controlled corpus build feeds
+    // to its sampler. Each round is one 20-row aggregate against a
+    // broadcast one-row state; corpus size only enters through the
+    // initial per-source token counts.
+    "q203_fair_share" -> { (s, dir) =>
+      val srcN = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      val tot = srcN.agg(expr("sum(n_tokens) div 5").as("budget"),
+        count(lit(1)).as("k"))
+      var state = tot.select(expr("budget div k").as("cap"), col("budget"))
+      for (_ <- 1 to 3) {
+        val st = broadcast(state)
+        state = srcN.crossJoin(st)
+          .agg(max(col("budget")).as("budget"), max(col("cap")).as("oldcap"),
+            sum(least(col("n_tokens"), col("cap"))).as("used"),
+            sum(when(col("n_tokens") > col("cap"), 1L).otherwise(0L)).as("m"))
+          .select(
+            when(col("m") > 0, col("oldcap") + expr("(budget - used) div m"))
+              .otherwise(col("oldcap")).as("cap"),
+            col("budget"))
+      }
+      srcN.crossJoin(broadcast(state))
+        .select(col("source"), col("n_tokens"), col("cap").as("final_cap"),
+          least(col("n_tokens"), col("cap")).as("alloc_tokens"),
+          (col("n_tokens") > col("cap")).cast("int").as("is_capped"))
+        .orderBy("source")
+    },
+
     // Domain-mixture drift monitor — the DQ gate a corpus refresh runs
     // ("did source X's token distribution move away from the corpus?"):
     // a per-source chi-square statistic over the contingency table of the
@@ -892,6 +928,28 @@ object Text {
     sql.replace("--SH--", ShCte).replace("--PAIRS--", PairsCte)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q203_fair_share" -> {
+      def round(r: Int) =
+        s"""a$r AS (
+           | SELECT max(c.budget) AS budget, max(c.cap) AS oldcap,
+           |  CAST(sum(least(s.n_tokens, c.cap)) AS BIGINT) AS used,
+           |  CAST(sum(CASE WHEN s.n_tokens > c.cap THEN 1 ELSE 0 END) AS BIGINT) AS m
+           | FROM sn s CROSS JOIN c${r - 1} c),
+           |c$r AS (SELECT CASE WHEN m > 0 THEN oldcap + (budget - used) // m ELSE oldcap END AS cap,
+           |        budget FROM a$r)""".stripMargin
+      s"""WITH sn AS (
+         | SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         | FROM documents GROUP BY source),
+         |t0 AS (SELECT CAST(sum(n_tokens) // 5 AS BIGINT) AS budget, CAST(count(*) AS BIGINT) AS k FROM sn),
+         |c0 AS (SELECT budget // k AS cap, budget FROM t0),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT s.source, s.n_tokens, c.cap AS final_cap,
+         | least(s.n_tokens, c.cap) AS alloc_tokens,
+         | CAST(CASE WHEN s.n_tokens > c.cap THEN 1 ELSE 0 END AS INTEGER) AS is_capped
+         |FROM sn s CROSS JOIN c3 c
+         |ORDER BY s.source""".stripMargin
+    },
+
     "q194_mixture_drift" ->
       """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
         |top AS (SELECT tok, CAST(count(*) AS BIGINT) AS ct FROM tk GROUP BY tok

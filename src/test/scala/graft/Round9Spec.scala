@@ -188,6 +188,33 @@ class Round9Spec extends AnyFunSuite {
     assert(got == presence)
   }
 
+  test("q201 attribution conserves credit: every model sums to 1000 per conversion") {
+    import org.apache.spark.sql.functions._
+    val dir = SparkTestHarness.Sf0001
+    val out = SparkEntry.queries("q201_attribution")(spark, dir)
+      .groupBy("model").agg(sum("credit_x1000").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nPurchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.keySet == Set("first", "last", "linear"))
+    out.foreach { case (m, total) =>
+      assert(total == 1000L * nPurchases, s"model $m leaks credit: $total vs ${1000 * nPurchases}")
+    }
+  }
+
+  test("q203 fair-share never exceeds the budget and never caps an under-quota source") {
+    val rows = SparkEntry.queries("q203_fair_share")(spark, SparkTestHarness.Sf0001).collect()
+    val totalTokens = rows.map(_.getLong(1)).sum
+    val budget = totalTokens / 5
+    val alloc = rows.map(_.getLong(3)).sum
+    assert(alloc <= budget, s"allocated $alloc over budget $budget")
+    rows.foreach { r =>
+      val (n, cap, a, capped) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      assert(a == math.min(n, cap))
+      if (capped == 0) assert(a == n, s"uncapped source truncated: $r")
+    }
+  }
+
   test("q189 pruned exact MIPS equals an in-memory brute force on the derived corpus") {
     import org.apache.spark.sql.functions._
     val dir = SparkTestHarness.Sf0001
