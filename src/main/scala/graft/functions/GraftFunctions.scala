@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, GenericInternalRow, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -219,6 +219,60 @@ case class TokenNgrams(left: Expression, right: Expression)
   override def prettyName: String = "token_ngrams"
 }
 
+/** Static core of `hilbert_d2` — the Hilbert-curve index of a 2-D point
+  * (the public Wikipedia xy2d algorithm, n-flip rotation variant) over
+  * `bits`-bit coordinates. Pure integer arithmetic; the curve property
+  * that matters downstream (consecutive indices are always grid-adjacent,
+  * unlike Morton's quadrant seams) is judged by q193 against an oracle
+  * that re-derives the index through unrolled per-bit CASE arithmetic —
+  * an independent derivation of the same function.
+  */
+object HilbertCore {
+  def d2(x0: Long, y0: Long, bits: Int): Long = {
+    if (bits <= 0) return 0L
+    val n = 1L << bits
+    var x = x0
+    var y = y0
+    var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
+/** `hilbert_d2(x, y, bits)` → the Hilbert index — the space-filling-curve
+  * layout key beside `Graft.zorder`'s Morton interleave (data-layout
+  * family, q121/q193). Codegen'd static call like the other graft
+  * expressions; inputs implicit-cast to (LONG, LONG, INT).
+  */
+case class HilbertD2(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, LongType, IntegerType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(x: Any, y: Any, b: Any): Any =
+    HilbertCore.d2(x.asInstanceOf[Long], y.asInstanceOf[Long], b.asInstanceOf[Int])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y, b) =>
+      s"${ev.value} = graft.functions.HilbertCore.d2($x, $y, $b);")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): HilbertD2 =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "hilbert_d2"
+}
+
 /** Serializable holder for a serialized bloom filter (the probe side of
   * [[graft.Graft.bloomPrunedJoin]]). The sketch deserializes ONCE per
   * deserialization site (executor plan instance) through the transient
@@ -329,6 +383,9 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         if (args.size >= 3) TarArchive(args(0), args(1), codecArg(args(2)))
         else TarArchive(args(0), args(1))),
+    ("hilbert_d2",
+      new ExpressionInfo(classOf[HilbertD2].getName, "hilbert_d2"),
+      (args: Seq[Expression]) => HilbertD2(args(0), args(1), args(2))),
     ("bloom_might_contain",
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (args: Seq[Expression]) => BloomMightContain(args(0), new BloomRef(bytesArg(args(1))))))

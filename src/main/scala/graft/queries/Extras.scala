@@ -50,23 +50,15 @@ object Extras {
         .withColumn("b", pmod(
           datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).cast("long"),
           lit(256L)))
-      var df = base.withColumn("hx", col("a")).withColumn("hy", col("b"))
-        .withColumn("hd", lit(0L))
-      for (sv <- Seq(128, 64, 32, 16, 8, 4, 2, 1)) {
-        df = df
-          .withColumn("rx", expr(s"(hx div $sv) % 2"))
-          .withColumn("ry", expr(s"(hy div $sv) % 2"))
-          .withColumn("hd", col("hd") + lit(sv.toLong * sv) *
-            (lit(3) * col("rx") + col("ry") - lit(2) * col("rx") * col("ry")))
-          .withColumn("nhx",
-            when(col("ry") === 0 && col("rx") === 1, lit(255L) - col("hy"))
-              .when(col("ry") === 0, col("hy")).otherwise(col("hx")))
-          .withColumn("nhy",
-            when(col("ry") === 0 && col("rx") === 1, lit(255L) - col("hx"))
-              .when(col("ry") === 0, col("hx")).otherwise(col("hy")))
-          .withColumn("hx", col("nhx")).withColumn("hy", col("nhy"))
-      }
-      val keyed = df.withColumn("z", graft.Graft.zorder(col("a"), col("b")))
+      // the engine side runs the codegen'd hilbert_d2 Expression; the
+      // oracle re-derives the index through unrolled per-bit CASE
+      // arithmetic — an independent derivation of the same function, so
+      // the kernel itself is judged (ExpressionsSpec additionally pins it
+      // against an in-test bit-walk reference and grid bijectivity)
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val keyed = base
+        .withColumn("hd", call_function("hilbert_d2", col("a"), col("b"), lit(8)))
+        .withColumn("z", graft.Graft.zorder(col("a"), col("b")))
       def curveStats(curve: String, keyCol: String) = keyed
         .withColumn("bin", expr(s"$keyCol div 96"))
         .groupBy("bin")

@@ -41,7 +41,7 @@ class ExpressionsSpec extends AnyFunSuite {
     // the extensions injector exposes exactly the same function names
     assert(GraftFunctions.all.map(_._1).toSet ===
       Set("version_compare", "version_sort_key", "array_dot", "parse_constraint",
-        "token_ngrams", "bloom_might_contain",
+        "token_ngrams", "bloom_might_contain", "hilbert_d2",
         "archive_format", "archive_members", "archive_extract", "archive_inspect",
         "tar_archive"))
   }
@@ -112,6 +112,42 @@ class ExpressionsSpec extends AnyFunSuite {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT token_ngrams(array(1), 2)").head()
     }
+  }
+
+  test("hilbert_d2 matches an independent bit-walk reference and is bijective on the grid") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    // independent reference: the same public xy2d algorithm re-stated
+    // with immutable bindings
+    def ref(bits: Int, x0: Long, y0: Long): Long = {
+      val n = 1L << bits
+      def step(s: Long, x: Long, y: Long, d: Long): Long =
+        if (s == 0) d
+        else {
+          val rx = if ((x & s) > 0) 1L else 0L
+          val ry = if ((y & s) > 0) 1L else 0L
+          val d2 = d + s * s * ((3 * rx) ^ ry)
+          val (fx, fy) = if (ry == 0 && rx == 1) (n - 1 - x, n - 1 - y) else (x, y)
+          val (nx, ny) = if (ry == 0) (fy, fx) else (fx, fy)
+          step(s >> 1, nx, ny, d2)
+        }
+      step(n >> 1, x0, y0, 0L)
+    }
+    val grid = (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y))
+    val got = grid.toDF("x", "y")
+      .withColumn("d", call_function("hilbert_d2", col("x"), col("y"), lit(4)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    grid.foreach { case (x, y) => assert(got((x, y)) == ref(4, x, y), s"($x,$y)") }
+    // bijection: 256 cells -> 256 distinct indices in [0, 256)
+    assert(got.values.toSet.size == 256 && got.values.forall(d => d >= 0 && d < 256))
+    // consecutive indices are grid-adjacent — the curve property q193 sells
+    val byD = got.map(_.swap)
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at d=$d")
+    }
+    val nul = spark.sql("SELECT hilbert_d2(CAST(NULL AS BIGINT), 3, 8)").head()
+    assert(nul.isNullAt(0))
   }
 
   test("sort by version_sort_key orders a DataFrame by version semantics") {
