@@ -1,0 +1,69 @@
+package graft
+
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.HttpServer
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc HTTP query endpoint — the SERVING half of the reference's shape
+  * (pkg2 kept a web front-end next to its metadata store: vendored JS
+  * evidence `/root/reference/.vscode/settings.json:8`; [[Ingest]] is the
+  * fetch-then-cache half). POST SQL text to `/query`, get JSONL rows back
+  * — the transport for every text surface the engine already exposes:
+  * plain SQL + custom functions (q132), native recursive CTEs (q180), and
+  * BEGIN…END scripting (q198).
+  *
+  * Deliberately JDK-only (`com.sun.net.httpserver`, same as the ingest
+  * loopback tests): no server framework, no new dependency. The hosting
+  * session decides which views/functions exist; the endpoint adds exactly
+  * two policies of its own:
+  *   - results are capped at `maxRows` via `limit()` IN THE PLAN — the
+  *     cap prunes before collection, so an accidental `SELECT *` over the
+  *     corpus cannot OOM the driver;
+  *   - failures come back as HTTP 400 with a JSON error body — analysis
+  *     errors are the caller's bug, not a server crash.
+  */
+object Serve {
+  final case class Running(server: HttpServer, port: Int) {
+    def url: String = s"http://127.0.0.1:$port/query"
+    def stop(): Unit = server.stop(0)
+  }
+
+  private def jsonQuote(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Start serving `spark`'s SQL surface on 127.0.0.1:`port` (0 = pick a
+    * free port). The caller owns the lifecycle via [[Running.stop]].
+    */
+  def start(spark: SparkSession, port: Int = 0, maxRows: Int = 1000): Running = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/query", { exchange =>
+      try {
+        val sqlText = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
+        try {
+          val rows = spark.sql(sqlText).limit(maxRows).toJSON.collect()
+          val bytes = (rows.mkString("\n") + "\n").getBytes("UTF-8")
+          exchange.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+          exchange.sendResponseHeaders(200, bytes.length.toLong)
+          exchange.getResponseBody.write(bytes)
+        } catch {
+          case e: Throwable =>
+            val bytes = s"""{"error":${jsonQuote(e.getMessage)}}""".getBytes("UTF-8")
+            exchange.getResponseHeaders.set("Content-Type", "application/json")
+            exchange.sendResponseHeaders(400, bytes.length.toLong)
+            exchange.getResponseBody.write(bytes)
+        }
+      } finally exchange.close()
+    })
+    server.start()
+    Running(server, server.getAddress.getPort)
+  }
+}
