@@ -394,6 +394,49 @@ object Analytics {
         .orderBy("event_type")
     },
 
+    // Checksum-validated PII detection (q84's missing class): card-like
+    // 12-digit numbers with a REAL Luhn check digit (ISO/IEC 7812,
+    // public). Detection alone over-fires on any 12-digit run; the Luhn
+    // pass separates true card shapes (even custkeys carry a correct
+    // check digit) from random numerics (odd custkeys carry a broken
+    // one) — the precision filter every production PII scrubber applies
+    // before redacting. The Luhn fold runs over the EXTRACTED string
+    // (what the detector actually found), digit-doubling via a HOF
+    // aggregate in whole-stage codegen; redact-then-rescan proves clean.
+    // All arithmetic exact ints; one scan + one small aggregate.
+    "q207_luhn_pii" -> { (s, dir) =>
+      def luhnSum(c: String, n: Int) = expr(
+        s"""aggregate(sequence(1, $n), 0, (acc, j) -> acc +
+           (case when j % 2 = 1
+            then (case when 2 * cast(substring($c, j, 1) as int) > 9
+                  then 2 * cast(substring($c, j, 1) as int) - 9
+                  else 2 * cast(substring($c, j, 1) as int) end)
+            else cast(substring($c, j, 1) as int) end))""")
+      val cust = Tables.customer(s, dir)
+        .withColumn("pay",
+          lpad((lit(10000000000L) + col("c_custkey") * 37).cast("string"), 11, "0"))
+        .withColumn("lsum", luhnSum("pay", 11))
+        .withColumn("chk", expr("(10 - lsum % 10) % 10"))
+        .withColumn("digit",
+          when(pmod(col("c_custkey"), lit(2)) === 0, col("chk"))
+            .otherwise(expr("(chk + 5) % 10")))
+        .withColumn("card", concat(col("pay"), col("digit").cast("string")))
+        .withColumn("blurb",
+          concat(lit("cust "), col("c_name"), lit(" card "), col("card"), lit(" end")))
+      cust
+        .withColumn("found", regexp_extract(col("blurb"), "[0-9]{12}", 0))
+        .withColumn("fsum", luhnSum("found", 12))
+        .withColumn("valid", (col("fsum") % 10 === 0).cast("int"))
+        .withColumn("redacted", regexp_replace(col("blurb"), "[0-9]{12}", "<CARD>"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("found") =!= "", 1L).otherwise(0L)).as("n_found"),
+          sum(col("valid").cast("long")).as("n_luhn_valid"),
+          sum(when(col("found") =!= "" && col("valid") === 0, 1L).otherwise(0L)).as("n_luhn_invalid"),
+          sum(when(expr("redacted not rlike '[0-9]{12}'"), 1L).otherwise(0L)).as("n_clean"))
+        .orderBy("c_mktsegment")
+    },
+
     // PII scrubbing — the redaction pass every published training corpus
     // runs. The PII is DERIVED in-plan (an email from c_name, a phone for
     // custkey % 3 != 0, an alias address for custkey % 4 == 0) so the
@@ -464,6 +507,48 @@ object Analytics {
     })
 
   val oracles: Seq[(String, String)] = Seq(
+    "q207_luhn_pii" ->
+      """WITH cd AS (
+        | SELECT c_custkey, c_name, c_mktsegment,
+        |  lpad(CAST(10000000000 + c_custkey * 37 AS VARCHAR), 11, '0') AS pay
+        | FROM customer),
+        |ls AS (
+        | SELECT *, list_reduce(list_prepend(0, list_transform(range(1, 12),
+        |   j -> CASE WHEN j % 2 = 1
+        |    THEN (CASE WHEN 2 * CAST(substr(pay, CAST(j AS INTEGER), 1) AS INTEGER) > 9
+        |          THEN 2 * CAST(substr(pay, CAST(j AS INTEGER), 1) AS INTEGER) - 9
+        |          ELSE 2 * CAST(substr(pay, CAST(j AS INTEGER), 1) AS INTEGER) END)
+        |    ELSE CAST(substr(pay, CAST(j AS INTEGER), 1) AS INTEGER) END)),
+        |   (a, x) -> a + x) AS lsum
+        | FROM cd),
+        |card AS (
+        | SELECT c_mktsegment, c_name,
+        |  pay || CAST(CASE WHEN c_custkey % 2 = 0 THEN (10 - lsum % 10) % 10
+        |              ELSE ((10 - lsum % 10) % 10 + 5) % 10 END AS VARCHAR) AS card
+        | FROM ls),
+        |bl AS (SELECT c_mktsegment, 'cust ' || c_name || ' card ' || card || ' end' AS blurb FROM card),
+        |fx AS (
+        | SELECT c_mktsegment, regexp_extract(blurb, '[0-9]{12}', 0) AS found,
+        |  regexp_replace(blurb, '[0-9]{12}', '<CARD>', 'g') AS redacted
+        | FROM bl),
+        |vl AS (
+        | SELECT c_mktsegment, found, redacted,
+        |  list_reduce(list_prepend(0, list_transform(range(1, 13),
+        |   j -> CASE WHEN j % 2 = 1
+        |    THEN (CASE WHEN 2 * CAST(substr(found, CAST(j AS INTEGER), 1) AS INTEGER) > 9
+        |          THEN 2 * CAST(substr(found, CAST(j AS INTEGER), 1) AS INTEGER) - 9
+        |          ELSE 2 * CAST(substr(found, CAST(j AS INTEGER), 1) AS INTEGER) END)
+        |    ELSE CAST(substr(found, CAST(j AS INTEGER), 1) AS INTEGER) END)),
+        |   (a, x) -> a + x) % 10 AS fmod
+        | FROM fx)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        | CAST(sum(CASE WHEN found <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+        | CAST(sum(CASE WHEN fmod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid,
+        | CAST(sum(CASE WHEN found <> '' AND fmod <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_invalid,
+        | CAST(sum(CASE WHEN NOT regexp_matches(redacted, '[0-9]{12}') THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        |FROM vl GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
     "q202_bootstrap_ci" ->
       """WITH iv AS (
         | SELECT event_type, value,

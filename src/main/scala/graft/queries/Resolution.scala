@@ -1226,6 +1226,43 @@ object Resolution {
         .orderBy("name")
     },
 
+    // Install-plan CERTIFICATE — the checker beside the solver (q68 says
+    // what to install; this PROVES the result is closed): for every plan
+    // member, every declared dependency spec must be satisfiable by some
+    // provider version WITHIN the plan. Verification is deliberately a
+    // different computation than the solve (per-spec satisfaction
+    // re-derived from the raw constraint text through parse_constraint,
+    // then semi-joined against the plan) — a bug in the closure walk
+    // cannot also hide in its own audit. Members whose specs are globally
+    // unsatisfiable (the fixture's '=' constraints) surface as n_unsat
+    // with certified = 0, so both verdict branches are real. Two
+    // name-keyed joins + one aggregate over the plan-restricted spec set.
+    "q208_plan_certificate" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      val plan = graft.operators.Closure.reachable(s, resolvedEdges(s, dir), "pkg-00")
+        .select(col("name"))
+      val specs = Tables.dependsSpecs(s, dir)
+        .join(plan, Seq("name"), "left_semi")
+        .select("name", "spec").distinct()
+      val withC = specs.withColumn("c", expr("parse_constraint(spec)"))
+      val pr = Tables.provides(s, dir).select(col("name").as("provider"), col("provides_name"))
+      val pk = Tables.packages(s, dir).select(col("name").as("provider"), col("version"))
+      val sat = withC
+        .join(pr, col("c.name") === col("provides_name"))
+        .join(pk, Seq("provider"))
+        .filter(expr(SatisfiesSql))
+        .join(plan.select(col("name").as("provider")), Seq("provider"), "left_semi")
+        .select(col("name"), col("spec")).distinct()
+      specs
+        .join(sat.withColumn("ok", lit(1)), Seq("name", "spec"), "left")
+        .groupBy("name")
+        .agg(count(lit(1)).as("n_specs"),
+          sum(coalesce(col("ok"), lit(0))).cast("long").as("n_sat_in_plan"))
+        .withColumn("n_unsat", col("n_specs") - col("n_sat_in_plan"))
+        .withColumn("certified", (col("n_unsat") === 0).cast("int"))
+        .orderBy("name")
+    },
+
     // Advisory blast-radius ranking — the security-tracker triage view
     // (q134 says which packages HAVE an open advisory; this says which
     // one to fix FIRST): per advisory, the count of packages that
@@ -1981,6 +2018,35 @@ object Resolution {
         | CAST(CASE WHEN s.name IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_seed
         |FROM ppr$PrIters p LEFT JOIN seeds s ON s.name = p.name
         |ORDER BY p.name""".stripMargin),
+
+    "q208_plan_certificate" -> sub("""WITH RECURSIVE --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |r(name) AS (
+        | SELECT 'pkg-00'
+        | UNION
+        | SELECT e.dep FROM edges e JOIN r ON e.name = r.name),
+        |ps AS (SELECT DISTINCT s.name, s.spec, s.cname, s.cop, s.cmaj, s.cmin
+        |       FROM specs s JOIN r ON r.name = s.name),
+        |st AS (
+        | SELECT DISTINCT p.name, p.spec FROM ps p
+        | JOIN prov v ON v.provides_name = p.cname
+        | JOIN pkg k ON k.name = v.provider
+        | JOIN r rr ON rr.name = v.provider
+        | WHERE CASE p.cop
+        |  WHEN '>=' THEN (k.vmaj, k.vmin, k.vpat) >= (p.cmaj, p.cmin, 0)
+        |  WHEN '<'  THEN (k.vmaj, k.vmin, k.vpat) < (p.cmaj, p.cmin, 0)
+        |  WHEN '='  THEN FALSE
+        |  ELSE TRUE END)
+        |SELECT p.name, CAST(count(*) AS BIGINT) AS n_specs,
+        | CAST(sum(CASE WHEN st.spec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_sat_in_plan,
+        | CAST(count(*) - sum(CASE WHEN st.spec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unsat,
+        | CAST(CASE WHEN count(*) = sum(CASE WHEN st.spec IS NOT NULL THEN 1 ELSE 0 END)
+        |      THEN 1 ELSE 0 END AS INTEGER) AS certified
+        |FROM ps p LEFT JOIN st ON st.name = p.name AND st.spec = p.spec
+        |GROUP BY p.name ORDER BY p.name""".stripMargin),
 
     "q200_advisory_impact" -> sub("""WITH RECURSIVE --IDX--,
         |--PKG--,

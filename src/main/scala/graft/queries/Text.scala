@@ -771,6 +771,52 @@ object Text {
         .orderBy("cluster_id")
     },
 
+    // Dataset card — the one-row datasheet a corpus release ships
+    // (Datasheets-for-Datasets shape, public): size, composition,
+    // duplication, quality, and contamination in a single judged row,
+    // every figure composed from the SAME memoized frames the individual
+    // queries use (shingles, the pre-threshold pair memo, q47's quality
+    // formula, q81's eval overlap) — so the card cannot drift from the
+    // measurements it summarizes. One corpus scan for the token/quality
+    // block plus reads of already-materialized memos.
+    "q206_dataset_card" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("n_dis", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("n_stop",
+          size(expr("filter(toks, t -> t IN ('the', 'a', 'of', 'and'))")).cast("long"))
+        .withColumn("q",
+          ((lit(1000L) * col("n_dis") + lit(10L) * (col("n_chars") - col("n_tok") + 1) +
+            lit(500L) * (col("n_tok") - col("n_stop"))) / col("n_tok")).cast("long"))
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        sum("q").as("q_sum"))
+      val exactDups = Tables.documents(s, dir)
+        .groupBy(md5(lower(trim(col("text")))).as("fp"))
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(when(col("n") > 1, col("n"))), lit(0L)).as("n_exact_dup_docs"))
+      val nearPairs = jaccardPairs(s, dir)
+        .agg(count(lit(1)).as("n_neardup_pairs"))
+      val hk = Shingles.frame(s, dir).select(col("doc_id"), col("hk"))
+      val ev = broadcast(
+        hk.filter(pmod(col("doc_id"), lit(31)) === 0).select("hk").distinct())
+      val contaminated = hk.filter(pmod(col("doc_id"), lit(31)) =!= 0)
+        .join(ev, Seq("hk"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .agg(count(lit(1)).as("n_contaminated_docs"))
+      base.crossJoin(broadcast(exactDups))
+        .crossJoin(broadcast(nearPairs))
+        .crossJoin(broadcast(contaminated))
+        .select(col("n_docs"), col("n_tokens"), col("n_langs"), col("n_sources"),
+          expr("q_sum div n_docs").as("mean_quality"),
+          col("n_exact_dup_docs"), col("n_neardup_pairs"), col("n_contaminated_docs"))
+    },
+
     // Fair-share token budgeting across sources (iterative water-filling,
     // the max-min fairness allocation every multi-tenant sampler runs):
     // a 20%-of-corpus token budget splits evenly per source; sources
@@ -928,6 +974,43 @@ object Text {
     sql.replace("--SH--", ShCte).replace("--PAIRS--", PairsCte)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q206_dataset_card" -> sub("""WITH --SH--,
+        |--PAIRS--,
+        |qd AS (
+        | SELECT doc_id, lang, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dis,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stop,
+        |  n_chars
+        | FROM documents),
+        |qs AS (SELECT doc_id, lang, source, n_tok,
+        |  CAST((1000 * n_dis + 10 * (n_chars - n_tok + 1) + 500 * (n_tok - n_stop)) // n_tok AS BIGINT) AS q
+        | FROM qd),
+        |base AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(sum(q) AS BIGINT) AS q_sum
+        | FROM qs),
+        |ed AS (
+        | SELECT CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS n_exact_dup_docs
+        | FROM (SELECT md5(lower(trim(text))) AS fp, count(*) AS n FROM documents GROUP BY 1)),
+        |np AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_neardup_pairs
+        | FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        | WHERE common / (s1.sz + s2.sz - common) >= 0.6),
+        |hk2 AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS hk FROM sh),
+        |evs AS (SELECT DISTINCT hk FROM hk2 WHERE doc_id % 31 = 0),
+        |ct AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_contaminated_docs FROM (
+        |  SELECT doc_id, count(*) AS n_shared FROM hk2
+        |  WHERE doc_id % 31 <> 0 AND hk IN (SELECT hk FROM evs)
+        |  GROUP BY doc_id HAVING count(*) >= 5))
+        |SELECT b.n_docs, b.n_tokens, b.n_langs, b.n_sources,
+        | b.q_sum // b.n_docs AS mean_quality,
+        | e.n_exact_dup_docs, n.n_neardup_pairs, c.n_contaminated_docs
+        |FROM base b CROSS JOIN ed e CROSS JOIN np n CROSS JOIN ct c""".stripMargin),
+
     "q203_fair_share" -> {
       def round(r: Int) =
         s"""a$r AS (
