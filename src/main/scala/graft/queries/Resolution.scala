@@ -1226,6 +1226,46 @@ object Resolution {
         .orderBy("name")
     },
 
+    // Rank-biased overlap between two importance rankings (Webber et al.
+    // 2010, public — the top-weighted list-similarity metric): does the
+    // cheap proxy (in-degree: how many packages depend on you directly)
+    // agree with the expensive signal (PageRank) about who matters — the
+    // question that decides whether a site can serve degree counts
+    // instead of re-running the fixed point. With persistence p = 1/2 the
+    // d-th weight is dyadic and the overlap-at-depth term scales by
+    // 2520/d (an exact integer for every d ≤ 10), so EVERY partial sum is
+    // an exactly-representable dyadic rational — the prefix-RBO column is
+    // deterministic to the bit with no summation-order caveat, and only
+    // the final /2520/2 normalize is a rounded op. PageRank comes from
+    // the memoized fixed-point frame; the per-depth overlap is a 10-row
+    // theta join against the 60-name rank table. (HITS authority was
+    // measured first: its top-10 is fully DISJOINT from PageRank's on
+    // this graph — an all-zero curve judges nothing.)
+    "q209_rank_overlap" -> { (s, dir) =>
+      val ra = prFrame(s, dir)
+        .withColumn("ra", row_number().over(Window.orderBy(desc("pr"), col("name"))))
+        .select("name", "ra")
+      val indeg = resolvedEdges(s, dir).filter(col("name") =!= col("dep"))
+        .select(col("name").as("src"), col("dep").as("name"))
+        .groupBy("name").agg(countDistinct("src").as("ind"))
+      val rb = Tables.packageNames(s, dir).select("name")
+        .join(indeg, Seq("name"), "left")
+        .withColumn("ind", coalesce(col("ind"), lit(0L)))
+        .withColumn("rb", row_number().over(Window.orderBy(desc("ind"), col("name"))))
+        .select("name", "rb")
+      val joined = ra.join(rb, "name")
+      val depths = s.range(1, 11).toDF("d")
+      depths.join(joined, col("ra") <= col("d") && col("rb") <= col("d"), "left")
+        .groupBy("d").agg(count(col("name")).as("overlap"))
+        .withColumn("term", expr(
+          "(2520 div d) * overlap * (cast(1 as double) / shiftleft(cast(1 as bigint), cast(d - 1 as int)))"))
+        .withColumn("cum", sum("term").over(
+          Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("d").cast("int").as("d"), col("overlap"),
+          (col("cum") / lit(2520.0) / lit(2.0)).as("rbo_prefix"))
+        .orderBy("d")
+    },
+
     // Install-plan CERTIFICATE — the checker beside the solver (q68 says
     // what to install; this PROVES the result is closed): for every plan
     // member, every declared dependency spec must be satisfiable by some
@@ -2018,6 +2058,32 @@ object Resolution {
         | CAST(CASE WHEN s.name IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_seed
         |FROM ppr$PrIters p LEFT JOIN seeds s ON s.name = p.name
         |ORDER BY p.name""".stripMargin),
+
+    "q209_rank_overlap" -> sub(s"""WITH --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |nm AS (SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name FROM idx),
+        |outdeg AS (SELECT name, count(*) AS od FROM edges GROUP BY name),
+        |pr0 AS (SELECT name, CAST($PrInit AS BIGINT) AS pr FROM nm),
+        |${prUnrolled(PrIters)},
+        |ind AS (SELECT dep AS name, count(DISTINCT name) AS ind FROM edges WHERE name <> dep GROUP BY dep),
+        |ra AS (SELECT name, row_number() OVER (ORDER BY pr DESC, name) AS ra FROM pr$PrIters),
+        |rb AS (SELECT n.name, row_number() OVER (ORDER BY coalesce(i.ind, 0) DESC, n.name) AS rb
+        |       FROM nm n LEFT JOIN ind i ON i.name = n.name),
+        |j AS (SELECT ra.name, ra.ra, rb.rb FROM ra JOIN rb USING (name)),
+        |ds AS (SELECT unnest(range(1, 11)) AS d),
+        |xd AS (
+        | SELECT ds.d, CAST(count(j.name) AS BIGINT) AS overlap
+        | FROM ds LEFT JOIN j ON j.ra <= ds.d AND j.rb <= ds.d GROUP BY ds.d),
+        |tm AS (SELECT d, overlap,
+        |  (2520 // d) * overlap * (CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << CAST(d - 1 AS INTEGER))) AS term
+        | FROM xd),
+        |cm AS (SELECT d, overlap, sum(term) OVER (ORDER BY d) AS cum FROM tm)
+        |SELECT CAST(d AS INTEGER) AS d, overlap,
+        | cum / CAST(2520 AS DOUBLE) / CAST(2 AS DOUBLE) AS rbo_prefix
+        |FROM cm ORDER BY d""".stripMargin),
 
     "q208_plan_certificate" -> sub("""WITH RECURSIVE --IDX--,
         |--PKG--,
