@@ -91,6 +91,56 @@ object Events {
         .orderBy("event_type", "day")
     },
 
+    // Behavioral Markov model trained in-plan — the user-journey model a
+    // product-analytics engine fits: within-session transition counts
+    // (lead over q22's sessions) row-normalize to ppm probabilities, and
+    // the chain's stationary distribution comes from 8 integer power
+    // iterations (π·P with multiply-then-div, the q86 discipline) — the
+    // long-run "where do sessions spend their time" vector. The observed
+    // per-type frequency rides along, so model-vs-data is a judged
+    // comparison, not a claim. All arithmetic exact int64 (floors and
+    // leaked mass land identically on both engines — the oracle unrolls
+    // the same 8 iterations); the state space is the 5-type alphabet, so
+    // every iteration is a 25-row join regardless of corpus size.
+    "q210_markov_stationary" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("prev_us", lag("us", 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+        .withColumn("sess_id", sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      val wSess = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+      val trans = ev.withColumn("nxt", lead("event_type", 1).over(wSess))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("a"), col("nxt").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val rowTot = trans.groupBy("a").agg(sum("c").as("ca"))
+      val p = graft.operators.Lineage.cut(
+        trans.join(rowTot, "a")
+          .select(col("a"), col("b"), expr("c * 1000000 div ca").as("p")))
+      val types = graft.operators.Lineage.cut(
+        trans.select(col("a").as("t")).unionByName(trans.select(col("b").as("t"))).distinct())
+      val nT = broadcast(types.agg(count(lit(1)).as("nt")))
+      var pi = types.crossJoin(nT).select(col("t"), expr("1000000000000 div nt").as("pi"))
+      for (_ <- 1 to 8) {
+        pi = graft.operators.Lineage.cut(
+          pi.join(p, pi("t") === p("a"))
+            .select(col("b").as("t"), expr("pi * p div 1000000").as("m"))
+            .groupBy("t").agg(sum("m").as("pi")))
+      }
+      val freq = Tables.events(s, dir).groupBy(col("event_type").as("t"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = broadcast(freq.agg(sum("cnt").as("n_total")))
+      types.join(pi, Seq("t"), "left")
+        .withColumn("pi", coalesce(col("pi"), lit(0L)))
+        .join(freq, "t").crossJoin(tot)
+        .select(col("t").as("event_type"), col("pi").as("stationary_fp"),
+          expr("cnt * 1000000000000 div n_total").as("observed_fp"))
+        .orderBy("event_type")
+    },
+
     // Multi-touch attribution — the marketing-analytics operator on top
     // of q22's sessionization: every purchase credits the view/click
     // touches that preceded it IN ITS SESSION under three standard
@@ -729,6 +779,43 @@ object Events {
     * `cast(ts as long)` under the UTC session.
     */
   val oracles: Seq[(String, String)] = Seq(
+    "q210_markov_stationary" -> {
+      val steps = (1 to 8).map { k =>
+        s"""p$k AS MATERIALIZED (
+           | SELECT pp.b AS t, CAST(sum(x.pi * pp.p // 1000000) AS BIGINT) AS pi
+           | FROM p${k - 1} x JOIN pp ON pp.a = x.t GROUP BY pp.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH flagged AS (
+         | SELECT user_id, event_id, event_type, ts,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |       OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+         |       THEN 1 ELSE 0 END AS new_sess
+         | FROM events
+         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         | SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         | FROM flagged),
+         |tr AS (
+         | SELECT event_type AS a, lead(event_type) OVER sw AS b
+         | FROM sess
+         | WINDOW sw AS (PARTITION BY user_id, sess_id ORDER BY ts, event_id)),
+         |cn AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM tr WHERE b IS NOT NULL GROUP BY a, b),
+         |rt AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cn GROUP BY a),
+         |pp AS (SELECT cn.a, cn.b, cn.c * 1000000 // rt.ca AS p FROM cn JOIN rt ON rt.a = cn.a),
+         |ty AS (SELECT DISTINCT t FROM (SELECT a AS t FROM cn UNION ALL SELECT b FROM cn)),
+         |p0 AS (SELECT t, 1000000000000 // (SELECT count(*) FROM ty) AS pi FROM ty),
+         |$steps,
+         |fq AS (SELECT event_type AS t, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+         |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM fq)
+         |SELECT ty.t AS event_type,
+         | CAST(coalesce(p8.pi, 0) AS BIGINT) AS stationary_fp,
+         | fq.cnt * 1000000000000 // tt.n_total AS observed_fp
+         |FROM ty LEFT JOIN p8 ON p8.t = ty.t
+         |JOIN fq ON fq.t = ty.t CROSS JOIN tt
+         |ORDER BY ty.t""".stripMargin
+    },
+
     "q204_ab_significance" ->
       """WITH pu AS (
         | SELECT user_id,
