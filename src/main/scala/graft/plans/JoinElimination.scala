@@ -1,0 +1,62 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo}
+import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Redundant-join elimination — the PK/FK-style optimization warehouses run
+  * off informational constraints, derived here from PLAN SHAPE instead of
+  * declared metadata (OSS Spark has no informational unique constraints):
+  * a LEFT OUTER equi-join whose right side is provably DISTINCT on the
+  * join key (an `Aggregate` that is a bare distinct of that one column —
+  * the form `Distinct`/`dropDuplicates` optimizes to) preserves left-side
+  * multiplicity exactly, so when no right-side column is referenced above
+  * the join, the join is a no-op and is removed.
+  *
+  * Why it matters at 100 TB: generated BI layers and view stacks routinely
+  * join every query against dimension key lists "just in case"; each such
+  * join is a shuffle (or at best a broadcast probe) of the full fact scan.
+  * Removing it is free — result-identical by construction:
+  *   - LEFT OUTER: every left row survives regardless of match,
+  *   - right distinct on the key: at most one match, so no duplication,
+  *   - no right references: output columns are untouched.
+  * All three conditions are checked structurally; anything else bails.
+  *
+  * Installed via `spark.experimental.extraOptimizations` (runtime twin of
+  * `SparkSessionExtensions.injectOptimizerRule`) — it runs after the main
+  * optimizer batches, i.e. after `ReplaceDistinctWithAggregate` has
+  * normalized `Distinct` into the `Aggregate` shape matched here.
+  */
+object JoinElimination {
+  def ensure(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[EliminateDistinctKeyLeftJoin]))
+      spark.experimental.extraOptimizations = cur :+ EliminateDistinctKeyLeftJoin()
+  }
+
+  final case class EliminateDistinctKeyLeftJoin() extends Rule[LogicalPlan] {
+    /** The right side's output attribute when the plan is distinct on its
+      * single column: Aggregate(g, g, _) possibly under an attribute-only
+      * Project (column pruning can re-project the aggregate output).
+      */
+    private def distinctKey(plan: LogicalPlan): Option[Attribute] = plan match {
+      case Aggregate(Seq(g: AttributeReference), Seq(o: AttributeReference), _, _)
+          if g.semanticEquals(o) => Some(o)
+      case Project(Seq(o: AttributeReference), child) =>
+        distinctKey(child).filter(_.exprId == o.exprId).map(_ => o)
+      case _ => None
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+      case p @ Project(_, Join(l, r, LeftOuter,
+          Some(EqualTo(a: AttributeReference, b: AttributeReference)), _))
+          if distinctKey(r).exists(k =>
+            (l.outputSet.contains(a) && k.exprId == b.exprId) ||
+            (l.outputSet.contains(b) && k.exprId == a.exprId)) &&
+            p.references.subsetOf(l.outputSet) =>
+        p.copy(child = l)
+    }
+  }
+}

@@ -148,29 +148,46 @@ object Analytics {
         .withColumn("idx", row_number().over(
           Window.partitionBy("event_type").orderBy("event_id")))
         .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      // ONE md5 per event TYPE seeds an integer quadratic-congruential
+      // draw; the per-draw path is pure 64-bit-safe integer arithmetic
+      // (x < 2^31 so x*x < 2^62 — no overflow, and overflow semantics
+      // never diverge between engines). The r8 form re-md5'd every draw:
+      // 4M string digests at sf0.1, ~5x the whole query's useful work.
+      // The x*x mixing matters: a LINEAR congruence in (b, j) makes each
+      // replicate a constant-stride walk mod n — a permutation, i.e.
+      // every "resample" would be the original sample.
       val nPer = idxd.select("event_type", "n").distinct()
+        .withColumn("tseed",
+          expr("cast(conv(substring(md5(event_type), 1, 8), 16, 10) as bigint)"))
       val draws = nPer
-        .select(col("event_type"), col("n"), explode(expr(s"sequence(1, $B)")).as("b"))
-        .select(col("event_type"), col("n"), col("b"),
+        .select(col("event_type"), col("n"), col("tseed"),
+          explode(expr(s"sequence(1, $B)")).as("b"))
+        .select(col("event_type"), col("n"), col("tseed"), col("b"),
           explode(expr("sequence(1, n)")).as("j"))
-        .withColumn("idx", expr(
-          """pmod(cast(conv(substring(md5(concat(event_type, ':',
-             cast(b as string), ':', cast(j as string))), 1, 15), 16, 10) as bigint), n)""")
-          .cast("int") + 1)
+        .withColumn("x", expr(
+          "(cast(b as bigint) * 1103515245 + cast(j as bigint) * 12345 + tseed) % 2147483647"))
+        .withColumn("idx", expr("cast((x * x) % 2147483647 % n as int) + 1"))
+      // explicit broadcast of the indexed sample: the generator fan-out is
+      // invisible to size estimation, so the planner otherwise broadcasts
+      // the 4M-row DRAWS side (BuildLeft over two stacked explodes —
+      // measured 7s of the query's 13s at sf0.1)
       val reps = draws
-        .join(idxd.select(col("event_type"), col("idx"), col("value")), Seq("event_type", "idx"))
+        .join(broadcast(idxd.select(col("event_type"), col("idx"), col("value"))),
+          Seq("event_type", "idx"))
         .groupBy("event_type", "b")
         .agg((sum(col("value").cast("decimal(28,2)")).cast("double") / count(lit(1))).as("m"))
+      // lo and hi in ONE aggregation over the ranked replicates: separate
+      // filter-then-join frames re-evaluated the whole 4M-row resample
+      // pipeline once per bound (the other half of the measured 13s)
       val ranked = reps.withColumn("rn", row_number().over(
         Window.partitionBy("event_type").orderBy(col("m"), col("b"))))
-      val lo = ranked.filter(col("rn") === 2)
-        .select(col("event_type"), col("m").as("boot_lo"))
-      val hi = ranked.filter(col("rn") === B - 1)
-        .select(col("event_type"), col("m").as("boot_hi"))
+      val ci = ranked.groupBy("event_type")
+        .agg(min(when(col("rn") === 2, col("m"))).as("boot_lo"),
+          min(when(col("rn") === B - 1, col("m"))).as("boot_hi"))
       val base = ev.groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           (sum(col("value").cast("decimal(28,2)")).cast("double") / count(lit(1))).as("mean_value"))
-      base.join(lo, "event_type").join(hi, "event_type")
+      base.join(ci, "event_type")
         .select("event_type", "n_events", "mean_value", "boot_lo", "boot_hi")
         .orderBy("event_type")
     },
@@ -555,11 +572,14 @@ object Analytics {
         |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS INTEGER) AS idx,
         |  count(*) OVER (PARTITION BY event_type) AS n
         | FROM events),
-        |np AS (SELECT DISTINCT event_type, n FROM iv),
-        |bs AS (SELECT event_type, n, unnest(range(1, 41)) AS b FROM np),
+        |np AS (SELECT DISTINCT event_type, n,
+        |  CAST(('0x' || substr(md5(event_type), 1, 8)) AS BIGINT) AS tseed FROM iv),
+        |bs AS (SELECT event_type, n, tseed, unnest(range(1, 41)) AS b FROM np),
         |dr AS (
         | SELECT event_type, n, b, t2.j,
-        |  CAST(CAST(('0x' || substr(md5(event_type || ':' || CAST(b AS VARCHAR) || ':' || CAST(t2.j AS VARCHAR)), 1, 15)) AS BIGINT) % n AS INTEGER) + 1 AS idx
+        |  CAST(((b * 1103515245 + t2.j * 12345 + tseed) % 2147483647)
+        |    * ((b * 1103515245 + t2.j * 12345 + tseed) % 2147483647)
+        |    % 2147483647 % n AS INTEGER) + 1 AS idx
         | FROM bs, unnest(range(1, CAST(bs.n AS INTEGER) + 1)) AS t2(j)),
         |rep AS (
         | SELECT d.event_type, d.b,

@@ -1572,6 +1572,14 @@ object Resolution {
       .replace("--PROV--", ProvCte).replace("--SPECS--", SpecsCte)
       .replace("--EDGES--", EdgesCte)
 
+  /** The full idx→pkg→prov→specs→edges CTE prelude, exposed for sibling
+    * modules (Mining) whose oracles walk the same resolution graph — ONE
+    * copy of the edge semantics, so a fixture change cannot desynchronize
+    * a graph oracle from the resolution family.
+    */
+  private[queries] def edgesCtePrelude: String =
+    Seq(IdxCte, PkgCte, ProvCte, SpecsCte, EdgesCte).mkString(",\n")
+
   val oracles: Seq[(String, String)] = Seq(
     "q148_kcore" -> sub(s"""WITH --IDX--,
         |--PKG--,
