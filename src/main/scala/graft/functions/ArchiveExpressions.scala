@@ -107,3 +107,24 @@ case class TarArchive(left: Expression, right: Expression, codec: String = "none
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "tar_archive"
 }
+
+/** `zip_archive(names, contents, 'deflated')` — zip twin of [[TarArchive]];
+  * the method ('stored' | 'deflated') is a plan-time string literal.
+  */
+case class ZipArchive(left: Expression, right: Expression, method: String = "deflated")
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(names: Any, contents: Any): Any =
+    ArchiveCodec.zipArchive(
+      names.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      contents.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], method)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (n, c) => s"""
+       |${ev.value} = graft.sources.ArchiveCodec.zipArchive($n, $c, "$method");
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ZipArchive =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "zip_archive"
+}

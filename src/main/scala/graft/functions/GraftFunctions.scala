@@ -346,6 +346,18 @@ object GraftFunctions {
     v
   }
 
+  /** zip_archive's storage method — a plan-time string literal. */
+  private def zipMethodArg(e: Expression): String = {
+    require(e.foldable && e.dataType == StringType,
+      "method must be a string literal: 'stored' | 'deflated'")
+    val raw = e.eval(null)
+    require(raw != null, "method must be a non-null literal (want stored|deflated)")
+    val v = raw.asInstanceOf[UTF8String].toString
+    require(graft.sources.ArchiveCodec.KnownZipMethods.contains(v),
+      s"unknown zip method '$v' (want stored|deflated)")
+    v
+  }
+
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("version_compare",
       new ExpressionInfo(classOf[VersionCompare].getName, "version_compare"),
@@ -383,6 +395,11 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         if (args.size >= 3) TarArchive(args(0), args(1), codecArg(args(2)))
         else TarArchive(args(0), args(1))),
+    ("zip_archive",
+      new ExpressionInfo(classOf[ZipArchive].getName, "zip_archive"),
+      (args: Seq[Expression]) =>
+        if (args.size >= 3) ZipArchive(args(0), args(1), zipMethodArg(args(2)))
+        else ZipArchive(args(0), args(1))),
     ("hilbert_d2",
       new ExpressionInfo(classOf[HilbertD2].getName, "hilbert_d2"),
       (args: Seq[Expression]) => HilbertD2(args(0), args(1), args(2))),

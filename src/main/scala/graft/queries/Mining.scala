@@ -24,11 +24,32 @@ import graft.Tables
 object Mining {
   type QFn = (SparkSession, String) => DataFrame
 
-  /** BM25 query terms (fixture vocabulary is a closed word set; these three
-    * span low/mid/high document frequency so the idf surrogate actually
-    * orders them differently).
+  /** Undirected co-dependency projection: two packages connect iff some
+    * provider satisfies a dependency of BOTH (the one-mode projection of
+    * the bipartite depends graph — "share a library"). The RESOLUTION
+    * graph itself is triangle-free on this fixture (q126 judges 0), so
+    * the clustering family (q211 lcc, q221 assortativity, q224 k-truss)
+    * runs on the projection, where shared providers create real
+    * triangles. Scale note: a hub provider creates quadratic pair
+    * fan-out — at corpus scale the projection takes the shingle family's
+    * df-cap/salting guards; the fixture's fan-out is bounded by the
+    * 3-providers-per-virtual design.
     */
-  private val Bm25Terms = Seq("spark", "join", "window")
+  private def coDependencyGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = Resolution.resolvedEdges(s, dir)
+    e.select(col("name").as("n1"), col("dep"))
+      .join(e.select(col("name").as("n2"), col("dep")), Seq("dep"))
+      .filter(col("n1") =!= col("n2"))
+      .select(least(col("n1"), col("n2")).as("a"),
+        greatest(col("n1"), col("n2")).as("b"))
+      .distinct()
+  }
+
+  /** The co-dependency projection as an oracle CTE (requires `edges`). */
+  private val ProjCte =
+    """u AS (
+      | SELECT DISTINCT least(e1.name, e2.name) AS a, greatest(e1.name, e2.name) AS b
+      | FROM edges e1 JOIN edges e2 ON e2.dep = e1.dep AND e1.name <> e2.name)""".stripMargin
 
   /** Winnowing parameters: character k-grams of K, window of W grams —
     * guarantee: any shared substring of length ≥ K + W - 1 shares a
@@ -190,35 +211,35 @@ object Mining {
         .orderBy("name")
     },
 
-    // Triangle counting + local clustering coefficient over the undirected
-    // resolution graph — the community-density statistic a dependency
-    // auditor reads next to PageRank (q86) and k-core (q148). Edges are
-    // ORIENTED from the lower (degree, name) endpoint to the higher before
-    // the wedge self-join: each triangle is generated exactly once, and the
-    // join's fan-out per node is bounded by its FORWARD degree — on a
-    // power-law graph that caps the intermediate at O(m^1.5) where the
-    // naive wedge join pays Σdeg² on the hubs. lcc_fp is fixed-point
-    // 2·tri·10⁶ div deg·(deg-1) — integer on both engines.
+    // PER-NODE triangle participation + local clustering coefficient on
+    // the CO-DEPENDENCY projection — the node-resolved companion of
+    // q126's global census (which judges the raw resolution graph
+    // triangle-free; the projection is where clustering lives: packages
+    // sharing providers form real communities). Edges are ORIENTED from
+    // the lower (degree, name) endpoint to the higher before the wedge
+    // self-join: each triangle is generated exactly once, and the join's
+    // fan-out per node is bounded by its FORWARD degree — on a power-law
+    // graph that caps the intermediate at O(m^1.5) where the naive wedge
+    // join pays Σdeg² on the hubs. lcc_fp is fixed-point
+    // 2·tri·10⁶ div deg·(deg-1) — integer on both engines. u and the
+    // orientation feed multiple join inputs whose differing keys defeat
+    // ReusedExchange — Lineage.cut each once (q126's measured discipline).
     "q211_triangle_count" -> { (s, dir) =>
-      val e = Resolution.resolvedEdges(s, dir)
-      val u = e.filter(col("name") =!= col("dep"))
-        .select(least(col("name"), col("dep")).as("a"),
-          greatest(col("name"), col("dep")).as("b"))
-        .distinct()
+      val u = graft.operators.Lineage.cut(coDependencyGraph(s, dir))
       val deg = u.select(col("a").as("n")).unionAll(u.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
       val da = deg.select(col("n").as("a"), col("deg").as("dega"))
       val db = deg.select(col("n").as("b"), col("deg").as("degb"))
       // orientation: low (deg, name) → high (deg, name); total order, so
       // every undirected edge gets exactly one direction
-      val o = u.join(da, "a").join(db, "b")
+      val o = graft.operators.Lineage.cut(u.join(da, "a").join(db, "b")
         .select(
           when(col("dega") < col("degb") ||
             (col("dega") === col("degb") && col("a") < col("b")), col("a"))
             .otherwise(col("b")).as("src"),
           when(col("dega") < col("degb") ||
             (col("dega") === col("degb") && col("a") < col("b")), col("b"))
-            .otherwise(col("a")).as("dst"))
+            .otherwise(col("a")).as("dst")))
       val o1 = o.select(col("src").as("x"), col("dst").as("y"))
       val o2 = o.select(col("src").as("y2"), col("dst").as("z"))
       val o3 = o.select(col("src").as("x3"), col("dst").as("z3"))
@@ -242,38 +263,38 @@ object Mining {
         .orderBy("name")
     },
 
-    // BM25 ranking over `documents` — the relevance score a corpus search
-    // endpoint serves, in log-free fixed point so both engines agree
-    // bit-wise: the tf saturation term is BM25's exact rational form with
-    // k1 = 1.2, b = 0.75 cleared to integers (denominator
-    // T·(10·tf+3) + 9·dl·N over common factor 10·T), and the idf is the
-    // df-monotone rational surrogate (N-df+1)·10⁶ div (df+1) — same
-    // ranking family, no transcendental whose last-ulp could differ
-    // across engines. One exploded-token aggregation (shuffle on token)
-    // computes tf; corpus stats (N, T, df) are scalar/three-row frames
-    // broadcast back onto the candidates.
-    "q213_bm25_rank" -> { (s, dir) =>
+    // Positional proximity ranking — the POSITIONAL retrieval signal q120's
+    // bag-of-words BM25 cannot see: for each query term pair, docs rank by
+    // exact-phrase hits (t2 immediately after t1) then closest distance.
+    // The plan is the positional-inverted-index shape: tokens explode WITH
+    // positions, each term's posting list filters via a broadcast pair
+    // table, and the per-doc position join is bounded by tf(t1)·tf(t2) —
+    // never a document rescan. At 100 TB the posting lists shuffle on
+    // (pair, doc) and the quadratic stays inside a doc's own tf product.
+    "q213_proximity_rank" -> { (s, dir) =>
       import s.implicits._
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .withColumn("dl", size(col("toks")).cast("long"))
-      val corpus = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
-      val terms = Bm25Terms.map(Tuple1(_)).toDF("term")
-      val tok = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      val tf = tok.join(broadcast(terms), "term")
-        .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-      val df_ = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
-      val scored = tf.join(broadcast(df_), "term").crossJoin(broadcast(corpus))
-        .withColumn("idf_fp", expr("((n_docs - df + 1) * 1000000) div (df + 1)"))
-        .withColumn("tfpart_fp",
-          expr("(22 * tf * total_tokens * 1000000) div " +
-            "(total_tokens * (10 * tf + 3) + 9 * dl * n_docs)"))
-        .withColumn("score_fp", expr("(idf_fp * tfpart_fp) div 1000000"))
-      val w = Window.partitionBy("term").orderBy(col("score_fp").desc, col("doc_id"))
-      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 15)
-        .select(col("term"), col("rank"), col("doc_id"), col("score_fp"),
-          col("tf"), col("dl"))
-        .orderBy("term", "rank")
+      val pairs = Seq(("spark", "join"), ("data", "stream"), ("sort", "merge"))
+        .toDF("t1", "t2")
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val a = toks.join(broadcast(pairs), col("tok") === col("t1"))
+        .select(col("t1"), col("t2"), col("doc_id"), col("pos").as("p1"))
+      val b = toks.join(broadcast(pairs.select(col("t1").as("u1"), col("t2").as("u2"))),
+          col("tok") === col("u2"))
+        .select(col("u1"), col("u2"), col("doc_id"), col("pos").as("p2"))
+      val scored = a.join(b,
+          col("t1") === col("u1") && col("t2") === col("u2") && a("doc_id") === b("doc_id"))
+        .groupBy(col("t1"), col("t2"), a("doc_id").as("doc_id"))
+        .agg(
+          sum(when(col("p2") === col("p1") + 1, 1L).otherwise(0L)).as("phrase_hits"),
+          min(abs(col("p2") - col("p1"))).cast("long").as("min_dist"),
+          count(lit(1)).as("n_pos_pairs"))
+      val w = Window.partitionBy("t1", "t2")
+        .orderBy(col("phrase_hits").desc, col("min_dist"), col("doc_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select(col("t1"), col("t2"), col("rank"), col("doc_id"),
+          col("phrase_hits"), col("min_dist"), col("n_pos_pairs"))
+        .orderBy("t1", "t2", "rank")
     },
 
     // Winnowing fingerprints (the MOSS plagiarism-detector selection rule):
@@ -325,6 +346,174 @@ object Mining {
           expr("(1000000 * shared) div (sz1 + sz2 - shared)"))
         .select("d1", "d2", "shared", "sz1", "sz2", "jaccard_fp")
         .orderBy("d1", "d2")
+    },
+
+    // Market-basket association RULES over order baskets (items = part
+    // BRANDS — dense enough that supports are meaningful at every SF):
+    // where q160 stops at undirected pair support/lift, this adds the
+    // rules layer — DIRECTED x→y with CONFIDENCE and a minimum-support
+    // floor (1% of baskets), all in integer fixed point so the oracle
+    // hash-matches. Scale shape: one broadcast join to the part
+    // dim, one distinct, a per-basket pair self-join (bounded: ≤ brands²
+    // per order, and the support floor prunes the long tail before the
+    // metric join), then two tiny count joins broadcast back.
+    "q219_basket_rules" -> { (s, dir) =>
+      val items = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand").as("item"))
+        .distinct()
+      // basket count stays IN the plan (broadcast scalar), no driver action
+      val nFrame = items.agg(countDistinct("okey").as("n"))
+      val cx = items.groupBy("item").agg(count(lit(1)).as("c"))
+      val pairs = items
+        .join(items.select(col("okey"), col("item").as("item2")), "okey")
+        .filter(col("item") =!= col("item2"))
+        .groupBy(col("item").as("x"), col("item2").as("y"))
+        .agg(count(lit(1)).as("cxy"))
+      pairs.crossJoin(broadcast(nFrame))
+        .filter(col("cxy") >= expr("n div 100"))
+        .join(broadcast(cx.select(col("item").as("x"), col("c").as("cx"))), "x")
+        .join(broadcast(cx.select(col("item").as("y"), col("c").as("cy"))), "y")
+        .withColumn("support_fp", expr("(1000000 * cxy) div n"))
+        .withColumn("confidence_fp", expr("(1000000 * cxy) div cx"))
+        .withColumn("lift_fp", expr("(1000000 * cxy * n) div (cx * cy)"))
+        .orderBy(col("lift_fp").desc, col("x"), col("y"))
+        .limit(30)
+        .select("x", "y", "cxy", "cx", "cy", "support_fp", "confidence_fp", "lift_fp")
+    },
+
+    // SAX-style motif discovery on the daily order-count series: PAA
+    // (piecewise aggregate approximation) over non-overlapping 7-day
+    // frames in fixed point, alphabet-of-4 symbols by ntile over the PAA
+    // distribution (deterministic tie order), 4-week words via lead(), and
+    // the most recurrent words surface as motifs. The whole pipeline is
+    // one date aggregation + O(weeks) window work — the 100 TB cost is
+    // the first groupBy, as with q218.
+    "q220_sax_motifs" -> { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .select(to_date(col("o_orderdate")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_orders"))
+        .withColumn("di", datediff(col("day"), lit("1970-01-01")))
+      val base = daily.agg(min("di").as("d0"))
+      val paa = daily.crossJoin(broadcast(base))
+        .withColumn("wk", expr("(di - d0) div 7"))
+        .groupBy("wk")
+        .agg(expr("(sum(n_orders) * 1000000) div count(1)").as("paa_fp"))
+      val sym = paa.withColumn("sym",
+        ntile(4).over(Window.orderBy(col("paa_fp"), col("wk"))))
+      val words = sym
+        .withColumn("w1", lead("sym", 1).over(Window.orderBy("wk")))
+        .withColumn("w2", lead("sym", 2).over(Window.orderBy("wk")))
+        .withColumn("w3", lead("sym", 3).over(Window.orderBy("wk")))
+        .filter(col("w3").isNotNull)
+        .withColumn("word", concat_ws("", col("sym"), col("w1"), col("w2"), col("w3")))
+      words.groupBy("word")
+        .agg(count(lit(1)).as("n_occurrences"),
+          min("wk").cast("int").as("first_week"))
+        .filter(col("n_occurrences") >= 2)
+        .orderBy(col("n_occurrences").desc, col("word"))
+        .select("word", "n_occurrences", "first_week")
+    },
+
+    // Degree assortativity of the resolution graph — Newman's r (Pearson
+    // correlation of endpoint degrees over edges): the one-number summary
+    // of hub-to-hub vs hub-to-leaf wiring an ecosystem audit reads next
+    // to the degree histogram. All moment sums are exact BIGINTs over the
+    // symmetrized edge list; only the final r is floating point, and
+    // sqrt/divide are IEEE correctly-rounded, so the identical expression
+    // tree is bit-identical across engines.
+    "q221_degree_assortativity" -> { (s, dir) =>
+      // u feeds the degree table and both endpoint joins — cut once
+      val u = graft.operators.Lineage.cut(coDependencyGraph(s, dir))
+      val deg = u.select(col("a").as("n")).unionAll(u.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val da = deg.select(col("n").as("a"), col("deg").as("dx"))
+      val db = deg.select(col("n").as("b"), col("deg").as("dy"))
+      // symmetrize: each undirected edge contributes both (dx,dy) and
+      // (dy,dx), so the x and y marginals coincide as assortativity needs
+      val ends = u.join(da, "a").join(db, "b")
+      val sym = ends.select(col("dx").as("x"), col("dy").as("y"))
+        .unionAll(ends.select(col("dy").as("x"), col("dx").as("y")))
+      sym.agg(
+          count(lit(1)).as("nd"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"),
+          sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"))
+        .withColumn("assortativity", expr(
+          """(cast(nd as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double))
+             / (sqrt(cast(nd as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double))
+                * sqrt(cast(nd as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)))"""))
+        .select("nd", "sx", "sxy", "sxx", "assortativity")
+    },
+
+    // Weighted median — the robust location estimate under unequal row
+    // importance (quantity-weighted price: "the price at which half the
+    // VOLUME trades cheaper"): cumulative-weight window per group, the
+    // median is the first value whose running weight reaches half the
+    // total. Exact integer weights and a total order (price, orderkey,
+    // linenumber) make the pick deterministic — never interpolation.
+    // Scale: one shuffle on the group key; the window is the same pass
+    // that computes the total (sum over the unbounded frame).
+    "q223_weighted_median" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("price"),
+        col("l_quantity").cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+      val ord = Window.partitionBy("flag")
+        .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
+      val tot = Window.partitionBy("flag")
+      val ranked = li
+        .withColumn("cw", sum("w").over(ord))
+        .withColumn("tw", sum("w").over(tot))
+        .filter(expr("2 * cw >= tw"))
+      val w2 = Window.partitionBy("flag")
+        .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
+      ranked.withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
+        .select(col("flag"), col("price").as("weighted_median_price"),
+          col("tw").as("total_weight"))
+        .orderBy("flag")
+    },
+
+    // k-truss of the co-dependency projection (operators/KTruss) — the
+    // EDGE-level cohesion filter beside k-core's node-level one:
+    // surviving edges sit in >= k-2 triangles of the surviving subgraph,
+    // recounted after every drop to a fixpoint (94 of 106 projection
+    // edges survive k=4; the raw resolution graph is triangle-free, so
+    // its truss is empty — measured before the design). Judged output =
+    // the 4-truss edge list with each edge's final triangle support; the
+    // oracle unrolls the identical peel rounds (triangle recount per
+    // round, MATERIALIZED).
+    "q224_ktruss" -> { (s, dir) =>
+      val u = coDependencyGraph(s, dir)
+      val truss = graft.operators.KTruss.run(s, u, 4)
+      // final support recount over the surviving subgraph for the report
+      val deg = truss.select(col("a").as("n")).unionAll(truss.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val o = truss
+        .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("a"))
+            .otherwise(col("b")).as("s"),
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("b"))
+            .otherwise(col("a")).as("t"))
+      val tri = o.select(col("s"), col("t").as("x"))
+        .join(o.select(col("s"), col("t").as("y")), "s")
+        .filter(col("x") =!= col("y"))
+        .join(o.select(col("s").as("x"), col("t").as("y")), Seq("x", "y"))
+        .select(col("s"), col("x"), col("y"))
+      val support = tri
+        .select(least(col("s"), col("x")).as("a"), greatest(col("s"), col("x")).as("b"))
+        .unionAll(tri.select(least(col("s"), col("y")).as("a"), greatest(col("s"), col("y")).as("b")))
+        .unionAll(tri.select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b")))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      truss.join(support, Seq("a", "b"))
+        .select("a", "b", "support")
+        .orderBy("a", "b")
     },
 
     // Classical seasonal decomposition (moving-average flavor) of the daily
@@ -386,7 +575,77 @@ object Mining {
          |  FROM w${k - 1} w JOIN edges e ON e.name = w.node) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
 
+  /** Unrolled k-truss peel rounds for the q224 oracle (requires e0 = the
+    * starting undirected edge set): each round enumerates triangles in the
+    * a<b<c form, aggregates per-edge support, keeps edges with support ≥
+    * minSup. Rounds past convergence are idempotent, so a fixed count ≥
+    * the measured convergence (1 round on the fixture projection) is
+    * safe; every round is MATERIALIZED (each references the previous
+    * edge set three times).
+    */
+  private def trussUnrolled(rounds: Int, minSup: Int): String =
+    (1 to rounds).map { r =>
+      s"""t$r AS MATERIALIZED (
+         | SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         | FROM e${r - 1} e1
+         | JOIN e${r - 1} e2 ON e2.a = e1.a AND e2.b > e1.b
+         | JOIN e${r - 1} e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |s$r AS MATERIALIZED (
+         | SELECT a, b, count(*) AS sup FROM (
+         |  SELECT x AS a, y AS b FROM t$r
+         |  UNION ALL SELECT x AS a, z AS b FROM t$r
+         |  UNION ALL SELECT y AS a, z AS b FROM t$r)
+         | GROUP BY a, b),
+         |e$r AS MATERIALIZED (
+         | SELECT e.a, e.b FROM e${r - 1} e
+         | JOIN s$r s ON s.a = e.a AND s.b = e.b WHERE s.sup >= $minSup)""".stripMargin
+    }.mkString(",\n")
+
   val oracles: Seq[(String, String)] = Seq(
+
+    "q223_weighted_median" ->
+      """WITH li AS (
+        | SELECT l_returnflag AS flag, l_extendedprice AS price,
+        |  CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+        | FROM lineitem),
+        |r AS (
+        | SELECT flag, price, l_orderkey, l_linenumber,
+        |  sum(w) OVER (PARTITION BY flag ORDER BY price, l_orderkey, l_linenumber) AS cw,
+        |  sum(w) OVER (PARTITION BY flag) AS tw
+        | FROM li),
+        |f AS (
+        | SELECT flag, price, tw,
+        |  row_number() OVER (PARTITION BY flag ORDER BY price, l_orderkey, l_linenumber) AS rn
+        | FROM r WHERE 2 * cw >= tw)
+        |SELECT flag, price AS weighted_median_price,
+        | CAST(tw AS BIGINT) AS total_weight
+        |FROM f WHERE rn = 1
+        |ORDER BY flag""".stripMargin,
+
+    "q224_ktruss" ->
+      s"""WITH --CTES--,
+        |--PROJ--,
+        |e0 AS (SELECT a, b FROM u),
+        |${trussUnrolled(3, 2)},
+        |fs AS (
+        | SELECT a, b, count(*) AS sup FROM (
+        |  SELECT e1.a, e1.b FROM e3 e1
+        |   JOIN e3 e2 ON e2.a = e1.a AND e2.b > e1.b
+        |   JOIN e3 e3x ON e3x.a = e1.b AND e3x.b = e2.b
+        |  UNION ALL
+        |  SELECT e1.a, e2.b FROM e3 e1
+        |   JOIN e3 e2 ON e2.a = e1.a AND e2.b > e1.b
+        |   JOIN e3 e3x ON e3x.a = e1.b AND e3x.b = e2.b
+        |  UNION ALL
+        |  SELECT e1.b, e2.b FROM e3 e1
+        |   JOIN e3 e2 ON e2.a = e1.a AND e2.b > e1.b
+        |   JOIN e3 e3x ON e3x.a = e1.b AND e3x.b = e2.b)
+        | GROUP BY a, b)
+        |SELECT e.a, e.b, CAST(f.sup AS BIGINT) AS support
+        |FROM e3 e JOIN fs f ON f.a = e.a AND f.b = e.b
+        |ORDER BY e.a, e.b""".stripMargin
+        .replace("--CTES--", Resolution.edgesCtePrelude)
+        .replace("--PROJ--", ProjCte),
 
     "q212_join_elimination" ->
       """SELECT l_returnflag, count(*) AS n_lines, sum(l_quantity) AS sum_qty
@@ -462,8 +721,7 @@ object Mining {
     "q211_triangle_count" ->
       s"""WITH --CTES--,
         |nm AS (SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name FROM idx),
-        |u AS (SELECT DISTINCT least(name, dep) AS a, greatest(name, dep) AS b
-        |      FROM edges WHERE name <> dep),
+        |--PROJ--,
         |deg AS (SELECT n, count(*) AS deg FROM (
         |  SELECT a AS n FROM u UNION ALL SELECT b AS n FROM u) GROUP BY n),
         |o AS (
@@ -490,35 +748,34 @@ object Mining {
         // substitution AFTER stripMargin: the prelude itself contains
         // continuation lines starting with '||' that a second stripMargin
         // pass would truncate to '|'
-        .replace("--CTES--", Resolution.edgesCtePrelude),
+        .replace("--CTES--", Resolution.edgesCtePrelude)
+        .replace("--PROJ--", ProjCte),
 
-    "q213_bm25_rank" ->
-      s"""WITH docs AS (
-        | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-        |  string_split(text, ' ') AS toks
-        | FROM documents),
-        |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM docs),
-        |terms(term) AS (VALUES ${Bm25Terms.map(t => s"('$t')").mkString(", ")}),
-        |tf AS (
-        | SELECT t.term, d.doc_id, d.dl, count(*) AS tf
-        | FROM docs d, unnest(d.toks) AS u(tok)
-        | JOIN terms t ON t.term = u.tok
-        | GROUP BY t.term, d.doc_id, d.dl),
-        |dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    "q213_proximity_rank" ->
+      """WITH pairs(t1, t2) AS (VALUES ('spark', 'join'), ('data', 'stream'), ('sort', 'merge')),
+        |base AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |tp AS (
+        | SELECT doc_id, unnest(generate_series(0, len(sp) - 1)) AS pos, sp
+        | FROM base),
+        |toks AS (SELECT doc_id, pos, sp[pos + 1] AS tok FROM tp),
+        |a AS (SELECT p.t1, p.t2, k.doc_id, k.pos AS p1
+        |      FROM toks k JOIN pairs p ON k.tok = p.t1),
+        |b AS (SELECT p.t1, p.t2, k.doc_id, k.pos AS p2
+        |      FROM toks k JOIN pairs p ON k.tok = p.t2),
         |scored AS (
-        | SELECT tf.term, tf.doc_id, tf.tf, tf.dl,
-        |  ((c.n_docs - f.df + 1) * 1000000) // (f.df + 1) AS idf_fp,
-        |  (22 * tf.tf * c.total_tokens * 1000000)
-        |    // (c.total_tokens * (10 * tf.tf + 3) + 9 * tf.dl * c.n_docs) AS tfpart_fp
-        | FROM tf JOIN dfc f ON f.term = tf.term CROSS JOIN corpus c)
-        |SELECT term,
-        | CAST(row_number() OVER (PARTITION BY term ORDER BY (idf_fp * tfpart_fp) // 1000000 DESC, doc_id)
-        |   AS INTEGER) AS rank,
-        | doc_id, CAST((idf_fp * tfpart_fp) // 1000000 AS BIGINT) AS score_fp,
-        | CAST(tf AS BIGINT) AS tf, dl
+        | SELECT a.t1, a.t2, a.doc_id,
+        |  CAST(sum(CASE WHEN b.p2 = a.p1 + 1 THEN 1 ELSE 0 END) AS BIGINT) AS phrase_hits,
+        |  CAST(min(abs(b.p2 - a.p1)) AS BIGINT) AS min_dist,
+        |  count(*) AS n_pos_pairs
+        | FROM a JOIN b ON b.t1 = a.t1 AND b.t2 = a.t2 AND b.doc_id = a.doc_id
+        | GROUP BY a.t1, a.t2, a.doc_id)
+        |SELECT t1, t2,
+        | CAST(row_number() OVER (PARTITION BY t1, t2
+        |   ORDER BY phrase_hits DESC, min_dist, doc_id) AS INTEGER) AS rank,
+        | doc_id, phrase_hits, min_dist, n_pos_pairs
         |FROM scored
-        |QUALIFY rank <= 15
-        |ORDER BY term, rank""".stripMargin,
+        |QUALIFY rank <= 10
+        |ORDER BY t1, t2, rank""".stripMargin,
 
     "q214_winnowing_dedup" ->
       s"""WITH g AS (
@@ -551,6 +808,80 @@ object Mining {
         |JOIN sz s1 ON s1.doc_id = p.d1
         |JOIN sz s2 ON s2.doc_id = p.d2
         |ORDER BY p.d1, p.d2""".stripMargin,
+
+    "q219_basket_rules" ->
+      """WITH items AS (
+        | SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+        | FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |nn AS (SELECT count(DISTINCT okey) AS n FROM items),
+        |cx AS (SELECT item, count(*) AS c FROM items GROUP BY item),
+        |pairs AS (
+        | SELECT a.item AS x, b.item AS y, count(*) AS cxy
+        | FROM items a JOIN items b ON a.okey = b.okey AND a.item <> b.item
+        | GROUP BY 1, 2)
+        |SELECT p.x, p.y, p.cxy, ca.c AS cx, cb.c AS cy,
+        | CAST((1000000 * p.cxy) // nn.n AS BIGINT) AS support_fp,
+        | CAST((1000000 * p.cxy) // ca.c AS BIGINT) AS confidence_fp,
+        | CAST((1000000 * p.cxy * nn.n) // (ca.c * cb.c) AS BIGINT) AS lift_fp
+        |FROM pairs p
+        |CROSS JOIN nn
+        |JOIN cx ca ON ca.item = p.x
+        |JOIN cx cb ON cb.item = p.y
+        |WHERE p.cxy >= nn.n // 100
+        |ORDER BY lift_fp DESC, p.x, p.y
+        |LIMIT 30""".stripMargin,
+
+    "q220_sax_motifs" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+        |  CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS di
+        | FROM orders GROUP BY 1, 3),
+        |b AS (SELECT min(di) AS d0 FROM daily),
+        |paa AS (
+        | SELECT (di - d0) // 7 AS wk,
+        |  (sum(n_orders) * 1000000) // count(*) AS paa_fp
+        | FROM daily, b GROUP BY 1),
+        |sym AS (
+        | SELECT wk, ntile(4) OVER (ORDER BY paa_fp, wk) AS sym FROM paa),
+        |words AS (
+        | SELECT wk, sym,
+        |  lead(sym, 1) OVER (ORDER BY wk) AS w1,
+        |  lead(sym, 2) OVER (ORDER BY wk) AS w2,
+        |  lead(sym, 3) OVER (ORDER BY wk) AS w3
+        | FROM sym),
+        |wd AS (
+        | SELECT CAST(sym AS VARCHAR) || CAST(w1 AS VARCHAR)
+        |   || CAST(w2 AS VARCHAR) || CAST(w3 AS VARCHAR) AS word, wk
+        | FROM words WHERE w3 IS NOT NULL)
+        |SELECT word, count(*) AS n_occurrences,
+        | CAST(min(wk) AS INTEGER) AS first_week
+        |FROM wd GROUP BY word
+        |HAVING count(*) >= 2
+        |ORDER BY n_occurrences DESC, word""".stripMargin,
+
+    "q221_degree_assortativity" ->
+      s"""WITH --CTES--,
+        |--PROJ--,
+        |deg AS (SELECT n, count(*) AS deg FROM (
+        |  SELECT a AS n FROM u UNION ALL SELECT b AS n FROM u) GROUP BY n),
+        |ends AS (
+        | SELECT da.deg AS dx, db.deg AS dy
+        | FROM u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
+        |sym AS (SELECT dx AS x, dy AS y FROM ends
+        |  UNION ALL SELECT dy AS x, dx AS y FROM ends),
+        |mo AS (
+        | SELECT CAST(count(*) AS BIGINT) AS nd,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+        | FROM sym)
+        |SELECT nd, sx, sxy, sxx,
+        | (CAST(nd AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(nd AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * sqrt(CAST(nd AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS assortativity
+        |FROM mo""".stripMargin
+        .replace("--CTES--", Resolution.edgesCtePrelude)
+        .replace("--PROJ--", ProjCte),
 
     "q218_seasonal_decompose" ->
       """WITH daily AS (

@@ -109,6 +109,27 @@ object EventStreams {
       .select(col("user_id"), col("view_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** T8 outer variant: LEFT OUTER stream-stream interval join — every view
+    * emits, attributed when a purchase lands within the hour, with NULL
+    * purchase columns otherwise. The null side emits only once the
+    * watermark proves no matching purchase can still arrive (state for a
+    * view row is held exactly until view_ts + 1h + watermark delay) —
+    * the semantics a funnel dashboard needs to count abandoned views
+    * without a batch backfill. StreamingSpec pins stream == batch after a
+    * watermark-advancing sentinel flushes the tail.
+    */
+  def viewToPurchaseOuter(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = eventTime(views).withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val p = eventTime(purchases).withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+    v.join(p, col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("user_id"), col("view_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** T5: stateful dedup on event_id bounded by the watermark. */
   def dedupedEvents(events: DataFrame): DataFrame =
     eventTime(events)

@@ -87,6 +87,54 @@ class ArchiveSpec extends AnyFunSuite {
     }
   }
 
+  test("zip roundtrip through both methods: format, members, extraction") {
+    import spark.implicits._
+    for (method <- Seq("stored", "deflated")) {
+      val df = Seq(("a.txt", "b/c.txt")).toDF("n1", "n2")
+        .selectExpr(
+          s"zip_archive(array(n1, n2), array(encode('abc', 'UTF-8'), encode('hello world', 'UTF-8')), '$method') AS z")
+      val r = df.selectExpr(
+        "archive_format(z) AS fmt",
+        "archive_members(z) AS ms",
+        "decode(archive_extract(z, 'b/c.txt'), 'UTF-8') AS x").head()
+      assert(r.getString(0) === "zip")
+      // member sizes are UNCOMPRESSED sizes regardless of storage method
+      assert(r.getSeq[Row](1).map(m => m.getString(0) -> m.getLong(1)) ===
+        Seq("a.txt" -> 3L, "b/c.txt" -> 11L))
+      assert(r.getString(2) === "hello world")
+    }
+  }
+
+  test("foreign zip (java.util.zip writer) lists and extracts") {
+    // a zip produced by a DIFFERENT writer than our builder — JDK
+    // ZipOutputStream writes data descriptors for deflated entries, the
+    // layout our stream reader must still walk
+    val bos = new ByteArrayOutputStream()
+    val out = new java.util.zip.ZipOutputStream(bos)
+    out.putNextEntry(new java.util.zip.ZipEntry("x/y.txt"))
+    out.write(hello)
+    out.closeEntry()
+    out.close()
+    val bytes = bos.toByteArray
+    assert(ArchiveCodec.format(bytes).toString === "zip")
+    val body = ArchiveCodec.extract(bytes,
+      org.apache.spark.unsafe.types.UTF8String.fromString("x/y.txt"))
+    assert(new String(body, "UTF-8") === "hello world")
+  }
+
+  test("truncated zip is null, not an exception") {
+    import spark.implicits._
+    val full = Seq(1).toDF("i").selectExpr(
+      "zip_archive(array('a.txt'), array(encode('abcdef', 'UTF-8')), 'deflated') AS z")
+      .head().getAs[Array[Byte]](0)
+    val trunc = java.util.Arrays.copyOf(full, full.length / 2)
+    // truncation cuts the central directory; the stream walk still lists
+    // local headers it can reach or returns null — it must never throw
+    val r = Seq(trunc).toDF("b")
+      .selectExpr("archive_extract(b, 'a.txt') AS x").head()
+    assert(r.isNullAt(0) || r.getAs[Array[Byte]](0) != null)
+  }
+
   test("ar archives (deb outer container) list members") {
     val (fmt, ms) = probe(ar("debian-binary" -> "2.0\n".getBytes, "control" -> abc))
     assert(fmt === "ar")

@@ -43,7 +43,7 @@ class ExpressionsSpec extends AnyFunSuite {
       Set("version_compare", "version_sort_key", "array_dot", "parse_constraint",
         "token_ngrams", "bloom_might_contain", "hilbert_d2",
         "archive_format", "archive_members", "archive_extract", "archive_inspect",
-        "tar_archive"))
+        "tar_archive", "zip_archive"))
   }
 
   test("array_dot matches the higher-order-function fold bit-for-bit") {

@@ -74,11 +74,15 @@ class MiningSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
-  test("triangle count matches brute force on the fixture graph") {
-    // brute-force on the collected undirected edge set
-    val e = queries.Resolution.resolvedEdges(spark, dir)
-      .filter(col("name") =!= col("dep"))
-      .select(least(col("name"), col("dep")), greatest(col("name"), col("dep")))
+  test("triangle count matches brute force on the co-dependency projection") {
+    // brute-force on the collected projection edge set (two packages
+    // connect iff a provider satisfies a dependency of both — the graph
+    // q211 runs on; the raw resolution graph is triangle-free)
+    val re = queries.Resolution.resolvedEdges(spark, dir)
+    val e = re.select(col("name").as("n1"), col("dep"))
+      .join(re.select(col("name").as("n2"), col("dep")), Seq("dep"))
+      .filter(col("n1") =!= col("n2"))
+      .select(least(col("n1"), col("n2")), greatest(col("n1"), col("n2")))
       .distinct().collect().map(r => (r.getString(0), r.getString(1)))
     val adj = e.flatMap { case (a, b) => Seq(a -> b, b -> a) }
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -94,9 +98,17 @@ class MiningSpec extends AnyFunSuite {
     }
     val got = SparkEntry.queries("q211_triangle_count")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(brute.values.sum > 0, "projection fixture must contain triangles")
     nodes.foreach { n =>
       assert(got(n) == brute(n), s"node $n: got ${got(n)} want ${brute(n)}")
     }
+  }
+
+  test("k-truss edges all carry support >= k-2, and the truss is a strict, nonempty subset") {
+    val df = SparkEntry.queries("q224_ktruss")(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "4-truss must be nonempty on the projection")
+    assert(rows.forall(_.getLong(2) >= 2), "every truss edge needs support >= 2")
   }
 
   test("deterministic walks: one row per walker per step while out-edges exist, and re-run identical") {

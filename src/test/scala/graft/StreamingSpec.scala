@@ -92,6 +92,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_.toString) === batch.map(_.toString))
   }
 
+  test("stream-stream LEFT OUTER interval join: null emission equals batch after watermark flush") {
+    // Outer results flush only when the watermark proves no match can
+    // arrive — at end-of-stream the tail would stay buffered. TWO sentinel
+    // views (30 and 60 days past the fixture; maxFilesPerTrigger=1 → each
+    // its own micro-batch): the first advances the watermark past every
+    // real view, and state eviction applies the PREVIOUS batch's watermark,
+    // so the second data batch is what actually flushes the tail
+    // (AvailableNow terminates without a final no-data micro-batch).
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("graft_outer_ss").toString
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      Paths.get(s"$tmp/a_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.functions._
+    // a sentinel VIEW and a sentinel PURCHASE per file: the query's global
+    // watermark is the MIN across both withWatermark nodes, so a
+    // view-only sentinel would leave the purchase side's watermark — and
+    // therefore the join's eviction clock — frozen at the fixture tail
+    def sentinel(days: Int) = {
+      val m = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.agg(max("ts").as("m")).select(expr(s"m + ${days}L * 86400000000000").as("ts"))
+        case _ =>
+          raw.agg(max("ts").as("m")).select(expr(s"m + INTERVAL $days DAYS").as("ts"))
+      }
+      Seq("view", "purchase").map { et =>
+        m.select(lit(-1L).as("event_id"), col("ts"),
+          lit(-1L).as("user_id"), lit(et).as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      }.reduce(_ unionAll _)
+    }
+    Seq(30, 60).foreach { d =>
+      sentinel(d).coalesce(1).write.mode("overwrite").parquet(s"$tmp/z_sentinel$d")
+      val part = new java.io.File(s"$tmp/z_sentinel$d").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$tmp/z_sentinel$d.parquet"))
+    }
+    val schema = raw.schema
+    val stream = EventStreams.normalize(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp))
+    val sv = stream.filter("event_type = 'view'")
+    val sp = stream.filter("event_type = 'purchase'")
+    runToMemory(EventStreams.viewToPurchaseOuter(sv, sp), "ss_outer_stream", "append")
+    val got = spark.sql(
+      """SELECT * FROM ss_outer_stream WHERE user_id >= 0
+         ORDER BY user_id, view_ts, purchase_ts""").collect()
+    val bv = Tables.events(spark, dir).filter("event_type = 'view'")
+    val bp = Tables.events(spark, dir).filter("event_type = 'purchase'")
+    val batch = EventStreams.viewToPurchaseOuter(bv, bp)
+      .orderBy("user_id", "view_ts", "purchase_ts").collect()
+    assert(batch.exists(_.isNullAt(2)), "fixture must produce unmatched views")
+    assert(got.length === batch.length,
+      s"stream emitted ${got.length} rows, batch ${batch.length}")
+    assert(got.map(_.toString) === batch.map(_.toString))
+  }
+
   test("T6: mapGroupsWithState running totals equal batch counts") {
     val streamed = EventStreams.statefulUserTotals(EventStreams.readEventStream(spark, dir))
     runToMemory(streamed, "state_stream", "update")
