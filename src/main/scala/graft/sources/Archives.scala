@@ -291,6 +291,25 @@ object ArchiveCodec {
       new GenericArrayData(rows.toArray[Any])
     } catch { case _: Exception => null }
 
+  /** Every member in ONE decompression walk, bodies optional — the row
+    * producer for [[ArchiveTableProvider]] (a per-member extract() would
+    * re-decompress the payload per member, O(n²) on the archive). Null on
+    * malformed payloads, like every reader here.
+    */
+  def membersFull(bytes: Array[Byte], withBody: Boolean,
+      nameFilter: String = null): Seq[(String, Long, Array[Byte])] =
+    try {
+      val rows = new ArrayBuffer[(String, Long, Array[Byte])]()
+      eachMember(openPayload(bytes)) { (name, size, in) =>
+        // the pushed-down name equality evaluates INSIDE the walk: skipped
+        // members never read (or decompress) their bodies
+        if (nameFilter == null || nameFilter == name)
+          rows += ((name, size, if (withBody) readBody(in, size) else null))
+        None
+      }
+      rows.toSeq
+    } catch { case _: Exception => null }
+
   /** Body bytes from the current stream position — bounded by
     * [[MaxMemberBytes]] (null beyond: a bomb degrades to SQL null). The
     * header size is used only as a small-capped allocation HINT, never
