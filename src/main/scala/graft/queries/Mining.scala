@@ -672,6 +672,63 @@ object Mining {
           col("l_orderkey") === col("o_orderkey"))
       val li = leg("lineitem", liBase, col("o_custkey"))
       ev.unionAll(or).unionAll(li).orderBy("table_name")
+    },
+
+    // Benford first-digit audit — the classic fabricated-numbers screen
+    // over order totals: observed leading-digit distribution vs Benford's
+    // log10(1+1/d) expectation. The expectation enters as FIXED ppm
+    // literals (a transcendental computed at authoring time, not in
+    // either engine), deviations in exact fixed point — q194's χ²
+    // discipline. One narrow scan + a 9-row broadcast join.
+    "q228_benford_audit" -> { (s, dir) =>
+      import s.implicits._
+      // round(1e6 * log10(1 + 1/d)) for d = 1..9
+      val benford = Seq((1, 301030L), (2, 176091L), (3, 124939L), (4, 96910L),
+        (5, 79181L), (6, 66947L), (7, 57992L), (8, 51153L), (9, 45757L))
+        .toDF("digit", "expected_ppm")
+      val obs = Tables.orders(s, dir)
+        // floor BEFORE the bigint cast: Spark's double→bigint truncates
+        // where DuckDB's rounds — floor makes the double integral first,
+        // so both casts are exact
+        .select(expr("cast(substring(cast(cast(floor(o_totalprice) as bigint) as string), 1, 1) as int)")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = obs.agg(sum("n").as("total"))
+      obs.crossJoin(broadcast(tot)).join(broadcast(benford), Seq("digit"))
+        .withColumn("observed_ppm", expr("(1000000 * n) div total"))
+        .withColumn("deviation_ppm", expr("observed_ppm - expected_ppm"))
+        .select("digit", "n", "observed_ppm", "expected_ppm", "deviation_ppm")
+        .orderBy("digit")
+    },
+
+    // Cross-split contamination audit — the leakage check a training
+    // pipeline runs AFTER splitting: q75's deterministic hash split
+    // assigns train/val/test, q41's near-dup pair graph supplies the
+    // similarity edges, and any pair straddling two splits is leaked
+    // signal (a val doc with a train near-duplicate is not a held-out
+    // measurement). Judged per split-combo: pair count, affected-doc
+    // count, worst similarity. Composes two memoized frames — the pair
+    // pipeline is not re-run.
+    "q229_split_leakage" -> { (s, dir) =>
+      val splits = Tables.documents(s, dir).select(col("doc_id"),
+        when(expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) as int) % 10") < 8, "train")
+          .when(expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) as int) % 10") === 8, "val")
+          .otherwise("test").as("split"))
+      val pairs = Text.jaccardPairs(s, dir)
+        .join(splits.select(col("doc_id").as("d1"), col("split").as("s1d")), "d1")
+        .join(splits.select(col("doc_id").as("d2"), col("split").as("s2d")), "d2")
+        .withColumn("sa", least(col("s1d"), col("s2d")))
+        .withColumn("sb", greatest(col("s1d"), col("s2d")))
+      val agg = pairs.groupBy("sa", "sb")
+        .agg(count(lit(1)).as("n_pairs"), max("jaccard").as("max_jaccard"))
+      val docs = pairs.select(col("sa"), col("sb"), col("d1").as("d"))
+        .unionAll(pairs.select(col("sa"), col("sb"), col("d2").as("d")))
+        .distinct()
+        .groupBy("sa", "sb").agg(count(lit(1)).as("n_docs"))
+      agg.join(docs, Seq("sa", "sb"))
+        .withColumn("is_leak", col("sa") =!= col("sb"))
+        .select("sa", "sb", "n_pairs", "n_docs", "max_jaccard", "is_leak")
+        .orderBy("sa", "sb")
     })
 
   val queries: Seq[(String, QFn)] = queriesA ++ queriesB
@@ -724,6 +781,50 @@ object Mining {
         | TRUE AS verified_clean
         |FROM allt
         |ORDER BY table_name""".stripMargin,
+
+    "q228_benford_audit" ->
+      """WITH benford(digit, expected_ppm) AS (VALUES
+        | (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        | (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+        |obs AS (
+        | SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |  count(*) AS n
+        | FROM orders GROUP BY 1),
+        |tot AS (SELECT sum(n) AS total FROM obs)
+        |SELECT o.digit, o.n,
+        | CAST((1000000 * o.n) // t.total AS BIGINT) AS observed_ppm,
+        | CAST(b.expected_ppm AS BIGINT) AS expected_ppm,
+        | CAST((1000000 * o.n) // t.total - b.expected_ppm AS BIGINT) AS deviation_ppm
+        |FROM obs o CROSS JOIN tot t JOIN benford b USING (digit)
+        |ORDER BY o.digit""".stripMargin,
+
+    "q229_split_leakage" -> Text.subFor(
+      """WITH --SH--,
+        |--PAIRS--,
+        |jp AS (
+        | SELECT d1, d2, common / (s1.sz + s2.sz - common) AS jaccard
+        | FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        | WHERE common / (s1.sz + s2.sz - common) >= 0.6),
+        |sp AS (
+        | SELECT doc_id,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10 < 8 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10 = 8 THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM documents),
+        |wp AS (
+        | SELECT jp.d1, jp.d2, least(a.split, b.split) AS sa,
+        |  greatest(a.split, b.split) AS sb, jp.jaccard
+        | FROM jp JOIN sp a ON a.doc_id = jp.d1 JOIN sp b ON b.doc_id = jp.d2),
+        |ag AS (SELECT sa, sb, count(*) AS n_pairs, max(jaccard) AS max_jaccard
+        |       FROM wp GROUP BY 1, 2),
+        |dc AS (SELECT sa, sb, count(*) AS n_docs FROM (
+        |  SELECT DISTINCT sa, sb, d FROM (
+        |   SELECT sa, sb, d1 AS d FROM wp UNION ALL SELECT sa, sb, d2 AS d FROM wp))
+        | GROUP BY 1, 2)
+        |SELECT ag.sa, ag.sb, ag.n_pairs, dc.n_docs, ag.max_jaccard,
+        | (ag.sa <> ag.sb) AS is_leak
+        |FROM ag JOIN dc USING (sa, sb)
+        |ORDER BY ag.sa, ag.sb""".stripMargin),
 
     "q223_weighted_median" ->
       """WITH li AS (

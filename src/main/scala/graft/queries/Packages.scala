@@ -272,6 +272,32 @@ object Packages {
       Graft.asOf(historyFrame(s, dir), 2).orderBy("pkg_id")
     },
 
+    // Temporal diff BETWEEN two as-of instants — "what changed between
+    // release 1 and release 3", answered through the SCD2 history alone
+    // (two interval reads + one full outer join on the record key; the
+    // raw snapshots are never rescanned). The oracle re-derives both
+    // snapshots straight from the generating arithmetic, so the hash
+    // match proves as-of reads COMPOSE: history → T1, history → T3, and
+    // their diff all reproduce the raw-snapshot truth. Unchanged rows are
+    // dropped (the diff a changelog renders); at 100 TB that filter is
+    // the point — the diff is proportional to churn, not catalog size.
+    "q227_scd2_diff" -> { (s, dir) =>
+      val t1 = Graft.asOf(historyFrame(s, dir), 1)
+        .select(col("pkg_id"), col("name").as("n1"), col("version").as("v_before"))
+      val t3 = Graft.asOf(historyFrame(s, dir), 3)
+        .select(col("pkg_id"), col("name").as("n3"), col("version").as("v_after"))
+      t1.join(t3, Seq("pkg_id"), "full_outer")
+        .withColumn("change",
+          when(col("n1").isNull, "added")
+            .when(col("n3").isNull, "removed")
+            .when(col("v_before") =!= col("v_after"), "changed")
+            .otherwise("unchanged"))
+        .filter(col("change") =!= "unchanged")
+        .select(col("pkg_id"), coalesce(col("n1"), col("n3")).as("name"),
+          col("v_before"), col("v_after"), col("change"))
+        .orderBy("pkg_id")
+    },
+
     // Semantic-version bump classification — the changelog view a package
     // site renders per name ("2 major, 5 minor, 1 patch release in this
     // range"): distinct versions ordered by the ecosystem sort key, each
@@ -636,6 +662,29 @@ object Packages {
         |FROM i
         |GROUP BY pkg_id, island
         |ORDER BY pkg_id, valid_from""".stripMargin),
+
+    "q227_scd2_diff" -> sub("""WITH --PKG--,
+        |t1 AS (
+        | SELECT pkg_id, name,
+        |  CAST(vmaj AS VARCHAR) || '.' || CAST(vmin AS VARCHAR) || '.' || CAST(vpat AS VARCHAR)
+        |    || '-r' || CAST(1 + (pkg_id + 1 * (pkg_id % 3)) % 5 AS VARCHAR) AS v_before
+        | FROM pkg WHERE (pkg_id + 1) % 23 <> 0),
+        |t3 AS (
+        | SELECT pkg_id, name,
+        |  CAST(vmaj AS VARCHAR) || '.' || CAST(vmin AS VARCHAR) || '.' || CAST(vpat AS VARCHAR)
+        |    || '-r' || CAST(1 + (pkg_id + 3 * (pkg_id % 3)) % 5 AS VARCHAR) AS v_after
+        | FROM pkg WHERE (pkg_id + 3) % 23 <> 0),
+        |d AS (
+        | SELECT coalesce(t1.pkg_id, t3.pkg_id) AS pkg_id,
+        |  coalesce(t1.name, t3.name) AS name, t1.v_before, t3.v_after,
+        |  CASE WHEN t1.pkg_id IS NULL THEN 'added'
+        |       WHEN t3.pkg_id IS NULL THEN 'removed'
+        |       WHEN t1.v_before <> t3.v_after THEN 'changed'
+        |       ELSE 'unchanged' END AS change
+        | FROM t1 FULL JOIN t3 ON t3.pkg_id = t1.pkg_id)
+        |SELECT pkg_id, name, v_before, v_after, change
+        |FROM d WHERE change <> 'unchanged'
+        |ORDER BY pkg_id""".stripMargin),
 
     "q106_asof_read" -> sub("""WITH --PKG--
         |SELECT pkg_id, name,

@@ -973,6 +973,12 @@ object Text {
   private def sub(sql: String): String =
     sql.replace("--SH--", ShCte).replace("--PAIRS--", PairsCte)
 
+  /** --SH--/--PAIRS-- substitution for sibling modules (Mining's q229
+    * leakage audit reads the same pair pipeline) — ONE copy of the
+    * shingle/pair SQL, so a DfCap change cannot desynchronize oracles.
+    */
+  private[queries] def subFor(sql: String): String = sub(sql)
+
   val oracles: Seq[(String, String)] = Seq(
     "q206_dataset_card" -> sub("""WITH --SH--,
         |--PAIRS--,
