@@ -677,6 +677,32 @@ object Graft {
     * shuffled on the SAME key layout — never a corpus rescan. Decimal
     * sums keep the merge exact; finish to double only at read time.
     */
+  /** Incremental JOIN maintenance (insert-only IVM): the delta of A ⋈ B
+    * given insert-deltas on both sides —
+    * ΔJ = (ΔA ⋈ B₀) ∪ (A₀ ⋈ ΔB) ∪ (ΔA ⋈ ΔB) — so a materialized join
+    * view advances by joining ONLY against the churn, never rescanning
+    * the full sides ([[mergeAggState]]'s companion one level down the
+    * plan: that maintains aggregates, this maintains the join they sit
+    * on; updates/deletes route through [[cdcApply]] first).
+    *
+    * Every output row carries `ivm_term` naming the delta term that
+    * produced it — the monitoring column an incremental pipeline charts
+    * (churn-proportional work is the whole point; a fat A₀⋈ΔB term says
+    * the "dimension" side is the one actually churning).
+    *
+    * Scale notes (100 TB): the three joins share the delta sides (tiny by
+    * construction) — broadcast them against the big stored sides; the
+    * union is plan-level only. Work is O(|ΔA|·fanout + |ΔB|·fanout),
+    * independent of |A₀⋈B₀|.
+    */
+  def deltaJoin(aOld: DataFrame, aDelta: DataFrame, bOld: DataFrame,
+      bDelta: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one join key")
+    aDelta.join(bOld, keys).withColumn("ivm_term", lit("dA_B"))
+      .unionByName(aOld.join(bDelta, keys).withColumn("ivm_term", lit("A_dB")))
+      .unionByName(aDelta.join(bDelta, keys).withColumn("ivm_term", lit("dA_dB")))
+  }
+
   def mergeAggState(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "need at least one grouping key")
     require(state.columns.toSet == delta.columns.toSet,

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed Gale-Shapley stable matching — proposer-optimal deferred
+  * acceptance over a complete bipartite preference relation (SURVEY.md §2
+  * annex; the assignment companion to the closure/shortest-path/temporal
+  * operator family).
+  *
+  * The package-manager reading: proposers are workloads (or repos),
+  * acceptors are mirrors (or build slots), and both sides rank each other;
+  * the stable matching is the assignment no pair wants to defect from —
+  * the property that makes decentralized placement converge instead of
+  * thrash.
+  *
+  * Parallel deferred acceptance: every free proposer proposes to its best
+  * not-yet-rejecting acceptor in the SAME round; each acceptor keeps the
+  * best of {current holder} ∪ {this round's proposals} and rejects the
+  * rest. All steps are relational — one anti-join (rejections), two
+  * row_number windows (best proposal per proposer, best suitor per
+  * acceptor), one union — so rounds are executor-parallel; the driver only
+  * checks the free count. Determinism: scores are totally ordered with
+  * name tie-breaks, so the fixed point is unique and SQL-replayable.
+  * Classic G-S theory bounds rounds by O(n²) but random preferences
+  * converge in a handful; the loop stops the first round with no free
+  * proposer. [[Lineage.cut]] per round keeps the plan flat.
+  *
+  * Scale notes (100 TB): state is (engagements, rejections) — both bounded
+  * by proposals made, not n²; preference rows are scanned per round keyed
+  * on the free proposers (a shrinking set). At warehouse scale the
+  * preference relation is the big side: partition it by proposer and the
+  * per-round candidate join is co-located.
+  */
+object StableMatching {
+  /** Proposer-optimal stable matching over complete preferences.
+    *
+    * @param prefs (proposer, acceptor, p_score, a_score) — complete
+    *              bipartite preference table; LOWER score = more preferred
+    *              on both sides
+    * @return (proposer, acceptor) — the unique proposer-optimal stable
+    *         matching under the (score, name) total order
+    */
+  def run(spark: SparkSession, prefs: DataFrame, maxIter: Int = 64): DataFrame = {
+    val proposers = prefs.select("proposer").distinct()
+    var eng = prefs.select("proposer", "acceptor").filter(lit(false))
+    var rej = eng
+    var iter = 0
+    var done = false
+    val wProp = Window.partitionBy("proposer").orderBy(col("p_score"), col("acceptor"))
+    val wAcc = Window.partitionBy("acceptor").orderBy(col("a_score"), col("proposer"))
+    while (iter < maxIter && !done) {
+      val free = proposers.join(eng.select("proposer"), Seq("proposer"), "left_anti")
+      if (free.isEmpty) done = true
+      else {
+        val prop = prefs.join(free, "proposer")
+          .join(rej, Seq("proposer", "acceptor"), "left_anti")
+          .withColumn("rn", row_number().over(wProp)).filter(col("rn") === 1)
+          .select("proposer", "acceptor")
+        val cont = prop.unionByName(eng)
+          .join(prefs.select("proposer", "acceptor", "a_score"), Seq("proposer", "acceptor"))
+        val best = cont.withColumn("rn", row_number().over(wAcc)).filter(col("rn") === 1)
+          .select("proposer", "acceptor")
+        val losers = cont.select("proposer", "acceptor")
+          .join(best, Seq("proposer", "acceptor"), "left_anti")
+        eng = Lineage.cut(best)
+        rej = Lineage.cut(rej.unionByName(losers))
+        iter += 1
+      }
+    }
+    eng
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Single-source EARLIEST-ARRIVAL reachability over a temporal graph —
+  * edges carry an availability time, and a path is time-respecting iff
+  * edge times never decrease along it (SURVEY.md §2 J7 annex; the temporal
+  * companion to [[Closure]]'s static BFS and [[ShortestPath]]'s weighted
+  * relaxation).
+  *
+  * The package-manager reading: edge (u → v, t) means "u's dependency on v
+  * became resolvable in snapshot epoch t". A node's earliest arrival is
+  * the first epoch at which an install chain from the seed can have pulled
+  * it in — static reachability says WHETHER a dependency flows, temporal
+  * reachability says WHEN, and the two genuinely differ (a node all of
+  * whose incoming chains go "late edge then early edge" is statically
+  * reachable but temporally unreachable).
+  *
+  * Relaxation rule: reaching u at time `arr` activates out-edges with
+  * `t >= arr`, delivering v at time t. Each round is ONE shuffled join on
+  * the frontier + a min-aggregation + an improvement anti-filter — the
+  * Pregel-without-Pregel shape shared by the whole operator family, so the
+  * 100 TB economics are identical (rounds scale with graph diameter, not
+  * data volume; every round is executor-parallel). Arrivals only decrease
+  * and are drawn from the finite edge-time domain, so the fixed point
+  * terminates; the loop stops the first round that improves nothing.
+  * [[Lineage.cut]] per round keeps the plan flat.
+  */
+object TemporalReach {
+  /** Earliest arrivals from `seed` over (name, dep, t) edges.
+    *
+    * @param edges (name, dep, t) — directed edges with integral
+    *              availability times (t >= 0)
+    * @return (name, earliest) with earliest = min feasible arrival epoch;
+    *         the seed itself arrives at 0; nodes with no time-respecting
+    *         path are absent
+    */
+  def run(spark: SparkSession, edges: DataFrame, seed: String,
+      maxIter: Int = 64): DataFrame = {
+    var arr = spark.range(1)
+      .select(lit(seed).as("name"), lit(0L).as("earliest"))
+    var frontier = arr
+    var iter = 0
+    while (iter < maxIter && !frontier.isEmpty) {
+      val cand = frontier.join(edges, "name")
+        .filter(col("t") >= col("earliest"))
+        .select(col("dep").as("name"), col("t").cast("long").as("earliest"))
+        .groupBy("name").agg(min("earliest").as("earliest"))
+      val improved = cand.as("c")
+        .join(arr.select(col("name"), col("earliest").as("best")), Seq("name"), "left")
+        .filter(col("best").isNull || col("earliest") < col("best"))
+        .select(col("name"), col("earliest"))
+      frontier = Lineage.cut(improved)
+      arr = Lineage.cut(
+        arr.unionByName(frontier).groupBy("name").agg(min("earliest").as("earliest")))
+      iter += 1
+    }
+    arr
+  }
+}

@@ -1,0 +1,948 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Round-9 additions (SURVEY.md §2 annex): a deterministic mergeable HLL
+  * sketch judged register-for-register, row-pattern recognition over event
+  * sequences (the MATCH_RECOGNIZE shape), binary-quantized Hamming ANN
+  * with exact rerank, time-respecting temporal reachability, and CUSUM
+  * changepoint detection. Every judged number is integer fixed-point or
+  * IEEE-identical double work, same oracle-parity discipline as the rest
+  * of the suite.
+  */
+object Advanced {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** 2^54 — splits the 60-bit md5-derived hash into (6-bit bucket, 54-bit
+    * remainder) on both engines with pure integer div/mod.
+    */
+  private val HllSplit = "18014398509481984"
+
+  /** alpha_64 · m² · 2^55 as an exact integer: 461632·4096·2^55 with
+    * alpha_64 = 0.7213/(1 + 1.079/64) = 461632/650790 exactly.
+    */
+  private val HllEstNum = "cast(1890844672 as decimal(38,0)) * cast(36028797018963968 as decimal(38,0))"
+
+  val queries: Seq[(String, QFn)] = Seq(
+
+    // Deterministic mergeable HyperLogLog (m = 64) — the sketch q19's
+    // builtin approx_count_distinct cannot expose: functions/HllSketch is
+    // a custom Aggregator whose registers and integer estimate the DuckDB
+    // oracle rebuilds EXACTLY, so the approximation itself is
+    // hash-verified, not rows-only. ROLLUP exercises mergeability at two
+    // granularities (the 'ALL' sketch is the element-wise max of the
+    // per-status sketches — the property that makes HLL state reusable
+    // across partitions, days, and rollup levels); err_ppm judges the
+    // estimator against the exact distinct through the C-offset floor
+    // trick (numerator kept positive so Spark div == DuckDB //).
+    // Scale notes (100 TB): 64 bytes of state per group with map-side
+    // partial aggregation — distinct counting without a distinct shuffle.
+    "q230_hll_sketch" -> { (s, dir) =>
+      val hll = udaf(new graft.functions.HllSketch())
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"))
+        .agg(hll(col("o_custkey").cast("string")).as("regs"),
+          countDistinct(col("o_custkey")).as("exact_distinct"))
+        .withColumn("status", coalesce(col("o_orderstatus"), lit("ALL")))
+        .withColumn("n_zero", expr(
+          "aggregate(regs, cast(0 as bigint), (a, r) -> a + if(r = 0, cast(1 as bigint), cast(0 as bigint)))"))
+        .withColumn("max_reg", expr("array_max(regs)"))
+        .withColumn("sum_scaled", expr(
+          "aggregate(regs, cast(0 as bigint), (a, r) -> a + shiftleft(cast(1 as bigint), cast(55 - r as int)))"))
+        .withColumn("raw_est", expr(
+          s"cast(($HllEstNum) div (650790 * cast(sum_scaled as decimal(38,0))) as bigint)"))
+        .withColumn("err_ppm", expr(
+          "((raw_est - exact_distinct) * 1000000 + 1000000000 * exact_distinct) div exact_distinct - 1000000000"))
+        .select("status", "n_zero", "max_reg", "sum_scaled", "raw_est",
+          "exact_distinct", "err_ppm")
+        .orderBy("status")
+    },
+
+    // Row-pattern recognition over per-user event sequences — the
+    // MATCH_RECOGNIZE capability re-expressed relationally: each user's
+    // events collapse (ordered by ts, event_id — a deterministic total
+    // order) into a code string, and regexes state the patterns: `vc*p`
+    // (view, any clicks, then purchase — the browse-to-buy path) counted
+    // NON-OVERLAPPING, and `e[^p]*p` (an error eventually recovered by a
+    // purchase). First-match position/length come from a lazy prefix
+    // group, so the engine also answers WHERE the pattern fired.
+    // Scale notes (100 TB): state per user is its event-code string
+    // (sessions in practice — q22's session keys bound it); the regex runs
+    // data-parallel per row, no cross-row shuffle after the ONE groupBy.
+    "q231_pattern_funnel" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("code", expr("substring(event_type, 1, 1)"))
+        .groupBy("user_id")
+        .agg(expr(
+          "array_join(transform(array_sort(collect_list(struct(ts, event_id, code))), x -> x.code), '')")
+          .as("seq"))
+        .withColumn("n_buy", expr("size(regexp_extract_all(seq, 'vc*p', 0))"))
+        .withColumn("first_buy_pos", expr(
+          "case when n_buy > 0 then length(regexp_extract(seq, '^(.*?)(vc*p)', 1)) + 1 else 0 end"))
+        .withColumn("first_buy_len", expr(
+          "case when n_buy > 0 then length(regexp_extract(seq, '(vc*p)', 1)) else 0 end"))
+        .withColumn("n_error_to_buy", expr("size(regexp_extract_all(seq, 'e[^p]*p', 0))"))
+        .filter(col("n_buy") > 0 || col("n_error_to_buy") > 0)
+        .select("user_id", "n_buy", "first_buy_pos", "first_buy_len", "n_error_to_buy")
+        .orderBy("user_id")
+    },
+
+    // Binary-quantized ANN — the fourth compression layout beside PQ
+    // (q137), SQ8 (q151), and Matryoshka (q153): every 64-dim vector
+    // collapses to its sign bits packed into ONE 64-bit word, candidate
+    // scoring is a single xor + popcount (bit_count) per pair — 8 bytes
+    // and ~2 instructions against 512 bytes and 64 FMAs for the exact
+    // scan — and the top-50 Hamming shortlist pays the exact cosine
+    // rerank. Judged: the reranked top-3 with both the Hamming signal and
+    // the exact score (the oracle derives Hamming semantically, as the
+    // count of sign-disagreeing dimensions — packing is proven faithful).
+    // Scale notes (100 TB): sign-bit codes are THE bandwidth floor of
+    // quantized search (64x smaller than float32); the scan stays
+    // broadcast-NLJ shaped like q45/q137 with the query side tiny.
+    "q232_bq_hamming" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      val packed = Vectors.vecsFor(s, dir).withColumn("word", expr(
+        """aggregate(sequence(1, 64), cast(0 as bigint),
+           (a, i) -> a + if(element_at(v, i) >= cast(0.0 as double),
+                            shiftleft(cast(1 as bigint), i - 1), cast(0 as bigint)))"""))
+      val q = packed.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nsq").as("qn"), col("word").as("qw"))
+      val cand = packed.select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nsq").as("cn"), col("word").as("cw"))
+      val wh = Window.partitionBy("qid").orderBy(col("hamming"), col("cid"))
+      val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      cand.join(broadcast(q), col("cid") =!= col("qid"))
+        .withColumn("hamming", expr("bit_count(qw ^ cw)"))
+        .withColumn("hr", row_number().over(wh)).filter(col("hr") <= 50)
+        .withColumn("cos", expr("array_dot(qv, cv)") / (sqrt(col("qn")) * sqrt(col("cn"))))
+        .withColumn("rank", row_number().over(wr)).filter(col("rank") <= 3)
+        .select("qid", "rank", "cid", "hamming", "cos")
+        .orderBy("qid", "rank")
+    },
+
+    // Time-respecting reachability (operators/TemporalReach) — static
+    // closure says WHETHER a dependency flows from the root, temporal
+    // closure says WHEN: each resolution edge carries a deterministic
+    // md5-derived epoch (1..8, "became resolvable in snapshot t"), and a
+    // chain is valid only if epochs never decrease along it. Judged per
+    // statically-reachable node: BFS depth beside earliest feasible epoch,
+    // with earliest = -1 marking the genuinely temporal phenomenon — a
+    // node every chain to which goes late-edge-then-early-edge is
+    // statically reachable but temporally unreachable.
+    "q233_temporal_reach" -> { (s, dir) =>
+      val edges = Resolution.resolvedEdges(s, dir)
+        .withColumn("t", expr(
+          "1 + cast(conv(substring(md5(concat(name, '>', dep)), 1, 2), 16, 10) as int) % 8"))
+      val static = graft.operators.Closure.reachable(s, edges.select("name", "dep"), "pkg-00")
+      val temporal = graft.operators.TemporalReach.run(s, edges, "pkg-00")
+      static.join(temporal.select(col("name"), col("earliest")), Seq("name"), "left")
+        .select(col("name"), col("depth"),
+          coalesce(col("earliest"), lit(-1L)).as("earliest"))
+        .orderBy("name")
+    },
+
+    // CUSUM changepoint detection over the daily order-revenue series per
+    // priority class — the classic "did the level shift, and when" monitor
+    // beside q169's rolling z-score (which flags points, not segments).
+    // All in exact integers: daily revenue in floor-derived cents, and the
+    // CUSUM statistic S_t = Σ(x_i - mean) carried as n·cum_t - t·total
+    // (the n-scaled form that never divides), so argmax|S| and the
+    // before/after mean levels are bit-stable. The changepoint is the
+    // day maximizing |S|, earliest day on ties.
+    // Scale notes (100 TB): one narrow aggregation to days, then windows
+    // over the tiny per-group day series — the heavy table is touched once.
+    "q234_cusum_changepoint" -> { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .withColumn("d", expr("date_format(o_orderdate, 'yyyy-MM-dd')"))
+        .withColumn("cents", expr(
+          "cast(floor(o_totalprice * cast(100 as double) + cast(0.5 as double)) as bigint)"))
+        .groupBy(col("o_orderpriority").as("prio"), col("d"))
+        .agg(sum("cents").as("x"))
+      val w = Window.partitionBy("prio").orderBy("d")
+      val tot = daily.groupBy("prio").agg(sum("x").as("tot"), count(lit(1)).as("n"))
+      val wpick = Window.partitionBy("prio").orderBy(abs(col("s")).desc, col("d"))
+      daily
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("cum", sum("x").over(w))
+        .join(tot, "prio")
+        .withColumn("s", col("n") * col("cum") - col("t") * col("tot"))
+        .withColumn("rn", row_number().over(wpick)).filter(col("rn") === 1)
+        .select(col("prio"), col("d").as("cp_date"), abs(col("s")).as("s_max_abs"),
+          col("n").as("n_days"),
+          expr("cum div t").as("mean_before_c"),
+          expr("(tot - cum) div (n - t)").as("mean_after_c"))
+        .orderBy("prio")
+    },
+
+    // Two-sample Kolmogorov-Smirnov test — "did these two segments draw
+    // from the same price distribution", answered EXACTLY: the KS
+    // statistic sup|F1−F2| is carried as the integer cross-multiplication
+    // |cum1·n2 − cum2·n1| (never a float ECDF), the argmax price is
+    // deterministic (earliest on ties), and d_ppm floors through positive
+    // integer division. Judged: both sample sizes, the supremum point,
+    // the scaled statistic, and d_ppm.
+    // Scale notes (100 TB): one aggregation to distinct values, then a
+    // prefix-sum window; at corpus scale the window runs over a BINNED
+    // value domain (equi-depth bins from q124's machinery) — the exact
+    // form here is the fixture-sized instantiation.
+    "q235_ks_test" -> { (s, dir) =>
+      val seg = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      val per = seg.groupBy(col("o_totalprice").as("x"))
+        .agg(sum(when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("c_mktsegment") === "MACHINERY", 1L).otherwise(0L)).as("cb"))
+      val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = per.agg(sum("ca").as("na"), sum("cb").as("nb"))
+      val wpick = Window.orderBy(col("d_scaled").desc, col("x"))
+      per
+        .withColumn("cuma", sum("ca").over(w))
+        .withColumn("cumb", sum("cb").over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("d_scaled", abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+        .withColumn("rn", row_number().over(wpick)).filter(col("rn") === 1)
+        .select(col("na"), col("nb"), col("x").as("sup_at"), col("d_scaled"),
+          expr("(1000000 * d_scaled) div (na * nb)").as("d_ppm"))
+    },
+
+    // Gap-constrained sequential patterns — the PrefixSpan-style "a THEN b
+    // within k events" mining q149's contiguous 3-grams cannot express:
+    // per-user event streams in a deterministic total order, successor
+    // pairs at gaps 1..3 materialized through lead() (NO self-join — the
+    // pair relation is three window columns unioned), support and
+    // distinct-user reach per ordered pair, top-15.
+    // Scale notes (100 TB): lead() needs only the per-user sort the
+    // sessionization family already pays — contrast a positional
+    // self-join, which shuffles the stream twice and explodes on hot
+    // users; k is a constant, so state is k values per row.
+    "q236_gap_sequences" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val base = Tables.events(s, dir).select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type").as("a"))
+      val pairs = (1 to 3).map(k =>
+          base.withColumn("b", lead(col("a"), k).over(w))
+            .withColumn("gap", lit(k))
+            .filter(col("b").isNotNull)
+            .select(col("user_id"), col("a"), col("b"), col("gap")))
+        .reduce(_ unionAll _)
+      val wtop = Window.orderBy(col("support").desc, col("a"), col("b"))
+      pairs.groupBy("a", "b")
+        .agg(count(lit(1)).as("support"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(when(col("gap") === 1, 1L).otherwise(0L)).as("adjacent"))
+        .withColumn("rank", row_number().over(wtop)).filter(col("rank") <= 15)
+        .select("rank", "a", "b", "support", "n_users", "adjacent")
+        .orderBy("rank")
+    },
+
+    // Two-factor OLS (price ~ quantity + discount per returnflag) solved
+    // in CLOSED FORM from exact integer moments: every sum (Σx1, Σx1x2,
+    // Σx1y, ...) is an int64/decimal(38,0) over cents and basis points —
+    // no float accumulates — and the normal-equation solve (Cramer's
+    // rule on the centered scatter matrix) goes through exact decimal
+    // products; only the FINAL coefficients divide, as correctly-rounded
+    // double ops in an identical expression tree on both engines. The
+    // multi-regressor companion to q196's single-factor exact-moment OLS.
+    // Scale notes (100 TB): the whole regression is ONE map-side-partial
+    // aggregation per group (9 sums) — moments stream, the 3x3 solve is
+    // per-group constant work.
+    "q237_ols_two_factor" -> { (s, dir) =>
+      val m = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          expr("cast(l_quantity as bigint)").as("x1"),
+          expr("cast(floor(l_discount * cast(100 as double) + cast(0.5 as double)) as bigint)").as("x2"),
+          expr("cast(floor(l_extendedprice * cast(100 as double) + cast(0.5 as double)) as bigint)").as("y"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum("x1").as("sx1"), sum("x2").as("sx2"),
+          sum("y").as("sy"),
+          sum(col("x1") * col("x1")).as("sx1x1"),
+          sum(col("x2") * col("x2")).as("sx2x2"),
+          sum(col("x1") * col("x2")).as("sx1x2"),
+          sum(col("x1") * col("y")).as("sx1y"),
+          sum(col("x2") * col("y")).as("sx2y"))
+      val dec = (c: String) => s"cast($c as decimal(38,0))"
+      m
+        .withColumn("s11", expr(s"${dec("n")} * sx1x1 - ${dec("sx1")} * sx1"))
+        .withColumn("s22", expr(s"${dec("n")} * sx2x2 - ${dec("sx2")} * sx2"))
+        .withColumn("s12", expr(s"${dec("n")} * sx1x2 - ${dec("sx1")} * sx2"))
+        .withColumn("s1y", expr(s"${dec("n")} * sx1y - ${dec("sx1")} * sy"))
+        .withColumn("s2y", expr(s"${dec("n")} * sx2y - ${dec("sx2")} * sy"))
+        .withColumn("det", expr("s11 * s22 - s12 * s12"))
+        .withColumn("b1", expr(
+          "cast(s22 * s1y - s12 * s2y as double) / cast(det as double)"))
+        .withColumn("b2", expr(
+          "cast(s11 * s2y - s12 * s1y as double) / cast(det as double)"))
+        .withColumn("intercept", expr(
+          "(cast(sy as double) - b1 * cast(sx1 as double) - b2 * cast(sx2 as double)) / cast(n as double)"))
+        .select("flag", "n", "b1", "b2", "intercept")
+        .orderBy("flag")
+    },
+
+    // Graph eccentricity profile — per-root BFS height over the resolution
+    // graph (reusing the memoized multi-source closure every plan-size
+    // query shares): ecc = max depth reached, n_reach = closure size, and
+    // the diameter endpoints flagged via one window max. The distance
+    // family's third member beside q158 closeness and q147 cheapest-chain.
+    // Scale notes (100 TB): all roots advance in ONE multi-source BFS
+    // (iterations = max depth, not Σ per-root), and this query adds only
+    // a per-root aggregation over its (root, name, depth) output.
+    "q238_eccentricity" -> { (s, dir) =>
+      val ecc = Resolution.reachAllFrame(s, dir)
+        .groupBy("root")
+        .agg(max("depth").as("ecc"), count(lit(1)).as("n_reach"))
+      ecc
+        .crossJoin(broadcast(ecc.agg(max("ecc").as("diameter"))))
+        .withColumn("is_diameter_endpoint", col("ecc") === col("diameter"))
+        .select("root", "ecc", "n_reach", "diameter", "is_diameter_endpoint")
+        .orderBy("root")
+    },
+
+    // Incremental JOIN maintenance (Graft.deltaJoin) — the IVM identity
+    // ΔJ = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB judged END-TO-END: orders/lineitem
+    // split at a date cut into state + insert-delta, the maintained view
+    // = old join ∪ deltaJoin, and the judged aggregate carries BOTH the
+    // business rollup (rows, revenue cents per status) and the per-term
+    // row counts (the churn-proportionality evidence: the oracle derives
+    // the same terms by classifying the FULL join — incremental
+    // composition == full recompute, hash-proven).
+    // Scale notes (100 TB): the view advances by joining only the churn —
+    // both delta sides broadcastable; never a full-side rescan.
+    "q239_incremental_join" -> { (s, dir) =>
+      val cut = lit("2000-01-01").cast("timestamp_ntz")
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"),
+          expr("cast(floor(l_extendedprice * (cast(1 as double) - l_discount) * cast(100 as double) + cast(0.5 as double)) as bigint)")
+            .as("rev_c"))
+      val (o0, od) = (o.filter(col("o_orderdate") < cut), o.filter(col("o_orderdate") >= cut))
+      val (l0, ld) = (l.filter(col("l_shipdate") < cut), l.filter(col("l_shipdate") >= cut))
+      val view = o0.join(l0, "o_orderkey").withColumn("ivm_term", lit("old"))
+        .unionByName(graft.Graft.deltaJoin(o0, od, l0, ld, Seq("o_orderkey")))
+      view.groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_rows"), sum("rev_c").as("revenue_c"),
+          sum(when(col("ivm_term") === "old", 1L).otherwise(0L)).as("n_old"),
+          sum(when(col("ivm_term") === "dA_B", 1L).otherwise(0L)).as("n_da_b"),
+          sum(when(col("ivm_term") === "A_dB", 1L).otherwise(0L)).as("n_a_db"),
+          sum(when(col("ivm_term") === "dA_dB", 1L).otherwise(0L)).as("n_da_db"))
+        .orderBy("status")
+    },
+
+    // Schema-evolution read — three catalog generations with DIFFERENT
+    // schemas (gen 0 ships (pkg_id, name, version); gen 1 adds arch;
+    // gen 2 adds size_mb and DROPS version) unioned through
+    // unionByName(allowMissingColumns) — the in-plan form of a parquet
+    // mergeSchema read over snapshot directories (the physical write +
+    // mergeSchema read-back equivalence is spec-pinned). Judged: the
+    // per-generation presence audit a lakehouse runs before querying
+    // across old snapshots — row counts and null-coverage per evolved
+    // column, plus an aggregate over the coalesced view.
+    "q240_schema_evolution" -> { (s, dir) =>
+      val p = Tables.packages(s, dir).withColumn("gen", expr("cast(pkg_id % 3 as int)"))
+      val g0 = p.filter(col("gen") === 0).select(col("gen"), col("pkg_id"), col("name"), col("version"))
+      val g1 = p.filter(col("gen") === 1).select(col("gen"), col("pkg_id"), col("name"), col("version"), col("arch"))
+      val g2 = p.filter(col("gen") === 2).select(col("gen"), col("pkg_id"), col("name"), col("size_mb"))
+      val all = g0.unionByName(g1, allowMissingColumns = true)
+        .unionByName(g2, allowMissingColumns = true)
+      all.groupBy("gen")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("version").isNull.cast("long")).as("null_version"),
+          sum(col("arch").isNull.cast("long")).as("null_arch"),
+          sum(col("size_mb").isNull.cast("long")).as("null_size"),
+          sum(coalesce(col("size_mb").cast("long"), lit(0L))).as("size_sum"))
+        .orderBy("gen")
+    },
+
+    // Exact Shapley-value attribution — the game-theoretic upgrade of
+    // q201's first/last/linear heuristics: channels are the event types a
+    // user touches before their first purchase, the coalition value
+    // v(S) = converters whose touched-channel set ⊆ S, and each channel's
+    // Shapley share is computed EXACTLY over all 2^4 coalitions with the
+    // factorial weights carried as integers scaled by 4! = 24 — no float,
+    // no sampling. Efficiency (Σ shares = 24·(v(full)−v(∅))) is judged
+    // arithmetic, not an assertion.
+    // Scale notes (100 TB): the heavy table reduces to ≤16 mask counts in
+    // ONE aggregation; the coalition lattice is a 16x16 broadcast
+    // cross-walk — constant work after the scan, exact at any scale.
+    "q241_shapley_attribution" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val firstBuy = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("ts").as("buy_ts"))
+      val masks = ev.join(firstBuy, "user_id")
+        .filter(col("ts") < col("buy_ts"))
+        .withColumn("bit", expr(
+          "case event_type when 'view' then 1 when 'click' then 2 when 'signup' then 4 when 'error' then 8 else 0 end"))
+        .groupBy("user_id").agg(expr("bit_or(bit)").as("mask"))
+      // converters with NO prior channel event carry mask 0 via the left join
+      val conv = firstBuy.join(masks, Seq("user_id"), "left")
+        .select(coalesce(col("mask"), lit(0)).as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("cnt"))
+      val coalitions = s.range(16).select(col("id").cast("int").as("coal"))
+      // v(S) = Σ counts over masks ⊆ S (bitwise containment cross-walk)
+      val v = broadcast(coalitions).join(conv,
+          expr("(mask & coal) = mask"), "left")
+        .groupBy("coal").agg(sum(coalesce(col("cnt"), lit(0L))).as("v"))
+      val channels = s.range(4).select(col("id").cast("int").as("ch"),
+        expr("shiftleft(1, cast(id as int))").as("chbit"),
+        element_at(array(lit("view"), lit("click"), lit("signup"), lit("error")),
+          col("id").cast("int") + 1).as("channel"))
+      // Σ over S ∌ ch of |S|!(3-|S|)!·(v(S∪ch) − v(S)), scaled by 4! = 24
+      val terms = broadcast(channels)
+        .join(v.select(col("coal").as("s0"), col("v").as("v0")), expr("(s0 & chbit) = 0"))
+        .join(v.select(col("coal").as("s1"), col("v").as("v1")), expr("s1 = (s0 | chbit)"))
+        .withColumn("w", expr(
+          "case bit_count(s0) when 0 then 6 when 1 then 2 when 2 then 2 else 6 end"))
+      terms.groupBy("ch", "channel")
+        .agg(sum(col("w") * (col("v1") - col("v0"))).as("shap24"))
+        .crossJoin(broadcast(v.filter(col("coal") === 15).select(col("v").as("v_full"))))
+        .crossJoin(broadcast(v.filter(col("coal") === 0).select(col("v").as("v_empty"))))
+        .select(col("channel"), col("shap24"), col("v_full"), col("v_empty"))
+        .orderBy("ch")
+    },
+
+    // Distributed stable matching (operators/StableMatching) — parallel
+    // Gale-Shapley deferred acceptance assigning supplier classes to part
+    // classes over md5-derived mutual preferences: all free proposers
+    // propose each round, acceptors keep the best suitor seen, rejections
+    // accumulate relationally. The judged output carries the matching,
+    // both sides' scores, AND the STABILITY CERTIFICATE: n_blocking
+    // recomputed by re-scanning all n² pairs for a pair preferring each
+    // other over their assignments (q226's discipline — verification is a
+    // different computation than the construction; the oracle replays the
+    // rounds and the same certificate, so 0 is hash-proven, not asserted).
+    "q242_stable_matching" -> { (s, dir) =>
+      val pr = Tables.supplier(s, dir)
+        .select(expr("'sup-' || cast(s_suppkey % 10 as string)").as("proposer")).distinct()
+      val ac = Tables.part(s, dir)
+        .select(expr("'prt-' || cast(p_partkey % 10 as string)").as("acceptor")).distinct()
+      val prefs = pr.crossJoin(ac)
+        .withColumn("p_score", expr(
+          "cast(conv(substring(md5('p:' || proposer || ':' || acceptor), 1, 7), 16, 10) as bigint)"))
+        .withColumn("a_score", expr(
+          "cast(conv(substring(md5('a:' || acceptor || ':' || proposer), 1, 7), 16, 10) as bigint)"))
+      val m = graft.operators.StableMatching.run(s, prefs)
+        .join(prefs, Seq("proposer", "acceptor"))
+      val blocking = prefs.as("x")
+        .join(m.select(col("proposer"), col("p_score").as("mp")), "proposer")
+        .join(m.select(col("acceptor"), col("a_score").as("ma")), "acceptor")
+        .filter(col("x.p_score") < col("mp") && col("x.a_score") < col("ma"))
+        .agg(count(lit(1)).as("n_blocking"))
+      m.crossJoin(broadcast(blocking))
+        .select("proposer", "acceptor", "p_score", "a_score", "n_blocking")
+        .orderBy("proposer")
+    },
+
+    // Snapshot retention / GC planning — the VACUUM-planning pass a
+    // lakehouse runs before deleting history: under retention floor k=2,
+    // an SCD2 interval is reclaimable iff valid_to < 2 (it can serve no
+    // as-of read at or after the floor). Judged per name: history size,
+    // reclaimable count, and the SAFETY PROOF as data — as-of(floor) row
+    // counts over the full and the pruned history side by side (equal by
+    // interval algebra; the judged equality documents the invariant GC
+    // relies on).
+    // Scale notes (100 TB): the plan is one filter + aggregation over
+    // interval metadata — never touches record payloads; the deletes it
+    // drives are partition drops when history is partitioned by valid_to.
+    "q243_retention_gc" -> { (s, dir) =>
+      val h = Packages.historyFrame(s, dir)
+      val counts = h.groupBy("name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum((col("valid_to") < 2).cast("long")).as("n_reclaimable"))
+      val f = graft.Graft.asOf(h, 2).groupBy("name").agg(count(lit(1)).as("n_asof_full"))
+      val p = graft.Graft.asOf(h.filter(col("valid_to") >= 2), 2)
+        .groupBy("name").agg(count(lit(1)).as("n_asof_pruned"))
+      counts.join(f, Seq("name"), "left").join(p, Seq("name"), "left")
+        .select(col("name"), col("n_rows"), col("n_reclaimable"),
+          coalesce(col("n_asof_full"), lit(0L)).as("n_asof_full"),
+          coalesce(col("n_asof_pruned"), lit(0L)).as("n_asof_pruned"))
+        .orderBy("name")
+    },
+
+    // Session calendarization — splitting sessions across the hour
+    // boundaries they straddle and apportioning duration to each hour
+    // touched (the billing/utilization transform behind every "active
+    // sessions per hour" chart that can't just bucket start times). All
+    // in integer microseconds: sessions are q22's 30-minute-gap islands,
+    // hours a sequence() generator explode, in-hour overlap =
+    // min(end, hour_end) − max(start, hour_start). n_entered counts
+    // sessions that crossed INTO the hour — the boundary evidence.
+    // Scale notes (100 TB): fan-out is bounded by session duration (a
+    // session touches duration/3600s + 1 hours), the generator runs
+    // map-side, and the final shuffle keys on the hour — time-partitioned
+    // output for free.
+    "q244_session_calendarize" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("prev_us", lag("us", 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+        .withColumn("sess_id", sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id")
+        .agg(min("us").as("s_us"), max("us").as("e_us"))
+      val perHour = sess
+        .withColumn("h", explode(expr("sequence(s_us div 3600000000, e_us div 3600000000)")))
+        .withColumn("in_us",
+          least(col("e_us"), (col("h") + 1) * 3600000000L) -
+            greatest(col("s_us"), col("h") * 3600000000L))
+      perHour.groupBy("h")
+        .agg(count(lit(1)).as("n_active"),
+          sum("in_us").as("total_in_us"),
+          sum((col("h") * 3600000000L > col("s_us")).cast("long")).as("n_entered"))
+        .withColumn("hour", expr("date_format(timestamp_micros(h * 3600000000), 'yyyy-MM-dd HH')"))
+        .select("hour", "n_active", "total_in_us", "n_entered")
+        .orderBy("hour")
+    })
+
+  /** Unrolled temporal-relaxation rounds for the q233 oracle (requires
+    * `et` (name, dep, t) and `a0` in scope) — same min-fold shape as the
+    * shortest-path unroll; an edge participates only when its epoch is >=
+    * the tail's current arrival.
+    */
+  private def trUnrolled(rounds: Int): String =
+    (1 to rounds).map { k =>
+      s"""a$k AS MATERIALIZED (
+         | SELECT name, min(arr) AS arr FROM (
+         |  SELECT name, arr FROM a${k - 1}
+         |  UNION ALL
+         |  SELECT e.dep AS name, e.t AS arr
+         |  FROM a${k - 1} a JOIN et e ON e.name = a.name AND e.t >= a.arr)
+         | GROUP BY name)""".stripMargin
+    }.mkString(",\n")
+
+  /** Unrolled deferred-acceptance rounds for the q242 oracle (requires pp
+    * and e0/j0 in scope) — each round: free proposers, best non-rejected
+    * proposal per proposer, contenders = proposals ∪ holders, best suitor
+    * per acceptor, rejections grow by the losers. Over-unrolling is safe:
+    * once no proposer is free the round is a fixpoint no-op.
+    */
+  private def gsUnrolled(rounds: Int): String =
+    (1 to rounds).map { k =>
+      s"""fr$k AS MATERIALIZED (
+         | SELECT DISTINCT proposer FROM pp
+         | WHERE proposer NOT IN (SELECT proposer FROM e${k - 1})),
+         |pr$k AS MATERIALIZED (
+         | SELECT proposer, acceptor FROM (
+         |  SELECT c.proposer, c.acceptor,
+         |   row_number() OVER (PARTITION BY c.proposer ORDER BY c.p_score, c.acceptor) AS rn
+         |  FROM pp c JOIN fr$k f ON f.proposer = c.proposer
+         |  LEFT JOIN j${k - 1} r ON r.proposer = c.proposer AND r.acceptor = c.acceptor
+         |  WHERE r.proposer IS NULL) WHERE rn = 1),
+         |ct$k AS MATERIALIZED (
+         | SELECT t.proposer, t.acceptor, p.a_score FROM (
+         |  SELECT proposer, acceptor FROM pr$k
+         |  UNION ALL SELECT proposer, acceptor FROM e${k - 1}) t
+         | JOIN pp p ON p.proposer = t.proposer AND p.acceptor = t.acceptor),
+         |e$k AS MATERIALIZED (
+         | SELECT proposer, acceptor FROM (
+         |  SELECT proposer, acceptor,
+         |   row_number() OVER (PARTITION BY acceptor ORDER BY a_score, proposer) AS rn
+         |  FROM ct$k) WHERE rn = 1),
+         |j$k AS MATERIALIZED (
+         | SELECT proposer, acceptor FROM j${k - 1}
+         | UNION
+         | SELECT c.proposer, c.acceptor FROM ct$k c
+         | LEFT JOIN e$k e ON e.proposer = c.proposer AND e.acceptor = c.acceptor
+         | WHERE e.proposer IS NULL)""".stripMargin
+    }.mkString(",\n")
+
+  val oracles: Seq[(String, String)] = Seq(
+
+    "q242_stable_matching" -> ("""WITH pp AS MATERIALIZED (
+        | SELECT pr.proposer, ac.acceptor,
+        |  CAST(('0x' || substr(md5('p:' || pr.proposer || ':' || ac.acceptor), 1, 7)) AS BIGINT) AS p_score,
+        |  CAST(('0x' || substr(md5('a:' || ac.acceptor || ':' || pr.proposer), 1, 7)) AS BIGINT) AS a_score
+        | FROM (SELECT DISTINCT 'sup-' || CAST(s_suppkey % 10 AS VARCHAR) AS proposer FROM supplier) pr
+        | CROSS JOIN (SELECT DISTINCT 'prt-' || CAST(p_partkey % 10 AS VARCHAR) AS acceptor FROM part) ac),
+        |e0 AS (SELECT proposer, acceptor FROM pp WHERE FALSE),
+        |j0 AS (SELECT proposer, acceptor FROM pp WHERE FALSE),
+        |--GS--,
+        |mm AS (
+        | SELECT e.proposer, e.acceptor, p.p_score, p.a_score
+        | FROM e15 e JOIN pp p ON p.proposer = e.proposer AND p.acceptor = e.acceptor),
+        |blk AS (
+        | SELECT count(*) AS n_blocking FROM pp x
+        | JOIN mm mp ON mp.proposer = x.proposer
+        | JOIN mm ma ON ma.acceptor = x.acceptor
+        | WHERE x.p_score < mp.p_score AND x.a_score < ma.a_score)
+        |SELECT mm.proposer, mm.acceptor, mm.p_score, mm.a_score,
+        | CAST(blk.n_blocking AS BIGINT) AS n_blocking
+        |FROM mm CROSS JOIN blk
+        |ORDER BY mm.proposer""".stripMargin
+      .replace("--GS--", gsUnrolled(15))),
+
+    "q230_hll_sketch" ->
+      s"""WITH h AS (
+        | SELECT o_orderstatus AS st,
+        |  CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        | FROM orders),
+        |r AS (SELECT st, h // $HllSplit AS bucket, h % $HllSplit AS rem FROM h),
+        |r2 AS (SELECT st, bucket,
+        |  CASE WHEN rem = 0 THEN 55 ELSE 55 - length(ltrim(bin(rem), '0')) END AS rho
+        | FROM r),
+        |rr AS (
+        | SELECT CASE WHEN GROUPING(st) = 1 THEN 'ALL' ELSE st END AS status,
+        |  bucket, max(rho) AS reg
+        | FROM r2 GROUP BY GROUPING SETS ((st, bucket), (bucket))),
+        |spine AS (SELECT DISTINCT rr.status, g.b FROM rr, range(0, 64) g(b)),
+        |fr AS (
+        | SELECT s.status, coalesce(rr.reg, 0) AS reg
+        | FROM spine s LEFT JOIN rr ON rr.status = s.status AND rr.bucket = s.b),
+        |ag AS (
+        | SELECT status,
+        |  CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(max(reg) AS BIGINT) AS max_reg,
+        |  CAST(sum(1::BIGINT << CAST(55 - reg AS INTEGER)) AS BIGINT) AS sum_scaled
+        | FROM fr GROUP BY 1),
+        |ex AS (
+        | SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+        |  count(DISTINCT o_custkey) AS exact_distinct
+        | FROM orders GROUP BY ROLLUP (o_orderstatus)),
+        |est AS (
+        | SELECT a.status, a.n_zero, a.max_reg, a.sum_scaled,
+        |  CAST((1890844672::HUGEINT * 36028797018963968::HUGEINT)
+        |       // (650790::HUGEINT * a.sum_scaled) AS BIGINT) AS raw_est,
+        |  e.exact_distinct
+        | FROM ag a JOIN ex e USING (status))
+        |SELECT status, n_zero, max_reg, sum_scaled, raw_est, exact_distinct,
+        | CAST(((raw_est - exact_distinct) * 1000000 + 1000000000 * exact_distinct)
+        |      // exact_distinct - 1000000000 AS BIGINT) AS err_ppm
+        |FROM est
+        |ORDER BY status""".stripMargin,
+
+    "q231_pattern_funnel" ->
+      """WITH s AS (
+        | SELECT user_id,
+        |  string_agg(substr(event_type, 1, 1), '' ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+        | FROM events GROUP BY user_id),
+        |m AS (
+        | SELECT user_id, seq,
+        |  CAST(len(regexp_extract_all(seq, 'vc*p')) AS INTEGER) AS n_buy,
+        |  CAST(len(regexp_extract_all(seq, 'e[^p]*p')) AS INTEGER) AS n_error_to_buy
+        | FROM s)
+        |SELECT user_id, n_buy,
+        | CAST(CASE WHEN n_buy > 0
+        |  THEN length(regexp_extract(seq, '^(.*?)(vc*p)', 1)) + 1 ELSE 0 END AS INTEGER) AS first_buy_pos,
+        | CAST(CASE WHEN n_buy > 0
+        |  THEN length(regexp_extract(seq, '(vc*p)', 1)) ELSE 0 END AS INTEGER) AS first_buy_len,
+        | n_error_to_buy
+        |FROM m
+        |WHERE n_buy > 0 OR n_error_to_buy > 0
+        |ORDER BY user_id""".stripMargin,
+
+    "q232_bq_hamming" -> Vectors.subFor(
+      """WITH --VEC--,
+        |q AS (SELECT vec_id AS qid, v AS qv, nsq AS qn FROM n WHERE vec_id < 5),
+        |ham AS (
+        | SELECT q.qid, b.vec_id AS cid, b.v AS cv, b.nsq AS cn, q.qv, q.qn,
+        |  CAST(list_reduce(list_prepend(0, list_transform(range(1, 65),
+        |    i -> CASE WHEN (q.qv[i] >= 0) <> (b.v[i] >= 0) THEN 1 ELSE 0 END)),
+        |    (s, x) -> s + x) AS INTEGER) AS hamming
+        | FROM q JOIN n b ON b.vec_id <> q.qid),
+        |short AS (
+        | SELECT qid, cid, hamming,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(range(1, 65), i -> qv[i] * cv[i])), (s, x) -> s + x)
+        |   / (sqrt(qn) * sqrt(cn)) AS cos
+        | FROM ham
+        | QUALIFY row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) <= 50)
+        |SELECT qid,
+        | CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rank,
+        | cid, hamming, cos
+        |FROM short
+        |QUALIFY rank <= 3
+        |ORDER BY qid, rank""".stripMargin),
+
+    "q233_temporal_reach" -> ("""WITH RECURSIVE --EP--,
+        |et AS MATERIALIZED (
+        | SELECT name, dep,
+        |  1 + CAST(('0x' || substr(md5(name |CONCAT| '>' |CONCAT| dep), 1, 2)) AS BIGINT) % 8 AS t
+        | FROM edges),
+        |bfs(name, depth) AS (
+        | SELECT 'pkg-00', 0
+        | UNION
+        | SELECT e.dep, b.depth + 1 FROM bfs b JOIN et e ON e.name = b.name
+        | WHERE b.depth < 30),
+        |sd AS (SELECT name, CAST(min(depth) AS INTEGER) AS depth FROM bfs GROUP BY name),
+        |a0 AS (SELECT 'pkg-00' AS name, CAST(0 AS BIGINT) AS arr),
+        |--TR--
+        |SELECT sd.name, sd.depth,
+        | CAST(coalesce(a.arr, -1) AS BIGINT) AS earliest
+        |FROM sd LEFT JOIN a20 a USING (name)
+        |ORDER BY sd.name""".stripMargin
+      .replace("--EP--", Resolution.edgesCtePrelude)
+      .replace("--TR--", trUnrolled(20))
+      .replace("|CONCAT|", "||")),
+
+    "q235_ks_test" ->
+      """WITH seg AS (
+        | SELECT o.o_totalprice AS x, c.c_mktsegment AS sg
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        | WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |per AS (
+        | SELECT x,
+        |  CAST(sum(CASE WHEN sg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN sg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        | FROM seg GROUP BY x),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM per),
+        |cum AS (
+        | SELECT x,
+        |  CAST(sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+        |  CAST(sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+        | FROM per),
+        |sc AS (
+        | SELECT c.x, t.na, t.nb, abs(c.cuma * t.nb - c.cumb * t.na) AS d_scaled
+        | FROM cum c CROSS JOIN tot t)
+        |SELECT na, nb, x AS sup_at, d_scaled,
+        | (1000000 * d_scaled) // (na * nb) AS d_ppm
+        |FROM sc
+        |QUALIFY row_number() OVER (ORDER BY d_scaled DESC, x) = 1""".stripMargin,
+
+    "q236_gap_sequences" ->
+      """WITH b AS (
+        | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type AS a
+        | FROM events),
+        |p AS (
+        | SELECT user_id, a,
+        |  lead(a, 1) OVER w AS g1, lead(a, 2) OVER w AS g2, lead(a, 3) OVER w AS g3
+        | FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |pairs AS (
+        | SELECT user_id, a, g1 AS b, 1 AS gap FROM p WHERE g1 IS NOT NULL
+        | UNION ALL SELECT user_id, a, g2, 2 FROM p WHERE g2 IS NOT NULL
+        | UNION ALL SELECT user_id, a, g3, 3 FROM p WHERE g3 IS NOT NULL),
+        |ag AS (
+        | SELECT a, b, count(*) AS support, count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CASE WHEN gap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS adjacent
+        | FROM pairs GROUP BY 1, 2)
+        |SELECT CAST(row_number() OVER (ORDER BY support DESC, a, b) AS INTEGER) AS rank,
+        | a, b, support, n_users, adjacent
+        |FROM ag
+        |QUALIFY rank <= 15
+        |ORDER BY rank""".stripMargin,
+
+    "q237_ols_two_factor" ->
+      """WITH r AS (
+        | SELECT l_returnflag AS flag,
+        |  CAST(l_quantity AS BIGINT) AS x1,
+        |  CAST(floor(l_discount * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS x2,
+        |  CAST(floor(l_extendedprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS y
+        | FROM lineitem),
+        |m AS (
+        | SELECT flag, count(*) AS n,
+        |  CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+        |  CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x1 * x1) AS BIGINT) AS sx1x1, CAST(sum(x2 * x2) AS BIGINT) AS sx2x2,
+        |  CAST(sum(x1 * x2) AS BIGINT) AS sx1x2,
+        |  CAST(sum(x1 * y) AS BIGINT) AS sx1y, CAST(sum(x2 * y) AS BIGINT) AS sx2y
+        | FROM r GROUP BY 1),
+        |sca AS (
+        | SELECT flag, n, sx1, sx2, sy,
+        |  n::HUGEINT * sx1x1 - sx1::HUGEINT * sx1 AS s11,
+        |  n::HUGEINT * sx2x2 - sx2::HUGEINT * sx2 AS s22,
+        |  n::HUGEINT * sx1x2 - sx1::HUGEINT * sx2 AS s12,
+        |  n::HUGEINT * sx1y - sx1::HUGEINT * sy AS s1y,
+        |  n::HUGEINT * sx2y - sx2::HUGEINT * sy AS s2y
+        | FROM m),
+        |fin AS (
+        | SELECT flag, n, sx1, sx2, sy, s11, s22, s12, s1y, s2y,
+        |  s11 * s22 - s12 * s12 AS det
+        | FROM sca),
+        |co AS (
+        | SELECT flag, n, sx1, sx2, sy,
+        |  CAST(CAST(s22 * s1y - s12 * s2y AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(det AS VARCHAR) AS DOUBLE) AS b1,
+        |  CAST(CAST(s11 * s2y - s12 * s1y AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(det AS VARCHAR) AS DOUBLE) AS b2
+        | FROM fin)
+        |SELECT flag, n, b1, b2,
+        | (CAST(sy AS DOUBLE) - b1 * CAST(sx1 AS DOUBLE) - b2 * CAST(sx2 AS DOUBLE))
+        |   / CAST(n AS DOUBLE) AS intercept
+        |FROM co
+        |ORDER BY flag""".stripMargin,
+
+    "q238_eccentricity" -> ("""WITH RECURSIVE --EP--,
+        |roots AS (SELECT DISTINCT 'pkg-' |CONCAT| lpad(CAST(i AS VARCHAR), 2, '0') AS root FROM idx),
+        |bfs(root, name, depth) AS (
+        | SELECT root, root, 0 FROM roots
+        | UNION
+        | SELECT b.root, e.dep, b.depth + 1 FROM bfs b JOIN edges e ON e.name = b.name
+        | WHERE b.depth < 30),
+        |rmin AS (SELECT root, name, min(depth) AS depth FROM bfs GROUP BY 1, 2),
+        |e2 AS (
+        | SELECT root, CAST(max(depth) AS INTEGER) AS ecc, count(*) AS n_reach
+        | FROM rmin GROUP BY 1),
+        |d AS (SELECT CAST(max(ecc) AS INTEGER) AS diameter FROM e2)
+        |SELECT e2.root, e2.ecc, e2.n_reach, d.diameter,
+        | e2.ecc = d.diameter AS is_diameter_endpoint
+        |FROM e2 CROSS JOIN d
+        |ORDER BY e2.root""".stripMargin
+      .replace("--EP--", Resolution.edgesCtePrelude)
+      .replace("|CONCAT|", "||")),
+
+    "q243_retention_gc" -> Packages.subFor(
+      """WITH --PKG--,
+        |snaps AS (
+        | SELECT pkg_id, name,
+        |  CAST(vmaj AS VARCHAR) || '.' || CAST(vmin AS VARCHAR) || '.' || CAST(vpat AS VARCHAR)
+        |    || '-r' || CAST(1 + (pkg_id + g.k * (pkg_id % 3)) % 5 AS VARCHAR) AS version,
+        |  CAST(g.k AS INTEGER) AS snap
+        | FROM pkg, range(4) g(k)
+        | WHERE (pkg_id + g.k) % 23 <> 0),
+        |w AS (
+        | SELECT *, CASE WHEN lag(version) OVER pw IS NULL
+        |   OR lag(version) OVER pw <> version
+        |   OR lag(snap) OVER pw + 1 <> snap THEN 1 ELSE 0 END AS brk
+        | FROM snaps WINDOW pw AS (PARTITION BY pkg_id ORDER BY snap)),
+        |i AS (
+        | SELECT *, sum(brk) OVER (PARTITION BY pkg_id ORDER BY snap
+        |   ROWS UNBOUNDED PRECEDING) AS island
+        | FROM w),
+        |hh AS (
+        | SELECT pkg_id, max(name) AS name,
+        |  min(snap) AS valid_from, max(snap) AS valid_to
+        | FROM i GROUP BY pkg_id, island),
+        |counts AS (
+        | SELECT name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN valid_to < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_reclaimable
+        | FROM hh GROUP BY 1),
+        |f AS (
+        | SELECT name, count(*) AS n_asof_full
+        | FROM hh WHERE valid_from <= 2 AND valid_to >= 2 GROUP BY 1)
+        |SELECT c.name, c.n_rows, c.n_reclaimable,
+        | CAST(coalesce(f.n_asof_full, 0) AS BIGINT) AS n_asof_full,
+        | CAST(coalesce(f.n_asof_full, 0) AS BIGINT) AS n_asof_pruned
+        |FROM counts c LEFT JOIN f USING (name)
+        |ORDER BY c.name""".stripMargin),
+
+    "q244_session_calendarize" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        | FROM events),
+        |w AS (
+        | SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER pw IS NULL OR us - lag(us) OVER pw > 1800000000
+        |   THEN 1 ELSE 0 END AS new_sess
+        | FROM e WINDOW pw AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |si AS (
+        | SELECT user_id, us,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sess_id
+        | FROM w),
+        |sess AS (
+        | SELECT user_id, sess_id, min(us) AS s_us, max(us) AS e_us
+        | FROM si GROUP BY 1, 2),
+        |bounds AS (
+        | SELECT min(s_us) // 3600000000 AS mn, max(e_us) // 3600000000 AS mx FROM sess),
+        |hours AS (SELECT unnest(range(mn, mx + 1)) AS h FROM bounds),
+        |ph AS (
+        | SELECT s.s_us, s.e_us, ho.h
+        | FROM sess s JOIN hours ho
+        |   ON ho.h BETWEEN s.s_us // 3600000000 AND s.e_us // 3600000000),
+        |sc AS (
+        | SELECT h, count(*) AS n_active,
+        |  CAST(sum(least(e_us, (h + 1) * 3600000000) - greatest(s_us, h * 3600000000)) AS BIGINT) AS total_in_us,
+        |  CAST(sum(CASE WHEN h * 3600000000 > s_us THEN 1 ELSE 0 END) AS BIGINT) AS n_entered
+        | FROM ph GROUP BY 1)
+        |SELECT strftime(make_timestamp(h * 3600000000), '%Y-%m-%d %H') AS hour,
+        | n_active, total_in_us, n_entered
+        |FROM sc ORDER BY hour""".stripMargin,
+
+    "q239_incremental_join" ->
+      """WITH o AS (
+        | SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS TIMESTAMP) AS od
+        | FROM orders),
+        |l AS (
+        | SELECT l_orderkey AS o_orderkey, CAST(l_shipdate AS TIMESTAMP) AS sd,
+        |  CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * CAST(100 AS DOUBLE)
+        |       + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rev_c
+        | FROM lineitem),
+        |j AS (
+        | SELECT o.o_orderstatus AS status, l.rev_c,
+        |  CASE WHEN o.od < TIMESTAMP '2000-01-01' AND l.sd < TIMESTAMP '2000-01-01' THEN 'old'
+        |       WHEN o.od >= TIMESTAMP '2000-01-01' AND l.sd < TIMESTAMP '2000-01-01' THEN 'dA_B'
+        |       WHEN o.od < TIMESTAMP '2000-01-01' THEN 'A_dB'
+        |       ELSE 'dA_dB' END AS term
+        | FROM o JOIN l USING (o_orderkey))
+        |SELECT status, count(*) AS n_rows, CAST(sum(rev_c) AS BIGINT) AS revenue_c,
+        | CAST(sum(CASE WHEN term = 'old' THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        | CAST(sum(CASE WHEN term = 'dA_B' THEN 1 ELSE 0 END) AS BIGINT) AS n_da_b,
+        | CAST(sum(CASE WHEN term = 'A_dB' THEN 1 ELSE 0 END) AS BIGINT) AS n_a_db,
+        | CAST(sum(CASE WHEN term = 'dA_dB' THEN 1 ELSE 0 END) AS BIGINT) AS n_da_db
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q240_schema_evolution" ->
+      """WITH p AS (
+        | SELECT p_partkey AS pkg_id, CAST(p_partkey % 3 AS INTEGER) AS gen, p_size
+        | FROM part)
+        |SELECT gen, count(*) AS n_rows,
+        | CAST(CASE WHEN gen = 2 THEN count(*) ELSE 0 END AS BIGINT) AS null_version,
+        | CAST(CASE WHEN gen = 1 THEN 0 ELSE count(*) END AS BIGINT) AS null_arch,
+        | CAST(CASE WHEN gen = 2 THEN 0 ELSE count(*) END AS BIGINT) AS null_size,
+        | CAST(CASE WHEN gen = 2 THEN sum(p_size) ELSE 0 END AS BIGINT) AS size_sum
+        |FROM p GROUP BY gen ORDER BY gen""".stripMargin,
+
+    "q241_shapley_attribution" ->
+      """WITH fb AS (
+        | SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS buy_ts
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |mk AS (
+        | SELECT e.user_id,
+        |  bit_or(CASE e.event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |         WHEN 'signup' THEN 4 WHEN 'error' THEN 8 ELSE 0 END) AS mask
+        | FROM events e JOIN fb ON fb.user_id = e.user_id
+        | WHERE CAST(e.ts AS TIMESTAMP) < fb.buy_ts GROUP BY 1),
+        |cv AS (
+        | SELECT coalesce(mk.mask, 0) AS mask, count(*) AS cnt
+        | FROM fb LEFT JOIN mk ON mk.user_id = fb.user_id GROUP BY 1),
+        |co AS (SELECT CAST(g.c AS INTEGER) AS coal FROM range(0, 16) g(c)),
+        |v AS (
+        | SELECT co.coal, CAST(coalesce(sum(cv.cnt), 0) AS BIGINT) AS v
+        | FROM co LEFT JOIN cv ON (cv.mask & co.coal) = cv.mask GROUP BY 1),
+        |ch AS (
+        | SELECT CAST(g.c AS INTEGER) AS ch, (1 << CAST(g.c AS INTEGER)) AS chbit,
+        |  CASE g.c WHEN 0 THEN 'view' WHEN 1 THEN 'click' WHEN 2 THEN 'signup'
+        |   ELSE 'error' END AS channel
+        | FROM range(0, 4) g(c)),
+        |terms AS (
+        | SELECT ch.ch, ch.channel, v0.coal AS s0, v0.v AS v0, v1.v AS v1
+        | FROM ch JOIN v v0 ON (v0.coal & ch.chbit) = 0
+        |         JOIN v v1 ON v1.coal = (v0.coal | ch.chbit)),
+        |sh AS (
+        | SELECT ch, channel,
+        |  CAST(sum((CASE bit_count(s0) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+        |            ELSE 6 END) * (v1 - v0)) AS BIGINT) AS shap24
+        | FROM terms GROUP BY 1, 2)
+        |SELECT sh.channel, sh.shap24, vf.v AS v_full, ve.v AS v_empty
+        |FROM sh
+        |CROSS JOIN (SELECT v FROM v WHERE coal = 15) vf
+        |CROSS JOIN (SELECT v FROM v WHERE coal = 0) ve
+        |ORDER BY sh.ch""".stripMargin,
+
+    "q234_cusum_changepoint" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority AS prio,
+        |  strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS d,
+        |  CAST(sum(CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS x
+        | FROM orders GROUP BY 1, 2),
+        |cum AS (
+        | SELECT prio, d, x,
+        |  CAST(row_number() OVER (PARTITION BY prio ORDER BY d) AS BIGINT) AS t,
+        |  CAST(sum(x) OVER (PARTITION BY prio ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        | FROM daily),
+        |tot AS (SELECT prio, CAST(sum(x) AS BIGINT) AS tot, count(*) AS n FROM daily GROUP BY 1),
+        |st AS (
+        | SELECT c.prio, c.d, c.t, c.cum, o.tot, o.n, o.n * c.cum - c.t * o.tot AS s
+        | FROM cum c JOIN tot o USING (prio))
+        |SELECT prio, d AS cp_date, abs(s) AS s_max_abs, n AS n_days,
+        | cum // t AS mean_before_c, (tot - cum) // (n - t) AS mean_after_c
+        |FROM st
+        |QUALIFY row_number() OVER (PARTITION BY prio ORDER BY abs(s) DESC, d) = 1
+        |ORDER BY prio""".stripMargin)
+}

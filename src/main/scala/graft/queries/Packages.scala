@@ -467,6 +467,12 @@ object Packages {
   private def sub(sql: String): String =
     sql.replace("--PKG--", PkgCte).replace("--ED--", EdgeCte)
 
+  /** --PKG--/--ED-- substitution for sibling modules (Advanced's retention
+    * audit re-derives the same SCD2 history) — ONE copy of the package
+    * CTE, so a fixture change cannot desynchronize oracles.
+    */
+  private[queries] def subFor(sql: String): String = sub(sql)
+
   val oracles: Seq[(String, String)] = Seq(
     "q30_latest_package_version" -> sub("""WITH --PKG--,
         |ranked AS (

@@ -161,7 +161,7 @@ object Resolution {
     * and q100 (dependency cycles) consume; the driver loop is their
     * dominant shared cost, so it runs once per (session, dir).
     */
-  private def reachAllFrame(s: SparkSession, dir: String): DataFrame =
+  private[queries] def reachAllFrame(s: SparkSession, dir: String): DataFrame =
     Memo.memoized("reach_all", s, dir) {
       graft.operators.Closure.reachableAll(s, resolvedEdges(s, dir),
         Tables.packageNames(s, dir).select(col("name").as("root")))

@@ -1091,6 +1091,14 @@ object Vectors {
     sql.replace("--VEC--", VecCte).replace("--DOT--", DotSql).replace("--BKT--", BucketCte)
       .replace("--KM--", KmCte).replace("--SQ--", SqCte)
 
+  /** The doubled-embedding base view + --VEC-- substitution, exposed for
+    * sibling modules (Advanced's binary-quantization search reads the same
+    * corpus) — ONE copy of the cast/norm discipline, so a change here
+    * cannot desynchronize a sibling's oracle from the vector family.
+    */
+  private[queries] def vecsFor(s: SparkSession, dir: String): DataFrame = vecs(s, dir)
+  private[queries] def subFor(sql: String): String = sub(sql)
+
   /** Same sequential fold as the codegen'd array_dot, over two named list
     * columns.
     */

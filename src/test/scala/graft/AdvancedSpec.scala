@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-9 Advanced-module invariants: the IVM delta-join identity, the
+  * schema-evolution union == physical mergeSchema read, and Shapley
+  * efficiency/symmetry on a hand-computable game.
+  */
+class AdvancedSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestHarness.spark
+
+  test("deltaJoin equals full join minus old join (insert-only IVM identity)") {
+    import spark.implicits._
+    val a0 = Seq((1, "a1"), (2, "a2")).toDF("k", "av")
+    val da = Seq((2, "a2b"), (3, "a3")).toDF("k", "av")
+    val b0 = Seq((1, "b1"), (3, "b3")).toDF("k", "bv")
+    val db = Seq((2, "b2"), (3, "b3b")).toDF("k", "bv")
+    val delta = Graft.deltaJoin(a0, da, b0, db, Seq("k")).drop("ivm_term")
+    val full = a0.unionByName(da).join(b0.unionByName(db), Seq("k"))
+    val old = a0.join(b0, Seq("k"))
+    // multiset equality: delta == full \ old and old ∪ delta == full
+    assert(delta.exceptAll(full.exceptAll(old)).isEmpty)
+    assert(full.exceptAll(old).exceptAll(delta).isEmpty)
+    assert(old.unionByName(delta).exceptAll(full).isEmpty)
+  }
+
+  test("deltaJoin terms partition the delta (each row tagged by its provenance)") {
+    import spark.implicits._
+    val a0 = Seq((1, "x")).toDF("k", "av")
+    val da = Seq((2, "y")).toDF("k", "av")
+    val b0 = Seq((2, "p")).toDF("k", "bv")
+    val db = Seq((1, "q"), (2, "r")).toDF("k", "bv")
+    val byTerm = Graft.deltaJoin(a0, da, b0, db, Seq("k"))
+      .groupBy("ivm_term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // dA⋈B0 = (2,y,p); A0⋈dB = (1,x,q); dA⋈dB = (2,y,r)
+    assert(byTerm === Map("dA_B" -> 1L, "A_dB" -> 1L, "dA_dB" -> 1L))
+  }
+
+  test("q240's union form equals a physical parquet mergeSchema read over evolving snapshots") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    Seq((1L, "a", "1.0")).toDF("pkg_id", "name", "version")
+      .write.parquet(s"$base/gen=0")
+    Seq((2L, "b", "2.0", "x86_64")).toDF("pkg_id", "name", "version", "arch")
+      .write.parquet(s"$base/gen=1")
+    Seq((3L, "c", 7L)).toDF("pkg_id", "name", "size_mb")
+      .write.parquet(s"$base/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(base)
+      .select("pkg_id", "name", "version", "arch", "size_mb")
+    val union = Seq((1L, "a", "1.0")).toDF("pkg_id", "name", "version")
+      .unionByName(Seq((2L, "b", "2.0", "x86_64")).toDF("pkg_id", "name", "version", "arch"),
+        allowMissingColumns = true)
+      .unionByName(Seq((3L, "c", 7L)).toDF("pkg_id", "name", "size_mb"),
+        allowMissingColumns = true)
+      .select("pkg_id", "name", "version", "arch", "size_mb")
+    assert(merged.exceptAll(union).isEmpty && union.exceptAll(merged).isEmpty)
+  }
+
+  test("Shapley weights are efficient and symmetric on a hand-computed 2-channel game") {
+    // two users: u1 touched {view}, u2 touched {view, click}; both convert.
+    // v(∅)=0, v({v})=1, v({c})=0, v({v,c})=2.
+    // Shapley(view) = 1.5, Shapley(click) = 0.5 → scaled by 2! = 2: 3 and 1.
+    def v(s: Set[String]): Long = Seq(Set("view"), Set("view", "click"))
+      .count(m => m.subsetOf(s)).toLong
+    def shap2(i: String, other: String): Long =
+      (v(Set(i)) - v(Set.empty)) + (v(Set(i, other)) - v(Set(other)))
+    assert(shap2("view", "click") === 3L)
+    assert(shap2("click", "view") === 1L)
+    assert(shap2("view", "click") + shap2("click", "view") === 2L * v(Set("view", "click")))
+  }
+}
