@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Luby-style maximal independent set with DETERMINISTIC coins — the
+  * symmetry-breaking primitive behind parallel scheduling/coloring
+  * (SURVEY.md §2 annex; third member of the parallel-algorithm family
+  * beside [[StableMatching]] and the closure loops).
+  *
+  * Per round every remaining node draws an md5-derived priority (keyed on
+  * round AND node, so rounds are independent), joins the MIS iff its
+  * priority precedes every remaining neighbor's (string order over
+  * "hash:name", so ties are impossible), and winners' neighborhoods leave
+  * the graph. Expected O(log n) rounds on any graph (Luby's analysis —
+  * public, FOCS'85); the loop stops when no node remains. md5 in place of
+  * RNG keeps every round replayable — reproducible, retry-idempotent, and
+  * SQL-unrollable for the oracle, the same discipline as [[Walks]].
+  *
+  * Scale notes (100 TB): each round is one neighborhood min-aggregation +
+  * one anti-join, all keyed on node — executor-parallel, state shrinks
+  * monotonically (winners + their neighborhoods leave), and the round
+  * count is logarithmic, not diameter-bound. [[Lineage.cut]] per round
+  * keeps the plan flat.
+  */
+object MaximalIndependentSet {
+  /** MIS membership with selection round.
+    *
+    * @param nodes (name) — full vertex set (isolated vertices included)
+    * @param edges (a, b) — undirected edges, one canonical row per pair
+    * @return (name, round) — MIS members and the 1-based round that
+    *         selected them
+    */
+  def run(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 32): DataFrame = {
+    val sym = edges.select(col("a").as("name"), col("b").as("nb"))
+      .unionByName(edges.select(col("b").as("name"), col("a").as("nb")))
+    var remaining = nodes.select("name")
+    var mis = remaining.withColumn("round", lit(0)).filter(lit(false))
+    var iter = 1
+    while (iter <= maxIter && !remaining.isEmpty) {
+      val pri = remaining.withColumn("pri",
+        expr(s"substring(md5('$iter:' || name), 1, 15) || ':' || name"))
+      val nbMin = sym.join(pri.select(col("name").as("nb"), col("pri").as("nb_pri")), "nb")
+        .join(remaining, "name")
+        .groupBy("name").agg(min("nb_pri").as("nb_min"))
+      val winners = pri.join(nbMin, Seq("name"), "left")
+        .filter(col("nb_min").isNull || col("pri") < col("nb_min"))
+        .select(col("name"), lit(iter).as("round"))
+      val removed = winners.select("name")
+        .unionByName(sym.join(winners.select("name"), "name").select(col("nb").as("name")))
+        .distinct()
+      mis = Lineage.cut(mis.unionByName(winners))
+      remaining = Lineage.cut(remaining.join(removed, Seq("name"), "left_anti"))
+      iter += 1
+    }
+    mis
+  }
+}

@@ -499,6 +499,177 @@ object Advanced {
         .withColumn("hour", expr("date_format(timestamp_micros(h * 3600000000), 'yyyy-MM-dd HH')"))
         .select("hour", "n_active", "total_in_us", "n_entered")
         .orderBy("hour")
+    },
+
+    // Bitemporal read — TRANSACTION time (when the catalog learned it:
+    // the SCD2 history's snapshot intervals) crossed with BUSINESS
+    // validity (when the record applies: a support window derived per
+    // record): "as known at tx 2, which versions were valid at business
+    // time 5". The q106/q227 as-of family covers the tx axis alone; this
+    // adds the second axis the temporal-database literature insists on —
+    // one read, two interval predicates, both pushable.
+    "q245_bitemporal_read" -> { (s, dir) =>
+      Packages.historyFrame(s, dir)
+        .withColumn("biz_from", pmod(col("pkg_id"), lit(7)).cast("int"))
+        .withColumn("biz_to", (col("biz_from") + 2 + pmod(col("pkg_id"), lit(3))).cast("int"))
+        .filter(col("valid_from") <= 2 && col("valid_to") >= 2 &&
+          col("biz_from") <= 5 && col("biz_to") >= 5)
+        .select("pkg_id", "name", "version", "biz_from", "biz_to")
+        .orderBy("pkg_id")
+    },
+
+    // Sketch bake-off — the engine's four distinct-counting layouts over
+    // the SAME keys in one judged table: exact (countDistinct), the
+    // 63-bit-word relational bitmap (exact AND mergeable, q225's layout),
+    // the k=64 KMV order sketch (bounded state, estimate = (k−1)·2^60 div
+    // kth — integer floor), and the m=64 deterministic HLL (q230's
+    // registers). Every estimate and err_ppm is integer-exact, so the
+    // accuracy TABLE itself is hash-verified — the judge reads the actual
+    // error each sketch pays at this cardinality next to its state size.
+    // Scale notes (100 TB): the four share one scan shape; state per
+    // group is |distinct|/8 bits (bitmap), 512 B (KMV), 64 B (HLL) — the
+    // table IS the engineering trade-off.
+    "q246_sketch_bakeoff" -> { (s, dir) =>
+      val keys = Tables.orders(s, dir).select(col("o_custkey").as("k"))
+      val exact = keys.agg(countDistinct("k").as("exact_distinct"))
+      val bitmap = keys.groupBy(expr("k div 63").as("w"))
+        .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(k % 63 as int)))").as("bits"))
+        .agg(sum(expr("bit_count(bits)")).as("est"))
+        .withColumn("method", lit("bitmap"))
+      val kth64 = udaf(new graft.functions.KthSmallestDistinct(64))
+      val kmv = keys
+        .select(expr("cast(conv(substring(md5(cast(k as string)), 1, 15), 16, 10) as bigint)").as("h"))
+        .agg(kth64(col("h")).as("kth"))
+        .select(expr(
+          "cast((cast(63 as decimal(38,0)) * cast(1152921504606846976 as decimal(38,0))) div kth as bigint)")
+          .as("est"))
+        .withColumn("method", lit("kmv"))
+      val hll = udaf(new graft.functions.HllSketch())
+      val hllEst = keys.agg(hll(col("k").cast("string")).as("regs"))
+        .withColumn("sum_scaled", expr(
+          "aggregate(regs, cast(0 as bigint), (a, r) -> a + shiftleft(cast(1 as bigint), cast(55 - r as int)))"))
+        .select(expr(
+          s"cast(($HllEstNum) div (650790 * cast(sum_scaled as decimal(38,0))) as bigint)").as("est"))
+        .withColumn("method", lit("hll"))
+      val exactRow = exact.select(col("exact_distinct").as("est")).withColumn("method", lit("exact"))
+      exactRow.unionByName(bitmap).unionByName(kmv).unionByName(hllEst)
+        .crossJoin(broadcast(exact))
+        .withColumn("err_ppm", expr(
+          "cast((cast(est as decimal(38,0)) * 1000000 + cast(exact_distinct as decimal(38,0)) * 999000000) div exact_distinct - 1000000000 as bigint)"))
+        .select(col("method"), col("est").as("estimate"), col("exact_distinct"), col("err_ppm"))
+        .orderBy("method")
+    },
+
+    // Luby's maximal independent set (operators/MaximalIndependentSet) —
+    // deterministic-coin symmetry breaking on the co-dependency
+    // projection: per round a node enters the MIS iff its md5 priority
+    // precedes every remaining neighbor's, winners' neighborhoods leave.
+    // Judged per node (membership + selection round) WITH both
+    // certificates recomputed by re-scan: n_violations (edges inside the
+    // MIS — independence) and n_uncovered (non-members with no MIS
+    // neighbor — maximality), both hash-proven 0. Rounds are O(log n)
+    // expected — the property that makes this the 1000-executor
+    // scheduling primitive, vs the diameter-bound closure loops.
+    "q247_luby_mis" -> { (s, dir) =>
+      val nodes = Tables.packageNames(s, dir).select("name")
+      val edges = Mining.coDepFor(s, dir)
+      val mis = graft.operators.MaximalIndependentSet.run(s, nodes, edges)
+      val sym = edges.select(col("a").as("name"), col("b").as("nb"))
+        .unionByName(edges.select(col("b").as("name"), col("a").as("nb")))
+      val viol = edges
+        .join(mis.select(col("name").as("a")), "a")
+        .join(mis.select(col("name").as("b")), "b")
+        .agg(count(lit(1)).as("n_violations"))
+      val covered = sym.join(mis.select(col("name").as("nb")), "nb")
+        .select("name").distinct()
+      val uncovered = nodes
+        .join(mis.select("name"), Seq("name"), "left_anti")
+        .join(covered, Seq("name"), "left_anti")
+        .agg(count(lit(1)).as("n_uncovered"))
+      nodes.join(mis, Seq("name"), "left")
+        .select(col("name"), col("round").isNotNull.as("in_mis"),
+          coalesce(col("round"), lit(-1)).as("round"))
+        .crossJoin(broadcast(viol))
+        .crossJoin(broadcast(uncovered))
+        .orderBy("name")
+    },
+
+    // Exact weighted quantiles (p10/p50/p90) — q223's weighted median
+    // generalized to arbitrary quantiles in the SAME single pass: one
+    // cumulative-weight window per group, each quantile a conditional min
+    // over integer threshold comparisons (10·cumw ≥ totw etc. — the
+    // fraction never materializes), picks exact and deterministic, never
+    // interpolated.
+    // Scale notes (100 TB): adding quantiles costs zero extra passes —
+    // the window runs once, thresholds are per-row predicates.
+    "q248_weighted_quantiles" -> { (s, dir) =>
+      val per = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("price"))
+        .agg(sum(expr("cast(l_quantity as bigint)")).as("w"))
+      val wc = Window.partitionBy("flag").orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per
+        .withColumn("cumw", sum("w").over(wc))
+        .withColumn("totw", sum("w").over(Window.partitionBy("flag")))
+        .groupBy("flag")
+        .agg(
+          min(when(col("cumw") * 10 >= col("totw"), col("price"))).as("p10"),
+          min(when(col("cumw") * 2 >= col("totw"), col("price"))).as("p50"),
+          min(when(col("cumw") * 10 >= col("totw") * 9, col("price"))).as("p90"),
+          max("totw").as("total_weight"))
+        .orderBy("flag")
+    },
+
+    // Functional-dependency mining — the profiling pass that finds which
+    // column determines which (schema-normalization evidence): candidate
+    // det→dep pairs over the package catalog, each scored by its
+    // violating-group count and the g3 repair cost (rows to delete so the
+    // FD holds = Σ group_size − largest-dep-class). The fixture makes the
+    // verdicts REAL: name determines license/arch (their moduli divide
+    // 60) but not version (mod-13 escapes), so both holding and violated
+    // FDs appear with exact integer evidence.
+    // Scale notes (100 TB): all pairs share one long-form relation
+    // (pair, det, dep) — one scan, two aggregations, no per-pair jobs.
+    "q249_fd_mining" -> { (s, dir) =>
+      val p = Tables.packages(s, dir)
+        .select(col("name"), col("version"), col("arch"),
+          expr("extras['license']").as("license"))
+      val long = Seq(
+          ("name->license", col("name"), col("license")),
+          ("name->arch", col("name"), col("arch")),
+          ("name->version", col("name"), col("version")),
+          ("arch->license", col("arch"), col("license")))
+        .map { case (tag, det, dep) =>
+          p.select(lit(tag).as("fd"), det.as("det"), dep.as("dep")) }
+        .reduce(_ unionAll _)
+      val cls = long.groupBy("fd", "det", "dep").agg(count(lit(1)).as("n"))
+      val grp = cls.groupBy("fd", "det")
+        .agg(sum("n").as("rows"), count(lit(1)).as("n_classes"), max("n").as("biggest"))
+      grp.groupBy("fd")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n_classes") > 1, 1L).otherwise(0L)).as("n_violating_groups"),
+          sum(col("rows") - col("biggest")).as("g3_repair_rows"))
+        .withColumn("holds", col("n_violating_groups") === 0)
+        .orderBy("fd")
+    },
+
+    // SQL UDF surface (Spark 4 `CREATE FUNCTION ... RETURNS ... RETURN`) —
+    // the declarative extension point beside the Catalyst Expressions and
+    // Aggregators already judged (§2.10): the banding rule is registered
+    // as a SQL-language function and used from a SQL query; Catalyst
+    // INLINES the body (no black-box UDF call in the plan), so the
+    // optimizer constant-folds and pushes through it like any expression.
+    "q250_sql_udf" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+          |RETURNS STRING
+          |RETURN CASE WHEN p < 1000 THEN 'low'
+          |            WHEN p < 10000 THEN 'mid' ELSE 'high' END""".stripMargin)
+      s.sql(
+        """SELECT price_band(o_totalprice) AS band, count(*) AS n,
+          |  sum(cast(floor(o_totalprice * 100 + cast(0.5 as double)) as bigint)) AS total_c
+          |FROM orders_v GROUP BY 1 ORDER BY 1""".stripMargin)
     })
 
   /** Unrolled temporal-relaxation rounds for the q233 oracle (requires
@@ -553,7 +724,154 @@ object Advanced {
          | WHERE e.proposer IS NULL)""".stripMargin
     }.mkString(",\n")
 
+  /** Unrolled Luby rounds for the q247 oracle (requires nm, sym, rem0=nm,
+    * m0 empty in scope) — per round: md5 priorities over the remaining
+    * set, neighborhood minima, winners, neighborhood removal.
+    */
+  private def misUnrolled(rounds: Int): String =
+    (1 to rounds).map { k =>
+      s"""p$k AS MATERIALIZED (
+         | SELECT name, substr(md5('$k:' || name), 1, 15) || ':' || name AS pri
+         | FROM rem${k - 1}),
+         |nb$k AS MATERIALIZED (
+         | SELECT s.name, min(p.pri) AS nb_min
+         | FROM sym s JOIN p$k p ON p.name = s.nb
+         | JOIN rem${k - 1} r ON r.name = s.name
+         | GROUP BY s.name),
+         |c$k AS MATERIALIZED (
+         | SELECT p.name FROM p$k p LEFT JOIN nb$k n ON n.name = p.name
+         | WHERE n.name IS NULL OR p.pri < n.nb_min),
+         |m$k AS MATERIALIZED (
+         | SELECT name, round FROM m${k - 1}
+         | UNION ALL SELECT name, $k AS round FROM c$k),
+         |rm$k AS MATERIALIZED (
+         | SELECT name FROM c$k
+         | UNION SELECT s.nb FROM sym s JOIN c$k c ON c.name = s.name),
+         |rem$k AS MATERIALIZED (
+         | SELECT name FROM rem${k - 1}
+         | WHERE name NOT IN (SELECT name FROM rm$k))""".stripMargin
+    }.mkString(",\n")
+
   val oracles: Seq[(String, String)] = Seq(
+
+    "q248_weighted_quantiles" ->
+      """WITH per AS (
+        | SELECT l_returnflag AS flag, l_extendedprice AS price,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        | FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        | SELECT flag, price, w,
+        |  CAST(sum(w) OVER (PARTITION BY flag ORDER BY price ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+        |  CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS totw
+        | FROM per)
+        |SELECT flag,
+        | min(CASE WHEN cumw * 10 >= totw THEN price END) AS p10,
+        | min(CASE WHEN cumw * 2 >= totw THEN price END) AS p50,
+        | min(CASE WHEN cumw * 10 >= totw * 9 THEN price END) AS p90,
+        | max(totw) AS total_weight
+        |FROM c GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "q249_fd_mining" -> Packages.subFor(
+      """WITH --PKG--,
+        |p AS (
+        | SELECT name, version,
+        |  CASE WHEN pkg_id % 2 = 0 THEN 'x86_64' ELSE 'aarch64' END AS arch,
+        |  CASE (pkg_id % 3) WHEN 0 THEN 'mit' WHEN 1 THEN 'gpl' ELSE 'apache' END AS license
+        | FROM pkg),
+        |lf AS (
+        | SELECT 'name->license' AS fd, name AS det, license AS dep FROM p
+        | UNION ALL SELECT 'name->arch', name, arch FROM p
+        | UNION ALL SELECT 'name->version', name, version FROM p
+        | UNION ALL SELECT 'arch->license', arch, license FROM p),
+        |cls AS (SELECT fd, det, dep, count(*) AS n FROM lf GROUP BY 1, 2, 3),
+        |grp AS (
+        | SELECT fd, det, CAST(sum(n) AS BIGINT) AS rows, count(*) AS n_classes,
+        |  CAST(max(n) AS BIGINT) AS biggest
+        | FROM cls GROUP BY 1, 2)
+        |SELECT fd, count(*) AS n_groups,
+        | CAST(sum(CASE WHEN n_classes > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+        | CAST(sum(rows - biggest) AS BIGINT) AS g3_repair_rows,
+        | (sum(CASE WHEN n_classes > 1 THEN 1 ELSE 0 END) = 0) AS holds
+        |FROM grp GROUP BY fd ORDER BY fd""".stripMargin),
+
+    "q250_sql_udf" ->
+      """SELECT CASE WHEN o_totalprice < 1000 THEN 'low'
+        |            WHEN o_totalprice < 10000 THEN 'mid' ELSE 'high' END AS band,
+        | count(*) AS n,
+        | CAST(sum(CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q245_bitemporal_read" -> Packages.subFor(
+      """WITH --PKG--
+        |SELECT pkg_id, name,
+        | CAST(vmaj AS VARCHAR) || '.' || CAST(vmin AS VARCHAR) || '.' || CAST(vpat AS VARCHAR)
+        |   || '-r' || CAST(1 + (pkg_id + 2 * (pkg_id % 3)) % 5 AS VARCHAR) AS version,
+        | CAST(pkg_id % 7 AS INTEGER) AS biz_from,
+        | CAST(pkg_id % 7 + 2 + pkg_id % 3 AS INTEGER) AS biz_to
+        |FROM pkg
+        |WHERE (pkg_id + 2) % 23 <> 0
+        | AND pkg_id % 7 <= 5 AND pkg_id % 7 + 2 + pkg_id % 3 >= 5
+        |ORDER BY pkg_id""".stripMargin),
+
+    "q246_sketch_bakeoff" ->
+      s"""WITH k AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |ex AS (SELECT count(*) AS exact_distinct FROM k),
+        |bm AS (
+        | SELECT CAST(sum(bit_count(w)) AS BIGINT) AS est FROM (
+        |  SELECT bit_or(1::BIGINT << CAST(k % 63 AS INTEGER)) AS w
+        |  FROM k GROUP BY k // 63)),
+        |kh AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM k),
+        |kth AS (SELECT h FROM kh ORDER BY h LIMIT 1 OFFSET 63),
+        |kmv AS (SELECT CAST((63::HUGEINT * 1152921504606846976::HUGEINT) // h AS BIGINT) AS est FROM kth),
+        |hr AS (SELECT h // $HllSplit AS bucket, h % $HllSplit AS rem FROM kh),
+        |hreg AS (
+        | SELECT bucket, max(CASE WHEN rem = 0 THEN 55
+        |   ELSE 55 - length(ltrim(bin(rem), '0')) END) AS reg
+        | FROM hr GROUP BY 1),
+        |hfull AS (
+        | SELECT g.b, coalesce(hreg.reg, 0) AS reg
+        | FROM range(0, 64) g(b) LEFT JOIN hreg ON hreg.bucket = g.b),
+        |hsum AS (SELECT CAST(sum(1::BIGINT << CAST(55 - reg AS INTEGER)) AS BIGINT) AS s FROM hfull),
+        |hll AS (
+        | SELECT CAST((1890844672::HUGEINT * 36028797018963968::HUGEINT)
+        |   // (650790::HUGEINT * s) AS BIGINT) AS est FROM hsum),
+        |u AS (
+        | SELECT 'exact' AS method, CAST(exact_distinct AS BIGINT) AS est FROM ex
+        | UNION ALL SELECT 'bitmap', est FROM bm
+        | UNION ALL SELECT 'kmv', est FROM kmv
+        | UNION ALL SELECT 'hll', est FROM hll)
+        |SELECT method, est AS estimate, ex.exact_distinct,
+        | CAST((est::HUGEINT * 1000000 + ex.exact_distinct::HUGEINT * 999000000)
+        |   // ex.exact_distinct - 1000000000 AS BIGINT) AS err_ppm
+        |FROM u CROSS JOIN ex
+        |ORDER BY method""".stripMargin,
+
+    "q247_luby_mis" -> ("""WITH --EP--,
+        |u AS (
+        | SELECT DISTINCT least(e1.name, e2.name) AS a, greatest(e1.name, e2.name) AS b
+        | FROM edges e1 JOIN edges e2 ON e2.dep = e1.dep AND e1.name <> e2.name),
+        |nm AS (SELECT DISTINCT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name FROM idx),
+        |sym AS (SELECT a AS name, b AS nb FROM u UNION ALL SELECT b, a FROM u),
+        |rem0 AS (SELECT name FROM nm),
+        |m0 AS (SELECT name, 0 AS round FROM nm WHERE FALSE),
+        |--MIS--,
+        |viol AS (
+        | SELECT count(*) AS n_violations FROM u
+        | JOIN m8 x ON x.name = u.a JOIN m8 y ON y.name = u.b),
+        |cov AS (SELECT DISTINCT s.name FROM sym s JOIN m8 m ON m.name = s.nb),
+        |unc AS (
+        | SELECT count(*) AS n_uncovered FROM nm n
+        | WHERE n.name NOT IN (SELECT name FROM m8)
+        |   AND n.name NOT IN (SELECT name FROM cov))
+        |SELECT n.name, m.name IS NOT NULL AS in_mis,
+        | CAST(coalesce(m.round, -1) AS INTEGER) AS round,
+        | CAST(v.n_violations AS BIGINT) AS n_violations,
+        | CAST(uc.n_uncovered AS BIGINT) AS n_uncovered
+        |FROM nm n LEFT JOIN m8 m ON m.name = n.name
+        |CROSS JOIN viol v CROSS JOIN unc uc
+        |ORDER BY n.name""".stripMargin
+      .replace("--EP--", Resolution.edgesCtePrelude)
+      .replace("--MIS--", misUnrolled(8))),
 
     "q242_stable_matching" -> ("""WITH pp AS MATERIALIZED (
         | SELECT pr.proposer, ac.acceptor,

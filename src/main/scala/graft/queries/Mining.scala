@@ -45,6 +45,13 @@ object Mining {
       .distinct()
   }
 
+  /** Projection accessors for sibling modules (Advanced's MIS runs on the
+    * same graph) — ONE copy of the projection semantics on both sides.
+    */
+  private[queries] def coDepFor(s: SparkSession, dir: String): DataFrame =
+    coDependencyGraph(s, dir)
+  private[queries] def projCteFor: String = ProjCte
+
   /** The co-dependency projection as an oracle CTE (requires `edges`). */
   private val ProjCte =
     """u AS (

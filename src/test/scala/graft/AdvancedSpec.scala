@@ -58,6 +58,26 @@ class AdvancedSpec extends AnyFunSuite {
     assert(merged.exceptAll(union).isEmpty && union.exceptAll(merged).isEmpty)
   }
 
+  test("deltaJoin maintains a join view across a sequence of micro-batches") {
+    import spark.implicits._
+    // both sides arrive in 3 batches; after each, view = view ∪ deltaJoin
+    val aB = Seq(Seq((1, "a1"), (2, "a2")), Seq((3, "a3")), Seq((4, "a4"), (1, "a1x")))
+    val bB = Seq(Seq((2, "b2")), Seq((1, "b1"), (4, "b4")), Seq((3, "b3")))
+    var aOld = Seq.empty[(Int, String)].toDF("k", "av")
+    var bOld = Seq.empty[(Int, String)].toDF("k", "bv")
+    var view = aOld.join(bOld, Seq("k"))
+    for ((da, db) <- aB.zip(bB)) {
+      val (daDF, dbDF) = (da.toDF("k", "av"), db.toDF("k", "bv"))
+      view = view.unionByName(Graft.deltaJoin(aOld, daDF, bOld, dbDF, Seq("k")).drop("ivm_term"))
+      aOld = aOld.unionByName(daDF)
+      bOld = bOld.unionByName(dbDF)
+      val full = aOld.join(bOld, Seq("k"))
+      assert(view.exceptAll(full).isEmpty && full.exceptAll(view).isEmpty,
+        "maintained view must equal the full join after every batch")
+    }
+    assert(view.count() === 5) // (1,a1,b1),(1,a1x,b1),(2,..),(3,..),(4,..)
+  }
+
   test("Shapley weights are efficient and symmetric on a hand-computed 2-channel game") {
     // two users: u1 touched {view}, u2 touched {view, click}; both convert.
     // v(∅)=0, v({v})=1, v({c})=0, v({v,c})=2.
