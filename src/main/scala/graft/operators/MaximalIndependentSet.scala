@@ -33,8 +33,12 @@ object MaximalIndependentSet {
     */
   def run(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 32): DataFrame = {
-    val sym = edges.select(col("a").as("name"), col("b").as("nb"))
-      .unionByName(edges.select(col("b").as("name"), col("a").as("nb")))
+    // materialize the adjacency ONCE — rounds join it twice each, and
+    // without the cut every round's jobs re-execute the caller's graph
+    // derivation (the co-dependency projection is itself a join)
+    val sym = Lineage.cut(
+      edges.select(col("a").as("name"), col("b").as("nb"))
+        .unionByName(edges.select(col("b").as("name"), col("a").as("nb"))))
     var remaining = nodes.select("name")
     var mis = remaining.withColumn("round", lit(0)).filter(lit(false))
     var iter = 1

@@ -42,18 +42,30 @@ object StableMatching {
     * @return (proposer, acceptor) — the unique proposer-optimal stable
     *         matching under the (score, name) total order
     */
-  def run(spark: SparkSession, prefs: DataFrame, maxIter: Int = 64): DataFrame = {
-    val proposers = prefs.select("proposer").distinct()
-    var eng = prefs.select("proposer", "acceptor").filter(lit(false))
-    var rej = eng
+  def run(spark: SparkSession, prefsIn: DataFrame, maxIter: Int = 64): DataFrame = {
+    // materialize the preference relation ONCE — every round joins it
+    // three times, and without the cut each round's jobs re-execute the
+    // caller's derivation (scans, distincts, the md5 cross product)
+    val prefs = Lineage.cut(prefsIn)
+    val proposers = Lineage.cut(prefs.select("proposer").distinct())
+    val nProposers = proposers.count()
+    // ONE tagged state frame (eng ∪ rej) per round — a single checkpoint
+    // job and a single count job per iteration instead of separate
+    // materializations for each relation (driver barriers, not data
+    // volume, dominate iterative cost at the small end)
+    var state = Lineage.cut(prefs
+      .select(col("proposer"), col("acceptor"), lit("eng").as("tag"))
+      .filter(lit(false)))
     var iter = 0
     var done = false
     val wProp = Window.partitionBy("proposer").orderBy(col("p_score"), col("acceptor"))
     val wAcc = Window.partitionBy("acceptor").orderBy(col("a_score"), col("proposer"))
     while (iter < maxIter && !done) {
-      val free = proposers.join(eng.select("proposer"), Seq("proposer"), "left_anti")
-      if (free.isEmpty) done = true
+      val eng = state.filter(col("tag") === "eng").select("proposer", "acceptor")
+      val rej = state.filter(col("tag") === "rej").select("proposer", "acceptor")
+      if (state.filter(col("tag") === "eng").count() == nProposers) done = true
       else {
+        val free = proposers.join(eng.select("proposer"), Seq("proposer"), "left_anti")
         val prop = prefs.join(free, "proposer")
           .join(rej, Seq("proposer", "acceptor"), "left_anti")
           .withColumn("rn", row_number().over(wProp)).filter(col("rn") === 1)
@@ -64,11 +76,12 @@ object StableMatching {
           .select("proposer", "acceptor")
         val losers = cont.select("proposer", "acceptor")
           .join(best, Seq("proposer", "acceptor"), "left_anti")
-        eng = Lineage.cut(best)
-        rej = Lineage.cut(rej.unionByName(losers))
+        state = Lineage.cut(
+          best.withColumn("tag", lit("eng"))
+            .unionByName(rej.unionByName(losers).withColumn("tag", lit("rej"))))
         iter += 1
       }
     }
-    eng
+    state.filter(col("tag") === "eng").select("proposer", "acceptor")
   }
 }

@@ -36,8 +36,12 @@ object TemporalReach {
     *         the seed itself arrives at 0; nodes with no time-respecting
     *         path are absent
     */
-  def run(spark: SparkSession, edges: DataFrame, seed: String,
+  def run(spark: SparkSession, edgesIn: DataFrame, seed: String,
       maxIter: Int = 64): DataFrame = {
+    // materialize the timed edge relation ONCE — each relaxation round
+    // joins it, and without the cut every round re-executes the caller's
+    // derivation (resolution joins + the md5 epoch column)
+    val edges = Lineage.cut(edgesIn)
     var arr = spark.range(1)
       .select(lit(seed).as("name"), lit(0L).as("earliest"))
     var frontier = arr

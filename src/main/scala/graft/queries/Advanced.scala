@@ -653,6 +653,231 @@ object Advanced {
         .orderBy("fd")
     },
 
+    // Contrastive-training triplet mining — the (anchor, positive,
+    // negatives) table a contrastive/embedding trainer consumes: positive
+    // = the nearest same-label neighbor by exact cosine, negatives = 3
+    // deterministic md5-ranked picks from OTHER labels (hash sampling in
+    // place of RNG — reproducible, retry-idempotent, oracle-replayable,
+    // the q217 discipline applied to data generation). The anchors side
+    // is tiny and broadcast; the scan is the q45 labeled-NLJ shape.
+    "q251_contrastive_triplets" -> { (s, dir) =>
+      GraftFunctions.ensureRegistered(s)
+      val base = Vectors.vecsFor(s, dir)
+      val anchors = broadcast(base.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("aid"), col("label").as("albl"),
+          col("v").as("av"), col("nsq").as("an")))
+      val cands = base.select(col("vec_id").as("cid"), col("label").as("clbl"),
+        col("v").as("cv"), col("nsq").as("cn"))
+      val wp = Window.partitionBy("aid").orderBy(col("cos").desc, col("cid"))
+      val pos = cands.join(anchors, col("cid") =!= col("aid") && col("clbl") === col("albl"))
+        .withColumn("cos", expr("array_dot(av, cv)") / (sqrt(col("an")) * sqrt(col("cn"))))
+        .withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+        .select(col("aid"), col("cid").as("pos_id"), col("cos").as("pos_cos"))
+      val wn = Window.partitionBy("aid").orderBy(col("h"), col("cid"))
+      val negs = cands.join(anchors, col("clbl") =!= col("albl"))
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(cast(aid as string) || ':' || cast(cid as string)), 1, 15), 16, 10) as bigint)"))
+        .withColumn("rn", row_number().over(wn)).filter(col("rn") <= 3)
+        .groupBy("aid")
+        .agg(max(when(col("rn") === 1, col("cid"))).as("neg1"),
+          max(when(col("rn") === 2, col("cid"))).as("neg2"),
+          max(when(col("rn") === 3, col("cid"))).as("neg3"))
+      pos.join(negs, "aid")
+        .select(col("aid").as("anchor"), col("pos_id"), col("pos_cos"),
+          col("neg1"), col("neg2"), col("neg3"))
+        .orderBy("anchor")
+    },
+
+    // Leave-one-out target encoding — the leakage-safe categorical
+    // encoder a feature pipeline ships: each row's category mean EXCLUDES
+    // its own target ((S − y)·10^6 div (n−1), exact integer fixed point —
+    // a row never sees itself, the property naive mean-encoding violates
+    // and decontamination audits exist to catch). Judged per category:
+    // the naive mean and the LOO spread (sum/min/max) — all exact.
+    // Scale notes (100 TB): one aggregation for the per-category totals
+    // (broadcast back — tiny), one map-side pass for LOO, one final
+    // aggregation; no shuffle keyed on rows.
+    "q252_target_encoding" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("flag"), col("l_linestatus").as("status"),
+        expr("cast(floor(l_extendedprice * cast(100 as double) + cast(0.5 as double)) as bigint)").as("y"))
+      val tot = li.groupBy("flag", "status").agg(sum("y").as("s"), count(lit(1)).as("n"))
+      li.join(broadcast(tot), Seq("flag", "status"))
+        .filter(col("n") > 1)
+        .withColumn("loo", expr("((s - y) * 1000000) div (n - 1)"))
+        .groupBy("flag", "status")
+        .agg(max("n").as("n"),
+          expr("max(s * 1000000 div n)").as("naive_mean_sc"),
+          sum("loo").as("loo_sum"), min("loo").as("loo_min"), max("loo").as("loo_max"))
+        .orderBy("flag", "status")
+    },
+
+    // SQL pipe syntax (Spark 4 `|>`) — the query-flow surface the SQL
+    // endpoint exposes beside scripting (q198) and SQL UDFs (q250): the
+    // same relational pipeline stated as FROM |> WHERE |> AGGREGATE |>
+    // ORDER BY, parsed by Spark's pipe-operator grammar into the
+    // identical Catalyst plan a SELECT would produce.
+    "q253_sql_pipe" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders_pipe_v")
+      s.sql(
+        """FROM orders_pipe_v
+          ||> WHERE o_totalprice > 1000
+          ||> AGGREGATE count(*) AS n,
+          |     sum(cast(floor(o_totalprice * 100 + cast(0.5 as double)) as bigint)) AS total_c
+          |   GROUP BY o_orderstatus
+          ||> ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — per-region
+    // top-2 customers by balance stated as the SQL standard's lateral
+    // join (the "top-N per group without a window over everything" form);
+    // Spark decorrelates it into the same aggregated shape, and DuckDB
+    // runs the standard syntax directly — both engines, one semantics.
+    "q254_lateral_topk" -> { (s, dir) =>
+      Tables.region(s, dir).createOrReplaceTempView("region_lat_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_lat_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_lat_v")
+      s.sql(
+        """SELECT r.r_name, t.c_name, t.c_acctbal
+          |FROM region_lat_v r JOIN LATERAL (
+          |  SELECT c_name, c_acctbal
+          |  FROM customer_lat_v c JOIN nation_lat_v n ON c.c_nationkey = n.n_nationkey
+          |  WHERE n.n_regionkey = r.r_regionkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          |ORDER BY r.r_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+    },
+
+    // Supervised lag-feature matrix — the feature-engineering transform a
+    // forecasting pipeline runs before training: per priority's daily
+    // revenue series (exact cents), row-lag features y_lag1/y_lag7, an
+    // exact 7-row trailing mean (sum div count — never a float), a
+    // calendar day-of-week from epoch-day arithmetic (engine-neutral: no
+    // locale-dependent dayofweek), and the training target y_next.
+    // Complete rows only — the matrix a trainer consumes directly.
+    "q255_lag_features" -> { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .withColumn("d", expr("date_format(o_orderdate, 'yyyy-MM-dd')"))
+        .withColumn("cents", expr(
+          "cast(floor(o_totalprice * cast(100 as double) + cast(0.5 as double)) as bigint)"))
+        .groupBy(col("o_orderpriority").as("prio"), col("d"))
+        .agg(sum("cents").as("y"))
+      val w = Window.partitionBy("prio").orderBy("d")
+      daily
+        .withColumn("y_lag1", lag("y", 1).over(w))
+        .withColumn("y_lag7", lag("y", 7).over(w))
+        .withColumn("ma7", expr(
+          "sum(y) over (partition by prio order by d rows between 6 preceding and current row)" +
+            " div count(1) over (partition by prio order by d rows between 6 preceding and current row)"))
+        .withColumn("dow", expr("cast(datediff(to_date(d), date'1970-01-01') % 7 as int)"))
+        .withColumn("y_next", lead("y", 1).over(w))
+        .filter(col("y_lag7").isNotNull && col("y_next").isNotNull)
+        .select("prio", "d", "y", "y_lag1", "y_lag7", "ma7", "dow", "y_next")
+        .orderBy("prio", "d")
+    },
+
+    // Feature-hashing (hashing-trick) audit — tokens hashed into 1024
+    // buckets with md5, and the judged output is the COLLISION PROFILE
+    // (how many buckets hold k distinct tokens): the measurement that
+    // sizes a hashed feature space before training. One explode + two
+    // aggregations; the bucket dimension is fixed, so state is bounded
+    // regardless of corpus size.
+    "q256_feature_hashing" -> { (s, dir) =>
+      // word BIGRAMS (the fixture's unigram vocab is 31 — no collisions
+      // at any sane table size); 256 buckets puts ~900 bigram features
+      // into birthday territory, so the profile shows real collisions
+      val toks = Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("ts"))
+        .select(explode(expr(
+          """filter(transform(ts, (t, i) ->
+               if(i + 2 <= size(ts) and t != '' and element_at(ts, i + 2) != '',
+                  t || ' ' || element_at(ts, i + 2), null)),
+             x -> x is not null)""")).as("tok"))
+      val buckets = toks
+        .withColumn("bucket", expr(
+          "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint) % 256"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_tok"), countDistinct("tok").as("k"))
+      buckets.groupBy("k")
+        .agg(count(lit(1)).as("n_buckets"), sum("n_tok").as("n_tokens"))
+        .orderBy("k")
+    },
+
+    // Kaplan-Meier time-to-convert — survival analysis done EXACTLY: the
+    // "event" is a user's FIRST PURCHASE, duration runs from their first
+    // event, and users who never purchase are right-censored at their
+    // last observed day (the censoring that makes KM the right tool where
+    // a naive time-to-convert histogram silently drops non-converters).
+    // The product-limit curve S(t) = Π (1 − d/n) is carried in fixed
+    // point by an ORDERED LIST FOLD — aggregate() over the sorted
+    // (t, n, d) steps with a floor at each factor — so both engines fold
+    // the identical sequence and the curve hash-matches at every step
+    // (the oracle replays the same recurrence as a recursive CTE).
+    // Judged per conversion day: risk set, deaths, censored, survival_ppm.
+    // Scale notes (100 TB): the heavy table reduces to one row per user,
+    // then one row per distinct duration — the fold runs over that tiny
+    // step list; per-cohort curves shard by the groupBy key.
+    "q257_kaplan_meier" -> { (s, dir) =>
+      val per = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          expr("min(unix_micros(cast(ts as timestamp))) div 86400000000").as("d0"),
+          expr("max(unix_micros(cast(ts as timestamp))) div 86400000000").as("d1"),
+          expr("min(case when event_type = 'purchase' then unix_micros(cast(ts as timestamp)) div 86400000000 end)")
+            .as("buy_d"))
+      val users = per
+        .withColumn("death", col("buy_d").isNotNull.cast("int"))
+        .withColumn("dur", when(col("death") === 1, col("buy_d") - col("d0"))
+          .otherwise(col("d1") - col("d0")))
+      val steps = users.groupBy(col("dur").as("t"))
+        .agg(count(lit(1)).as("ends"), sum("death").as("d"))
+        .withColumn("cens", col("ends") - col("d"))
+      val wRisk = Window.orderBy(col("t").desc).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val km = steps.withColumn("n", sum("ends").over(wRisk))
+      // survival at each step = fold of the step-list prefix (k² folds
+      // over a tiny list — never touches the raw table again)
+      val arr = km.agg(expr("array_sort(collect_list(struct(t, n, d, cens)))").as("a"))
+      arr.select(posexplode(expr("sequence(1, size(a))")).as(Seq("i0", "j")), col("a"))
+        .select(expr("element_at(a, j).t").as("t"),
+          expr("element_at(a, j).n").as("n_risk"),
+          expr("element_at(a, j).d").as("deaths"),
+          expr("element_at(a, j).cens").as("censored"),
+          expr("""aggregate(slice(a, 1, j), cast(1000000 as bigint),
+                  (acc, x) -> (acc * (x.n - x.d)) div x.n)""").as("survival_ppm"))
+        .filter(col("deaths") > 0)
+        .orderBy("t")
+    },
+
+    // Gini / Lorenz concentration — "how concentrated is revenue across
+    // customers", exact: per-customer spend in cents, ranked ascending,
+    // Gini = (2Σ i·x − (n+1)·T) / (n·T) carried as integers to one final
+    // fixed-point division (the single 10^6-scale product routed through
+    // decimal so nothing overflows), Lorenz curve read at p25/p50/p75/p90
+    // as conditional mins over the rank crossing. The inequality audit a
+    // fair-share scheduler (q203) or mixture design (q101) starts from.
+    "q258_gini_concentration" -> { (s, dir) =>
+      val spend = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(expr(
+          "cast(floor(o_totalprice * cast(100 as double) + cast(0.5 as double)) as bigint)")).as("x"))
+      val w = Window.orderBy(col("x"), col("o_custkey"))
+      val ranked = spend.withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("cumx", sum("x").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val totals = broadcast(spend.agg(count(lit(1)).as("n"), sum("x").as("total_c")))
+      ranked.crossJoin(totals)
+        .agg(max("n").as("n"), max("total_c").as("total_c"),
+          sum(col("i") * col("x")).as("six"),
+          min(when(col("i") * 4 >= col("n"), col("cumx"))).as("c25"),
+          min(when(col("i") * 2 >= col("n"), col("cumx"))).as("c50"),
+          min(when(col("i") * 4 >= col("n") * 3, col("cumx"))).as("c75"),
+          min(when(col("i") * 10 >= col("n") * 9, col("cumx"))).as("c90"))
+        .select(col("n"), col("total_c"),
+          expr("cast((cast(2 as decimal(38,0)) * six - (n + 1) * cast(total_c as decimal(38,0))) * 1000000 div (n * cast(total_c as decimal(38,0))) as bigint)").as("gini_ppm"),
+          expr("(1000000 * c25) div total_c").as("lorenz_p25_ppm"),
+          expr("(1000000 * c50) div total_c").as("lorenz_p50_ppm"),
+          expr("(1000000 * c75) div total_c").as("lorenz_p75_ppm"),
+          expr("(1000000 * c90) div total_c").as("lorenz_p90_ppm"))
+    },
+
     // SQL UDF surface (Spark 4 `CREATE FUNCTION ... RETURNS ... RETURN`) —
     // the declarative extension point beside the Catalyst Expressions and
     // Aggregators already judged (§2.10): the banding rule is registered
@@ -754,6 +979,100 @@ object Advanced {
 
   val oracles: Seq[(String, String)] = Seq(
 
+    "q251_contrastive_triplets" -> Vectors.subFor(
+      """WITH --VEC--,
+        |a AS (SELECT vec_id AS aid, label AS albl, v AS av, nsq AS an FROM n WHERE vec_id < 20),
+        |psc AS (
+        | SELECT a.aid, b.vec_id AS cid,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(range(1, 65), i -> a.av[i] * b.v[i])), (s, x) -> s + x)
+        |   / (sqrt(a.an) * sqrt(b.nsq)) AS cos
+        | FROM a JOIN n b ON b.vec_id <> a.aid AND b.label = a.albl),
+        |pos AS (
+        | SELECT aid, cid AS pos_id, cos AS pos_cos
+        | FROM psc QUALIFY row_number() OVER (PARTITION BY aid ORDER BY cos DESC, cid) = 1),
+        |nsc AS (
+        | SELECT a.aid, b.vec_id AS cid,
+        |  CAST(('0x' || substr(md5(CAST(a.aid AS VARCHAR) || ':' || CAST(b.vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        | FROM a JOIN n b ON b.label <> a.albl),
+        |nr AS (
+        | SELECT aid, cid, row_number() OVER (PARTITION BY aid ORDER BY h, cid) AS rn
+        | FROM nsc QUALIFY rn <= 3),
+        |ng AS (
+        | SELECT aid, max(CASE WHEN rn = 1 THEN cid END) AS neg1,
+        |  max(CASE WHEN rn = 2 THEN cid END) AS neg2,
+        |  max(CASE WHEN rn = 3 THEN cid END) AS neg3
+        | FROM nr GROUP BY aid)
+        |SELECT p.aid AS anchor, p.pos_id, p.pos_cos, ng.neg1, ng.neg2, ng.neg3
+        |FROM pos p JOIN ng ON ng.aid = p.aid
+        |ORDER BY anchor""".stripMargin),
+
+    "q252_target_encoding" ->
+      """WITH li AS (
+        | SELECT l_returnflag AS flag, l_linestatus AS status,
+        |  CAST(floor(l_extendedprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS y
+        | FROM lineitem),
+        |tot AS (
+        | SELECT flag, status, CAST(sum(y) AS BIGINT) AS s, count(*) AS n
+        | FROM li GROUP BY 1, 2),
+        |loo AS (
+        | SELECT li.flag, li.status, t.s, t.n,
+        |  ((t.s - li.y) * 1000000) // (t.n - 1) AS loo
+        | FROM li JOIN tot t ON t.flag = li.flag AND t.status = li.status
+        | WHERE t.n > 1)
+        |SELECT flag, status, max(n) AS n,
+        | max(s * 1000000 // n) AS naive_mean_sc,
+        | CAST(sum(loo) AS BIGINT) AS loo_sum, min(loo) AS loo_min, max(loo) AS loo_max
+        |FROM loo GROUP BY 1, 2
+        |ORDER BY flag, status""".stripMargin,
+
+    "q253_sql_pipe" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders WHERE o_totalprice > 1000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q254_lateral_topk" ->
+      """SELECT r.r_name, t.c_name, t.c_acctbal
+        |FROM region r JOIN LATERAL (
+        |  SELECT c_name, c_acctbal
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t ON TRUE
+        |ORDER BY r.r_name, t.c_acctbal DESC, t.c_name""".stripMargin,
+
+    "q255_lag_features" ->
+      """WITH daily AS (
+        | SELECT o_orderpriority AS prio,
+        |  strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS d,
+        |  CAST(sum(CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS y
+        | FROM orders GROUP BY 1, 2),
+        |f AS (
+        | SELECT prio, d, y,
+        |  lag(y, 1) OVER w AS y_lag1,
+        |  lag(y, 7) OVER w AS y_lag7,
+        |  CAST(sum(y) OVER (PARTITION BY prio ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    // count(*) OVER (PARTITION BY prio ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(d AS DATE)) % 7 AS INTEGER) AS dow,
+        |  lead(y, 1) OVER w AS y_next
+        | FROM daily WINDOW w AS (PARTITION BY prio ORDER BY d))
+        |SELECT prio, d, y, y_lag1, y_lag7, ma7, dow, y_next
+        |FROM f WHERE y_lag7 IS NOT NULL AND y_next IS NOT NULL
+        |ORDER BY prio, d""".stripMargin,
+
+    "q256_feature_hashing" ->
+      """WITH dl AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |tk AS (
+        | SELECT ts[g.j] || ' ' || ts[g.j + 1] AS tok
+        | FROM dl, range(1, 101) g(j)
+        | WHERE g.j + 1 <= len(ts) AND ts[g.j] <> '' AND ts[g.j + 1] <> ''),
+        |b AS (
+        | SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 256 AS bucket,
+        |  count(*) AS n_tok, count(DISTINCT tok) AS k
+        | FROM tk GROUP BY 1)
+        |SELECT k, count(*) AS n_buckets, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY 1 ORDER BY k""".stripMargin,
+
     "q248_weighted_quantiles" ->
       """WITH per AS (
         | SELECT l_returnflag AS flag, l_extendedprice AS price,
@@ -793,6 +1112,68 @@ object Advanced {
         | CAST(sum(rows - biggest) AS BIGINT) AS g3_repair_rows,
         | (sum(CASE WHEN n_classes > 1 THEN 1 ELSE 0 END) = 0) AS holds
         |FROM grp GROUP BY fd ORDER BY fd""".stripMargin),
+
+    "q257_kaplan_meier" ->
+      """WITH RECURSIVE per AS (
+        | SELECT user_id,
+        |  min(epoch_us(CAST(ts AS TIMESTAMP))) // 86400000000 AS d0,
+        |  max(epoch_us(CAST(ts AS TIMESTAMP))) // 86400000000 AS d1,
+        |  min(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 END) AS buy_d
+        | FROM events GROUP BY 1),
+        |us AS (
+        | SELECT CASE WHEN buy_d IS NOT NULL THEN buy_d - d0 ELSE d1 - d0 END AS dur,
+        |  CASE WHEN buy_d IS NOT NULL THEN 1 ELSE 0 END AS death
+        | FROM per),
+        |steps AS (
+        | SELECT dur AS t, count(*) AS ends, CAST(sum(death) AS BIGINT) AS d
+        | FROM us GROUP BY 1),
+        |km AS (
+        | SELECT t, ends, d, CAST(ends - d AS BIGINT) AS cens,
+        |  CAST(sum(ends) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n
+        | FROM steps),
+        |kmi AS (
+        | SELECT t, n, d, cens,
+        |  CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS j
+        | FROM km),
+        |sv AS (
+        | SELECT CAST(0 AS BIGINT) AS j, 1000000::BIGINT AS s
+        | UNION ALL
+        | SELECT sv.j + 1, (sv.s * (k.n - k.d)) // k.n
+        | FROM sv JOIN kmi k ON k.j = sv.j + 1
+        | WHERE sv.j < 500)
+        |SELECT k.t, k.n AS n_risk, k.d AS deaths, k.cens AS censored,
+        | CAST(sv.s AS BIGINT) AS survival_ppm
+        |FROM kmi k JOIN sv ON sv.j = k.j
+        |WHERE k.d > 0
+        |ORDER BY k.t""".stripMargin,
+
+    "q258_gini_concentration" ->
+      """WITH spend AS (
+        | SELECT o_custkey,
+        |  CAST(sum(CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS x
+        | FROM orders GROUP BY 1),
+        |rk AS (
+        | SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i,
+        |  CAST(sum(x) OVER (ORDER BY x, o_custkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumx
+        | FROM spend),
+        |tt AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS total_c FROM spend),
+        |ag AS (
+        | SELECT max(t.n) AS n, max(t.total_c) AS total_c,
+        |  CAST(sum(i * x) AS BIGINT) AS six,
+        |  min(CASE WHEN i * 4 >= t.n THEN cumx END) AS c25,
+        |  min(CASE WHEN i * 2 >= t.n THEN cumx END) AS c50,
+        |  min(CASE WHEN i * 4 >= t.n * 3 THEN cumx END) AS c75,
+        |  min(CASE WHEN i * 10 >= t.n * 9 THEN cumx END) AS c90
+        | FROM rk CROSS JOIN tt t)
+        |SELECT n, total_c,
+        | CAST((2::HUGEINT * six - (n + 1)::HUGEINT * total_c) * 1000000
+        |      // (n::HUGEINT * total_c) AS BIGINT) AS gini_ppm,
+        | (1000000 * c25) // total_c AS lorenz_p25_ppm,
+        | (1000000 * c50) // total_c AS lorenz_p50_ppm,
+        | (1000000 * c75) // total_c AS lorenz_p75_ppm,
+        | (1000000 * c90) // total_c AS lorenz_p90_ppm
+        |FROM ag""".stripMargin,
 
     "q250_sql_udf" ->
       """SELECT CASE WHEN o_totalprice < 1000 THEN 'low'
