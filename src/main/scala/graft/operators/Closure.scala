@@ -46,8 +46,12 @@ object Closure {
     * @param roots DataFrame with column (root)
     * @return DataFrame (root, name, depth)
     */
-  def reachableAll(spark: SparkSession, edges: DataFrame, roots: DataFrame,
+  def reachableAll(spark: SparkSession, edgesIn: DataFrame, roots: DataFrame,
       maxIter: Int = 64): DataFrame = {
+    // materialize the edge relation ONCE — every hop joins it, and without
+    // the cut each round's jobs re-execute the caller's derivation (the
+    // resolution edge list is itself a multi-join)
+    val edges = Lineage.cut(edgesIn)
     var visited = roots.select(col("root"), col("root").as("name"), lit(0).as("depth"))
     var frontier = visited
     var iter = 0

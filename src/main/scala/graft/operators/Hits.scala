@@ -27,8 +27,13 @@ object Hits {
     * @param nodes one row per node (name) — the score universe
     * @return (name, auth, hub) after `iters` full iterations
     */
-  def run(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
+  def run(spark: SparkSession, edgesIn: DataFrame, nodesIn: DataFrame,
       iters: Int, scale: Long): DataFrame = {
+    // materialize the static relations ONCE — each iteration joins edges
+    // twice and nodes twice, and without the cut every iteration
+    // re-executes the caller's derivations
+    val edges = Lineage.cut(edgesIn)
+    val nodes = Lineage.cut(nodesIn)
     require(!nodes.isEmpty, "HITS needs a non-empty node set")
     val consts = broadcast(nodes.agg(expr(s"$scale div count(1)").as("__init")))
     var hub = nodes.crossJoin(consts).select(col("name"), col("__init").as("hub"))

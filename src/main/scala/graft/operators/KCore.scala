@@ -24,7 +24,9 @@ object KCore {
     *              [[undirect]]) with no self-loops
     * @return single-column (name) frame of surviving core members
     */
-  def run(spark: SparkSession, edges: DataFrame, k: Int, maxIter: Int = 64): DataFrame = {
+  def run(spark: SparkSession, edgesIn: DataFrame, k: Int, maxIter: Int = 64): DataFrame = {
+    // materialize the adjacency ONCE — every peel round joins it twice
+    val edges = Lineage.cut(edgesIn)
     var alive = Lineage.cut(edges.select("name").distinct())
     var iter = 0
     var done = false

@@ -32,7 +32,9 @@ object LabelProp {
     */
   def run(spark: SparkSession, edges: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
     val e0 = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
-    val und = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    // symmetrize AND materialize once — every round joins the adjacency
+    val und = Lineage.cut(
+      e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     var labels = nodes.select(col("id")).withColumn("label", col("id"))
     for (_ <- 1 to rounds) {
       val nb = und.join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))

@@ -31,8 +31,12 @@ object ShortestPath {
     * @return (name, cost) with cost = weight-sum of the cheapest path
     *         from seed (inclusive of both endpoints), sorted by name
     */
-  def run(spark: SparkSession, edges: DataFrame, weights: DataFrame,
+  def run(spark: SparkSession, edgesIn: DataFrame, weightsIn: DataFrame,
       seed: String, maxIter: Int = 64): DataFrame = {
+    // materialize both static relations ONCE (same rationale as Closure:
+    // rounds must not re-execute the caller's derivations)
+    val edges = Lineage.cut(edgesIn)
+    val weights = Lineage.cut(weightsIn)
     var dist = weights.filter(col("name") === seed)
       .select(col("name"), col("wt").cast("long").as("cost"))
     var frontier = dist

@@ -27,7 +27,8 @@ object Walks {
     */
   def deterministicWalk(s: SparkSession, edges: DataFrame, seeds: DataFrame,
       steps: Int): DataFrame = {
-    val e = edges.select(col("name").as("cur"), col("dep").as("nxt"))
+    // materialize the edge relation once — every step joins it
+    val e = Lineage.cut(edges.select(col("name").as("cur"), col("dep").as("nxt")))
     var state = seeds.select(col("name").as("seed"), col("name").as("node"),
       lit(0).as("step"))
     var all = state

