@@ -878,6 +878,65 @@ object Advanced {
           expr("(1000000 * c90) div total_c").as("lorenz_p90_ppm"))
     },
 
+    // LSH dedup recall audit — the dedup family's counterpart of the ANN
+    // recall ladder (q103/q104/q140...): ground truth = the UNCAPPED exact
+    // >= 0.6 Jaccard pair set from the shingle index, candidates = q42's
+    // banded-MinHash buckets, and the judged row measures what banding
+    // actually catches (recall_ppm) and how selective the candidate set
+    // is (efficiency_ppm). Sketch parameters stop being folklore — the
+    // b=4/r=3 S-curve is measured against truth, hash-verified.
+    // Scale notes (100 TB): uncapped exact truth is computed on a sample
+    // at corpus scale (the df-cap exists precisely because the full
+    // self-join explodes); the audit shape is unchanged.
+    "q259_lsh_recall" -> { (s, dir) =>
+      val sh = Shingles.frame(s, dir)
+      val common = sh.select(col("doc_id").as("d1"), col("sh"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val exact = common
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+        .filter(col("common") / (col("sz1") + col("sz2") - col("common")) >= 0.6)
+        .select("d1", "d2")
+      val ok = Dedup.lshBucketsFor(s, dir)
+      val cands = ok.as("x").join(ok.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+      val found = exact.join(cands, Seq("d1", "d2"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select(col("n_exact"), col("n_candidates"), col("n_found"),
+          (col("n_exact") - col("n_found")).as("n_missed"),
+          expr("(1000000 * n_found) div n_exact").as("recall_ppm"),
+          expr("(1000000 * n_found) div n_candidates").as("efficiency_ppm"))
+    },
+
+    // Mixture reweighting — given the corpus's CURRENT per-source token
+    // shares and a uniform token target, the per-source sampling/epoch
+    // multiplier a mixture-rebalancing pipeline feeds its sampler
+    // (q101 measures the mixture, q203 fair-shares a budget; this emits
+    // the WEIGHTS that move the corpus to the target). All integer:
+    // weight_ppm = 10^6·target div current, with the post-reweight token
+    // expectation and residual deficit judged beside it.
+    "q260_mixture_reweight" -> { (s, dir) =>
+      val cur = Tables.documents(s, dir)
+        .select(col("source"), expr("size(split(text, ' '))").cast("long").as("tok"))
+        .groupBy("source").agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"))
+      val tot = cur.agg(sum("tokens").as("total"), count(lit(1)).as("n_sources"))
+      cur.crossJoin(broadcast(tot))
+        .withColumn("target_tokens", expr("total div n_sources"))
+        .withColumn("weight_ppm", expr("(1000000 * target_tokens) div tokens"))
+        .withColumn("expected_tokens", expr("(tokens * weight_ppm) div 1000000"))
+        .withColumn("deficit", col("target_tokens") - col("expected_tokens"))
+        .select("source", "n_docs", "tokens", "target_tokens", "weight_ppm",
+          "expected_tokens", "deficit")
+        .orderBy("source")
+    },
+
     // SQL UDF surface (Spark 4 `CREATE FUNCTION ... RETURNS ... RETURN`) —
     // the declarative extension point beside the Catalyst Expressions and
     // Aggregators already judged (§2.10): the banding rule is registered
@@ -1112,6 +1171,45 @@ object Advanced {
         | CAST(sum(rows - biggest) AS BIGINT) AS g3_repair_rows,
         | (sum(CASE WHEN n_classes > 1 THEN 1 ELSE 0 END) = 0) AS holds
         |FROM grp GROUP BY fd ORDER BY fd""".stripMargin),
+
+    "q259_lsh_recall" -> Dedup.subFor(
+      """WITH --SH--,
+        |--BKT--,
+        |common AS (
+        | SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        | FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |exact AS (
+        | SELECT d1, d2 FROM common
+        | JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        | WHERE common / (s1.sz + s2.sz - common) >= 0.6),
+        |cands AS (
+        | SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        | FROM okb x JOIN okb y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |f AS (SELECT count(*) AS n_found FROM exact e JOIN cands c ON c.d1 = e.d1 AND c.d2 = e.d2),
+        |ne AS (SELECT count(*) AS n_exact FROM exact),
+        |nc AS (SELECT count(*) AS n_candidates FROM cands)
+        |SELECT ne.n_exact, nc.n_candidates, f.n_found,
+        | ne.n_exact - f.n_found AS n_missed,
+        | (1000000 * f.n_found) // ne.n_exact AS recall_ppm,
+        | (1000000 * f.n_found) // nc.n_candidates AS efficiency_ppm
+        |FROM ne CROSS JOIN nc CROSS JOIN f""".stripMargin),
+
+    "q260_mixture_reweight" ->
+      """WITH cur AS (
+        | SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        | FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total, count(*) AS n_sources FROM cur)
+        |SELECT c.source, c.n_docs, c.tokens,
+        | t.total // t.n_sources AS target_tokens,
+        | (1000000 * (t.total // t.n_sources)) // c.tokens AS weight_ppm,
+        | (c.tokens * ((1000000 * (t.total // t.n_sources)) // c.tokens)) // 1000000 AS expected_tokens,
+        | t.total // t.n_sources
+        |   - (c.tokens * ((1000000 * (t.total // t.n_sources)) // c.tokens)) // 1000000 AS deficit
+        |FROM cur c CROSS JOIN tot t
+        |ORDER BY c.source""".stripMargin,
 
     "q257_kaplan_meier" ->
       """WITH RECURSIVE per AS (

@@ -255,6 +255,14 @@ object Dedup {
   private def sub(sql: String): String =
     sql.replace("--SH--", ShCte).replace("--BKT--", BktCte)
 
+  /** Bucket-frame + CTE substitution for sibling modules (Advanced's LSH
+    * recall audit replays the same candidate pipeline) — ONE copy of the
+    * signature/band semantics on both sides.
+    */
+  private[queries] def lshBucketsFor(s: SparkSession, dir: String): DataFrame =
+    lshBuckets(s, dir)
+  private[queries] def subFor(sql: String): String = sub(sql)
+
   val oracles: Seq[(String, String)] = Seq(
     "q42_minhash_lsh_pairs" -> sub("""WITH --SH--,
         |--BKT--,
