@@ -78,6 +78,61 @@ class AdvancedSpec extends AnyFunSuite {
     assert(view.count() === 5) // (1,a1,b1),(1,a1x,b1),(2,..),(3,..),(4,..)
   }
 
+  test("IVM x streaming: foreachBatch deltaJoin maintains a two-sided join view == batch") {
+    // a multiplexed CDC feed: ONE stream carries both dim inserts (signup
+    // events) and facts (everything else), three micro-batches
+    // (maxFilesPerTrigger=1 over a 3-file split); each batch advances the
+    // maintained join view by deltaJoin ONLY — ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB —
+    // and the final view must equal the one-shot batch join. This is the
+    // q239 identity deployed continuously: join state in a store, churn
+    // joined per micro-batch, never a history rescan.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val spark0 = spark
+    val base = java.nio.file.Files.createTempDirectory("graft_ivm_stream").toString
+    val ev = Tables.events(spark0, SparkTestHarness.Sf0001)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+    (0 until 3).foreach { i =>
+      ev.filter(pmod(col("event_id"), lit(3)) === i)
+        .coalesce(1).write.parquet(s"$base/part$i")
+    }
+    val schema = ev.schema
+    type DF = org.apache.spark.sql.DataFrame
+    val aState = new java.util.concurrent.atomic.AtomicReference[DF](null)
+    val bState = new java.util.concurrent.atomic.AtomicReference[DF](null)
+    val view = new java.util.concurrent.atomic.AtomicReference[DF](null)
+    val q = spark0.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(base)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DF, _: Long) =>
+        val da = batch.filter(col("event_type") =!= "signup")
+          .select(col("user_id"), col("event_id").as("fact_id")).localCheckpoint(true)
+        val db = batch.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("event_id").as("dim_id")).localCheckpoint(true)
+        val a0 = Option(aState.get).getOrElse(da.filter(lit(false)))
+        val b0 = Option(bState.get).getOrElse(db.filter(lit(false)))
+        val dj = Graft.deltaJoin(a0, da, b0, db, Seq("user_id"))
+          .drop("ivm_term").localCheckpoint(true)
+        view.getAndUpdate(v => if (v == null) dj else v.unionByName(dj).localCheckpoint(true))
+        aState.set(a0.unionByName(da).localCheckpoint(true))
+        bState.set(b0.unionByName(db).localCheckpoint(true))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "streaming deltaJoin query timed out")
+    val facts = ev.filter(col("event_type") =!= "signup")
+      .select(col("user_id"), col("event_id").as("fact_id"))
+    val dims = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("dim_id"))
+    val full = facts.join(dims, Seq("user_id"))
+    assert(view.get() != null, "no micro-batch arrived")
+    assert(view.get().exceptAll(full).isEmpty && full.exceptAll(view.get()).isEmpty,
+      "incrementally maintained join view must equal the batch join")
+  }
+
   test("Shapley weights are efficient and symmetric on a hand-computed 2-channel game") {
     // two users: u1 touched {view}, u2 touched {view, click}; both convert.
     // v(∅)=0, v({v})=1, v({c})=0, v({v,c})=2.
