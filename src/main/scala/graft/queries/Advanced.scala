@@ -937,6 +937,38 @@ object Advanced {
         .orderBy("source")
     },
 
+    // Winsorized + trimmed means — the robust-location pair beside q197's
+    // MAD gate: per status the p01/p99 cut points are EXACT rank picks
+    // (first rank crossing the percentile — integer threshold predicates,
+    // no interpolation), winsorizing clamps into [p01, p99], trimming
+    // drops outside it, and both means floor through positive integer
+    // division. One window pass + a broadcast threshold join; at 100 TB
+    // the cut points come from q124's equi-depth machinery and the clamp
+    // stays map-side.
+    "q261_winsorized_stats" -> { (s, dir) =>
+      val x = Tables.orders(s, dir).select(col("o_orderstatus").as("status"),
+        col("o_orderkey"),
+        expr("cast(floor(o_totalprice * cast(100 as double) + cast(0.5 as double)) as bigint)").as("x"))
+      val w = Window.partitionBy("status").orderBy("x", "o_orderkey")
+      val ranked = x
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("status")))
+      val th = ranked.groupBy("status").agg(
+        min(when(col("rn") * 100 >= col("n"), col("x"))).as("p01"),
+        min(when(col("rn") * 100 >= col("n") * 99, col("x"))).as("p99"))
+      x.join(broadcast(th), "status")
+        .withColumn("cl", least(greatest(col("x"), col("p01")), col("p99")))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(x) div count(1)").as("raw_mean_c"),
+          max("p01").as("p01_c"), max("p99").as("p99_c"),
+          expr("sum(cl) div count(1)").as("winsorized_mean_c"),
+          expr("sum(case when x between p01 and p99 then x end) div count(case when x between p01 and p99 then 1 end)")
+            .as("trimmed_mean_c"),
+          sum(expr("cast(x < p01 or x > p99 as long)")).as("n_clamped"))
+        .orderBy("status")
+    },
+
     // SQL UDF surface (Spark 4 `CREATE FUNCTION ... RETURNS ... RETURN`) —
     // the declarative extension point beside the Catalyst Expressions and
     // Aggregators already judged (§2.10): the banding rule is registered
@@ -1171,6 +1203,32 @@ object Advanced {
         | CAST(sum(rows - biggest) AS BIGINT) AS g3_repair_rows,
         | (sum(CASE WHEN n_classes > 1 THEN 1 ELSE 0 END) = 0) AS holds
         |FROM grp GROUP BY fd ORDER BY fd""".stripMargin),
+
+    "q261_winsorized_stats" ->
+      """WITH x AS (
+        | SELECT o_orderstatus AS status, o_orderkey,
+        |  CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS x
+        | FROM orders),
+        |rk AS (
+        | SELECT status, x,
+        |  CAST(row_number() OVER (PARTITION BY status ORDER BY x, o_orderkey) AS BIGINT) AS rn,
+        |  count(*) OVER (PARTITION BY status) AS n
+        | FROM x),
+        |th AS (
+        | SELECT status,
+        |  min(CASE WHEN rn * 100 >= n THEN x END) AS p01,
+        |  min(CASE WHEN rn * 100 >= n * 99 THEN x END) AS p99
+        | FROM rk GROUP BY 1)
+        |SELECT x.status, count(*) AS n,
+        | CAST(sum(x.x) AS BIGINT) // count(*) AS raw_mean_c,
+        | max(th.p01) AS p01_c, max(th.p99) AS p99_c,
+        | CAST(sum(least(greatest(x.x, th.p01), th.p99)) AS BIGINT) // count(*) AS winsorized_mean_c,
+        | CAST(sum(CASE WHEN x.x BETWEEN th.p01 AND th.p99 THEN x.x END) AS BIGINT)
+        |   // count(CASE WHEN x.x BETWEEN th.p01 AND th.p99 THEN 1 END) AS trimmed_mean_c,
+        | CAST(sum(CASE WHEN x.x < th.p01 OR x.x > th.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+        |FROM x JOIN th ON th.status = x.status
+        |GROUP BY x.status
+        |ORDER BY x.status""".stripMargin,
 
     "q259_lsh_recall" -> Dedup.subFor(
       """WITH --SH--,
