@@ -10,6 +10,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -68,6 +69,17 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_passes.json"),
       s"""{"sf":"$sfDir","passes":$detail}""".getBytes("UTF-8"))
     catch { case _: Throwable => () } // diagnostics must never fail the bench
+    // Per-round wall ms for every iterative-operator invocation across the
+    // 3 passes (VERDICT r9 item 8): the driver-barrier floor of the
+    // fixed-point family, measured by the shared Iterate harness rather
+    // than inferred from query totals.
+    val rounds = graft.operators.Iterate.drainRounds()
+    val roundsJson = rounds.map(r =>
+        s"""["${r.label}",${r.round},${f3(r.ms / 1000.0)}]""")
+      .mkString("[", ",", "]")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_rounds.json"),
+      s"""{"sf":"$sfDir","unit":"sec","rounds":$roundsJson}""".getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","pass1_total":${f3(t1)},"pass2_total":${f3(t2)},"pass3_total":${f3(t3)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

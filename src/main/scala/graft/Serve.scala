@@ -21,12 +21,20 @@ import org.apache.spark.sql.SparkSession
   *     cap prunes before collection, so an accidental `SELECT *` over the
   *     corpus cannot OOM the driver;
   *   - failures come back as HTTP 400 with a JSON error body — analysis
-  *     errors are the caller's bug, not a server crash.
+  *     errors are the caller's bug, not a server crash;
+  *   - requests run CONCURRENTLY on a fixed `workers` thread pool (the
+  *     default JDK executor is single-threaded — one slow query would
+  *     convoy every caller), and each request thread tags its jobs into
+  *     its own Spark scheduler pool, so under `spark.scheduler.mode=FAIR`
+  *     (the session config Verify/Bench/tests run with) concurrent
+  *     queries time-slice the cluster instead of queueing FIFO behind
+  *     the first big scan.
   */
 object Serve {
-  final case class Running(server: HttpServer, port: Int) {
+  final case class Running(server: HttpServer, port: Int,
+      exec: java.util.concurrent.ExecutorService) {
     def url: String = s"http://127.0.0.1:$port/query"
-    def stop(): Unit = server.stop(0)
+    def stop(): Unit = { server.stop(0); exec.shutdown() }
   }
 
   private def jsonQuote(s: String): String =
@@ -43,10 +51,18 @@ object Serve {
   /** Start serving `spark`'s SQL surface on 127.0.0.1:`port` (0 = pick a
     * free port). The caller owns the lifecycle via [[Running.stop]].
     */
-  def start(spark: SparkSession, port: Int = 0, maxRows: Int = 1000): Running = {
+  def start(spark: SparkSession, port: Int = 0, maxRows: Int = 1000,
+      workers: Int = 8): Running = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    val exec = java.util.concurrent.Executors.newFixedThreadPool(workers)
+    server.setExecutor(exec)
     server.createContext("/query", { exchange =>
       try {
+        // per-request scheduler pool (local properties are thread-local):
+        // under FAIR mode each in-flight query gets its own pool and they
+        // share executors round-robin; under FIFO this is a harmless tag
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+          s"serve-${Thread.currentThread().getId}")
         val sqlText = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
         try {
           val rows = spark.sql(sqlText).limit(maxRows).toJSON.collect()
@@ -64,6 +80,6 @@ object Serve {
       } finally exchange.close()
     })
     server.start()
-    Running(server, server.getAddress.getPort)
+    Running(server, server.getAddress.getPort, exec)
   }
 }

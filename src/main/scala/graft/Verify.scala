@@ -21,6 +21,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
       // read as raw long ns (Tables.events converts to TIMESTAMP_NTZ micros).

@@ -52,9 +52,7 @@ object Closure {
     // the cut each round's jobs re-execute the caller's derivation (the
     // resolution edge list is itself a multi-join)
     val edges = Lineage.cut(edgesIn)
-    var visited = roots.select(col("root"), col("root").as("name"), lit(0).as("depth"))
-    var frontier = visited
-    var iter = 0
+    val init = roots.select(col("root"), col("root").as("name"), lit(0).as("depth"))
     // one hop: expand, min-depth per (root, name), drop already-visited
     def hop(fr: DataFrame, vis: DataFrame): DataFrame =
       fr.join(edges, "name")
@@ -76,23 +74,25 @@ object Closure {
     // widening in-batch anti-join unions) costs more per barrier than the
     // saved round-trips.
     val batch = 2
-    while (iter < maxIter && !frontier.isEmpty) {
-      var layers = List(hop(frontier, visited))
-      var acc = visited.unionByName(layers.head)
-      var b = 1
-      while (b < batch && iter + b < maxIter) {
+    var hops = 0
+    val visited = Iterate.fixedPoint("closure", init, init,
+        (maxIter + batch - 1) / batch) { (_, frontier, vis) =>
+      var layers = List(hop(frontier, vis))
+      hops += 1
+      var acc = vis.unionByName(layers.head)
+      while (layers.size < batch && hops < maxIter) {
         val h = hop(layers.head, acc)
         acc = acc.unionByName(h)
         layers ::= h
-        b += 1
+        hops += 1
       }
-      frontier = Lineage.cut(layers.reduce(_ unionByName _))
-      iter += b
+      (layers.reduce(_ unionByName _), vis)
+    } { (frontier, vis) =>
       // visited needs NO cut of its own: it is a union of already-cut
       // frontiers, so its plan is a flat tree of materialized scans —
       // linear growth, nothing recomputed. Cutting it would write the
       // (growing) visited set back out every iteration for no benefit.
-      visited = visited.unionByName(frontier)
+      vis.unionByName(frontier)
     }
     visited.select(col("root"), col("name"), col("depth").cast("int").as("depth"))
   }

@@ -39,25 +39,22 @@ object MaximalIndependentSet {
     val sym = Lineage.cut(
       edges.select(col("a").as("name"), col("b").as("nb"))
         .unionByName(edges.select(col("b").as("name"), col("a").as("nb"))))
-    var remaining = nodes.select("name")
-    var mis = remaining.withColumn("round", lit(0)).filter(lit(false))
-    var iter = 1
-    while (iter <= maxIter && !remaining.isEmpty) {
+    val remaining0 = nodes.select("name")
+    val mis0 = remaining0.withColumn("round", lit(0)).filter(lit(false))
+    Iterate.fixedPoint("luby_mis", remaining0, mis0, maxIter) { (r, remaining, mis) =>
       val pri = remaining.withColumn("pri",
-        expr(s"substring(md5('$iter:' || name), 1, 15) || ':' || name"))
+        expr(s"substring(md5('$r:' || name), 1, 15) || ':' || name"))
       val nbMin = sym.join(pri.select(col("name").as("nb"), col("pri").as("nb_pri")), "nb")
         .join(remaining, "name")
         .groupBy("name").agg(min("nb_pri").as("nb_min"))
       val winners = pri.join(nbMin, Seq("name"), "left")
         .filter(col("nb_min").isNull || col("pri") < col("nb_min"))
-        .select(col("name"), lit(iter).as("round"))
+        .select(col("name"), lit(r).as("round"))
       val removed = winners.select("name")
         .unionByName(sym.join(winners.select("name"), "name").select(col("nb").as("name")))
         .distinct()
-      mis = Lineage.cut(mis.unionByName(winners))
-      remaining = Lineage.cut(remaining.join(removed, Seq("name"), "left_anti"))
-      iter += 1
-    }
-    mis
+      (remaining.join(removed, Seq("name"), "left_anti"),
+        Lineage.cut(mis.unionByName(winners)))
+    } { (_, mis) => mis }
   }
 }

@@ -49,6 +49,14 @@ object StableMatching {
     val prefs = Lineage.cut(prefsIn)
     val proposers = Lineage.cut(prefs.select("proposer").distinct())
     val nProposers = proposers.count()
+    // the proposer-optimal/unique-fixpoint guarantees (and the "everyone
+    // matches" termination test) assume a COMPLETE bipartite relation —
+    // enforce it instead of silently spinning maxIter rounds on partial
+    // preferences
+    val nAcceptors = prefs.select("acceptor").distinct().count()
+    require(prefs.count() == nProposers * nAcceptors,
+      s"StableMatching requires complete preferences: expected ${nProposers * nAcceptors} " +
+        s"rows ($nProposers proposers x $nAcceptors acceptors)")
     // ONE tagged state frame (eng ∪ rej) per round — a single checkpoint
     // job and a single count job per iteration instead of separate
     // materializations for each relation (driver barriers, not data
@@ -58,13 +66,26 @@ object StableMatching {
       .filter(lit(false)))
     var iter = 0
     var done = false
+    var prevEng = -1L
+    var prevRej = -1L
     val wProp = Window.partitionBy("proposer").orderBy(col("p_score"), col("acceptor"))
     val wAcc = Window.partitionBy("acceptor").orderBy(col("a_score"), col("proposer"))
     while (iter < maxIter && !done) {
       val eng = state.filter(col("tag") === "eng").select("proposer", "acceptor")
       val rej = state.filter(col("tag") === "rej").select("proposer", "acceptor")
-      if (state.filter(col("tag") === "eng").count() == nProposers) done = true
+      // ONE count job per round (grouped by tag); terminate on full
+      // engagement OR on a fixed point — a round that changes neither the
+      // engagement nor the rejection count can never make progress again
+      // (rejections grow monotonically), so looping to maxIter would just
+      // re-checkpoint identical state
+      val counts = state.groupBy("tag").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val engCount = counts.getOrElse("eng", 0L)
+      val rejCount = counts.getOrElse("rej", 0L)
+      if (engCount == nProposers || (engCount == prevEng && rejCount == prevRej)) done = true
       else {
+        prevEng = engCount
+        prevRej = rejCount
         val free = proposers.join(eng.select("proposer"), Seq("proposer"), "left_anti")
         val prop = prefs.join(free, "proposer")
           .join(rej, Seq("proposer", "acceptor"), "left_anti")

@@ -42,11 +42,9 @@ object TemporalReach {
     // joins it, and without the cut every round re-executes the caller's
     // derivation (resolution joins + the md5 epoch column)
     val edges = Lineage.cut(edgesIn)
-    var arr = spark.range(1)
+    val init = spark.range(1)
       .select(lit(seed).as("name"), lit(0L).as("earliest"))
-    var frontier = arr
-    var iter = 0
-    while (iter < maxIter && !frontier.isEmpty) {
+    Iterate.fixedPoint("temporal_reach", init, init, maxIter) { (_, frontier, arr) =>
       val cand = frontier.join(edges, "name")
         .filter(col("t") >= col("earliest"))
         .select(col("dep").as("name"), col("t").cast("long").as("earliest"))
@@ -55,11 +53,10 @@ object TemporalReach {
         .join(arr.select(col("name"), col("earliest").as("best")), Seq("name"), "left")
         .filter(col("best").isNull || col("earliest") < col("best"))
         .select(col("name"), col("earliest"))
-      frontier = Lineage.cut(improved)
-      arr = Lineage.cut(
+      (improved, arr)
+    } { (frontier, arr) =>
+      Lineage.cut(
         arr.unionByName(frontier).groupBy("name").agg(min("earliest").as("earliest")))
-      iter += 1
     }
-    arr
   }
 }

@@ -21,12 +21,12 @@ object Advanced {
   /** 2^54 — splits the 60-bit md5-derived hash into (6-bit bucket, 54-bit
     * remainder) on both engines with pure integer div/mod.
     */
-  private val HllSplit = "18014398509481984"
+  private[queries] val HllSplit = "18014398509481984"
 
   /** alpha_64 · m² · 2^55 as an exact integer: 461632·4096·2^55 with
     * alpha_64 = 0.7213/(1 + 1.079/64) = 461632/650790 exactly.
     */
-  private val HllEstNum = "cast(1890844672 as decimal(38,0)) * cast(36028797018963968 as decimal(38,0))"
+  private[queries] val HllEstNum = "cast(1890844672 as decimal(38,0)) * cast(36028797018963968 as decimal(38,0))"
 
   val queries: Seq[(String, QFn)] = Seq(
 
@@ -176,7 +176,11 @@ object Advanced {
         .select(col("prio"), col("d").as("cp_date"), abs(col("s")).as("s_max_abs"),
           col("n").as("n_days"),
           expr("cum div t").as("mean_before_c"),
-          expr("(tot - cum) div (n - t)").as("mean_after_c"))
+          // the argmax can land on the LAST day (single-day groups, or a
+          // constant series where every S=0) — guard the n=t division:
+          // Spark div would yield NULL but DuckDB // raises, so the CASE
+          // must live on BOTH sides
+          expr("CASE WHEN n > t THEN (tot - cum) div (n - t) END").as("mean_after_c"))
         .orderBy("prio")
     },
 
@@ -986,7 +990,158 @@ object Advanced {
         """SELECT price_band(o_totalprice) AS band, count(*) AS n,
           |  sum(cast(floor(o_totalprice * 100 + cast(0.5 as double)) as bigint)) AS total_c
           |FROM orders_v GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    // Deterministic mergeable QUANTILE sketch, half 1 — the registers.
+    // HDR-histogram bucketing (base-2 exponent + 6 mantissa bits; public:
+    // Tene's HdrHistogram / the log-bucket family of DDSketch, VLDB'19)
+    // over l_extendedprice in cents: bucket id = (bitlength-1)*64 +
+    // next-6-mantissa-bits — ALL integer shifts, no transcendental ever
+    // enters, so both engines bucket bit-identically. The sketch is a
+    // RELATION of (group, bucket, count) registers (q225's bitmap
+    // discipline): partial aggregation gives map-side combine, and the
+    // 'ALL' level is bucket-wise SUMS OF THE PER-FLAG REGISTERS — judged
+    // mergeability, computed from the sketch, not from raw.
+    // Guarantee: bucket width / lower bound <= 2^-6, so any rank estimate
+    // is within 1.6% relative VALUE error — certified per-row in q265.
+    // Scale notes (100 TB): state is <= a few hundred 16-byte registers
+    // per group regardless of row count; rollups/merges never rescan raw.
+    "q264_hdr_histogram" -> { (s, dir) =>
+      val regs = hdrRegs(s, dir)
+      regs
+        .withColumn("e", expr("id div 64"))
+        .withColumn("sub", expr("id % 64"))
+        .withColumn("lb_cents", expr("shiftleft(cast(64 + sub as bigint), cast(e - 6 as int))"))
+        .withColumn("ub_cents", expr(
+          "lb_cents + shiftleft(cast(1 as bigint), cast(e - 6 as int)) - 1"))
+        .select("flag", "id", "lb_cents", "ub_cents", "cnt")
+        .orderBy("flag", "id")
+    },
+
+    // Deterministic mergeable quantile sketch, half 2 — SERVING with
+    // integer rank bounds. For each group (per-flag + the merged ALL) and
+    // each target percentile: target rank r = ceil(n*q/100) in pure
+    // integer arithmetic, the estimate is the lower bound of the first
+    // bucket whose cumulative count reaches r, and the bucket's exact
+    // integer rank span [rank_lo, rank_hi] is emitted AS THE BOUND — the
+    // GK/KLL contract (rank_lo <= r <= rank_hi) made hash-verifiable.
+    // The true rank-r value (exact witness, recomputed from raw) is
+    // judged to land inside the estimate bucket [est, ub] — the <= 2^-6
+    // relative-error guarantee certified per row, q230's err_ppm
+    // discipline applied to quantiles. Retires the q19 family's last
+    // engine-private sketch: q19 itself now serves from this machinery.
+    "q265_hdr_quantile_serve" -> { (s, dir) =>
+      import s.implicits._
+      val regs = hdrRegs(s, dir)
+      val w = Window.partitionBy("flag").orderBy("id")
+      val cum = regs.withColumn("cum", sum("cnt").over(w))
+        .withColumn("prev", col("cum") - col("cnt"))
+      val tot = regs.groupBy("flag").agg(sum("cnt").as("n"))
+      val tgt = tot.crossJoin(broadcast(Seq(50, 90, 99).toDF("pct")))
+        .withColumn("r", expr("(n * pct + 99) div 100"))
+      val wPick = Window.partitionBy("flag", "pct").orderBy("id")
+      val est = cum.join(tgt, "flag").filter(col("cum") >= col("r"))
+        .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+        .select(col("flag"), col("pct"), col("n"), col("r"), col("id"),
+          (col("prev") + 1L).as("rank_lo"), col("cum").as("rank_hi"))
+        .withColumn("e", expr("id div 64")).withColumn("sub", expr("id % 64"))
+        .withColumn("est_cents", expr("shiftleft(cast(64 + sub as bigint), cast(e - 6 as int))"))
+        .withColumn("ub_cents", expr(
+          "est_cents + shiftleft(cast(1 as bigint), cast(e - 6 as int)) - 1"))
+      val cents = hdrCents(s, dir)
+      val vc0 = cents.groupBy("flag", "c").agg(count(lit(1)).as("vn"))
+      val vals = vc0.unionByName(
+          vc0.groupBy("c").agg(sum("vn").as("vn")).withColumn("flag", lit("ALL"))
+            .select("flag", "c", "vn"))
+        .withColumn("vcum", sum("vn").over(Window.partitionBy("flag").orderBy("c")))
+      val exact = vals.join(tgt.select("flag", "pct", "r"), Seq("flag"))
+        .filter(col("vcum") >= col("r"))
+        .groupBy("flag", "pct").agg(min("c").as("exact_cents"))
+      est.join(exact, Seq("flag", "pct"))
+        .withColumn("in_bucket",
+          col("exact_cents") >= col("est_cents") && col("exact_cents") <= col("ub_cents"))
+        .select("flag", "pct", "n", "r", "est_cents", "ub_cents",
+          "rank_lo", "rank_hi", "exact_cents", "in_bucket")
+        .orderBy("flag", "pct")
+    },
+
+    // Dynamic partition pruning JUDGED — at 100 TB partition pruning is
+    // the first lever, before any join optimization, and until now it was
+    // only spec-pinned (PartitionPruningSpec). The query writes the event
+    // fact PARTITIONED BY day plus a scan-backed day dimension with a
+    // precomputed busy flag (DPP plans only against a FILTERED file scan),
+    // then joins fact to the filtered dim — the day constraint reaches the
+    // fact scan ONLY through the join, so Spark inserts a dynamic pruning
+    // subquery and reads 3 of ~31 day partitions (PlanAuditSpec pins the
+    // dynamicpruning expression). n_events == n_day is judged per row: the
+    // pruned read provably lost nothing vs the dimension's own count.
+    "q266_partitioned_dpp_join" -> { (s, dir) =>
+      val p = ensureDppCatalog(s, dir)
+      val fact = s.read.parquet(s"$p/events_by_day")
+      val dim = s.read.parquet(s"$p/days").filter(col("busy") === 1)
+      fact.join(broadcast(dim.select("d", "n_day")), "d")
+        .groupBy("d", "n_day")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          round(sum("value"), 2).as("sum_value"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("n_day"),
+          col("n_events"), col("n_users"), col("sum_value"))
+        .orderBy("d")
     })
+
+  /** Deterministic per-fixture home of the q266 partitioned catalog:
+    * `events_by_day` (fact, PARTITIONED BY the DATE column d) and `days`
+    * (scan-backed day dimension with a precomputed top-3-busiest flag —
+    * DPP requires the selective predicate to sit on a file scan, not a
+    * LocalRelation or an in-plan aggregate).
+    */
+  private def dppDir(dir: String): String = {
+    val tag = new java.io.File(dir).getAbsolutePath.replaceAll("[^A-Za-z0-9._-]", "_")
+    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_dpp/$tag").getAbsolutePath
+  }
+  /** Exposed for PlanAuditSpec's partition-count assertion. */
+  def dppDirFor(dir: String): String = dppDir(dir)
+  private val dppBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  private def ensureDppCatalog(s: SparkSession, dir: String): String = {
+    val p = dppDir(dir)
+    dppBuilt.removeIf(k => k._1.sparkContext.isStopped)
+    if (!dppBuilt.contains((s, dir))) {
+      val ev = Tables.events(s, dir).withColumn("d", to_date(col("ts")))
+      ev.write.mode("overwrite").partitionBy("d").parquet(s"$p/events_by_day")
+      val daily = ev.groupBy("d").agg(count(lit(1)).as("n_day"))
+      // the day domain is tiny (one row per day) — the unpartitioned
+      // global window is bounded by design, like the q19 register walk
+      val w = Window.orderBy(desc("n_day"), col("d"))
+      daily.withColumn("busy", (row_number().over(w) <= 3).cast("int"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/days")
+      dppBuilt.add((s, dir))
+    }
+    p
+  }
+
+  /** l_extendedprice in integer cents per returnflag — the HDR sketch's
+    * input domain (prices are >= 2^6 cents, so the bucket math never
+    * left-shifts).
+    */
+  private def hdrCents(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(col("l_returnflag").as("flag"),
+      expr("cast(floor(l_extendedprice * cast(100 as double) + cast(0.5 as double)) as bigint)")
+        .as("c"))
+
+  /** HDR registers per flag PLUS the 'ALL' level merged FROM the per-flag
+    * registers (bucket-wise sum — mergeability in-plan, never a rescan).
+    * id = (bitlength(c)-1)*64 + ((c >> (bitlength(c)-7)) & 63).
+    */
+  private def hdrRegs(s: SparkSession, dir: String): DataFrame = {
+    val b = hdrCents(s, dir)
+      .withColumn("e", expr("length(bin(c)) - 1"))
+      .withColumn("id", expr("e * 64 + (shiftright(c, cast(e - 6 as int)) & 63)"))
+    val perFlag = b.groupBy("flag", "id").agg(count(lit(1)).as("cnt"))
+    perFlag.unionByName(
+      perFlag.groupBy("id").agg(sum("cnt").as("cnt")).withColumn("flag", lit("ALL"))
+        .select("flag", "id", "cnt"))
+  }
 
   /** Unrolled temporal-relaxation rounds for the q233 oracle (requires
     * `et` (name, dep, t) and `a0` in scope) — same min-fold shape as the
@@ -1153,9 +1308,11 @@ object Advanced {
 
     "q256_feature_hashing" ->
       """WITH dl AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |mx AS (SELECT max(len(ts)) AS m FROM dl),
+        |g AS (SELECT unnest(range(1, m)) AS j FROM mx),
         |tk AS (
         | SELECT ts[g.j] || ' ' || ts[g.j + 1] AS tok
-        | FROM dl, range(1, 101) g(j)
+        | FROM dl, g
         | WHERE g.j + 1 <= len(ts) AND ts[g.j] <> '' AND ts[g.j + 1] <> ''),
         |b AS (
         | SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 256 AS bucket,
@@ -1399,13 +1556,15 @@ object Advanced {
         |unc AS (
         | SELECT count(*) AS n_uncovered FROM nm n
         | WHERE n.name NOT IN (SELECT name FROM m8)
-        |   AND n.name NOT IN (SELECT name FROM cov))
+        |   AND n.name NOT IN (SELECT name FROM cov)),
+        |cvg AS (SELECT count(*) AS nd FROM rem8)
         |SELECT n.name, m.name IS NOT NULL AS in_mis,
         | CAST(coalesce(m.round, -1) AS INTEGER) AS round,
         | CAST(v.n_violations AS BIGINT) AS n_violations,
         | CAST(uc.n_uncovered AS BIGINT) AS n_uncovered
         |FROM nm n LEFT JOIN m8 m ON m.name = n.name
         |CROSS JOIN viol v CROSS JOIN unc uc
+        |CROSS JOIN cvg WHERE cvg.nd = 0
         |ORDER BY n.name""".stripMargin
       .replace("--EP--", Resolution.edgesCtePrelude)
       .replace("--MIS--", misUnrolled(8))),
@@ -1426,10 +1585,14 @@ object Advanced {
         | SELECT count(*) AS n_blocking FROM pp x
         | JOIN mm mp ON mp.proposer = x.proposer
         | JOIN mm ma ON ma.acceptor = x.acceptor
-        | WHERE x.p_score < mp.p_score AND x.a_score < ma.a_score)
+        | WHERE x.p_score < mp.p_score AND x.a_score < ma.a_score),
+        |cvg AS (
+        | SELECT count(*) AS nd FROM (SELECT DISTINCT proposer FROM pp) p
+        | WHERE p.proposer NOT IN (SELECT proposer FROM e15))
         |SELECT mm.proposer, mm.acceptor, mm.p_score, mm.a_score,
         | CAST(blk.n_blocking AS BIGINT) AS n_blocking
         |FROM mm CROSS JOIN blk
+        |CROSS JOIN cvg WHERE cvg.nd = 0
         |ORDER BY mm.proposer""".stripMargin
       .replace("--GS--", gsUnrolled(15))),
 
@@ -1527,10 +1690,15 @@ object Advanced {
         | WHERE b.depth < 30),
         |sd AS (SELECT name, CAST(min(depth) AS INTEGER) AS depth FROM bfs GROUP BY name),
         |a0 AS (SELECT 'pkg-00' AS name, CAST(0 AS BIGINT) AS arr),
-        |--TR--
+        |--TR--,
+        |cvg AS (SELECT (SELECT count(*) FROM (
+        |  (SELECT * FROM a19 EXCEPT SELECT * FROM a20)
+        |  UNION ALL (SELECT * FROM a20 EXCEPT SELECT * FROM a19)))
+        | + (SELECT count(*) FROM sd WHERE depth >= 30) AS nd)
         |SELECT sd.name, sd.depth,
         | CAST(coalesce(a.arr, -1) AS BIGINT) AS earliest
         |FROM sd LEFT JOIN a20 a USING (name)
+        |CROSS JOIN cvg WHERE cvg.nd = 0
         |ORDER BY sd.name""".stripMargin
       .replace("--EP--", Resolution.edgesCtePrelude)
       .replace("--TR--", trUnrolled(20))
@@ -1796,8 +1964,94 @@ object Advanced {
         | SELECT c.prio, c.d, c.t, c.cum, o.tot, o.n, o.n * c.cum - c.t * o.tot AS s
         | FROM cum c JOIN tot o USING (prio))
         |SELECT prio, d AS cp_date, abs(s) AS s_max_abs, n AS n_days,
-        | cum // t AS mean_before_c, (tot - cum) // (n - t) AS mean_after_c
+        | cum // t AS mean_before_c,
+        | CASE WHEN n > t THEN (tot - cum) // (n - t) END AS mean_after_c
         |FROM st
         |QUALIFY row_number() OVER (PARTITION BY prio ORDER BY abs(s) DESC, d) = 1
-        |ORDER BY prio""".stripMargin)
+        |ORDER BY prio""".stripMargin,
+
+    "q264_hdr_histogram" ->
+      s"""WITH $HdrRegsCte
+        |SELECT flag, CAST(id AS BIGINT) AS id,
+        | CAST(64 + id % 64 AS BIGINT) << CAST(id // 64 - 6 AS INTEGER) AS lb_cents,
+        | (CAST(64 + id % 64 AS BIGINT) << CAST(id // 64 - 6 AS INTEGER))
+        |   + (CAST(1 AS BIGINT) << CAST(id // 64 - 6 AS INTEGER)) - 1 AS ub_cents,
+        | CAST(cnt AS BIGINT) AS cnt
+        |FROM regs
+        |ORDER BY flag, id""".stripMargin,
+
+    "q266_partitioned_dpp_join" ->
+      """WITH ev AS (
+        | SELECT user_id, value, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        | FROM events),
+        |daily AS (SELECT d, count(*) AS n_day FROM ev GROUP BY d),
+        |busy AS (
+        | SELECT d, n_day FROM daily
+        | QUALIFY row_number() OVER (ORDER BY n_day DESC, d) <= 3)
+        |SELECT strftime(CAST(b.d AS TIMESTAMP), '%Y-%m-%d') AS d,
+        | CAST(b.n_day AS BIGINT) AS n_day,
+        | count(*) AS n_events,
+        | count(DISTINCT e.user_id) AS n_users,
+        | round(sum(e.value), 2) AS sum_value
+        |FROM ev e JOIN busy b USING (d)
+        |GROUP BY 1, 2
+        |ORDER BY 1""".stripMargin,
+
+    "q265_hdr_quantile_serve" ->
+      s"""WITH $HdrRegsCte,
+        |cum AS (
+        | SELECT flag, id, cnt,
+        |  CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        | FROM regs),
+        |tot AS (SELECT flag, CAST(sum(cnt) AS BIGINT) AS n FROM regs GROUP BY 1),
+        |tgt AS (
+        | SELECT flag, n, p.pct, (n * p.pct + 99) // 100 AS r
+        | FROM tot, (VALUES (50), (90), (99)) p(pct)),
+        |est AS (
+        | SELECT t.flag, t.pct, t.n, t.r, c.id,
+        |  c.cum - c.cnt + 1 AS rank_lo, c.cum AS rank_hi
+        | FROM cum c JOIN tgt t USING (flag) WHERE c.cum >= t.r
+        | QUALIFY row_number() OVER (PARTITION BY t.flag, t.pct ORDER BY c.id) = 1),
+        |est2 AS (
+        | SELECT flag, pct, n, r,
+        |  CAST(64 + id % 64 AS BIGINT) << CAST(id // 64 - 6 AS INTEGER) AS est_cents,
+        |  (CAST(64 + id % 64 AS BIGINT) << CAST(id // 64 - 6 AS INTEGER))
+        |    + (CAST(1 AS BIGINT) << CAST(id // 64 - 6 AS INTEGER)) - 1 AS ub_cents,
+        |  CAST(rank_lo AS BIGINT) AS rank_lo, rank_hi
+        | FROM est),
+        |vc0 AS (SELECT flag, c, count(*) AS vn FROM cents GROUP BY 1, 2),
+        |vc AS (
+        | SELECT flag, c, vn FROM vc0
+        | UNION ALL SELECT 'ALL', c, sum(vn) FROM vc0 GROUP BY 2),
+        |vcum AS (
+        | SELECT flag, c,
+        |  sum(vn) OVER (PARTITION BY flag ORDER BY c ROWS UNBOUNDED PRECEDING) AS vcum
+        | FROM vc),
+        |ex AS (
+        | SELECT v.flag, t.pct, min(v.c) AS exact_cents
+        | FROM vcum v JOIN tgt t USING (flag) WHERE v.vcum >= t.r GROUP BY 1, 2)
+        |SELECT e.flag, e.pct, e.n, e.r, e.est_cents, e.ub_cents,
+        | e.rank_lo, e.rank_hi, x.exact_cents,
+        | (x.exact_cents BETWEEN e.est_cents AND e.ub_cents) AS in_bucket
+        |FROM est2 e JOIN ex x USING (flag, pct)
+        |ORDER BY e.flag, e.pct""".stripMargin)
+
+  /** DuckDB re-derivation of [[hdrRegs]]: `cents` (flag, c) and `regs`
+    * (flag incl. merged 'ALL', id, cnt) — the ALL level sums the
+    * PER-FLAG registers, mirroring the Spark side's in-plan merge.
+    */
+  private def HdrRegsCte =
+    """cents AS (
+      | SELECT l_returnflag AS flag,
+      |  CAST(floor(l_extendedprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+      | FROM lineitem),
+      |bk AS (
+      | SELECT flag, c, length(bin(c)) - 1 AS e FROM cents),
+      |bk2 AS (
+      | SELECT flag, CAST(e * 64 + ((c >> CAST(e - 6 AS INTEGER)) & 63) AS BIGINT) AS id
+      | FROM bk),
+      |regs0 AS (SELECT flag, id, count(*) AS cnt FROM bk2 GROUP BY 1, 2),
+      |regs AS (
+      | SELECT flag, id, cnt FROM regs0
+      | UNION ALL SELECT 'ALL', id, sum(cnt) FROM regs0 GROUP BY 2)""".stripMargin
 }

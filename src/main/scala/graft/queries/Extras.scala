@@ -156,19 +156,48 @@ object Extras {
         .orderBy("l_returnflag")
     },
 
-    // A3/A8 — sketch aggregates (HLL++, GK quantiles). No DuckDB oracle:
-    // sketch internals are engine-specific → driver records rows-only.
-    // The exact counterparts are oracle-verified in q09/q13.
-    // Quantile array flattened to scalar columns: the driver's pandas-side
-    // sort can't order array cells, so the result surface stays scalar.
+    // A3/A8 — sketch aggregates, fully judged. Formerly the one rows-only
+    // query (builtin approx_count_distinct / approx_percentile internals
+    // are engine-private); now BOTH sketches are the deterministic,
+    // SQL-replayable kind: distinct customers through functions/HllSketch
+    // (q230's integer-estimator arithmetic, global sketch) and price
+    // percentiles through the q264/q265 HDR bucket machinery (integer
+    // shift bucketing, rank served from register cumulative counts). Same
+    // five-column surface as the historical query, every value
+    // hash-verified.
     "q19_approx_stats" -> { (s, dir) =>
-      Tables.orders(s, dir).agg(
-        approx_count_distinct(col("o_custkey")).as("approx_customers"),
-        expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").as("pq"),
-        count(lit(1)).as("n_orders"))
-        .select(col("approx_customers"),
-          col("pq")(0).as("price_p50"), col("pq")(1).as("price_p90"),
-          col("pq")(2).as("price_p99"), col("n_orders"))
+      import s.implicits._
+      val hll = udaf(new graft.functions.HllSketch())
+      val ord = Tables.orders(s, dir)
+      val sk = ord.agg(
+          hll(col("o_custkey").cast("string")).as("regs"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("sum_scaled", expr(
+          "aggregate(regs, cast(0 as bigint), (a, r) -> a + shiftleft(cast(1 as bigint), cast(55 - r as int)))"))
+        .withColumn("approx_customers", expr(
+          s"cast((${Advanced.HllEstNum}) div (650790 * cast(sum_scaled as decimal(38,0))) as bigint)"))
+        .select("approx_customers", "n_orders")
+      val cents = ord.select(expr(
+        "cast(floor(o_totalprice * cast(100 as double) + cast(0.5 as double)) as bigint)").as("c"))
+        .withColumn("e", expr("length(bin(c)) - 1"))
+        .withColumn("id", expr("e * 64 + (shiftright(c, cast(e - 6 as int)) & 63)"))
+      val regs = cents.groupBy("id").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      val cum = regs.withColumn("cum", sum("cnt").over(w))
+      val tot = regs.agg(sum("cnt").as("n"))
+      val tgt = tot.crossJoin(broadcast(Seq(50, 90, 99).toDF("pct")))
+        .withColumn("r", expr("(n * pct + 99) div 100"))
+      val wp = org.apache.spark.sql.expressions.Window.partitionBy("pct").orderBy("id")
+      val est = cum.crossJoin(broadcast(tgt)).filter(col("cum") >= col("r"))
+        .withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+        .withColumn("est_cents", expr(
+          "shiftleft(cast(64 + id % 64 as bigint), cast(id div 64 - 6 as int))"))
+        .groupBy().pivot("pct", Seq(50, 90, 99)).agg(first("est_cents"))
+        .select(col("50").as("price_p50_cents"), col("90").as("price_p90_cents"),
+          col("99").as("price_p99_cents"))
+      sk.crossJoin(broadcast(est))
+        .select("approx_customers", "price_p50_cents", "price_p90_cents",
+          "price_p99_cents", "n_orders")
     },
 
     // T3 — native session_window (30-min gap). Same shuffle shape under
@@ -645,7 +674,54 @@ object Extras {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
-    // q19: intentionally no oracle (sketches are engine-specific).
+    // q19: deterministic sketches since round 10 — the oracle rebuilds the
+    // HLL registers (q230 arithmetic) and the HDR percentile buckets
+    // (q264/q265 arithmetic) from scratch, so every value hash-matches.
+    "q19_approx_stats" ->
+      s"""WITH h AS (
+        | SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        | FROM orders),
+        |r AS (SELECT h // ${Advanced.HllSplit} AS bucket, h % ${Advanced.HllSplit} AS rem FROM h),
+        |r2 AS (SELECT bucket,
+        |  CASE WHEN rem = 0 THEN 55 ELSE 55 - length(ltrim(bin(rem), '0')) END AS rho
+        | FROM r),
+        |rr AS (SELECT bucket, max(rho) AS reg FROM r2 GROUP BY 1),
+        |fr AS (
+        | SELECT coalesce(rr.reg, 0) AS reg
+        | FROM range(0, 64) g(b) LEFT JOIN rr ON rr.bucket = g.b),
+        |ag AS (SELECT CAST(sum(1::BIGINT << CAST(55 - reg AS INTEGER)) AS BIGINT) AS sum_scaled FROM fr),
+        |acd AS (
+        | SELECT CAST((1890844672::HUGEINT * 36028797018963968::HUGEINT)
+        |      // (650790::HUGEINT * sum_scaled) AS BIGINT) AS approx_customers
+        | FROM ag),
+        |no AS (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM orders),
+        |cents AS (
+        | SELECT CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+        | FROM orders),
+        |bk AS (
+        | SELECT CAST((length(bin(c)) - 1) * 64
+        |   + ((c >> CAST(length(bin(c)) - 7 AS INTEGER)) & 63) AS BIGINT) AS id
+        | FROM cents),
+        |regs AS (SELECT id, count(*) AS cnt FROM bk GROUP BY 1),
+        |cum AS (
+        | SELECT id, cnt, sum(cnt) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM regs),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM regs),
+        |tgt AS (SELECT n, p.pct, (n * p.pct + 99) // 100 AS r
+        | FROM tot, (VALUES (50), (90), (99)) p(pct)),
+        |est AS (
+        | SELECT t.pct,
+        |  CAST(64 + c.id % 64 AS BIGINT) << CAST(c.id // 64 - 6 AS INTEGER) AS est_cents
+        | FROM cum c JOIN tgt t ON c.cum >= t.r
+        | QUALIFY row_number() OVER (PARTITION BY t.pct ORDER BY c.id) = 1),
+        |pq AS (SELECT
+        |  min(CASE WHEN pct = 50 THEN est_cents END) AS price_p50_cents,
+        |  min(CASE WHEN pct = 90 THEN est_cents END) AS price_p90_cents,
+        |  min(CASE WHEN pct = 99 THEN est_cents END) AS price_p99_cents
+        | FROM est)
+        |SELECT a.approx_customers, p.price_p50_cents, p.price_p90_cents,
+        | p.price_p99_cents, no.n_orders
+        |FROM acd a, pq p, no""".stripMargin,
 
     "q37_version_collect" ->
       """WITH pkg AS (

@@ -127,6 +127,51 @@ object Vectors {
       _ => graft.operators.KMeans.fit(vecs(s, dir), kmInit, KmIters))
   }
 
+  /** Filesystem home of the persisted IVF index for a fixture dir
+    * (train-once → serve-many; q262/q263). Deterministic per fixture, so
+    * the build and probe queries meet at the same location without
+    * shipping state through the session; lives under the JVM temp dir —
+    * the fixture directories themselves are read-only.
+    */
+  def ivfIndexDir(dir: String): String = {
+    val tag = new java.io.File(dir).getAbsolutePath.replaceAll("[^A-Za-z0-9._-]", "_")
+    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_ivf_index/$tag").getAbsolutePath
+  }
+
+  /** Materialize the trained IVF index AS TABLES: `centroids` (cluster,
+    * cv — k×64 doubles, one small file) and `codes` (vec_id, label, v,
+    * nsq, PARTITIONED BY cluster — a 2-of-8-cell probe reads 2/8 of the
+    * corpus FILES; partition layout is what makes IVF an index instead of
+    * a full-scan rerank at 100 TB). Training is the same md5-seeded Lloyd
+    * fixed point as q116/q130, so the written content is deterministic
+    * and the oracle re-derives it from the raw fixture alone.
+    */
+  def writeIvfIndex(s: SparkSession, dir: String, idxDir: String): Unit = {
+    import s.implicits._
+    kmCentroids(s, dir).zipWithIndex
+      .map { case (c, i) => (i + 1, c.toSeq) }.toDF("cluster", "cv")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$idxDir/centroids")
+    kmFrame(s, dir)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/codes")
+  }
+
+  /** Build the persisted index once per (session, fixture) — the probe
+    * query is self-contained (dev loops run it alone) but never retrains
+    * when the build query already ran in this JVM.
+    */
+  private val ivfIdxBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  private def ensureIvfIndex(s: SparkSession, dir: String): String = {
+    val idx = ivfIndexDir(dir)
+    ivfIdxBuilt.removeIf(k => k._1.sparkContext.isStopped)
+    if (!ivfIdxBuilt.contains((s, dir))) {
+      writeIvfIndex(s, dir, idx)
+      ivfIdxBuilt.add((s, dir))
+    }
+    idx
+  }
+
   /** Product-quantization parameters (Jégou et al., "Product Quantization
     * for Nearest Neighbor Search", TPAMI'11 — public): 64 dims split into
     * M=4 subspaces of 16; each subspace gets its own K=32-codeword k-means
@@ -1025,6 +1070,75 @@ object Vectors {
         .select(col("qid"), col("rank").cast("int").as("rank"), col("cid"), col("dot"),
           col("n_scanned"), (col("n_blocks") - col("n_scanned")).as("n_pruned"))
         .orderBy("qid", "rank")
+    },
+
+    // Persisted ANN index lifecycle, half 1 — TRAIN + WRITE. q130/q139/
+    // q144 train codebooks inside every query plan; a real serving stack
+    // trains ONCE, writes the index as tables, and probes the artifact.
+    // This query runs the trainer, writes `centroids` + cluster-partitioned
+    // `codes` parquet, then reads the summary BACK FROM THE WRITTEN FILES
+    // (judging the write path, not the in-memory frame): per-cluster
+    // vector counts, the centroid component sum (sequential fold, exact
+    // IEEE), and an order-free int64 fixed-point sum of member norms.
+    // Empty cells survive via the centroid left join. The oracle re-trains
+    // the same md5-seeded Lloyd fixed point from the raw fixture — hash
+    // equality proves the persisted artifact faithful to the math.
+    "q262_ivf_index_build" -> { (s, dir) =>
+      val idx = ivfIndexDir(dir)
+      writeIvfIndex(s, dir, idx)
+      ivfIdxBuilt.add((s, dir))
+      val centDf = s.read.parquet(s"$idx/centroids")
+      val counts = s.read.parquet(s"$idx/codes")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(expr("cast(floor(nsq * cast(16777216 as double)) as bigint)")).as("nsq_fp"))
+      centDf.join(counts, Seq("cluster"), "left")
+        .select(col("cluster").cast("int").as("cluster"),
+          coalesce(col("n_vectors"), lit(0L)).as("n_vectors"),
+          round(expr("aggregate(cv, cast(0 as double), (a, x) -> a + x)"), 6)
+            .as("centroid_sum"),
+          coalesce(col("nsq_fp"), lit(0L)).as("nsq_fp"))
+        .orderBy("cluster")
+    },
+
+    // Persisted ANN index lifecycle, half 2 — READ + PROBE. Serves q130's
+    // exact search FROM THE PERSISTED ARTIFACT: centroids load from the
+    // index (k×64 doubles — the MLlib-shaped bounded driver read), the
+    // corpus comes from the cluster-partitioned codes table, and NOTHING
+    // rereads or retrains from the raw embeddings fixture (AnnIndexSpec
+    // pins every file scan in the plan to the index directory). Result ==
+    // q130 row for row, so the oracle is the same SQL re-derivation —
+    // hash equality proves train→persist→read→serve composes exactly.
+    "q263_ivf_index_search" -> { (s, dir) =>
+      val idx = ensureIvfIndex(s, dir)
+      val cent = s.read.parquet(s"$idx/centroids").orderBy("cluster").collect()
+        .map(r => r.getSeq[Double](r.fieldIndex("cv")).toIndexedSeq).toIndexedSeq
+      val asg = s.read.parquet(s"$idx/codes")
+      val qs = asg.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("va"), col("nsq").as("na"))
+      val cellScores = cent.zipWithIndex.map { case (c, i) =>
+        struct(lit(i + 1).as("cell"),
+          (call_function("array_dot", col("va"), array(c.map(lit): _*)) -
+            lit(0.5 * graft.operators.KMeans.sqNorm(c))).as("score"))
+      }
+      val pw = Window.partitionBy("qid").orderBy(col("score").desc, col("cluster"))
+      val probes = qs
+        .select(col("qid"), col("va"), col("na"), explode(array(cellScores: _*)).as("sc"))
+        .select(col("qid"), col("va"), col("na"),
+          col("sc.cell").as("cluster"), col("sc.score").as("score"))
+        .withColumn("rn", row_number().over(pw)).filter(col("rn") <= 2)
+        .select("qid", "va", "na", "cluster")
+      val c = asg.select(col("vec_id").as("cid"), col("v").as("vb"),
+        col("nsq").as("nb"), col("cluster"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      c.join(broadcast(probes), Seq("cluster"))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("cos", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("cid"),
+          col("cluster").cast("int").as("cluster"), col("cos"))
+        .orderBy("qid", "rank")
     })
 
   /** DuckDB vector CTE with the same fold order as the Spark aggregates. */
@@ -1219,8 +1333,11 @@ object Vectors {
       |   (a, x) -> a + x) AS bucket
       | FROM n)""".stripMargin
 
-  val oracles: Seq[(String, String)] = Seq(
-    "q130_trained_ivf_search" -> sub(s"""WITH --VEC--,
+  /** Shared by q130 (inline-trained serve) and q263 (persisted-index
+    * serve): both must produce THIS re-derivation's rows — the persisted
+    * artifact adds no new math, only a parquet roundtrip.
+    */
+  private def ivfServeOracleSql: String = sub(s"""WITH --VEC--,
         |--KM--,
         |ps AS (
         | SELECT m.vec_id AS qid, m.v, m.nsq, c.cluster,
@@ -1240,7 +1357,10 @@ object Vectors {
         | cid, CAST(cluster AS INTEGER) AS cluster, cos
         |FROM scored
         |QUALIFY rank <= 3
-        |ORDER BY qid, rank""".stripMargin),
+        |ORDER BY qid, rank""".stripMargin)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q130_trained_ivf_search" -> ivfServeOracleSql,
 
     "q136_pq_encode" -> sub(s"""WITH --VEC--,
         |${PqCte(0)},
@@ -1880,5 +2000,20 @@ object Vectors {
         | cid, cos
         |FROM scored
         |QUALIFY rank <= 3
-        |ORDER BY qid, rank""".stripMargin))
+        |ORDER BY qid, rank""".stripMargin),
+
+    "q262_ivf_index_build" -> sub(s"""WITH --VEC--,
+        |--KM--,
+        |cnt AS (
+        | SELECT cluster, count(*) AS n_vectors,
+        |  sum(CAST(floor(nsq * 16777216) AS BIGINT)) AS nsq_fp
+        | FROM af GROUP BY cluster)
+        |SELECT CAST(c.cluster AS INTEGER) AS cluster,
+        | CAST(coalesce(t.n_vectors, 0) AS BIGINT) AS n_vectors,
+        | round(list_reduce(list_prepend(CAST(0 AS DOUBLE), c.cv), (a, x) -> a + x), 6) AS centroid_sum,
+        | CAST(coalesce(t.nsq_fp, 0) AS BIGINT) AS nsq_fp
+        |FROM c$KmIters c LEFT JOIN cnt t USING (cluster)
+        |ORDER BY cluster""".stripMargin),
+
+    "q263_ivf_index_search" -> ivfServeOracleSql)
 }

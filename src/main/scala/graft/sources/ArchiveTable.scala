@@ -69,14 +69,20 @@ class ArchiveScanBuilder(path: String) extends ScanBuilder
   private var pushedName: Option[String] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (push, keep) = filters.partition {
+    // push exactly ONE member_name equality; any further filters — including
+    // a second, possibly conflicting equality — stay in the residual so
+    // Spark re-evaluates them post-scan (two conflicting equalities are not
+    // folded to false by Catalyst, so honoring only the first while
+    // swallowing the second would return non-empty where empty is correct)
+    val idx = filters.indexWhere {
       case EqualTo("member_name", _: String) => true
       case _ => false
     }
-    push.collectFirst { case EqualTo(_, v: String) => v }.foreach(v => pushedName = Some(v))
-    // the pushed equality is evaluated EXACTLY inside the walk → no need
-    // for Spark to re-evaluate it; everything else stays post-scan
-    keep
+    if (idx < 0) filters
+    else {
+      filters(idx) match { case EqualTo(_, v: String) => pushedName = Some(v); case _ => () }
+      filters.zipWithIndex.collect { case (f, i) if i != idx => f }
+    }
   }
   override def pushedFilters(): Array[Filter] =
     pushedName.map(v => EqualTo("member_name", v): Filter).toArray

@@ -71,6 +71,18 @@ class ArchiveTableSpec extends AnyFunSuite {
     assert(got === Array("alpha", "delta"))
   }
 
+  test("two conflicting member_name equalities return the correct EMPTY result") {
+    // only ONE equality may be absorbed by the walk; the second must stay
+    // in the residual so Spark re-evaluates it — Catalyst does not fold
+    // name='a' AND name='b' to false, so swallowing both would wrongly
+    // return the 'a' rows
+    val dir = writeFixtures()
+    val df = spark.read.format("graft-archives").load(dir)
+      .filter(org.apache.spark.sql.functions.col("member_name") === "x.txt")
+      .filter(org.apache.spark.sql.functions.col("member_name") === "y.txt")
+    assert(df.count() === 0)
+  }
+
   test("non-archive files yield no rows instead of failing the scan") {
     val dir = writeFixtures()
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/junk.bin"),

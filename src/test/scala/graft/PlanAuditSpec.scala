@@ -220,6 +220,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "gram mining needs no join")
   }
 
+  test("q266: the fact scan carries a dynamic partition pruning subquery and skips partitions") {
+    val df = SparkEntry.queries("q266_partitioned_dpp_join")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning subquery on the partitioned fact scan:\n${p.take(2500)}")
+    // pruning has something to skip: the catalog holds more day partitions
+    // than the 3 the dimension filter keeps (and the query returns exactly 3)
+    val parts = new java.io.File(
+        s"${queries.Advanced.dppDirFor(dir)}/events_by_day").listFiles()
+      .count(_.getName.startsWith("d="))
+    assert(parts > 3, s"fixture produced only $parts day partitions")
+    assert(df.count() === 3)
+  }
+
   test("no judged query plans a CartesianProduct") {
     // q45 intentionally uses BroadcastNestedLoopJoin with a 5-row build
     // side (exact brute-force baseline); cartesian (unbroadcast NLJ over

@@ -40,6 +40,40 @@ class ServeSpec extends AnyFunSuite {
     } finally running.stop()
   }
 
+  test("8 concurrent POSTs (mixed cheap/expensive) all complete with isolated, correct results") {
+    GraftFunctions.ensureRegistered(spark)
+    Tables.packages(spark, SparkTestHarness.Sf0001).createOrReplaceTempView("v_serve_pkg")
+    Tables.lineitem(spark, SparkTestHarness.Sf0001).createOrReplaceTempView("v_serve_li")
+    assert(spark.sparkContext.getConf.get("spark.scheduler.mode", "FIFO") == "FAIR")
+    val running = Serve.start(spark, workers = 8)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(java.util.concurrent.Executors.newFixedThreadPool(8))
+      // 4 expensive aggregations interleaved with 4 cheap probes carrying
+      // distinct marker values — isolation means every response matches
+      // ITS request, completion means nobody starves behind the big scans
+      val futures = (0 until 8).map { i =>
+        Future {
+          val sql =
+            if (i % 2 == 0)
+              s"""SELECT l_returnflag, count(*) AS n, $i AS tag,
+                 |  sum(cast(floor(l_extendedprice * 100) as bigint)) AS s
+                 |FROM v_serve_li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+            else s"SELECT $i AS marker, count(*) AS n FROM v_serve_pkg"
+          (i, post(running.url, sql))
+        }
+      }
+      val results = Await.result(Future.sequence(futures), 120.seconds)
+      results.foreach { case (i, resp) =>
+        assert(resp.statusCode() == 200, s"request $i failed: ${resp.body()}")
+        if (i % 2 == 0) assert(resp.body().contains(s""""tag":$i"""), s"cross-talk on $i")
+        else assert(resp.body().contains(s""""marker":$i"""), s"cross-talk on $i")
+      }
+    } finally running.stop()
+  }
+
   test("the maxRows cap limits in the plan, and bad SQL returns 400 with a JSON error") {
     Tables.packages(spark, SparkTestHarness.Sf0001).createOrReplaceTempView("v_serve_pkg")
     val running = Serve.start(spark, maxRows = 5)
