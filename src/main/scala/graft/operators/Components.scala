@@ -38,23 +38,21 @@ object Components {
     val und = Lineage.cut(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct())
-    var labels = Lineage.cut(und.select(col("src").as("id")).distinct()
+    val labels0 = Lineage.cut(und.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")))
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
+    // frontier = the improved-label rows — a pure convergence probe the
+    // next round never reads, so the harness leaves it uncut
+    Iterate.fixedPoint("components", labels0, labels0, maxIter,
+        cutFrontier = false) { (_, _, labels) =>
       val nbr = und.join(labels, und("src") === labels("id"))
         .select(und("dst").as("id"), labels("comp"))
       val next = Lineage.cut(labels.unionByName(nbr)
         .groupBy("id").agg(min("comp").as("comp")))
-      converged = next.as("n")
+      val improved = next.as("n")
         .join(labels.withColumnRenamed("comp", "comp_old"), "id")
         .filter(col("comp") < col("comp_old"))
-        .isEmpty
-      labels = next
-      iter += 1
-    }
-    labels
+      (improved, next)
+    } { (_, labels) => labels }
   }
 
   /** INCREMENTAL connected components — the steady-state path when a delta
@@ -118,12 +116,12 @@ object Components {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct())
-    var iter = 0
-    var converged = g.isEmpty
-    while (iter < maxIter && !converged) {
+    val g0 = g
+    g = Iterate.fixedPoint("components_stars", g0, g0, maxIter,
+        cutFrontier = false) { (_, _, gCur) =>
       // large-star: every neighbor v > u links to u's closed-neighborhood min
-      val nb = g.select(col("a").as("u"), col("b").as("v"))
-        .union(g.select(col("b").as("u"), col("a").as("v")))
+      val nb = gCur.select(col("a").as("u"), col("b").as("v"))
+        .union(gCur.select(col("b").as("u"), col("a").as("v")))
       val lmin = nb.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
       val large = nb.join(lmin, "u").filter(col("v") > col("u"))
@@ -143,14 +141,13 @@ object Components {
       // (Probing only every 2nd round was tried and is a net LOSS: the
       // probe over two checkpointed edge frames is cheaper than the extra
       // idempotent star round a late detection costs — measured 5.2s →
-      // 6.2s on the sf0.1 chain workload.)
-      converged = next.withColumn("__l", lit(1))
-        .join(g.withColumn("__r", lit(1)), Seq("a", "b"), "full_outer")
+      // 6.2s on the sf0.1 chain workload.) The difference frame IS the
+      // harness frontier — a probe the next round never reads, left uncut.
+      val diff = next.withColumn("__l", lit(1))
+        .join(gCur.withColumn("__r", lit(1)), Seq("a", "b"), "full_outer")
         .filter(col("__l").isNull || col("__r").isNull)
-        .isEmpty
-      g = next
-      iter += 1
-    }
+      (diff, next)
+    } { (_, gNext) => gNext }
     // stable star forest: a = component min (root), b = member
     val members = g.select(col("b").as("id"), col("a").as("comp"))
     val roots = g.select(col("a").as("id"), col("a").as("comp")).distinct()

@@ -36,24 +36,29 @@ object Hits {
     val nodes = Lineage.cut(nodesIn)
     require(!nodes.isEmpty, "HITS needs a non-empty node set")
     val consts = broadcast(nodes.agg(expr(s"$scale div count(1)").as("__init")))
-    var hub = nodes.crossJoin(consts).select(col("name"), col("__init").as("hub"))
-    var auth = hub.select(col("name"), col("hub").as("auth"))
-    for (_ <- 1 to iters) {
-      val a0 = hub.join(edges, "name")
+    val hub0 = nodes.crossJoin(consts).select(col("name"), col("__init").as("hub"))
+    val auth0 = hub0.select(col("name"), col("hub").as("auth"))
+    // fixed half-iteration count — `nodes` stands in as the never-empty
+    // frontier so the harness runs exactly `iters` rounds
+    val (auth, hub) = Iterate.fixedPoint("hits", nodes, (auth0, hub0), iters,
+        cutFrontier = false) { (_, _, s) =>
+      val (_, hubCur) = s
+      val a0 = hubCur.join(edges, "name")
         .select(col("dep").as("name"), col("hub").as("c"))
         .groupBy("name").agg(sum("c").as("v"))
       val at = broadcast(a0.agg(sum("v").as("__t")))
-      auth = Lineage.cut(
+      val authNext = Lineage.cut(
         nodes.join(a0, Seq("name"), "left").crossJoin(at)
           .select(col("name"), expr(s"coalesce(v, 0L) * $scale div __t").as("auth")))
-      val h0 = edges.join(auth.select(col("name").as("dep"), col("auth").as("c")), "dep")
+      val h0 = edges.join(authNext.select(col("name").as("dep"), col("auth").as("c")), "dep")
         .select(col("name"), col("c"))
         .groupBy("name").agg(sum("c").as("v"))
       val ht = broadcast(h0.agg(sum("v").as("__t")))
-      hub = Lineage.cut(
+      val hubNext = Lineage.cut(
         nodes.join(h0, Seq("name"), "left").crossJoin(ht)
           .select(col("name"), expr(s"coalesce(v, 0L) * $scale div __t").as("hub")))
-    }
+      (nodes, (authNext, hubNext))
+    } { (_, s) => s }
     auth.join(hub, "name").select(col("name"), col("auth"), col("hub"))
   }
 }

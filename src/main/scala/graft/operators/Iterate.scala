@@ -3,10 +3,17 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 
 /** Shared fixed-point driver for the iterative operator family (Closure,
-  * TemporalReach, MaximalIndependentSet, …) — ONE implementation of the
-  * loop plumbing each operator used to re-state: the per-round
-  * [[Lineage.cut]] of the frontier, the emptiness barrier, the round
-  * counter against `maxRounds`, and per-round wall-time capture.
+  * TemporalReach, MaximalIndependentSet, ShortestPath, KCore, LabelProp,
+  * Components, KTruss, Hits) — ONE implementation of the loop plumbing
+  * each operator used to re-state: the per-round [[Lineage.cut]] of the
+  * frontier, the emptiness barrier, the round counter against
+  * `maxRounds`, and per-round wall-time capture.
+  *
+  * Deliberately NOT on the harness: [[PageRank]] and [[Walks]] build one
+  * lazy pipelined plan across iterations (no per-round barrier exists to
+  * instrument — adding one would regress their single-job design), and
+  * [[StableMatching]] terminates on grouped-count comparisons rather than
+  * frontier emptiness.
   *
   * Contract per round `r` (1-based): `round(r, frontier, state)` returns
   * the next `(frontier, state)`. The harness cuts the returned frontier's
@@ -39,8 +46,15 @@ object Iterate {
 
   /** Run `round` from (frontier0, state0) until the frontier empties or
     * `maxRounds` rounds elapse; returns the final state.
+    *
+    * `cutFrontier = false` skips the frontier materialization — for
+    * operators whose "frontier" is only a convergence PROBE (a difference
+    * set the next round never reads, e.g. the peel family's dropped set),
+    * where a checkpoint would add a write for a frame used exactly once
+    * by the emptiness test.
     */
-  def fixedPoint[S](label: String, frontier0: DataFrame, state0: S, maxRounds: Int)(
+  def fixedPoint[S](label: String, frontier0: DataFrame, state0: S, maxRounds: Int,
+      cutFrontier: Boolean = true)(
       round: (Int, DataFrame, S) => (DataFrame, S))(
       absorb: (DataFrame, S) => S): S = {
     var frontier = frontier0
@@ -51,7 +65,7 @@ object Iterate {
       r += 1
       val t0 = System.nanoTime()
       val (f, s1) = round(r, frontier, state)
-      frontier = Lineage.cut(f)
+      frontier = if (cutFrontier) Lineage.cut(f) else f
       state = absorb(frontier, s1)
       live = !frontier.isEmpty
       roundLog.add(RoundStat(label, r, (System.nanoTime() - t0) / 1e6))

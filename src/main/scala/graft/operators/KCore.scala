@@ -27,23 +27,19 @@ object KCore {
   def run(spark: SparkSession, edgesIn: DataFrame, k: Int, maxIter: Int = 64): DataFrame = {
     // materialize the adjacency ONCE — every peel round joins it twice
     val edges = Lineage.cut(edgesIn)
-    var alive = Lineage.cut(edges.select("name").distinct())
-    var iter = 0
-    var done = false
-    while (iter < maxIter && !done) {
+    val alive0 = Lineage.cut(edges.select("name").distinct())
+    // frontier = the set each round PEELS; fixpoint = an empty drop set
+    // (isolated nodes fall out of the degree frame entirely, so
+    // next ⊆ alive by construction and the anti-join is the exact test)
+    Iterate.fixedPoint("kcore", alive0, alive0, maxIter, cutFrontier = false) { (_, _, alive) =>
       val survivingEdges = edges
         .join(alive, "name")
         .join(alive.select(col("name").as("dep")), "dep")
       val next = Lineage.cut(
         survivingEdges.groupBy("name").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k).select("name"))
-      // fixpoint test = "did this round drop anyone": isolated nodes fall
-      // out of the degree frame entirely, so next ⊆ alive by construction
-      if (alive.join(next, Seq("name"), "left_anti").isEmpty) done = true
-      else alive = next
-      iter += 1
-    }
-    alive
+      (alive.join(next, Seq("name"), "left_anti"), next)
+    } { (_, alive) => alive }
   }
 
   /** Symmetric closure of a directed edge frame, self-loops dropped — the

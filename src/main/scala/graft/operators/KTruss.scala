@@ -27,16 +27,13 @@ object KTruss {
     */
   def run(spark: SparkSession, edges: DataFrame, k: Int, maxIter: Int = 64): DataFrame = {
     require(k >= 2, "k-truss needs k >= 2")
-    var alive = Lineage.cut(edges.select("a", "b").distinct())
-    var iter = 0
-    var done = false
-    while (iter < maxIter && !done) {
+    val alive0 = Lineage.cut(edges.select("a", "b").distinct())
+    // frontier = the peeled edge set — a pure convergence probe, uncut
+    Iterate.fixedPoint("ktruss", alive0, alive0, maxIter,
+        cutFrontier = false) { (_, _, alive) =>
       val next = Lineage.cut(supported(alive, k - 2))
-      if (alive.join(next, Seq("a", "b"), "left_anti").isEmpty) done = true
-      else alive = next
-      iter += 1
-    }
-    alive
+      (alive.join(next, Seq("a", "b"), "left_anti"), next)
+    } { (_, alive) => alive }
   }
 
   /** Edges of `alive` whose triangle support (within `alive`) is ≥ minSup. */

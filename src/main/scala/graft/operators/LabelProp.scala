@@ -35,8 +35,10 @@ object LabelProp {
     // symmetrize AND materialize once — every round joins the adjacency
     val und = Lineage.cut(
       e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
-    var labels = nodes.select(col("id")).withColumn("label", col("id"))
-    for (_ <- 1 to rounds) {
+    val labels0 = nodes.select(col("id")).withColumn("label", col("id"))
+    // fixed round count (determinism contract) — the label frame doubles
+    // as the never-empty frontier, so the harness runs exactly `rounds`
+    Iterate.fixedPoint("label_prop", labels0, labels0, rounds) { (_, _, labels) =>
       val nb = und.join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .select(col("src").as("id"), col("label"))
       val cnt = nb.groupBy("id", "label").agg(count(lit(1)).as("cnt"))
@@ -45,10 +47,9 @@ object LabelProp {
           Window.partitionBy("id").orderBy(desc("cnt"), col("label"))))
         .filter(col("rn") === 1)
         .select(col("id"), col("label").as("new_label"))
-      labels = Lineage.cut(
-        labels.join(pick, Seq("id"), "left")
-          .select(col("id"), coalesce(col("new_label"), col("label")).as("label")))
-    }
-    labels
+      val next = labels.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_label"), col("label")).as("label"))
+      (next, labels)
+    } { (cutLabels, _) => cutLabels }
   }
 }

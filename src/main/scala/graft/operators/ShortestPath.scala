@@ -37,26 +37,25 @@ object ShortestPath {
     // rounds must not re-execute the caller's derivations)
     val edges = Lineage.cut(edgesIn)
     val weights = Lineage.cut(weightsIn)
-    var dist = weights.filter(col("name") === seed)
+    val init = weights.filter(col("name") === seed)
       .select(col("name"), col("wt").cast("long").as("cost"))
-    var frontier = dist
-    var iter = 0
-    while (iter < maxIter && !frontier.isEmpty) {
-      // relax every out-edge of last round's improved nodes; keep only
-      // candidates that beat the incumbent (or reach a new node)
-      val cand = frontier.join(edges, "name")
-        .select(col("dep").as("name"), col("cost"))
-        .join(weights, "name")
-        .select(col("name"), (col("cost") + col("wt").cast("long")).as("cost"))
-        .groupBy("name").agg(min("cost").as("cost"))
-      val improved = cand.as("c")
-        .join(dist.select(col("name"), col("cost").as("best")), Seq("name"), "left")
-        .filter(col("best").isNull || col("cost") < col("best"))
-        .select(col("name"), col("cost"))
-      frontier = Lineage.cut(improved)
-      dist = Lineage.cut(
-        dist.unionByName(frontier).groupBy("name").agg(min("cost").as("cost")))
-      iter += 1
+    val dist = Iterate.fixedPoint("shortest_path", init, init, maxIter) {
+      (_, frontier, d) =>
+        // relax every out-edge of last round's improved nodes; keep only
+        // candidates that beat the incumbent (or reach a new node)
+        val cand = frontier.join(edges, "name")
+          .select(col("dep").as("name"), col("cost"))
+          .join(weights, "name")
+          .select(col("name"), (col("cost") + col("wt").cast("long")).as("cost"))
+          .groupBy("name").agg(min("cost").as("cost"))
+        val improved = cand.as("c")
+          .join(d.select(col("name"), col("cost").as("best")), Seq("name"), "left")
+          .filter(col("best").isNull || col("cost") < col("best"))
+          .select(col("name"), col("cost"))
+        (improved, d)
+    } { (frontier, d) =>
+      Lineage.cut(
+        d.unionByName(frontier).groupBy("name").agg(min("cost").as("cost")))
     }
     dist.orderBy("name")
   }
