@@ -216,6 +216,39 @@ object Mining {
         .orderBy("win_id")
     },
 
+    // q216's hand rewrite, AUTOMATED: the same overlapping-window range
+    // aggregation written as the NAIVE point-in-interval join — no manual
+    // bucket columns anywhere in the query — with plans/RangeJoinRewrite
+    // registered and a 1-day bucket width configured. The optimizer rule
+    // manufactures the bucket equi-keys (point side projects t div W, the
+    // interval side explodes its covered buckets) and keeps the original
+    // predicates as residual, so the result is identical by construction
+    // and hash-matches the SAME oracle as q216. Runs in its own
+    // newSession() so the width knob and the injected rule never leak
+    // into sibling queries. PlanAuditSpec proves the 100 TB point: with
+    // broadcast disabled this plans a shuffled equi-join, never a
+    // nested-loop — the naive form without the rule is the negative.
+    "q267_range_join_rewrite" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.RangeJoinRewrite.ensure(s)
+      s.conf.set(graft.plans.RangeJoinRewrite.WidthKey, "86400000000") // 1 day in micros
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("unix_micros(cast(ts as timestamp))").as("t"))
+      val bounds = ev.agg(min("t").as("t0"), max("t").as("t1"))
+      val wins = bounds.crossJoin(Seq.range(0, 24).toDF("win_id"))
+        .select(col("win_id"),
+          expr("t0 + (win_id * (t1 - t0)) div 24").as("ws"),
+          expr("t0 + (win_id * (t1 - t0)) div 24 + (t1 - t0) div 16").as("we"))
+      ev.join(wins, col("t") >= col("ws") && col("t") < col("we"))
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("win_id")
+    },
+
     // Deterministic hash-guided graph walks (operators/Walks) — the
     // DeepWalk/node2vec sampling primitive with the RNG replaced by
     // md5("seed:step:cur:next") so walks are reproducible, retry-safe,
@@ -762,6 +795,26 @@ object Mining {
 
   val queries: Seq[(String, QFn)] = queriesA ++ queriesB
 
+  /** Shared by q216 (hand-bucketed) and q267 (RangeJoinRewrite rule) —
+    * identical semantics, so one re-derivation judges both forms.
+    */
+  private val RangeWindowOracle =
+    """WITH ev AS (
+      | SELECT event_id, user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      | FROM events),
+      |b AS (SELECT min(t) AS t0, max(t) AS t1 FROM ev),
+      |w AS (
+      | SELECT CAST(g.i AS INTEGER) AS win_id,
+      |  t0 + (g.i * (t1 - t0)) // 24 AS ws,
+      |  t0 + (g.i * (t1 - t0)) // 24 + (t1 - t0) // 16 AS we
+      | FROM b, (SELECT unnest(generate_series(0, 23)) AS i) g)
+      |SELECT w.win_id, count(*) AS n_events,
+      | count(DISTINCT e.user_id) AS n_users,
+      | round(sum(e.value), 2) AS sum_value
+      |FROM w JOIN ev e ON e.t >= w.ws AND e.t < w.we
+      |GROUP BY w.win_id
+      |ORDER BY w.win_id""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
 
     "q225_bitmap_distinct" ->
@@ -941,22 +994,11 @@ object Mining {
         | (SELECT n_set_bits FROM nb) AS n_set_bits
         |FROM m""".stripMargin,
 
-    "q216_bucketed_range_join" ->
-      """WITH ev AS (
-        | SELECT event_id, user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS t
-        | FROM events),
-        |b AS (SELECT min(t) AS t0, max(t) AS t1 FROM ev),
-        |w AS (
-        | SELECT CAST(g.i AS INTEGER) AS win_id,
-        |  t0 + (g.i * (t1 - t0)) // 24 AS ws,
-        |  t0 + (g.i * (t1 - t0)) // 24 + (t1 - t0) // 16 AS we
-        | FROM b, (SELECT unnest(generate_series(0, 23)) AS i) g)
-        |SELECT w.win_id, count(*) AS n_events,
-        | count(DISTINCT e.user_id) AS n_users,
-        | round(sum(e.value), 2) AS sum_value
-        |FROM w JOIN ev e ON e.t >= w.ws AND e.t < w.we
-        |GROUP BY w.win_id
-        |ORDER BY w.win_id""".stripMargin,
+    "q216_bucketed_range_join" -> RangeWindowOracle,
+
+    // identical semantics, identical re-derivation: q267 is the NAIVE join
+    // form that the RangeJoinRewrite rule buckets at optimization time
+    "q267_range_join_rewrite" -> RangeWindowOracle,
 
     "q217_graph_walks" ->
       s"""WITH --CTES--,

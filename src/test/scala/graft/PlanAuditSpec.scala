@@ -234,6 +234,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(df.count() === 3)
   }
 
+  test("q267: RangeJoinRewrite turns the naive range join into an equi-join (no nested loop at scale)") {
+    // the 100 TB regime: neither side broadcasts — without the rule the
+    // point-in-interval join is a nested loop; with it, a shuffled
+    // equi-join on the manufactured bucket keys
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    graft.plans.RangeJoinRewrite.ensure(s2)
+    s2.conf.set(graft.plans.RangeJoinRewrite.WidthKey, "86400000000")
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s2, dir)
+      .select(col("user_id"), col("value"),
+        expr("unix_micros(cast(ts as timestamp))").as("t"))
+    val wins = Tables.events(s2, dir)
+      .agg(min(expr("unix_micros(cast(ts as timestamp))")).as("ws"))
+      .select(col("ws"), (col("ws") + lit(86400000000L * 3)).as("we"))
+    val joined = ev.join(wins, col("t") >= col("ws") && col("t") < col("we"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join not rewritten to an equi-join:\n${p.take(2500)}")
+    assert(p.contains("__rj_b"), s"bucket keys missing from the rewritten plan:\n${p.take(2500)}")
+    // negative control: width unset → the rule bails, the nested loop returns
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    graft.plans.RangeJoinRewrite.ensure(s3)
+    val ev3 = Tables.events(s3, dir)
+      .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("t"))
+    val wins3 = Tables.events(s3, dir)
+      .agg(min(expr("unix_micros(cast(ts as timestamp))")).as("ws"))
+      .select(col("ws"), (col("ws") + lit(86400000000L * 3)).as("we"))
+    val p3 = ev3.join(wins3, col("t") >= col("ws") && col("t") < col("we"))
+      .queryExecution.executedPlan.toString
+    assert(p3.contains("BroadcastNestedLoopJoin") || p3.contains("CartesianProduct"),
+      "negative control: expected the naive nested loop without a bucket width")
+    // equivalence: rewritten counts == naive counts on the same inputs
+    assert(joined.count() ===
+      ev3.join(wins3, col("t") >= col("ws") && col("t") < col("we")).count())
+  }
+
   test("no judged query plans a CartesianProduct") {
     // q45 intentionally uses BroadcastNestedLoopJoin with a 5-row build
     // side (exact brute-force baseline); cartesian (unbroadcast NLJ over
