@@ -172,6 +172,37 @@ object Vectors {
     idx
   }
 
+  /** The residual-PQ layer of the index store, beside [[writeIvfIndex]]'s
+    * tables: `rpq_codebooks` (m, k, cv — 4 subspaces × 32 codewords × 16
+    * doubles, one small file) and `rpq_codes` (vec_id, label, v, nsq,
+    * rcode0..3, PARTITIONED BY the coarse cluster — the probe reads only
+    * probed cells' files AND scores them from 4 small ints per vector).
+    */
+  def writePqIndex(s: SparkSession, dir: String, idxDir: String): Unit = {
+    import s.implicits._
+    val cb = rpqCodebooks(s, dir)
+    (for (m <- 0 until PqM; k <- cb(m).indices)
+      yield (m, k + 1, cb(m)(k).toSeq))
+      .toDF("m", "k", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$idxDir/rpq_codebooks")
+    rpqEncFrame(s, dir)
+      .select(col("vec_id") +: col("label") +: col("v") +: col("nsq") +:
+        col("cluster") +: (0 until PqM).map(m => col(s"rcode$m")): _*)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/rpq_codes")
+  }
+
+  private val pqIdxBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  private def ensurePqIndex(s: SparkSession, dir: String): String = {
+    val idx = ensureIvfIndex(s, dir)
+    pqIdxBuilt.removeIf(k => k._1.sparkContext.isStopped)
+    if (!pqIdxBuilt.contains((s, dir))) {
+      writePqIndex(s, dir, idx)
+      pqIdxBuilt.add((s, dir))
+    }
+    idx
+  }
+
   /** Product-quantization parameters (Jégou et al., "Product Quantization
     * for Nearest Neighbor Search", TPAMI'11 — public): 64 dims split into
     * M=4 subspaces of 16; each subspace gets its own K=32-codeword k-means
@@ -271,10 +302,15 @@ object Vectors {
     * same four lookups as flat PQ. Exact cosine re-ranks the
     * [[IvfPqShortlist]]-candidate shortlist. Shared by q144/q145.
     */
-  private def ivfPqResidualTopK(s: SparkSession, dir: String): DataFrame = {
-    val cent = kmCentroids(s, dir)
-    val cb = rpqCodebooks(s, dir)
-    val enc = rpqEncFrame(s, dir)
+  private def ivfPqResidualTopK(s: SparkSession, dir: String): DataFrame =
+    ivfPqResidualServe(kmCentroids(s, dir), rpqCodebooks(s, dir), rpqEncFrame(s, dir))
+
+  /** The residual-IVFPQ serve arithmetic over EXPLICIT artifacts —
+    * inline-trained (q144/q145, via [[ivfPqResidualTopK]]) or read back
+    * from the persisted index (q269): same plan, same oracle.
+    */
+  private def ivfPqResidualServe(cent: IndexedSeq[IndexedSeq[Double]],
+      cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], enc: DataFrame): DataFrame = {
     val qs = enc.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid") +: col("v").as("va") +:
         col("nsq").as("na") +:
@@ -1139,6 +1175,49 @@ object Vectors {
         .select(col("qid"), col("rank"), col("cid"),
           col("cluster").cast("int").as("cluster"), col("cos"))
         .orderBy("qid", "rank")
+    },
+
+    // Persisted index lifecycle, IVFPQ layer — TRAIN + WRITE the residual
+    // quantizer beside q262's coarse tables: 4 subspace codebooks and the
+    // cluster-partitioned residual codes. Judged summary read BACK from
+    // the written files: per codeword, the component sum (sequential
+    // fold) and its usage count from the PERSISTED codes — codebook and
+    // encoding fidelity in one relation (unused codewords surface with 0
+    // via the codebook left join). The oracle re-trains both quantizer
+    // levels from the raw fixture.
+    "q268_ivfpq_index_build" -> { (s, dir) =>
+      val idx = ensureIvfIndex(s, dir)
+      writePqIndex(s, dir, idx)
+      pqIdxBuilt.add((s, dir))
+      val cbDf = s.read.parquet(s"$idx/rpq_codebooks")
+      val hist = s.read.parquet(s"$idx/rpq_codes")
+        .select(expr(
+          "stack(4, 0, rcode0, 1, rcode1, 2, rcode2, 3, rcode3) as (m, code)"))
+        .groupBy("m", "code").agg(count(lit(1)).as("n"))
+      cbDf.join(hist, cbDf("m") === hist("m") && cbDf("k") === hist("code"), "left")
+        .select(cbDf("m"), cbDf("k"),
+          round(expr("aggregate(cv, cast(0 as double), (a, x) -> a + x)"), 6)
+            .as("cw_sum"),
+          coalesce(col("n"), lit(0L)).as("n_vectors"))
+        .orderBy("m", "k")
+    },
+
+    // Persisted index lifecycle, IVFPQ layer — READ + PROBE: q144's
+    // residual-IVFPQ retrieve-then-rerank served ENTIRELY from the
+    // persisted artifact (centroids + codebooks are bounded driver reads;
+    // candidates come from the partitioned codes table; nothing retrains
+    // or rescans the raw fixture — AnnIndexSpec pins it). Row-for-row
+    // equal to the inline-trained q144, judged by the same oracle:
+    // train→persist→read→ADC-serve composes exactly.
+    "q269_ivfpq_index_search" -> { (s, dir) =>
+      val idx = ensurePqIndex(s, dir)
+      val cent = s.read.parquet(s"$idx/centroids").orderBy("cluster").collect()
+        .map(r => r.getSeq[Double](r.fieldIndex("cv")).toIndexedSeq).toIndexedSeq
+      val cbRows = s.read.parquet(s"$idx/rpq_codebooks").orderBy("m", "k").collect()
+      val cb = (0 until PqM).map(m => cbRows.filter(_.getInt(0) == m)
+        .map(r => r.getSeq[Double](r.fieldIndex("cv")).toIndexedSeq).toIndexedSeq)
+      val enc = s.read.parquet(s"$idx/rpq_codes")
+      ivfPqResidualServe(cent, cb, enc).orderBy("qid", "rank")
     })
 
   /** DuckDB vector CTE with the same fold order as the Spark aggregates. */
@@ -1359,6 +1438,63 @@ object Vectors {
         |QUALIFY rank <= 3
         |ORDER BY qid, rank""".stripMargin)
 
+  /** Shared by q144 (inline-trained) and q269 (persisted-index) residual
+    * IVFPQ serves — both must produce THIS re-derivation's rows.
+    */
+  private def ivfPqResidualOracleSql: String = sub(s"""WITH --VEC--,
+        |--KM--,
+        |$RsdCte,
+        |${RPqCte(0)},
+        |${RPqCte(1)},
+        |${RPqCte(2)},
+        |${RPqCte(3)},
+        |${(0 until PqM).map(m =>
+            s"""qvm$m AS (
+               | SELECT vec_id, list_transform(range(1, ${PqDims + 1}), j -> v[${m * PqDims} + j]) AS vm
+               | FROM n WHERE vec_id < 5)""".stripMargin).mkString(",\n")},
+        |cdq AS (
+        | SELECT m.vec_id AS qid, c.cluster,
+        |  ${kmDotSql("m.v", "c.cv")} AS celldot,
+        |  ${kmDotSql("m.v", "c.cv")} - 0.5 * ${kmDotSql("c.cv", "c.cv")} AS score
+        | FROM n m CROSS JOIN c$KmIters c WHERE m.vec_id < 5),
+        |pr AS (
+        | SELECT qid, cluster, celldot FROM (
+        |  SELECT qid, cluster, celldot,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cluster) AS rn
+        |  FROM cdq) WHERE rn <= 2),
+        |cand AS (
+        | SELECT p.qid, p.celldot, a.vec_id AS cid, a.cluster
+        | FROM af a JOIN pr p ON a.cluster = p.cluster AND a.vec_id <> p.qid),
+        |sc AS (
+        | SELECT c.qid, c.cid, c.cluster,
+        |  c.celldot + (((${pqDotSql("q0.vm", "k0.cv")} +
+        |    ${pqDotSql("q1.vm", "k1.cv")}) +
+        |    ${pqDotSql("q2.vm", "k2.cv")}) +
+        |    ${pqDotSql("q3.vm", "k3.cv")}) AS score
+        | FROM cand c
+        | JOIN rafpq0 a0 ON a0.vec_id = c.cid JOIN rafpq1 a1 ON a1.vec_id = c.cid
+        | JOIN rafpq2 a2 ON a2.vec_id = c.cid JOIN rafpq3 a3 ON a3.vec_id = c.cid
+        | JOIN rcpq0_$PqIters k0 ON k0.cluster = a0.cluster
+        | JOIN rcpq1_$PqIters k1 ON k1.cluster = a1.cluster
+        | JOIN rcpq2_$PqIters k2 ON k2.cluster = a2.cluster
+        | JOIN rcpq3_$PqIters k3 ON k3.cluster = a3.cluster
+        | JOIN qvm0 q0 ON q0.vec_id = c.qid JOIN qvm1 q1 ON q1.vec_id = c.qid
+        | JOIN qvm2 q2 ON q2.vec_id = c.qid JOIN qvm3 q3 ON q3.vec_id = c.qid),
+        |sl AS (
+        | SELECT qid, cid, cluster FROM (SELECT qid, cid, cluster,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM sc)
+        | WHERE rn <= $IvfPqShortlist),
+        |rr AS (
+        | SELECT s.qid, s.cid, s.cluster,
+        |  ${kmDotSql("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
+        | FROM sl s JOIN n a ON a.vec_id = s.qid JOIN n b ON b.vec_id = s.cid)
+        |SELECT qid,
+        | CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rank,
+        | cid, CAST(cluster AS INTEGER) AS cell, cos
+        |FROM rr
+        |QUALIFY rank <= 3
+        |ORDER BY qid, rank""".stripMargin)
+
   val oracles: Seq[(String, String)] = Seq(
     "q130_trained_ivf_search" -> ivfServeOracleSql,
 
@@ -1533,59 +1669,34 @@ object Vectors {
         |FROM per p CROSS JOIN tot t
         |ORDER BY p.cluster""".stripMargin),
 
-    "q144_ivfpq_residual_search" -> sub(s"""WITH --VEC--,
+    "q144_ivfpq_residual_search" -> ivfPqResidualOracleSql,
+
+    // persisted-artifact serve == inline-trained serve, same re-derivation
+    "q269_ivfpq_index_search" -> ivfPqResidualOracleSql,
+
+    "q268_ivfpq_index_build" -> sub(s"""WITH --VEC--,
         |--KM--,
         |$RsdCte,
         |${RPqCte(0)},
         |${RPqCte(1)},
         |${RPqCte(2)},
         |${RPqCte(3)},
-        |${(0 until PqM).map(m =>
-            s"""qvm$m AS (
-               | SELECT vec_id, list_transform(range(1, ${PqDims + 1}), j -> v[${m * PqDims} + j]) AS vm
-               | FROM n WHERE vec_id < 5)""".stripMargin).mkString(",\n")},
-        |cdq AS (
-        | SELECT m.vec_id AS qid, c.cluster,
-        |  ${kmDotSql("m.v", "c.cv")} AS celldot,
-        |  ${kmDotSql("m.v", "c.cv")} - 0.5 * ${kmDotSql("c.cv", "c.cv")} AS score
-        | FROM n m CROSS JOIN c$KmIters c WHERE m.vec_id < 5),
-        |pr AS (
-        | SELECT qid, cluster, celldot FROM (
-        |  SELECT qid, cluster, celldot,
-        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cluster) AS rn
-        |  FROM cdq) WHERE rn <= 2),
-        |cand AS (
-        | SELECT p.qid, p.celldot, a.vec_id AS cid, a.cluster
-        | FROM af a JOIN pr p ON a.cluster = p.cluster AND a.vec_id <> p.qid),
-        |sc AS (
-        | SELECT c.qid, c.cid, c.cluster,
-        |  c.celldot + (((${pqDotSql("q0.vm", "k0.cv")} +
-        |    ${pqDotSql("q1.vm", "k1.cv")}) +
-        |    ${pqDotSql("q2.vm", "k2.cv")}) +
-        |    ${pqDotSql("q3.vm", "k3.cv")}) AS score
-        | FROM cand c
-        | JOIN rafpq0 a0 ON a0.vec_id = c.cid JOIN rafpq1 a1 ON a1.vec_id = c.cid
-        | JOIN rafpq2 a2 ON a2.vec_id = c.cid JOIN rafpq3 a3 ON a3.vec_id = c.cid
-        | JOIN rcpq0_$PqIters k0 ON k0.cluster = a0.cluster
-        | JOIN rcpq1_$PqIters k1 ON k1.cluster = a1.cluster
-        | JOIN rcpq2_$PqIters k2 ON k2.cluster = a2.cluster
-        | JOIN rcpq3_$PqIters k3 ON k3.cluster = a3.cluster
-        | JOIN qvm0 q0 ON q0.vec_id = c.qid JOIN qvm1 q1 ON q1.vec_id = c.qid
-        | JOIN qvm2 q2 ON q2.vec_id = c.qid JOIN qvm3 q3 ON q3.vec_id = c.qid),
-        |sl AS (
-        | SELECT qid, cid, cluster FROM (SELECT qid, cid, cluster,
-        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM sc)
-        | WHERE rn <= $IvfPqShortlist),
-        |rr AS (
-        | SELECT s.qid, s.cid, s.cluster,
-        |  ${kmDotSql("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
-        | FROM sl s JOIN n a ON a.vec_id = s.qid JOIN n b ON b.vec_id = s.cid)
-        |SELECT qid,
-        | CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rank,
-        | cid, CAST(cluster AS INTEGER) AS cell, cos
-        |FROM rr
-        |QUALIFY rank <= 3
-        |ORDER BY qid, rank""".stripMargin),
+        |enc AS (
+        | SELECT 0 AS m, cluster AS code FROM rafpq0
+        | UNION ALL SELECT 1, cluster FROM rafpq1
+        | UNION ALL SELECT 2, cluster FROM rafpq2
+        | UNION ALL SELECT 3, cluster FROM rafpq3),
+        |hist AS (SELECT m, code, count(*) AS n FROM enc GROUP BY 1, 2),
+        |cbs AS (
+        | SELECT 0 AS m, cluster AS k, cv FROM rcpq0_$PqIters
+        | UNION ALL SELECT 1, cluster, cv FROM rcpq1_$PqIters
+        | UNION ALL SELECT 2, cluster, cv FROM rcpq2_$PqIters
+        | UNION ALL SELECT 3, cluster, cv FROM rcpq3_$PqIters)
+        |SELECT CAST(c.m AS INTEGER) AS m, CAST(c.k AS INTEGER) AS k,
+        | round(list_reduce(list_prepend(CAST(0 AS DOUBLE), c.cv), (a, x) -> a + x), 6) AS cw_sum,
+        | CAST(coalesce(h.n, 0) AS BIGINT) AS n_vectors
+        |FROM cbs c LEFT JOIN hist h ON h.m = c.m AND h.code = c.k
+        |ORDER BY m, k""".stripMargin),
 
     "q145_ivfpq_residual_recall" -> sub(s"""WITH --VEC--,
         |--KM--,

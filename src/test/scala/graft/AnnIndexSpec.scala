@@ -35,6 +35,27 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(fromIndex == inline)
   }
 
+  test("IVFPQ probe plan touches ONLY the persisted index tables") {
+    SparkEntry.queries("q268_ivfpq_index_build")(spark, dir).collect()
+    val df = SparkEntry.queries("q269_ivfpq_index_search")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val locations = p.linesIterator.filter(_.contains("Location:")).toSeq
+    assert(locations.nonEmpty, s"no file scans in IVFPQ probe plan:\n${p.take(2000)}")
+    locations.foreach { l =>
+      assert(l.contains("graft_ivf_index"), s"IVFPQ probe scans a non-index table: $l")
+    }
+    assert(!p.contains("embeddings.parquet"),
+      "IVFPQ probe plan rescans the raw embeddings fixture")
+  }
+
+  test("persisted IVFPQ search == inline-trained q144 search, row for row") {
+    val fromIndex = SparkEntry.queries("q269_ivfpq_index_search")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val inline = SparkEntry.queries("q144_ivfpq_residual_search")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(fromIndex == inline)
+  }
+
   test("codes table is partitioned by cluster (cell-pruned probes read a file subset)") {
     SparkEntry.queries("q262_ivf_index_build")(spark, dir).collect()
     val idx = queries.Vectors.ivfIndexDir(dir)
