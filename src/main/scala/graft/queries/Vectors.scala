@@ -1218,6 +1218,56 @@ object Vectors {
         .map(r => r.getSeq[Double](r.fieldIndex("cv")).toIndexedSeq).toIndexedSeq)
       val enc = s.read.parquet(s"$idx/rpq_codes")
       ivfPqResidualServe(cent, cb, enc).orderBy("qid", "rank")
+    },
+
+    // Persisted index lifecycle, half 3 — INCREMENTAL APPEND under FROZEN
+    // artifacts, the online half of every real ANN deployment: quantizers
+    // retrain offline, arriving vectors encode with the CURRENT codebook
+    // and land as appended partition files (no retrain, no rebuild — the
+    // steady-state cost is O(delta), the q99/q186 discipline applied to
+    // the index store). Train on the base subset only (every 5th vec_id
+    // held out as the arriving delta), write base codes, APPEND the
+    // delta encoded under the same frozen centroids, then serve the probe
+    // from the MERGED store — delta members are retrievable immediately
+    // (is_delta judged per result row). The oracle re-derives the frozen
+    // training on the base subset and assigns the full corpus under it.
+    "q270_ivf_index_append" -> { (s, dir) =>
+      val all = vecs(s, dir)
+      val base = all.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val delta = all.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val centB = graft.operators.KMeans.fit(base, kmInit, KmIters)
+      val idx = ivfIndexDir(dir) + "_incr"
+      base.withColumn("cluster", graft.operators.KMeans.assignColumn(centB, "v"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$idx/codes")
+      delta.withColumn("cluster", graft.operators.KMeans.assignColumn(centB, "v"))
+        .write.mode("append").partitionBy("cluster").parquet(s"$idx/codes")
+      val enc = s.read.parquet(s"$idx/codes")
+      val qs = enc.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("va"), col("nsq").as("na"))
+      val cellScores = centB.zipWithIndex.map { case (c, i) =>
+        struct(lit(i + 1).as("cell"),
+          (call_function("array_dot", col("va"), array(c.map(lit): _*)) -
+            lit(0.5 * graft.operators.KMeans.sqNorm(c))).as("score"))
+      }
+      val pw = Window.partitionBy("qid").orderBy(col("score").desc, col("cluster"))
+      val probes = qs
+        .select(col("qid"), col("va"), col("na"), explode(array(cellScores: _*)).as("sc"))
+        .select(col("qid"), col("va"), col("na"),
+          col("sc.cell").as("cluster"), col("sc.score").as("score"))
+        .withColumn("rn", row_number().over(pw)).filter(col("rn") <= 2)
+        .select("qid", "va", "na", "cluster")
+      val c = enc.select(col("vec_id").as("cid"), col("v").as("vb"),
+        col("nsq").as("nb"), col("cluster"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      c.join(broadcast(probes), Seq("cluster"))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("cos", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("cid"),
+          col("cluster").cast("int").as("cluster"), col("cos"),
+          (pmod(col("cid"), lit(5)) === 0).as("is_delta"))
+        .orderBy("qid", "rank")
     })
 
   /** DuckDB vector CTE with the same fold order as the Spark aggregates. */
@@ -1368,12 +1418,20 @@ object Vectors {
     * row_number ORDER BY score DESC, cluster == array_position's
     * first-maximal index (ties to the lowest cluster id).
     */
-  private def KmCte: String = {
-    def assign(name: String, prev: String) =
+  private def KmCte: String = kmCteGen("n", "n")
+
+  /** Generalized [[KmCte]]: the Lloyd training chain runs over
+    * `trainSrc`, the final `af` assignment over `serveSrc` — equal for
+    * the inline-trained family; the incremental-append oracle (q270)
+    * trains on the base subset and assigns the FULL corpus under the
+    * frozen result.
+    */
+  private def kmCteGen(trainSrc: String, serveSrc: String): String = {
+    def assign(name: String, prev: String, src: String) =
       s"""s_$name AS (
          | SELECT m.vec_id, m.v, m.nsq, c.cluster,
          |  ${kmDotSql("m.v", "c.cv")} - 0.5 * ${kmDotSql("c.cv", "c.cv")} AS score
-         | FROM n m CROSS JOIN $prev c),
+         | FROM $src m CROSS JOIN $prev c),
          |$name AS (
          | SELECT vec_id, v, nsq, cluster FROM (
          |  SELECT vec_id, v, nsq, cluster,
@@ -1396,8 +1454,9 @@ object Vectors {
          |  list_transform(range(0, 64), d -> CAST(CAST(('0x' || substr(md5('km:' || CAST(k AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 - 500 AS DOUBLE) / 1000) AS cv
          | FROM range(0, $KmK) t(k))""".stripMargin
     (Seq(init)
-      ++ (1 to KmIters).flatMap(i => Seq(assign(s"a$i", s"c${i - 1}"), update(i)))
-      ++ Seq(assign("af", s"c$KmIters"))).mkString(",\n")
+      ++ (1 to KmIters).flatMap(i =>
+        Seq(assign(s"a$i", s"c${i - 1}", trainSrc), update(i)))
+      ++ Seq(assign("af", s"c$KmIters", serveSrc))).mkString(",\n")
   }
 
   /** DuckDB re-derivation of the hyperplane matrix + bucket id. */
@@ -2126,5 +2185,29 @@ object Vectors {
         |FROM c$KmIters c LEFT JOIN cnt t USING (cluster)
         |ORDER BY cluster""".stripMargin),
 
-    "q263_ivf_index_search" -> ivfServeOracleSql)
+    "q263_ivf_index_search" -> ivfServeOracleSql,
+
+    "q270_ivf_index_append" -> sub(s"""WITH --VEC--,
+        |nb AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+        |${kmCteGen("nb", "n")},
+        |ps AS (
+        | SELECT m.vec_id AS qid, m.v, m.nsq, c.cluster,
+        |  ${kmDotSql("m.v", "c.cv")} - 0.5 * ${kmDotSql("c.cv", "c.cv")} AS score
+        | FROM n m CROSS JOIN c$KmIters c WHERE m.vec_id < 5),
+        |pr AS (
+        | SELECT qid, v, nsq, cluster FROM (
+        |  SELECT qid, v, nsq, cluster,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cluster) AS rn
+        |  FROM ps) WHERE rn <= 2),
+        |scored AS (
+        | SELECT p.qid, a.vec_id AS cid, a.cluster,
+        |  ${kmDotSql("p.v", "a.v")} / (sqrt(p.nsq) * sqrt(a.nsq)) AS cos
+        | FROM af a JOIN pr p ON a.cluster = p.cluster AND a.vec_id <> p.qid)
+        |SELECT qid,
+        | CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rank,
+        | cid, CAST(cluster AS INTEGER) AS cluster, cos,
+        | (cid % 5 = 0) AS is_delta
+        |FROM scored
+        |QUALIFY rank <= 3
+        |ORDER BY qid, rank""".stripMargin))
 }
