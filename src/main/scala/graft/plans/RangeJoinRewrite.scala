@@ -80,11 +80,17 @@ object RangeJoinRewrite {
               val bucketAlias = Alias(IntegralDivide(t, Literal(w)), "__rj_bucket")()
               val gAttr = AttributeReference("__rj_b", LongType, nullable = true)()
               // Sequence is TimeZoneAware even over Longs — without an
-              // explicit zone the post-analysis plan counts as unresolved
-              val seq = new Sequence(
-                IntegralDivide(lo, Literal(w)),
-                IntegralDivide(Subtract(hi, Literal(1L)), Literal(w)),
-                Some(Literal(1L))).withTimeZone(conf.sessionLocalTimeZone)
+              // explicit zone the post-analysis plan counts as unresolved.
+              // Empty/degenerate intervals (hi <= lo) must yield zero
+              // buckets, not a Sequence boundary error the naive join
+              // never raised — hence the If guard.
+              val seq = If(GreaterThan(hi, lo),
+                new Sequence(
+                  IntegralDivide(lo, Literal(w)),
+                  IntegralDivide(Subtract(hi, Literal(1L)), Literal(w)),
+                  Some(Literal(1L))).withTimeZone(conf.sessionLocalTimeZone),
+                Literal.create(Seq.empty[Long],
+                  org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
               def pointProj(p: LogicalPlan) = Project(p.output :+ bucketAlias, p)
               def boundGen(p: LogicalPlan) =
                 Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,

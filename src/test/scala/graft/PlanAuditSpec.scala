@@ -272,6 +272,20 @@ class PlanAuditSpec extends AnyFunSuite {
       ev3.join(wins3, col("t") >= col("ws") && col("t") < col("we")).count())
   }
 
+  test("q267 rule: an empty interval yields zero rows, not a Sequence boundary error") {
+    val s2 = spark.newSession()
+    graft.plans.RangeJoinRewrite.ensure(s2)
+    s2.conf.set(graft.plans.RangeJoinRewrite.WidthKey, "10")
+    import s2.implicits._
+    val pts = Seq(5L, 15L, 25L).toDF("t")
+    val iv = Seq((20L, 30L), (40L, 40L), (50L, 45L)).toDF("ws", "we") // two degenerate
+    import org.apache.spark.sql.functions.col
+    val j = pts.join(iv, col("t") >= col("ws") && col("t") < col("we"))
+    assert(j.queryExecution.executedPlan.toString.contains("__rj_b"),
+      "rewrite did not fire on the literal-frame range join")
+    assert(j.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((25L, 20L)))
+  }
+
   test("no judged query plans a CartesianProduct") {
     // q45 intentionally uses BroadcastNestedLoopJoin with a 5-row build
     // side (exact brute-force baseline); cartesian (unbroadcast NLJ over
