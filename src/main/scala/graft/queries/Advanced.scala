@@ -1048,12 +1048,7 @@ object Advanced {
         .withColumn("est_cents", expr("shiftleft(cast(64 + sub as bigint), cast(e - 6 as int))"))
         .withColumn("ub_cents", expr(
           "est_cents + shiftleft(cast(1 as bigint), cast(e - 6 as int)) - 1"))
-      val cents = hdrCents(s, dir)
-      val vc0 = cents.groupBy("flag", "c").agg(count(lit(1)).as("vn"))
-      val vals = vc0.unionByName(
-          vc0.groupBy("c").agg(sum("vn").as("vn")).withColumn("flag", lit("ALL"))
-            .select("flag", "c", "vn"))
-        .withColumn("vcum", sum("vn").over(Window.partitionBy("flag").orderBy("c")))
+      val vals = hdrExactCum(s, dir)
       val exact = vals.join(tgt.select("flag", "pct", "r"), Seq("flag"))
         .filter(col("vcum") >= col("r"))
         .groupBy("flag", "pct").agg(min("c").as("exact_cents"))
@@ -1129,19 +1124,37 @@ object Advanced {
       expr("cast(floor(l_extendedprice * cast(100 as double) + cast(0.5 as double)) as bigint)")
         .as("c"))
 
+  /** q265's exact-witness side: cumulative counts over the DISTINCT price
+    * domain per flag (+ merged ALL) — the certificate recomputation, not
+    * the sketch; memoized because it is the serve query's dominant cost
+    * and is stable per (session, fixture).
+    */
+  private def hdrExactCum(s: SparkSession, dir: String): DataFrame =
+    Memo.memoized("hdr_exact_cum", s, dir) {
+      val vc0 = hdrCents(s, dir).groupBy("flag", "c").agg(count(lit(1)).as("vn"))
+      vc0.unionByName(
+          vc0.groupBy("c").agg(sum("vn").as("vn")).withColumn("flag", lit("ALL"))
+            .select("flag", "c", "vn"))
+        .withColumn("vcum", sum("vn").over(Window.partitionBy("flag").orderBy("c")))
+    }
+
   /** HDR registers per flag PLUS the 'ALL' level merged FROM the per-flag
     * registers (bucket-wise sum — mergeability in-plan, never a rescan).
     * id = (bitlength(c)-1)*64 + ((c >> (bitlength(c)-7)) & 63).
+    * Memoized: q264 (register dump) and q265 (serve + exact witness) both
+    * read it, and the sketch is a few hundred rows — the raw scan pays
+    * once per (session, fixture).
     */
-  private def hdrRegs(s: SparkSession, dir: String): DataFrame = {
-    val b = hdrCents(s, dir)
-      .withColumn("e", expr("length(bin(c)) - 1"))
-      .withColumn("id", expr("e * 64 + (shiftright(c, cast(e - 6 as int)) & 63)"))
-    val perFlag = b.groupBy("flag", "id").agg(count(lit(1)).as("cnt"))
-    perFlag.unionByName(
-      perFlag.groupBy("id").agg(sum("cnt").as("cnt")).withColumn("flag", lit("ALL"))
-        .select("flag", "id", "cnt"))
-  }
+  private def hdrRegs(s: SparkSession, dir: String): DataFrame =
+    Memo.memoized("hdr_regs", s, dir) {
+      val b = hdrCents(s, dir)
+        .withColumn("e", expr("length(bin(c)) - 1"))
+        .withColumn("id", expr("e * 64 + (shiftright(c, cast(e - 6 as int)) & 63)"))
+      val perFlag = b.groupBy("flag", "id").agg(count(lit(1)).as("cnt"))
+      perFlag.unionByName(
+        perFlag.groupBy("id").agg(sum("cnt").as("cnt")).withColumn("flag", lit("ALL"))
+          .select("flag", "id", "cnt"))
+    }
 
   /** Unrolled temporal-relaxation rounds for the q233 oracle (requires
     * `et` (name, dep, t) and `a0` in scope) — same min-fold shape as the
