@@ -1060,6 +1060,45 @@ object Advanced {
         .orderBy("flag", "pct")
     },
 
+    // Sketch-driven JOIN-SIZE ESTIMATION — the optimizer-statistics use
+    // of mergeable sketches (what a CBO keeps per column instead of
+    // scanning): per-side deterministic HLLs over the join key, the UNION
+    // sketch formed by ELEMENT-WISE MAX of the two register arrays (the
+    // merge happening in-plan, never a rescan), and the intersection via
+    // inclusion–exclusion |A∩B| = |A|+|B|−|A∪B| — all in q230's pure
+    // integer estimator, so every estimate is hash-verified beside its
+    // exact witness and err_ppm. The sides are orders' customers vs the
+    // positive-balance customer list: a proper-subset overlap, so the
+    // estimate has something real to estimate.
+    // Scale notes (100 TB): per-column sketch state is 64 bytes; the
+    // estimate needs NO scan of either table once sketches exist — the
+    // point of keeping them as catalog statistics.
+    "q271_sketch_join_stats" -> { (s, dir) =>
+      val hll = udaf(new graft.functions.HllSketch())
+      val a = Tables.orders(s, dir)
+        .agg(hll(col("o_custkey").cast("string")).as("ra"),
+          countDistinct("o_custkey").as("exact_a"))
+      val b = Tables.customer(s, dir).filter(col("c_acctbal") > 0)
+        .agg(hll(col("c_custkey").cast("string")).as("rb"),
+          countDistinct("c_custkey").as("exact_b"))
+      val exactI = Tables.orders(s, dir).select(col("o_custkey").as("k")).distinct()
+        .join(Tables.customer(s, dir).filter(col("c_acctbal") > 0)
+          .select(col("c_custkey").as("k")), "k")
+        .agg(count(lit(1)).as("exact_intersect"))
+      def est(regs: String) = expr(
+        s"cast(($HllEstNum) div (650790 * cast(aggregate($regs, cast(0 as bigint), " +
+          s"(a, r) -> a + shiftleft(cast(1 as bigint), cast(55 - r as int))) as decimal(38,0))) as bigint)")
+      a.crossJoin(b).crossJoin(broadcast(exactI))
+        .withColumn("ru", expr("zip_with(ra, rb, (x, y) -> greatest(x, y))"))
+        .select(est("ra").as("est_a"), col("exact_a"),
+          est("rb").as("est_b"), col("exact_b"),
+          est("ru").as("est_union"),
+          (est("ra") + est("rb") - est("ru")).as("est_intersect"),
+          col("exact_intersect"))
+        .withColumn("err_ppm", expr(
+          "((est_intersect - exact_intersect) * 1000000 + 1000000000 * exact_intersect) div exact_intersect - 1000000000"))
+    },
+
     // Dynamic partition pruning JUDGED — at 100 TB partition pruning is
     // the first lever, before any join optimization, and until now it was
     // only spec-pinned (PartitionPruningSpec). The query writes the event
@@ -1992,6 +2031,50 @@ object Advanced {
         | CAST(cnt AS BIGINT) AS cnt
         |FROM regs
         |ORDER BY flag, id""".stripMargin,
+
+    "q271_sketch_join_stats" ->
+      s"""WITH ha AS (
+        | SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        | FROM orders),
+        |hb AS (
+        | SELECT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        | FROM customer WHERE c_acctbal > 0),
+        |ra0 AS (SELECT h // $HllSplit AS bucket,
+        |  CASE WHEN h % $HllSplit = 0 THEN 55
+        |       ELSE 55 - length(ltrim(bin(h % $HllSplit), '0')) END AS rho FROM ha),
+        |ra AS (SELECT bucket, max(rho) AS reg FROM ra0 GROUP BY 1),
+        |rb0 AS (SELECT h // $HllSplit AS bucket,
+        |  CASE WHEN h % $HllSplit = 0 THEN 55
+        |       ELSE 55 - length(ltrim(bin(h % $HllSplit), '0')) END AS rho FROM hb),
+        |rb AS (SELECT bucket, max(rho) AS reg FROM rb0 GROUP BY 1),
+        |fa AS (
+        | SELECT g.b, coalesce(ra.reg, 0) AS rega, coalesce(rb.reg, 0) AS regb
+        | FROM range(0, 64) g(b)
+        | LEFT JOIN ra ON ra.bucket = g.b LEFT JOIN rb ON rb.bucket = g.b),
+        |ag AS (SELECT
+        |  CAST(sum(1::BIGINT << CAST(55 - rega AS INTEGER)) AS BIGINT) AS sa,
+        |  CAST(sum(1::BIGINT << CAST(55 - regb AS INTEGER)) AS BIGINT) AS sb,
+        |  CAST(sum(1::BIGINT << CAST(55 - greatest(rega, regb) AS INTEGER)) AS BIGINT) AS su
+        | FROM fa),
+        |est AS (SELECT
+        |  CAST((1890844672::HUGEINT * 36028797018963968::HUGEINT) // (650790::HUGEINT * sa) AS BIGINT) AS est_a,
+        |  CAST((1890844672::HUGEINT * 36028797018963968::HUGEINT) // (650790::HUGEINT * sb) AS BIGINT) AS est_b,
+        |  CAST((1890844672::HUGEINT * 36028797018963968::HUGEINT) // (650790::HUGEINT * su) AS BIGINT) AS est_union
+        | FROM ag),
+        |exa AS (SELECT count(DISTINCT o_custkey) AS exact_a FROM orders),
+        |exb AS (SELECT count(DISTINCT c_custkey) AS exact_b FROM customer WHERE c_acctbal > 0),
+        |exi AS (
+        | SELECT count(*) AS exact_intersect
+        | FROM (SELECT DISTINCT o_custkey FROM orders) o
+        | JOIN (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 0) c
+        |   ON c.c_custkey = o.o_custkey)
+        |SELECT e.est_a, CAST(exa.exact_a AS BIGINT) AS exact_a,
+        | e.est_b, CAST(exb.exact_b AS BIGINT) AS exact_b,
+        | e.est_union, e.est_a + e.est_b - e.est_union AS est_intersect,
+        | CAST(exi.exact_intersect AS BIGINT) AS exact_intersect,
+        | CAST(((e.est_a + e.est_b - e.est_union - exi.exact_intersect) * 1000000
+        |   + 1000000000 * exi.exact_intersect) // exi.exact_intersect - 1000000000 AS BIGINT) AS err_ppm
+        |FROM est e, exa, exb, exi""".stripMargin,
 
     "q266_partitioned_dpp_join" ->
       """WITH ev AS (
