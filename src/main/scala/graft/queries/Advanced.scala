@@ -1088,7 +1088,7 @@ object Advanced {
       def est(regs: String) = expr(
         s"cast(($HllEstNum) div (650790 * cast(aggregate($regs, cast(0 as bigint), " +
           s"(a, r) -> a + shiftleft(cast(1 as bigint), cast(55 - r as int))) as decimal(38,0))) as bigint)")
-      a.crossJoin(b).crossJoin(broadcast(exactI))
+      a.crossJoin(broadcast(b)).crossJoin(broadcast(exactI))
         .withColumn("ru", expr("zip_with(ra, rb, (x, y) -> greatest(x, y))"))
         .select(est("ra").as("est_a"), col("exact_a"),
           est("rb").as("est_b"), col("exact_b"),
