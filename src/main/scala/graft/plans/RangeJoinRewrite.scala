@@ -32,6 +32,12 @@ import org.apache.spark.sql.types.LongType
   * Bails (leaves the join untouched) when: any cross-side equality
   * already exists (Catalyst handles it), the bound/point types are not
   * LongType, or the join is not INNER.
+  *
+  * Operational caveat: each interval row explodes to ceil(span/W)
+  * buckets — a width far below the typical interval length multiplies
+  * the interval side by that factor (and Catalyst's Sequence caps array
+  * sizes). Pick W within an order of magnitude of the median span; the
+  * residual predicates keep ANY positive W correct.
   */
 object RangeJoinRewrite {
   val WidthKey = "spark.graft.rangeJoin.bucketWidth"
