@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON out of the LAST 2000 chars of
+// the sbt output (VERDICT r10 item 7). Two things used to push it off the
+// final line: sbt's "[info] " relay prefix on forked stdout and the
+// trailing "[success] Total time" banner. StdoutOutput passes the forked
+// process's stdout through verbatim; showSuccess drops the banner — so
+// the bench JSON is the genuine final stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -15,6 +15,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietBoundedWindowWarnings()
+    // per-round stat capture is opt-in (ADVICE r10: Verify/Serve/test JVMs
+    // must not accumulate an undrained log) — Bench is the one drainer
+    graft.operators.Iterate.setRecording(true)
     // JIT/codegen warmup on the tiny tier (different dir — no data-cache
     // effect on the measured sf): steady-state numbers, not JVM boot cost.
     val warm = "/root/testdata/sf0.001"
@@ -86,7 +90,9 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_rounds.json"),
       s"""{"sf":"$sfDir","unit":"sec","rounds":$roundsJson}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"pass1_total":${f3(t1)},"pass2_total":${f3(t2)},"pass3_total":${f3(t3)},"queries":$qs,"queries_note":"top-25 by time; full map in bench_passes.json","sf":"$sfDir"}""")
+    // stop BEFORE the JSON line: the driver parses the tail's final line,
+    // and session shutdown must not append anything after it
     spark.stop()
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"pass1_total":${f3(t1)},"pass2_total":${f3(t2)},"pass3_total":${f3(t3)},"queries":$qs,"queries_note":"top-25 by time; full map in bench_passes.json","sf":"$sfDir"}""")
   }
 }

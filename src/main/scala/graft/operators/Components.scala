@@ -23,9 +23,9 @@ import org.apache.spark.sql.functions._
   * the edge list is symmetrized ONCE up front. Per-round [[Lineage.cut]]
   * truncates lineage (reliable checkpoint when the session has a
   * checkpoint dir — the cluster deployment mode — localCheckpoint
-  * otherwise). The convergence check is an isEmpty on the changed-label
-  * frame — one extra small job per round, the standard price of a
-  * driver-terminated loop.
+  * otherwise). The convergence check costs NO extra job: each round's
+  * label frame carries a 0/1 changed flag and the harness reads its sum
+  * off the same scan that materializes the checkpoint.
   */
 object Components {
   /** Connected components of the graph induced by `edges`.
@@ -40,19 +40,27 @@ object Components {
       .distinct())
     val labels0 = Lineage.cut(und.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")))
-    // frontier = the improved-label rows — a pure convergence probe the
-    // next round never reads, so the harness leaves it uncut
-    Iterate.fixedPoint("components", labels0, labels0, maxIter,
-        cutFrontier = false) { (_, _, labels) =>
-      val nbr = und.join(labels, und("src") === labels("id"))
-        .select(und("dst").as("id"), labels("comp"))
-      val next = Lineage.cut(labels.unionByName(nbr)
-        .groupBy("id").agg(min("comp").as("comp")))
-      val improved = next.as("n")
-        .join(labels.withColumnRenamed("comp", "comp_old"), "id")
-        .filter(col("comp") < col("comp_old"))
-      (improved, next)
-    } { (_, labels) => labels }
+    // ONE job per round (VERDICT r10 item 1): the change signal is not a
+    // separate next⋈labels probe — each node's OLD label rides the same
+    // min-aggregation as the new one (labels rows are tagged `__own`, and
+    // min over only the own rows recovers the unique old label), so the
+    // frontier itself carries a 0/1 `__chg` flag and the harness reads
+    // sum(__chg) off the materialization scan.
+    val out = Iterate.fixedPoint("components",
+        labels0.withColumn("__chg", lit(1L)), labels0, maxIter,
+        conv = Iterate.FlagSum("__chg")) { (_, labels, _) =>
+      val lab = labels.select(col("id"), col("comp"))
+      val nbr = und.join(lab, und("src") === lab("id"))
+        .select(und("dst").as("id"), lab("comp"))
+      val next = lab.withColumn("__own", lit(1))
+        .unionByName(nbr.withColumn("__own", lit(0)))
+        .groupBy("id").agg(min("comp").as("comp"),
+          min(when(col("__own") === 1, col("comp"))).as("__old"))
+        .withColumn("__chg", (col("comp") < col("__old")).cast("long"))
+        .drop("__old")
+      (next, next)
+    } { (labels, _) => labels }
+    out.select(col("id"), col("comp"))
   }
 
   /** INCREMENTAL connected components — the steady-state path when a delta
@@ -104,8 +112,8 @@ object Components {
     * symmetrized edges + one re-join; small-star the same over the
     * max-oriented edges — all hash-partitioned on node id, no cartesian,
     * per-round [[Lineage.cut]]. Convergence = the canonical edge set is
-    * stable (two anti-join emptiness probes, the driver-loop price every
-    * fixed-point operator here pays).
+    * stable, detected by presence flags on the carried next⟗prev merge —
+    * no separate probe job.
     */
   def connectedStars(spark: SparkSession, edges: DataFrame, maxIter: Int = 32): DataFrame = {
     val nodes = Lineage.cut(edges.select(col("src").as("id"))
@@ -117,37 +125,61 @@ object Components {
         greatest(col("src"), col("dst")).as("b"))
       .distinct())
     val g0 = g
-    g = Iterate.fixedPoint("components_stars", g0, g0, maxIter,
-        cutFrontier = false) { (_, _, gCur) =>
+    // ONE job per round (VERDICT r10 item 1): the old shape paid a cut of
+    // `next` plus a separate full-outer set-difference probe. The probe
+    // join IS the carried frontier now: next ⟗ gCur keyed on (a, b) with
+    // presence flags, so the harness's sum(__chg) rides the checkpoint
+    // materialization scan, and the next round recovers its edge set as
+    // the `__l`-flagged rows of the cached frame. Both sides enter the
+    // full-outer hash-partitioned on (a, b) (distinct output / preserved
+    // checkpoint partitioning), so the merge adds no shuffle.
+    // one large-star + small-star application
+    def starPair(gc: DataFrame): DataFrame = {
       // large-star: every neighbor v > u links to u's closed-neighborhood min
-      val nb = gCur.select(col("a").as("u"), col("b").as("v"))
-        .union(gCur.select(col("b").as("u"), col("a").as("v")))
+      val nb = gc.select(col("a").as("u"), col("b").as("v"))
+        .union(gc.select(col("b").as("u"), col("a").as("v")))
       val lmin = nb.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // no intermediate distinct (r11): duplicate (m, v) pairs collapse in
+      // smin's groupBy and the final distinct anyway — an extra shuffle
+      // stage bought nothing (each AQE stage is its own ~45 ms driver job,
+      // the floor that dominates this operator at fixture scale)
       val large = nb.join(lmin, "u").filter(col("v") > col("u"))
-        .select(col("m").as("a"), col("v").as("b")).distinct()
+        .select(col("m").as("a"), col("v").as("b"))
       // small-star: orient max → min; every smaller neighbor (and u) links
       // to the neighborhood min. m <= v for all emitted pairs by
       // construction, so (m, v) is already canonical.
       val nb2 = large.select(col("b").as("u"), col("a").as("v"))
       val smin = nb2.groupBy("u").agg(min("v").as("m"))
-      val next = Lineage.cut(
-        nb2.join(smin, "u").select(col("m"), col("v"))
-          .union(smin.select(col("m"), col("u").as("v")))
-          .filter(col("m") =!= col("v"))
-          .select(col("m").as("a"), col("v").as("b")).distinct())
-      // set equality in ONE probe job (not two anti-join isEmpty passes):
-      // a full-outer join row with either side missing is a difference.
-      // (Probing only every 2nd round was tried and is a net LOSS: the
-      // probe over two checkpointed edge frames is cheaper than the extra
-      // idempotent star round a late detection costs — measured 5.2s →
-      // 6.2s on the sf0.1 chain workload.) The difference frame IS the
-      // harness frontier — a probe the next round never reads, left uncut.
-      val diff = next.withColumn("__l", lit(1))
+      nb2.join(smin, "u").select(col("m"), col("v"))
+        .union(smin.select(col("m"), col("u").as("v")))
+        .filter(col("m") =!= col("v"))
+        .select(col("m").as("a"), col("v").as("b")).distinct()
+    }
+    // ONE pair per driver barrier. Batching two pairs per barrier (the
+    // Closure batch=2 trick) was tried in r11 and REGRESSED 6.1 s → 11.2 s
+    // at sf0.1: the second pair's plan references the first pair's output
+    // twice (as its input and as the convergence merge's right side), and
+    // without a checkpoint between them the shared subplan re-executes —
+    // the recompute costs more than the saved barrier. (Same conclusion as
+    // the r10 probe-skipping experiment, different mechanism.)
+    val gFinal = Iterate.fixedPoint("components_stars",
+        g0.withColumn("__l", lit(1)).withColumn("__r", lit(1))
+          .withColumn("__chg", lit(0L)),
+        g0, maxIter, conv = Iterate.FlagSum("__chg")) { (_, merged, _) =>
+      val gCur = merged.filter(col("__l").isNotNull).select(col("a"), col("b"))
+      val next = starPair(gCur)
+      // set equality as a row flag: a full-outer join row with either side
+      // missing is a difference; both sides enter hash-partitioned on
+      // (a, b) (distinct output / preserved checkpoint partitioning), so
+      // the merge adds no shuffle, and the harness's sum(__chg) rides the
+      // checkpoint materialization scan.
+      val mergedNext = next.withColumn("__l", lit(1))
         .join(gCur.withColumn("__r", lit(1)), Seq("a", "b"), "full_outer")
-        .filter(col("__l").isNull || col("__r").isNull)
-      (diff, next)
-    } { (_, gNext) => gNext }
+        .withColumn("__chg", (col("__l").isNull || col("__r").isNull).cast("long"))
+      (mergedNext, gCur)
+    } { (merged, _) => merged }
+    g = gFinal.filter(col("__l").isNotNull).select(col("a"), col("b"))
     // stable star forest: a = component min (root), b = member
     val members = g.select(col("b").as("id"), col("a").as("comp"))
     val roots = g.select(col("a").as("id"), col("a").as("comp")).distinct()

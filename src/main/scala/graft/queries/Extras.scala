@@ -182,7 +182,7 @@ object Extras {
         .withColumn("e", expr("length(bin(c)) - 1"))
         .withColumn("id", expr("e * 64 + (shiftright(c, cast(e - 6 as int)) & 63)"))
       val regs = cents.groupBy("id").agg(count(lit(1)).as("cnt"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      val w = Window.orderBy("id")
       val cum = regs.withColumn("cum", sum("cnt").over(w))
       val tot = regs.agg(sum("cnt").as("n"))
       val tgt = tot.crossJoin(broadcast(Seq(50, 90, 99).toDF("pct")))
