@@ -1,18 +1,20 @@
 package graft.plans
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, max => fmax}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Bucketed range-join rewrite — the optimizer-rule form of q216's hand
   * rewrite (SURVEY §4.3 candidate): an INNER join whose only cross-side
-  * condition is a point-in-interval predicate (`lo <= t AND t < hi`, all
-  * LongType, non-negative domains — epoch micros, versions, offsets)
-  * plans as a nested-loop (or worse, a cartesian) because Catalyst finds
-  * no equi keys. The rule manufactures them: the point side gains
+  * condition is a point-in-interval predicate (`lo <= t AND t < hi`) plans
+  * as a nested-loop (or worse, a cartesian) because Catalyst finds no equi
+  * keys. The rule manufactures them: the point side gains
   * `bucket = t div W`, the interval side EXPLODES to the buckets its
   * `[lo, hi)` span covers, the join becomes an equi-join on bucket with
   * the ORIGINAL predicates kept as residual — result-identical by
@@ -22,25 +24,41 @@ import org.apache.spark.sql.types.LongType
   * Why it matters at 100 TB: a time-range join of two big relations is
   * the classic nested-loop trap — neither side broadcasts, so the naive
   * plan is quadratic. Bucketing turns it into one shuffle on bucket id
-  * with per-bucket work proportional to interval width / W. The width W
-  * comes from `spark.graft.rangeJoin.bucketWidth` (set it near the
-  * typical interval length; 0 disables the rule) — the knob Databricks'
-  * range-join hints expose, done here as a pure logical rewrite so
-  * Catalyst still picks the physical join (shuffled hash / sort-merge,
-  * or broadcast when one side is small).
+  * with per-bucket work proportional to interval width / W.
+  *
+  * Width selection (r11, VERDICT r10 item 2): when
+  * `spark.graft.rangeJoin.bucketWidth` is set (> 0) it is the base width —
+  * the knob Databricks' range-join hints expose. When UNSET, the rule
+  * derives W itself with one bounded planning-time probe over the
+  * interval side: W = median interval span (percentile_approx 0.5), the
+  * width at which a typical interval covers ~1–2 buckets. Either way the
+  * EXPLOSION GUARD (ADVICE r10) then applies: the same probe's exact
+  * max-span raises W to ceil(maxSpan / maxBucketsPerInterval) if any row
+  * would otherwise explode past `spark.graft.rangeJoin.maxBucketsPerInterval`
+  * (default 4096) Sequence elements — a mis-set width now degrades toward
+  * the naive join's economics instead of failing on Spark's array-size
+  * cap. Any W > 0 is CORRECT (the residual repairs every bucket
+  * boundary); width only tunes the explosion/selectivity trade. The probe
+  * is one aggregate over the interval side (the small side of the
+  * pattern), executed at planning and memoized per (canonical interval
+  * plan, session) so re-executions re-use it.
+  *
+  * Type lowering (r11, VERDICT r10 item 6): TimestampType points/bounds
+  * are lowered to epoch micros inside the rule (internal representation,
+  * strictly monotone), so event-time range joins rewrite without a hand
+  * `unix_micros` cast. LongType joins pass through unchanged.
   *
   * Bails (leaves the join untouched) when: any cross-side equality
   * already exists (Catalyst handles it), the bound/point types are not
-  * LongType, or the join is not INNER.
-  *
-  * Operational caveat: each interval row explodes to ceil(span/W)
-  * buckets — a width far below the typical interval length multiplies
-  * the interval side by that factor (and Catalyst's Sequence caps array
-  * sizes). Pick W within an order of magnitude of the median span; the
-  * residual predicates keep ANY positive W correct.
+  * all LongType or all TimestampType, the join is not INNER, or width
+  * derivation finds an empty/degenerate interval side with no manual
+  * width to fall back on.
   */
 object RangeJoinRewrite {
   val WidthKey = "spark.graft.rangeJoin.bucketWidth"
+  val MaxBucketsKey = "spark.graft.rangeJoin.maxBucketsPerInterval"
+  /** Explicit off-switch (the old `WidthKey = 0` disable still works). */
+  val EnabledKey = "spark.graft.rangeJoin.enabled"
 
   def ensure(spark: SparkSession): Unit = synchronized {
     val cur = spark.experimental.extraOptimizations
@@ -48,13 +66,46 @@ object RangeJoinRewrite {
       spark.experimental.extraOptimizations = cur :+ BucketRangeJoin()
   }
 
+  /** (medianSpan, maxSpan) of the interval side, memoized by canonical
+    * plan hash (session-independent: the canonical plan embeds the scanned
+    * paths, so distinct fixtures key distinctly; q267-style fresh sessions
+    * over the same fixture re-use the probe). Collisions or stale entries
+    * only change the chosen width, never the join's result (residual
+    * predicates repair any W > 0). */
+  private val spanCache = new ConcurrentHashMap[Int, (Long, Long)]()
+
+  private[plans] def probeSpans(spark: SparkSession, child: LogicalPlan,
+      lo: Expression, hi: Expression): Option[(Long, Long)] = {
+    val key = child.canonicalized.hashCode()
+    Option(spanCache.get(key)).orElse {
+      val span = Alias(Subtract(hi, lo), "__rj_span")()
+      val df = org.apache.spark.sql.graftbridge.PlanBridge
+        .ofRows(spark, Project(Seq(span), child))
+        .filter(col("__rj_span") > 0L)
+        .agg(expr("percentile_approx(__rj_span, 0.5)").as("med"),
+          fmax(col("__rj_span")).as("mx"))
+      val row = df.head()
+      if (row.isNullAt(0) || row.isNullAt(1)) None
+      else {
+        val v = (row.getLong(0), row.getLong(1))
+        if (spanCache.size > 128) spanCache.clear()
+        spanCache.put(key, v)
+        Some(v)
+      }
+    }
+  }
+
   final case class BucketRangeJoin() extends Rule[LogicalPlan] with PredicateHelper {
 
     override def apply(plan: LogicalPlan): LogicalPlan = {
-      val w =
-        try conf.getConfString(WidthKey, "0").toLong
-        catch { case _: NumberFormatException => 0L }
-      if (w <= 0L) plan
+      val enabled = conf.getConfString(EnabledKey, "true").toBoolean
+      val wManual =
+        try conf.getConfString(WidthKey, "-1").toLong
+        catch { case _: NumberFormatException => -1L }
+      val maxBuckets =
+        try math.max(1L, conf.getConfString(MaxBucketsKey, "4096").toLong)
+        catch { case _: NumberFormatException => 4096L }
+      if (!enabled || wManual == 0L) plan // 0 = the historical off-switch
       else plan.transformUp {
         case j @ Join(l, r, Inner, Some(cond), hint) =>
           val conj = splitConjunctivePredicates(cond)
@@ -77,35 +128,64 @@ object RangeJoinRewrite {
           }
           lower.flatMap { case (t, lo) => upper(t).map(hi => (t, lo, hi)) } match {
             case Some((t, lo, hi)) if !hasEqui &&
-                t.dataType == LongType && lo.dataType == LongType &&
-                hi.dataType == LongType &&
-                // point on one side, BOTH bounds on the other
-                (if (fromLeft(t)) fromRight(lo) && fromRight(hi)
-                 else fromLeft(lo) && fromLeft(hi)) =>
-              val tLeft = fromLeft(t)
-              val bucketAlias = Alias(IntegralDivide(t, Literal(w)), "__rj_bucket")()
-              val gAttr = AttributeReference("__rj_b", LongType, nullable = true)()
-              // Sequence is TimeZoneAware even over Longs — without an
-              // explicit zone the post-analysis plan counts as unresolved.
-              // Empty/degenerate intervals (hi <= lo) must yield zero
-              // buckets, not a Sequence boundary error the naive join
-              // never raised — hence the If guard.
-              val seq = If(GreaterThan(hi, lo),
-                new Sequence(
-                  IntegralDivide(lo, Literal(w)),
-                  IntegralDivide(Subtract(hi, Literal(1L)), Literal(w)),
-                  Some(Literal(1L))).withTimeZone(conf.sessionLocalTimeZone),
-                Literal.create(Seq.empty[Long],
-                  org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
-              def pointProj(p: LogicalPlan) = Project(p.output :+ bucketAlias, p)
-              def boundGen(p: LogicalPlan) =
-                Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
-                  qualifier = None, generatorOutput = Seq(gAttr), child = p)
-              val (nl, nr) =
-                if (tLeft) (pointProj(l), boundGen(r)) else (boundGen(l), pointProj(r))
-              val newCond = (EqualTo(bucketAlias.toAttribute, gAttr) +: conj)
-                .reduce(And)
-              Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+                (Seq(t, lo, hi).forall(_.dataType == LongType) ||
+                 Seq(t, lo, hi).forall(_.dataType == TimestampType)) =>
+              // point on one side, BOTH bounds on the other
+              val sidesOk =
+                if (fromLeft(t)) fromRight(lo) && fromRight(hi)
+                else if (fromRight(t)) fromLeft(lo) && fromLeft(hi)
+                else false
+              if (!sidesOk) j
+              else {
+                // TimestampType lowers to its internal epoch-micros Long —
+                // strictly monotone and injective, so bucket containment
+                // survives the mapping exactly (VERDICT r10 item 6)
+                def micros(e: Expression): Expression =
+                  if (e.dataType == TimestampType) UnixMicros(e) else e
+                val (tM, loM, hiM) = (micros(t), micros(lo), micros(hi))
+                val boundChild = if (fromLeft(t)) r else l
+                val session = SparkSession.active
+                lazy val spans = probeSpans(session, boundChild, loM, hiM)
+                val wBase =
+                  if (wManual > 0L) Some(wManual)
+                  else spans.map { case (med, _) => math.max(1L, med) }
+                val wGuarded = wBase.map { w0 =>
+                  spans match {
+                    case Some((_, mx)) =>
+                      val need = (mx + maxBuckets - 1) / maxBuckets
+                      math.max(w0, math.max(1L, need))
+                    case None => w0
+                  }
+                }
+                wGuarded match {
+                  case None => j // empty/degenerate interval side, no knob — naive join is fine
+                  case Some(w) =>
+                    val tLeft = fromLeft(t)
+                    val bucketAlias = Alias(IntegralDivide(tM, Literal(w)), "__rj_bucket")()
+                    val gAttr = AttributeReference("__rj_b", LongType, nullable = true)()
+                    // Sequence is TimeZoneAware even over Longs — without an
+                    // explicit zone the post-analysis plan counts as unresolved.
+                    // Empty/degenerate intervals (hi <= lo) must yield zero
+                    // buckets, not a Sequence boundary error the naive join
+                    // never raised — hence the If guard.
+                    val seq = If(GreaterThan(hiM, loM),
+                      new Sequence(
+                        IntegralDivide(loM, Literal(w)),
+                        IntegralDivide(Subtract(hiM, Literal(1L)), Literal(w)),
+                        Some(Literal(1L))).withTimeZone(conf.sessionLocalTimeZone),
+                      Literal.create(Seq.empty[Long],
+                        org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
+                    def pointProj(p: LogicalPlan) = Project(p.output :+ bucketAlias, p)
+                    def boundGen(p: LogicalPlan) =
+                      Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
+                        qualifier = None, generatorOutput = Seq(gAttr), child = p)
+                    val (nl, nr) =
+                      if (tLeft) (pointProj(l), boundGen(r)) else (boundGen(l), pointProj(r))
+                    val newCond = (EqualTo(bucketAlias.toAttribute, gAttr) +: conj)
+                      .reduce(And)
+                    Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+                }
+              }
             case _ => j
           }
       }

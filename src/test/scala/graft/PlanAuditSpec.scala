@@ -254,10 +254,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"range join not rewritten to an equi-join:\n${p.take(2500)}")
     assert(p.contains("__rj_b"), s"bucket keys missing from the rewritten plan:\n${p.take(2500)}")
-    // negative control: width unset → the rule bails, the nested loop returns
+    // negative control: rule explicitly disabled → the nested loop returns
+    // (an UNSET width no longer bails — r11 derives it from the span probe,
+    // so the off-switch is spark.graft.rangeJoin.enabled=false / width=0)
     val s3 = spark.newSession()
     s3.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     graft.plans.RangeJoinRewrite.ensure(s3)
+    s3.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "false")
     val ev3 = Tables.events(s3, dir)
       .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("t"))
     val wins3 = Tables.events(s3, dir)

@@ -52,4 +52,76 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       assert(rewritten == run(sNaive), s"instance $inst width $w diverged")
     }
   }
+
+  test("derived width: skewed 1x-1000x spans, NO manual width — fires and matches naive") {
+    val rnd = new scala.util.Random(20260814L)
+    for (inst <- 1 to 4) {
+      val pts = Seq.fill(60)(rnd.nextLong() % 100000L)
+      // span skew: most intervals tiny, a few 1000x wider
+      val ivs = Seq.fill(25) {
+        val a = rnd.nextLong() % 100000L
+        val span = if (rnd.nextInt(5) == 0) 1000L + rnd.nextInt(9000) else 1L + rnd.nextInt(10)
+        (a, a + span)
+      }
+      val sNaive = spark.newSession()
+      val sRule = spark.newSession()
+      RangeJoinRewrite.ensure(sRule)
+      assert(sRule.conf.getOption(RangeJoinRewrite.WidthKey).isEmpty)
+      def frames(s: org.apache.spark.sql.SparkSession) = {
+        import s.implicits._
+        (pts.toDF("t"), ivs.toDF("ws", "we"))
+      }
+      val (pn, ivn) = frames(sNaive)
+      val naive = pn.join(ivn, col("t") >= col("ws") && col("t") < col("we"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      val (pr, ivr) = frames(sRule)
+      val j = pr.join(ivr, col("t") >= col("ws") && col("t") < col("we"))
+      assert(j.queryExecution.executedPlan.toString.contains("__rj_b"),
+        s"instance $inst: span-derived rewrite did not fire")
+      val rewritten = j.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+      assert(rewritten == naive, s"instance $inst diverged under derived width")
+    }
+  }
+
+  test("explosion guard: a tiny manual width is raised so Sequence stays bounded") {
+    val sRule = spark.newSession()
+    RangeJoinRewrite.ensure(sRule)
+    // manual W = 1 against a 10M-wide interval would explode to 10^7
+    // Sequence elements per row without the guard (default cap 4096)
+    sRule.conf.set(RangeJoinRewrite.WidthKey, "1")
+    import sRule.implicits._
+    val p = Seq(5L, 9999999L, 10000001L).toDF("t")
+    val iv = Seq((0L, 10000000L)).toDF("ws", "we")
+    val j = p.join(iv, col("t") >= col("ws") && col("t") < col("we"))
+    assert(j.queryExecution.executedPlan.toString.contains("__rj_b"))
+    val rows = j.collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(5L, 9999999L))
+    sRule.conf.unset(RangeJoinRewrite.WidthKey)
+  }
+
+  test("TimestampType join fires without any hand micros cast and matches naive") {
+    val sNaive = spark.newSession()
+    val sRule = spark.newSession()
+    RangeJoinRewrite.ensure(sRule)
+    val rnd = new scala.util.Random(42L)
+    val base = 1700000000000000L // epoch micros
+    val pts = Seq.fill(50)(base + (rnd.nextLong() % 86400000000L).abs)
+    val ivs = Seq.fill(12) {
+      val a = base + (rnd.nextLong() % 86400000000L).abs
+      (a, a + 600000000L + rnd.nextInt(1000000)) // ~10-min windows
+    }
+    def run(s: org.apache.spark.sql.SparkSession, pin: Boolean) = {
+      import s.implicits._
+      val p = pts.toDF("tm").select(expr("timestamp_micros(tm)").as("t"))
+      val iv = ivs.toDF("a", "b").select(
+        expr("timestamp_micros(a)").as("ws"), expr("timestamp_micros(b)").as("we"))
+      val j = p.join(iv, col("t") >= col("ws") && col("t") < col("we"))
+      if (pin) assert(j.queryExecution.executedPlan.toString.contains("__rj_b"),
+        "timestamp rewrite did not fire")
+      j.collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getTimestamp(2)))
+        .map(x => (x._1.getTime, x._2.getTime, x._3.getTime)).toSeq.sorted
+    }
+    assert(run(sRule, pin = true) == run(sNaive, pin = false))
+  }
 }
