@@ -30,7 +30,8 @@ object SparkEntry {
       (_root_.graft.queries.Extras.queries, _root_.graft.queries.Extras.oracles),
       (_root_.graft.queries.Analytics.queries, _root_.graft.queries.Analytics.oracles),
       (_root_.graft.queries.Mining.queries, _root_.graft.queries.Mining.oracles),
-      (_root_.graft.queries.Advanced.queries, _root_.graft.queries.Advanced.oracles))
+      (_root_.graft.queries.Advanced.queries, _root_.graft.queries.Advanced.oracles),
+      (_root_.graft.queries.StatsStore.queries, _root_.graft.queries.StatsStore.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2 (insertion-ordered
     * so Verify/Bench output is stable).

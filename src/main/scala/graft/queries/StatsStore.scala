@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Persisted per-column NDV sketch statistics + the rule that consumes
+  * them (VERDICT r10 item 3 — "close the statistics→plan loop").
+  *
+  * q271 built CBO-grade estimates in-plan; this module PERSISTS them: a
+  * `column_ndv` parquet table of deterministic HLL register estimates
+  * (the q230/q271 integer machinery — 64 md5-bucketed registers, integer
+  * estimator, no RNG, so DuckDB re-derives every stored value), and
+  * [[graft.plans.SketchStats]] reads it at planning time to flip joins to
+  * broadcast where Spark's own size estimation is blind.
+  *
+  * Estimator honesty: the raw integer HLL estimator is accurate (±2%)
+  * from a few hundred distinct values up, and FLOORS at ~45 for tiny
+  * sets (no linear-counting branch — that needs ln(), which is not
+  * bit-reproducible across engines). For the consumer this is the right
+  * bias direction: broadcast decisions need an upper-ish bound, and the
+  * floor only ever over-states tiny cardinalities. q273 judges the
+  * stored estimates beside exact witnesses so the bias is measured, not
+  * asserted.
+  */
+object StatsStore {
+  private type QFn = (SparkSession, String) => DataFrame
+
+  /** The covered columns: two tiny-domain dimensions (the broadcast
+    * candidates), one mid, one high-cardinality key (where the estimator
+    * is in its accurate regime). */
+  private val Columns: Seq[(String, String, (SparkSession, String) => DataFrame)] = Seq(
+    ("customer", "c_mktsegment", (s, d) => Tables.customer(s, d)),
+    ("lineitem", "l_returnflag", (s, d) => Tables.lineitem(s, d)),
+    ("orders", "o_custkey", (s, d) => Tables.orders(s, d)),
+    ("orders", "o_orderpriority", (s, d) => Tables.orders(s, d)))
+
+  private def statsDir(dir: String): String = {
+    val tag = new java.io.File(dir).getAbsolutePath.replaceAll("[^A-Za-z0-9._-]", "_")
+    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_stats/$tag").getAbsolutePath
+  }
+  private val built =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  private def estExpr(regs: String) = expr(
+    s"cast((${Advanced.HllEstNum}) div (650790 * cast(aggregate($regs, cast(0 as bigint), " +
+      s"(a, r) -> a + shiftleft(cast(1 as bigint), cast(55 - r as int))) as decimal(38,0))) as bigint)")
+
+  /** Build (once per session+fixture) and return the stats store path. */
+  def ensureStats(s: SparkSession, dir: String): String = {
+    val p = statsDir(dir)
+    built.removeIf(k => k._1.sparkContext.isStopped)
+    if (!built.contains((s, dir))) {
+      val hll = udaf(new graft.functions.HllSketch())
+      val rows = Columns.map { case (tbl, c, src) =>
+        src(s, dir).agg(hll(col(c).cast("string")).as("regs"))
+          .select(lit(tbl).as("tbl"), lit(c).as("col"),
+            estExpr("regs").as("ndv_est"), col("regs"))
+      }.reduce(_ unionByName _)
+      rows.coalesce(1).write.mode("overwrite").parquet(s"$p/column_ndv")
+      graft.plans.SketchStats.invalidate()
+      built.add((s, dir))
+    }
+    p
+  }
+  /** Exposed for PlanAuditSpec. */
+  def ensureStatsFor(s: SparkSession, dir: String): String = ensureStats(s, dir)
+
+  val queries: Seq[(String, QFn)] = Seq(
+
+    // The persisted stats table judged beside exact witnesses: every
+    // stored ndv_est re-derived by the oracle's register CTEs, the exact
+    // NDV from a plain count(DISTINCT), and the signed error. The
+    // tiny-domain rows pin the documented small-set floor (~45–49); the
+    // key column pins the accurate regime.
+    "q273_column_ndv_stats" -> { (s, dir) =>
+      val p = ensureStats(s, dir)
+      val store = s.read.parquet(s"$p/column_ndv").select("tbl", "col", "ndv_est")
+      val exact = Columns.map { case (tbl, c, src) =>
+        src(s, dir).agg(countDistinct(col(c)).as("exact_ndv"))
+          .select(lit(tbl).as("tbl"), lit(c).as("col"), col("exact_ndv"))
+      }.reduce(_ unionByName _)
+      store.join(exact, Seq("tbl", "col"))
+        .select(col("tbl"), col("col"), col("ndv_est"), col("exact_ndv"),
+          (col("ndv_est") - col("exact_ndv")).as("err"))
+        .orderBy("tbl", "col")
+    },
+
+    // The PLAN CONSUMER judged: fact ⋈ grouped-dim with a small broadcast
+    // threshold (8 KB). Spark's static size estimate for the grouped dim is its
+    // CHILD's size (the whole orders table — over threshold), so without
+    // stats the initial plan sort-merges and shuffles the fact; with the
+    // persisted sketch NDV (5 priorities × row width ≈ 200 B) the
+    // SketchStats rule broadcasts the dim at PLANNING time — before AQE
+    // could learn it, i.e. before the fact side pays its shuffle map
+    // stage. The ANSWER is plan-independent (hash-matches the same
+    // oracle either way); PlanAuditSpec pins the flip positive (stats →
+    // BroadcastHashJoin in the initial plan) and negative (no stats →
+    // SortMergeJoin).
+    "q274_stats_broadcast_join" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.SketchStats.ensure(s)
+      s.conf.set(graft.plans.SketchStats.DirKey, ensureStats(s, dir))
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192")
+      val prioDim = Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_prio"))
+      Tables.orders(s, dir)
+        .join(prioDim, "o_orderpriority")
+        .groupBy("o_orderpriority", "o_orderstatus", "n_prio")
+        .agg(count(lit(1)).as("n"))
+        .select(col("o_orderpriority"), col("o_orderstatus"), col("n"),
+          expr("n * 1000000 div n_prio").as("share_ppm"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    })
+
+  /** One register-CTE block per covered column (the q271 re-derivation,
+    * parameterized): DuckDB rebuilds the 64 HLL registers from scratch
+    * and applies the identical integer estimator. */
+  private def ndvCte(tag: String, tbl: String, c: String): String = {
+    val split = Advanced.HllSplit
+    s"""h_$tag AS (
+       | SELECT CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       | FROM $tbl),
+       |r0_$tag AS (SELECT h // $split AS bucket,
+       |  CASE WHEN h % $split = 0 THEN 55
+       |       ELSE 55 - length(ltrim(bin(h % $split), '0')) END AS rho FROM h_$tag),
+       |r_$tag AS (SELECT bucket, max(rho) AS reg FROM r0_$tag GROUP BY 1),
+       |f_$tag AS (
+       | SELECT g.b, coalesce(r_$tag.reg, 0) AS reg
+       | FROM range(0, 64) g(b) LEFT JOIN r_$tag ON r_$tag.bucket = g.b),
+       |e_$tag AS (SELECT
+       |  CAST((1890844672::HUGEINT * 36028797018963968::HUGEINT)
+       |    // (650790::HUGEINT * CAST(sum(1::BIGINT << CAST(55 - reg AS INTEGER)) AS HUGEINT)) AS BIGINT) AS ndv_est
+       | FROM f_$tag),
+       |x_$tag AS (SELECT count(DISTINCT $c) AS exact_ndv FROM $tbl)""".stripMargin
+  }
+
+  val oracles: Seq[(String, String)] = Seq(
+
+    "q273_column_ndv_stats" ->
+      s"""WITH ${ndvCte("cm", "customer", "c_mktsegment")},
+         |${ndvCte("lr", "lineitem", "l_returnflag")},
+         |${ndvCte("ok", "orders", "o_custkey")},
+         |${ndvCte("op", "orders", "o_orderpriority")}
+         |SELECT tbl, col, ndv_est, CAST(exact_ndv AS BIGINT) AS exact_ndv,
+         | ndv_est - exact_ndv AS err
+         |FROM (
+         | SELECT 'customer' AS tbl, 'c_mktsegment' AS col, e_cm.ndv_est, x_cm.exact_ndv FROM e_cm, x_cm
+         | UNION ALL
+         | SELECT 'lineitem', 'l_returnflag', e_lr.ndv_est, x_lr.exact_ndv FROM e_lr, x_lr
+         | UNION ALL
+         | SELECT 'orders', 'o_custkey', e_ok.ndv_est, x_ok.exact_ndv FROM e_ok, x_ok
+         | UNION ALL
+         | SELECT 'orders', 'o_orderpriority', e_op.ndv_est, x_op.exact_ndv FROM e_op, x_op)
+         |ORDER BY tbl, col""".stripMargin,
+
+    "q274_stats_broadcast_join" ->
+      """WITH dim AS (
+        | SELECT o_orderpriority, count(*) AS n_prio FROM orders GROUP BY 1)
+        |SELECT o.o_orderpriority, o.o_orderstatus, count(*) AS n,
+        | (count(*) * 1000000) // d.n_prio AS share_ppm
+        |FROM orders o JOIN dim d USING (o_orderpriority)
+        |GROUP BY o.o_orderpriority, o.o_orderstatus, d.n_prio
+        |ORDER BY o.o_orderpriority, o.o_orderstatus""".stripMargin)
+}

@@ -289,6 +289,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(j.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((25L, 20L)))
   }
 
+  test("q274: persisted sketch NDV flips the grouped-dim join to broadcast at PLANNING time") {
+    import org.apache.spark.sql.functions._
+    // positive: stats present → the initial (pre-AQE) plan already
+    // broadcasts the grouped dim, so the fact side never shuffles
+    val sPos = spark.newSession()
+    graft.plans.SketchStats.ensure(sPos)
+    sPos.conf.set(graft.plans.SketchStats.DirKey,
+      queries.StatsStore.ensureStatsFor(sPos, dir))
+    sPos.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    def q(s: org.apache.spark.sql.SparkSession) = {
+      val dim = Tables.orders(s, dir).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_prio"))
+      Tables.orders(s, dir).join(dim, "o_orderpriority")
+    }
+    val pPos = q(sPos).queryExecution.executedPlan.toString
+    assert(pPos.contains("BroadcastHashJoin"),
+      s"stats present but the initial plan did not broadcast:\n${pPos.take(2500)}")
+    assert(!pPos.contains("SortMergeJoin"), "stats present but fact still sort-merges")
+    // negative: no stats dir → Spark's static estimate (child size of the
+    // Aggregate = the pruned orders scan, over the 4 KB threshold) keeps
+    // the sort-merge join in the initial plan
+    val sNeg = spark.newSession()
+    graft.plans.SketchStats.ensure(sNeg)
+    sNeg.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    val pNeg = q(sNeg).queryExecution.executedPlan.toString
+    assert(pNeg.contains("SortMergeJoin"),
+      s"negative control: expected the static-estimate sort-merge join:\n${pNeg.take(2500)}")
+    // the answer is plan-independent
+    assert(q(sPos).count() === q(sNeg).count())
+  }
+
   test("no judged query plans a CartesianProduct") {
     // q45 intentionally uses BroadcastNestedLoopJoin with a 5-row build
     // side (exact brute-force baseline); cartesian (unbroadcast NLJ over
