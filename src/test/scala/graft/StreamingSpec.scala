@@ -274,6 +274,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(state.get().collect().toSet !== base.collect().toSet)
   }
 
+  test("streaming sketch parity: HLL and HDR registers byte-equal batch across >=3 micro-batches") {
+    import org.apache.spark.sql.functions._
+    // split the fixture into 3 files; maxFilesPerTrigger=1 => 3 micro-batches
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sketch_stream").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("part", pmod(col("event_id"), lit(3)).cast("int"))
+      .write.partitionBy("part").mode("overwrite").parquet(tmp)
+    val schema = raw.schema
+    def stream() = EventStreams.normalize(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(tmp))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // HLL: the streamed per-type register vector must equal the batch
+      // UDAF's registers element for element
+      runToMemory(EventStreams.streamingHllRegisters(stream()), "hll_stream", "update")
+      val perKey = spark.sql("SELECT event_type, count(*) c FROM hll_stream GROUP BY 1")
+        .collect().map(_.getLong(1))
+      assert(perKey.nonEmpty && perKey.forall(_ >= 3),
+        s"expected every key updated across >=3 micro-batches, got ${perKey.mkString(",")}")
+      // the register state only grows; the per-key final emission is the
+      // row from the LAST micro-batch that touched the key — recover it as
+      // the element-wise max across emissions (monotone registers)
+      val gotHll = spark.sql(
+        """SELECT event_type,
+             transform(sequence(0, 63), i -> m[i]) regs
+           FROM (SELECT event_type,
+                   map_from_arrays(sequence(0, 63),
+                     aggregate(collect_list(regs), array_repeat(0L, 64),
+                       (acc, r) -> zip_with(acc, r, (a, b) -> greatest(a, b)))) m
+                 FROM hll_stream GROUP BY event_type)""")
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val hll = org.apache.spark.sql.functions.udaf(new graft.functions.HllSketch())
+      val batchHll = Tables.events(spark, dir)
+        .groupBy("event_type").agg(hll(col("user_id").cast("string")).as("regs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(gotHll.keySet === batchHll.keySet)
+      batchHll.foreach { case (k, regs) =>
+        assert(gotHll(k) === regs, s"HLL registers diverged for $k")
+      }
+
+      // HDR: streamed (bucket -> count) registers == batch register build
+      runToMemory(EventStreams.streamingHdrRegisters(stream()), "hdr_stream", "update")
+      // counts grow monotonically; final register = max emission
+      val gotHdr = spark.sql(
+        """SELECT event_type, bucket, max(cnt) cnt
+           FROM hdr_stream GROUP BY event_type, bucket""")
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val batchHdr = Tables.events(spark, dir)
+        .selectExpr("event_type",
+          "cast(floor(value * 100 + cast(0.5 as double)) as bigint) c")
+        .filter("c >= 64")
+        .selectExpr("event_type", "length(bin(c)) - 1 as e", "c")
+        .selectExpr("event_type", "cast(e * 64 + (shiftright(c, cast(e - 6 as int)) & 63) as int) bucket")
+        .groupBy("event_type", "bucket").count()
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(gotHdr === batchHdr, "HDR registers diverged from batch")
+      assert(batchHdr.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("T5: stateful dedup keeps every distinct event_id") {
     val streamed = EventStreams.dedupedEvents(EventStreams.readEventStream(spark, dir))
       .select("event_id")
