@@ -156,20 +156,17 @@ object Vectors {
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/codes")
   }
 
-  /** Build the persisted index once per (session, fixture) — the probe
-    * query is self-contained (dev loops run it alone) but never retrains
-    * when the build query already ran in this JVM.
+  /** Resolve the latest COMPLETE generation of the persisted index, or
+    * publish one (r11: the store is generation-versioned — writes land in
+    * a fresh gen dir behind an atomically-swapped manifest, probes pin
+    * the path they resolved, retention keeps the last two generations;
+    * [[graft.IndexStore]]). Probe queries are self-contained (dev loops
+    * run them alone) but never retrain when a complete generation exists.
     */
-  private val ivfIdxBuilt =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
   private def ensureIvfIndex(s: SparkSession, dir: String): String = {
-    val idx = ivfIndexDir(dir)
-    ivfIdxBuilt.removeIf(k => k._1.sparkContext.isStopped)
-    if (!ivfIdxBuilt.contains((s, dir))) {
-      writeIvfIndex(s, dir, idx)
-      ivfIdxBuilt.add((s, dir))
-    }
-    idx
+    val root = ivfIndexDir(dir)
+    graft.IndexStore.latestPath(root)
+      .getOrElse(graft.IndexStore.publish(root)(g => writeIvfIndex(s, dir, g)))
   }
 
   /** The residual-PQ layer of the index store, beside [[writeIvfIndex]]'s
@@ -191,16 +188,17 @@ object Vectors {
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/rpq_codes")
   }
 
-  private val pqIdxBuilt =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  /** Like [[ensureIvfIndex]] but the generation must also carry the PQ
+    * layer; a coarse-only latest generation triggers a NEW full publish
+    * (generations are immutable once complete — the PQ layer is never
+    * written into a published store). */
   private def ensurePqIndex(s: SparkSession, dir: String): String = {
-    val idx = ensureIvfIndex(s, dir)
-    pqIdxBuilt.removeIf(k => k._1.sparkContext.isStopped)
-    if (!pqIdxBuilt.contains((s, dir))) {
-      writePqIndex(s, dir, idx)
-      pqIdxBuilt.add((s, dir))
-    }
-    idx
+    val root = ivfIndexDir(dir)
+    graft.IndexStore.latestPath(root)
+      .filter(p => new java.io.File(s"$p/rpq_codes").exists())
+      .getOrElse(graft.IndexStore.publish(root) { g =>
+        writeIvfIndex(s, dir, g); writePqIndex(s, dir, g)
+      })
   }
 
   /** Product-quantization parameters (Jégou et al., "Product Quantization
@@ -1120,9 +1118,10 @@ object Vectors {
     // the same md5-seeded Lloyd fixed point from the raw fixture — hash
     // equality proves the persisted artifact faithful to the math.
     "q262_ivf_index_build" -> { (s, dir) =>
-      val idx = ivfIndexDir(dir)
-      writeIvfIndex(s, dir, idx)
-      ivfIdxBuilt.add((s, dir))
+      // a BUILD publishes a NEW generation (never overwrites in place —
+      // racing probes keep serving the previous complete generation);
+      // the judged summary reads back from the published artifact
+      val idx = graft.IndexStore.publish(ivfIndexDir(dir))(g => writeIvfIndex(s, dir, g))
       val centDf = s.read.parquet(s"$idx/centroids")
       val counts = s.read.parquet(s"$idx/codes")
         .groupBy("cluster")
@@ -1186,9 +1185,12 @@ object Vectors {
     // via the codebook left join). The oracle re-trains both quantizer
     // levels from the raw fixture.
     "q268_ivfpq_index_build" -> { (s, dir) =>
-      val idx = ensureIvfIndex(s, dir)
-      writePqIndex(s, dir, idx)
-      pqIdxBuilt.add((s, dir))
+      // full publish (coarse + PQ): generations are immutable once
+      // complete, so the PQ layer lands in a fresh generation rather than
+      // mutating the coarse-only one a probe may be pinned to
+      val idx = graft.IndexStore.publish(ivfIndexDir(dir)) { g =>
+        writeIvfIndex(s, dir, g); writePqIndex(s, dir, g)
+      }
       val cbDf = s.read.parquet(s"$idx/rpq_codebooks")
       val hist = s.read.parquet(s"$idx/rpq_codes")
         .select(expr(
@@ -1236,9 +1238,15 @@ object Vectors {
       val base = all.filter(pmod(col("vec_id"), lit(5)) =!= 0)
       val delta = all.filter(pmod(col("vec_id"), lit(5)) === 0)
       val centB = graft.operators.KMeans.fit(base, kmInit, KmIters)
-      val idx = ivfIndexDir(dir) + "_incr"
-      base.withColumn("cluster", graft.operators.KMeans.assignColumn(centB, "v"))
-        .write.mode("overwrite").partitionBy("cluster").parquet(s"$idx/codes")
+      // the BASE store publishes as a complete generation; the arriving
+      // delta then APPENDS partition files INTO that generation's codes
+      // table — the intra-generation additive path (file-level atomic,
+      // no rewrite, no retrain): O(delta) steady-state cost, while
+      // rebuilds (a new training run) would land as a new generation
+      val idx = graft.IndexStore.publish(ivfIndexDir(dir) + "_incr") { g =>
+        base.withColumn("cluster", graft.operators.KMeans.assignColumn(centB, "v"))
+          .write.mode("overwrite").partitionBy("cluster").parquet(s"$g/codes")
+      }
       delta.withColumn("cluster", graft.operators.KMeans.assignColumn(centB, "v"))
         .write.mode("append").partitionBy("cluster").parquet(s"$idx/codes")
       val enc = s.read.parquet(s"$idx/codes")
@@ -1267,6 +1275,71 @@ object Vectors {
         .select(col("qid"), col("rank"), col("cid"),
           col("cluster").cast("int").as("cluster"), col("cos"),
           (pmod(col("cid"), lit(5)) === 0).as("is_delta"))
+        .orderBy("qid", "rank")
+    },
+
+    // GENERATION-AWARE serving (r11, VERDICT r10 item 5): two index
+    // generations published back to back — gen A covers the base subset,
+    // gen B the full corpus under the SAME frozen quantizer — and the
+    // probe serves from BOTH: the path PINNED before B was published and
+    // the manifest's latest. Generations are immutable and retention
+    // keeps two, so the pinned probe is untouched by the newer publish
+    // (GenerationStoreSpec drives the probe WHILE gen B is half-written);
+    // per (query, rank) the judged row shows what the pinned snapshot
+    // answers vs what the refreshed store answers, with delta membership
+    // flagged. Everything (centroids included) reads back from the
+    // generation directories — nothing rescans the raw fixture.
+    "q275_index_generations" -> { (s, dir) =>
+      import s.implicits._
+      val root = ivfIndexDir(dir) + "_gens"
+      val all = vecs(s, dir)
+      val base = all.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val centB = graft.operators.KMeans.fit(base, kmInit, KmIters)
+      def writeGen(members: org.apache.spark.sql.DataFrame)(g: String): Unit = {
+        centB.zipWithIndex.map { case (c, i) => (i + 1, c.toSeq) }
+          .toDF("cluster", "cv").coalesce(1)
+          .write.mode("overwrite").parquet(s"$g/centroids")
+        members.withColumn("cluster", graft.operators.KMeans.assignColumn(centB, "v"))
+          .write.mode("overwrite").partitionBy("cluster").parquet(s"$g/codes")
+      }
+      val pinned = graft.IndexStore.publish(root)(writeGen(base))
+      val latest = graft.IndexStore.publish(root)(writeGen(all))
+      def probe(genPath: String) = {
+        val cent = s.read.parquet(s"$genPath/centroids").orderBy("cluster").collect()
+          .map(r => r.getSeq[Double](r.fieldIndex("cv")).toIndexedSeq).toIndexedSeq
+        val enc = s.read.parquet(s"$genPath/codes")
+        val qs = enc.filter(col("vec_id") < 5 && pmod(col("vec_id"), lit(5)) =!= 0)
+          .select(col("vec_id").as("qid"), col("v").as("va"), col("nsq").as("na"))
+        val cellScores = cent.zipWithIndex.map { case (c, i) =>
+          struct(lit(i + 1).as("cell"),
+            (call_function("array_dot", col("va"), array(c.map(lit): _*)) -
+              lit(0.5 * graft.operators.KMeans.sqNorm(c))).as("score"))
+        }
+        val pw = Window.partitionBy("qid").orderBy(col("score").desc, col("cluster"))
+        val probes = qs
+          .select(col("qid"), col("va"), col("na"), explode(array(cellScores: _*)).as("sc"))
+          .select(col("qid"), col("va"), col("na"),
+            col("sc.cell").as("cluster"), col("sc.score").as("score"))
+          .withColumn("rn", row_number().over(pw)).filter(col("rn") <= 2)
+          .select("qid", "va", "na", "cluster")
+        val c = enc.select(col("vec_id").as("cid"), col("v").as("vb"),
+          col("nsq").as("nb"), col("cluster"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+        c.join(broadcast(probes), Seq("cluster"))
+          .filter(col("cid") =!= col("qid"))
+          .withColumn("cos", expr(dotExpr) / (sqrt(col("na")) * sqrt(col("nb"))))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank").cast("int").as("rank"), col("cid"), col("cos"))
+      }
+      val rp = probe(pinned)
+        .withColumnRenamed("cid", "cid_pinned").withColumnRenamed("cos", "cos_pinned")
+      val rl = probe(latest)
+        .withColumnRenamed("cid", "cid_latest").withColumnRenamed("cos", "cos_latest")
+      rp.join(rl, Seq("qid", "rank"))
+        .select(col("qid"), col("rank"), col("cid_pinned"), col("cos_pinned"),
+          col("cid_latest"), col("cos_latest"),
+          (pmod(col("cid_latest"), lit(5)) === 0).as("is_delta_latest"))
         .orderBy("qid", "rank")
     })
 
@@ -2209,5 +2282,50 @@ object Vectors {
         | (cid % 5 = 0) AS is_delta
         |FROM scored
         |QUALIFY rank <= 3
+        |ORDER BY qid, rank""".stripMargin),
+
+    // Two serves under ONE frozen training (base-trained centroids): the
+    // pinned generation assigns only the base subset, the latest assigns
+    // the full corpus; probes share queries and probed cells (same
+    // centroids), candidates differ by store snapshot.
+    "q275_index_generations" -> sub(s"""WITH --VEC--,
+        |nb AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+        |${kmCteGen("nb", "nb")},
+        |s_af2 AS (
+        | SELECT m.vec_id, m.v, m.nsq, c.cluster,
+        |  ${kmDotSql("m.v", "c.cv")} - 0.5 * ${kmDotSql("c.cv", "c.cv")} AS score
+        | FROM n m CROSS JOIN c$KmIters c),
+        |af2 AS (
+        | SELECT vec_id, v, nsq, cluster FROM (
+        |  SELECT vec_id, v, nsq, cluster,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn
+        |  FROM s_af2) WHERE rn = 1),
+        |ps AS (
+        | SELECT m.vec_id AS qid, m.v, m.nsq, c.cluster,
+        |  ${kmDotSql("m.v", "c.cv")} - 0.5 * ${kmDotSql("c.cv", "c.cv")} AS score
+        | FROM nb m CROSS JOIN c$KmIters c WHERE m.vec_id < 5),
+        |pr AS (
+        | SELECT qid, v, nsq, cluster FROM (
+        |  SELECT qid, v, nsq, cluster,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cluster) AS rn
+        |  FROM ps) WHERE rn <= 2),
+        |sp AS (
+        | SELECT p.qid, a.vec_id AS cid,
+        |  ${kmDotSql("p.v", "a.v")} / (sqrt(p.nsq) * sqrt(a.nsq)) AS cos
+        | FROM af a JOIN pr p ON a.cluster = p.cluster AND a.vec_id <> p.qid),
+        |rp AS (
+        | SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rank,
+        |  cid, cos FROM sp QUALIFY rank <= 3),
+        |sl AS (
+        | SELECT p.qid, a.vec_id AS cid,
+        |  ${kmDotSql("p.v", "a.v")} / (sqrt(p.nsq) * sqrt(a.nsq)) AS cos
+        | FROM af2 a JOIN pr p ON a.cluster = p.cluster AND a.vec_id <> p.qid),
+        |rl AS (
+        | SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rank,
+        |  cid, cos FROM sl QUALIFY rank <= 3)
+        |SELECT rp.qid, rp.rank, rp.cid AS cid_pinned, rp.cos AS cos_pinned,
+        | rl.cid AS cid_latest, rl.cos AS cos_latest,
+        | (rl.cid % 5 = 0) AS is_delta_latest
+        |FROM rp JOIN rl USING (qid, rank)
         |ORDER BY qid, rank""".stripMargin))
 }

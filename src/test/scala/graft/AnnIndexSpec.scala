@@ -58,7 +58,9 @@ class AnnIndexSpec extends AnyFunSuite {
 
   test("codes table is partitioned by cluster (cell-pruned probes read a file subset)") {
     SparkEntry.queries("q262_ivf_index_build")(spark, dir).collect()
-    val idx = queries.Vectors.ivfIndexDir(dir)
+    // the store is generation-versioned (r11): resolve the latest
+    // complete generation the way probes do
+    val idx = IndexStore.latestPath(queries.Vectors.ivfIndexDir(dir)).get
     val parts = new java.io.File(s"$idx/codes").listFiles()
       .filter(_.getName.startsWith("cluster=")).map(_.getName).sorted
     assert(parts.nonEmpty, "codes written unpartitioned")
