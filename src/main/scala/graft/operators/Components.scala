@@ -162,7 +162,13 @@ object Components {
     // twice (as its input and as the convergence merge's right side), and
     // without a checkpoint between them the shared subplan re-executes —
     // the recompute costs more than the saved barrier. (Same conclusion as
-    // the r10 probe-skipping experiment, different mechanism.)
+    // the r10 probe-skipping experiment, different mechanism.) An
+    // additions-only LEFT-join flag with count-change closing the
+    // exactness (no additions ⇒ next ⊆ prev; equal cardinality ⇒
+    // equality) was ALSO tried and lost: AQE broadcast-converts the
+    // narrow left join, adding a broadcast job per round — 104 → 110
+    // jobs, 5.5 s → 6.5 s warm at sf0.1. The full-outer merge below keeps
+    // both sides in one shuffled join with no broadcast build.
     val gFinal = Iterate.fixedPoint("components_stars",
         g0.withColumn("__l", lit(1)).withColumn("__r", lit(1))
           .withColumn("__chg", lit(0L)),
@@ -171,9 +177,8 @@ object Components {
       val next = starPair(gCur)
       // set equality as a row flag: a full-outer join row with either side
       // missing is a difference; both sides enter hash-partitioned on
-      // (a, b) (distinct output / preserved checkpoint partitioning), so
-      // the merge adds no shuffle, and the harness's sum(__chg) rides the
-      // checkpoint materialization scan.
+      // (a, b), and the harness's sum(__chg) rides the checkpoint
+      // materialization scan.
       val mergedNext = next.withColumn("__l", lit(1))
         .join(gCur.withColumn("__r", lit(1)), Seq("a", "b"), "full_outer")
         .withColumn("__chg", (col("__l").isNull || col("__r").isNull).cast("long"))

@@ -1140,16 +1140,21 @@ object Advanced {
   private def ensureDppCatalog(s: SparkSession, dir: String): String = {
     val p = dppDir(dir)
     dppBuilt.removeIf(k => k._1.sparkContext.isStopped)
-    if (!dppBuilt.contains((s, dir))) {
-      val ev = Tables.events(s, dir).withColumn("d", to_date(col("ts")))
-      ev.write.mode("overwrite").partitionBy("d").parquet(s"$p/events_by_day")
-      val daily = ev.groupBy("d").agg(count(lit(1)).as("n_day"))
-      // the day domain is tiny (one row per day) — the unpartitioned
-      // global window is bounded by design, like the q19 register walk
-      val w = Window.orderBy(desc("n_day"), col("d"))
-      daily.withColumn("busy", (row_number().over(w) <= 3).cast("int"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$p/days")
-      dppBuilt.add((s, dir))
+    // serialize builds per target path (ADVICE r10): with Serve executing
+    // requests concurrently, two SESSIONS can miss each other's (session,
+    // dir) memo and overwrite the catalog under a third's scan
+    p.intern.synchronized {
+      if (!dppBuilt.contains((s, dir))) {
+        val ev = Tables.events(s, dir).withColumn("d", to_date(col("ts")))
+        ev.write.mode("overwrite").partitionBy("d").parquet(s"$p/events_by_day")
+        val daily = ev.groupBy("d").agg(count(lit(1)).as("n_day"))
+        // the day domain is tiny (one row per day) — the unpartitioned
+        // global window is bounded by design, like the q19 register walk
+        val w = Window.orderBy(desc("n_day"), col("d"))
+        daily.withColumn("busy", (row_number().over(w) <= 3).cast("int"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$p/days")
+        dppBuilt.add((s, dir))
+      }
     }
     p
   }

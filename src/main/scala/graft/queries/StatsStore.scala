@@ -47,20 +47,24 @@ object StatsStore {
     s"cast((${Advanced.HllEstNum}) div (650790 * cast(aggregate($regs, cast(0 as bigint), " +
       s"(a, r) -> a + shiftleft(cast(1 as bigint), cast(55 - r as int))) as decimal(38,0))) as bigint)")
 
-  /** Build (once per session+fixture) and return the stats store path. */
+  /** Build (once per session+fixture) and return the stats store path.
+    * Builds serialize per target path (ADVICE r10's concurrent-Serve
+    * lesson) so two sessions never overwrite the store under a reader. */
   def ensureStats(s: SparkSession, dir: String): String = {
     val p = statsDir(dir)
     built.removeIf(k => k._1.sparkContext.isStopped)
-    if (!built.contains((s, dir))) {
-      val hll = udaf(new graft.functions.HllSketch())
-      val rows = Columns.map { case (tbl, c, src) =>
-        src(s, dir).agg(hll(col(c).cast("string")).as("regs"))
-          .select(lit(tbl).as("tbl"), lit(c).as("col"),
-            estExpr("regs").as("ndv_est"), col("regs"))
-      }.reduce(_ unionByName _)
-      rows.coalesce(1).write.mode("overwrite").parquet(s"$p/column_ndv")
-      graft.plans.SketchStats.invalidate()
-      built.add((s, dir))
+    p.intern.synchronized {
+      if (!built.contains((s, dir))) {
+        val hll = udaf(new graft.functions.HllSketch())
+        val rows = Columns.map { case (tbl, c, src) =>
+          src(s, dir).agg(hll(col(c).cast("string")).as("regs"))
+            .select(lit(tbl).as("tbl"), lit(c).as("col"),
+              estExpr("regs").as("ndv_est"), col("regs"))
+        }.reduce(_ unionByName _)
+        rows.coalesce(1).write.mode("overwrite").parquet(s"$p/column_ndv")
+        graft.plans.SketchStats.invalidate()
+        built.add((s, dir))
+      }
     }
     p
   }
