@@ -31,9 +31,23 @@ object Bench {
     // per-query min separates transient load (hits different queries in
     // each pass) from steady-state cost; printing both pass totals makes a
     // loaded box visible in the recorded artifact.
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Spark-job counter: bench WALL times on this box vary up to 3× under
+    // load (the r10→r11 "drift" lesson), but the number of driver jobs a
+    // query schedules (AQE stage jobs + actions + broadcast builds) is
+    // load-INDEPENDENT — bench_jobs.json is the noise-free per-query
+    // baseline regressions get diffed against.
+    val jobs = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    })
+    val jobCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        name: String = ""): Double = {
+      val j0 = jobs.get()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      if (name.nonEmpty) jobCounts(name) = jobs.get() - j0
       (System.nanoTime() - t0) / 1e9
     }
     // THREE full-suite passes (r8 ADVICE): pass 1 is the cold pass (frame
@@ -43,7 +57,9 @@ object Bench {
     // a baseline that isn't contaminated by one-off cold costs.
     val names = SparkEntry.queries.toSeq
     val pass1 = names.map { case (n, fn) => n -> once(fn) }
-    val pass2 = names.map { case (n, fn) => n -> once(fn) }
+    // job counts from pass 2 (warm: no first-run side-effect builds —
+    // index publishes, store writes — inflating the count)
+    val pass2 = names.map { case (n, fn) => n -> once(fn, n) }
     val pass3 = names.map { case (n, fn) => n -> once(fn) }
     val p2m = pass2.toMap
     val p3m = pass3.toMap
@@ -89,6 +105,10 @@ object Bench {
       .mkString("[", ",", "]")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_rounds.json"),
       s"""{"sf":"$sfDir","unit":"sec","rounds":$roundsJson}""".getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val jobsJson = jobCounts.map { case (n, j) => s"\"$n\":$j" }.mkString("{", ",", "}")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_jobs.json"),
+      s"""{"sf":"$sfDir","note":"Spark jobs per query, warm pass 2 (load-independent)","jobs":$jobsJson}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
     // stop BEFORE the JSON line: the driver parses the tail's final line,
     // and session shutdown must not append anything after it

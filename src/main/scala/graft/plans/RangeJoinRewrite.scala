@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.{col, expr, max => fmax}
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Bucketed range-join rewrite — the optimizer-rule form of q216's hand
   * rewrite (SURVEY §4.3 candidate): an INNER join whose only cross-side
@@ -43,14 +43,17 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * pattern), executed at planning and memoized per (canonical interval
   * plan, session) so re-executions re-use it.
   *
-  * Type lowering (r11, VERDICT r10 item 6): TimestampType points/bounds
-  * are lowered to epoch micros inside the rule (internal representation,
-  * strictly monotone), so event-time range joins rewrite without a hand
+  * Type lowering (r11, VERDICT r10 item 6): TimestampType and
+  * TIMESTAMP_NTZ points/bounds are lowered to epoch micros inside the
+  * rule (the internal representation — NTZ via an explicit-UTC cast, so
+  * the mapping is injective and order-preserving under any session
+  * timezone), so event-time range joins rewrite without a hand
   * `unix_micros` cast. LongType joins pass through unchanged.
   *
   * Bails (leaves the join untouched) when: any cross-side equality
   * already exists (Catalyst handles it), the bound/point types are not
-  * all LongType or all TimestampType, the join is not INNER, or width
+  * all the same type in {LongType, TimestampType, TimestampNTZType},
+  * the join is not INNER, or width
   * derivation finds an empty/degenerate interval side with no manual
   * width to fall back on.
   */
@@ -129,7 +132,8 @@ object RangeJoinRewrite {
           lower.flatMap { case (t, lo) => upper(t).map(hi => (t, lo, hi)) } match {
             case Some((t, lo, hi)) if !hasEqui &&
                 (Seq(t, lo, hi).forall(_.dataType == LongType) ||
-                 Seq(t, lo, hi).forall(_.dataType == TimestampType)) =>
+                 Seq(t, lo, hi).forall(_.dataType == TimestampType) ||
+                 Seq(t, lo, hi).forall(_.dataType == TimestampNTZType)) =>
               // point on one side, BOTH bounds on the other
               val sidesOk =
                 if (fromLeft(t)) fromRight(lo) && fromRight(hi)
@@ -137,11 +141,20 @@ object RangeJoinRewrite {
                 else false
               if (!sidesOk) j
               else {
-                // TimestampType lowers to its internal epoch-micros Long —
-                // strictly monotone and injective, so bucket containment
-                // survives the mapping exactly (VERDICT r10 item 6)
-                def micros(e: Expression): Expression =
-                  if (e.dataType == TimestampType) UnixMicros(e) else e
+                // Timestamp types lower to their internal epoch-micros
+                // Long — strictly monotone and injective, so bucket
+                // containment survives the mapping exactly (VERDICT r10
+                // item 6). NTZ goes through an EXPLICIT-UTC cast: that
+                // reinterprets the internal wall-clock micros verbatim
+                // (UTC is offset 0), so the mapping stays injective and
+                // order-preserving under ANY session timezone — a
+                // session-zone cast would not be (DST gaps collide).
+                def micros(e: Expression): Expression = e.dataType match {
+                  case TimestampType => UnixMicros(e)
+                  case TimestampNTZType =>
+                    UnixMicros(Cast(e, TimestampType, Some("UTC")))
+                  case _ => e
+                }
                 val (tM, loM, hiM) = (micros(t), micros(lo), micros(hi))
                 val boundChild = if (fromLeft(t)) r else l
                 val session = SparkSession.active

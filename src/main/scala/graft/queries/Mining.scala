@@ -253,29 +253,31 @@ object Mining {
         .orderBy("win_id")
     },
 
-    // The same range join with the point AND both bounds as RAW TIMESTAMP
-    // columns — no hand unix_micros anywhere in the query (VERDICT r10
-    // item 6): the rule lowers TimestampType to its internal epoch-micros
-    // representation itself (strictly monotone, so bucket containment is
-    // exact), derives the width from the span probe, and keeps the
-    // original timestamp predicates as residual. Hash-matches the same
-    // oracle as q216/q267; RangeJoinRewriteSpec pins that the rewrite
-    // actually fired on the timestamp form.
+    // The same range join with the point column as the fixture's RAW
+    // TIMESTAMP_NTZ — zero casts on the event side, no hand unix_micros
+    // anywhere (VERDICT r10 item 6): the rule lowers timestamp types to
+    // their internal epoch-micros representation itself (NTZ through an
+    // explicit-UTC reinterpretation — injective and order-preserving
+    // under any session zone), derives the width from the span probe,
+    // and keeps the original timestamp predicates as residual.
+    // Hash-matches the same oracle as q216/q267; RangeJoinRewriteSpec
+    // pins that the rewrite actually fired on both timestamp forms.
     "q272_range_join_timestamps" -> { (s0, dir) =>
       val s = s0.newSession()
       graft.plans.RangeJoinRewrite.ensure(s)
       import s.implicits._
       val ev = Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("value"),
-          expr("cast(ts as timestamp)").as("t"))
+        .select(col("event_id"), col("user_id"), col("value"), col("ts").as("t"))
       val bounds = ev.agg(min("t").as("t0"), max("t").as("t1"))
       val wins = bounds.crossJoin(Seq.range(0, 24).toDF("win_id"))
         .select(col("win_id"),
-          expr("""timestamp_micros(unix_micros(t0)
-                 | + (win_id * (unix_micros(t1) - unix_micros(t0))) div 24)""".stripMargin).as("ws"),
-          expr("""timestamp_micros(unix_micros(t0)
-                 | + (win_id * (unix_micros(t1) - unix_micros(t0))) div 24
-                 | + (unix_micros(t1) - unix_micros(t0)) div 16)""".stripMargin).as("we"))
+          expr("""cast(timestamp_micros(unix_micros(cast(t0 as timestamp))
+                 | + (win_id * (unix_micros(cast(t1 as timestamp)) - unix_micros(cast(t0 as timestamp)))) div 24)
+                 | as timestamp_ntz)""".stripMargin).as("ws"),
+          expr("""cast(timestamp_micros(unix_micros(cast(t0 as timestamp))
+                 | + (win_id * (unix_micros(cast(t1 as timestamp)) - unix_micros(cast(t0 as timestamp)))) div 24
+                 | + (unix_micros(cast(t1 as timestamp)) - unix_micros(cast(t0 as timestamp))) div 16)
+                 | as timestamp_ntz)""".stripMargin).as("we"))
       ev.join(wins, col("t") >= col("ws") && col("t") < col("we"))
         .groupBy("win_id")
         .agg(count(lit(1)).as("n_events"),

@@ -124,4 +124,33 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
     assert(run(sRule, pin = true) == run(sNaive, pin = false))
   }
+
+  test("TIMESTAMP_NTZ join fires (internal-micros lowering) and matches naive") {
+    val sNaive = spark.newSession()
+    val sRule = spark.newSession()
+    RangeJoinRewrite.ensure(sRule)
+    val rnd = new scala.util.Random(7L)
+    val base = 1700000000000000L
+    val pts = Seq.fill(50)(base + (rnd.nextLong() % 86400000000L).abs)
+    val ivs = Seq.fill(12) {
+      val a = base + (rnd.nextLong() % 86400000000L).abs
+      (a, a + 600000000L + rnd.nextInt(1000000))
+    }
+    def run(s: org.apache.spark.sql.SparkSession, pin: Boolean) = {
+      import s.implicits._
+      val p = pts.toDF("tm")
+        .select(expr("cast(timestamp_micros(tm) as timestamp_ntz)").as("t"))
+      val iv = ivs.toDF("a", "b").select(
+        expr("cast(timestamp_micros(a) as timestamp_ntz)").as("ws"),
+        expr("cast(timestamp_micros(b) as timestamp_ntz)").as("we"))
+      val j = p.join(iv, col("t") >= col("ws") && col("t") < col("we"))
+      if (pin) assert(j.queryExecution.executedPlan.toString.contains("__rj_b"),
+        "NTZ rewrite did not fire")
+      j.collect().map(r => (
+          r.getAs[java.time.LocalDateTime](0).toString,
+          r.getAs[java.time.LocalDateTime](1).toString,
+          r.getAs[java.time.LocalDateTime](2).toString)).toSeq.sorted
+    }
+    assert(run(sRule, pin = true) == run(sNaive, pin = false))
+  }
 }
