@@ -44,11 +44,20 @@ object Bench {
     val jobCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         name: String = ""): Double = {
+      if (name.nonEmpty) // flush the PREVIOUS query's late events off the bus
+        org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
       val j0 = jobs.get()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      if (name.nonEmpty) jobCounts(name) = jobs.get() - j0
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      if (name.nonEmpty) {
+        // onJobStart delivers asynchronously on the listener bus — drain
+        // before sampling so a late event never attributes one query's job
+        // to the next (ADVICE r11); the drain sits OUTSIDE the timed span.
+        org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+        jobCounts(name) = jobs.get() - j0
+      }
+      t
     }
     // THREE full-suite passes (r8 ADVICE): pass 1 is the cold pass (frame
     // builds, shuffle-file materialization, JIT tiers) and is expected to
@@ -110,9 +119,16 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_jobs.json"),
       s"""{"sf":"$sfDir","note":"Spark jobs per query, warm pass 2 (load-independent)","jobs":$jobsJson}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // Load self-report (VERDICT r11 item 8): when the pass-1 and pass-3
+    // totals diverge >50%, ambient box load moved during the run and the
+    // wall numbers in this artifact are suspect — the artifact says so
+    // itself, so no annex claim can quietly cite a loaded-window number.
+    // (bench_jobs.json stays trustworthy either way — job counts are
+    // load-independent.)
+    val loadSuspect = math.max(t1, t3) > 1.5 * math.min(t1, t3)
     // stop BEFORE the JSON line: the driver parses the tail's final line,
     // and session shutdown must not append anything after it
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"pass1_total":${f3(t1)},"pass2_total":${f3(t2)},"pass3_total":${f3(t3)},"queries":$qs,"queries_note":"top-25 by time; full map in bench_passes.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"pass1_total":${f3(t1)},"pass2_total":${f3(t2)},"pass3_total":${f3(t3)},"load_suspect":$loadSuspect,"queries":$qs,"queries_note":"top-25 by time; full map in bench_passes.json","sf":"$sfDir"}""")
   }
 }

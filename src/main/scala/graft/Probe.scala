@@ -24,7 +24,11 @@ object Probe {
       val j0 = jobs.get()
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()
-      println(f"PROBE $name rows=$n t=${(System.nanoTime()-t0)/1e9}%.3f jobs=${jobs.get()-j0}")
+      val t = (System.nanoTime() - t0) / 1e9
+      // listener events deliver asynchronously — drain before sampling so
+      // a late onJobStart never lands in the NEXT run's count (ADVICE r11)
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+      println(f"PROBE $name rows=$n t=$t%.3f jobs=${jobs.get()-j0}")
       if (rounds) graft.operators.Iterate.drainRounds().foreach(r =>
         println(f"  ROUND ${r.label}%s ${r.round}%d ${r.ms / 1000.0}%.3f"))
     }

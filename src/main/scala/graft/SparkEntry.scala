@@ -31,7 +31,8 @@ object SparkEntry {
       (_root_.graft.queries.Analytics.queries, _root_.graft.queries.Analytics.oracles),
       (_root_.graft.queries.Mining.queries, _root_.graft.queries.Mining.oracles),
       (_root_.graft.queries.Advanced.queries, _root_.graft.queries.Advanced.oracles),
-      (_root_.graft.queries.StatsStore.queries, _root_.graft.queries.StatsStore.oracles))
+      (_root_.graft.queries.StatsStore.queries, _root_.graft.queries.StatsStore.oracles),
+      (_root_.graft.queries.StreamServe.queries, _root_.graft.queries.StreamServe.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2 (insertion-ordered
     * so Verify/Bench output is stable).

