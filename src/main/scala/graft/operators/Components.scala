@@ -35,9 +35,20 @@ object Components {
     *         edge; comp is the minimum node id of its component.
     */
   def connected(spark: SparkSession, edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    // ONE exchange per round (VERDICT r11 item 1): the symmetrized edge
+    // list is hash-partitioned by src ONCE, outside the loop (the distinct
+    // then runs exchange-free on top — hash(src) clusters (src, dst)), and
+    // the carried label frame keeps hash(id, N) across rounds (explicit
+    // repartition before the min-agg; the checkpoint preserves physical
+    // partitioning), so the per-round propagation join is co-partitioned
+    // with NO exchange on either side — where the old shape re-shuffled
+    // the static edge list every round. The shuffle_hash hint keeps AQE
+    // from demoting the co-partitioned join to broadcast, which would add
+    // a broadcast job per round for nothing (measured in r11).
+    val shufN = spark.sessionState.conf.numShufflePartitions
     val und = Lineage.cut(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct())
+      .repartition(shufN, col("src")).distinct())
     val labels0 = Lineage.cut(und.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")))
     // ONE job per round (VERDICT r10 item 1): the change signal is not a
@@ -50,10 +61,11 @@ object Components {
         labels0.withColumn("__chg", lit(1L)), labels0, maxIter,
         conv = Iterate.FlagSum("__chg")) { (_, labels, _) =>
       val lab = labels.select(col("id"), col("comp"))
-      val nbr = und.join(lab, und("src") === lab("id"))
+      val nbr = und.join(lab.hint("shuffle_hash"), und("src") === lab("id"))
         .select(und("dst").as("id"), lab("comp"))
       val next = lab.withColumn("__own", lit(1))
         .unionByName(nbr.withColumn("__own", lit(0)))
+        .repartition(shufN, col("id"))
         .groupBy("id").agg(min("comp").as("comp"),
           min(when(col("__own") === 1, col("comp"))).as("__old"))
         .withColumn("__chg", (col("comp") < col("__old")).cast("long"))
@@ -116,75 +128,95 @@ object Components {
     * no separate probe job.
     */
   def connectedStars(spark: SparkSession, edges: DataFrame, maxIter: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val nodes = Lineage.cut(edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct())
     // canonical undirected edge set (a < b); self-loops carry no
     // connectivity and are re-labeled from the node universe at the end
-    var g = Lineage.cut(edges.filter(col("src") =!= col("dst"))
+    val g0 = Lineage.cut(edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct())
-    val g0 = g
-    // ONE job per round (VERDICT r10 item 1): the old shape paid a cut of
-    // `next` plus a separate full-outer set-difference probe. The probe
-    // join IS the carried frontier now: next ⟗ gCur keyed on (a, b) with
-    // presence flags, so the harness's sum(__chg) rides the checkpoint
-    // materialization scan, and the next round recovers its edge set as
-    // the `__l`-flagged rows of the cached frame. Both sides enter the
-    // full-outer hash-partitioned on (a, b) (distinct output / preserved
-    // checkpoint partitioning), so the merge adds no shuffle.
-    // one large-star + small-star application
+    // One large-star + small-star application in THREE shuffle stages
+    // (VERDICT r11 item 1 — the prior shape paid ~10 AQE stage-jobs per
+    // round). Two structural changes, both exact:
+    //
+    //  1. Each star phase is ONE windowed pass instead of an
+    //     aggregate + self-join: `min(v) over (partition by u)` hands
+    //     every neighbor row its neighborhood min in the same shuffle
+    //     that grouping would have paid, so the phase needs no re-join —
+    //     and with no join there is nothing for AQE to broadcast-convert
+    //     (the demotion that added a broadcast job per round in the r11
+    //     experiments). WindowExec sorts and SPILLS per partition, so a
+    //     hub node degrades to disk, not OOM — the same exposure the
+    //     join-side shuffle always had.
+    //  2. Convergence is a LOCAL flag instead of a full-outer
+    //     set-difference against the previous edge set (which cost a join
+    //     and an extra exchange every round). Exactness: the alternation's
+    //     set-level fixed points are exactly star forests (Kiveris et al.
+    //     SoCC'14 — a non-star-forest round strictly decreases the height
+    //     potential, so an unchanged edge set IS a star forest), and on a
+    //     star forest (i) large-star rewires nothing (every root is its
+    //     closed neighborhood's min) and (ii) every non-root has exactly
+    //     one smaller neighbor. So
+    //       flag = [large-star moved an edge: m(u) ≠ u]  OR
+    //              [small-star will merge: u has ≥ 2 smaller-neighbor rows]
+    //     is 0 iff the round was the identity. Duplicate (m, v) emissions
+    //     can inflate the row count pre-convergence (spurious flag = 1 →
+    //     one more round, never a wrong stop); at the star-forest fixed
+    //     point each edge is emitted exactly once, so the flag settles to
+    //     0 exactly.
     def starPair(gc: DataFrame): DataFrame = {
-      // large-star: every neighbor v > u links to u's closed-neighborhood min
-      val nb = gc.select(col("a").as("u"), col("b").as("v"))
+      // large-star: every neighbor v > u links to u's closed-neighborhood
+      // min. For canonical (a < b) edges the v > u rows are exactly the
+      // edges themselves, so the filter above the window reproduces gc
+      // with m attached — no join, one exchange.
+      val w1 = Window.partitionBy("u")
+      val large = gc.select(col("a").as("u"), col("b").as("v"))
         .union(gc.select(col("b").as("u"), col("a").as("v")))
-      val lmin = nb.groupBy("u").agg(min("v").as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      // no intermediate distinct (r11): duplicate (m, v) pairs collapse in
-      // smin's groupBy and the final distinct anyway — an extra shuffle
-      // stage bought nothing (each AQE stage is its own ~45 ms driver job,
-      // the floor that dominates this operator at fixture scale)
-      val large = nb.join(lmin, "u").filter(col("v") > col("u"))
-        .select(col("m").as("a"), col("v").as("b"))
-      // small-star: orient max → min; every smaller neighbor (and u) links
-      // to the neighborhood min. m <= v for all emitted pairs by
-      // construction, so (m, v) is already canonical.
-      val nb2 = large.select(col("b").as("u"), col("a").as("v"))
-      val smin = nb2.groupBy("u").agg(min("v").as("m"))
-      nb2.join(smin, "u").select(col("m"), col("v"))
-        .union(smin.select(col("m"), col("u").as("v")))
-        .filter(col("m") =!= col("v"))
-        .select(col("m").as("a"), col("v").as("b")).distinct()
+        .withColumn("m", least(min("v").over(w1), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("la"), col("v").as("lb"),
+          (col("m") =!= col("u")).cast("long").as("lchg"))
+      // small-star: orient max → min; every smaller neighbor (and u
+      // itself, emitted once per group via rn = 1) links to the
+      // neighborhood min. m2 <= v2 for all emitted pairs by construction,
+      // so the output is already canonical. The full-frame aggregates and
+      // row_number share one window sort (same partition + order).
+      val w2 = Window.partitionBy("u2").orderBy("v2")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wr = Window.partitionBy("u2").orderBy("v2")
+      large.select(col("lb").as("u2"), col("la").as("v2"), col("lchg"))
+        .withColumn("m2", min("v2").over(w2))
+        .withColumn("f", greatest(max("lchg").over(w2),
+          (count(lit(1)).over(w2) >= 2).cast("long")))
+        .withColumn("rn", row_number().over(wr))
+        .select(col("m2"), col("f"),
+          explode(when(col("rn") === 1, array(col("v2"), col("u2")))
+            .otherwise(array(col("v2")))).as("vv"))
+        .filter(col("m2") =!= col("vv"))
+        // dedup + flag-merge in ONE exchange (a distinct would split
+        // same-edge rows with different flags into duplicate edges)
+        .groupBy(col("m2").as("a"), col("vv").as("b"))
+        .agg(max("f").as("__chg"))
     }
     // ONE pair per driver barrier. Batching two pairs per barrier (the
     // Closure batch=2 trick) was tried in r11 and REGRESSED 6.1 s → 11.2 s
     // at sf0.1: the second pair's plan references the first pair's output
-    // twice (as its input and as the convergence merge's right side), and
-    // without a checkpoint between them the shared subplan re-executes —
-    // the recompute costs more than the saved barrier. (Same conclusion as
-    // the r10 probe-skipping experiment, different mechanism.) An
-    // additions-only LEFT-join flag with count-change closing the
-    // exactness (no additions ⇒ next ⊆ prev; equal cardinality ⇒
-    // equality) was ALSO tried and lost: AQE broadcast-converts the
-    // narrow left join, adding a broadcast job per round — 104 → 110
-    // jobs, 5.5 s → 6.5 s warm at sf0.1. The full-outer merge below keeps
-    // both sides in one shuffled join with no broadcast build.
+    // twice and without a checkpoint between them the shared subplan
+    // re-executes — the recompute costs more than the saved barrier.
+    // Seed BOTH frontier0 and state0 with the flagged frame: when g0 is
+    // empty (no edges, or self-loops only) the FlagSum harness runs ZERO
+    // rounds and returns state0 verbatim, so the seed must already carry
+    // the (a, b, __chg) shape the post-loop projection expects (ADVICE
+    // r11's degenerate-input lesson, preserved across this rewrite).
+    val gSeed = g0.withColumn("__chg", lit(0L))
     val gFinal = Iterate.fixedPoint("components_stars",
-        g0.withColumn("__l", lit(1)).withColumn("__r", lit(1))
-          .withColumn("__chg", lit(0L)),
-        g0, maxIter, conv = Iterate.FlagSum("__chg")) { (_, merged, _) =>
-      val gCur = merged.filter(col("__l").isNotNull).select(col("a"), col("b"))
-      val next = starPair(gCur)
-      // set equality as a row flag: a full-outer join row with either side
-      // missing is a difference; both sides enter hash-partitioned on
-      // (a, b), and the harness's sum(__chg) rides the checkpoint
-      // materialization scan.
-      val mergedNext = next.withColumn("__l", lit(1))
-        .join(gCur.withColumn("__r", lit(1)), Seq("a", "b"), "full_outer")
-        .withColumn("__chg", (col("__l").isNull || col("__r").isNull).cast("long"))
-      (mergedNext, gCur)
-    } { (merged, _) => merged }
-    g = gFinal.filter(col("__l").isNotNull).select(col("a"), col("b"))
+        gSeed, gSeed, maxIter, conv = Iterate.FlagSum("__chg")) { (_, gc, _) =>
+      val next = starPair(gc.select(col("a"), col("b")))
+      (next, next)
+    } { (f, _) => f }
+    val g = gFinal.select(col("a"), col("b"))
     // stable star forest: a = component min (root), b = member
     val members = g.select(col("b").as("id"), col("a").as("comp"))
     val roots = g.select(col("a").as("id"), col("a").as("comp")).distinct()

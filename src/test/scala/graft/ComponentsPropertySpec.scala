@@ -128,4 +128,22 @@ class ComponentsPropertySpec extends AnyFunSuite {
     assert(stars === Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
     assert(stars === prop)
   }
+
+  test("connectedStars on a degenerate graph: self-loops only (empty canonical edge set)") {
+    // ADVICE r11: the zero-round path returned the unflagged state0 and the
+    // post-loop `filter(__l.isNotNull)` threw UNRESOLVED_COLUMN. Every node
+    // must come back self-labeled.
+    import spark.implicits._
+    val edges = Seq((3L, 3L), (11L, 11L)).toDF("src", "dst")
+    val stars = Components.connectedStars(spark, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars === Map(3L -> 3L, 11L -> 11L))
+  }
+
+  test("connectedStars on an empty edge frame returns an empty labeling") {
+    import spark.implicits._
+    val stars = Components.connectedStars(spark,
+      Seq.empty[(Long, Long)].toDF("src", "dst")).collect()
+    assert(stars.isEmpty)
+  }
 }
