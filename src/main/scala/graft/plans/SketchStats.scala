@@ -41,7 +41,8 @@ object SketchStats {
   def ensure(spark: SparkSession): Unit = synchronized {
     val cur = spark.experimental.extraOptimizations
     if (!cur.exists(_.isInstanceOf[BroadcastFromSketchStats]))
-      spark.experimental.extraOptimizations = cur :+ BroadcastFromSketchStats()
+      spark.experimental.extraOptimizations =
+        cur :+ BroadcastFromSketchStats() :+ VetoBroadcastOnFanout()
   }
 
   /** Generation-pinned, failure-transparent, re-entrancy-guarded read of
@@ -112,6 +113,74 @@ object SketchStats {
             val bc = Some(HintInfo(strategy = Some(BROADCAST)))
             if (small(r)) j.copy(hint = JoinHint(None, bc))
             else if (small(l)) j.copy(hint = JoinHint(bc, None))
+            else j
+        }
+      }
+    }
+  }
+
+  /** The SECOND stats consumer (VERDICT r11 item 6) — the q202 lesson:
+    * generator fan-out is invisible to Spark's size-only estimation.
+    * `Generate(explode(col))` forwards roughly its child's sizeInBytes,
+    * so a small scan that explodes a k-element array column looks k×
+    * smaller than it is and the planner happily BROADCASTS the exploded
+    * side — an under-estimation that ships k× the expected bytes to every
+    * executor (the inverse blindness of [[BroadcastFromSketchStats]]:
+    * there Spark over-estimates and misses a broadcast; here it
+    * under-estimates and picks a bad one).
+    *
+    * The rule corrects with the persisted per-(table, array column) avg
+    * element count: when a join side contains an explode of a
+    * stats-covered scan column, its naive estimate is ≤ the broadcast
+    * threshold (so the planner WOULD build on it), but naive × avg_len
+    * exceeds the threshold, the side gets a NO_BROADCAST_HASH hint. The
+    * veto direction is safe by construction: a wrongly-vetoed broadcast
+    * degrades to a shuffled join; a wrongly-granted one degrades to an
+    * OOM-shaped driver/executor spike at 100 TB. Same activation and
+    * catalog discipline as the NDV consumer ([[StatsCatalog]]).
+    */
+  final case class VetoBroadcastOnFanout() extends Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.ExplodeBase
+
+    /** Corrected-size veto check: true when `p` would be size-eligible
+      * for broadcast but an explode of a covered array column makes the
+      * corrected estimate exceed the threshold. */
+    private def fanoutBlows(p: LogicalPlan,
+        fan: Map[(String, String), (Long, Long)], threshold: Long): Boolean = {
+      val naive = p.stats.sizeInBytes
+      naive <= threshold && p.collect { case g: Generate => g }.exists { g =>
+        g.generator match {
+          case e: ExplodeBase => e.child match {
+            case a: AttributeReference =>
+              g.child.collect {
+                case lr: LogicalRelation if lr.output.exists(_.exprId == a.exprId) => lr
+              }.headOption.flatMap(tableOf)
+                .flatMap(t => fan.get((t, a.name)))
+                .exists { case (avgLen, _) =>
+                  naive * BigInt(math.max(1L, avgLen)) > threshold }
+            case _ => false
+          }
+          case _ => false
+        }
+      }
+    }
+
+    private def tableOf(lr: LogicalRelation): Option[String] = StatsCatalog.tableOf(lr)
+
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      val dir = conf.getConfString(DirKey, "")
+      val threshold = conf.autoBroadcastJoinThreshold
+      if (dir.isEmpty || threshold <= 0) plan
+      else {
+        val fan = StatsCatalog.fanout(SparkSession.active, dir)
+        if (fan.isEmpty) plan
+        else plan.transformUp {
+          case j @ Join(l, r, Inner, _, JoinHint.NONE) =>
+            val veto = Some(HintInfo(strategy = Some(NO_BROADCAST_HASH)))
+            val (vl, vr) =
+              (fanoutBlows(l, fan, threshold), fanoutBlows(r, fan, threshold))
+            if (vl || vr)
+              j.copy(hint = JoinHint(if (vl) veto else None, if (vr) veto else None))
             else j
         }
       }

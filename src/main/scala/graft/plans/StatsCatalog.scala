@@ -94,4 +94,14 @@ object StatsCatalog {
         .select("tbl", "col", "ndv_est").collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     }
+
+  /** Per-(table, array column) generator fan-out: (avg element count,
+    * ceiling-rounded; max element count) — the size-estimate correction
+    * for plans that explode the column. */
+  def fanout(spark: SparkSession, dir: String): Map[(String, String), (Long, Long)] =
+    cachedRead("column_fanout", dir)(Map.empty[(String, String), (Long, Long)]) { base =>
+      spark.read.parquet(s"$base/column_fanout")
+        .select("tbl", "col", "avg_len", "max_len").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    }
 }

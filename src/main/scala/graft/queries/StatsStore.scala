@@ -94,10 +94,21 @@ object StatsStore {
             max("span").as("max_span"))
           .select(lit("windows").as("tbl"), lit("ws").as("lo_col"),
             lit("we").as("hi_col"), col("med_span"), col("max_span"))
+        // per-array-column generator fan-out (VERDICT r11 item 6 — the
+        // q202 lesson in the OTHER direction): avg element count (ceiling
+        // division, so the correction stays upper-ish) and max, exact
+        // integer aggregates a DuckDB oracle replays verbatim
+        val fanRows = Tables.embeddings(s, dir)
+          .agg(sum(size(col("embedding"))).as("sl"), count(lit(1)).as("n"),
+            max(size(col("embedding"))).as("mx"))
+          .select(lit("embeddings").as("tbl"), lit("embedding").as("col"),
+            expr("(sl + n - 1) div n").as("avg_len"),
+            col("mx").cast("long").as("max_len"))
         graft.IndexStore.publish(p) { staging =>
           ndvRows.coalesce(1).write.parquet(s"$staging/column_ndv")
           wins.coalesce(1).write.parquet(s"$staging/windows.parquet")
           spanRows.coalesce(1).write.parquet(s"$staging/column_span")
+          fanRows.coalesce(1).write.parquet(s"$staging/column_fanout")
         }
         graft.plans.StatsCatalog.invalidate()
         builtDirs.add(p)
@@ -199,6 +210,44 @@ object StatsStore {
           countDistinct("user_id").as("n_users"),
           round(sum("value"), 2).as("sum_value"))
         .orderBy("win_id")
+    },
+
+    // The generator fan-out stats judged (VERDICT r11 item 6): the
+    // persisted per-(table, array column) avg/max element counts that
+    // correct Spark's explode-blind size estimation. Ceiling-divided avg
+    // (upper-ish, the safe veto direction); exact integer aggregates the
+    // oracle replays verbatim.
+    "q279_column_fanout_stats" -> { (s, dir) =>
+      s.read.parquet(s"${storeBase(s, dir)}/column_fanout")
+        .select("tbl", "col", "avg_len", "max_len")
+        .orderBy("tbl", "col")
+    },
+
+    // The fan-out CONSUMER judged (the q202 lesson closed): exploding the
+    // 64-dim embedding column makes the join side 64× its scan estimate —
+    // invisible to size-only planning, which would happily broadcast it
+    // against the bigger orders side. With the stats dir set, the
+    // VetoBroadcastOnFanout rule corrects the estimate and pins the side
+    // out of the build slot (PlanAuditSpec holds the pos/neg plan pins);
+    // the ANSWER is plan-independent and hash-matches an oracle that
+    // unnests and re-joins from scratch. Components are quantized to
+    // integer thousandths before aggregation so every sum is
+    // order-independent exact integer math.
+    "q280_fanout_veto_join" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.SketchStats.ensure(s)
+      s.conf.set(graft.plans.SketchStats.DirKey, ensureStats(s, dir))
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1048576")
+      val ex = Tables.embeddings(s, dir)
+        .select(col("vec_id"), explode(col("embedding")).as("x"))
+        .select(col("vec_id"), expr(
+          "cast(floor(cast(x as double) * 1000 + cast(0.5 as double)) as bigint)").as("q"))
+      Tables.orders(s, dir)
+        .join(ex, col("o_custkey") === col("vec_id"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_comp"), sum("q").as("sum_q"),
+          min("q").as("min_q"), max("q").as("max_q"))
+        .orderBy("o_orderpriority")
     })
 
   /** One register-CTE block per covered column (the q271 re-derivation,
@@ -280,5 +329,23 @@ object StatsStore {
          | round(sum(e.value), 2) AS sum_value
          |FROM w JOIN ev e ON e.t >= w.ws AND e.t < w.we
          |GROUP BY w.win_id
-         |ORDER BY w.win_id""".stripMargin)
+         |ORDER BY w.win_id""".stripMargin,
+
+    "q279_column_fanout_stats" ->
+      """SELECT 'embeddings' AS tbl, 'embedding' AS col,
+        | CAST((sum(len(embedding)) + count(*) - 1) // count(*) AS BIGINT) AS avg_len,
+        | CAST(max(len(embedding)) AS BIGINT) AS max_len
+        |FROM embeddings""".stripMargin,
+
+    "q280_fanout_veto_join" ->
+      """WITH ex AS (
+        | SELECT e.vec_id,
+        |  CAST(floor(CAST(u.x AS DOUBLE) * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+        | FROM embeddings e, UNNEST(e.embedding) AS u(x))
+        |SELECT o.o_orderpriority, count(*) AS n_comp,
+        | CAST(sum(ex.q) AS BIGINT) AS sum_q,
+        | min(ex.q) AS min_q, max(ex.q) AS max_q
+        |FROM orders o JOIN ex ON o.o_custkey = ex.vec_id
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin)
 }

@@ -370,6 +370,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(jobs2 >= 1L, "expected the planning-time probe job without a span catalog")
   }
 
+  test("q280: fan-out stats veto the explode-side broadcast; without stats the bad build happens") {
+    import org.apache.spark.sql.functions._
+    // VERDICT r11 item 6 (the q202 lesson): Generate forwards its child's
+    // size estimate, so the 64×-exploding embedding side looks broadcast-
+    // small. Probe side = spark.range (precise stats, over the threshold,
+    // never broadcastable), so the exploded side is the ONLY broadcast
+    // candidate: without stats the planner builds on it (the 100 TB
+    // failure); with the fan-out catalog the veto forces the shuffled join.
+    def q(s: org.apache.spark.sql.SparkSession) = {
+      val ex = Tables.embeddings(s, dir)
+        .select(col("vec_id"), explode(col("embedding")).as("x"))
+      s.range(300000).join(ex, col("id") === col("vec_id"))
+    }
+    val sNeg = spark.newSession()
+    graft.plans.SketchStats.ensure(sNeg)
+    sNeg.conf.set("spark.sql.autoBroadcastJoinThreshold", "1048576")
+    val pNeg = q(sNeg).queryExecution.executedPlan.toString
+    assert(pNeg.contains("BroadcastHashJoin"),
+      s"negative control: expected the naive plan to broadcast the exploded side:\n${pNeg.take(2500)}")
+    val sPos = spark.newSession()
+    graft.plans.SketchStats.ensure(sPos)
+    sPos.conf.set(graft.plans.SketchStats.DirKey,
+      queries.StatsStore.ensureStatsFor(sPos, dir))
+    sPos.conf.set("spark.sql.autoBroadcastJoinThreshold", "1048576")
+    val pPos = q(sPos).queryExecution.executedPlan.toString
+    assert(!pPos.contains("BroadcastHashJoin"),
+      s"fan-out stats present but the exploded side still broadcasts:\n${pPos.take(2500)}")
+    assert(pPos.contains("SortMergeJoin") || pPos.contains("ShuffledHashJoin"),
+      s"expected a shuffled join under the veto:\n${pPos.take(2500)}")
+    // the answer is plan-independent
+    assert(q(sPos).count() === q(sNeg).count())
+  }
+
   test("SketchStats recovers after a failed stats read without invalidate()") {
     import org.apache.spark.sql.functions._
     // VERDICT r11 item 4: a transient read failure must not be memoized as

