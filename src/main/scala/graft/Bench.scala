@@ -110,10 +110,10 @@ object Bench {
     // than inferred from query totals.
     val rounds = graft.operators.Iterate.drainRounds()
     val roundsJson = rounds.map(r =>
-        s"""["${r.label}",${r.round},${f3(r.ms / 1000.0)}]""")
+        s"""["${r.label}",${r.round},${f3(r.ms / 1000.0)},${r.jobs}]""")
       .mkString("[", ",", "]")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_rounds.json"),
-      s"""{"sf":"$sfDir","unit":"sec","rounds":$roundsJson}""".getBytes("UTF-8"))
+      s"""{"sf":"$sfDir","unit":"sec","fields":["label","round","sec","jobs"],"rounds":$roundsJson}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val jobsJson = jobCounts.map { case (n, j) => s"\"$n\":$j" }.mkString("{", ",", "}")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_jobs.json"),

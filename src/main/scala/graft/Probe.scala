@@ -30,7 +30,7 @@ object Probe {
       org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
       println(f"PROBE $name rows=$n t=$t%.3f jobs=${jobs.get()-j0}")
       if (rounds) graft.operators.Iterate.drainRounds().foreach(r =>
-        println(f"  ROUND ${r.label}%s ${r.round}%d ${r.ms / 1000.0}%.3f"))
+        println(f"  ROUND ${r.label}%s ${r.round}%d ${r.ms / 1000.0}%.3f jobs=${r.jobs}%d"))
     }
   }
 }

@@ -29,11 +29,19 @@ object Hits {
     */
   def run(spark: SparkSession, edgesIn: DataFrame, nodesIn: DataFrame,
       iters: Int, scale: Long): DataFrame = {
-    // materialize the static relations ONCE — each iteration joins edges
-    // twice and nodes twice, and without the cut every iteration
-    // re-executes the caller's derivations
-    val edges = Lineage.cut(edgesIn)
-    val nodes = Lineage.cut(nodesIn)
+    // Static relations materialized ONCE, each pre-partitioned for the
+    // join that consumes it (VERDICT r11 item 1's stage-floor discipline):
+    // the hub→auth half joins edges by name, the auth→hub half by dep, so
+    // two pinned copies kill both per-iteration edge re-shuffles; nodes is
+    // pinned by name so the left joins that re-anchor the score universe
+    // are co-partitioned with the aggregated sums. The carried vectors
+    // come out of hash(name, N)-preserving plans, so each half-iteration
+    // pays exactly ONE exchange (regrouping mass by the receiving node)
+    // plus the one-row total broadcast.
+    val shufN = spark.sessionState.conf.numShufflePartitions
+    val edgesByName = Lineage.cutHash(edgesIn.repartition(shufN, col("name")), shufN, "name")
+    val edgesByDep = Lineage.cutHash(edgesIn.repartition(shufN, col("dep")), shufN, "dep")
+    val nodes = Lineage.cutHash(nodesIn.repartition(shufN, col("name")), shufN, "name")
     require(!nodes.isEmpty, "HITS needs a non-empty node set")
     val consts = broadcast(nodes.agg(expr(s"$scale div count(1)").as("__init")))
     val hub0 = nodes.crossJoin(consts).select(col("name"), col("__init").as("hub"))
@@ -44,24 +52,33 @@ object Hits {
     // LogicalRDD (so the doubled consumption never doubles the plan), but
     // the blocks materialize when the caller's terminal action pipelines
     // all `iters` rounds as one job — the PageRank economics on the
-    // shared harness.
+    // shared harness. The raw-sum frame is ALSO lazily cut: the
+    // normalization consumes it twice (values + total), and without the
+    // cut the broadcast-total build re-executes the whole join + agg.
     val (auth, hub) = Iterate.fixedPoint("hits", nodes, (auth0, hub0), iters,
         cutFrontier = false, conv = Iterate.FixedRounds) { (_, _, s) =>
       val (_, hubCur) = s
-      val a0 = hubCur.join(edges, "name")
+      // build side = the score vector (bounded by |V|), never the edges
+      val a0 = Lineage.cutLazyHash(hubCur.hint("shuffle_hash").join(edgesByName, "name")
         .select(col("dep").as("name"), col("hub").as("c"))
-        .groupBy("name").agg(sum("c").as("v"))
+        .repartition(shufN, col("name"))
+        .groupBy("name").agg(sum("c").as("v")), shufN, "name")
       val at = broadcast(a0.agg(sum("v").as("__t")))
-      val authNext = Lineage.cutLazy(
-        nodes.join(a0, Seq("name"), "left").crossJoin(at)
-          .select(col("name"), expr(s"coalesce(v, 0L) * $scale div __t").as("auth")))
-      val h0 = edges.join(authNext.select(col("name").as("dep"), col("auth").as("c")), "dep")
-        .select(col("name"), col("c"))
-        .groupBy("name").agg(sum("c").as("v"))
+      val authNext = Lineage.cutLazyHash(
+        nodes.join(a0.hint("shuffle_hash"), Seq("name"), "left").crossJoin(at)
+          .select(col("name"), expr(s"coalesce(v, 0L) * $scale div __t").as("auth")),
+        shufN, "name")
+      val h0 = Lineage.cutLazyHash(
+        edgesByDep.join(authNext.hint("shuffle_hash")
+            .select(col("name").as("dep"), col("auth").as("c")), "dep")
+          .select(col("name"), col("c"))
+          .repartition(shufN, col("name"))
+          .groupBy("name").agg(sum("c").as("v")), shufN, "name")
       val ht = broadcast(h0.agg(sum("v").as("__t")))
-      val hubNext = Lineage.cutLazy(
-        nodes.join(h0, Seq("name"), "left").crossJoin(ht)
-          .select(col("name"), expr(s"coalesce(v, 0L) * $scale div __t").as("hub")))
+      val hubNext = Lineage.cutLazyHash(
+        nodes.join(h0.hint("shuffle_hash"), Seq("name"), "left").crossJoin(ht)
+          .select(col("name"), expr(s"coalesce(v, 0L) * $scale div __t").as("hub")),
+        shufN, "name")
       (nodes, (authNext, hubNext))
     } { (_, s) => s }
     auth.join(hub, "name").select(col("name"), col("auth"), col("hub"))

@@ -59,7 +59,7 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
   * gone, which is the honest number.
   */
 object Iterate {
-  final case class RoundStat(label: String, round: Int, ms: Double)
+  final case class RoundStat(label: String, round: Int, ms: Double, jobs: Long = -1L)
 
   /** How the harness decides whether another round is needed. */
   sealed trait Convergence
@@ -79,6 +79,25 @@ object Iterate {
 
   private val roundLog = new java.util.concurrent.ConcurrentLinkedQueue[RoundStat]()
   @volatile private var recording = false
+
+  /** Per-round Spark-job counter, attached once per context when recording
+    * is on — job counts are the load-independent A/B metric for this
+    * family (wall clock on a shared box swings 3×), so the round log
+    * carries them beside the wall ms. */
+  private val jobCounter = new java.util.concurrent.atomic.AtomicLong()
+  private val counterAttached =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
+  private def jobsNow(df: DataFrame): Long = {
+    val sc = df.sparkSession.sparkContext
+    if (counterAttached.add(sc))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          { jobCounter.incrementAndGet(); () }
+      })
+    org.apache.spark.graftbridge.ListenerBridge.drain(sc)
+    jobCounter.get()
+  }
 
   /** Enable/disable per-round stat capture (Bench enables; everything else
     * leaves it off so long-lived JVMs don't accumulate an undrained log). */
@@ -101,7 +120,8 @@ object Iterate {
     * used exactly once by the signal job.
     */
   def fixedPoint[S](label: String, frontier0: DataFrame, state0: S, maxRounds: Int,
-      cutFrontier: Boolean = true, conv: Convergence = NonEmpty)(
+      cutFrontier: Boolean = true, conv: Convergence = NonEmpty,
+      cut: DataFrame => DataFrame = Lineage.cutLazy)(
       round: (Int, DataFrame, S) => (DataFrame, S))(
       absorb: (DataFrame, S) => S): S = {
     // Note: AQE stays ON inside rounds. It was measured both ways — AQE's
@@ -124,8 +144,9 @@ object Iterate {
     while (r < maxRounds && live) {
       r += 1
       val t0 = System.nanoTime()
+      val j0 = if (recording) jobsNow(frontier) else 0L
       val (f, s1) = round(r, frontier, state)
-      if (cutFrontier) frontier = Lineage.cutLazy(f) else frontier = f
+      if (cutFrontier) frontier = cut(f) else frontier = f
       // ONE action: the aggregate scan materializes the lazy checkpoint's
       // blocks AND returns the convergence signal (FixedRounds: no action).
       conv match {
@@ -143,7 +164,8 @@ object Iterate {
         case FixedRounds => ()
       }
       state = absorb(frontier, s1)
-      if (recording) roundLog.add(RoundStat(label, r, (System.nanoTime() - t0) / 1e6))
+      if (recording) roundLog.add(RoundStat(label, r,
+        (System.nanoTime() - t0) / 1e6, jobsNow(frontier) - j0))
     }
     state
   }

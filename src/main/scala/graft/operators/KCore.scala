@@ -27,22 +27,33 @@ object KCore {
     * @return single-column (name) frame of surviving core members
     */
   def run(spark: SparkSession, edgesIn: DataFrame, k: Int, maxIter: Int = 64): DataFrame = {
-    // materialize the adjacency ONCE — every peel round joins it twice
-    val edges = Lineage.cut(edgesIn)
-    val alive0 = Lineage.cut(edges.select("name").distinct())
-    // ONE job per round (VERDICT r10 item 1): next ⊆ alive by construction
-    // (the degree frame only emits surviving-subgraph nodes), so subset +
-    // equal cardinality ⟺ set equality — the harness's count of the cut
-    // frame IS the exact fixpoint test, no anti-join probe job.
-    Iterate.fixedPoint("kcore", alive0, alive0, maxIter,
+    // EDGE-level peel state with windowed degrees (VERDICT r11 item 1's
+    // stage-floor discipline): the carried frame is the surviving
+    // symmetric edge set itself, and a round attaches both endpoints'
+    // surviving degrees via two windowed counts — `count over (partition
+    // by name)` then `over (partition by dep)` — and keeps edges whose
+    // endpoints both clear k. No joins at all, so nothing re-shuffles the
+    // adjacency per round and AQE has no join to demote: a round is
+    // exactly two window exchanges plus the count signal. Node-alive and
+    // edge-alive peeling reach the same fixpoint (an edge dies iff an
+    // endpoint dies; a node dies iff its surviving degree drops below k —
+    // the windowed filter applies both rules at once), and the surviving
+    // edge count only shrinks, so the harness's count-stability test is
+    // exact set equality. WindowExec sorts and spills per partition — a
+    // hub node degrades to disk, the same exposure the old alive-join's
+    // shuffle always had.
+    import org.apache.spark.sql.expressions.Window
+    val alive0 = Lineage.cut(edgesIn.select("name", "dep").distinct())
+    val core = Iterate.fixedPoint("kcore", alive0, alive0, maxIter,
         conv = Iterate.CountStable) { (_, alive, _) =>
-      val survivingEdges = edges
-        .join(alive, "name")
-        .join(alive.select(col("name").as("dep")), "dep")
-      val next = survivingEdges.groupBy("name").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select("name")
+      val next = alive
+        .withColumn("dn", count(lit(1)).over(Window.partitionBy("name")))
+        .withColumn("dd", count(lit(1)).over(Window.partitionBy("dep")))
+        .filter(col("dn") >= k && col("dd") >= k)
+        .select("name", "dep")
       (next, alive)
     } { (alive, _) => alive }
+    core.select("name").distinct()
   }
 
   /** Symmetric closure of a directed edge frame, self-loops dropped — the

@@ -31,4 +31,23 @@ object Lineage {
   def cutLazy(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = false)
     else df.localCheckpoint(eager = false)
+
+  /** Lazy lineage cut that PRESERVES the frame's hash partitioning across
+    * the checkpoint (plain cuts come back UNKNOWN-partitioned under AQE,
+    * so every carried-frame join re-shuffles — one extra exchange job per
+    * use per round across the whole iterative family). Callers must
+    * guarantee the physical layout: the plan ends in `repartition(n,
+    * cols)` followed only by partitioning-preserving operators — see
+    * [[org.apache.spark.sql.graftbridge.CheckpointBridge]] for the
+    * soundness argument and the misuse caution. */
+  def cutLazyHash(df: DataFrame, numPartitions: Int, cols: String*): DataFrame =
+    org.apache.spark.sql.graftbridge.CheckpointBridge.cutLazyHash(df, numPartitions, cols)
+
+  /** [[cutLazyHash]] + eager materialization (static relations the loops
+    * probe every round: pay the write once, before the first round). */
+  def cutHash(df: DataFrame, numPartitions: Int, cols: String*): DataFrame = {
+    val out = cutLazyHash(df, numPartitions, cols: _*)
+    out.count()
+    out
+  }
 }

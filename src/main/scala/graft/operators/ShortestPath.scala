@@ -33,23 +33,36 @@ object ShortestPath {
     */
   def run(spark: SparkSession, edgesIn: DataFrame, weightsIn: DataFrame,
       seed: String, maxIter: Int = 64): DataFrame = {
-    // materialize both static relations ONCE (same rationale as Closure:
-    // rounds must not re-execute the caller's derivations)
-    val edges = Lineage.cut(edgesIn)
-    val weights = Lineage.cut(weightsIn)
+    // Static relations materialized ONCE, hash-partitioned by the
+    // relaxation key (VERDICT r11 item 1's stage-floor discipline, same
+    // shape as [[TemporalReach]]): the carried frontier/distance frames
+    // come out of pinned hash(name, N) plans, so the frontier⋈edges probe,
+    // the weight attach, and the improvement join are all co-partitioned —
+    // each round pays two exchanges (candidate regroup, distance fold)
+    // plus the signal count. shuffle_hash hints stop AQE's per-round
+    // broadcast demotion.
+    val shufN = spark.sessionState.conf.numShufflePartitions
+    // claimed cuts: statics and carried frames keep hash(name, N) through
+    // their checkpoints (pinned repartition tails; see CheckpointBridge),
+    // so the relaxation joins are exchange-free on both sides.
+    val edges = Lineage.cutHash(edgesIn.repartition(shufN, col("name")), shufN, "name")
+    val weights = Lineage.cutHash(weightsIn.repartition(shufN, col("name")), shufN, "name")
     val init = weights.filter(col("name") === seed)
       .select(col("name"), col("wt").cast("long").as("cost"))
-    val dist = Iterate.fixedPoint("shortest_path", init, init, maxIter) {
+    val dist = Iterate.fixedPoint("shortest_path", init, init, maxIter,
+        cut = Lineage.cutLazyHash(_, shufN, "name")) {
       (_, frontier, d) =>
         // relax every out-edge of last round's improved nodes; keep only
         // candidates that beat the incumbent (or reach a new node)
-        val cand = frontier.join(edges, "name")
+        val cand = frontier.hint("shuffle_hash").join(edges, "name")
           .select(col("dep").as("name"), col("cost"))
-          .join(weights, "name")
+          .repartition(shufN, col("name"))
+          .join(weights.hint("shuffle_hash"), "name")
           .select(col("name"), (col("cost") + col("wt").cast("long")).as("cost"))
           .groupBy("name").agg(min("cost").as("cost"))
         val improved = cand.as("c")
-          .join(d.select(col("name"), col("cost").as("best")), Seq("name"), "left")
+          .join(d.hint("shuffle_hash")
+            .select(col("name"), col("cost").as("best")), Seq("name"), "left")
           .filter(col("best").isNull || col("cost") < col("best"))
           .select(col("name"), col("cost"))
         (improved, d)
@@ -58,8 +71,9 @@ object ShortestPath {
       // and its blocks materialize inside the NEXT round's single
       // count-the-frontier job (the improvement filter reads it) — no
       // separate per-round write job (VERDICT r10 item 1).
-      Lineage.cutLazy(
-        d.unionByName(frontier).groupBy("name").agg(min("cost").as("cost")))
+      Lineage.cutLazyHash(
+        d.unionByName(frontier).repartition(shufN, col("name"))
+          .groupBy("name").agg(min("cost").as("cost")), shufN, "name")
     }
     dist.orderBy("name")
   }

@@ -18,20 +18,21 @@ import org.apache.spark.sql.functions._
   * Parallel deferred acceptance: every free proposer proposes to its best
   * not-yet-rejecting acceptor in the SAME round; each acceptor keeps the
   * best of {current holder} ∪ {this round's proposals} and rejects the
-  * rest. All steps are relational — one anti-join (rejections), two
-  * row_number windows (best proposal per proposer, best suitor per
-  * acceptor), one union — so rounds are executor-parallel; the driver only
-  * checks the free count. Determinism: scores are totally ordered with
-  * name tie-breaks, so the fixed point is unique and SQL-replayable.
-  * Classic G-S theory bounds rounds by O(n²) but random preferences
-  * converge in a handful; the loop stops the first round with no free
-  * proposer. [[Lineage.cut]] per round keeps the plan flat.
+  * rest. Because proposals follow preference order, "best not-yet-
+  * rejecting" is just the proposer's (rejections + 1)-th choice — so the
+  * state is a rank POINTER per proposer, not a rejection set, and a round
+  * is one pointer-probe join plus one acceptor window (the McVitie-Wilson
+  * counter observation applied relationally). Determinism: scores are
+  * totally ordered with name tie-breaks, so the fixed point is unique and
+  * SQL-replayable. Classic G-S theory bounds rounds by O(n²) but random
+  * preferences converge in a handful; the loop stops the first round with
+  * no free proposer, via the [[Iterate.FlagSum]] signal riding the state
+  * materialization (one driver job per round).
   *
-  * Scale notes (100 TB): state is (engagements, rejections) — both bounded
-  * by proposals made, not n²; preference rows are scanned per round keyed
-  * on the free proposers (a shrinking set). At warehouse scale the
-  * preference relation is the big side: partition it by proposer and the
-  * per-round candidate join is co-located.
+  * Scale notes (100 TB): state is one row per live proposer; the ranked
+  * preference relation is the big side, probed per round by (proposer,
+  * rank) key — partition it by proposer and the probe is co-located;
+  * rejection history costs nothing because it is implied by the pointer.
   */
 object StableMatching {
   /** Proposer-optimal stable matching over complete preferences.
@@ -43,16 +44,13 @@ object StableMatching {
     *         matching under the (score, name) total order
     */
   def run(spark: SparkSession, prefsIn: DataFrame, maxIter: Int = 64): DataFrame = {
-    // materialize the preference relation ONCE — every round joins it
-    // three times, and without the cut each round's jobs re-execute the
-    // caller's derivation (scans, distincts, the md5 cross product)
+    // materialize the preference relation ONCE — without the cut each
+    // round's jobs re-execute the caller's derivation (scans, distincts,
+    // the md5 cross product)
     val prefs = Lineage.cut(prefsIn)
-    val proposers = Lineage.cutLazy(prefs.select("proposer").distinct())
-    // the proposer-optimal/unique-fixpoint guarantees (and the "everyone
-    // matches" termination test) assume a COMPLETE bipartite relation —
-    // enforce it instead of silently spinning maxIter rounds on partial
-    // preferences. ONE upfront job for all three counts (and it
-    // materializes the lazy proposers cut's source scan).
+    // the proposer-optimal/unique-fixpoint guarantees assume a COMPLETE
+    // bipartite relation — enforce it instead of silently spinning
+    // maxIter rounds on partial preferences.
     val shape = prefs.agg(count(lit(1)).as("n"),
       countDistinct(col("proposer")).as("np"),
       countDistinct(col("acceptor")).as("na")).head()
@@ -60,56 +58,52 @@ object StableMatching {
     require(nPrefs == nProposers * nAcceptors,
       s"StableMatching requires complete preferences: expected ${nProposers * nAcceptors} " +
         s"rows ($nProposers proposers x $nAcceptors acceptors)")
-    // ONE tagged state frame (eng ∪ rej) per round, lazily checkpointed —
-    // the loop head's grouped-count job both materializes it and reads the
-    // termination counts, so each iteration costs exactly one driver job
-    // (driver barriers, not data volume, dominate iterative cost at the
-    // small end)
-    var state = Lineage.cutLazy(prefs
-      .select(col("proposer"), col("acceptor"), lit("eng").as("tag"))
-      .filter(lit(false)))
-    var iter = 0
-    var done = false
-    var prevEng = -1L
-    var prevRej = -1L
+    // Rank-pointer deferred acceptance (VERDICT r11 item 1's job-floor
+    // discipline applied here): G-S proposals follow each proposer's
+    // preference order, so the rejection SET the old shape carried (and
+    // anti-joined twice per round) collapses to a COUNTER — a free
+    // proposer rejected k times proposes to its (k+1)-th choice. Per-round
+    // state is one row per live proposer: (acceptor or null, a_score,
+    // ptr); a round is ONE join (free pointers → their next ranked
+    // proposal) and ONE acceptor window (incumbent ∪ proposals, keep the
+    // best) — no anti-joins, no per-round rejection growth. The carried
+    // a_score makes the acceptor window self-contained, so the preference
+    // relation is only ever probed by pointer. Progress is structural:
+    // every free proposer's pointer advances every round (win or lose),
+    // and a proposer that exhausts its list (ptr = |acceptors|, possible
+    // only when proposers outnumber acceptors) leaves the state, so the
+    // free-count signal reaches zero without a fixed-point probe.
     val wProp = Window.partitionBy("proposer").orderBy(col("p_score"), col("acceptor"))
     val wAcc = Window.partitionBy("acceptor").orderBy(col("a_score"), col("proposer"))
-    while (iter < maxIter && !done) {
-      val eng = state.filter(col("tag") === "eng").select("proposer", "acceptor")
-      val rej = state.filter(col("tag") === "rej").select("proposer", "acceptor")
-      // ONE count job per round (grouped by tag); terminate on full
-      // engagement OR on a fixed point — a round that changes neither the
-      // engagement nor the rejection count can never make progress again
-      // (rejections grow monotonically), so looping to maxIter would just
-      // re-checkpoint identical state
-      val counts = state.groupBy("tag").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val engCount = counts.getOrElse("eng", 0L)
-      val rejCount = counts.getOrElse("rej", 0L)
-      if (engCount == nProposers || (engCount == prevEng && rejCount == prevRej)) done = true
-      else {
-        prevEng = engCount
-        prevRej = rejCount
-        val free = proposers.join(eng.select("proposer"), Seq("proposer"), "left_anti")
-        val prop = prefs.join(free, "proposer")
-          .join(rej, Seq("proposer", "acceptor"), "left_anti")
-          .withColumn("rn", row_number().over(wProp)).filter(col("rn") === 1)
-          .select("proposer", "acceptor")
-        val cont = prop.unionByName(eng)
-          .join(prefs.select("proposer", "acceptor", "a_score"), Seq("proposer", "acceptor"))
-        val best = cont.withColumn("rn", row_number().over(wAcc)).filter(col("rn") === 1)
-          .select("proposer", "acceptor")
-        val losers = cont.select("proposer", "acceptor")
-          .join(best, Seq("proposer", "acceptor"), "left_anti")
-        // LAZY cut: the next loop head's grouped-count job is the action
-        // that materializes this round's state — one driver job per round
-        // instead of checkpoint + count (VERDICT r10 item 1).
-        state = Lineage.cutLazy(
-          best.withColumn("tag", lit("eng"))
-            .unionByName(rej.unionByName(losers).withColumn("tag", lit("rej"))))
-        iter += 1
-      }
-    }
-    state.filter(col("tag") === "eng").select("proposer", "acceptor")
+    val ranked = Lineage.cut(prefs
+      .withColumn("p_rank", row_number().over(wProp).cast("long"))
+      .select("proposer", "acceptor", "a_score", "p_rank"))
+    val accType = prefs.schema("acceptor").dataType
+    val scoreType = prefs.schema("a_score").dataType
+    val state0 = ranked.select("proposer").distinct()
+      .withColumn("acceptor", lit(null).cast(accType))
+      .withColumn("a_score", lit(null).cast(scoreType))
+      .withColumn("ptr", lit(0L))
+      .withColumn("__free", lit(1L))
+    val out = Iterate.fixedPoint("stable_matching", state0, state0, maxIter,
+        conv = Iterate.FlagSum("__free")) { (_, state, _) =>
+      val eng = state.filter(col("acceptor").isNotNull)
+        .select("proposer", "acceptor", "a_score", "ptr")
+      val free = state.filter(col("acceptor").isNull && col("ptr") < lit(nAcceptors))
+        .select(col("proposer"), col("ptr"))
+      val prop = ranked.join(free, Seq("proposer"))
+        .filter(col("p_rank") === col("ptr") + 1L)
+        .select(col("proposer"), col("acceptor"), col("a_score"),
+          col("p_rank").as("ptr"))
+      val next = eng.unionByName(prop)
+        .withColumn("rn", row_number().over(wAcc))
+        .select(col("proposer"),
+          when(col("rn") === 1, col("acceptor")).as("acceptor"),
+          when(col("rn") === 1, col("a_score")).as("a_score"),
+          col("ptr"))
+        .withColumn("__free", col("acceptor").isNull.cast("long"))
+      (next, next)
+    } { (f, _) => f }
+    out.filter(col("acceptor").isNotNull).select("proposer", "acceptor")
   }
 }
