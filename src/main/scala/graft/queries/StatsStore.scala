@@ -248,6 +248,33 @@ object StatsStore {
         .agg(count(lit(1)).as("n_comp"), sum("q").as("sum_q"),
           min("q").as("min_q"), max("q").as("max_q"))
         .orderBy("o_orderpriority")
+    },
+
+    // LEFT OUTER range join (VERDICT r11 "missing" 6): a per-event
+    // coverage audit — every event keeps its row, the window it falls in
+    // attaches or nulls out. The rewrite handles the outer form when the
+    // preserved side is the point side (RangeJoinRewrite's soundness note:
+    // an unmatched point null-extends exactly once); the varying-span
+    // windows leave genuine gaps, so uncovered events exist and the
+    // null-extension path is exercised, not just compiled. Width comes
+    // from the persisted span catalog like q276.
+    "q281_left_range_join_coverage" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.RangeJoinRewrite.ensure(s)
+      val p = ensureStats(s, dir)
+      s.conf.set(graft.plans.StatsCatalog.DirKey, p)
+      val wins = s.read.parquet(
+        s"${graft.plans.StatsCatalog.resolveBase(p)}/windows.parquet")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("t"))
+      ev.join(wins, col("t") >= col("ws") && col("t") < col("we"), "left")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("win_id")).as("n_matched"),
+          sum(when(col("win_id").isNull, 1L).otherwise(0L)).as("n_uncovered"),
+          countDistinct("win_id").as("n_windows"))
+        .orderBy("event_type")
     })
 
   /** One register-CTE block per covered column (the q271 re-derivation,
@@ -277,7 +304,8 @@ object StatsStore {
     * epoch micros. */
   private val WindowsCte =
     """ev AS (
-      | SELECT event_id, user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      | SELECT event_id, user_id, event_type, value,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) AS t
       | FROM events),
       |b AS (SELECT min(t) AS t0, max(t) AS t1 FROM ev),
       |w AS (
@@ -347,5 +375,15 @@ object StatsStore {
         | min(ex.q) AS min_q, max(ex.q) AS max_q
         |FROM orders o JOIN ex ON o.o_custkey = ex.vec_id
         |GROUP BY o.o_orderpriority
-        |ORDER BY o.o_orderpriority""".stripMargin)
+        |ORDER BY o.o_orderpriority""".stripMargin,
+
+    "q281_left_range_join_coverage" ->
+      s"""WITH $WindowsCte
+         |SELECT e.event_type, count(*) AS n_rows,
+         | count(w.win_id) AS n_matched,
+         | CAST(sum(CASE WHEN w.win_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_uncovered,
+         | CAST(count(DISTINCT w.win_id) AS BIGINT) AS n_windows
+         |FROM ev e LEFT JOIN w ON e.t >= w.ws AND e.t < w.we
+         |GROUP BY e.event_type
+         |ORDER BY e.event_type""".stripMargin)
 }
