@@ -38,7 +38,17 @@ object SparkEntry {
     * so Verify/Bench output is stable).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ListMap(modules.flatMap(_._1): _*)
+    ListMap(modules.flatMap(_._1).map { case (name, fn) =>
+      // every query is self-contained: the custom-function registry rides
+      // the entry point, so a query whose build step was satisfied by a
+      // PERSISTED store from an earlier JVM (index/stats generations under
+      // tmpdir) still resolves array_dot & co. — registration is
+      // idempotent and a no-op after the first query on a session
+      name -> { (s: SparkSession, dir: String) =>
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        fn(s, dir)
+      }
+    }: _*)
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose semantics DuckDB cannot

@@ -124,8 +124,12 @@ object Events {
         trans.select(col("a").as("t")).unionByName(trans.select(col("b").as("t"))).distinct())
       val nT = broadcast(types.agg(count(lit(1)).as("nt")))
       var pi = types.crossJoin(nT).select(col("t"), expr("1000000000000 div nt").as("pi"))
+      // LAZY cuts: each iterate is consumed exactly once by the next, so
+      // the whole 8-step chain pipelines into the terminal action (the
+      // PageRank economics) — an eager cut here paid a count job per
+      // iteration for a <=5-row vector
       for (_ <- 1 to 8) {
-        pi = graft.operators.Lineage.cut(
+        pi = graft.operators.Lineage.cutLazy(
           pi.join(p, pi("t") === p("a"))
             .select(col("b").as("t"), expr("pi * p div 1000000").as("m"))
             .groupBy("t").agg(sum("m").as("pi")))
