@@ -37,7 +37,15 @@ object KTruss {
     } { (alive, _) => alive }
   }
 
-  /** Edges of `alive` whose triangle support (within `alive`) is ≥ minSup. */
+  /** Edges of `alive` whose triangle support (within `alive`) is ≥ minSup.
+    * MEASURED dead end (r12): pinning this round's five exchanges +
+    * shuffle_hash hints the way the relaxation loops were pinned REGRESSED
+    * 48 → 81 jobs at sf0.1 — the wedge frame `o` has THREE consumers, and
+    * under explicit repartitions their subtrees diverge through AQE stage
+    * wrapping (QueryStage vs ReusedExchange canonical mismatch), so the
+    * shared exchange stopped reusing and each consumer materialized its
+    * own; AQE's untouched plan reuses `o` fine and broadcasts the tiny
+    * sides. Left as the AQE-planned shape deliberately. */
   private def supported(alive: DataFrame, minSup: Int): DataFrame = {
     val deg = alive.select(col("a").as("n")).unionAll(alive.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))

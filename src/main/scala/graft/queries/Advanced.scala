@@ -576,7 +576,10 @@ object Advanced {
     // scheduling primitive, vs the diameter-bound closure loops.
     "q247_luby_mis" -> { (s, dir) =>
       val nodes = Tables.packageNames(s, dir).select("name")
-      val edges = Mining.coDepFor(s, dir)
+      // ONE materialization of the co-dependency derivation (itself a
+      // self-join): the operator's pinned adjacency copies AND the body's
+      // verification passes (viol/covered) all read the cached frame
+      val edges = graft.operators.Lineage.cut(Mining.coDepFor(s, dir))
       val mis = graft.operators.MaximalIndependentSet.run(s, nodes, edges)
       val sym = edges.select(col("a").as("name"), col("b").as("nb"))
         .unionByName(edges.select(col("b").as("name"), col("a").as("nb")))
