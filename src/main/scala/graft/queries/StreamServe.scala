@@ -83,6 +83,51 @@ object StreamServe {
     }
   }
 
+  /** Store root for a fixture's streamed HLL registers. */
+  def hllStoreRoot(dir: String): String = {
+    val tag = new java.io.File(dir).getAbsolutePath.replaceAll("[^A-Za-z0-9._-]", "_")
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_hll/$tag").getAbsolutePath
+  }
+
+  /** Build-once streamed HLL registers (per event type over user ids) and
+    * publish the final per-type 64-register vector as `hll_regs` parquet
+    * under a fresh store generation. Registers grow monotonically under
+    * [[graft.functions.HllSketch.reduce]], so the LAST emission per key is
+    * the final state and a put-ordered map replay reconstructs it exactly
+    * (same argument as the HDR build above). */
+  def ensureStreamedHll(s: SparkSession, dir: String): String = {
+    val root = hllStoreRoot(dir)
+    root.intern.synchronized {
+      graft.IndexStore.latestPathCached(root).getOrElse {
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val stream = graft.streaming.EventStreams.streamingHllRegisters(
+          graft.streaming.EventStreams.readEventStream(ss, dir))
+        val acc = new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+        val q = stream.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.collect().foreach(r => acc.put(r.getString(0), r.getSeq[Long](1)))
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(300000))
+          throw new IllegalStateException("streamed HLL register build timed out")
+        import ss.implicits._
+        import scala.jdk.CollectionConverters._
+        val buf = acc.asScala.toSeq.map { case (flag, regs) => (flag, regs) }
+        graft.IndexStore.publish(root) { g =>
+          buf.toDF("flag", "regs").coalesce(1).write.parquet(s"$g/hll_regs")
+        }
+      }
+    }
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
 
     // Rank-bound quantiles served from the PERSISTED STREAMED registers
@@ -136,6 +181,43 @@ object StreamServe {
         .select("flag", "pct", "n", "r", "est_cents", "ub_cents",
           "rank_lo", "rank_hi", "exact_cents", "in_bucket")
         .orderBy("flag", "pct")
+    },
+
+    // Distinct-user NDV served from PERSISTED STREAMED HLL registers —
+    // item 5's contract on the SECOND sketch family: the stream built the
+    // per-type registers incrementally (RocksDB transformWithState,
+    // HllSketch.reduce verbatim), the final snapshot was published as a
+    // generation, and this query serves per-type estimates PLUS the
+    // register-merged 'ALL' level (element-wise max across the persisted
+    // vectors — HLL mergeability exercised on served state) beside exact
+    // witnesses and signed ppm error. The oracle rebuilds every register
+    // from raw events in pure SQL (md5 bucketing, rho, rollup merge), so
+    // a single wrong streamed register breaks the hash.
+    "q282_streamed_ndv_serve" -> { (s0, dir) =>
+      val s = s0.newSession()
+      val regs0 = s.read.parquet(s"${ensureStreamedHll(s, dir)}/hll_regs")
+      val all = regs0.agg(expr(
+          "aggregate(collect_list(regs), array_repeat(cast(0 as bigint), 64), " +
+            "(acc, r) -> zip_with(acc, r, (a, b) -> greatest(a, b)))").as("regs"))
+        .select(lit("ALL").as("flag"), col("regs"))
+      val exact = Tables.events(s, dir)
+        .rollup(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("flag"), col("exact_distinct"))
+      regs0.select(col("flag"), col("regs")).unionByName(all)
+        .withColumn("n_zero", expr(
+          "aggregate(regs, cast(0 as bigint), (a, r) -> a + if(r = 0, cast(1 as bigint), cast(0 as bigint)))"))
+        .withColumn("max_reg", expr("array_max(regs)"))
+        .withColumn("sum_scaled", expr(
+          "aggregate(regs, cast(0 as bigint), (a, r) -> a + shiftleft(cast(1 as bigint), cast(55 - r as int)))"))
+        .withColumn("raw_est", expr(
+          s"cast((${Advanced.HllEstNum}) div (650790 * cast(sum_scaled as decimal(38,0))) as bigint)"))
+        .join(exact, "flag")
+        .withColumn("err_ppm", expr(
+          "((raw_est - exact_distinct) * 1000000 + 1000000000 * exact_distinct) div exact_distinct - 1000000000"))
+        .select("flag", "n_zero", "max_reg", "sum_scaled", "raw_est",
+          "exact_distinct", "err_ppm")
+        .orderBy("flag")
     })
 
   val oracles: Seq[(String, String)] = Seq(
@@ -189,5 +271,44 @@ object StreamServe {
         | e.rank_lo, e.rank_hi, x.exact_cents,
         | (x.exact_cents BETWEEN e.est_cents AND e.ub_cents) AS in_bucket
         |FROM est2 e JOIN ex x USING (flag, pct)
-        |ORDER BY e.flag, e.pct""".stripMargin)
+        |ORDER BY e.flag, e.pct""".stripMargin,
+
+    "q282_streamed_ndv_serve" ->
+      """WITH h AS (
+        | SELECT event_type AS et,
+        |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        | FROM events),
+        |r AS (SELECT et, h // 18014398509481984 AS bucket, h % 18014398509481984 AS rem FROM h),
+        |r2 AS (SELECT et, bucket,
+        |  CASE WHEN rem = 0 THEN 55 ELSE 55 - length(ltrim(bin(rem), '0')) END AS rho
+        | FROM r),
+        |rr AS (
+        | SELECT CASE WHEN GROUPING(et) = 1 THEN 'ALL' ELSE et END AS flag,
+        |  bucket, max(rho) AS reg
+        | FROM r2 GROUP BY GROUPING SETS ((et, bucket), (bucket))),
+        |spine AS (SELECT DISTINCT rr.flag, g.b FROM rr, range(0, 64) g(b)),
+        |fr AS (
+        | SELECT s.flag, coalesce(rr.reg, 0) AS reg
+        | FROM spine s LEFT JOIN rr ON rr.flag = s.flag AND rr.bucket = s.b),
+        |ag AS (
+        | SELECT flag,
+        |  CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(max(reg) AS BIGINT) AS max_reg,
+        |  CAST(sum(1::BIGINT << CAST(55 - reg AS INTEGER)) AS BIGINT) AS sum_scaled
+        | FROM fr GROUP BY 1),
+        |ex AS (
+        | SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS flag,
+        |  count(DISTINCT user_id) AS exact_distinct
+        | FROM events GROUP BY ROLLUP (event_type)),
+        |est AS (
+        | SELECT a.flag, a.n_zero, a.max_reg, a.sum_scaled,
+        |  CAST((1890844672::HUGEINT * 36028797018963968::HUGEINT)
+        |       // (650790::HUGEINT * a.sum_scaled) AS BIGINT) AS raw_est,
+        |  e.exact_distinct
+        | FROM ag a JOIN ex e USING (flag))
+        |SELECT flag, n_zero, max_reg, sum_scaled, raw_est, exact_distinct,
+        | CAST(((raw_est - exact_distinct) * 1000000 + 1000000000 * exact_distinct)
+        |      // exact_distinct - 1000000000 AS BIGINT) AS err_ppm
+        |FROM est
+        |ORDER BY flag""".stripMargin)
 }
