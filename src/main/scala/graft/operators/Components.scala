@@ -130,7 +130,10 @@ object Components {
     */
   def connectedStars(spark: SparkSession, edges: DataFrame, maxIter: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nodes = Lineage.cut(edges.select(col("src").as("id"))
+    // LAZY cut: the node universe is consumed exactly once (the final
+    // isolated-node labeling), so an eager cut would pay a count job
+    // before the rounds for nothing
+    val nodes = Lineage.cutLazy(edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct())
     // canonical undirected edge set (a < b); self-loops carry no
     // connectivity and are re-labeled from the node universe at the end
