@@ -57,16 +57,27 @@ object IndexStore {
     * is never cached, so the first successful publish is always seen.
     * Cross-JVM publishes are not observed by this memo — the stale entry
     * keeps serving the older generation, which the keep-2 retention window
-    * protects for exactly one foreign publish; long-lived multi-JVM
-    * readers that need the newest generation resolve via [[latestPath]]. */
+    * protects for exactly one foreign publish. Beyond that window the
+    * cached generation has been retention-deleted, so every cache hit
+    * re-stats the completion marker (one cheap metadata call — not the
+    * full manifest-read + listing walk this memo exists to avoid) and
+    * falls through to a fresh [[latestPath]] resolution when the pinned
+    * path is gone (ADVICE r12: previously a dangling memo hard-failed
+    * every subsequent probe until JVM restart); long-lived multi-JVM
+    * readers that need the NEWEST generation resolve via [[latestPath]]. */
   private val resolved = new ConcurrentHashMap[String, String]()
 
   def latestPathCached(root: String): Option[String] =
-    Option(resolved.get(root)).orElse {
-      val p = latestPath(root)
-      p.foreach(resolved.put(root, _))
-      p
-    }
+    Option(resolved.get(root))
+      .filter(p => Files.exists(Paths.get(p, "_GRAFT_COMPLETE")))
+      .orElse {
+        val p = latestPath(root)
+        p match {
+          case Some(v) => resolved.put(root, v)
+          case None => resolved.remove(root)
+        }
+        p
+      }
 
   /** Drop the resolution memo (tests that simulate foreign publishes). */
   def invalidateResolution(): Unit = resolved.clear()

@@ -83,24 +83,34 @@ object Iterate {
   /** Per-round Spark-job counter, attached once per context when recording
     * is on — job counts are the load-independent A/B metric for this
     * family (wall clock on a shared box swings 3×), so the round log
-    * carries them beside the wall ms. */
-  private val jobCounter = new java.util.concurrent.atomic.AtomicLong()
-  private val counterAttached =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
+    * carries them beside the wall ms. Keyed PER SparkContext (ADVICE r12:
+    * a shared counter conflates contexts); deltas are still only
+    * meaningful when nothing else runs jobs on the SAME context between
+    * the two samples — the single-threaded-bench assumption documented at
+    * [[setRecording]]. */
+  private val jobCounters =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.SparkContext, java.util.concurrent.atomic.AtomicLong]()
   private def jobsNow(df: DataFrame): Long = {
     val sc = df.sparkSession.sparkContext
-    if (counterAttached.add(sc))
-      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    val counter = jobCounters.computeIfAbsent(sc, { sc0 =>
+      val c = new java.util.concurrent.atomic.AtomicLong()
+      sc0.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          { jobCounter.incrementAndGet(); () }
+          { c.incrementAndGet(); () }
       })
+      c
+    })
     org.apache.spark.graftbridge.ListenerBridge.drain(sc)
-    jobCounter.get()
+    counter.get()
   }
 
   /** Enable/disable per-round stat capture (Bench enables; everything else
-    * leaves it off so long-lived JVMs don't accumulate an undrained log). */
+    * leaves it off so long-lived JVMs don't accumulate an undrained log).
+    * ASSUMES a single-threaded bench: per-round job deltas are sampled
+    * from a per-context counter, so a concurrent query on the same context
+    * while recording is on pollutes the deltas (wall ms stays accurate). */
   def setRecording(on: Boolean): Unit = { recording = on; if (!on) roundLog.clear() }
 
   /** Drain and return all per-round stats recorded since the last drain. */
@@ -124,6 +134,17 @@ object Iterate {
       cut: DataFrame => DataFrame = Lineage.cutLazy)(
       round: (Int, DataFrame, S) => (DataFrame, S))(
       absorb: (DataFrame, S) => S): S = {
+    // The claimed checkpoints (Lineage.cutLazyHash) are sound only while
+    // subset-key aggregates stay exchange-free: with
+    // requireAllClusterKeysForAggregation=true, a groupBy(root, name) over
+    // a hash(name)-pinned frame re-shuffles to hash(root, name) with the
+    // SAME partition count, and the claim would silently mis-join (ADVICE
+    // r12). Pin the conf off for the loop's duration; restored in finally.
+    val sessionConf = frontier0.sparkSession.conf
+    val aggKeysConf = "spark.sql.requireAllClusterKeysForAggregation"
+    val aggKeysPrev = sessionConf.getOption(aggKeysConf)
+    sessionConf.set(aggKeysConf, "false")
+    try {
     // Note: AQE stays ON inside rounds. It was measured both ways — AQE's
     // per-stage re-planned jobs cost ~45 ms driver latency each (the floor
     // this harness fights), but turning it off is far worse: checkpointed
@@ -168,5 +189,11 @@ object Iterate {
         (System.nanoTime() - t0) / 1e6, jobsNow(frontier) - j0))
     }
     state
+    } finally {
+      aggKeysPrev match {
+        case Some(v) => sessionConf.set(aggKeysConf, v)
+        case None => sessionConf.unset(aggKeysConf)
+      }
+    }
   }
 }

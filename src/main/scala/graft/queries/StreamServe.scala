@@ -200,10 +200,15 @@ object StreamServe {
           "aggregate(collect_list(regs), array_repeat(cast(0 as bigint), 64), " +
             "(acc, r) -> zip_with(acc, r, (a, b) -> greatest(a, b)))").as("regs"))
         .select(lit("ALL").as("flag"), col("regs"))
+      // grand-total row labeled by GROUPING, not by coalescing NULL — a
+      // genuine NULL event_type group must stay distinct from 'ALL'
+      // (ADVICE r12; mirrors the oracle's CASE WHEN GROUPING(...)).
       val exact = Tables.events(s, dir)
         .rollup(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("exact_distinct"))
-        .select(coalesce(col("event_type"), lit("ALL")).as("flag"), col("exact_distinct"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"),
+          grouping(col("event_type")).as("g"))
+        .select(when(col("g") === 1, lit("ALL")).otherwise(col("event_type")).as("flag"),
+          col("exact_distinct"))
       regs0.select(col("flag"), col("regs")).unionByName(all)
         .withColumn("n_zero", expr(
           "aggregate(regs, cast(0 as bigint), (a, r) -> a + if(r = 0, cast(1 as bigint), cast(0 as bigint)))"))

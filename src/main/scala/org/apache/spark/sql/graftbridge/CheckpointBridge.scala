@@ -31,8 +31,23 @@ import org.apache.spark.sql.execution.LogicalRDD
   * WRONG JOIN RESULTS, not an error — this API is for the operator loops,
   * each of which is covered by randomized property specs plus the
   * 280-query DuckDB parity gate.
+  *
+  * The distribution half of the claim (ADVICE r12): the count check below
+  * covers only the partition COUNT; whether rows actually live in
+  * `pmod(murmur3(cols), n)` rests on the caller convention — which a conf
+  * can silently break (`spark.sql.requireAllClusterKeysForAggregation=true`
+  * turns the loops' subset-key aggregates into full-key exchanges with the
+  * SAME partition count). Two defenses: [[graft.operators.Iterate]] pins
+  * that conf for the loop's duration, and `graft.checkpoint.validateClaim`
+  * (session conf, default off — specs and debugging turn it on) wraps the
+  * cut RDD so the first [[CLAIM_SAMPLE]] rows of every partition are
+  * re-hashed through the claim's own `partitionIdExpression` on every read;
+  * a misplace fails the job loudly instead of mis-joining quietly.
   */
 object CheckpointBridge {
+  /** Rows per partition re-hashed per read under claim validation. */
+  private val CLAIM_SAMPLE = 16
+
   def cutLazyHash(df: DataFrame, numPartitions: Int, cols: Seq[String]): DataFrame = {
     val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val spark = classic.sparkSession
@@ -46,14 +61,42 @@ object CheckpointBridge {
     // LocalRelation. The claim's partition-count half no longer holds, so
     // fall back to an UNCLAIMED cut (correctness over the saved exchange);
     // claims only attach when the physical layout provably matches.
-    val part =
-      if (rdd.getNumPartitions == numPartitions) {
-        val exprs = cols.map(c => output.find(_.name == c).getOrElse(
-          throw new IllegalArgumentException(s"cutLazyHash: no output column '$c'")))
-        HashPartitioning(exprs, numPartitions)
-      } else org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(
+    if (rdd.getNumPartitions == numPartitions) {
+      val exprs = cols.map(c => output.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"cutLazyHash: no output column '$c'")))
+      val part = HashPartitioning(exprs, numPartitions)
+      val validate =
+        spark.conf.get("graft.checkpoint.validateClaim", "false").toBoolean
+      val served =
+        if (!validate) rdd
+        else {
+          val partId = org.apache.spark.sql.catalyst.expressions.BindReferences
+            .bindReference(part.partitionIdExpression,
+              org.apache.spark.sql.catalyst.expressions.AttributeSeq(output))
+          val colNames = cols.mkString(",")
+          rdd.mapPartitionsWithIndex { (idx, it) =>
+            var sampled = 0
+            it.map { row =>
+              if (sampled < CLAIM_SAMPLE) {
+                sampled += 1
+                val pid = partId.eval(row).asInstanceOf[Int]
+                if (pid != idx) throw new IllegalStateException(
+                  s"cutLazyHash claim VIOLATED: a row hashes to partition $pid " +
+                  s"under hash($colNames) % $numPartitions but was found in " +
+                  s"partition $idx — the caller's plan tail is not the pinned " +
+                  "repartition + partitioning-preserving ops the claim requires")
+              }
+              row
+            }
+          }
+        }
+      org.apache.spark.sql.classic.Dataset.ofRows(spark,
+        LogicalRDD(output, served, part, Nil, false)(spark))
+    } else {
+      val part = org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(
         rdd.getNumPartitions)
-    org.apache.spark.sql.classic.Dataset.ofRows(spark,
-      LogicalRDD(output, rdd, part, Nil, false)(spark))
+      org.apache.spark.sql.classic.Dataset.ofRows(spark,
+        LogicalRDD(output, rdd, part, Nil, false)(spark))
+    }
   }
 }

@@ -70,6 +70,39 @@ class CheckpointBridgeSpec extends AnyFunSuite {
       "claimed RDD scan was re-exchanged")
   }
 
+  test("opt-in claim validation passes a true claim and fails a false one loudly") {
+    import spark.implicits._
+    spark.conf.set("graft.checkpoint.validateClaim", "true")
+    try {
+      val df = Seq.tabulate(400)(i => (i.toLong % 53, i.toLong)).toDF("k", "v")
+      // true claim: pinned repartition on k, claim k — every read re-hashes
+      // a sample through the claim's partitionIdExpression and passes
+      val good = Lineage.cutLazyHash(df.repartition(shufN, col("k")), shufN, "k")
+      assert(good.count() === 400)
+      // false claim #1: layout is hash(k), claim says hash(v)
+      val wrongCol = Lineage.cutLazyHash(df.repartition(shufN, col("k")), shufN, "v")
+      val e1 = intercept[Exception] { wrongCol.count() }
+      assert(exceptionChain(e1).exists(_.getMessage != null) &&
+        exceptionChain(e1).exists(m => m.getMessage != null &&
+          m.getMessage.contains("claim VIOLATED")),
+        s"expected a claim-violation failure, got: $e1")
+      // false claim #2 (the ADVICE r12 scenario): a ROUND-ROBIN
+      // repartition(N) has the right partition count but no hash layout
+      val roundRobin = Lineage.cutLazyHash(df.repartition(shufN), shufN, "k")
+      val e2 = intercept[Exception] { roundRobin.count() }
+      assert(exceptionChain(e2).exists(m => m.getMessage != null &&
+        m.getMessage.contains("claim VIOLATED")),
+        s"expected a claim-violation failure, got: $e2")
+    } finally spark.conf.unset("graft.checkpoint.validateClaim")
+  }
+
+  private def exceptionChain(e: Throwable): List[Throwable] = {
+    val buf = scala.collection.mutable.ListBuffer[Throwable]()
+    var cur = e
+    while (cur != null && buf.size < 10) { buf += cur; cur = cur.getCause }
+    buf.toList
+  }
+
   test("empty frames fall back to an unclaimed cut and stay correct") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("k", "v")

@@ -33,6 +33,33 @@ class GenerationStoreSpec extends AnyFunSuite {
     assert(IndexStore.latestGen(root).isEmpty) // gen=9 incomplete → no complete latest
   }
 
+  test("a dangling resolution memo falls through to a fresh resolve (ADVICE r12)") {
+    import java.nio.file.{Files, Paths}
+    val root = freshRoot()
+    val p1 = IndexStore.publish(root) { g =>
+      Files.write(Paths.get(g, "data"), "v1".getBytes)
+    }
+    assert(IndexStore.latestPathCached(root).contains(p1)) // memoized
+    // simulate TWO foreign-JVM publishes + their keep-2 retention: gens 2
+    // and 3 appear on disk (written directly, so this JVM's memo never
+    // hears about them) and gen 1 — the memoized path — is deleted
+    for (id <- 2L to 3L) {
+      val g = Paths.get(IndexStore.genPath(root, id))
+      Files.createDirectories(g)
+      Files.write(g.resolve("data"), s"v$id".getBytes)
+      Files.write(g.resolve("_GRAFT_COMPLETE"), Array.emptyByteArray)
+    }
+    Files.write(Paths.get(root, "LATEST"), "3".getBytes)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete(); ()
+    }
+    deleteRec(new java.io.File(p1))
+    // the memoized generation is gone: the cache hit must detect the
+    // dangling path (completion-marker stat) and re-resolve, not hard-fail
+    assert(IndexStore.latestPathCached(root).contains(IndexStore.genPath(root, 3L)))
+  }
+
   test("a probe pinned to gen N serves correctly while gen N+1 is half-written") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
