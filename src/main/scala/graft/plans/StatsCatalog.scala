@@ -95,6 +95,16 @@ object StatsCatalog {
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     }
 
+  /** Per-table exact row counts — with [[ndv]] these make the System-R
+    * join-size estimate |A|·|B| / max(ndv(A.k), ndv(B.k)) computable
+    * entirely from the catalog (the reorder consumer's inputs). */
+  def rows(spark: SparkSession, dir: String): Map[String, Long] =
+    cachedRead("table_rows", dir)(Map.empty[String, Long]) { base =>
+      spark.read.parquet(s"$base/table_rows")
+        .select("tbl", "row_count").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+
   /** Per-(table, array column) generator fan-out: (avg element count,
     * ceiling-rounded; max element count) — the size-estimate correction
     * for plans that explode the column. */

@@ -31,10 +31,19 @@ object StatsStore {
     * candidates), one mid, one high-cardinality key (where the estimator
     * is in its accurate regime). */
   private val Columns: Seq[(String, String, (SparkSession, String) => DataFrame)] = Seq(
+    ("customer", "c_custkey", (s, d) => Tables.customer(s, d)),
     ("customer", "c_mktsegment", (s, d) => Tables.customer(s, d)),
+    ("events", "user_id", (s, d) => Tables.events(s, d)),
     ("lineitem", "l_returnflag", (s, d) => Tables.lineitem(s, d)),
     ("orders", "o_custkey", (s, d) => Tables.orders(s, d)),
     ("orders", "o_orderpriority", (s, d) => Tables.orders(s, d)))
+
+  /** Tables with persisted exact row counts — the base cardinalities of
+    * the System-R join-size estimate the reorder consumer computes. */
+  private val RowTables: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    ("customer", (s, d) => Tables.customer(s, d)),
+    ("events", (s, d) => Tables.events(s, d)),
+    ("orders", (s, d) => Tables.orders(s, d)))
 
   private def statsDir(dir: String): String = {
     val tag = new java.io.File(dir).getAbsolutePath.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -104,11 +113,18 @@ object StatsStore {
           .select(lit("embeddings").as("tbl"), lit("embedding").as("col"),
             expr("(sl + n - 1) div n").as("avg_len"),
             col("mx").cast("long").as("max_len"))
+        // exact per-table row counts (tiny aggregates at build time) — the
+        // join-reorder consumer's base cardinalities
+        val rowRows = RowTables.map { case (tbl, src) =>
+          src(s, dir).agg(count(lit(1)).as("row_count"))
+            .select(lit(tbl).as("tbl"), col("row_count"))
+        }.reduce(_ unionByName _)
         graft.IndexStore.publish(p) { staging =>
           ndvRows.coalesce(1).write.parquet(s"$staging/column_ndv")
           wins.coalesce(1).write.parquet(s"$staging/windows.parquet")
           spanRows.coalesce(1).write.parquet(s"$staging/column_span")
           fanRows.coalesce(1).write.parquet(s"$staging/column_fanout")
+          rowRows.coalesce(1).write.parquet(s"$staging/table_rows")
         }
         graft.plans.StatsCatalog.invalidate()
         builtDirs.add(p)
@@ -250,6 +266,48 @@ object StatsStore {
         .orderBy("o_orderpriority")
     },
 
+    // The persisted row-count stats judged (exact counts, so the oracle
+    // is a plain per-table count — the point of the row is that the
+    // CATALOG carries it, making the System-R join-size estimate
+    // |A|·|B| / max(ndv) computable with zero planning-time scans).
+    "q283_table_row_stats" -> { (s, dir) =>
+      s.read.parquet(s"${storeBase(s, dir)}/table_rows")
+        .select("tbl", "row_count")
+        .orderBy("tbl")
+    },
+
+    // The THIRD stats consumer judged — catalog-driven join REORDERING.
+    // Written order joins orders to the EXPANDING side first (events:
+    // ~6.4 rows per matching key at any SF — the fixture's users are a
+    // small hot subset of custkeys), then to the key-unique customer dim;
+    // every later operator pays the expanded intermediate. With the stats
+    // dir set, the rule computes est(orders⋈events) ≈ |O|·|E|/ndv(custkey)
+    // ≫ est(orders⋈customer) = |O| from the persisted counts+NDVs and
+    // commutes customer in first, so the expanding join runs LAST over the
+    // already-reduced stream. The ANSWER is plan-independent (inner-join
+    // commute); PlanAuditSpec pins the order swap positive (stats → the
+    // inner join's build side is customer) and negative (no stats →
+    // written order). Event values are quantized to integer cents so the
+    // sums are order-free exact integers.
+    "q284_ndv_join_reorder" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.SketchStats.ensure(s)
+      s.conf.set(graft.plans.SketchStats.DirKey, ensureStats(s, dir))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("cast(floor(value * 100 + cast(0.5 as double)) as bigint)").as("v_cents"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      o.join(ev, col("o_custkey") === col("user_id"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"), sum("v_cents").as("sum_cents"),
+          countDistinct("o_orderkey").as("n_orders"))
+        .orderBy("c_mktsegment", "event_type")
+    },
+
     // LEFT OUTER range join (VERDICT r11 "missing" 6): a per-event
     // coverage audit — every event keeps its row, the window it falls in
     // attaches or nulls out. The rewrite handles the outer form when the
@@ -317,14 +375,20 @@ object StatsStore {
   val oracles: Seq[(String, String)] = Seq(
 
     "q273_column_ndv_stats" ->
-      s"""WITH ${ndvCte("cm", "customer", "c_mktsegment")},
+      s"""WITH ${ndvCte("cc", "customer", "c_custkey")},
+         |${ndvCte("cm", "customer", "c_mktsegment")},
+         |${ndvCte("eu", "events", "user_id")},
          |${ndvCte("lr", "lineitem", "l_returnflag")},
          |${ndvCte("ok", "orders", "o_custkey")},
          |${ndvCte("op", "orders", "o_orderpriority")}
          |SELECT tbl, col, ndv_est, CAST(exact_ndv AS BIGINT) AS exact_ndv,
          | ndv_est - exact_ndv AS err
          |FROM (
-         | SELECT 'customer' AS tbl, 'c_mktsegment' AS col, e_cm.ndv_est, x_cm.exact_ndv FROM e_cm, x_cm
+         | SELECT 'customer' AS tbl, 'c_custkey' AS col, e_cc.ndv_est, x_cc.exact_ndv FROM e_cc, x_cc
+         | UNION ALL
+         | SELECT 'customer', 'c_mktsegment', e_cm.ndv_est, x_cm.exact_ndv FROM e_cm, x_cm
+         | UNION ALL
+         | SELECT 'events', 'user_id', e_eu.ndv_est, x_eu.exact_ndv FROM e_eu, x_eu
          | UNION ALL
          | SELECT 'lineitem', 'l_returnflag', e_lr.ndv_est, x_lr.exact_ndv FROM e_lr, x_lr
          | UNION ALL
@@ -332,6 +396,23 @@ object StatsStore {
          | UNION ALL
          | SELECT 'orders', 'o_orderpriority', e_op.ndv_est, x_op.exact_ndv FROM e_op, x_op)
          |ORDER BY tbl, col""".stripMargin,
+
+    "q283_table_row_stats" ->
+      """SELECT tbl, row_count FROM (
+        | SELECT 'customer' AS tbl, count(*) AS row_count FROM customer
+        | UNION ALL SELECT 'events', count(*) FROM events
+        | UNION ALL SELECT 'orders', count(*) FROM orders)
+        |ORDER BY tbl""".stripMargin,
+
+    "q284_ndv_join_reorder" ->
+      """SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+        | CAST(sum(CAST(floor(e.value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | count(DISTINCT o.o_orderkey) AS n_orders
+        |FROM orders o
+        | JOIN events e ON o.o_custkey = e.user_id
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment, e.event_type
+        |ORDER BY c.c_mktsegment, e.event_type""".stripMargin,
 
     "q274_stats_broadcast_join" ->
       """WITH dim AS (

@@ -370,6 +370,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(jobs2 >= 1L, "expected the planning-time probe job without a span catalog")
   }
 
+  test("q284: catalog NDV+rowcount reorders the expanding join last; without stats written order holds") {
+    import org.apache.spark.sql.functions._
+    // The THIRD stats consumer: written order joins orders to the
+    // EXPANDING events side first (≈6–7 events per matching key), then to
+    // the key-unique customer dim. With the catalog, the System-R estimate
+    // |O|·|E|/ndv(custkey) ≫ |O|·|C|/ndv(custkey) commutes customer in
+    // first, so the multiplying join runs over the reduced stream. The
+    // pin: which dim sits in the BOTTOM join of the optimized tree.
+    def q(s: org.apache.spark.sql.SparkSession) = {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val ev = Tables.events(s, dir).select(col("user_id"), col("value"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      o.join(ev, col("o_custkey") === col("user_id"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+    }
+    def bottomJoinRightTables(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      joins.filter(j => j.left.collect { case x: Join => x }.isEmpty)
+        .flatMap(_.right.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            graft.plans.StatsCatalog.tableOf(lr)
+        }.flatten).toSet
+    }
+    val sPos = spark.newSession()
+    graft.plans.SketchStats.ensure(sPos)
+    sPos.conf.set(graft.plans.SketchStats.DirKey,
+      queries.StatsStore.ensureStatsFor(sPos, dir))
+    val posBottom = bottomJoinRightTables(q(sPos))
+    assert(posBottom.contains("customer") && !posBottom.contains("events"),
+      s"stats present but the reducing dim was not commuted below the expanding one: $posBottom")
+    // negative control: no stats dir → the written order survives
+    val sNeg = spark.newSession()
+    graft.plans.SketchStats.ensure(sNeg)
+    val negBottom = bottomJoinRightTables(q(sNeg))
+    assert(negBottom.contains("events") && !negBottom.contains("customer"),
+      s"negative control: expected the written join order: $negBottom")
+    // the answer is plan-independent (inner-join commute)
+    assert(q(sPos).count() === q(sNeg).count())
+    // and the JUDGED query itself (aggregate on top — column pruning
+    // interposes an attribute-only Project between the joins, which the
+    // rule must look through) plans with customer commuted in first
+    val judged = SparkEntry.queries("q284_ndv_join_reorder")(spark, dir)
+    val judgedBottom = bottomJoinRightTables(judged)
+    assert(judgedBottom.contains("customer") && !judgedBottom.contains("events"),
+      s"the judged q284 did not reorder: $judgedBottom")
+  }
+
   test("q280: fan-out stats veto the explode-side broadcast; without stats the bad build happens") {
     import org.apache.spark.sql.functions._
     // VERDICT r11 item 6 (the q202 lesson): Generate forwards its child's
