@@ -56,38 +56,37 @@ object SketchStats {
   /** Reset the memoized stats (tests rebuild stores under the same path). */
   def invalidate(): Unit = StatsCatalog.invalidate()
 
+  /** Sound row upper bound for a grouped side: ∏ NDV(grouping cols),
+    * every grouping expr a stats-covered scan column. Filters/projects
+    * between the agg and the scan only shrink rows, so the bound holds
+    * through them. Shared by the broadcast flip (rows × width vs the
+    * threshold) and the join reorder (rows as the dim cardinality). */
+  private[plans] def groupedRowBound(p: LogicalPlan,
+      stats: Map[(String, String), Long]): Option[(Long, Int)] = p match {
+    case Aggregate(groupingExprs, aggExprs, child, _) if groupingExprs.nonEmpty =>
+      val leaves = child.collect { case lr: LogicalRelation => lr }
+      val ndvs = groupingExprs.map {
+        case a: AttributeReference =>
+          leaves.collectFirst {
+            case lr if lr.output.exists(_.exprId == a.exprId) =>
+              StatsCatalog.tableOf(lr).flatMap(t => stats.get((t, a.name)))
+          }.flatten
+        case _ => None
+      }
+      if (ndvs.exists(_.isEmpty)) None
+      else {
+        val rows = ndvs.flatten.foldLeft(1L)((acc, n) =>
+          if (acc > Long.MaxValue / math.max(1L, n)) Long.MaxValue else acc * n)
+        val width = aggExprs.map(_.dataType.defaultSize).sum + 16
+        Some((rows, width))
+      }
+    case Project(_, inner) => groupedRowBound(inner, stats)
+    case Filter(_, inner) => groupedRowBound(inner, stats)
+    case SubqueryAlias(_, inner) => groupedRowBound(inner, stats)
+    case _ => None
+  }
+
   final case class BroadcastFromSketchStats() extends Rule[LogicalPlan] {
-
-    private def tableOf(lr: LogicalRelation): Option[String] = StatsCatalog.tableOf(lr)
-
-    /** Sound row upper bound for a grouped side: ∏ NDV(grouping cols),
-      * every grouping expr a stats-covered scan column. Filters/projects
-      * between the agg and the scan only shrink rows, so the bound holds
-      * through them. */
-    private def groupedRowBound(p: LogicalPlan,
-        stats: Map[(String, String), Long]): Option[(Long, Int)] = p match {
-      case Aggregate(groupingExprs, aggExprs, child, _) if groupingExprs.nonEmpty =>
-        val leaves = child.collect { case lr: LogicalRelation => lr }
-        val ndvs = groupingExprs.map {
-          case a: AttributeReference =>
-            leaves.collectFirst {
-              case lr if lr.output.exists(_.exprId == a.exprId) =>
-                tableOf(lr).flatMap(t => stats.get((t, a.name)))
-            }.flatten
-          case _ => None
-        }
-        if (ndvs.exists(_.isEmpty)) None
-        else {
-          val rows = ndvs.flatten.foldLeft(1L)((acc, n) =>
-            if (acc > Long.MaxValue / math.max(1L, n)) Long.MaxValue else acc * n)
-          val width = aggExprs.map(_.dataType.defaultSize).sum + 16
-          Some((rows, width))
-        }
-      case Project(_, inner) => groupedRowBound(inner, stats)
-      case Filter(_, inner) => groupedRowBound(inner, stats)
-      case SubqueryAlias(_, inner) => groupedRowBound(inner, stats)
-      case _ => None
-    }
 
     override def apply(plan: LogicalPlan): LogicalPlan = {
       val dir = conf.getConfString(DirKey, "")
@@ -182,16 +181,18 @@ object SketchStats {
       * to both swap candidates the comparison only needs each dim's
       * (rows(d), key NDV) pair — position-independent numbers (the key
       * NDVs resolve by exprId into the scans wherever the chain puts
-      * them), which is what makes the pairwise bubble terminate. The dim
-      * must trace to a single covered scan (filters above it only shrink
-      * rows — upper-ish, the same discipline as the other consumers); any
-      * untraceable piece yields None and the join stays put. */
+      * them), which is what makes the pairwise bubble terminate. rows(d)
+      * comes from the catalog when the dim traces to a single covered
+      * scan, or from the ∏NDV grouped bound when it is an aggregate over
+      * one (the broadcast flip's own dim shape — grouping attrs keep
+      * their scan exprIds, so the key NDV resolves through the Aggregate
+      * unchanged); both are upper-ish, the same discipline as the other
+      * consumers. Any untraceable piece yields None, join stays put. */
     private def factor(left: LogicalPlan, dim: LogicalPlan, cond: Expression,
         rows: Map[String, Long], ndv: Map[(String, String), Long]): Option[(BigInt, BigInt)] =
       for {
-        dScan <- scanOf(dim)
-        dTbl <- StatsCatalog.tableOf(dScan)
-        dRows <- rows.get(dTbl)
+        dRows <- scanOf(dim).flatMap(sc => StatsCatalog.tableOf(sc).flatMap(rows.get))
+          .orElse(groupedRowBound(dim, ndv).map(_._1))
         k <- splitConjunctivePredicates(cond).collectFirst(Function.unlift {
             case EqualTo(a: AttributeReference, b: AttributeReference) =>
               val (la, da) =

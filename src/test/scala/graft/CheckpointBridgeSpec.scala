@@ -72,6 +72,7 @@ class CheckpointBridgeSpec extends AnyFunSuite {
 
   test("opt-in claim validation passes a true claim and fails a false one loudly") {
     import spark.implicits._
+    val prev = spark.conf.getOption("graft.checkpoint.validateClaim")
     spark.conf.set("graft.checkpoint.validateClaim", "true")
     try {
       val df = Seq.tabulate(400)(i => (i.toLong % 53, i.toLong)).toDF("k", "v")
@@ -93,7 +94,10 @@ class CheckpointBridgeSpec extends AnyFunSuite {
       assert(exceptionChain(e2).exists(m => m.getMessage != null &&
         m.getMessage.contains("claim VIOLATED")),
         s"expected a claim-violation failure, got: $e2")
-    } finally spark.conf.unset("graft.checkpoint.validateClaim")
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.checkpoint.validateClaim", v)
+      case None => spark.conf.unset("graft.checkpoint.validateClaim")
+    }
   }
 
   private def exceptionChain(e: Throwable): List[Throwable] = {

@@ -416,6 +416,23 @@ class PlanAuditSpec extends AnyFunSuite {
     val judgedBottom = bottomJoinRightTables(judged)
     assert(judgedBottom.contains("customer") && !judgedBottom.contains("events"),
       s"the judged q284 did not reorder: $judgedBottom")
+    // GROUPED dims participate too: the ∏NDV bound supplies rows(d) for
+    // an aggregate-over-scan dim (the broadcast flip's own shape; the
+    // grouping attr keeps its scan exprId so the key NDV resolves through
+    // the Aggregate), so a tiny grouped dim also commutes below the
+    // expanding events side
+    def qg(s: org.apache.spark.sql.SparkSession) = {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      val ev = Tables.events(s, dir).select(col("user_id"), col("value"))
+      val gdim = Tables.orders(s, dir).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_prio"))
+      o.join(ev, col("o_custkey") === col("user_id")).join(gdim, "o_orderpriority")
+    }
+    val gBottom = bottomJoinRightTables(qg(sPos))
+    assert(gBottom.contains("orders") && !gBottom.contains("events"),
+      s"grouped dim was not commuted below the expanding side: $gBottom")
+    assert(qg(sPos).count() === qg(sNeg).count())
   }
 
   test("q280: fan-out stats veto the explode-side broadcast; without stats the bad build happens") {

@@ -15,6 +15,11 @@ object SparkTestHarness {
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // continuous assurance for the partitioning-claim contract: every
+      // claimed checkpoint cut ANY suite drives re-hashes a per-partition
+      // sample through the claim's own partitionIdExpression (ADVICE r12)
+      // — an unsound claim fails its suite loudly instead of mis-joining
+      .config("graft.checkpoint.validateClaim", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
