@@ -31,7 +31,15 @@ object StatsCatalog {
   /** Stats store location; unset = all consuming rules inactive. */
   val DirKey = "spark.graft.stats.dir"
 
-  private val cache = new ConcurrentHashMap[(String, String), AnyRef]()
+  /** Memoized stats age out after 10 minutes: a FOREIGN JVM's stats
+    * republish (new generation under the same root) is invisible to this
+    * JVM's memo — in-JVM publishes invalidate explicitly — so without a
+    * TTL a long-lived serving JVM would plan against the first generation
+    * it ever read, forever. Staleness inside the window costs only plan
+    * quality, never correctness (every consumer is an equivalence or a
+    * hint), and the refresh is one bounded parquet read. */
+  private[graft] var TtlNanos = 10L * 60 * 1000 * 1000 * 1000 // test seam
+  private val cache = new ConcurrentHashMap[(String, String), (AnyRef, Long)]()
   private val loading = new ThreadLocal[Boolean] { override def initialValue = false }
 
   /** The generation-resolved base path for `dir`: the latest complete
@@ -45,20 +53,25 @@ object StatsCatalog {
   def cachedRead[T <: AnyRef](kind: String, dir: String)(empty: T)(
       read: String => T): T = {
     if (loading.get()) empty
-    else Option(cache.get((kind, dir))).map(_.asInstanceOf[T]).getOrElse {
-      loading.set(true)
-      val r =
-        try Some(read(resolveBase(dir)))
-        catch { case scala.util.control.NonFatal(_) => None }
-        finally loading.set(false)
-      r match {
-        case Some(v) =>
-          if (cache.size > 128) cache.clear()
-          cache.put((kind, dir), v)
-          v
-        case None => empty
+    else Option(cache.get((kind, dir)))
+      .collect { case (v, at) if System.nanoTime() - at < TtlNanos => v.asInstanceOf[T] }
+      .getOrElse {
+        loading.set(true)
+        val r =
+          try Some(read(resolveBase(dir)))
+          catch { case scala.util.control.NonFatal(_) => None }
+          finally loading.set(false)
+        r match {
+          case Some(v) =>
+            if (cache.size > 128) cache.clear()
+            cache.put((kind, dir), (v, System.nanoTime()))
+            v
+          case None =>
+            // an expired entry that fails to refresh keeps serving (stale
+            // beats none for plan hints); a never-read key stays uncached
+            Option(cache.get((kind, dir))).map(_._1.asInstanceOf[T]).getOrElse(empty)
+        }
       }
-    }
   }
 
   /** Drop every memoized table (tests rebuild stores under the same path;

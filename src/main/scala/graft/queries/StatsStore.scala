@@ -51,7 +51,7 @@ object StatsStore {
   }
   private val builtDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def estExpr(regs: String) = expr(
+  private[queries] def estExpr(regs: String) = expr(
     s"cast((${Advanced.HllEstNum}) div (650790 * cast(aggregate($regs, cast(0 as bigint), " +
       s"(a, r) -> a + shiftleft(cast(1 as bigint), cast(55 - r as int))) as decimal(38,0))) as bigint)")
 
@@ -338,7 +338,7 @@ object StatsStore {
   /** One register-CTE block per covered column (the q271 re-derivation,
     * parameterized): DuckDB rebuilds the 64 HLL registers from scratch
     * and applies the identical integer estimator. */
-  private def ndvCte(tag: String, tbl: String, c: String): String = {
+  private[queries] def ndvCte(tag: String, tbl: String, c: String): String = {
     val split = Advanced.HllSplit
     s"""h_$tag AS (
        | SELECT CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) AS h

@@ -128,7 +128,124 @@ object StreamServe {
     }
   }
 
+  /** Store root for a fixture's STREAM-UPKEPT planner statistics. */
+  def streamedStatsRoot(dir: String): String = {
+    val tag = new java.io.File(dir).getAbsolutePath.replaceAll("[^A-Za-z0-9._-]", "_")
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_stats_streamed/$tag").getAbsolutePath
+  }
+
+  /** The streaming→catalog→planner loop: a stats-store generation whose
+    * EVENTS entries are maintained by STREAMS — the row count from a
+    * streaming aggregate (last update of a bounded `groupBy().count()`
+    * run), the user_id NDV from the persisted streamed HLL registers
+    * (element-wise max across the per-type vectors = the global register
+    * set, since a max of subgroup maxima is the group maximum) — while
+    * the batch dimensions (orders, customer) carry ordinary batch
+    * statistics. The join-reorder and broadcast-flip consumers read this
+    * store exactly like the batch one: at 100 TB this is how a standing
+    * ingest keeps the PLANNER current without ever re-scanning the fact
+    * table — the stream's O(registers + one counter) state IS the
+    * catalog refresh. Published through IndexStore generations like every
+    * other store (readers pin complete generations mid-rebuild). */
+  def ensureStreamedStats(s: SparkSession, dir: String): String = {
+    val root = streamedStatsRoot(dir)
+    root.intern.synchronized {
+      graft.IndexStore.latestPathCached(root).getOrElse {
+        import s.implicits._
+        // events.user_id NDV: global registers = element-wise max of the
+        // persisted per-type STREAMED registers (q282's store)
+        val evNdv = s.read.parquet(s"${ensureStreamedHll(s, dir)}/hll_regs")
+          .agg(expr(
+            "aggregate(collect_list(regs), array_repeat(cast(0 as bigint), 64), " +
+              "(acc, r) -> zip_with(acc, r, (a, b) -> greatest(a, b)))").as("regs"))
+          .select(lit("events").as("tbl"), lit("user_id").as("col"),
+            StatsStore.estExpr("regs").as("ndv_est"))
+        // events row count: a bounded streaming aggregate; counts only
+        // grow, so the LAST update is the total
+        val ss = s.newSession()
+        val cnt = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+        val q = graft.streaming.EventStreams.readEventStream(ss, dir)
+          .groupBy().count()
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.collect().foreach(r => cnt.set(r.getLong(0)))
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(300000))
+          throw new IllegalStateException("streamed row-count build timed out")
+        // batch dimensions: exact counts + HLL NDV on the join keys
+        val hll = udaf(new graft.functions.HllSketch())
+        val dimNdv = Seq(
+          ("customer", "c_custkey", Tables.customer(s, dir)),
+          ("orders", "o_custkey", Tables.orders(s, dir))).map { case (t, c, df) =>
+          df.agg(hll(col(c).cast("string")).as("regs"))
+            .select(lit(t).as("tbl"), lit(c).as("col"),
+              StatsStore.estExpr("regs").as("ndv_est"))
+        }.reduce(_ unionByName _)
+        val rowRows = Seq(
+          ("customer", Tables.customer(s, dir).count()),
+          ("events", cnt.get()),
+          ("orders", Tables.orders(s, dir).count()))
+          .toDF("tbl", "row_count")
+        val out = graft.IndexStore.publish(root) { g =>
+          dimNdv.unionByName(evNdv).coalesce(1).write.parquet(s"$g/column_ndv")
+          rowRows.coalesce(1).write.parquet(s"$g/table_rows")
+        }
+        graft.plans.StatsCatalog.invalidate()
+        out
+      }
+    }
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
+
+    // The STREAM-UPKEPT planner catalog judged: the events row count
+    // comes from a streaming aggregate and the events.user_id NDV from
+    // the persisted streamed HLL registers (element-wise max across the
+    // per-type vectors — a max of subgroup maxima IS the group maximum,
+    // so the oracle re-derives the identical registers from raw events
+    // with the q273 md5 machinery and replays the integer estimator);
+    // batch dims carry exact counts + batch HLL NDVs. One wrong streamed
+    // count or register anywhere breaks the hash.
+    "q285_streamed_stats_catalog" -> { (s, dir) =>
+      val base = graft.plans.StatsCatalog.resolveBase(ensureStreamedStats(s, dir))
+      val ndv = s.read.parquet(s"$base/column_ndv")
+        .select(lit("ndv").as("kind"), col("tbl"), col("col"), col("ndv_est").as("value"))
+      val rows = s.read.parquet(s"$base/table_rows")
+        .select(lit("rows").as("kind"), col("tbl"), lit("").as("col"),
+          col("row_count").as("value"))
+      ndv.unionByName(rows).orderBy("kind", "tbl", "col")
+    },
+
+    // The reorder consumer PLANNED FROM the stream-upkept catalog: the
+    // same expanding-join-first shape as q284, but every statistic the
+    // rule reads was maintained by a stream (events) or a bounded batch
+    // analyze (dims). Answer plan-independent — identical oracle
+    // arithmetic to q284 — and PlanAuditSpec pins that the commute fires
+    // with THIS store configured.
+    "q286_streamed_stats_reorder" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.SketchStats.ensure(s)
+      s.conf.set(graft.plans.SketchStats.DirKey, ensureStreamedStats(s, dir))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("cast(floor(value * 100 + cast(0.5 as double)) as bigint)").as("v_cents"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      o.join(ev, col("o_custkey") === col("user_id"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"), sum("v_cents").as("sum_cents"),
+          countDistinct("o_orderkey").as("n_orders"))
+        .orderBy("c_mktsegment", "event_type")
+    },
 
     // Rank-bound quantiles served from the PERSISTED STREAMED registers
     // (q265's GK/KLL-style contract — est bucket [est, ub], exact rank
@@ -226,6 +343,29 @@ object StreamServe {
     })
 
   val oracles: Seq[(String, String)] = Seq(
+
+    "q285_streamed_stats_catalog" ->
+      s"""WITH ${StatsStore.ndvCte("cc", "customer", "c_custkey")},
+         |${StatsStore.ndvCte("eu", "events", "user_id")},
+         |${StatsStore.ndvCte("ok", "orders", "o_custkey")}
+         |SELECT kind, tbl, col, value FROM (
+         | SELECT 'ndv' AS kind, 'customer' AS tbl, 'c_custkey' AS col, ndv_est AS value FROM e_cc
+         | UNION ALL SELECT 'ndv', 'events', 'user_id', ndv_est FROM e_eu
+         | UNION ALL SELECT 'ndv', 'orders', 'o_custkey', ndv_est FROM e_ok
+         | UNION ALL SELECT 'rows', 'customer', '', count(*) FROM customer
+         | UNION ALL SELECT 'rows', 'events', '', count(*) FROM events
+         | UNION ALL SELECT 'rows', 'orders', '', count(*) FROM orders)
+         |ORDER BY kind, tbl, col""".stripMargin,
+
+    "q286_streamed_stats_reorder" ->
+      """SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+        | CAST(sum(CAST(floor(e.value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | count(DISTINCT o.o_orderkey) AS n_orders
+        |FROM orders o
+        | JOIN events e ON o.o_custkey = e.user_id
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment, e.event_type
+        |ORDER BY c.c_mktsegment, e.event_type""".stripMargin,
 
     "q278_streamed_quantile_serve" ->
       """WITH cents0 AS (

@@ -180,4 +180,43 @@ class GenerationStoreSpec extends AnyFunSuite {
     assert(graft.plans.StatsCatalog.ndv(spark, root) == Map(key -> 999L),
       "reader followed an unswapped generation")
   }
+
+  test("the stats memo expires: a foreign republish is seen after the TTL; failed refresh serves stale") {
+    import spark.implicits._
+    val root = freshRoot()
+    val key = ("orders", "o_custkey")
+    def writeNdv(g: String, v: Long): Unit =
+      Seq((key._1, key._2, v)).toDF("tbl", "col", "ndv_est")
+        .coalesce(1).write.parquet(s"$g/column_ndv")
+    val prevTtl = graft.plans.StatsCatalog.TtlNanos
+    graft.plans.StatsCatalog.invalidate()
+    try {
+      IndexStore.publish(root)(writeNdv(_, 100L))
+      graft.plans.StatsCatalog.invalidate()
+      assert(graft.plans.StatsCatalog.ndv(spark, root) == Map(key -> 100L))
+      // a FOREIGN JVM republishes (simulated via an alias root so this
+      // JVM's publish-side invalidate never fires for `root`'s memo key)
+      IndexStore.publish(root + "/")(writeNdv(_, 200L))
+      // inside the TTL the memo still serves the first generation …
+      assert(graft.plans.StatsCatalog.ndv(spark, root) == Map(key -> 100L))
+      // … and after expiry the next read resolves the new generation
+      graft.plans.StatsCatalog.TtlNanos = 1L
+      Thread.sleep(5)
+      assert(graft.plans.StatsCatalog.ndv(spark, root) == Map(key -> 200L),
+        "expired memo did not pick up the foreign republish")
+      // a refresh that FAILS keeps serving the last good value (stale
+      // beats none for plan hints): torch the store, read again
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+        f.delete(); ()
+      }
+      deleteRec(new java.io.File(root))
+      Thread.sleep(5)
+      assert(graft.plans.StatsCatalog.ndv(spark, root) == Map(key -> 200L),
+        "failed refresh should serve the stale value, not empty")
+    } finally {
+      graft.plans.StatsCatalog.TtlNanos = prevTtl
+      graft.plans.StatsCatalog.invalidate()
+    }
+  }
 }

@@ -370,6 +370,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(jobs2 >= 1L, "expected the planning-time probe job without a span catalog")
   }
 
+  /** Tables scanned by the RIGHT side of the bottom-most join(s) of the
+    * optimized tree — the reorder pins assert which dim got commuted in
+    * first. */
+  private def bottomJoinRightTables(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    joins.filter(j => j.left.collect { case x: Join => x }.isEmpty)
+      .flatMap(_.right.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          graft.plans.StatsCatalog.tableOf(lr)
+      }.flatten).toSet
+  }
+
+  test("q286: the reorder consumer fires from the STREAM-upkept catalog") {
+    import org.apache.spark.sql.functions._
+    // every statistic the rule reads here was maintained by a stream
+    // (events row count: streaming aggregate; events.user_id NDV: merged
+    // streamed HLL registers) or a bounded batch analyze (dims); the
+    // commute must fire exactly as it does from the batch store
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    s.conf.set(graft.plans.SketchStats.DirKey,
+      queries.StreamServe.ensureStreamedStats(s, dir))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val ev = Tables.events(s, dir).select(col("user_id"), col("value"))
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val j = o.join(ev, col("o_custkey") === col("user_id"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    val bottom = bottomJoinRightTables(j)
+    assert(bottom.contains("customer") && !bottom.contains("events"),
+      s"stream-upkept stats did not drive the commute: $bottom")
+  }
+
   test("q284: catalog NDV+rowcount reorders the expanding join last; without stats written order holds") {
     import org.apache.spark.sql.functions._
     // The THIRD stats consumer: written order joins orders to the
@@ -384,15 +417,6 @@ class PlanAuditSpec extends AnyFunSuite {
       val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
       o.join(ev, col("o_custkey") === col("user_id"))
         .join(cust, col("o_custkey") === col("c_custkey"))
-    }
-    def bottomJoinRightTables(df: org.apache.spark.sql.DataFrame): Set[String] = {
-      import org.apache.spark.sql.catalyst.plans.logical.Join
-      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
-      joins.filter(j => j.left.collect { case x: Join => x }.isEmpty)
-        .flatMap(_.right.collect {
-          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-            graft.plans.StatsCatalog.tableOf(lr)
-        }.flatten).toSet
     }
     val sPos = spark.newSession()
     graft.plans.SketchStats.ensure(sPos)
