@@ -189,23 +189,37 @@ object SketchStats {
       * unchanged); both are upper-ish, the same discipline as the other
       * consumers. Any untraceable piece yields None, join stays put. */
     private def factor(left: LogicalPlan, dim: LogicalPlan, cond: Expression,
-        rows: Map[String, Long], ndv: Map[(String, String), Long]): Option[(BigInt, BigInt)] =
+        rows: Map[String, Long], ndv: Map[(String, String), Long]): Option[(BigInt, BigInt)] = {
+      // composite keys: per-pair selectivities multiply under the standard
+      // independence assumption; the product is capped at
+      // max(largest single-pair NDV, rows(d)) — the dim side's composite
+      // NDV can never exceed its row count, so the cap reins in
+      // correlation-blind inflation while never cutting BELOW what a
+      // single pair already justifies. Unresolvable extra pairs and
+      // non-equi conjuncts are ignored — they only shrink the true
+      // result, so dropping them errs toward over-estimating the
+      // candidate's join size, i.e. toward keeping the written order.
+      def keyNdvs(d: LogicalPlan, c: Expression): Seq[Long] =
+        splitConjunctivePredicates(c).flatMap {
+          case EqualTo(a: AttributeReference, b: AttributeReference) =>
+            val (la, da) =
+              if (left.outputSet.contains(a) && d.outputSet.contains(b)) (Some(a), Some(b))
+              else if (left.outputSet.contains(b) && d.outputSet.contains(a)) (Some(b), Some(a))
+              else (None, None)
+            for {
+              ln <- la.flatMap(ndvOf(left, _, ndv))
+              dn <- da.flatMap(ndvOf(d, _, ndv))
+            } yield math.max(1L, math.max(ln, dn))
+          case _ => None
+        }
       for {
         dRows <- scanOf(dim).flatMap(sc => StatsCatalog.tableOf(sc).flatMap(rows.get))
           .orElse(groupedRowBound(dim, ndv).map(_._1))
-        k <- splitConjunctivePredicates(cond).collectFirst(Function.unlift {
-            case EqualTo(a: AttributeReference, b: AttributeReference) =>
-              val (la, da) =
-                if (left.outputSet.contains(a) && dim.outputSet.contains(b)) (Some(a), Some(b))
-                else if (left.outputSet.contains(b) && dim.outputSet.contains(a)) (Some(b), Some(a))
-                else (None, None)
-              for {
-                ln <- la.flatMap(ndvOf(left, _, ndv))
-                dn <- da.flatMap(ndvOf(dim, _, ndv))
-              } yield math.max(1L, math.max(ln, dn))
-            case _ => None
-          })
-      } yield (BigInt(dRows), BigInt(k))
+        ks = keyNdvs(dim, cond)
+        if ks.nonEmpty
+      } yield (BigInt(dRows),
+        ks.map(BigInt(_)).product.min(BigInt(math.max(ks.max, math.max(1L, dRows)))))
+    }
 
     override def apply(plan: LogicalPlan): LogicalPlan = {
       val dir = conf.getConfString(DirKey, "")

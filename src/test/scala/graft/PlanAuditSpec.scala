@@ -403,6 +403,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"stream-upkept stats did not drive the commute: $bottom")
   }
 
+  test("composite-key joins reorder: per-pair NDVs multiply, capped at the dim's row count") {
+    import org.apache.spark.sql.functions._
+    // a dim joined on (custkey AND priority): the first pair alone
+    // (k ≈ ndv(custkey)) would make the self-joined orders copy look LESS
+    // selective than the expanding events side and block the swap; the
+    // composite product (capped at rows(orders) — composite NDV can't
+    // exceed the row count) prices it correctly and the commute fires
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    s.conf.set(graft.plans.SketchStats.DirKey,
+      queries.StatsStore.ensureStatsFor(s, dir))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    val ev = Tables.events(s, dir).select(col("user_id"), col("value"))
+    val o2 = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
+    val j = o.join(ev, o("o_custkey") === ev("user_id"))
+      .join(o2, o("o_custkey") === o2("o_custkey") &&
+        o("o_orderpriority") === o2("o_orderpriority"))
+    val bottom = bottomJoinRightTables(j)
+    assert(bottom.contains("orders") && !bottom.contains("events"),
+      s"composite-key dim was not commuted below the expanding side: $bottom")
+  }
+
   test("q284: catalog NDV+rowcount reorders the expanding join last; without stats written order holds") {
     import org.apache.spark.sql.functions._
     // The THIRD stats consumer: written order joins orders to the
