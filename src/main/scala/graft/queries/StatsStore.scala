@@ -135,6 +135,64 @@ object StatsStore {
   /** Exposed for PlanAuditSpec. */
   def ensureStatsFor(s: SparkSession, dir: String): String = ensureStats(s, dir)
 
+  /** Seed a dedicated stats root from a base slice of the events table:
+    * `column_ndv` (user_id registers + estimate) and `table_rows`. The
+    * registers are PERSISTED alongside the estimate precisely so later
+    * appends can merge instead of rebuilding. */
+  def buildEventsStats(s: SparkSession, root: String, events: DataFrame): String = {
+    val hll = udaf(new graft.functions.HllSketch())
+    val ndv = events.agg(hll(col("user_id").cast("string")).as("regs"),
+        count(lit(1)).as("n"))
+      .select(lit("events").as("tbl"), lit("user_id").as("col"),
+        estExpr("regs").as("ndv_est"), col("regs"), col("n"))
+    val out = graft.IndexStore.publish(root) { g =>
+      ndv.select("tbl", "col", "ndv_est", "regs").coalesce(1)
+        .write.parquet(s"$g/column_ndv")
+      ndv.select(col("tbl"), col("n").as("row_count")).coalesce(1)
+        .write.parquet(s"$g/table_rows")
+    }
+    graft.plans.StatsCatalog.invalidate()
+    out
+  }
+
+  /** O(delta) stats refresh for an APPEND-ONLY table (VERDICT-style 100 TB
+    * discipline: ANALYZE re-scans the table; this never touches the base
+    * again). HLL registers are a monoid under element-wise max, so
+    * merge(base regs, delta regs) EQUALS the from-scratch registers over
+    * base ∪ delta — exactly, not approximately — and row counts add. The
+    * refresh reads the persisted register row (bounded) plus ONLY the
+    * delta, and publishes a fresh generation, so concurrent planners keep
+    * serving the old complete stats mid-append (the generation-store
+    * contract). q287 hash-proves the merged estimate equals a full-table
+    * re-derivation; its spec twin deletes the base slice's files before
+    * appending — the merge cannot have re-scanned what no longer exists. */
+  def appendEventsStats(s: SparkSession, root: String, delta: DataFrame): String =
+    root.intern.synchronized {
+      val base = graft.plans.StatsCatalog.resolveBase(root)
+      val hll = udaf(new graft.functions.HllSketch())
+      val deltaStats = delta.agg(hll(col("user_id").cast("string")).as("dregs"),
+        count(lit(1)).as("dn"))
+      val merged = s.read.parquet(s"$base/column_ndv")
+        .filter(col("tbl") === "events" && col("col") === "user_id")
+        .crossJoin(broadcast(deltaStats))
+        .select(col("tbl"), col("col"),
+          expr("zip_with(regs, dregs, (a, b) -> greatest(a, b))").as("regs"),
+          col("dn"))
+        .select(col("tbl"), col("col"), estExpr("regs").as("ndv_est"),
+          col("regs"), col("dn"))
+      val mergedRows = s.read.parquet(s"$base/table_rows")
+        .filter(col("tbl") === "events")
+        .crossJoin(broadcast(deltaStats.select("dn")))
+        .select(col("tbl"), (col("row_count") + col("dn")).as("row_count"))
+      val out = graft.IndexStore.publish(root) { g =>
+        merged.select("tbl", "col", "ndv_est", "regs").coalesce(1)
+          .write.parquet(s"$g/column_ndv")
+        mergedRows.coalesce(1).write.parquet(s"$g/table_rows")
+      }
+      graft.plans.StatsCatalog.invalidate()
+      out
+    }
+
   /** Generation-resolved base of the (already ensured) store. */
   private def storeBase(s: SparkSession, dir: String): String =
     graft.plans.StatsCatalog.resolveBase(ensureStats(s, dir))
@@ -308,6 +366,33 @@ object StatsStore {
         .orderBy("c_mktsegment", "event_type")
     },
 
+    // Incremental O(delta) stats maintenance judged: the events fixture
+    // is split by event_id % 5 into a base slice (gen 1) and an appended
+    // delta; the append merges the PERSISTED base registers with the
+    // delta's (HLL registers are a monoid under element-wise max, so the
+    // merge equals a from-scratch build over base ∪ delta EXACTLY) and
+    // adds row counts, publishing gen 2 while gen 1 keeps serving the
+    // base-only values. Both generations are read back and judged: the
+    // oracle re-derives gen 1 from the filtered slice and gen 2 from the
+    // full table through the identical register arithmetic — at 100 TB
+    // this is stats refresh WITHOUT re-scanning the fact table (the spec
+    // twin deletes the base files before appending to prove it).
+    "q287_incremental_stats_append" -> { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_stats_incr")
+        .toString + "/store"
+      val ev = Tables.events(s, dir)
+      buildEventsStats(s, root, ev.filter(expr("event_id % 5 <> 0")))
+      appendEventsStats(s, root, ev.filter(expr("event_id % 5 = 0")))
+      def gen(id: Long) = {
+        val g = graft.IndexStore.genPath(root, id)
+        s.read.parquet(s"$g/column_ndv").select("tbl", "col", "ndv_est")
+          .crossJoin(s.read.parquet(s"$g/table_rows").select("row_count"))
+          .select(lit(s"gen$id").as("gen"), col("tbl"), col("col"),
+            col("ndv_est"), col("row_count"))
+      }
+      gen(1L).unionByName(gen(2L)).orderBy("gen")
+    },
+
     // LEFT OUTER range join (VERDICT r11 "missing" 6): a per-event
     // coverage audit — every event keeps its row, the window it falls in
     // attaches or nulls out. The rewrite handles the outer form when the
@@ -413,6 +498,17 @@ object StatsStore {
         | JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment, e.event_type
         |ORDER BY c.c_mktsegment, e.event_type""".stripMargin,
+
+    "q287_incremental_stats_append" ->
+      s"""WITH ${ndvCte("b", "(SELECT * FROM events WHERE event_id % 5 <> 0)", "user_id")},
+         |${ndvCte("f", "events", "user_id")}
+         |SELECT gen, tbl, col, ndv_est, row_count FROM (
+         | SELECT 'gen1' AS gen, 'events' AS tbl, 'user_id' AS col, e_b.ndv_est,
+         |  (SELECT count(*) FROM events WHERE event_id % 5 <> 0) AS row_count FROM e_b
+         | UNION ALL
+         | SELECT 'gen2', 'events', 'user_id', e_f.ndv_est,
+         |  (SELECT count(*) FROM events) FROM e_f)
+         |ORDER BY gen""".stripMargin,
 
     "q274_stats_broadcast_join" ->
       """WITH dim AS (

@@ -181,6 +181,40 @@ class GenerationStoreSpec extends AnyFunSuite {
       "reader followed an unswapped generation")
   }
 
+  test("appendEventsStats is O(delta): the base slice's files are GONE when the append runs") {
+    import org.apache.spark.sql.functions._
+    // the incremental refresh must read only the persisted register row
+    // plus the delta — proven the hard way: the base slice is a separate
+    // parquet copy that gets DELETED between the base build and the
+    // append; if the merge re-scanned the base it would fail on missing
+    // files, and the merged numbers still equal a from-scratch build over
+    // the full table (register max is a monoid — the merge is exact)
+    val ev = Tables.events(spark, SparkTestHarness.Sf0001)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    ev.filter(expr("event_id % 5 <> 0")).write.parquet(s"$scratch/events_base")
+    val baseDf = spark.read.parquet(s"$scratch/events_base")
+    val root = freshRoot()
+    queries.StatsStore.buildEventsStats(spark, root, baseDf)
+    // from-scratch witness over the FULL table, into its own root
+    val fullRoot = freshRoot()
+    val fullGen = queries.StatsStore.buildEventsStats(spark, fullRoot, ev)
+    def readStats(g: String): (Long, Long) = {
+      val n = spark.read.parquet(s"$g/column_ndv").select("ndv_est").head().getLong(0)
+      val r = spark.read.parquet(s"$g/table_rows").select("row_count").head().getLong(0)
+      (n, r)
+    }
+    val expected = readStats(fullGen)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete(); ()
+    }
+    deleteRec(new java.io.File(s"$scratch/events_base")) // base is gone
+    val g2 = queries.StatsStore.appendEventsStats(spark, root,
+      ev.filter(expr("event_id % 5 = 0")))
+    assert(readStats(g2) === expected,
+      "incremental merge diverged from the from-scratch build")
+  }
+
   test("the stats memo expires: a foreign republish is seen after the TTL; failed refresh serves stale") {
     import spark.implicits._
     val root = freshRoot()
