@@ -172,7 +172,8 @@ object StatsStore {
       val hll = udaf(new graft.functions.HllSketch())
       val deltaStats = delta.agg(hll(col("user_id").cast("string")).as("dregs"),
         count(lit(1)).as("dn"))
-      val merged = s.read.parquet(s"$base/column_ndv")
+      val oldNdv = s.read.parquet(s"$base/column_ndv")
+      val merged = oldNdv
         .filter(col("tbl") === "events" && col("col") === "user_id")
         .crossJoin(broadcast(deltaStats))
         .select(col("tbl"), col("col"),
@@ -180,13 +181,22 @@ object StatsStore {
           col("dn"))
         .select(col("tbl"), col("col"), estExpr("regs").as("ndv_est"),
           col("regs"), col("dn"))
-      val mergedRows = s.read.parquet(s"$base/table_rows")
+      // rows the append does not touch carry over verbatim (a generation
+      // must be COMPLETE — readers resolve whole tables, never deltas);
+      // note this helper carries only column_ndv/table_rows: it is the
+      // buildEventsStats companion, not a general ensureStats appender
+      val keptNdv = oldNdv
+        .filter(!(col("tbl") === "events" && col("col") === "user_id"))
+        .select("tbl", "col", "ndv_est", "regs")
+      val oldRows = s.read.parquet(s"$base/table_rows")
+      val mergedRows = oldRows
         .filter(col("tbl") === "events")
         .crossJoin(broadcast(deltaStats.select("dn")))
         .select(col("tbl"), (col("row_count") + col("dn")).as("row_count"))
+        .unionByName(oldRows.filter(col("tbl") =!= "events"))
       val out = graft.IndexStore.publish(root) { g =>
-        merged.select("tbl", "col", "ndv_est", "regs").coalesce(1)
-          .write.parquet(s"$g/column_ndv")
+        merged.select("tbl", "col", "ndv_est", "regs").unionByName(keptNdv)
+          .coalesce(1).write.parquet(s"$g/column_ndv")
         mergedRows.coalesce(1).write.parquet(s"$g/table_rows")
       }
       graft.plans.StatsCatalog.invalidate()
