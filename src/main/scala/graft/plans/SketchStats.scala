@@ -176,6 +176,35 @@ object SketchStats {
           StatsCatalog.tableOf(lr).flatMap(t => ndv.get((t, sa.name))))
       }.nextOption()
 
+    /** Row estimate for a single-scan dim: the catalog count, refined by
+      * the classic 1/NDV equality-filter selectivity for each
+      * `col = literal` conjunct on a covered column — but ONLY where the
+      * estimator is in its accurate regime (NDV ≥ 100): the raw integer
+      * HLL floors tiny cardinalities at ~45, and dividing by a floored
+      * NDV would overstate a small-domain filter's selectivity ~9× (a
+      * 5-value column priced as 45), flipping the estimate's bias from
+      * conservative to eager. Unrefinable filters contribute nothing —
+      * they only shrink the true rows, the conservative direction. */
+    private def scanRows(dim: LogicalPlan, rows: Map[String, Long],
+        ndv: Map[(String, String), Long]): Option[Long] = {
+      def filterNdvs(p: LogicalPlan): Seq[Long] = p match {
+        case Filter(cond, c) =>
+          splitConjunctivePredicates(cond).flatMap {
+            case EqualTo(a: AttributeReference, l) if l.foldable =>
+              ndvOf(dim, a, ndv).filter(_ >= 100L)
+            case EqualTo(l, a: AttributeReference) if l.foldable =>
+              ndvOf(dim, a, ndv).filter(_ >= 100L)
+            case _ => None
+          } ++ filterNdvs(c)
+        case Project(_, c) => filterNdvs(c)
+        case SubqueryAlias(_, c) => filterNdvs(c)
+        case _ => Nil
+      }
+      scanOf(dim).flatMap(sc => StatsCatalog.tableOf(sc).flatMap(rows.get)).map { base =>
+        filterNdvs(dim).foldLeft(base)((r, n) => math.max(1L, r / math.max(1L, n)))
+      }
+    }
+
     /** The dim's REDUCTION FACTOR against the chain: System-R gives
       * |L ⋈k d| = |L|·|d| / max(ndv(L.k), ndv(d.k)), so with |L| common
       * to both swap candidates the comparison only needs each dim's
@@ -213,7 +242,7 @@ object SketchStats {
           case _ => None
         }
       for {
-        dRows <- scanOf(dim).flatMap(sc => StatsCatalog.tableOf(sc).flatMap(rows.get))
+        dRows <- scanRows(dim, rows, ndv)
           .orElse(groupedRowBound(dim, ndv).map(_._1))
         ks = keyNdvs(dim, cond)
         if ks.nonEmpty

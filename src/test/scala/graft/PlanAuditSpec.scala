@@ -427,6 +427,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"composite-key dim was not commuted below the expanding side: $bottom")
   }
 
+  test("equality-filtered dims reorder: 1/NDV selectivity refines the row estimate") {
+    import org.apache.spark.sql.functions._
+    // a dim filtered to one key's rows (o_custkey = 500) is ~NDV× smaller
+    // than its table-level count; priced at full size it would stay above
+    // the expanding events side (1500/150 = 10 > 6.7), refined it drops to
+    // ~10 rows and commutes in first. The refinement only applies in the
+    // estimator's accurate regime (NDV ≥ 100 — o_custkey qualifies), so
+    // the HLL small-set floor can never overstate a filter's selectivity
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    s.conf.set(graft.plans.SketchStats.DirKey,
+      queries.StatsStore.ensureStatsFor(s, dir))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val ev = Tables.events(s, dir).select(col("user_id"), col("value"))
+    val o2 = Tables.orders(s, dir).filter(col("o_custkey") === 500L)
+      .select(col("o_custkey"), col("o_totalprice"))
+    val j = o.join(ev, o("o_custkey") === ev("user_id"))
+      .join(o2, o("o_custkey") === o2("o_custkey"))
+    val bottom = bottomJoinRightTables(j)
+    assert(bottom.contains("orders") && !bottom.contains("events"),
+      s"filtered dim was not commuted below the expanding side: $bottom")
+  }
+
   test("q284: catalog NDV+rowcount reorders the expanding join last; without stats written order holds") {
     import org.apache.spark.sql.functions._
     // The THIRD stats consumer: written order joins orders to the
