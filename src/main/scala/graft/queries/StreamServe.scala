@@ -34,6 +34,24 @@ object StreamServe {
       s"graft_stream_regs/$tag").getAbsolutePath
   }
 
+  /** Run a BOUNDED stream to completion (AvailableNow, update mode,
+    * throwaway checkpoint), feeding every micro-batch to `onBatch` — the
+    * shared shell of the streamed builders below; each caller's
+    * accumulation is bounded by construction (registers or one counter,
+    * never rows) and relies on the same argument: its values only grow,
+    * so the LAST emission per key is the final state. */
+  private def runBounded(stream: DataFrame)(onBatch: DataFrame => Unit): Unit = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) => onBatch(b); () }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000))
+      throw new IllegalStateException("bounded stream build timed out")
+  }
+
   /** Run a (bounded) HDR register stream to completion and publish the
     * final per-(flag, bucket) snapshot as `hdr_regs` parquet under a
     * fresh store generation; returns the generation path. The driver-side
@@ -44,18 +62,9 @@ object StreamServe {
     * the batches reconstructs it exactly. */
   def buildAndPublish(s: SparkSession, regStream: DataFrame, root: String): String = {
     val acc = new java.util.concurrent.ConcurrentHashMap[(String, Int), Long]()
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
-    val q = regStream.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.collect().foreach(r => acc.put((r.getString(0), r.getInt(1)), r.getLong(2)))
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(300000))
-      throw new IllegalStateException("streamed register build timed out")
+    runBounded(regStream) { b =>
+      b.collect().foreach(r => acc.put((r.getString(0), r.getInt(1)), r.getLong(2)))
+    }
     import s.implicits._
     import scala.jdk.CollectionConverters._
     val buf = acc.asScala.toSeq.map { case ((flag, bucket), cnt) =>
@@ -106,18 +115,9 @@ object StreamServe {
         val stream = graft.streaming.EventStreams.streamingHllRegisters(
           graft.streaming.EventStreams.readEventStream(ss, dir))
         val acc = new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
-        val q = stream.writeStream
-          .outputMode("update")
-          .option("checkpointLocation", ckpt)
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.collect().foreach(r => acc.put(r.getString(0), r.getSeq[Long](1)))
-            ()
-          }
-          .trigger(Trigger.AvailableNow())
-          .start()
-        if (!q.awaitTermination(300000))
-          throw new IllegalStateException("streamed HLL register build timed out")
+        runBounded(stream) { b =>
+          b.collect().foreach(r => acc.put(r.getString(0), r.getSeq[Long](1)))
+        }
         import ss.implicits._
         import scala.jdk.CollectionConverters._
         val buf = acc.asScala.toSeq.map { case (flag, regs) => (flag, regs) }
@@ -165,19 +165,10 @@ object StreamServe {
         // grow, so the LAST update is the total
         val ss = s.newSession()
         val cnt = new java.util.concurrent.atomic.AtomicLong(-1L)
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
-        val q = graft.streaming.EventStreams.readEventStream(ss, dir)
-          .groupBy().count()
-          .writeStream.outputMode("update")
-          .option("checkpointLocation", ckpt)
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.collect().foreach(r => cnt.set(r.getLong(0)))
-            ()
-          }
-          .trigger(Trigger.AvailableNow())
-          .start()
-        if (!q.awaitTermination(300000))
-          throw new IllegalStateException("streamed row-count build timed out")
+        runBounded(graft.streaming.EventStreams.readEventStream(ss, dir)
+            .groupBy().count()) { b =>
+          b.collect().foreach(r => cnt.set(r.getLong(0)))
+        }
         // batch dimensions: exact counts + HLL NDV on the join keys
         val hll = udaf(new graft.functions.HllSketch())
         val dimNdv = Seq(
