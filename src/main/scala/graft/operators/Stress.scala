@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stress centrality (Shimbel 1953) via Brandes' shortest-path-DAG
+  * framework (Brandes 2001, "A faster algorithm for betweenness
+  * centrality" — §6 lists stress among the variants the same two-sweep
+  * structure computes): stress(v) = Σ over ordered pairs (s, t) of the
+  * number of SHORTEST s→t paths that pass through v. Unlike betweenness
+  * (whose pair terms are the fractions σ_st(v)/σ_st), stress is a pure
+  * integer everywhere, so every intermediate — and the judged result —
+  * is hash-exact across engines.
+  *
+  * Two depth-indexed sweeps over the ALREADY-SETTLED min-depth relation
+  * (the memoized multi-source BFS the whole centrality family shares —
+  * no frontier loop and no anti-join is run here):
+  *
+  *  - forward: σ_s(v) = Σ_{u: (u,v) ∈ E, dist_s(u) = dist_s(v) − 1} σ_s(u)
+  *    — the number of shortest s→v paths, layer by layer from σ_s(s) = 1;
+  *  - backward: γ_s(v) = Σ_{w: (v,w) ∈ E, dist_s(w) = dist_s(v) + 1}
+  *    (1 + γ_s(w)) — the number of shortest-path CONTINUATIONS below v
+  *    (each DAG successor contributes itself plus everything under it).
+  *
+  * Then Σ_t σ_st(v) over all targets t equals σ_s(v) · γ_s(v) for v ≠ s
+  * (every s→v prefix pairs with every continuation), so
+  * stress(v) = Σ_{s ≠ v} σ_s(v) · γ_s(v).
+  *
+  * Scale shape: each sweep round is ONE equi-join of a depth layer
+  * against the edge relation plus a grouped sum — rounds = graph depth
+  * (O(log-ish for package graphs), not node count; the layers are lazily
+  * lineage-cut so the plan stays flat and the terminal union executes as
+  * one job chain. The min-depth relation arrives pre-computed, so this
+  * operator adds no BFS of its own.
+  */
+object Stress {
+  /** @param edges directed edges (name, dep)
+    * @param reach settled multi-source BFS output (root, name, depth =
+    *              MIN distance root→name; contains (root, root, 0))
+    * @return one row per (root, name) reached: (root, name, depth,
+    *         sigma, gamma) — σ and γ as defined above
+    */
+  def run(s: SparkSession, edges: DataFrame, reach: DataFrame): DataFrame = {
+    val m = reach.select("root", "name", "depth")
+    val e = edges.select(col("name").as("u"), col("dep").as("v")).distinct()
+    val dmax = m.agg(max("depth")).head().getAs[Number](0).intValue()
+    // forward σ by layer
+    val sigmas = scala.collection.mutable.ArrayBuffer[DataFrame](
+      m.filter(col("depth") === 0)
+        .select(col("root"), col("name"), lit(1L).as("sigma")))
+    for (d <- 1 to dmax) {
+      val prev = sigmas.last.select(col("root"), col("name").as("u"), col("sigma"))
+      val layer = prev.join(e, "u")
+        .select(col("root"), col("v").as("name"), col("sigma"))
+        .join(m.filter(col("depth") === d).select("root", "name"), Seq("root", "name"))
+        .groupBy("root", "name").agg(sum("sigma").as("sigma"))
+      sigmas += Lineage.cutLazy(layer)
+    }
+    // backward γ by descending layer
+    val gammas = scala.collection.mutable.ArrayBuffer[DataFrame](
+      m.filter(col("depth") === dmax)
+        .select(col("root"), col("name"), lit(0L).as("gamma")))
+    for (d <- (dmax - 1) to 0 by -1) {
+      val below = gammas.last.select(col("root"), col("name").as("v"), col("gamma"))
+      val contrib = e.join(below, "v")
+        .select(col("root"), col("u").as("name"), (col("gamma") + 1L).as("g"))
+        .groupBy("root", "name").agg(sum("g").as("gamma"))
+      val layer = m.filter(col("depth") === d).select("root", "name")
+        .join(contrib, Seq("root", "name"), "left")
+        .select(col("root"), col("name"), coalesce(col("gamma"), lit(0L)).as("gamma"))
+      gammas += Lineage.cutLazy(layer)
+    }
+    val sigma = sigmas.reduce(_ unionByName _)
+    val gamma = gammas.reduce(_ unionByName _)
+    m.join(sigma, Seq("root", "name")).join(gamma, Seq("root", "name"))
+      .select("root", "name", "depth", "sigma", "gamma")
+  }
+}

@@ -560,6 +560,39 @@ object Resolution {
         .orderBy("root")
     },
 
+    // Stress centrality (Shimbel 1953; Brandes 2001's two-sweep DAG
+    // framework, §6 variants — operators/Stress): stress(v) = number of
+    // shortest (s, t) paths THROUGH v over all ordered pairs — the
+    // integer-exact sibling of betweenness (whose σ_st(v)/σ_st fractions
+    // can't hash-match across engines), completing the centrality family
+    // beside q158 closeness, q86 pagerank, q173 hits, q238 eccentricity.
+    // Both sweeps ride the memoized multi-source min-depth relation (no
+    // BFS of its own): σ forward by layer, the continuation count γ
+    // backward, stress = Σ_{s≠v} σ_s(v)·γ_s(v). The oracle re-derives
+    // both sweeps through 8 unrolled layers (2× the measured diameter;
+    // an eager guard fails THIS query loudly if a future fixture ever
+    // exceeds the unroll instead of letting hashes quietly diverge).
+    "q288_stress_centrality" -> { (s, dir) =>
+      val reach = reachAllFrame(s, dir)
+      require(reach.filter(col("depth") > 8).isEmpty,
+        "q288 oracle unrolls 8 layers; fixture graph got deeper — raise both sides")
+      val sg = graft.operators.Stress.run(s,
+        resolvedEdges(s, dir).select("name", "dep"), reach)
+      val stress = sg.filter(col("root") =!= col("name"))
+        .groupBy("name").agg(sum(expr("sigma * gamma")).as("stress"),
+          sum("sigma").as("n_paths_to"))
+      val origins = sg.filter(col("root") === col("name"))
+        .select(col("name"), col("gamma").as("n_paths_from"))
+      Tables.packageNames(s, dir).select("name")
+        .join(stress, Seq("name"), "left")
+        .join(origins, Seq("name"), "left")
+        .select(col("name"),
+          coalesce(col("stress"), lit(0L)).as("stress"),
+          coalesce(col("n_paths_to"), lit(0L)).as("n_paths_to"),
+          coalesce(col("n_paths_from"), lit(0L)).as("n_paths_from"))
+        .orderBy("name")
+    },
+
     // Dependency co-occurrence / association mining (market-basket over
     // the resolution edges — basket = a package's direct dep set): which
     // dep PAIRS ship together, with support and lift. One self-join on
@@ -1567,6 +1600,38 @@ object Resolution {
          | FROM l${k - 1} l LEFT JOIN pk$k p USING (name))""".stripMargin
     }.mkString(",\n")
 
+  /** Unrolled Brandes sweeps for the q288 oracle: σ forward (layer d sums
+    * layer d−1 over the DAG edges) and γ backward (layer d sums 1+γ of
+    * its layer-d+1 successors), both over the recursive min-depth CTE
+    * `m(root, name, d)` and the deduped edge CTE `eu(u, v)`. */
+  private def stressUnrolled(dmax: Int): String = {
+    val sigma = (1 to dmax).map { d =>
+      s"""sg$d AS MATERIALIZED (
+         | SELECT m.root, m.name, CAST(sum(p.sigma) AS BIGINT) AS sigma
+         | FROM sg${d - 1} p
+         |  JOIN eu e ON e.u = p.name
+         |  JOIN m ON m.root = p.root AND m.name = e.v AND m.d = $d
+         | GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val gamma = ((dmax - 1) to 0 by -1).map { d =>
+      s"""gm$d AS MATERIALIZED (
+         | SELECT m.root, m.name, CAST(coalesce(c.g, 0) AS BIGINT) AS gamma
+         | FROM m LEFT JOIN (
+         |  SELECT b.root, e.u AS name, sum(b.gamma + 1) AS g
+         |  FROM gm${d + 1} b JOIN eu e ON e.v = b.name
+         |  GROUP BY 1, 2) c ON c.root = m.root AND c.name = m.name
+         | WHERE m.d = $d)""".stripMargin
+    }.mkString(",\n")
+    val sgAll = (0 to dmax).map(d => s"SELECT * FROM sg$d").mkString(" UNION ALL ")
+    val gmAll = (0 to dmax).map(d => s"SELECT * FROM gm$d").mkString(" UNION ALL ")
+    s"""sg0 AS (SELECT root, name, CAST(1 AS BIGINT) AS sigma FROM m WHERE d = 0),
+       |$sigma,
+       |gm$dmax AS (SELECT root, name, CAST(0 AS BIGINT) AS gamma FROM m WHERE d = $dmax),
+       |$gamma,
+       |sg AS ($sgAll),
+       |gm AS ($gmAll)""".stripMargin
+  }
+
   private def sub(sql: String): String =
     sql.replace("--PKG--", PkgCte).replace("--IDX--", IdxCte)
       .replace("--PROV--", ProvCte).replace("--SPECS--", SpecsCte)
@@ -1870,6 +1935,38 @@ object Resolution {
         | COALESCE(a.harmonic, 0.0) AS harmonic
         |FROM nm LEFT JOIN a ON a.root = nm.name
         |ORDER BY root""".stripMargin),
+
+    "q288_stress_centrality" -> sub(s"""WITH RECURSIVE --IDX--,
+        |--PKG--,
+        |--PROV--,
+        |--SPECS--,
+        |--EDGES--,
+        |nm AS (SELECT 'pkg-' || lpad(CAST(i AS VARCHAR), 2, '0') AS name FROM idx),
+        |eu AS MATERIALIZED (SELECT DISTINCT name AS u, dep AS v FROM edges),
+        |r(root, name, depth) AS (
+        | SELECT name, name, 0 FROM nm
+        | UNION
+        | SELECT r.root, e.v, r.depth + 1 FROM eu e JOIN r ON e.u = r.name WHERE r.depth < 60),
+        |m AS MATERIALIZED (SELECT root, name, min(depth) AS d FROM r GROUP BY 1, 2),
+        |${stressUnrolled(8)},
+        |j AS (
+        | SELECT m.root, m.name, sg.sigma, gm.gamma
+        | FROM m
+        |  JOIN sg ON sg.root = m.root AND sg.name = m.name
+        |  JOIN gm ON gm.root = m.root AND gm.name = m.name),
+        |st AS (
+        | SELECT name, CAST(sum(sigma * gamma) AS BIGINT) AS stress,
+        |  CAST(sum(sigma) AS BIGINT) AS n_paths_to
+        | FROM j WHERE root <> name GROUP BY 1),
+        |og AS (SELECT name, gamma AS n_paths_from FROM j WHERE root = name)
+        |SELECT nm.name,
+        | COALESCE(st.stress, 0) AS stress,
+        | COALESCE(st.n_paths_to, 0) AS n_paths_to,
+        | COALESCE(og.n_paths_from, 0) AS n_paths_from
+        |FROM nm
+        | LEFT JOIN st ON st.name = nm.name
+        | LEFT JOIN og ON og.name = nm.name
+        |ORDER BY nm.name""".stripMargin),
 
     "q160_dep_cooccurrence" -> sub("""WITH --IDX--,
         |--PKG--,
