@@ -99,6 +99,12 @@ object Iterate {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           { c.incrementAndGet(); () }
+        // a stopped context must not be retained by the map's strong key
+        // (ADVICE r13: suites/apps that restart contexts leaked every old
+        // context + listener); the bus drops its listeners itself on stop
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          { jobCounters.remove(sc0); () }
       })
       c
     })
