@@ -33,6 +33,14 @@ object IndexStore {
 
   def genPath(root: String, id: Long): String = s"$root/gen=$id"
 
+  /** Generation id of a published path (`.../gen=<n>`). */
+  def genIdOf(path: String): Long =
+    path.substring(path.lastIndexOf("gen=") + 4).toLong
+
+  /** True when generation `id` exists complete under `root`. */
+  def isComplete(root: String, id: Long): Boolean =
+    Files.exists(Paths.get(genPath(root, id), "_GRAFT_COMPLETE"))
+
   private def manifest(root: String): Path = Paths.get(root, "LATEST")
 
   /** The latest COMPLETE generation id, if any (manifest present AND the
