@@ -751,6 +751,62 @@ object StatsStore {
         .orderBy("o_orderpriority")
     },
 
+    // The pairwise bubble COMPOSING on a longer chain: written order puts
+    // the ~30×-expanding lineitem self-join (on l_partkey) FIRST, then
+    // part, then supplier. No single pass can sort this — pass 1 commutes
+    // part below the self-join, pass 2 commutes supplier below it — so
+    // the judged plan is the fixed-point composition the reorder's
+    // strict-margin termination argument promises: both reducing dims
+    // below, the multiplying join last. countDistinct keeps the eager-agg
+    // rule out so the pin isolates the reorder. Answer plan-independent.
+    "q296_multi_dim_reorder_chain" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.SketchStats.ensure(s)
+      s.conf.set(graft.plans.SketchStats.DirKey, ensureStats(s, dir))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      val li2 = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_quantity"))
+      val part = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+      li.join(li2, li("l_partkey") === li2("l_partkey"))
+        .join(part, li("l_partkey") === part("p_partkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          expr("cast(sum(l_quantity) as bigint)").as("sum_qty2"),
+          countDistinct(supp("s_name")).as("n_supp"))
+        .orderBy("p_brand")
+    },
+
+    // Reorder × eager aggregation COMPOSING to a plan neither reaches
+    // alone: pass 1 commutes customer below the 6.4×-expanding events
+    // side; the eager-agg rule then collapses events to one
+    // pre-aggregated row per user below its join; pass 2 the reorder
+    // RE-PRICES the grouped side through the ∏NDV bound (~150 rows ≪
+    // 1500 customers) and commutes it back first — the fixed point is a
+    // pre-aggregated fact joining ahead of every dim, the shape a
+    // hand-tuned query would be written in. Answer plan-independent;
+    // PlanAuditSpec pins the composed fixed point (partial agg below a
+    // join AND the pre-aggregated side bottom-most).
+    "q297_reorder_eager_agg_compose" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.SketchStats.ensure(s)
+      s.conf.set(graft.plans.SketchStats.DirKey, ensureStats(s, dir))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("cast(floor(value * 100 + cast(0.5 as double)) as bigint)").as("v_cents"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      o.join(ev, col("o_custkey") === col("user_id"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("v_cents").as("sum_cents"),
+          max("v_cents").as("max_cents"))
+        .orderBy("c_mktsegment")
+    },
+
     // The MULTI-column O(delta) append judged (VERDICT r13 item 7): the
     // q287 lifecycle with TWO register columns (user_id + event_type) —
     // one delta scan merges BOTH columns' registers, so the incremental
@@ -941,6 +997,27 @@ object StatsStore {
         | JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment, e.event_type
         |ORDER BY c.c_mktsegment, e.event_type""".stripMargin,
+
+    "q296_multi_dim_reorder_chain" ->
+      """SELECT p.p_brand, count(*) AS n,
+        | CAST(sum(l2.l_quantity) AS BIGINT) AS sum_qty2,
+        | count(DISTINCT s.s_name) AS n_supp
+        |FROM lineitem l
+        | JOIN lineitem l2 ON l.l_partkey = l2.l_partkey
+        | JOIN part p ON l.l_partkey = p.p_partkey
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin,
+
+    "q297_reorder_eager_agg_compose" ->
+      """SELECT c.c_mktsegment, count(*) AS n,
+        | CAST(sum(CAST(floor(e.value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | max(CAST(floor(e.value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS max_cents
+        |FROM orders o
+        | JOIN events e ON o.o_custkey = e.user_id
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin,
 
     "q295_hist_broadcast_join" ->
       """SELECT r.o_orderpriority, count(*) AS n,

@@ -704,6 +704,83 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pos === neg, "eager aggregation changed the answer")
   }
 
+  test("q296: two commutes compose on a 4-relation chain — the expanding self-join ends up LAST") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    // written order: ~30×-expanding lineitem self-join FIRST, then part,
+    // then supplier. The strict-margin pairwise bubble needs more than
+    // one swap to sort this; the pin checks the COMPOSED result: the
+    // topmost join's right side is the expanding lineitem copy (pushed
+    // last), and both reducing dims sit below it. (Which of part/supplier
+    // lands bottom-most is SF-dependent — the HLL small-set floor prices
+    // supplier differently at different scales — so the pin asserts the
+    // scale-invariant property, not the tie order.)
+    def tablesOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] =
+      p.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          graft.plans.StatsCatalog.tableOf(lr)
+      }.flatten
+    val judged = SparkEntry.queries("q296_multi_dim_reorder_chain")(spark, dir)
+    val top = judged.queryExecution.optimizedPlan.collect { case j: LJoin => j }.head
+    assert(tablesOf(top.right) == Seq("lineitem"),
+      s"expanding self-join not pushed last: right=${tablesOf(top.right)}")
+    val below = tablesOf(top.left)
+    assert(below.contains("part") && below.contains("supplier"),
+      s"reducing dims not all below the expanding join: $below")
+    // negative control: written order keeps supplier last
+    val sNeg = spark.newSession()
+    graft.plans.SketchStats.ensure(sNeg)
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(sNeg, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val li2 = Tables.lineitem(sNeg, dir).select(col("l_partkey"), col("l_quantity"))
+    val part = Tables.part(sNeg, dir).select(col("p_partkey"), col("p_brand"))
+    val supp = Tables.supplier(sNeg, dir).select(col("s_suppkey"), col("s_name"))
+    val neg = li.join(li2, li("l_partkey") === li2("l_partkey"))
+      .join(part, li("l_partkey") === part("p_partkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+    val negTop = neg.queryExecution.optimizedPlan.collect { case j: LJoin => j }.head
+    assert(tablesOf(negTop.right) == Seq("supplier"),
+      s"negative control: expected written order: ${tablesOf(negTop.right)}")
+  }
+
+  test("q297: reorder and eager aggregation compose to a THIRD plan neither produces alone") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join => LJoin}
+    // the fixed-point composition: pass 1 the reorder commutes customer
+    // below the 6.4×-expanding events side; the eager-agg rule then
+    // collapses events to ~150 pre-aggregated rows per user BELOW its
+    // join; pass 2 the reorder RE-PRICES the grouped side via the ∏NDV
+    // bound (150 ≪ 1500 customers) and commutes it back to the bottom —
+    // the pre-aggregated fact joins FIRST. Neither rule alone reaches
+    // this plan; both effects must be present in the fixed point.
+    def isUserIdAgg(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collectFirst {
+        case a: Aggregate if a.groupingExpressions.exists {
+          case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            ar.name == "user_id"
+          case _ => false
+        } => a
+      }.nonEmpty
+    val judged = SparkEntry.queries("q297_reorder_eager_agg_compose")(spark, dir)
+    val plan = judged.queryExecution.optimizedPlan
+    val joins = plan.collect { case j: LJoin => j }
+    // effect 1 (eager agg): a per-user_id partial aggregate sits below a join
+    assert(joins.exists(j => Seq(j.left, j.right).exists(isUserIdAgg)),
+      s"eager aggregation did not fire under the composition:\n$plan")
+    // effect 2 (reorder, post-pushdown re-pricing): the BOTTOM join's
+    // right side is the pre-aggregated events side — not customer, which
+    // joined first only while events was still expanding
+    val bottomJ = joins.filter(j => j.left.collect { case x: LJoin => x }.isEmpty)
+    assert(bottomJ.exists(j => isUserIdAgg(j.right)),
+      s"the pre-aggregated side was not commuted back below customer:\n$plan")
+    // and customer is the TOP join's dim
+    val top = joins.head
+    val topRight = top.right.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        graft.plans.StatsCatalog.tableOf(lr)
+    }.flatten
+    assert(topRight == Seq("customer"), s"customer not the top dim: $topRight")
+  }
+
   test("q295: the histogram prices a range-FILTERED scan into a planning-time broadcast") {
     import org.apache.spark.sql.functions._
     // Spark's file-size estimate is filter-blind (it DOES scale by pruned
