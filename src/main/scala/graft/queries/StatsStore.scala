@@ -248,24 +248,37 @@ object StatsStore {
 
   /** One collected register row: (table, column, 64 HLL registers). */
   private type NdvRow = (String, String, Seq[Long])
+  /** One collected histogram row: (table, column, bucket, up_to, cum). */
+  private type HistRow = (String, String, Int, Long, Long)
 
-  /** A generation's stats content, collected to the driver (bounded: a
-    * few 64-long register rows plus per-table counts). */
-  private def readStatsGen(s: SparkSession, gen: String): (Seq[NdvRow], Seq[(String, Long)]) = {
+  /** A CAS-managed generation's driver-side content (bounded: register
+    * rows, per-table counts, ≤ HistBuckets histogram rows per column). */
+  private case class StatsContent(ndv: Seq[NdvRow], rows: Seq[(String, Long)],
+      hist: Seq[HistRow])
+
+  private def readStatsGen(s: SparkSession, gen: String): StatsContent = {
     val ndv = s.read.parquet(s"$gen/column_ndv").select("tbl", "col", "regs").collect()
       .map(r => (r.getString(0), r.getString(1), r.getSeq[Long](2).toSeq)).toSeq
     val rows = s.read.parquet(s"$gen/table_rows").select("tbl", "row_count").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
-    (ndv, rows)
+    val hist =
+      if (!new java.io.File(s"$gen/column_hist").exists()) Seq.empty[HistRow]
+      else s.read.parquet(s"$gen/column_hist")
+        .select("tbl", "col", "bucket", "up_to", "cum_cnt").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+    StatsContent(ndv, rows, hist)
   }
 
-  private def writeStatsGen(s: SparkSession, g: String,
-      ndv: Seq[NdvRow], rows: Seq[(String, Long)]): Unit = {
+  private def writeStatsGen(s: SparkSession, g: String, c: StatsContent): Unit = {
     import s.implicits._
-    ndv.toDF("tbl", "col", "regs")
+    c.ndv.toDF("tbl", "col", "regs")
       .select(col("tbl"), col("col"), estExpr("regs").as("ndv_est"), col("regs"))
       .coalesce(1).write.parquet(s"$g/column_ndv")
-    rows.toDF("tbl", "row_count").coalesce(1).write.parquet(s"$g/table_rows")
+    c.rows.toDF("tbl", "row_count").coalesce(1).write.parquet(s"$g/table_rows")
+    if (c.hist.nonEmpty)
+      c.hist.toDF("tbl", "col", "bucket", "up_to", "cum_cnt")
+        .coalesce(1).write.parquet(s"$g/column_hist")
   }
 
   /** Test seam: fired between a CAS attempt's base read and its publish,
@@ -297,7 +310,7 @@ object StatsStore {
     * All writers of a shared root must use this path — the protocol, not
     * the filesystem, is what excludes the lost update. */
   private def casPublishStats(s: SparkSession, root: String)(
-      mutate: (Seq[NdvRow], Seq[(String, Long)]) => (Seq[NdvRow], Seq[(String, Long)])): String = {
+      mutate: StatsContent => StatsContent): String = {
     val myAttempts = scala.collection.mutable.Set[Long]()
     var out: Option[String] = None
     while (out.isEmpty) {
@@ -307,12 +320,12 @@ object StatsStore {
             (myAttempts.contains(id) || !graft.IndexStore.isComplete(root, id))) id -= 1
         id
       }.filter(_ > 0)
-      val (bNdv, bRows) = baseId
+      val base = baseId
         .map(id => readStatsGen(s, graft.IndexStore.genPath(root, id)))
-        .getOrElse((Seq.empty[NdvRow], Seq.empty[(String, Long)]))
+        .getOrElse(StatsContent(Nil, Nil, Nil))
       casRaceHook()
-      val (mNdv, mRows) = mutate(bNdv, bRows)
-      val p = graft.IndexStore.publish(root, keep = 4)(writeStatsGen(s, _, mNdv, mRows))
+      val merged = mutate(base)
+      val p = graft.IndexStore.publish(root, keep = 4)(writeStatsGen(s, _, merged))
       val id = graft.IndexStore.genIdOf(p)
       myAttempts += id
       if ((baseId.getOrElse(0L) + 1L until id).forall(myAttempts.contains)) out = Some(p)
@@ -321,17 +334,20 @@ object StatsStore {
     out.get
   }
 
-  /** Replace `root`'s entries for the tables `ndv`/`rows` name, carrying
-    * every other table's entries verbatim — the batch writer's half of a
-    * MIXED-maintenance root (VERDICT r13 item 5): a stream upserts the
+  /** Replace `root`'s entries for the tables `ndv`/`rows`/`hist` name,
+    * carrying every other table's entries verbatim — the writer's half of
+    * a MIXED-maintenance root (VERDICT r13 item 5): a stream upserts the
     * fact entries, batch analyze upserts the dims, same root, same CAS. */
   def upsertStats(s: SparkSession, root: String,
-      ndv: Seq[(String, String, Seq[Long])], rows: Seq[(String, Long)]): String =
+      ndv: Seq[(String, String, Seq[Long])], rows: Seq[(String, Long)],
+      hist: Seq[(String, String, Int, Long, Long)] = Nil): String =
     root.intern.synchronized {
-      val mine = (ndv.map(_._1) ++ rows.map(_._1)).toSet
-      casPublishStats(s, root) { (bNdv, bRows) =>
-        (bNdv.filterNot(r => mine.contains(r._1)) ++ ndv,
-          bRows.filterNot(r => mine.contains(r._1)) ++ rows)
+      val mine = (ndv.map(_._1) ++ rows.map(_._1) ++ hist.map(_._1)).toSet
+      casPublishStats(s, root) { b =>
+        StatsContent(
+          b.ndv.filterNot(r => mine.contains(r._1)) ++ ndv,
+          b.rows.filterNot(r => mine.contains(r._1)) ++ rows,
+          b.hist.filterNot(r => mine.contains(r._1)) ++ hist)
       }
     }
 
@@ -372,20 +388,25 @@ object StatsStore {
     root.intern.synchronized {
       val (dndv, dn) = registersOf(s, delta, cols)
       val dregs = dndv.toMap
-      casPublishStats(s, root) { (bNdv, bRows) =>
-        val untouched = bNdv.filterNot { case (t, c, _) => t == table && dregs.contains(c) }
+      casPublishStats(s, root) { b =>
+        val untouched = b.ndv.filterNot { case (t, c, _) => t == table && dregs.contains(c) }
         val mine = cols.map { c =>
-          val merged = bNdv
+          val merged = b.ndv
             .collectFirst { case (t, cc, regs) if t == table && cc == c => regs }
-            .map(_.zip(dregs(c)).map { case (a, b) => math.max(a, b) })
+            .map(_.zip(dregs(c)).map { case (a, b2) => math.max(a, b2) })
             .getOrElse(dregs(c))
           (table, c, merged)
         }
         val rows =
-          if (bRows.exists(_._1 == table))
-            bRows.map { case (t, n) => if (t == table) (t, n + dn) else (t, n) }
-          else bRows :+ (table -> dn)
-        (untouched ++ mine, rows)
+          if (b.rows.exists(_._1 == table))
+            b.rows.map { case (t, n) => if (t == table) (t, n + dn) else (t, n) }
+          else b.rows :+ (table -> dn)
+        // histograms carry over VERBATIM: boundaries cannot be merged from
+        // a delta (equi-depth needs the per-value distribution, which the
+        // store deliberately does not persist) — they refresh by
+        // re-analyze or by the stream's own per-value counters, and a
+        // stale histogram costs only pricing quality, never rows
+        StatsContent(untouched ++ mine, rows, b.hist)
       }
     }
 

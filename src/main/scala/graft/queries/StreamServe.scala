@@ -220,13 +220,26 @@ object StreamServe {
   def ensureUnifiedStats(s: SparkSession, dir: String): String = {
     val root = unifiedStatsRoot(dir)
     root.intern.synchronized {
-      if (graft.IndexStore.latestPathCached(root).isEmpty) {
+      // content-validated build check: a generation from an older layout
+      // (no streamed histogram yet) triggers a republish, so layout
+      // upgrades roll forward without manual store deletion
+      val built = graft.IndexStore.latestPathCached(root)
+        .exists(g => new java.io.File(s"$g/column_hist").exists())
+      if (!built) {
         // batch half: dim tables, upsert semantics into the shared root
         StatsStore.buildTableStats(s, root, "customer",
           Tables.customer(s, dir), Seq("c_custkey"))
         StatsStore.buildTableStats(s, root, "orders",
           Tables.orders(s, dir), Seq("o_custkey"))
-        // stream half: the fact table's entries
+        // stream half: the fact table's entries — row count from a bounded
+        // streaming aggregate, user_id registers from the persisted
+        // streamed HLL store, and the ts HISTOGRAM from a streamed
+        // per-day counter (the second stream-upkept stats kind): per-day
+        // counts only grow, so the last update per day is final, and the
+        // state is bounded by the DATE DOMAIN, not the row count. Day-END
+        // boundaries (day start + 86399999999 µs) keep the histogram
+        // sound for raw-timestamp pricing: cum(boundary) counts exactly
+        // the values ≤ boundary.
         val regRows = s.read.parquet(s"${ensureStreamedHll(s, dir)}/hll_regs")
           .select("regs").collect().map(_.getSeq[Long](0))
         val merged = regRows
@@ -237,8 +250,27 @@ object StreamServe {
             .groupBy().count()) { b =>
           b.collect().foreach(r => cnt.set(r.getLong(0)))
         }
+        val ss2 = s.newSession()
+        val dayCounts = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+        runBounded(graft.streaming.EventStreams.readEventStream(ss2, dir)
+            .groupBy(expr(
+              "unix_micros(date_trunc('DAY', cast(ts as timestamp))) + 86399999999")
+              .as("d"))
+            .count()) { b =>
+          b.collect().foreach(r => dayCounts.put(r.getLong(0), r.getLong(1)))
+        }
+        import scala.jdk.CollectionConverters._
+        val sorted = dayCounts.asScala.toSeq.sortBy(_._1)
+        val n = sorted.map(_._2).sum
+        val cums = sorted.scanLeft((0L, 0L)) { case ((_, c), (v, dc)) => (v, c + dc) }.drop(1)
+        val k = StatsStore.HistBuckets
+        val histRows = (1 to k).map { i =>
+          val r = (i.toLong * n + k - 1) / k
+          val (v, cumAt) = cums.find(_._2 >= r).get
+          ("events", "ts", i, v, cumAt)
+        }
         StatsStore.upsertStats(s, root,
-          Seq(("events", "user_id", merged)), Seq("events" -> cnt.get()))
+          Seq(("events", "user_id", merged)), Seq("events" -> cnt.get()), histRows)
       }
     }
     root
@@ -313,6 +345,77 @@ object StreamServe {
         .agg(count(lit(1)).as("n"), sum("v_cents").as("sum_cents"),
           countDistinct("o_orderkey").as("n_orders"))
         .orderBy("c_mktsegment", "event_type")
+    },
+
+    // The STREAM-MAINTAINED histogram judged (the second stream-upkept
+    // stats kind, after registers): per-day event counts accumulate as
+    // bounded streaming state (bounded by the DATE DOMAIN — 30 entries —
+    // not the row count), and the equi-depth day-END boundaries derived
+    // from the final counter snapshot are published into the unified
+    // root. Day-end boundaries keep the histogram SOUND for raw-timestamp
+    // pricing: cum(boundary) counts exactly the values ≤ boundary. The
+    // oracle re-derives all 16 rows from raw events through the identical
+    // day-truncated cumulative walk — one wrong streamed day count
+    // anywhere breaks the hash.
+    "q298_streamed_histogram_stats" -> { (s, dir) =>
+      val base = graft.plans.StatsCatalog.resolveBase(ensureUnifiedStats(s, dir))
+      s.read.parquet(s"$base/column_hist")
+        .select("tbl", "col", "bucket", "up_to", "cum_cnt")
+        .orderBy("tbl", "col", "bucket")
+    },
+
+    // The streamed histogram CONSUMED: a fact slice cut to its last two
+    // days (ts >= 2024-01-29, ~6.7%) still "weighs" its whole file to
+    // Spark's filter-blind size estimate and would shuffle both sides;
+    // the stream-maintained day-end histogram prices the slice's rows at
+    // planning and flips it to the broadcast build — the planner acting
+    // on statistics no batch ANALYZE ever computed. countDistinct keeps
+    // the eager-agg rule out so the plan isolates the flip; answer
+    // plan-independent, PlanAuditSpec pins flip + negative.
+    "q299_streamed_hist_broadcast" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.SketchStats.ensure(s)
+      s.conf.set(graft.plans.SketchStats.DirKey, ensureUnifiedStats(s, dir))
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "131072")
+      val recent = Tables.events(s, dir)
+        .filter(col("ts") >= expr("timestamp_ntz'2024-01-29 00:00:00'"))
+        .select(col("user_id"),
+          expr("cast(floor(value * 100 + cast(0.5 as double)) as bigint)").as("v_cents"))
+      val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderpriority"))
+      o.join(recent, col("o_custkey") === col("user_id"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("v_cents").as("sum_cents"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("o_orderpriority")
+    },
+
+    // The capstone: THREE catalog consumers composing in one plan, every
+    // statistic they read maintained by a STREAM (events rows, user_id
+    // registers) or batch analyze (dims) in the unified root — the
+    // reorder commutes customer below the expanding events side, eager
+    // aggregation collapses events to one pre-aggregated row per user
+    // below its join, the next reorder pass re-prices the grouped side
+    // and commutes it back first, and the broadcast flip hints the
+    // ∏NDV-bounded partial aggregate into the build slot. A standing
+    // ingest keeps the statistics that drive all three decisions — no
+    // ANALYZE ever ran. Answer plan-independent; PlanAuditSpec pins all
+    // three effects in the one fixed-point plan.
+    "q300_streamed_full_stack" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.SketchStats.ensure(s)
+      s.conf.set(graft.plans.SketchStats.DirKey, ensureUnifiedStats(s, dir))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("cast(floor(value * 100 + cast(0.5 as double)) as bigint)").as("v_cents"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      o.join(ev, col("o_custkey") === col("user_id"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("v_cents").as("sum_cents"),
+          min("v_cents").as("min_cents"))
+        .orderBy("c_mktsegment")
     },
 
     // Rank-bound quantiles served from the PERSISTED STREAMED registers
@@ -421,6 +524,44 @@ object StreamServe {
         | JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment, e.event_type
         |ORDER BY c.c_mktsegment, e.event_type""".stripMargin,
+
+    "q300_streamed_full_stack" ->
+      """SELECT c.c_mktsegment, count(*) AS n,
+        | CAST(sum(CAST(floor(e.value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | min(CAST(floor(e.value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS min_cents
+        |FROM orders o
+        | JOIN events e ON o.o_custkey = e.user_id
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin,
+
+    "q298_streamed_histogram_stats" ->
+      """WITH v AS (
+        | SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) + 86399999999 AS v,
+        |  count(*) AS c
+        | FROM events GROUP BY 1),
+        |cu AS (
+        | SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        | FROM v),
+        |tg AS (
+        | SELECT CAST(g.i AS INTEGER) AS bucket, (g.i * n.n + 15) // 16 AS r
+        | FROM (SELECT CAST(sum(c) AS BIGINT) AS n FROM v) n,
+        |  (SELECT unnest(generate_series(1, 16)) AS i) g),
+        |bd AS (
+        | SELECT t.bucket, min(c.v) AS up_to
+        | FROM cu c JOIN tg t ON c.cum >= t.r GROUP BY 1)
+        |SELECT 'events' AS tbl, 'ts' AS col, b.bucket, b.up_to, c.cum AS cum_cnt
+        |FROM bd b JOIN cu c ON c.v = b.up_to
+        |ORDER BY tbl, col, bucket""".stripMargin,
+
+    "q299_streamed_hist_broadcast" ->
+      """SELECT o.o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(floor(e.value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | count(DISTINCT e.user_id) AS n_users
+        |FROM orders o JOIN events e ON o.o_custkey = e.user_id
+        |WHERE e.ts >= TIMESTAMP '2024-01-29 00:00:00'
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
 
     "q285_streamed_stats_catalog" ->
       s"""WITH ${StatsStore.ndvCte("cc", "customer", "c_custkey")},

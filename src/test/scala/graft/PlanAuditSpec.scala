@@ -476,6 +476,43 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unified-root stats did not drive the commute: $bottom")
   }
 
+  test("q299: the STREAM-maintained histogram prices a ts-filtered fact slice into a broadcast") {
+    import org.apache.spark.sql.functions._
+    // the second stream-upkept stats kind consumed: per-day streaming
+    // counters → day-end equi-depth boundaries in the unified root; a
+    // last-two-days slice (~6.7%) that statically weighs its whole file
+    // flips to the broadcast build at planning. Wide projections hold
+    // both static estimates above the 16 KB threshold for the negative.
+    def q(s: org.apache.spark.sql.SparkSession) = {
+      val recent = Tables.events(s, dir)
+        .filter(col("ts") >= expr("timestamp_ntz'2024-01-29 00:00:00'"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"), col("props"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderpriority"), col("o_orderstatus"),
+          col("o_totalprice"))
+      o.join(recent, col("o_custkey") === col("user_id"))
+    }
+    // bucket-mass UB at sf0.001 = 125 rows (the slice plus the rest of
+    // its equi-depth bucket) × 80 B output width = 10 000 ≤ threshold/2;
+    // both sides' pruned static estimates (≈24/28 KB) sit above 20 480
+    val sPos = spark.newSession()
+    graft.plans.SketchStats.ensure(sPos)
+    sPos.conf.set(graft.plans.SketchStats.DirKey,
+      queries.StreamServe.ensureUnifiedStats(sPos, dir))
+    sPos.conf.set("spark.sql.autoBroadcastJoinThreshold", "20480")
+    val pPos = q(sPos).queryExecution.executedPlan.toString
+    assert(pPos.contains("BroadcastHashJoin") && !pPos.contains("SortMergeJoin"),
+      s"streamed histogram did not flip the ts-filtered slice:\n${pPos.take(2500)}")
+    val sNeg = spark.newSession()
+    graft.plans.SketchStats.ensure(sNeg)
+    sNeg.conf.set("spark.sql.autoBroadcastJoinThreshold", "20480")
+    val pNeg = q(sNeg).queryExecution.executedPlan.toString
+    assert(pNeg.contains("SortMergeJoin"),
+      s"negative control: expected the filter-blind sort-merge join:\n${pNeg.take(2500)}")
+    assert(q(sPos).count() === q(sNeg).count())
+  }
+
   test("composite-key joins reorder: per-pair NDVs multiply, capped at the dim's row count") {
     import org.apache.spark.sql.functions._
     // a dim joined on (custkey AND priority): the first pair alone
@@ -779,6 +816,35 @@ class PlanAuditSpec extends AnyFunSuite {
         graft.plans.StatsCatalog.tableOf(lr)
     }.flatten
     assert(topRight == Seq("customer"), s"customer not the top dim: $topRight")
+  }
+
+  test("q300: three consumers in one plan, every statistic stream- or batch-maintained in the unified root") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join => LJoin}
+    def isUserIdAgg(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collectFirst {
+        case a: Aggregate if a.groupingExpressions.exists {
+          case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            ar.name == "user_id"
+          case _ => false
+        } => a
+      }.nonEmpty
+    val judged = SparkEntry.queries("q300_streamed_full_stack")(spark, dir)
+    val plan = judged.queryExecution.optimizedPlan
+    val joins = plan.collect { case j: LJoin => j }
+    // eager agg: per-user_id partial aggregate below a join
+    val bottomJ = joins.filter(j => j.left.collect { case x: LJoin => x }.isEmpty)
+    assert(bottomJ.exists(j => isUserIdAgg(j.right)),
+      s"partial aggregate not bottom-most:\n$plan")
+    // reorder: customer is the top dim
+    val topRight = joins.head.right.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        graft.plans.StatsCatalog.tableOf(lr)
+    }.flatten
+    assert(topRight == Seq("customer"), s"customer not the top dim: $topRight")
+    // broadcast flip: the ∏NDV-bounded partial aggregate carries the hint
+    assert(bottomJ.exists(_.hint.rightHint.exists(_.strategy.contains(
+        org.apache.spark.sql.catalyst.plans.logical.BROADCAST))),
+      s"the grouped-side broadcast flip did not fire on the partial aggregate:\n$plan")
   }
 
   test("q295: the histogram prices a range-FILTERED scan into a planning-time broadcast") {
