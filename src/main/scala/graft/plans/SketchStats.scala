@@ -225,9 +225,16 @@ object SketchStats {
     * one histogram conjunct actually applied — this prices exactly the
     * case Spark is blind to (its file-size estimate ignores filters
     * entirely), and deliberately leaves unfiltered scans to Spark's own
-    * estimate. The 1/NDV equality refinement is NOT used here: it is an
-    * approximation, and a broadcast decision needs an upper bound. */
-  private[plans] def histFilteredScanBound(p: LogicalPlan,
+    * estimate. Because a broadcast decision needs an UPPER bound, two
+    * approximations are deliberately rejected here: the 1/NDV equality
+    * refinement (an estimate, not a bound), and MULTIPLYING independent
+    * cuts — under correlated columns a product under-shoots (two 10%
+    * cuts on perfectly correlated dates select 10%, not 1%), so only the
+    * single most selective cut applies: true rows ≤ every individual
+    * cut's bound ⇒ the minimum is still a bound. (Same-column two-sided
+    * cuts WOULD multiply soundly — (n−a)(n−b) ≥ 0 — but the minimum is
+    * within one bucket of it and needs no column bookkeeping.) */
+  private[graft] def histFilteredScanBound(p: LogicalPlan,
       rows: Map[String, Long],
       hist: Map[(String, String), IndexedSeq[(Long, Long)]]): Option[Long] = {
     import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -259,8 +266,8 @@ object SketchStats {
     }.filter { case (sel, n) => sel < n }
     if (cuts.isEmpty) None
     else scanOf(p).flatMap(sc => StatsCatalog.tableOf(sc).flatMap(rows.get)).map { base =>
-      cuts.foldLeft(base) { case (r, (sel, n)) =>
-        ((BigInt(r) * sel + n - 1) / n).max(1).toLong }
+      val (sel, n) = cuts.minBy { case (s, nn) => BigDecimal(s) / BigDecimal(nn) }
+      ((BigInt(base) * sel + n - 1) / n).max(1).toLong
     }
   }
 

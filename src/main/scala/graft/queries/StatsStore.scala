@@ -314,12 +314,20 @@ object StatsStore {
     val myAttempts = scala.collection.mutable.Set[Long]()
     var out: Option[String] = None
     while (out.isEmpty) {
-      val baseId = graft.IndexStore.latestGen(root).map { top =>
+      val latest = graft.IndexStore.latestGen(root)
+      val baseId = latest.map { top =>
         var id = top
         while (id > 0 &&
             (myAttempts.contains(id) || !graft.IndexStore.isComplete(root, id))) id -= 1
         id
       }.filter(_ > 0)
+      // a store that HAS generations must yield a readable base — walking
+      // past a retention hole to id 0 would silently reset the content to
+      // this writer's delta alone; fail loudly instead (keep=4 makes this
+      // unreachable short of a pathological many-retry race)
+      if (latest.nonEmpty && baseId.isEmpty)
+        throw new IllegalStateException(
+          s"stats CAS base walk exhausted under $root — retention outran the race window")
       val base = baseId
         .map(id => readStatsGen(s, graft.IndexStore.genPath(root, id)))
         .getOrElse(StatsContent(Nil, Nil, Nil))

@@ -882,6 +882,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(q(sPos).count() === q(sNeg).count())
   }
 
+  test("correlated range cuts price at the MIN cut, never the product (broadcast bound stays sound)") {
+    import org.apache.spark.sql.functions._
+    // two cuts on DIFFERENT histogram columns: under correlation the
+    // product of fractions under-shoots (two 50% cuts on correlated
+    // columns can select 50%, not 25%) — a broadcast bound must take the
+    // single most selective cut, which every true count is ≤ of.
+    val s = spark.newSession()
+    val df = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= expr("timestamp_ntz'1998-01-01 00:00:00'") &&
+        col("l_linenumber") >= lit(4))
+      .select(col("l_orderkey"))
+    val plan = df.queryExecution.optimizedPlan
+    val x = java.time.LocalDateTime.parse("1998-01-01T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val rows = Map("lineitem" -> 6000L)
+    val hist = Map(
+      ("lineitem", "l_shipdate") ->
+        IndexedSeq((x - 1L, 3000L), (x + 999999999L, 6000L)),
+      ("lineitem", "l_linenumber") -> IndexedSeq((3L, 3000L), (9L, 6000L)))
+    // each cut alone bounds at 3000 of 6000; the product would claim 1500
+    assert(graft.plans.SketchStats.histFilteredScanBound(plan, rows, hist)
+      === Some(3000L))
+  }
+
   test("reorder × broadcast hint: a hinted dim still commutes and keeps its hint (both effects in one plan)") {
     import org.apache.spark.sql.functions._
     // VERDICT r13 item 6: matching JoinHint.NONE meant any chain whose
