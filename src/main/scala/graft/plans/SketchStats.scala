@@ -463,8 +463,9 @@ object SketchStats {
     * rewritten tree cannot re-fire (the fact side is no longer a scan).
     */
   final case class PushPartialAggThroughJoin() extends Rule[LogicalPlan] {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Coalesce, EqualTo, Literal, NamedExpression}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, Max, Min, Sum}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Coalesce, Divide, EqualTo, Expression, Literal, NamedExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, Max, Min, Sum}
+    import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType}
     import SketchStats.{ndvOf, scanOf, stripAttrProject}
 
     /** Minimum catalog-priced rows-per-key fanout for the extra pass to
@@ -473,9 +474,19 @@ object SketchStats {
     private val MinFanout = 8L
 
     private def supported(fn: AggregateFunction): Boolean = fn match {
-      case f: Sum => !f.child.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+      case f: Sum => !f.child.dataType.isInstanceOf[DecimalType]
       case _: Min | _: Max => true
       case c: Count => c.children.forall(ch => ch.foldable || ch.isInstanceOf[Attribute])
+      // avg decomposes to sum+count partials; the final value is the SAME
+      // end-of-aggregation division Average itself performs (sum cast to
+      // double over count), so integral inputs reproduce bit-exactly and
+      // floating inputs reorder no more than Spark's own map-side
+      // partials already do. Decimal averages bail with decimal sums.
+      case a: Average => a.child.dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             DoubleType | FloatType => true
+        case _ => false
+      }
       case _ => false
     }
 
@@ -530,31 +541,47 @@ object SketchStats {
                     }
                     priced match {
                       case Some(fk) =>
-                        val partialAliases = aggPairs.map { case (al, ae) =>
-                          Alias(AggregateExpression(ae.aggregateFunction, Complete,
-                            isDistinct = false), s"__ea_${al.name}")()
+                        // per original aggregate: its partial functions
+                        // (one for sum/count/min/max, sum+count for avg)
+                        // and the final expression over the partial attrs
+                        def sumOf(p: Attribute): Expression =
+                          AggregateExpression(Sum(p), Complete, isDistinct = false)
+                        val decomposed = aggPairs.map { case (al, ae) =>
+                          ae.aggregateFunction match {
+                            case a: Average =>
+                              val parts = Seq[AggregateFunction](Sum(a.child), Count(Seq(a.child)))
+                              (al, parts, (ps: Seq[Attribute]) =>
+                                Divide(Cast(sumOf(ps(0)), DoubleType),
+                                  Cast(sumOf(ps(1)), DoubleType)))
+                            case _: Count =>
+                              (al, Seq(ae.aggregateFunction), (ps: Seq[Attribute]) =>
+                                Coalesce(Seq(sumOf(ps(0)), Literal(0L))))
+                            case f2 =>
+                              (al, Seq(ae.aggregateFunction), (ps: Seq[Attribute]) =>
+                                AggregateExpression(
+                                  f2.withNewChildren(Seq(ps(0))).asInstanceOf[AggregateFunction],
+                                  Complete, isDistinct = false))
+                          }
+                        }
+                        val partialAliases = decomposed.flatMap { case (al, parts, _) =>
+                          parts.zipWithIndex.map { case (pf, i) =>
+                            Alias(AggregateExpression(pf, Complete, isDistinct = false),
+                              s"__ea_${al.name}_$i")()
+                          }
                         }
                         val partial = Aggregate(Seq(fk),
                           (fk: NamedExpression) +: partialAliases, f)
-                        val pByOrig = aggPairs.map(_._1.exprId)
-                          .zip(partialAliases.map(_.toAttribute)).toMap
+                        val pAttrs = partialAliases.map(_.toAttribute).iterator
+                        val finalByOrig = decomposed.map { case (al, parts, mk) =>
+                          al.exprId -> mk(Seq.fill(parts.length)(pAttrs.next()))
+                        }.toMap
                         val newJoin =
                           if (factIsLeft) j.copy(left = partial)
                           else j.copy(right = partial)
                         val finalExprs = resultExprs.map {
-                          case al @ Alias(ae: AggregateExpression, name) =>
-                            val p = pByOrig(al.exprId)
-                            val fexpr = ae.aggregateFunction match {
-                              case _: Count =>
-                                Coalesce(Seq(
-                                  AggregateExpression(Sum(p), Complete, isDistinct = false),
-                                  Literal(0L)))
-                              case f2 =>
-                                AggregateExpression(
-                                  f2.withNewChildren(Seq(p)).asInstanceOf[AggregateFunction],
-                                  Complete, isDistinct = false)
-                            }
-                            Alias(fexpr, name)(exprId = al.exprId, qualifier = al.qualifier)
+                          case al @ Alias(_: AggregateExpression, name) =>
+                            Alias(finalByOrig(al.exprId), name)(
+                              exprId = al.exprId, qualifier = al.qualifier)
                           case other => other
                         }
                         Aggregate(groupExprs, finalExprs, newJoin)

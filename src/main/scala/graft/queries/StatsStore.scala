@@ -836,6 +836,29 @@ object StatsStore {
         .orderBy("c_mktsegment")
     },
 
+    // AVG through the eager pushdown: avg does not distribute over key
+    // groups directly — the rule DECOMPOSES it into sum+count partials
+    // and finishes with the same end-of-aggregation division Average
+    // itself performs (sum cast to double over count), so integral cents
+    // reproduce bit-exactly; the oracle spells the identical formula
+    // (CAST(sum AS DOUBLE)/count) rather than trusting another engine's
+    // avg internals. Answer plan-independent; PlanAuditSpec's eager-agg
+    // pins cover the decomposition shape via EagerAggSpec.
+    "q301_eager_avg_pushdown" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.SketchStats.ensure(s)
+      s.conf.set(graft.plans.SketchStats.DirKey, ensureStats(s, dir))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("cast(floor(value * 100 + cast(0.5 as double)) as bigint)").as("v_cents"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      ev.join(cust, col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(avg("v_cents").as("avg_cents"), count(lit(1)).as("n"),
+          sum("v_cents").as("sum_cents"))
+        .orderBy("c_mktsegment")
+    },
+
     // The MULTI-column O(delta) append judged (VERDICT r13 item 7): the
     // q287 lifecycle with TWO register columns (user_id + event_type) —
     // one delta scan merges BOTH columns' registers, so the incremental
@@ -1026,6 +1049,16 @@ object StatsStore {
         | JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment, e.event_type
         |ORDER BY c.c_mktsegment, e.event_type""".stripMargin,
+
+    "q301_eager_avg_pushdown" ->
+      """SELECT c.c_mktsegment,
+        | CAST(sum(CAST(floor(e.value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+        |   / count(*) AS avg_cents,
+        | count(*) AS n,
+        | CAST(sum(CAST(floor(e.value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin,
 
     "q296_multi_dim_reorder_chain" ->
       """SELECT p.p_brand, count(*) AS n,

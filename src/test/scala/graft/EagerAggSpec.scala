@@ -99,6 +99,23 @@ class EagerAggSpec extends AnyFunSuite {
     assert(!hasPartialAggBelowJoin(d3), "rewrote a group-by on a non-key fact attribute")
   }
 
+  test("avg decomposes to sum+count partials: rewritten == plain, exactly (incl. all-null groups)") {
+    val (s, fact, dim) = frames()
+    def q(f: org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame) =
+      f.join(d, col("k") === col("dk"))
+        .groupBy("grp")
+        .agg(avg("v").as("av"), avg("w").as("aw"), count(lit(1)).as("n"))
+        .orderBy("grp")
+    val rewritten = q(fact, dim)
+    assert(hasPartialAggBelowJoin(rewritten), "avg did not decompose through the pushdown")
+    val sPlain = spark.newSession()
+    val plain = q(sPlain.read.parquet(env._2), sPlain.read.parquet(env._3))
+    // exact comparison: integral sums are exact in doubles and the final
+    // division is the identical IEEE operation both ways
+    assert(rewritten.collect().toSeq === plain.collect().toSeq,
+      "decomposed avg diverged from Average")
+  }
+
   test("grouping by the fact key itself is allowed and exact") {
     val (s, fact, dim) = frames()
     def q(f: org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame) =
