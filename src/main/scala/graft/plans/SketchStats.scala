@@ -499,7 +499,11 @@ object SketchStats {
         val ndv = lookup(spark, dir)
         if (rows.isEmpty || ndv.isEmpty) plan
         else plan.transformUp {
-          case agg @ Aggregate(groupExprs, resultExprs, child, _) =>
+          // streaming guard: on a streaming plan the inserted per-key
+          // aggregate would be a SECOND stateful operator whose update-mode
+          // emissions are per-micro-batch partials, not the global per-key
+          // totals the duplication argument needs — batch plans only
+          case agg @ Aggregate(groupExprs, resultExprs, child, _) if !agg.isStreaming =>
             stripAttrProject(child) match {
               case j @ Join(l, r, Inner, Some(cond @ EqualTo(ka: Attribute, kb: Attribute)), _)
                   if cond.deterministic =>

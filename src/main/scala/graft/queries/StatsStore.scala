@@ -252,9 +252,18 @@ object StatsStore {
   private type HistRow = (String, String, Int, Long, Long)
 
   /** A CAS-managed generation's driver-side content (bounded: register
-    * rows, per-table counts, ≤ HistBuckets histogram rows per column). */
+    * rows, per-table counts, ≤ HistBuckets histogram rows per column) —
+    * plus any OTHER stats tables the base generation carried (spans,
+    * fan-out, interval tables: bounded by the store contract), carried
+    * verbatim so a CAS writer can never silently drop a table kind it
+    * does not manage. */
   private case class StatsContent(ndv: Seq[NdvRow], rows: Seq[(String, Long)],
-      hist: Seq[HistRow])
+      hist: Seq[HistRow],
+      extra: Map[String, (org.apache.spark.sql.types.StructType,
+        Seq[org.apache.spark.sql.Row])] = Map.empty)
+
+  private val ManagedTables = Set("column_ndv", "table_rows", "column_hist",
+    "_GRAFT_COMPLETE")
 
   private def readStatsGen(s: SparkSession, gen: String): StatsContent = {
     val ndv = s.read.parquet(s"$gen/column_ndv").select("tbl", "col", "regs").collect()
@@ -267,11 +276,18 @@ object StatsStore {
         .select("tbl", "col", "bucket", "up_to", "cum_cnt").collect()
         .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
         .toSeq
-    StatsContent(ndv, rows, hist)
+    val extra = Option(new java.io.File(gen).listFiles()).getOrElse(Array.empty)
+      .filter(f => !ManagedTables.contains(f.getName))
+      .map { f =>
+        val df = s.read.parquet(f.getPath)
+        f.getName -> (df.schema, df.collect().toSeq)
+      }.toMap
+    StatsContent(ndv, rows, hist, extra)
   }
 
   private def writeStatsGen(s: SparkSession, g: String, c: StatsContent): Unit = {
     import s.implicits._
+    import scala.jdk.CollectionConverters._
     c.ndv.toDF("tbl", "col", "regs")
       .select(col("tbl"), col("col"), estExpr("regs").as("ndv_est"), col("regs"))
       .coalesce(1).write.parquet(s"$g/column_ndv")
@@ -279,6 +295,9 @@ object StatsStore {
     if (c.hist.nonEmpty)
       c.hist.toDF("tbl", "col", "bucket", "up_to", "cum_cnt")
         .coalesce(1).write.parquet(s"$g/column_hist")
+    c.extra.foreach { case (name, (schema, data)) =>
+      s.createDataFrame(data.asJava, schema).coalesce(1).write.parquet(s"$g/$name")
+    }
   }
 
   /** Test seam: fired between a CAS attempt's base read and its publish,
@@ -355,7 +374,8 @@ object StatsStore {
         StatsContent(
           b.ndv.filterNot(r => mine.contains(r._1)) ++ ndv,
           b.rows.filterNot(r => mine.contains(r._1)) ++ rows,
-          b.hist.filterNot(r => mine.contains(r._1)) ++ hist)
+          b.hist.filterNot(r => mine.contains(r._1)) ++ hist,
+          b.extra)
       }
     }
 
@@ -409,12 +429,13 @@ object StatsStore {
           if (b.rows.exists(_._1 == table))
             b.rows.map { case (t, n) => if (t == table) (t, n + dn) else (t, n) }
           else b.rows :+ (table -> dn)
-        // histograms carry over VERBATIM: boundaries cannot be merged from
-        // a delta (equi-depth needs the per-value distribution, which the
-        // store deliberately does not persist) — they refresh by
-        // re-analyze or by the stream's own per-value counters, and a
-        // stale histogram costs only pricing quality, never rows
-        StatsContent(untouched ++ mine, rows, b.hist)
+        // histograms (and any unmanaged table kinds) carry over VERBATIM:
+        // boundaries cannot be merged from a delta (equi-depth needs the
+        // per-value distribution, which the store deliberately does not
+        // persist) — they refresh by re-analyze or by the stream's own
+        // per-value counters, and a stale histogram costs only pricing
+        // quality, never rows
+        StatsContent(untouched ++ mine, rows, b.hist, b.extra)
       }
     }
 

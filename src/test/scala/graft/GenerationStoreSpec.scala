@@ -336,6 +336,28 @@ class GenerationStoreSpec extends AnyFunSuite {
     } finally queries.StatsStore.casRaceHook = () => ()
   }
 
+  test("a CAS publish carries table kinds it does not manage (spans/fanout survive an append)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the CAS content model manages ndv/rows/hist; any OTHER stats table
+    // in the base generation (span catalog, fan-out, interval tables)
+    // must ride through an append verbatim — dropping one would silently
+    // deactivate its consumer on the next generation.
+    val ev = Tables.events(spark, SparkTestHarness.Sf0001)
+    val root = freshRoot()
+    queries.StatsStore.buildEventsStats(spark, root, ev.filter(expr("event_id % 5 <> 0")))
+    // a foreign-ish writer drops a fan-out table into the CURRENT gen dir
+    val g1 = IndexStore.latestPath(root).get
+    Seq(("embeddings", "embedding", 64L, 64L)).toDF("tbl", "col", "avg_len", "max_len")
+      .coalesce(1).write.parquet(s"$g1/column_fanout")
+    val g2 = queries.StatsStore.appendEventsStats(spark, root,
+      ev.filter(expr("event_id % 5 = 0")))
+    val fan = spark.read.parquet(s"$g2/column_fanout")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(fan.toSeq == Seq(("embeddings", "embedding", 64L, 64L)),
+      "an unmanaged stats table was dropped by the CAS append")
+  }
+
   test("the stats memo expires: a foreign republish is seen after the TTL; failed refresh serves stale") {
     import spark.implicits._
     val root = freshRoot()
