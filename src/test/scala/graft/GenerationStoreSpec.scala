@@ -336,6 +336,108 @@ class GenerationStoreSpec extends AnyFunSuite {
     } finally queries.StatsStore.casRaceHook = () => ()
   }
 
+  test("THREE-writer CAS race: a foreign writer never adopts an aborted attempt as its base (ADVICE r14)") {
+    import org.apache.spark.sql.functions._
+    // The pre-r15 hole: writer A aborts (gen 3, missing B's interleaved
+    // delta); writer C's base walk picked "newest complete non-own" = A's
+    // ABORTED gen 3, so C's publish silently dropped B's delta and passed
+    // its own success check; A's retry then re-merged its delta onto a
+    // base that already carried it, double-counting rows. With the
+    // recorded-base chain, C skips gen 3 (base 1 != chain head 2) and
+    // every delta survives. Timeline driven through the race seam:
+    //   gen1 = base build; A reads base 1 → hook launches B (gen2, clean);
+    //   A aborts as gen3; A retries onto gen2 → hook launches C, whose
+    //   base walk must give gen2 (NOT aborted gen3) → C lands gen4 clean;
+    //   A aborts again as gen5 (C interleaved); A's final retry onto gen4
+    //   lands gen6 = base ∪ A ∪ B ∪ C.
+    val ev = Tables.events(spark, SparkTestHarness.Sf0001)
+    val root = freshRoot()
+    val aliasB = root + "/"
+    val aliasC = root + "//"
+    // distinct-size slices so a dropped or double-merged delta shows in
+    // the row count, not just the registers
+    val base = ev.filter(expr("event_id % 8 < 2"))
+    val dA = ev.filter(expr("event_id % 8 IN (2, 3)"))
+    val dB = ev.filter(expr("event_id % 8 = 4"))
+    val dC = ev.filter(expr("event_id % 8 > 4"))
+    queries.StatsStore.buildEventsStats(spark, root, base)
+    def readStats(g: String): (Long, Long) = {
+      val n = spark.read.parquet(s"$g/column_ndv").select("ndv_est").head().getLong(0)
+      val r = spark.read.parquet(s"$g/table_rows").select("row_count").head().getLong(0)
+      (n, r)
+    }
+    val fullGen = queries.StatsStore.buildEventsStats(spark, freshRoot(), ev)
+    val expected = readStats(fullGen)
+    // from-scratch witness of what C's clean publish must contain
+    val cWitness = readStats(queries.StatsStore.buildEventsStats(spark, freshRoot(),
+      ev.filter(expr("event_id % 8 < 2 OR event_id % 8 = 4 OR event_id % 8 > 4"))))
+    val hookCount = new java.util.concurrent.atomic.AtomicInteger()
+    var cGen: String = null
+    queries.StatsStore.casRaceHook = () => {
+      hookCount.incrementAndGet() match {
+        case 1 => queries.StatsStore.appendEventsStats(spark, aliasB, dB)
+        case 3 => cGen = queries.StatsStore.appendEventsStats(spark, aliasC, dC)
+        case _ => ()
+      }
+    }
+    try {
+      val g = queries.StatsStore.appendEventsStats(spark, root, dA)
+      assert(cGen != null && IndexStore.genIdOf(cGen) == 4L,
+        s"expected C's clean publish at gen 4, got $cGen")
+      assert(readStats(cGen) === cWitness,
+        "C adopted an aborted attempt as its base — B's delta was dropped")
+      assert(IndexStore.genIdOf(g) == 6L, s"expected A's corrective publish at gen 6, got $g")
+      assert(IndexStore.latestPath(root).contains(g))
+      assert(readStats(g) === expected,
+        "the three-writer race lost or double-counted a delta")
+    } finally queries.StatsStore.casRaceHook = () => ()
+  }
+
+  test("upsertStats replaces PER KIND: an ndv/rows upsert keeps the table's histogram (ADVICE r14)") {
+    val root = freshRoot()
+    val hist = (1 to 16).map(i => ("events", "ts", i, i * 100L, i * 10L))
+    queries.StatsStore.upsertStats(spark, root,
+      Seq(("events", "user_id", Seq.fill(64)(1L))), Seq("events" -> 100L), hist)
+    // a batch re-analyze of the same table carrying only ndv+rows must NOT
+    // delete the stream-maintained histogram rows
+    val g = queries.StatsStore.upsertStats(spark, root,
+      Seq(("events", "user_id", Seq.fill(64)(2L))), Seq("events" -> 200L))
+    val kept = spark.read.parquet(s"$g/column_hist")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._3)
+    assert(kept.toSeq == hist, "an ndv/rows upsert dropped the table's histogram rows")
+    val rows = spark.read.parquet(s"$g/table_rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("events" -> 200L))
+  }
+
+  test("an empty stream refuses to publish the -1 row-count sentinel (VERDICT r14 what's wrong 2)") {
+    val root = freshRoot()
+    val e = intercept[IllegalStateException] {
+      queries.StreamServe.publishStreamedFactStats(spark, root, -1L,
+        Seq.fill(64)(0L), Map.empty)
+    }
+    assert(e.getMessage.contains("refusing to publish"))
+    assert(IndexStore.latestGen(root).isEmpty, "the degenerate publish landed anyway")
+  }
+
+  test("an oversized unmanaged table fails the CAS append loudly instead of driver-materializing") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Tables.events(spark, SparkTestHarness.Sf0001)
+    val root = freshRoot()
+    queries.StatsStore.buildEventsStats(spark, root, ev.filter(expr("event_id % 5 <> 0")))
+    // a user parks a big relation in the current stats generation
+    val g1 = IndexStore.latestPath(root).get
+    (1 to 20000).map(i => (i.toLong, i * 2L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$g1/big_unmanaged")
+    val e = intercept[IllegalStateException] {
+      queries.StatsStore.appendEventsStats(spark, root, ev.filter(expr("event_id % 5 = 0")))
+    }
+    assert(e.getMessage.contains("capped"),
+      s"expected the carry cap message, got: ${e.getMessage}")
+  }
+
   test("a CAS publish carries table kinds it does not manage (spans/fanout survive an append)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

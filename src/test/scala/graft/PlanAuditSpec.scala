@@ -741,6 +741,86 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pos === neg, "eager aggregation changed the answer")
   }
 
+  test("q303: a COMPOSITE-key join prices the partial below the join; without stats the plain shape holds") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join => LJoin}
+    // VERDICT r14 item 2: two equi conjuncts (user_id AND event_type) —
+    // the partial must group by BOTH fact keys, priced at the capped ∏NDV.
+    def q(s: org.apache.spark.sql.SparkSession) = {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("cast(floor(value * 100 + cast(0.5 as double)) as bigint)").as("v_cents"))
+      val dm = Tables.events(s, dir)
+        .groupBy(col("user_id").as("du"), col("event_type").as("dt"))
+        .agg(count(lit(1)).as("n_pair"))
+      ev.join(dm, col("user_id") === col("du") && col("event_type") === col("dt"))
+        .groupBy("dt").agg(count(lit(1)).as("n"), sum("v_cents").as("sum_cents"))
+    }
+    // the dim is ITSELF a (user_id, event_type) aggregate, so the pin
+    // keys on the rule's own partial aliases (__ea_*), not just the
+    // grouping shape
+    def compositePartial(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect { case j: LJoin => j }.exists { j =>
+        Seq(j.left, j.right).exists(_.collectFirst {
+          case a: Aggregate if a.groupingExpressions.size == 2 &&
+            a.groupingExpressions.collect {
+              case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference => ar.name
+            }.toSet == Set("user_id", "event_type") &&
+            a.aggregateExpressions.exists {
+              case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+                al.name.startsWith("__ea_")
+              case _ => false
+            } => a
+        }.nonEmpty)
+      }
+    val sPos = spark.newSession()
+    graft.plans.SketchStats.ensure(sPos)
+    sPos.conf.set(graft.plans.SketchStats.DirKey,
+      queries.StatsStore.ensureStatsFor(sPos, dir))
+    assert(compositePartial(q(sPos)),
+      s"no composite-key partial below the join:\n${q(sPos).queryExecution.optimizedPlan}")
+    val sNeg = spark.newSession()
+    graft.plans.SketchStats.ensure(sNeg)
+    assert(!compositePartial(q(sNeg)), "composite partial fired without stats")
+    assert(q(sPos).orderBy("dt").collect().toSeq === q(sNeg).orderBy("dt").collect().toSeq,
+      "composite-key eager aggregation changed the answer")
+  }
+
+  test("q304: the partial lands below the BOTTOM join of a two-dim chain; without stats it does not") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join => LJoin}
+    // VERDICT r14 item 2, second half: (events ⋈ customer) ⋈ nation
+    // grouped by n_name — the fact traces through BOTH inner equi-joins
+    // and the per-user_id partial sits below the bottom one.
+    def q(s: org.apache.spark.sql.SparkSession) = {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("cast(floor(value * 100 + cast(0.5 as double)) as bigint)").as("v_cents"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      ev.join(cust, col("user_id") === col("c_custkey"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n"), sum("v_cents").as("sum_cents"))
+    }
+    def belowBottom(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect { case j: LJoin => j }.exists { top =>
+        Seq(top.left, top.right).exists(_.collectFirst { case j2: LJoin => j2 }
+          .exists(inner => Seq(inner.left, inner.right)
+            .exists(_.collectFirst { case a: Aggregate => a }.nonEmpty)))
+      }
+    val sPos = spark.newSession()
+    graft.plans.SketchStats.ensure(sPos)
+    sPos.conf.set(graft.plans.SketchStats.DirKey,
+      queries.StatsStore.ensureStatsFor(sPos, dir))
+    assert(belowBottom(q(sPos)),
+      s"the partial did not land below the bottom join:\n${q(sPos).queryExecution.optimizedPlan}")
+    val sNeg = spark.newSession()
+    graft.plans.SketchStats.ensure(sNeg)
+    assert(!belowBottom(q(sNeg)), "chain partial fired without stats")
+    assert(q(sPos).orderBy("n_name").collect().toSeq === q(sNeg).orderBy("n_name").collect().toSeq,
+      "chain eager aggregation changed the answer")
+  }
+
   test("q296: two commutes compose on a 4-relation chain — the expanding self-join ends up LAST") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
     // written order: ~30×-expanding lineitem self-join FIRST, then part,
