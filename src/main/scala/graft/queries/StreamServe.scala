@@ -250,10 +250,12 @@ object StreamServe {
     val root = unifiedStatsRoot(dir)
     root.intern.synchronized {
       // content-validated build check: a generation from an older layout
-      // (no streamed histogram yet) triggers a republish, so layout
-      // upgrades roll forward without manual store deletion
-      val built = graft.IndexStore.latestPathCached(root)
-        .exists(g => new java.io.File(s"$g/column_hist").exists())
+      // (no streamed histogram / span catalog / fan-out yet) triggers a
+      // republish, so layout upgrades roll forward without manual store
+      // deletion
+      val built = graft.IndexStore.latestPathCached(root).exists(g =>
+        Seq("column_hist", "column_span", "column_fanout", "windows.parquet")
+          .forall(t => new java.io.File(s"$g/$t").exists()))
       if (!built) {
         // batch half: dim tables, upsert semantics into the shared root
         StatsStore.buildTableStats(s, root, "customer",
@@ -291,6 +293,12 @@ object StreamServe {
         import scala.jdk.CollectionConverters._
         publishStreamedFactStats(s, root, cnt.get(), merged,
           dayCounts.asScala.toMap)
+        // batch half, part 2 (VERDICT r14 item 1): the span catalog (with
+        // its windows interval table) and the embeddings fan-out ride the
+        // same CAS — ALL FIVE consumers now plan from this one root
+        StatsStore.upsertWindowSpans(s, root, dir)
+        StatsStore.upsertFanoutStats(s, root, "embeddings",
+          Tables.embeddings(s, dir), Seq("embedding"))
       }
     }
     root
@@ -438,6 +446,39 @@ object StreamServe {
         .orderBy("c_mktsegment")
     },
 
+    // ALL FIVE consumers from ONE root (VERDICT r14 item 1 — the q300
+    // successor): the unified store now carries the span catalog (and its
+    // windows interval table) plus the embeddings fan-out beside the
+    // stream-maintained ndv/rows/histogram, so RangeJoinRewrite derives
+    // its bucket width from the SAME DirKey the broadcast flip reads —
+    // previously one session chose between the two stores. The judged
+    // plan composes the catalog-width range join (zero planning-time
+    // probe, pinned) with a grouped-dim broadcast flip; the oracle
+    // re-derives the windows from events and replays the naive join.
+    "q302_unified_all_consumers" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.SketchStats.ensure(s)
+      graft.plans.RangeJoinRewrite.ensure(s)
+      val root = ensureUnifiedStats(s, dir)
+      s.conf.set(graft.plans.StatsCatalog.DirKey, root)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+      val wins = s.read.parquet(
+        s"${graft.plans.StatsCatalog.resolveBase(root)}/windows.parquet")
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("cast(floor(value * 100 + cast(0.5 as double)) as bigint)").as("v_cents"),
+          expr("unix_micros(cast(ts as timestamp))").as("t"))
+      val perCust = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_ord"), max("o_orderpriority").as("top_prio"))
+      ev.join(wins, col("t") >= col("ws") && col("t") < col("we"))
+        .join(perCust, col("user_id") === col("o_custkey"))
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n"), sum("v_cents").as("sum_cents"),
+          sum("n_ord").as("sum_orders"))
+        .orderBy("win_id")
+    },
+
     // Rank-bound quantiles served from the PERSISTED STREAMED registers
     // (q265's GK/KLL-style contract — est bucket [est, ub], exact rank
     // span [rank_lo, rank_hi], exact witness judged in-bucket — applied
@@ -534,6 +575,20 @@ object StreamServe {
     })
 
   val oracles: Seq[(String, String)] = Seq(
+
+    "q302_unified_all_consumers" ->
+      s"""WITH ${StatsStore.WindowsCte},
+         |dim AS (
+         | SELECT o_custkey, count(*) AS n_ord, max(o_orderpriority) AS top_prio
+         | FROM orders GROUP BY 1)
+         |SELECT w.win_id, count(*) AS n,
+         | CAST(sum(CAST(floor(e.value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_cents,
+         | CAST(sum(d.n_ord) AS BIGINT) AS sum_orders
+         |FROM ev e
+         | JOIN w ON e.t >= w.ws AND e.t < w.we
+         | JOIN dim d ON e.user_id = d.o_custkey
+         |GROUP BY w.win_id
+         |ORDER BY w.win_id""".stripMargin,
 
     "q293_unified_stats_reorder" ->
       """SELECT c.c_mktsegment, e.event_type, count(*) AS n,

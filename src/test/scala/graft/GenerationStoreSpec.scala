@@ -438,6 +438,40 @@ class GenerationStoreSpec extends AnyFunSuite {
       s"expected the carry cap message, got: ${e.getMessage}")
   }
 
+  test("a span upsert racing the fact append: neither writer's tables are lost (VERDICT r14 item 1)") {
+    import org.apache.spark.sql.functions._
+    // the unified root's two batch-half writers can race the stream half:
+    // a windows/span publish landing inside the fact appender's window
+    // must survive the corrective retry, and vice versa.
+    val ev = Tables.events(spark, SparkTestHarness.Sf0001)
+    val root = freshRoot()
+    val rootAlias = root + "/"
+    queries.StatsStore.buildEventsStats(spark, root, ev.filter(expr("event_id % 5 <> 0")))
+    var fired = false
+    queries.StatsStore.casRaceHook = () => {
+      if (!fired) {
+        fired = true
+        queries.StatsStore.upsertWindowSpans(spark, rootAlias, SparkTestHarness.Sf0001)
+      }
+    }
+    try {
+      val g = queries.StatsStore.appendEventsStats(spark, root,
+        ev.filter(expr("event_id % 5 = 0")))
+      assert(IndexStore.latestPath(root).contains(g))
+      val rows = spark.read.parquet(s"$g/table_rows")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows.get("events").contains(ev.count()),
+        s"fact append lost in the span race: $rows")
+      val span = spark.read.parquet(s"$g/column_span")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(span.toSeq == Seq(("windows", "ws", "we")),
+        s"the span upsert was lost in the race: ${span.toSeq}")
+      assert(new java.io.File(s"$g/windows.parquet").exists(),
+        "the windows interval table was lost in the race")
+      assert(spark.read.parquet(s"$g/windows.parquet").count() == 24L)
+    } finally queries.StatsStore.casRaceHook = () => ()
+  }
+
   test("a CAS publish carries table kinds it does not manage (spans/fanout survive an append)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -370,6 +370,78 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(jobs2 >= 1L, "expected the planning-time probe job without a span catalog")
   }
 
+  test("q302: catalog-width range join AND the grouped-dim broadcast flip fire from the ONE unified root") {
+    import org.apache.spark.sql.functions._
+    // VERDICT r14 item 1: spans + fan-out (+ the windows interval table)
+    // now live in the unified stream+batch root, so RangeJoinRewrite's
+    // zero-probe width and the NDV broadcast flip plan from the SAME
+    // DirKey — previously a session picked one store or the other.
+    def countJobs(s: org.apache.spark.sql.SparkSession)(body: => Unit): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          { n.incrementAndGet(); () }
+      }
+      s.sparkContext.addSparkListener(l)
+      try { body; org.apache.spark.graftbridge.ListenerBridge.drain(s.sparkContext) }
+      finally s.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    graft.plans.RangeJoinRewrite.ensure(s)
+    val root = queries.StreamServe.ensureUnifiedStats(s, dir)
+    s.conf.set(graft.plans.StatsCatalog.DirKey, root)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+    // warm every catalog table the rules read, then build the frames —
+    // the pin measures PLANNING, like q276's
+    assert(graft.plans.StatsCatalog.spans(s, root).contains(("windows", "ws", "we")),
+      "span row missing from the unified root")
+    assert(graft.plans.StatsCatalog.fanout(s, root).contains(("embeddings", "embedding")),
+      "fan-out row missing from the unified root")
+    graft.plans.StatsCatalog.ndv(s, root); graft.plans.StatsCatalog.rows(s, root)
+    graft.plans.StatsCatalog.hist(s, root)
+    val wins = s.read.parquet(
+      s"${graft.plans.StatsCatalog.resolveBase(root)}/windows.parquet")
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("t"))
+    val perCust = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_ord"), max("o_orderpriority").as("top_prio"))
+    val j = ev.join(wins, col("t") >= col("ws") && col("t") < col("we"))
+      .join(perCust, col("user_id") === col("o_custkey"))
+    var planned: String = null
+    val jobs = countJobs(s) { planned = j.queryExecution.executedPlan.toString }
+    assert(planned.contains("__rj_b"),
+      s"catalog-width range rewrite did not fire from the unified root:\n${planned.take(2000)}")
+    assert(jobs == 0L,
+      s"planning ran $jobs job(s) — a consumer probed despite the warm unified catalog")
+    assert(planned.contains("BroadcastHashJoin"),
+      s"the grouped-dim flip did not fire from the unified root:\n${planned.take(2500)}")
+    // negative: same frames, no stats dir → the probe job runs and the
+    // grouped dim sort-merges
+    val sNeg = spark.newSession()
+    graft.plans.SketchStats.ensure(sNeg)
+    graft.plans.RangeJoinRewrite.ensure(sNeg)
+    sNeg.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+    val wins2 = sNeg.read.parquet(
+      s"${graft.plans.StatsCatalog.resolveBase(root)}/windows.parquet")
+    val ev2 = Tables.events(sNeg, dir)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("t"))
+    val perCust2 = Tables.orders(sNeg, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_ord"), max("o_orderpriority").as("top_prio"))
+    val j2 = ev2.join(wins2, col("t") >= col("ws") && col("t") < col("we"))
+      .join(perCust2, col("user_id") === col("o_custkey"))
+    var planned2: String = null
+    val jobs2 = countJobs(sNeg) { planned2 = j2.queryExecution.executedPlan.toString }
+    assert(jobs2 >= 1L, "expected the planning-time span probe without the catalog")
+    assert(planned2.contains("SortMergeJoin"),
+      s"negative control: expected the static-estimate sort-merge join:\n${planned2.take(2500)}")
+  }
+
   test("an EXPIRED stats memo over an unchanged generation plans with ZERO jobs") {
     import org.apache.spark.sql.functions._
     // VERDICT r13 "what's wrong" 1 / item 4: the r13 TTL re-collected the
