@@ -231,19 +231,15 @@ object StreamServe {
       throw new IllegalStateException(
         "unified stats build saw an empty events stream — refusing to " +
           "publish a row_count sentinel (-1) into the planner catalog")
-    val sorted = dayCounts.toSeq.sortBy(_._1)
-    val n = sorted.map(_._2).sum
-    val cums = sorted.scanLeft((0L, 0L)) { case ((_, c), (v, dc)) => (v, c + dc) }.drop(1)
-    val k = StatsStore.HistBuckets
-    val histRows =
-      if (n == 0L) Seq.empty[(String, String, Int, Long, Long)]
-      else (1 to k).map { i =>
-        val r = (i.toLong * n + k - 1) / k
-        val (v, cumAt) = cums.find(_._2 >= r).get
-        ("events", "ts", i, v, cumAt)
-      }
+    // boundary derivation shared with the batch builder and the O(delta)
+    // counter merge (one definition, byte-identical rows); the day
+    // counters themselves persist as the managed counter kind, so a later
+    // batch APPEND can extend the stream-built histogram exactly
+    val histRows = StatsStore.boundariesFromCounts("events", "ts", dayCounts)
+    val counters = dayCounts.toSeq.sortBy(_._1)
+      .map { case (v, n) => ("events", "ts", v, n) }
     StatsStore.upsertStats(s, root,
-      Seq(("events", "user_id", regs)), Seq("events" -> cnt), histRows)
+      Seq(("events", "user_id", regs)), Seq("events" -> cnt), histRows, counters)
   }
 
   def ensureUnifiedStats(s: SparkSession, dir: String): String = {
@@ -254,7 +250,8 @@ object StreamServe {
       // republish, so layout upgrades roll forward without manual store
       // deletion
       val built = graft.IndexStore.latestPathCached(root).exists(g =>
-        Seq("column_hist", "column_span", "column_fanout", "windows.parquet")
+        Seq("column_hist", "column_hist_counts", "column_span",
+          "column_fanout", "windows.parquet")
           .forall(t => new java.io.File(s"$g/$t").exists()))
       if (!built) {
         // batch half: dim tables, upsert semantics into the shared root
