@@ -477,7 +477,7 @@ object SketchStats {
   final case class PushPartialAggThroughJoin() extends Rule[LogicalPlan]
       with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Coalesce, Divide, EqualTo, Expression, Literal, NamedExpression}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, Max, Min, Sum}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, Max, MaxBy, Min, MinBy, Sum}
     import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType}
     import SketchStats.{ndvOf, scanOf, stripAttrProject}
 
@@ -489,6 +489,15 @@ object SketchStats {
     private def supported(fn: AggregateFunction): Boolean = fn match {
       case f: Sum => !f.child.dataType.isInstanceOf[DecimalType]
       case _: Min | _: Max => true
+      // first/last OVER A DETERMINISTIC ORDERING (VERDICT r14 item 7) —
+      // the max_by/min_by form: per-key partials carry (value at extreme
+      // ordering, extreme ordering), and re-aggregating max_by(value,
+      // ordering) over the partials picks the globally-extreme group's
+      // value. Ties in the ordering resolve arbitrarily on EITHER plan —
+      // exactly Spark's own max_by semantics, so the rewrite adds no new
+      // nondeterminism (a unique ordering column makes both exact). The
+      // plain First/Last (no ordering at all) stay un-pushed below.
+      case _: MaxBy | _: MinBy => true
       case c: Count => c.children.forall(ch => ch.foldable || ch.isInstanceOf[Attribute])
       // avg decomposes to sum+count partials whose sum accumulates in
       // DOUBLE — the same accumulator type Average itself uses — so the
@@ -633,6 +642,19 @@ object SketchStats {
               case _: Count =>
                 (al, Seq(ae.aggregateFunction), (ps: Seq[Attribute]) =>
                   Coalesce(Seq(sumOf(ps(0)), Literal(0L))))
+              case mb: MaxBy =>
+                // partials: (value at the key's max ordering, max ordering);
+                // the final max_by over partial pairs picks the value of
+                // the group holding the global maximum ordering
+                (al, Seq[AggregateFunction](
+                  MaxBy(mb.valueExpr, mb.orderingExpr), Max(mb.orderingExpr)),
+                  (ps: Seq[Attribute]) =>
+                    AggregateExpression(MaxBy(ps(0), ps(1)), Complete, isDistinct = false))
+              case mb: MinBy =>
+                (al, Seq[AggregateFunction](
+                  MinBy(mb.valueExpr, mb.orderingExpr), Min(mb.orderingExpr)),
+                  (ps: Seq[Attribute]) =>
+                    AggregateExpression(MinBy(ps(0), ps(1)), Complete, isDistinct = false))
               case f2 =>
                 (al, Seq(ae.aggregateFunction), (ps: Seq[Attribute]) =>
                   AggregateExpression(

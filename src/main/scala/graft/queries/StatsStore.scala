@@ -1246,6 +1246,31 @@ object StatsStore {
         .orderBy("n_name")
     },
 
+    // first/last-over-a-deterministic-ordering through the eager pushdown
+    // (VERDICT r14 item 7): max_by/min_by(value, event_id) decompose into
+    // per-key (extreme value, extreme ordering) partials re-aggregated by
+    // the same function — the globally-latest/earliest event's cents per
+    // market segment, computed from ~150 pre-aggregated rows instead of
+    // every fact row. event_id is UNIQUE, so the ordering is total and
+    // the answer is deterministic on both plans; the oracle replays
+    // arg_max/arg_min over raw. The plain orderless first/last stay
+    // un-pushed (EagerAggSpec pins the bail).
+    "q306_argmax_eager_pushdown" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.SketchStats.ensure(s)
+      s.conf.set(graft.plans.SketchStats.DirKey, ensureStats(s, dir))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("cast(floor(value * 100 + cast(0.5 as double)) as bigint)").as("v_cents"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      ev.join(cust, col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(max_by(col("v_cents"), col("event_id")).as("latest_cents"),
+          min_by(col("v_cents"), col("event_id")).as("first_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
     // The MULTI-column O(delta) append judged (VERDICT r13 item 7): the
     // q287 lifecycle with TWO register columns (user_id + event_type) —
     // one delta scan merges BOTH columns' registers, so the incremental
@@ -1535,6 +1560,15 @@ object StatsStore {
         |FROM events e JOIN dim d ON e.user_id = d.du AND e.event_type = d.dt
         |GROUP BY d.dt
         |ORDER BY d.dt""".stripMargin,
+
+    "q306_argmax_eager_pushdown" ->
+      """SELECT c.c_mktsegment,
+        | arg_max(CAST(floor(e.value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT), e.event_id) AS latest_cents,
+        | arg_min(CAST(floor(e.value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT), e.event_id) AS first_cents,
+        | count(*) AS n
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin,
 
     "q304_chain_eager_agg" ->
       """SELECT na.n_name, count(*) AS n,

@@ -253,6 +253,47 @@ class EagerAggSpec extends AnyFunSuite {
     assert(rewritten.collect().forall(_.getDouble(1) == 9007199254740992.0))
   }
 
+  test("max_by/min_by over a unique ordering push down exactly; orderless first/last bail") {
+    // VERDICT r14 item 7: the deterministic first/last form is
+    // max_by/min_by(value, ordering) — decomposable into per-key
+    // (extreme value, extreme ordering) partials. Unique ordering o = i
+    // makes both plans exact; null values at winning positions included.
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_eageragg_mb").toString
+    import s.implicits._
+    (0 until 2000).map { i =>
+      val v = if (i % 7 == 0) None else Some((i * 31 % 97).toLong)
+      ((i % 40).toLong, v, i.toLong)
+    }.toDF("k", "v", "o").write.parquet(s"$scratch/factm")
+    (0 until 50).map(d => (d.toLong, s"g${d % 5}"))
+      .toDF("dk", "grp").write.parquet(s"$scratch/dimm")
+    val store = s"$scratch/stats"
+    Seq(("factm", "k", 40L)).toDF("tbl", "col", "ndv_est")
+      .coalesce(1).write.parquet(s"$store/column_ndv")
+    Seq(("factm", 2000L)).toDF("tbl", "row_count")
+      .coalesce(1).write.parquet(s"$store/table_rows")
+    s.conf.set(graft.plans.SketchStats.DirKey, store)
+    def q(ss: org.apache.spark.sql.SparkSession) =
+      ss.read.parquet(s"$scratch/factm")
+        .join(ss.read.parquet(s"$scratch/dimm"), col("k") === col("dk"))
+        .groupBy("grp")
+        .agg(max_by(col("v"), col("o")).as("last_v"),
+          min_by(col("v"), col("o")).as("first_v"), count(lit(1)).as("n"))
+        .orderBy("grp")
+    val rewritten = q(s)
+    assert(hasPartialAggBelowJoin(rewritten), "max_by/min_by did not push down")
+    val plain = q(spark.newSession())
+    assert(!hasPartialAggBelowJoin(plain))
+    assert(rewritten.collect().toSeq === plain.collect().toSeq,
+      "decomposed max_by/min_by diverged from the plain plan")
+    // the ORDERLESS first/last have no deterministic decomposition — bail
+    val bail = s.read.parquet(s"$scratch/factm")
+      .join(s.read.parquet(s"$scratch/dimm"), col("k") === col("dk"))
+      .groupBy("grp").agg(first(col("v")).as("fv"), last(col("v")).as("lv"))
+    assert(!hasPartialAggBelowJoin(bail), "rewrote an orderless first/last")
+  }
+
   test("grouping by the fact key itself is allowed and exact") {
     val (s, fact, dim) = frames()
     def q(f: org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame) =
