@@ -1246,6 +1246,34 @@ object StatsStore {
         .orderBy("n_name")
     },
 
+    // RIGHT-DEEP chain reordered (VERDICT r14 "missing" 6: DataFrame
+    // chains are left-deep, but SQL-text consumers produce
+    // `f ⋈ (d1 ⋈ d2)` shapes the adjacent bubble never matched):
+    // customer joins the pre-composed (orders ⋈ 4×-expanding lineitem)
+    // subtree, so written order materializes the expansion FIRST and
+    // carries it through the outer join. The catalog prices the rotated
+    // intermediate |customer ⋈ orders| at half the inner |orders ⋈
+    // lineitem| (2·rf·k2 ≤ r2·k1 — r1 cancels) and applies the inner-join
+    // associativity, landing the left-deep tree whose expanding join runs
+    // LAST. Answer plan-independent; countDistinct keeps the eager rule
+    // out so the pin isolates the rotation; PlanAuditSpec pins the
+    // rotated shape and the written-order negative.
+    "q307_right_deep_reorder" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.SketchStats.ensure(s)
+      s.conf.set(graft.plans.SketchStats.DirKey, ensureStats(s, dir))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+      cust.join(o.join(li, col("o_orderkey") === col("l_orderkey")),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          expr("cast(sum(l_quantity) as bigint)").as("sum_qty"),
+          countDistinct("o_orderkey").as("n_orders"))
+        .orderBy("c_mktsegment")
+    },
+
     // first/last-over-a-deterministic-ordering through the eager pushdown
     // (VERDICT r14 item 7): max_by/min_by(value, event_id) decompose into
     // per-key (extreme value, extreme ordering) partials re-aggregated by
@@ -1560,6 +1588,16 @@ object StatsStore {
         |FROM events e JOIN dim d ON e.user_id = d.du AND e.event_type = d.dt
         |GROUP BY d.dt
         |ORDER BY d.dt""".stripMargin,
+
+    "q307_right_deep_reorder" ->
+      """SELECT c.c_mktsegment, count(*) AS n,
+        | CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty,
+        | count(DISTINCT o.o_orderkey) AS n_orders
+        |FROM customer c
+        | JOIN orders o ON c.c_custkey = o.o_custkey
+        | JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin,
 
     "q306_argmax_eager_pushdown" ->
       """SELECT c.c_mktsegment,

@@ -813,6 +813,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pos === neg, "eager aggregation changed the answer")
   }
 
+  test("q307: a right-deep chain rotates left-deep when the catalog prices the inner expansion") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LogicalPlan}
+    // VERDICT r14 "missing" 6: `customer ⋈ (orders ⋈ lineitem)` — the
+    // priced associativity rotation (2·rf·k2 ≤ r2·k1) lands the expanding
+    // join LAST; without stats the written right-deep shape survives.
+    def tablesOf(p: LogicalPlan): Seq[String] =
+      p.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          graft.plans.StatsCatalog.tableOf(lr)
+      }.flatten
+    def q(s: org.apache.spark.sql.SparkSession) = {
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+      cust.join(o.join(li, col("o_orderkey") === col("l_orderkey")),
+        col("c_custkey") === col("o_custkey"))
+    }
+    val sPos = spark.newSession()
+    graft.plans.SketchStats.ensure(sPos)
+    sPos.conf.set(graft.plans.SketchStats.DirKey,
+      queries.StatsStore.ensureStatsFor(sPos, dir))
+    val posTop = q(sPos).queryExecution.optimizedPlan.collect { case j: LJoin => j }.head
+    assert(tablesOf(posTop.right) == Seq("lineitem"),
+      s"rotation did not land the expanding join last: right=${tablesOf(posTop.right)}")
+    assert(tablesOf(posTop.left).toSet == Set("customer", "orders"),
+      s"rotation lost a relation: left=${tablesOf(posTop.left)}")
+    val sNeg = spark.newSession()
+    graft.plans.SketchStats.ensure(sNeg)
+    val negTop = q(sNeg).queryExecution.optimizedPlan.collect { case j: LJoin => j }.head
+    assert(negTop.right.collectFirst { case j: LJoin => j }.nonEmpty,
+      "negative control: the written right-deep shape should survive without stats")
+    assert(q(sPos).count() === q(sNeg).count(), "the rotation changed the answer")
+  }
+
   test("q303: a COMPOSITE-key join prices the partial below the join; without stats the plain shape holds") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join => LJoin}
