@@ -476,6 +476,32 @@ object StreamServe {
         .orderBy("win_id")
     },
 
+    // The fifth consumer judged from the unified root: the q280 fan-out
+    // veto, planned from the SAME DirKey as q293/q299/q300/q302 — with
+    // this, every optimizer consumer (reorder, grouped-dim flip,
+    // histogram flip, range-join width, fan-out veto) has a judged query
+    // planning from the ONE stream+batch root. The exploded embeddings
+    // side looks 64× smaller than it is to size-only planning; the
+    // root's fan-out row corrects the estimate and pins the side out of
+    // the build slot. Answer plan-independent; same oracle arithmetic as
+    // q280.
+    "q308_unified_fanout_veto" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.SketchStats.ensure(s)
+      s.conf.set(graft.plans.SketchStats.DirKey, ensureUnifiedStats(s, dir))
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1048576")
+      val ex = Tables.embeddings(s, dir)
+        .select(col("vec_id"), explode(col("embedding")).as("x"))
+        .select(col("vec_id"), expr(
+          "cast(floor(cast(x as double) * 1000 + cast(0.5 as double)) as bigint)").as("q"))
+      Tables.orders(s, dir)
+        .join(ex, col("o_custkey") === col("vec_id"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_comp"), sum("q").as("sum_q"),
+          min("q").as("min_q"), max("q").as("max_q"))
+        .orderBy("o_orderpriority")
+    },
+
     // Rank-bound quantiles served from the PERSISTED STREAMED registers
     // (q265's GK/KLL-style contract — est bucket [est, ub], exact rank
     // span [rank_lo, rank_hi], exact witness judged in-bucket — applied
@@ -586,6 +612,18 @@ object StreamServe {
          | JOIN dim d ON e.user_id = d.o_custkey
          |GROUP BY w.win_id
          |ORDER BY w.win_id""".stripMargin,
+
+    "q308_unified_fanout_veto" ->
+      """WITH ex AS (
+        | SELECT e.vec_id,
+        |  CAST(floor(CAST(u.x AS DOUBLE) * 1000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+        | FROM embeddings e, UNNEST(e.embedding) AS u(x))
+        |SELECT o.o_orderpriority, count(*) AS n_comp,
+        | CAST(sum(ex.q) AS BIGINT) AS sum_q,
+        | min(ex.q) AS min_q, max(ex.q) AS max_q
+        |FROM orders o JOIN ex ON o.o_custkey = ex.vec_id
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
 
     "q293_unified_stats_reorder" ->
       """SELECT c.c_mktsegment, e.event_type, count(*) AS n,

@@ -1173,6 +1173,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(q(sPos).count() === q(sNeg).count())
   }
 
+  test("q308: the fan-out veto fires from the UNIFIED root — the fifth consumer on one DirKey") {
+    import org.apache.spark.sql.functions._
+    // q280's veto shape, planned from ensureUnifiedStats instead of the
+    // batch store: with this every consumer (reorder, both flips, range
+    // width, veto) is pinned against the ONE stream+batch root.
+    def q(s: org.apache.spark.sql.SparkSession) = {
+      val ex = Tables.embeddings(s, dir)
+        .select(col("vec_id"), explode(col("embedding")).as("x"))
+      s.range(300000).join(ex, col("id") === col("vec_id"))
+    }
+    val sPos = spark.newSession()
+    graft.plans.SketchStats.ensure(sPos)
+    sPos.conf.set(graft.plans.SketchStats.DirKey,
+      queries.StreamServe.ensureUnifiedStats(sPos, dir))
+    sPos.conf.set("spark.sql.autoBroadcastJoinThreshold", "1048576")
+    val pPos = q(sPos).queryExecution.executedPlan.toString
+    assert(!pPos.contains("BroadcastHashJoin"),
+      s"unified-root fan-out present but the exploded side still broadcasts:\n${pPos.take(2500)}")
+    assert(pPos.contains("SortMergeJoin") || pPos.contains("ShuffledHashJoin"),
+      s"expected a shuffled join under the veto:\n${pPos.take(2500)}")
+  }
+
   test("SketchStats recovers after a failed stats read without invalidate()") {
     import org.apache.spark.sql.functions._
     // VERDICT r11 item 4: a transient read failure must not be memoized as
