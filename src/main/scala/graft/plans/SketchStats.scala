@@ -532,6 +532,14 @@ object SketchStats {
     private val MinFanout = 8L
 
     private def supported(fn: AggregateFunction): Boolean = fn match {
+      // decimal sums stay un-pushed DELIBERATELY: re-aggregation could
+      // cast the widened final back to Sum's own result type exactly, but
+      // a PER-KEY partial that overflows its (p+10, s) accumulator nulls
+      // out under non-ANSI semantics and the re-aggregating Sum would
+      // SKIP it — silently dropping that key's contribution where the
+      // plain plan nulls the whole sum. Matching that behavior needs
+      // Sum's internal overflow-flag machinery, not a wrapper; until
+      // then the bail keeps the rewrite an equivalence.
       case f: Sum => !f.child.dataType.isInstanceOf[DecimalType]
       case _: Min | _: Max => true
       // first/last OVER A DETERMINISTIC ORDERING (VERDICT r14 item 7) —

@@ -143,7 +143,12 @@ object StatsCatalog {
     * columns — the builder stores micros for those). */
   def spans(spark: SparkSession, dir: String): Map[(String, String, String), (Long, Long)] =
     cachedRead("column_span", dir)(Map.empty[(String, String, String), (Long, Long)]) { base =>
-      spark.read.parquet(s"$base/column_span")
+      // a store without a span table resolves to an EMPTY map and caches
+      // it — spans are optional coverage; absence is an answer, not a
+      // failure to retry (and error-log) on every planning
+      if (!new java.io.File(s"$base/column_span").exists())
+        Map.empty[(String, String, String), (Long, Long)]
+      else spark.read.parquet(s"$base/column_span")
         .select("tbl", "lo_col", "hi_col", "med_span", "max_span").collect()
         .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
           (r.getLong(3), r.getLong(4))).toMap
@@ -224,7 +229,12 @@ object StatsCatalog {
     * for plans that explode the column. */
   def fanout(spark: SparkSession, dir: String): Map[(String, String), (Long, Long)] =
     cachedRead("column_fanout", dir)(Map.empty[(String, String), (Long, Long)]) { base =>
-      spark.read.parquet(s"$base/column_fanout")
+      // optional coverage like hist/spans: a fanout-less store caches the
+      // empty answer instead of re-paying (and error-logging) a failed
+      // read on every planning
+      if (!new java.io.File(s"$base/column_fanout").exists())
+        Map.empty[(String, String), (Long, Long)]
+      else spark.read.parquet(s"$base/column_fanout")
         .select("tbl", "col", "avg_len", "max_len").collect()
         .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
     }
