@@ -1140,7 +1140,7 @@ object Advanced {
   def dppDirFor(dir: String): String = dppDir(dir)
   private val dppBuilt =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
-  private def ensureDppCatalog(s: SparkSession, dir: String): String = {
+  private[graft] def ensureDppCatalog(s: SparkSession, dir: String): String = {
     val p = dppDir(dir)
     dppBuilt.removeIf(k => k._1.sparkContext.isStopped)
     // serialize builds per target path (ADVICE r10): with Serve executing

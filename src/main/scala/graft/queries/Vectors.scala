@@ -163,7 +163,7 @@ object Vectors {
     * [[graft.IndexStore]]). Probe queries are self-contained (dev loops
     * run them alone) but never retrain when a complete generation exists.
     */
-  private def ensureIvfIndex(s: SparkSession, dir: String): String = {
+  private[graft] def ensureIvfIndex(s: SparkSession, dir: String): String = {
     val root = ivfIndexDir(dir)
     // cached resolution (VERDICT r11 item 7): probes run per query; the
     // memoized (root → gen path) skips the per-call manifest walk and is
@@ -195,7 +195,7 @@ object Vectors {
     * layer; a coarse-only latest generation triggers a NEW full publish
     * (generations are immutable once complete — the PQ layer is never
     * written into a published store). */
-  private def ensurePqIndex(s: SparkSession, dir: String): String = {
+  private[graft] def ensurePqIndex(s: SparkSession, dir: String): String = {
     val root = ivfIndexDir(dir)
     graft.IndexStore.latestPathCached(root)
       .filter(p => new java.io.File(s"$p/rpq_codes").exists())
