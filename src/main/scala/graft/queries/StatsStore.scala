@@ -1274,6 +1274,36 @@ object StatsStore {
         .orderBy("c_mktsegment")
     },
 
+    // Rotation × bubble COMPOSING (the q296 discipline applied to the new
+    // shape): written order is a 4-relation tree with a right-deep CORE —
+    // customer joins the pre-composed (orders ⋈ 4×-expanding lineitem)
+    // subtree, THEN nation. No single rule sorts this: the rotation first
+    // linearizes the core (customer⋈orders below, lineitem above — the
+    // bubble cannot even price a composite right side), and a later
+    // fixed-point pass bubbles nation below the expanding lineitem join
+    // (25 rows ≪ the 4× expansion). The final plan — both reducing dims
+    // below, the multiplying join last — is reachable by NEITHER rule
+    // alone. Answer plan-independent; countDistinct keeps the eager rule
+    // out; PlanAuditSpec pins the composed fixed point.
+    "q309_rotate_bubble_compose" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.SketchStats.ensure(s)
+      s.conf.set(graft.plans.SketchStats.DirKey, ensureStats(s, dir))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+      val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      cust.join(o.join(li, col("o_orderkey") === col("l_orderkey")),
+          col("c_custkey") === col("o_custkey"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"),
+          expr("cast(sum(l_quantity) as bigint)").as("sum_qty"),
+          countDistinct("o_orderkey").as("n_orders"))
+        .orderBy("n_name")
+    },
+
     // first/last-over-a-deterministic-ordering through the eager pushdown
     // (VERDICT r14 item 7): max_by/min_by(value, event_id) decompose into
     // per-key (extreme value, extreme ordering) partials re-aggregated by
@@ -1588,6 +1618,17 @@ object StatsStore {
         |FROM events e JOIN dim d ON e.user_id = d.du AND e.event_type = d.dt
         |GROUP BY d.dt
         |ORDER BY d.dt""".stripMargin,
+
+    "q309_rotate_bubble_compose" ->
+      """SELECT na.n_name, count(*) AS n,
+        | CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty,
+        | count(DISTINCT o.o_orderkey) AS n_orders
+        |FROM customer c
+        | JOIN orders o ON c.c_custkey = o.o_custkey
+        | JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        | JOIN nation na ON c.c_nationkey = na.n_nationkey
+        |GROUP BY na.n_name
+        |ORDER BY na.n_name""".stripMargin,
 
     "q307_right_deep_reorder" ->
       """SELECT c.c_mktsegment, count(*) AS n,

@@ -848,6 +848,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(q(sPos).count() === q(sNeg).count(), "the rotation changed the answer")
   }
 
+  test("q309: rotation and the bubble compose — right-deep core linearized, nation bubbled below the expansion") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LogicalPlan}
+    // written: (customer ⋈ (orders ⋈ lineitem)) ⋈ nation. The rotation
+    // linearizes the core; a later pass bubbles nation below the
+    // expanding lineitem join — neither rule alone reaches the plan.
+    def tablesOf(p: LogicalPlan): Seq[String] =
+      p.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          graft.plans.StatsCatalog.tableOf(lr)
+      }.flatten
+    val judged = SparkEntry.queries("q309_rotate_bubble_compose")(spark, dir)
+    val top = judged.queryExecution.optimizedPlan.collect { case j: LJoin => j }.head
+    assert(tablesOf(top.right) == Seq("lineitem"),
+      s"the expanding join is not last: right=${tablesOf(top.right)}")
+    val below = tablesOf(top.left)
+    assert(below.contains("nation") && below.contains("customer") &&
+      below.contains("orders"),
+      s"a reducing relation is not below the expansion: $below")
+    // and a hinted composite right side must NOT rotate (no position for
+    // the composite's own hint after the rewrite)
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    graft.plans.SketchStats.ensure(s2)
+    s2.conf.set(graft.plans.SketchStats.DirKey,
+      queries.StatsStore.ensureStatsFor(s2, dir))
+    val cust = Tables.customer(s2, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val o = Tables.orders(s2, dir).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s2, dir).select(col("l_orderkey"), col("l_quantity"))
+    val hinted = cust.join(
+      broadcast(o.join(li, col("o_orderkey") === col("l_orderkey"))),
+      col("c_custkey") === col("o_custkey"))
+    val hTop = hinted.queryExecution.optimizedPlan.collect { case j: LJoin => j }.head
+    assert(hTop.right.collectFirst { case j: LJoin => j }.nonEmpty,
+      "a hinted composite right side was rotated — its hint has no position to survive")
+  }
+
   test("q303: a COMPOSITE-key join prices the partial below the join; without stats the plain shape holds") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join => LJoin}
