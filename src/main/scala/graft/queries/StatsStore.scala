@@ -1192,6 +1192,40 @@ object StatsStore {
       gen(1L).unionByName(gen(2L)).orderBy("gen", "bucket")
     },
 
+    // The O(delta) histogram CONSUMED (q305's successor, the q298→q299
+    // discipline): the store is built from the base slice and APPENDED —
+    // the ts histogram this session plans from was produced by the
+    // counter MERGE, never by a full-table analyze — and the q299 shape
+    // (a last-two-days fact slice that statically weighs its whole file)
+    // flips to the broadcast build priced by the merged boundaries. At
+    // 100 TB this is the point of item 3: range pricing stays fresh on an
+    // append-only fact without re-scanning it, and the planner acts on
+    // the merged statistics immediately. Answer plan-independent;
+    // PlanAuditSpec pins the flip from generation 2 and the negative.
+    "q310_appended_hist_consumer" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.SketchStats.ensure(s)
+      val root = java.nio.file.Files.createTempDirectory("graft_hist_consume")
+        .toString + "/store"
+      val ev0 = Tables.events(s, dir)
+      buildTableStats(s, root, "events", ev0.filter(expr("event_id % 5 <> 0")),
+        Seq("user_id"), Seq("ts"))
+      appendTableStats(s, root, "events", ev0.filter(expr("event_id % 5 = 0")),
+        Seq("user_id"), Seq("ts"))
+      s.conf.set(graft.plans.SketchStats.DirKey, root)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "131072")
+      val recent = Tables.events(s, dir)
+        .filter(col("ts") >= expr("timestamp_ntz'2024-01-29 00:00:00'"))
+        .select(col("user_id"),
+          expr("cast(floor(value * 100 + cast(0.5 as double)) as bigint)").as("v_cents"))
+      val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderpriority"))
+      o.join(recent, col("o_custkey") === col("user_id"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("v_cents").as("sum_cents"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("o_orderpriority")
+    },
+
     // COMPOSITE-KEY eager aggregation judged (VERDICT r14 item 2): the
     // join key is a two-conjunct attribute equality (user_id AND
     // event_type — the common warehouse shape the r14 single-EqualTo
@@ -1598,6 +1632,15 @@ object StatsStore {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c.c_mktsegment
         |ORDER BY c.c_mktsegment""".stripMargin,
+
+    "q310_appended_hist_consumer" ->
+      """SELECT o.o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(floor(e.value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | count(DISTINCT e.user_id) AS n_users
+        |FROM orders o JOIN events e ON o.o_custkey = e.user_id
+        |WHERE e.ts >= TIMESTAMP '2024-01-29 00:00:00'
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
 
     "q305_incremental_histogram" ->
       s"""WITH ${histDayCte("b", "(SELECT * FROM events WHERE event_id % 5 <> 0)", "ts")},

@@ -848,6 +848,47 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(q(sPos).count() === q(sNeg).count(), "the rotation changed the answer")
   }
 
+  test("q310: the APPENDED (counter-merged) histogram prices the broadcast flip — gen 2, no full analyze") {
+    import org.apache.spark.sql.functions._
+    // the q299 flip shape, but the histogram the planner reads was
+    // produced by the O(delta) counter merge (build base slice, append
+    // delta) — no full-table analyze ever ran on this root.
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    val root = java.nio.file.Files.createTempDirectory("graft_hist_consume_pin")
+      .toString + "/store"
+    val ev0 = Tables.events(s, dir)
+    queries.StatsStore.buildTableStats(s, root, "events",
+      ev0.filter(expr("event_id % 5 <> 0")), Seq("user_id"), Seq("ts"))
+    val g2 = queries.StatsStore.appendTableStats(s, root, "events",
+      ev0.filter(expr("event_id % 5 = 0")), Seq("user_id"), Seq("ts"))
+    assert(IndexStore.genIdOf(g2) == 2L)
+    s.conf.set(graft.plans.SketchStats.DirKey, root)
+    // q299's calibration: bucket-mass UB ≈ 125 rows × 80 B ≤ threshold/2
+    // while both sides' pruned static estimates sit above 20 480
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "20480")
+    def q(ss: org.apache.spark.sql.SparkSession) = {
+      val recent = Tables.events(ss, dir)
+        .filter(col("ts") >= expr("timestamp_ntz'2024-01-29 00:00:00'"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"), col("props"))
+      val o = Tables.orders(ss, dir)
+        .select(col("o_custkey"), col("o_orderpriority"), col("o_orderstatus"),
+          col("o_totalprice"))
+      o.join(recent, col("o_custkey") === col("user_id"))
+    }
+    val pPos = q(s).queryExecution.executedPlan.toString
+    assert(pPos.contains("BroadcastHashJoin") && !pPos.contains("SortMergeJoin"),
+      s"the appended histogram did not price the flip:\n${pPos.take(2500)}")
+    val sNeg = spark.newSession()
+    graft.plans.SketchStats.ensure(sNeg)
+    sNeg.conf.set("spark.sql.autoBroadcastJoinThreshold", "20480")
+    val pNeg = q(sNeg).queryExecution.executedPlan.toString
+    assert(pNeg.contains("SortMergeJoin"),
+      s"negative control: expected the filter-blind sort-merge join:\n${pNeg.take(2500)}")
+    assert(q(s).count() === q(sNeg).count())
+  }
+
   test("q309: rotation and the bubble compose — right-deep core linearized, nation bubbled below the expansion") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LogicalPlan}
     // written: (customer ⋈ (orders ⋈ lineitem)) ⋈ nation. The rotation
