@@ -204,6 +204,51 @@ class EagerAggSpec extends AnyFunSuite {
       "chain eager aggregation diverged from the plain plan")
   }
 
+  test("composite key UNDER a chain: both generalizations compose exactly") {
+    // the two r15 generalizations in one shape: a two-conjunct bottom
+    // join under a second dim — the partial groups by both composite
+    // keys and lands below the BOTTOM join.
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_eageragg_cc").toString
+    import s.implicits._
+    (0 until 2000).map(i => ((i % 20).toLong, (i % 4).toLong, (i * 31 % 97).toLong))
+      .toDF("k1", "k2", "v").write.parquet(s"$scratch/factcc")
+    (for { a <- 0 until 25; b <- 0 until 5 }
+      yield (a.toLong, b.toLong, (a % 6).toLong))
+      .toDF("d1", "d2", "mid").write.parquet(s"$scratch/dimcc1")
+    (0 until 6).map(m => (m.toLong, s"g${m % 2}"))
+      .toDF("mk", "grp").write.parquet(s"$scratch/dimcc2")
+    val store = s"$scratch/stats"
+    Seq(("factcc", "k1", 20L), ("factcc", "k2", 4L)).toDF("tbl", "col", "ndv_est")
+      .coalesce(1).write.parquet(s"$store/column_ndv")
+    Seq(("factcc", 2000L)).toDF("tbl", "row_count")
+      .coalesce(1).write.parquet(s"$store/table_rows")
+    s.conf.set(graft.plans.SketchStats.DirKey, store)
+    def q(ss: org.apache.spark.sql.SparkSession) =
+      ss.read.parquet(s"$scratch/factcc")
+        .join(ss.read.parquet(s"$scratch/dimcc1"),
+          col("k1") === col("d1") && col("k2") === col("d2"))
+        .join(ss.read.parquet(s"$scratch/dimcc2"), col("mid") === col("mk"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"), max("v").as("mx"))
+        .orderBy("grp")
+    val rewritten = q(s)
+    val belowBottom = rewritten.queryExecution.optimizedPlan
+      .collect { case j: LJoin => j }.exists { top =>
+        Seq(top.left, top.right).exists(_.collectFirst { case j2: LJoin => j2 }
+          .exists(inner => Seq(inner.left, inner.right)
+            .exists(_.collectFirst {
+              case a: Aggregate if a.groupingExpressions.size == 2 => a
+            }.nonEmpty)))
+      }
+    assert(belowBottom, "the composite partial did not land below the bottom join")
+    val plain = q(spark.newSession())
+    assert(!hasPartialAggBelowJoin(plain))
+    assert(rewritten.collect().toSeq === plain.collect().toSeq,
+      "composite-under-chain eager aggregation diverged from the plain plan")
+  }
+
   test("bails: a non-equi cross-side conjunct on the path keeps the plan untouched") {
     val (s, fact, dim) = frames()
     // v < dk cannot be pushed below the join (references both sides), so
