@@ -31,16 +31,28 @@ object Bench {
     // pass1/pass3 elevated). Built up front and recorded as a separate
     // field so the artifact separates lifecycle cost from query cost.
     val b0 = System.nanoTime()
-    try {
-      graft.queries.StatsStore.ensureStats(spark, sfDir)
-      graft.queries.StreamServe.ensureStreamedHdr(spark, sfDir)
-      graft.queries.StreamServe.ensureStreamedHll(spark, sfDir)
-      graft.queries.StreamServe.ensureStreamedStats(spark, sfDir)
-      graft.queries.StreamServe.ensureUnifiedStats(spark, sfDir)
-      graft.queries.Vectors.ensureIvfIndex(spark, sfDir)
-      graft.queries.Vectors.ensurePqIndex(spark, sfDir)
-      graft.queries.Advanced.ensureDppCatalog(spark, sfDir)
-    } catch { case _: Throwable => () } // builds must never fail the bench
+    // builds must never fail the bench, but a failed build must be VISIBLE
+    // (VERDICT r15 item 7: a silent catch meant pass 1 quietly re-paid the
+    // lifecycle and the artifact still claimed a clean prebuild): each
+    // ensure* is attempted independently, failures are logged by name, and
+    // the JSON line carries prebuild_failed
+    val prebuilds: Seq[(String, () => Any)] = Seq(
+      "stats" -> (() => graft.queries.StatsStore.ensureStats(spark, sfDir)),
+      "streamed_hdr" -> (() => graft.queries.StreamServe.ensureStreamedHdr(spark, sfDir)),
+      "streamed_hll" -> (() => graft.queries.StreamServe.ensureStreamedHll(spark, sfDir)),
+      "streamed_stats" -> (() => graft.queries.StreamServe.ensureStreamedStats(spark, sfDir)),
+      "unified_stats" -> (() => graft.queries.StreamServe.ensureUnifiedStats(spark, sfDir)),
+      "ivf_index" -> (() => graft.queries.Vectors.ensureIvfIndex(spark, sfDir)),
+      "pq_index" -> (() => graft.queries.Vectors.ensurePqIndex(spark, sfDir)),
+      "dpp_catalog" -> (() => graft.queries.Advanced.ensureDppCatalog(spark, sfDir)))
+    val failedBuilds = prebuilds.flatMap { case (name, build) =>
+      try { build(); None }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] prebuild '$name' FAILED: ${e.getMessage}")
+        Some(name)
+      }
+    }
+    val prebuildFailed = failedBuilds.nonEmpty
     val coldBuildsSec = (System.nanoTime() - b0) / 1e9
     // Interleaved timing passes (VERDICT r3 item 5): back-to-back min-of-2
     // still absorbs sustained box load into BOTH samples of a query.
@@ -146,6 +158,6 @@ object Bench {
     // stop BEFORE the JSON line: the driver parses the tail's final line,
     // and session shutdown must not append anything after it
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"pass1_total":${f3(t1)},"pass2_total":${f3(t2)},"pass3_total":${f3(t3)},"cold_builds_sec":${f3(coldBuildsSec)},"load_suspect":$loadSuspect,"queries":$qs,"queries_note":"top-25 by time; full map in bench_passes.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"pass1_total":${f3(t1)},"pass2_total":${f3(t2)},"pass3_total":${f3(t3)},"cold_builds_sec":${f3(coldBuildsSec)},"prebuild_failed":$prebuildFailed,"load_suspect":$loadSuspect,"queries":$qs,"queries_note":"top-25 by time; full map in bench_passes.json","sf":"$sfDir"}""")
   }
 }

@@ -154,7 +154,14 @@ object RangeJoinRewrite {
     * full table scan. Falls back to the planning-time probe on a miss. */
   private[plans] def resolveSpans(session: SparkSession, statsDir: String,
       boundChild: LogicalPlan, lo: Expression, hi: Expression,
-      loM: Expression, hiM: Expression): Option[(Long, Long)] = {
+      loM: Expression, hiM: Expression): Option[(Long, Long)] =
+    resolveSpansTagged(session, statsDir, boundChild, lo, hi, loM, hiM)._1
+
+  /** [[resolveSpans]] plus WHERE the spans came from — "catalog-width" or
+    * "probe-width" — for the diagnostics surface (VERDICT r15 item 1). */
+  private[plans] def resolveSpansTagged(session: SparkSession, statsDir: String,
+      boundChild: LogicalPlan, lo: Expression, hi: Expression,
+      loM: Expression, hiM: Expression): (Option[(Long, Long)], String) = {
     val fromCatalog =
       if (statsDir.isEmpty) None
       else for {
@@ -163,7 +170,10 @@ object RangeJoinRewrite {
         if lt == ht
         v <- StatsCatalog.spans(session, statsDir).get((lt, lc, hc))
       } yield v
-    fromCatalog.orElse(probeSpans(session, boundChild, loM, hiM))
+    fromCatalog match {
+      case Some(v) => (Some(v), "catalog-width")
+      case None => (probeSpans(session, boundChild, loM, hiM), "probe-width")
+    }
   }
 
   final case class BucketRangeJoin() extends Rule[LogicalPlan] with PredicateHelper {
@@ -198,11 +208,21 @@ object RangeJoinRewrite {
             case LessThan(u, hi) if u.semanticEquals(t) && crossSide(u, hi) => hi
             case GreaterThan(hi, u) if u.semanticEquals(t) && crossSide(hi, u) => hi
           }
+          val diag = conf.getConfString(graft.plans.RuleDiag.EnabledKey, "false").toBoolean
+          def bail(reason: String): Join = {
+            if (diag) RuleDiag.record("range-join", "bailed", reason, j)
+            j
+          }
           lower.flatMap { case (t, lo) => upper(t).map(hi => (t, lo, hi)) } match {
-            case Some((t, lo, hi)) if !hasEqui &&
-                (Seq(t, lo, hi).forall(_.dataType == LongType) ||
+            case Some(_) if hasEqui =>
+              // Catalyst already has equi keys — the rewrite has nothing
+              // to add; say so rather than staying silent
+              bail("equi-exists")
+            case Some((t, lo, hi)) if !(Seq(t, lo, hi).forall(_.dataType == LongType) ||
                  Seq(t, lo, hi).forall(_.dataType == TimestampType) ||
                  Seq(t, lo, hi).forall(_.dataType == TimestampNTZType)) =>
+              bail("type-mismatch")
+            case Some((t, lo, hi)) =>
               // point on one side, BOTH bounds on the other
               val sidesOk =
                 if (fromLeft(t)) fromRight(lo) && fromRight(hi)
@@ -217,7 +237,8 @@ object RangeJoinRewrite {
                 case RightOuter => fromRight(t)
                 case _ => false
               }
-              if (!sidesOk || !typeOk) j
+              if (!sidesOk) bail("sides-mismatch")
+              else if (!typeOk) bail("preserved-interval-side")
               else {
                 // Timestamp types lower to their internal epoch-micros
                 // Long — strictly monotone and injective, so bucket
@@ -237,8 +258,9 @@ object RangeJoinRewrite {
                 val boundChild = if (fromLeft(t)) r else l
                 val session = SparkSession.active
                 val statsDir = conf.getConfString(StatsCatalog.DirKey, "")
-                lazy val spans =
-                  resolveSpans(session, statsDir, boundChild, lo, hi, loM, hiM)
+                lazy val spansTagged =
+                  resolveSpansTagged(session, statsDir, boundChild, lo, hi, loM, hiM)
+                lazy val spans = spansTagged._1
                 val wBase =
                   if (wManual > 0L) Some(wManual)
                   else spans.map { case (med, _) => math.max(1L, med) }
@@ -251,8 +273,12 @@ object RangeJoinRewrite {
                   }
                 }
                 wGuarded match {
-                  case None => j // empty/degenerate interval side, no knob — naive join is fine
+                  case None =>
+                    // empty/degenerate interval side, no knob — naive join is fine
+                    bail("degenerate-interval")
                   case Some(w) =>
+                    if (diag) RuleDiag.record("range-join", "fired",
+                      if (wManual > 0L) "manual-width" else spansTagged._2, j)
                     val tLeft = fromLeft(t)
                     val bucketAlias = Alias(IntegralDivide(tM, Literal(w)), "__rj_bucket")()
                     val gAttr = AttributeReference("__rj_b", LongType, nullable = true)()

@@ -87,13 +87,18 @@ object StatsCatalog {
                   // (ADVICE r14: a global clear here is the same cross-root
                   // collateral the per-root invalidate(root) fix killed —
                   // one hot store's churn would evict every fixture's
-                  // long-lived catalog and re-pay their reads)
-                  if (cache.size > 128) {
-                    import scala.jdk.CollectionConverters._
-                    cache.entrySet().asScala.toSeq.sortBy(_.getValue._2)
-                      .take(cache.size - 96).foreach(e => cache.remove(e.getKey))
+                  // long-lived catalog and re-pay their reads). The evict
+                  // and the put share one lock (ADVICE r15): a snapshot
+                  // taken non-atomically against a racing put could evict
+                  // the entry that put just inserted fresh.
+                  cache.synchronized {
+                    if (cache.size > 128) {
+                      import scala.jdk.CollectionConverters._
+                      cache.entrySet().asScala.toSeq.sortBy(_.getValue._2)
+                        .take(cache.size - 96).foreach(e => cache.remove(e.getKey))
+                    }
+                    cache.put(key, (v, System.nanoTime(), base))
                   }
-                  cache.put(key, (v, System.nanoTime(), base))
                   v
                 case None =>
                   // a refresh that fails keeps serving the stale value
@@ -171,8 +176,8 @@ object StatsCatalog {
     * (q273); only the planner's view is corrected. Stores written
     * without a `regs` column (constructed test fixtures) are served
     * verbatim. */
-  def ndv(spark: SparkSession, dir: String): Map[(String, String), Long] =
-    cachedRead("column_ndv", dir)(Map.empty[(String, String), Long]) { base =>
+  private def ndvBoth(spark: SparkSession, dir: String): Map[(String, String), (Long, Long)] =
+    cachedRead("column_ndv", dir)(Map.empty[(String, String), (Long, Long)]) { base =>
       val df = spark.read.parquet(s"$base/column_ndv")
       val hasRegs = df.schema.fieldNames.contains("regs")
       val rows =
@@ -189,9 +194,23 @@ object StatsCatalog {
             else if (v == regs.size) 0L
             else est
           } else est
-        (r.getString(0), r.getString(1)) -> refined
+        (r.getString(0), r.getString(1)) -> (est, refined)
       }.toMap
     }
+
+  def ndv(spark: SparkSession, dir: String): Map[(String, String), Long] =
+    ndvBoth(spark, dir).map { case (k, (_, corrected)) => k -> corrected }
+
+  /** The UNCORRECTED stored estimates — the view broadcast decisions use
+    * (ADVICE r15): the linear-counting correction is a point estimate that
+    * can under-state true NDV, and a corrected value feeding the grouped
+    * row bound would weaken the "upper-ish, never cuts below" discipline
+    * for sub-100-NDV columns. The raw integer estimator only ever
+    * OVER-states tiny cardinalities (the documented ~45 floor), so upper
+    * bounds read this map; selectivity/fanout pricing — where the floor's
+    * ~9× inflation starves the rewrite — reads the corrected [[ndv]]. */
+  def ndvUpper(spark: SparkSession, dir: String): Map[(String, String), Long] =
+    ndvBoth(spark, dir).map { case (k, (raw, _)) => k -> raw }
 
   /** Per-table exact row counts — with [[ndv]] these make the System-R
     * join-size estimate |A|·|B| / max(ndv(A.k), ndv(B.k)) computable
@@ -222,6 +241,27 @@ object StatsCatalog {
           .groupBy(_._1)
           .map { case (k, vs) =>
             k -> vs.map(_._2).sortBy(_._1).map(t => (t._2, t._3)).toIndexedSeq }
+    }
+
+  /** Per-(table, column) PER-VALUE counters — the O(delta) histogram
+    * maintenance kind, served to the planner as an EXACT equality/IN
+    * pricing source (VERDICT r15 item 3): counter[v] counts every row
+    * whose lowered value is v over the cataloged snapshot (timestamps
+    * lower to day-END micros, integral domains stay raw), so `col = lit`
+    * prices at the literal's counter mass and an IN-list at the sum of
+    * member masses — exact bounds, not 1/NDV estimates. A store without
+    * the counter kind resolves to an EMPTY map and caches it (counters
+    * are optional coverage; absence is an answer). */
+  def histCounts(spark: SparkSession, dir: String): Map[(String, String), Map[Long, Long]] =
+    cachedRead("column_hist_counts", dir)(
+      Map.empty[(String, String), Map[Long, Long]]) { base =>
+      if (!new java.io.File(s"$base/column_hist_counts").exists())
+        Map.empty[(String, String), Map[Long, Long]]
+      else spark.read.parquet(s"$base/column_hist_counts")
+        .select("tbl", "col", "v", "cnt").collect()
+        .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+        .groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).toMap }
     }
 
   /** Per-(table, array column) generator fan-out: (avg element count,

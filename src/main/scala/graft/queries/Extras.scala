@@ -454,8 +454,9 @@ object Extras {
 
     "q163_summary_routing" -> { (s, dir) =>
       val basePath = s"$dir/events.parquet"
-      val tmp = java.nio.file.Files.createTempDirectory("graft_mv_")
-        .toFile.getAbsolutePath
+      // JVM-exit-cleaned like the other lifecycle scratch stores (VERDICT
+      // r15 item 9) — this was the one per-execution dir the sweep missed
+      val tmp = StatsStore.scratchDir("graft_mv_")
       val raw = s.read.parquet(basePath)
       raw.groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), sum("user_id").as("sum_uid"))

@@ -27,7 +27,10 @@ import graft.Tables
 object StatsStore {
   private type QFn = (SparkSession, String) => DataFrame
 
-  /** A fixture table by name (the analyze surface's default resolver). */
+  /** A fixture table by name (the analyze surface's default resolver) —
+    * plus the two DERIVED interval relations the span catalog covers
+    * (VERDICT r15 item 2: span requests resolve through the same general
+    * surface as register/histogram requests). */
   def tableByName(s: SparkSession, dir: String, name: String): DataFrame = name match {
     case "region" => Tables.region(s, dir)
     case "nation" => Tables.nation(s, dir)
@@ -39,6 +42,8 @@ object StatsStore {
     case "events" => Tables.events(s, dir)
     case "documents" => Tables.documents(s, dir)
     case "embeddings" => Tables.embeddings(s, dir)
+    case "windows" => windowsFrame(s, dir)
+    case "scd2" => scd2Frame(s, dir)
     case other => throw new IllegalArgumentException(s"unknown table: $other")
   }
 
@@ -78,6 +83,29 @@ object StatsStore {
     new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_stats/$tag").getAbsolutePath
   }
   private val builtDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Scratch store root for lifecycle-class judged queries (q287/q292/
+    * q305/q310/q313…): a fresh temp dir REGISTERED for deletion at JVM
+    * exit, so a bench/verify run leaves no orphaned `/tmp/graft_*` store
+    * per lifecycle query per pass (VERDICT r15 item 9). */
+  private[graft] def scratchRoot(prefix: String): String =
+    scratchDir(prefix) + "/store"
+
+  /** A bare JVM-exit-cleaned temp dir (streaming checkpoints etc.). */
+  private[graft] def scratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(d.toFile)
+    scratchHookInstalled
+    d.toString
+  }
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val scratchHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach(f => deleteRecursively(f))))
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
 
   private[queries] def estExpr(regs: String) = expr(
     s"cast((${Advanced.HllEstNum}) div (650790 * cast(aggregate($regs, cast(0 as bigint), " +
@@ -174,22 +202,57 @@ object StatsStore {
     parts.foldLeft(empty)(_ unionByName _)
   }
 
+  /** Exact span statistics of ONE interval frame — the q277 arithmetic as
+    * ONE definition shared by the batch analyze, the CAS interval upsert,
+    * and ensureStats (VERDICT r15 item 2: spans were the last hand-staged
+    * stats kind): median = the exact integer `percentile(span, 0.5)` (the
+    * scale-honest choice — span domains are tiny, a counts-map aggregate,
+    * not a sort) and max of the POSITIVE spans, in the columns' native
+    * Long units. Refuses loudly when no positive spans exist (ADVICE r15:
+    * the old hand-staged body threw an opaque NPE on the NULL
+    * percentile). */
+  private def spanStatsOf(table: String, df: DataFrame,
+      loCol: String, hiCol: String): SpanRow = {
+    val r = df.select((col(hiCol) - col(loCol)).as("span")).filter(col("span") > 0)
+      .agg(expr("cast(percentile(span, 0.5) as bigint)").as("med_span"),
+        max("span").as("max_span")).head()
+    if (r.isNullAt(0) || r.isNullAt(1))
+      throw new IllegalStateException(
+        s"span analyze for $table($loCol, $hiCol) found no positive spans — " +
+          "refusing to publish a NULL span row into the planner catalog")
+    (table, loCol, hiCol, r.getLong(0), r.getLong(1))
+  }
+
   /** The public ANALYZE entry point (VERDICT r13 item 1): build NDV
     * registers + exact row counts (+ array fan-out, + optional equi-depth
-    * histograms) for ANY requested tables/columns and publish them as one
-    * fresh generation under `root`. Returns the root; readers resolve
-    * generations per read through [[graft.plans.StatsCatalog]]. */
+    * histograms, + optional interval SPAN rows from `(table, lo, hi)`
+    * requests — VERDICT r15 item 2) for ANY requested tables/columns and
+    * publish them as one fresh generation under `root`. A span request's
+    * interval table is persisted beside the catalog (`<table>.parquet`) so
+    * consumers range-join the exact relation the span row describes.
+    * Returns the root; readers resolve generations per read through
+    * [[graft.plans.StatsCatalog]]. */
   def analyze(s: SparkSession, dir: String, root: String,
       tables: Seq[(String, Seq[String])],
-      hist: Seq[(String, Seq[String])] = Nil): String = {
+      hist: Seq[(String, Seq[String])] = Nil,
+      spans: Seq[(String, String, String)] = Nil): String = {
+    import s.implicits._
     val resolve = (t: String) => tableByName(s, dir, t)
     val (ndvDf, rowDf, fanDf) = analyzeFrames(s, tables, resolve)
     val histDf = if (hist.isEmpty) null else histFrames(s, hist, resolve)
+    val spanRows = spans.map { case (t, lo, hi) => spanStatsOf(t, resolve(t), lo, hi) }
     graft.IndexStore.publish(root) { g =>
       ndvDf.coalesce(1).write.parquet(s"$g/column_ndv")
       rowDf.coalesce(1).write.parquet(s"$g/table_rows")
       fanDf.coalesce(1).write.parquet(s"$g/column_fanout")
       if (histDf != null) histDf.coalesce(1).write.parquet(s"$g/column_hist")
+      if (spanRows.nonEmpty) {
+        spanRows.toDF("tbl", "lo_col", "hi_col", "med_span", "max_span")
+          .coalesce(1).write.parquet(s"$g/column_span")
+        spans.foreach { case (t, _, _) =>
+          resolve(t).coalesce(1).write.parquet(s"$g/$t.parquet")
+        }
+      }
     }
     graft.plans.StatsCatalog.invalidate(root)
     root
@@ -210,6 +273,19 @@ object StatsStore {
         expr("t0 + (win_id * (t1 - t0)) div 24").as("ws"),
         expr("t0 + (win_id * (t1 - t0)) div 24 + ((t1 - t0) div 32) * (1 + win_id % 3)").as("we"))
   }
+
+  /** The SECOND interval relation the span catalog covers (VERDICT r15
+    * item 2): the SCD2 validity history's [valid_from, valid_to] snap
+    * intervals, lowered to the half-open Long form the range-join rewrite
+    * prices — `vf = valid_from`, `vt1 = valid_to + 1`, so `epoch >= vf AND
+    * epoch < vt1` is exactly SCD2's inclusive validity test. Spans vary
+    * genuinely (islands run 1–4 snapshots), so the stored median and max
+    * are different numbers like the windows table's. */
+  private def scd2Frame(s: SparkSession, dir: String): DataFrame =
+    Packages.historyFrame(s, dir)
+      .select(col("pkg_id"), col("version"),
+        col("valid_from").cast("long").as("vf"),
+        (col("valid_to") + 1).cast("long").as("vt1"))
 
   /** Build (once per JVM per fixture — content is deterministic in the
     * fixture) and return the stats store ROOT. The store is
@@ -233,19 +309,23 @@ object StatsStore {
         // the general analyze surface with the DEFAULT coverage (every
         // judged join key + the demo dims + array fan-out + date
         // histograms), plus the span catalog extras this store also serves
+        import s.implicits._
         val resolve = (t: String) => tableByName(s, dir, t)
         val (ndvRows, rowRows, fanRows) = analyzeFrames(s, DefaultNdv, resolve)
         val histRows = histFrames(s, DefaultHist, resolve)
+        // the span catalog through the GENERAL schema-driven path (VERDICT
+        // r15 item 2): both interval relations — the 24 analysis windows
+        // and the SCD2 validity history — persist beside their span rows
         val wins = windowsFrame(s, dir)
-        val spanRows = wins
-          .select((col("we") - col("ws")).as("span")).filter(col("span") > 0)
-          .agg(expr("cast(percentile(span, 0.5) as bigint)").as("med_span"),
-            max("span").as("max_span"))
-          .select(lit("windows").as("tbl"), lit("ws").as("lo_col"),
-            lit("we").as("hi_col"), col("med_span"), col("max_span"))
+        val scd2 = scd2Frame(s, dir)
+        val spanRows = Seq(
+          spanStatsOf("windows", wins, "ws", "we"),
+          spanStatsOf("scd2", scd2, "vf", "vt1"))
+          .toDF("tbl", "lo_col", "hi_col", "med_span", "max_span")
         graft.IndexStore.publish(p) { staging =>
           ndvRows.coalesce(1).write.parquet(s"$staging/column_ndv")
           wins.coalesce(1).write.parquet(s"$staging/windows.parquet")
+          scd2.coalesce(1).write.parquet(s"$staging/scd2.parquet")
           spanRows.coalesce(1).write.parquet(s"$staging/column_span")
           fanRows.coalesce(1).write.parquet(s"$staging/column_fanout")
           rowRows.coalesce(1).write.parquet(s"$staging/table_rows")
@@ -432,8 +512,16 @@ object StatsStore {
     * it; the degraded outcome is the loud base-walk exhaustion below,
     * never a silent merge onto an aborted base. */
   private def newestClean(root: String, upTo: Long): Option[Long] = {
-    val ids = (math.max(1L, upTo - 63) to upTo)
-      .filter(id => graft.IndexStore.isComplete(root, id))
+    // the walk covers every SURVIVING generation, not a fixed 64-id window
+    // (ADVICE r15: casPublishStats sizes retention dynamically, so keep can
+    // exceed 64 — a fixed window would make a writer whose base sits >63
+    // ids back unable to self-certify clean, forcing retries the dynamic
+    // keep was built to avoid); listing the root is metadata-only and the
+    // survivor count is bounded by that same retention
+    val ids = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .flatMap(f => scala.util.Try(graft.IndexStore.genIdOf(f.getPath)).toOption)
+      .filter(id => id >= 1L && id <= upTo && graft.IndexStore.isComplete(root, id))
+      .sorted.toIndexedSeq
     var lastClean = 0L
     ids.foreach { id =>
       val b = baseOf(root, id)
@@ -545,27 +633,34 @@ object StatsStore {
       }
     }
 
-  /** Upsert the windows interval table AND its span-catalog row into
-    * `root` through the CAS (VERDICT r14 item 1: the span catalog lived
-    * only in the batch ensureStats root, so a session on the unified root
-    * got every other consumer but RangeJoinRewrite still paid its
-    * planning-time probe). The interval table itself rides the verbatim
-    * extra carry (24 rows — far under [[MaxCarryRows]]); the span row is
-    * a managed kind replaced per table like the other upserts. */
-  def upsertWindowSpans(s: SparkSession, root: String, dir: String): String =
+  /** Upsert ANY bounded interval table AND its span-catalog row into
+    * `root` through the CAS (VERDICT r14 item 1 generalized by r15 item 2:
+    * the windows-only hand-staged body is retired — span maintenance is
+    * schema-driven like every other stats kind). The interval table itself
+    * rides the verbatim extra carry (bounded, [[MaxCarryRows]], checked
+    * HERE so the writer fails before publishing a generation a later CAS
+    * reader would refuse); the span row is a managed kind replaced per
+    * table like the other upserts. */
+  def upsertIntervalTable(s: SparkSession, root: String, table: String,
+      df: DataFrame, loCol: String, hiCol: String): String =
     root.intern.synchronized {
-      val wins = windowsFrame(s, dir)
-      val spanRow = wins
-        .select((col("we") - col("ws")).as("span")).filter(col("span") > 0)
-        .agg(expr("cast(percentile(span, 0.5) as bigint)").as("med_span"),
-          max("span").as("max_span")).head()
-      val mine: SpanRow = ("windows", "ws", "we", spanRow.getLong(0), spanRow.getLong(1))
-      val winData = (wins.schema, wins.collect().toSeq)
+      val mine = spanStatsOf(table, df, loCol, hiCol)
+      val data = df.collect().toSeq
+      if (data.length > MaxCarryRows)
+        throw new IllegalStateException(
+          s"interval table '$table' has ${data.length} rows — the CAS carry is " +
+            s"driver-materialized and capped at $MaxCarryRows; a relation this " +
+            "size belongs in its own store, not a stats generation")
       casPublishStats(s, root) { b =>
-        b.copy(span = b.span.filterNot(_._1 == "windows") :+ mine,
-          extra = b.extra + ("windows.parquet" -> winData))
+        b.copy(span = b.span.filterNot(_._1 == table) :+ mine,
+          extra = b.extra + (s"$table.parquet" -> ((df.schema, data))))
       }
     }
+
+  /** The windows interval table through the general path (the q302
+    * unified-root writer). */
+  def upsertWindowSpans(s: SparkSession, root: String, dir: String): String =
+    upsertIntervalTable(s, root, "windows", windowsFrame(s, dir), "ws", "we")
 
   /** Upsert a table's array-column fan-out rows (avg/max element counts)
     * into `root` through the CAS — the fan-out veto's food, now a managed
@@ -825,6 +920,34 @@ object StatsStore {
         .orderBy("win_id")
     },
 
+    // The SECOND span-catalog consumer judged (VERDICT r15 item 2): a
+    // range join whose interval side is the PERSISTED SCD2 validity
+    // history — spans now reach the catalog through the schema-driven
+    // analyze path, not a hand-staged windows-only body — planned with
+    // the stats dir set, so RangeJoinRewrite derives its bucket width
+    // from the STORED (scd2, vf, vt1) median/max with NO planning-time
+    // probe (PlanAuditSpec pins zero jobs during planning). The point
+    // side is the bounded per-epoch orders rollup; the oracle re-derives
+    // the whole history from raw through the q89 island walk and replays
+    // the naive range join.
+    "q312_scd2_span_range_join" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.RangeJoinRewrite.ensure(s)
+      val p = ensureStats(s, dir)
+      s.conf.set(graft.plans.StatsCatalog.DirKey, p)
+      val hist = s.read.parquet(
+        s"${graft.plans.StatsCatalog.resolveBase(p)}/scd2.parquet")
+      val pts = Tables.orders(s, dir)
+        .groupBy(pmod(col("o_orderkey"), lit(4)).cast("long").as("epoch"))
+        .agg(count(lit(1)).as("n_orders"))
+      pts.join(hist, col("epoch") >= col("vf") && col("epoch") < col("vt1"))
+        .groupBy("epoch", "n_orders")
+        .agg(count(lit(1)).as("n_intervals"),
+          countDistinct("pkg_id").as("n_pkgs"),
+          countDistinct("version").as("n_versions"))
+        .orderBy("epoch")
+    },
+
     // The generator fan-out stats judged (VERDICT r11 item 6): the
     // persisted per-(table, array column) avg/max element counts that
     // correct Spark's explode-blind size estimation. Ceiling-divided avg
@@ -917,8 +1040,7 @@ object StatsStore {
     // this is stats refresh WITHOUT re-scanning the fact table (the spec
     // twin deletes the base files before appending to prove it).
     "q287_incremental_stats_append" -> { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft_stats_incr")
-        .toString + "/store"
+      val root = scratchRoot("graft_stats_incr")
       val ev = Tables.events(s, dir)
       buildEventsStats(s, root, ev.filter(expr("event_id % 5 <> 0")))
       appendEventsStats(s, root, ev.filter(expr("event_id % 5 = 0")))
@@ -1176,8 +1298,7 @@ object StatsStore {
     // re-scanning the fact table (the spec twin deletes the base files
     // before appending to prove it).
     "q305_incremental_histogram" -> { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft_stats_hist")
-        .toString + "/store"
+      val root = scratchRoot("graft_stats_hist")
       val ev = Tables.events(s, dir)
       buildTableStats(s, root, "events", ev.filter(expr("event_id % 5 <> 0")),
         Seq("user_id"), Seq("ts"))
@@ -1205,8 +1326,7 @@ object StatsStore {
     "q310_appended_hist_consumer" -> { (s0, dir) =>
       val s = s0.newSession()
       graft.plans.SketchStats.ensure(s)
-      val root = java.nio.file.Files.createTempDirectory("graft_hist_consume")
-        .toString + "/store"
+      val root = scratchRoot("graft_hist_consume")
       val ev0 = Tables.events(s, dir)
       buildTableStats(s, root, "events", ev0.filter(expr("event_id % 5 <> 0")),
         Seq("user_id"), Seq("ts"))
@@ -1224,6 +1344,66 @@ object StatsStore {
         .agg(count(lit(1)).as("n"), sum("v_cents").as("sum_cents"),
           countDistinct("user_id").as("n_users"))
         .orderBy("o_orderpriority")
+    },
+
+    // Equality/IN pricing from the PERSISTED per-value counters judged
+    // (VERDICT r15 item 3): the q299 flip shape with an IN-list instead
+    // of a range — Spark's filter-blind size estimate weighs the whole
+    // events file, but the counter kind (already persisted for O(delta)
+    // histogram maintenance) prices `user_id IN (4 hot users)` at the
+    // EXACT sum of member masses (~270 rows), flipping the join to the
+    // broadcast build at planning. No full analyze ran on this root —
+    // the counters came from the q287-style build lifecycle. Answer
+    // plan-independent; PlanAuditSpec pins flip + filter-blind negative
+    // + the CAS-merge soundness case (merged counter == exact mass).
+    "q313_counter_in_broadcast" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.SketchStats.ensure(s)
+      val root = scratchRoot("graft_cnt_consume")
+      buildTableStats(s, root, "events", Tables.events(s, dir),
+        Seq("user_id"), Seq("user_id"))
+      s.conf.set(graft.plans.SketchStats.DirKey, root)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "131072")
+      val slice = Tables.events(s, dir)
+        .filter(col("user_id").isin(7L, 21L, 42L, 77L))
+        .select(col("user_id"),
+          expr("cast(floor(value * 100 + cast(0.5 as double)) as bigint)").as("v_cents"))
+      val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderpriority"))
+      o.join(slice, col("o_custkey") === col("user_id"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("v_cents").as("sum_cents"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Rotation at depth ≥ 2 judged (VERDICT r15 item 5): a THREE-deep
+    // right-deep tower `nation ⋈ (customer ⋈ (orders ⋈ 4×-expanding
+    // lineitem))` — the shape SQL-text FROM lists produce — linearizes
+    // over successive fixed-point passes: the inner rotation lands
+    // customer⋈orders below lineitem, and the outer rotations (now
+    // priceable because estRows prices the composite left side at the
+    // System-R join size) walk nation to the bottom. The fixed point is
+    // fully left-deep with the expanding join LAST — reachable by no
+    // single pass. Answer plan-independent (inner-join associativity);
+    // countDistinct keeps the eager rule out; PlanAuditSpec pins the
+    // left-deep fixed point and the mid-tower-hint bail.
+    "q314_deep_tower_rotation" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.SketchStats.ensure(s)
+      s.conf.set(graft.plans.SketchStats.DirKey, ensureStats(s, dir))
+      val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+      nat.join(
+          cust.join(o.join(li, col("o_orderkey") === col("l_orderkey")),
+            col("c_custkey") === col("o_custkey")),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"),
+          expr("cast(sum(l_quantity) as bigint)").as("sum_qty"),
+          countDistinct("o_orderkey").as("n_orders"))
+        .orderBy("n_name")
     },
 
     // COMPOSITE-KEY eager aggregation judged (VERDICT r14 item 2): the
@@ -1363,6 +1543,106 @@ object StatsStore {
         .orderBy("c_mktsegment")
     },
 
+    // The optimizer OBSERVABILITY surface judged (VERDICT r15 item 1):
+    // every stats consumer records fired/bailed-with-reason into a
+    // bounded per-session buffer, and this query PLANS a pinned set of
+    // shapes — the q274 flip, the q284 bubble, the q307 rotation, the
+    // q294 eager pushdown plus its unsupported/missing-ndv bail twins, the
+    // q276 catalog-width range join with its preserved-interval bail, and
+    // the q280 fan-out veto — then reads the buffer. Nothing about the
+    // rows depends on scale: reason tags are bounded strings and the
+    // distinct-plan counts are structural, so the same shapes produce the
+    // identical relation at every SF and the oracle is the literal
+    // expected table. At 100 TB this is the "why didn't my join flip"
+    // answer surface: one bounded read, zero Spark jobs (PlanAuditSpec
+    // pins the zero-job read and fired+bailed coverage per rule family).
+    "q311_optimizer_diagnostics" -> { (s0, dir) =>
+      import org.apache.spark.sql.DataFrame
+      val store = ensureStats(s0, dir)
+      def planned(df: DataFrame): Unit = { df.queryExecution.optimizedPlan; () }
+      // ---- positive session: rules + diagnostics + the stats root
+      val sPos = s0.newSession()
+      graft.plans.SketchStats.ensure(sPos)
+      graft.plans.RangeJoinRewrite.ensure(sPos)
+      graft.plans.RuleDiag.clear(sPos)
+      sPos.conf.set(graft.plans.RuleDiag.EnabledKey, "true")
+      sPos.conf.set(graft.plans.SketchStats.DirKey, store)
+      sPos.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192")
+      // 1. the q274 grouped-dim flip (fired: grouped-dim)
+      val prioDim = Tables.orders(sPos, dir)
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_prio"))
+      planned(Tables.orders(sPos, dir).join(prioDim, "o_orderpriority"))
+      // 2. the q284 chain (fired: bubble-swap; the settled chain then
+      //    reports below-margin — the written order is already right)
+      val o = Tables.orders(sPos, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      val ev = Tables.events(sPos, dir).select(col("user_id"), col("event_type"))
+      val cust = Tables.customer(sPos, dir).select(col("c_custkey"), col("c_mktsegment"))
+      planned(o.join(ev, col("o_custkey") === col("user_id"))
+        .join(cust, col("o_custkey") === col("c_custkey")))
+      // 3. the q294 eager pushdown (fired: partial-pushdown; its own
+      //    rewritten final aggregate then reports shape)
+      val evV = Tables.events(sPos, dir)
+        .select(col("user_id"),
+          expr("cast(floor(value * 100 + cast(0.5 as double)) as bigint)").as("v_cents"))
+      planned(evV.join(cust, col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("v_cents").as("sum_cents")))
+      // 4. eager bail: a DISTINCT aggregate is outside the duplication
+      //    argument (bailed: unsupported-agg)
+      planned(evV.join(cust, col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(countDistinct("v_cents").as("nd")))
+      // 5. eager bail: the fact key carries no NDV row (bailed:
+      //    missing-ndv:event_id)
+      val evId = Tables.events(sPos, dir)
+        .select(col("event_id"),
+          expr("cast(floor(value * 100 + cast(0.5 as double)) as bigint)").as("v2_cents"))
+      planned(evId.join(cust, col("event_id") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(sum("v2_cents").as("s")))
+      // 6. the q276 catalog-width range join (fired: catalog-width; its
+      //    own rewritten join then reports equi-exists, and the rewrite's
+      //    Sequence explode is the fan-out veto's uncovered-column)
+      val wins = sPos.read.parquet(
+        s"${graft.plans.StatsCatalog.resolveBase(store)}/windows.parquet")
+      val evT = Tables.events(sPos, dir)
+        .select(expr("unix_micros(cast(ts as timestamp))").as("t"))
+      planned(evT.join(wins, col("t") >= col("ws") && col("t") < col("we")))
+      // 7. range bail: preserved interval side (bailed:
+      //    preserved-interval-side — the documented outer-join bound)
+      planned(wins.join(evT, col("t") >= col("ws") && col("t") < col("we"), "left"))
+      // 8. the q307 right-deep rotation (fired: rotation)
+      val li = Tables.lineitem(sPos, dir).select(col("l_orderkey"), col("l_quantity"))
+      val o2 = Tables.orders(sPos, dir).select(col("o_orderkey"), col("o_custkey"))
+      planned(cust.join(o2.join(li, col("o_orderkey") === col("l_orderkey")),
+        col("c_custkey") === col("o_custkey")))
+      // 9. the q280 fan-out veto (fired: corrected-over-threshold) — the
+      //    4 MiB threshold sits between the exploded side's naive file
+      //    estimate and its 64×-corrected one at every judged SF
+      sPos.conf.set("spark.sql.autoBroadcastJoinThreshold", "4194304")
+      val ex = Tables.embeddings(sPos, dir)
+        .select(col("vec_id"), explode(col("embedding")).as("x"))
+      planned(Tables.orders(sPos, dir).join(ex, col("o_custkey") === col("vec_id")))
+      val pos = graft.plans.RuleDiag.records(sPos)
+      graft.plans.RuleDiag.clear(sPos)
+      // ---- negative session: diagnostics on, NO stats root — the q274
+      // shape must say WHY nothing fired
+      val sNeg = s0.newSession()
+      graft.plans.SketchStats.ensure(sNeg)
+      graft.plans.RuleDiag.clear(sNeg)
+      sNeg.conf.set(graft.plans.RuleDiag.EnabledKey, "true")
+      sNeg.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192")
+      val prioDimN = Tables.orders(sNeg, dir)
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_prio"))
+      planned(Tables.orders(sNeg, dir).join(prioDimN, "o_orderpriority"))
+      val neg = graft.plans.RuleDiag.records(sNeg)
+      graft.plans.RuleDiag.clear(sNeg)
+      import s0.implicits._
+      (pos.map { case (r, d, re, n) => ("pos", r, d, re, n) } ++
+        neg.map { case (r, d, re, n) => ("neg", r, d, re, n) })
+        .toDF("phase", "rule", "decision", "reason", "n_plans")
+        .orderBy("phase", "rule", "decision", "reason")
+    },
+
     // The MULTI-column O(delta) append judged (VERDICT r13 item 7): the
     // q287 lifecycle with TWO register columns (user_id + event_type) —
     // one delta scan merges BOTH columns' registers, so the incremental
@@ -1370,8 +1650,7 @@ object StatsStore {
     // carry. Both generations judged against oracles that re-derive every
     // register from the event_id%5 split, never reading the store.
     "q292_multi_column_stats_append" -> { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft_stats_mc")
-        .toString + "/store"
+      val root = scratchRoot("graft_stats_mc")
       val ev = Tables.events(s, dir)
       val cols = Seq("user_id", "event_type")
       buildTableStats(s, root, "events", ev.filter(expr("event_id % 5 <> 0")), cols)
@@ -1456,6 +1735,32 @@ object StatsStore {
        | SELECT b.bucket, b.up_to, c.cum AS cum_cnt
        | FROM bd_$tag b JOIN cu_$tag c ON c.v = b.up_to)""".stripMargin
 
+  /** DuckDB re-derivation of [[scd2Frame]] (shared by the q277/q312
+    * oracles): the q89 island walk over the derived snapshots, lowered to
+    * half-open Long intervals. Expects the --PKG-- CTE in scope
+    * ([[Packages.subFor]]). */
+  private val Scd2Cte =
+    """snaps AS (
+      | SELECT pkg_id, name,
+      |  CAST(vmaj AS VARCHAR) || '.' || CAST(vmin AS VARCHAR) || '.' || CAST(vpat AS VARCHAR)
+      |    || '-r' || CAST(1 + (pkg_id + g.k * (pkg_id % 3)) % 5 AS VARCHAR) AS version,
+      |  CAST(g.k AS INTEGER) AS snap
+      | FROM pkg, range(4) g(k)
+      | WHERE (pkg_id + g.k) % 23 <> 0),
+      |wk AS (
+      | SELECT *, CASE WHEN lag(version) OVER pw IS NULL
+      |   OR lag(version) OVER pw <> version
+      |   OR lag(snap) OVER pw + 1 <> snap THEN 1 ELSE 0 END AS brk
+      | FROM snaps WINDOW pw AS (PARTITION BY pkg_id ORDER BY snap)),
+      |isl AS (
+      | SELECT *, sum(brk) OVER (PARTITION BY pkg_id ORDER BY snap
+      |   ROWS UNBOUNDED PRECEDING) AS island
+      | FROM wk),
+      |scd2 AS (
+      | SELECT pkg_id, max(version) AS version,
+      |  CAST(min(snap) AS BIGINT) AS vf, CAST(max(snap) + 1 AS BIGINT) AS vt1
+      | FROM isl GROUP BY pkg_id, island)""".stripMargin
+
   /** DuckDB re-derivation of [[windowsFrame]] (shared by the q276/q277
     * oracles): the same 24 windows with 1×/2×/3× repeating spans, in
     * epoch micros. */
@@ -1531,6 +1836,32 @@ object StatsStore {
          | UNION ALL
          | SELECT 'events', 'event_type', e_et.ndv_est, x_et.exact_ndv FROM e_et, x_et)
          |ORDER BY tbl, col""".stripMargin,
+
+    // deterministic by construction: reason tags are bounded strings and
+    // the distinct-plan counts are structural (the same pinned shapes plan
+    // identically at every SF — verified byte-identical at sf0.01/sf0.1),
+    // so the oracle IS the expected relation
+    "q311_optimizer_diagnostics" ->
+      """SELECT phase, rule, decision, reason, CAST(n_plans AS BIGINT) AS n_plans
+        |FROM (VALUES
+        | ('neg', 'broadcast-flip', 'bailed', 'no-stats-dir', 1),
+        | ('pos', 'broadcast-flip', 'bailed', 'over-threshold', 1),
+        | ('pos', 'broadcast-flip', 'bailed', 'unpriced', 9),
+        | ('pos', 'broadcast-flip', 'fired', 'grouped-dim', 1),
+        | ('pos', 'eager-agg', 'bailed', 'missing-ndv:event_id', 1),
+        | ('pos', 'eager-agg', 'bailed', 'shape', 1),
+        | ('pos', 'eager-agg', 'bailed', 'unsupported-agg', 1),
+        | ('pos', 'eager-agg', 'fired', 'partial-pushdown', 1),
+        | ('pos', 'fanout-veto', 'bailed', 'uncovered-column', 1),
+        | ('pos', 'fanout-veto', 'fired', 'corrected-over-threshold', 1),
+        | ('pos', 'range-join', 'bailed', 'equi-exists', 1),
+        | ('pos', 'range-join', 'bailed', 'preserved-interval-side', 1),
+        | ('pos', 'range-join', 'fired', 'catalog-width', 1),
+        | ('pos', 'reorder', 'bailed', 'below-margin', 1),
+        | ('pos', 'reorder', 'fired', 'bubble-swap', 1),
+        | ('pos', 'reorder', 'fired', 'rotation', 1)
+        |) t(phase, rule, decision, reason, n_plans)
+        |ORDER BY phase, rule, decision, reason""".stripMargin,
 
     "q283_table_row_stats" ->
       """SELECT tbl, row_count FROM (
@@ -1651,6 +1982,28 @@ object StatsStore {
          | SELECT 'gen2', 'events', 'ts', bucket, up_to, cum_cnt FROM f_f)
          |ORDER BY gen, bucket""".stripMargin,
 
+    "q313_counter_in_broadcast" ->
+      """SELECT o.o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(floor(e.value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | count(DISTINCT e.user_id) AS n_users
+        |FROM orders o JOIN events e ON o.o_custkey = e.user_id
+        |WHERE e.user_id IN (7, 21, 42, 77)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
+
+    // same aggregate as q309 over a deeper written shape — the answer is
+    // plan-independent, which is the point of the rotation pins
+    "q314_deep_tower_rotation" ->
+      """SELECT na.n_name, count(*) AS n,
+        | CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty,
+        | count(DISTINCT o.o_orderkey) AS n_orders
+        |FROM nation na
+        | JOIN customer c ON na.n_nationkey = c.c_nationkey
+        | JOIN orders o ON c.c_custkey = o.o_custkey
+        | JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY na.n_name
+        |ORDER BY na.n_name""".stripMargin,
+
     "q303_composite_eager_agg" ->
       """WITH dim AS (
         | SELECT user_id AS du, event_type AS dt, count(*) AS n_pair
@@ -1741,13 +2094,35 @@ object StatsStore {
         |GROUP BY o.o_orderpriority, o.o_orderstatus, d.n_prio
         |ORDER BY o.o_orderpriority, o.o_orderstatus""".stripMargin,
 
-    "q277_column_span_stats" ->
-      s"""WITH $WindowsCte,
-         |sp AS (SELECT we - ws AS span FROM w WHERE we - ws > 0)
-         |SELECT 'windows' AS tbl, 'ws' AS lo_col, 'we' AS hi_col,
-         | CAST(floor(quantile_cont(span, 0.5)) AS BIGINT) AS med_span,
-         | max(span) AS max_span
-         |FROM sp""".stripMargin,
+    // the pre-stripped CTE bodies contain `||` at line starts, so they
+    // concatenate AFTER the template's own stripMargin (the Packages.sub
+    // lesson — a second stripMargin would corrupt them)
+    "q277_column_span_stats" -> Packages.subFor(
+      "WITH --PKG--,\n" + Scd2Cte + ",\n" + WindowsCte + ",\n" +
+      """sp_w AS (SELECT we - ws AS span FROM w WHERE we - ws > 0),
+         |sp_s AS (SELECT vt1 - vf AS span FROM scd2 WHERE vt1 - vf > 0)
+         |SELECT tbl, lo_col, hi_col, med_span, max_span FROM (
+         | SELECT 'windows' AS tbl, 'ws' AS lo_col, 'we' AS hi_col,
+         |  CAST(floor(quantile_cont(span, 0.5)) AS BIGINT) AS med_span,
+         |  max(span) AS max_span
+         | FROM sp_w
+         | UNION ALL
+         | SELECT 'scd2', 'vf', 'vt1',
+         |  CAST(floor(quantile_cont(span, 0.5)) AS BIGINT), max(span)
+         | FROM sp_s)
+         |ORDER BY tbl, lo_col, hi_col""".stripMargin),
+
+    "q312_scd2_span_range_join" -> Packages.subFor(
+      "WITH --PKG--,\n" + Scd2Cte + ",\n" +
+      """pts AS (
+         | SELECT CAST(o_orderkey % 4 AS BIGINT) AS epoch, count(*) AS n_orders
+         | FROM orders GROUP BY 1)
+         |SELECT p.epoch, p.n_orders, count(*) AS n_intervals,
+         | count(DISTINCT h.pkg_id) AS n_pkgs,
+         | count(DISTINCT h.version) AS n_versions
+         |FROM pts p JOIN scd2 h ON p.epoch >= h.vf AND p.epoch < h.vt1
+         |GROUP BY p.epoch, p.n_orders
+         |ORDER BY p.epoch""".stripMargin),
 
     "q276_range_join_catalog_width" ->
       s"""WITH $WindowsCte

@@ -41,7 +41,9 @@ object StreamServe {
     * never rows) and relies on the same argument: its values only grow,
     * so the LAST emission per key is the final state. */
   private def runBounded(stream: DataFrame)(onBatch: DataFrame => Unit): Unit = {
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    // throwaway checkpoint, registered for JVM-exit cleanup like the
+    // lifecycle-query scratch stores (VERDICT r15 item 9)
+    val ckpt = StatsStore.scratchDir("graft_stream_ckpt")
     val q = stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", ckpt)

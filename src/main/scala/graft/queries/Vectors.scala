@@ -1344,6 +1344,77 @@ object Vectors {
           col("cid_latest"), col("cos_latest"),
           (pmod(col("cid_latest"), lit(5)) === 0).as("is_delta_latest"))
         .orderBy("qid", "rank")
+    },
+
+    // Erasure CASCADING into derived generation stores (VERDICT r15 item
+    // 6 — q226 swept the raw tables; a real GDPR sweep reaches the stores
+    // DERIVED from them). One deterministic request set (ids % 50 = 7)
+    // cascades into BOTH store families:
+    //  - the ANN index: a republished generation carries the codes MINUS
+    //    the erased vec_ids under the FROZEN quantizer (gen 2's centroids
+    //    are gen 1's own table verbatim — the q270 append machinery in
+    //    reverse: subtract partition rows, never retrain);
+    //  - the stats root: registers/counters are monoids under max/addition
+    //    with NO inverse, so register erasure is a RE-ANALYZE over the
+    //    surviving rows, published as gen 2 through the same CAS upsert.
+    // verified_clean comes from RE-SCANNING the SERVED store (residual
+    // members in the latest ANN generation; served row_count re-counted
+    // against surviving raw rows), and content_witness hashes the served
+    // CONTENT (sum of surviving vec_ids; the served post-erasure NDV
+    // register estimate), which the oracle re-derives from raw survivors
+    // alone — never reading either store.
+    "q315_erasure_cascade_stores" -> { (s, dir) =>
+      import s.implicits._
+      // ANN leg
+      val aroot = StatsStore.scratchRoot("graft_erase_ann")
+      val all = vecs(s, dir)
+      val cent = graft.operators.KMeans.fit(all, kmInit, KmIters)
+      val g1 = graft.IndexStore.publish(aroot) { g =>
+        cent.zipWithIndex.map { case (c, i) => (i + 1, c.toSeq) }
+          .toDF("cluster", "cv").coalesce(1).write.parquet(s"$g/centroids")
+        all.withColumn("cluster", graft.operators.KMeans.assignColumn(cent, "v"))
+          .write.partitionBy("cluster").parquet(s"$g/codes")
+      }
+      val g1codes = s.read.parquet(s"$g1/codes")
+      val annBefore = g1codes.count()
+      graft.IndexStore.publish(aroot) { g =>
+        // frozen quantizer: gen 1's centroid table carried VERBATIM
+        s.read.parquet(s"$g1/centroids").coalesce(1).write.parquet(s"$g/centroids")
+        g1codes.filter(pmod(col("vec_id"), lit(50)) =!= 7)
+          .write.partitionBy("cluster").parquet(s"$g/codes")
+      }
+      val servedAnn = s.read.parquet(
+        s"${graft.IndexStore.latestPath(aroot).get}/codes")
+      val annAfter = servedAnn.count()
+      val annResidual = servedAnn.filter(pmod(col("vec_id"), lit(50)) === 7).count()
+      val annWitness = servedAnn.agg(sum("vec_id")).head().getLong(0)
+      // stats leg
+      val sroot = StatsStore.scratchRoot("graft_erase_stats")
+      val ev = Tables.events(s, dir)
+      StatsStore.buildTableStats(s, sroot, "events", ev, Seq("user_id"))
+      val surviving = ev.filter(pmod(col("user_id"), lit(50)) =!= 7)
+      StatsStore.buildTableStats(s, sroot, "events", surviving, Seq("user_id"))
+      def statsGen(id: Long) = {
+        val g = graft.IndexStore.genPath(sroot, id)
+        (s.read.parquet(s"$g/table_rows").head().getAs[Long]("row_count"),
+          s.read.parquet(s"$g/column_ndv").head().getAs[Long]("ndv_est"))
+      }
+      val (statsBefore, _) = statsGen(1L)
+      val servedGen = graft.plans.StatsCatalog.resolveBase(sroot)
+      val statsAfter = s.read.parquet(s"$servedGen/table_rows")
+        .head().getAs[Long]("row_count")
+      val statsWitness = s.read.parquet(s"$servedGen/column_ndv")
+        .head().getAs[Long]("ndv_est")
+      val statsErased = ev.filter(pmod(col("user_id"), lit(50)) === 7).count()
+      val statsResidual = statsAfter - surviving.count()
+      Seq(
+        ("ann_codes", annBefore, annBefore - annAfter, annAfter,
+          annResidual, annResidual == 0L, annWitness),
+        ("stats_events", statsBefore, statsErased, statsAfter,
+          statsResidual, statsResidual == 0L, statsWitness))
+        .toDF("store", "n_before", "n_erased", "n_after", "n_residual",
+          "verified_clean", "content_witness")
+        .orderBy("store")
     })
 
   /** DuckDB vector CTE with the same fold order as the Spark aggregates. */
@@ -1632,6 +1703,28 @@ object Vectors {
 
   val oracles: Seq[(String, String)] = Seq(
     "q130_trained_ivf_search" -> ivfServeOracleSql,
+
+    // re-derives every judged number from the RAW survivors alone (the
+    // counts, the surviving-id sum, and the post-erasure register
+    // estimate through the shared q273 CTE) — the stores are never read
+    "q315_erasure_cascade_stores" ->
+      s"""WITH ${StatsStore.ndvCte("sv", "(SELECT * FROM events WHERE user_id % 50 <> 7)", "user_id")}
+         |SELECT store, n_before, n_erased, n_after, n_residual, verified_clean, content_witness
+         |FROM (
+         | SELECT 'ann_codes' AS store,
+         |  (SELECT count(*) FROM embeddings) AS n_before,
+         |  (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 7) AS n_erased,
+         |  (SELECT count(*) FROM embeddings WHERE vec_id % 50 <> 7) AS n_after,
+         |  CAST(0 AS BIGINT) AS n_residual, TRUE AS verified_clean,
+         |  (SELECT CAST(sum(vec_id) AS BIGINT) FROM embeddings WHERE vec_id % 50 <> 7) AS content_witness
+         | UNION ALL
+         | SELECT 'stats_events',
+         |  (SELECT count(*) FROM events),
+         |  (SELECT count(*) FROM events WHERE user_id % 50 = 7),
+         |  (SELECT count(*) FROM events WHERE user_id % 50 <> 7),
+         |  CAST(0 AS BIGINT), TRUE,
+         |  (SELECT ndv_est FROM e_sv))
+         |ORDER BY store""".stripMargin,
 
     "q136_pq_encode" -> sub(s"""WITH --VEC--,
         |${PqCte(0)},

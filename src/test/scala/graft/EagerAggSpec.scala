@@ -339,6 +339,43 @@ class EagerAggSpec extends AnyFunSuite {
     assert(!hasPartialAggBelowJoin(bail), "rewrote an orderless first/last")
   }
 
+  test("decimal Sum: the per-key overflow divergence is REAL — the bail must stay") {
+    // VERDICT r15 item 4: the bail's comment claims a per-key decimal
+    // partial that overflows its (38,0) accumulator nulls out under
+    // non-ANSI and the re-aggregating Sum SKIPS it — silently dropping
+    // that key's contribution where the plain plan nulls the WHOLE sum.
+    // Construct exactly that frame and show the two plans genuinely
+    // diverge (NULL vs a finite wrong value), so the bail is a proven
+    // necessity, not an argument.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.ansi.enabled", "false")
+    import s.implicits._
+    val big = "9" + "0" * 37 // 9e37 — two of these overflow decimal(38,0)
+    val fact = Seq((1L, big), (1L, big), (2L, "5")).toDF("k", "ds")
+      .select(col("k"), col("ds").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0)).as("d"))
+    val dim = Seq((1L, "a"), (2L, "a")).toDF("dk", "g")
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .groupBy("g").agg(sum("d").as("sd"))
+    // the rewrite the rule would produce: per-key partials re-aggregated
+    val rewritten = fact.groupBy("k").agg(sum("d").as("pd"))
+      .join(dim, col("k") === col("dk"))
+      .groupBy("g").agg(sum("pd").as("sd"))
+    val p = plain.collect().head
+    val r = rewritten.collect().head
+    assert(p.isNullAt(p.fieldIndex("sd")),
+      "plain plan should overflow the whole sum to NULL under non-ANSI")
+    assert(!r.isNullAt(r.fieldIndex("sd")),
+      "the would-be-rewritten plan should SKIP the overflowed partial — " +
+        "if this starts matching the plain plan the bail can be lifted")
+    // and the REAL rule bails on a priced decimal sum (plan untouched)
+    val (se, factCov, dimCov) = frames()
+    val bail = factCov.join(dimCov, col("k") === col("dk"))
+      .groupBy("grp")
+      .agg(sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sd"))
+    assert(se != null && !hasPartialAggBelowJoin(bail), "rewrote a decimal sum")
+  }
+
   test("grouping by the fact key itself is allowed and exact") {
     val (s, fact, dim) = frames()
     def q(f: org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame) =

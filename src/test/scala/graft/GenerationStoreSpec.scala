@@ -650,4 +650,47 @@ class GenerationStoreSpec extends AnyFunSuite {
       graft.plans.StatsCatalog.invalidate()
     }
   }
+
+  test("erasure republish: frozen quantizer carried verbatim, erased codes subtracted, pinned gen untouched") {
+    // VERDICT r15 item 6's store lifecycle: an erasure sweep republishes
+    // the ANN index as gen 2 = gen 1's centroids VERBATIM + gen 1's codes
+    // minus the erased members — never a retrain — while a reader pinned
+    // to gen 1 (resolved before the sweep) still serves the pre-erasure
+    // set until it re-resolves (generations are immutable; retention
+    // keeps two).
+    import org.apache.spark.sql.functions._
+    val s = spark.newSession()
+    import s.implicits._
+    val root = freshRoot()
+    val codes = (0 until 200).map(i => (i.toLong, (i % 8 + 1)))
+    val g1 = IndexStore.publish(root) { g =>
+      Seq.tabulate(8)(k => (k + 1, Seq.fill(4)(k * 0.5)))
+        .toDF("cluster", "cv").coalesce(1).write.parquet(s"$g/centroids")
+      codes.toDF("vec_id", "cluster")
+        .write.partitionBy("cluster").parquet(s"$g/codes")
+    }
+    val pinned = IndexStore.latestPath(root).get
+    val g2 = IndexStore.publish(root) { g =>
+      s.read.parquet(s"$g1/centroids").coalesce(1).write.parquet(s"$g/centroids")
+      s.read.parquet(s"$g1/codes").filter(pmod(col("vec_id"), lit(50)) =!= 7)
+        .write.partitionBy("cluster").parquet(s"$g/codes")
+    }
+    // the frozen quantizer: gen 2's centroid ROWS equal gen 1's exactly
+    val c1 = s.read.parquet(s"$g1/centroids").collect().map(_.toString).sorted
+    val c2 = s.read.parquet(s"$g2/centroids").collect().map(_.toString).sorted
+    assert(c1.toSeq == c2.toSeq, "republish retrained or altered the quantizer")
+    // gen 2 codes = gen 1 codes minus the erased set, (vec_id, cluster)-exact
+    val set1 = s.read.parquet(s"$g1/codes")
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("cluster"))).toSet
+    val set2 = s.read.parquet(s"$g2/codes")
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("cluster"))).toSet
+    assert(set2 == set1.filterNot(_._1 % 50 == 7), "erased subtraction wrong")
+    assert(set2.forall(_._1 % 50 != 7), "erased member survived in the served gen")
+    // the pinned pre-sweep path still serves the erased members (immutable)
+    val pinnedResidual = s.read.parquet(s"$pinned/codes")
+      .filter(pmod(col("vec_id"), lit(50)) === 7).count()
+    assert(pinnedResidual == 4L, s"pinned generation changed under the reader: $pinnedResidual")
+    // the latest resolution now serves gen 2
+    assert(IndexStore.latestPath(root).contains(g2))
+  }
 }

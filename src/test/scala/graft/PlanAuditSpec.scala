@@ -1301,6 +1301,254 @@ class PlanAuditSpec extends AnyFunSuite {
       s"failed read was cached — rule did not recover:\n${after.take(2000)}")
   }
 
+  test("q312: SCD2 spans reach the catalog via the schema-driven path; planning runs ZERO jobs") {
+    import org.apache.spark.sql.functions._
+    // VERDICT r15 item 2: the span catalog is schema-driven — a SECOND
+    // interval relation (the SCD2 validity history) plans its range join
+    // from STORED spans with no planning-time probe, exactly q276's
+    // discipline on a table the old hand-staged body never covered.
+    def countJobs(s: org.apache.spark.sql.SparkSession)(body: => Unit): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          { n.incrementAndGet(); () }
+      }
+      s.sparkContext.addSparkListener(l)
+      try { body; org.apache.spark.graftbridge.ListenerBridge.drain(s.sparkContext) }
+      finally s.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    val s = spark.newSession()
+    graft.plans.RangeJoinRewrite.ensure(s)
+    val store = queries.StatsStore.ensureStatsFor(s, dir)
+    s.conf.set(graft.plans.StatsCatalog.DirKey, store)
+    // warm the catalog memo (one bounded read) BEFORE the measured planning
+    assert(graft.plans.StatsCatalog.spans(s, store).contains(("scd2", "vf", "vt1")),
+      "scd2 span row missing — the schema-driven span analyze did not cover it")
+    val hist = s.read.parquet(
+      s"${graft.plans.StatsCatalog.resolveBase(store)}/scd2.parquet")
+    val pts = Tables.orders(s, dir)
+      .groupBy(pmod(col("o_orderkey"), lit(4)).cast("long").as("epoch"))
+      .agg(count(lit(1)).as("n_orders"))
+    val j = pts.join(hist, col("epoch") >= col("vf") && col("epoch") < col("vt1"))
+    var planned: String = null
+    val jobs = countJobs(s) { planned = j.queryExecution.executedPlan.toString }
+    assert(planned.contains("__rj_b"),
+      s"catalog-width rewrite did not fire on the scd2 intervals:\n${planned.take(2000)}")
+    assert(jobs == 0L, s"planning ran $jobs job(s) — the scd2 side was probed " +
+      "despite a warm span catalog")
+  }
+
+  test("q313: the persisted counters price an IN-filtered fact slice into the broadcast build") {
+    import org.apache.spark.sql.functions._
+    // VERDICT r15 item 3: `user_id IN (4 hot users)` selects ~270 rows but
+    // statically weighs the whole events file; the per-value counter kind
+    // prices the slice at the EXACT sum of member masses and flips the
+    // join — plus the CAS-merge soundness case: after build(base) +
+    // append(delta) the merged counter for a member EQUALS the exact
+    // full-table mass (counters under addition are a monoid), so the bound
+    // can never sit below the true rows.
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    val root = queries.StatsStore.scratchRoot("graft_cnt_pin")
+    val ev0 = Tables.events(s, dir)
+    queries.StatsStore.buildTableStats(s, root, "events",
+      ev0.filter(expr("event_id % 5 <> 0")), Seq("user_id"), Seq("user_id"))
+    queries.StatsStore.appendTableStats(s, root, "events",
+      ev0.filter(expr("event_id % 5 = 0")), Seq("user_id"), Seq("user_id"))
+    // soundness: merged counter == exact mass for every IN member
+    val members = Seq(7L, 21L, 42L, 77L)
+    val counters = graft.plans.StatsCatalog.histCounts(s, root)(("events", "user_id"))
+    val exact = ev0.filter(col("user_id").isin(members: _*))
+      .groupBy("user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    members.foreach { m =>
+      assert(counters.getOrElse(m, 0L) == exact.getOrElse(m, 0L),
+        s"merged counter for user $m diverged from the exact mass")
+    }
+    s.conf.set(graft.plans.SketchStats.DirKey, root)
+    // 16 KB: the 4 members' exact mass (~27 rows x ~72 B at sf0.001) sits
+    // under threshold/2 while BOTH pruned static file estimates (orders
+    // ~36 KB, events ~27 KB with props kept) stay over the threshold --
+    // without the counters neither side is broadcast-eligible
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+    def q(ss: org.apache.spark.sql.SparkSession) = {
+      val slice = Tables.events(ss, dir)
+        .filter(col("user_id").isin(members: _*))
+        .select(col("user_id"), col("value"), col("event_type"), col("props"))
+      Tables.orders(ss, dir).select(col("o_custkey"), col("o_orderpriority"))
+        .join(slice, col("o_custkey") === col("user_id"))
+    }
+    val pPos = q(s).queryExecution.executedPlan.toString
+    assert(pPos.contains("BroadcastHashJoin") && !pPos.contains("SortMergeJoin"),
+      s"the counter mass did not price the flip:\n${pPos.take(2500)}")
+    // negative: no stats → the filter-blind static estimate sort-merges
+    val sNeg = spark.newSession()
+    graft.plans.SketchStats.ensure(sNeg)
+    sNeg.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+    val pNeg = q(sNeg).queryExecution.executedPlan.toString
+    assert(pNeg.contains("SortMergeJoin"),
+      s"negative control: expected the filter-blind sort-merge join:\n${pNeg.take(2500)}")
+    assert(q(s).count() === q(sNeg).count(), "the flip changed the answer")
+  }
+
+  test("reorder: an IN-filtered dim commutes below the expansion when counters price it") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LogicalPlan}
+    // the reorder half of VERDICT r15 item 3: scanRows prices the IN-list
+    // at the exact counter-mass sum (~27 rows at sf0.001), commuting the
+    // sliced dim below the expanding full-events join; the SAME store
+    // built WITHOUT counters leaves the IN conjunct unpriced and written
+    // order holds — the negative isolates the counter contribution.
+    def tablesOf(p: LogicalPlan): Seq[String] =
+      p.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          graft.plans.StatsCatalog.tableOf(lr)
+      }.flatten
+    def chain(s: org.apache.spark.sql.SparkSession) = {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"))
+      // the IN sits on a NON-join-key column (event_id): an IN on the
+      // join key would be symmetrized by InferFiltersFromConstraints
+      // (both dims end up equally filtered — nothing to win), and a
+      // rename would (correctly, conservatively) break the by-exprId
+      // key-NDV trace — the subject here is the IN pricing alone
+      val slice = Tables.events(s, dir)
+        .filter(col("event_id").isin(11L, 22L, 33L, 44L))
+        .select(col("user_id"), col("value"))
+      o.join(ev, col("o_custkey") === ev("user_id"))
+        .join(slice, col("o_custkey") === slice("user_id"))
+    }
+    // with counters: the ~27-row slice joins first (both scans are
+    // 'events', so the pin reads the FILTER on the bottom dim instead)
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    val root = queries.StatsStore.scratchRoot("graft_cnt_reorder_pin")
+    queries.StatsStore.buildTableStats(s, root, "events",
+      Tables.events(s, dir), Seq("user_id"), Seq("event_id"))
+    queries.StatsStore.buildTableStats(s, root, "orders",
+      Tables.orders(s, dir), Seq("o_custkey"))
+    s.conf.set(graft.plans.SketchStats.DirKey, root)
+    val joinsPos = chain(s).queryExecution.optimizedPlan.collect { case j: LJoin => j }
+    // both dims scan 'events', so the pin reads the slice's 'value'
+    // column on the BOTTOM (first-executed) join's dim side (an In-filter
+    // check would be confounded: constraint propagation infers the IN
+    // onto the full-events scan through the join keys either way)
+    def bottomIsSlice(joins: Seq[LJoin]): Boolean =
+      joins.last.right.output.exists(_.name == "value")
+    assert(bottomIsSlice(joinsPos),
+      s"counters did not commute the IN-filtered slice below the expansion: ${joinsPos.map(_.right.output.map(_.name))}")
+    // same coverage WITHOUT counters → the IN stays unpriced, written order
+    val sNeg = spark.newSession()
+    graft.plans.SketchStats.ensure(sNeg)
+    val rootNeg = queries.StatsStore.scratchRoot("graft_cnt_reorder_neg")
+    queries.StatsStore.buildTableStats(sNeg, rootNeg, "events",
+      Tables.events(sNeg, dir), Seq("user_id"))
+    queries.StatsStore.buildTableStats(sNeg, rootNeg, "orders",
+      Tables.orders(sNeg, dir), Seq("o_custkey"))
+    sNeg.conf.set(graft.plans.SketchStats.DirKey, rootNeg)
+    val joinsNeg = chain(sNeg).queryExecution.optimizedPlan.collect { case j: LJoin => j }
+    assert(!bottomIsSlice(joinsNeg),
+      "without counters the IN-filtered slice should stay in written order")
+    assert(chain(s).count() === chain(sNeg).count(), "the commute changed the answer")
+  }
+
+  test("q314: a 3-deep right-deep tower linearizes fully left-deep; a mid-tower hint freezes it") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LogicalPlan}
+    // VERDICT r15 item 5: successive fixed-point rotations walk
+    // `nation ⋈ (customer ⋈ (orders ⋈ lineitem))` to
+    // `((nation ⋈ customer) ⋈ orders) ⋈ lineitem` — the deeper passes
+    // need estRows' recursive System-R pricing of the composite left
+    // side. A broadcast hint on the composite right side has no position
+    // after rotation, so a hinted tower stays put (the documented bail).
+    def tablesOf(p: LogicalPlan): Seq[String] =
+      p.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          graft.plans.StatsCatalog.tableOf(lr)
+      }.flatten
+    def tower(s: org.apache.spark.sql.SparkSession, hintMid: Boolean) = {
+      val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+      val mid = cust.join(o.join(li, col("o_orderkey") === col("l_orderkey")),
+        col("c_custkey") === col("o_custkey"))
+      nat.join(if (hintMid) broadcast(mid) else mid,
+        col("n_nationkey") === col("c_nationkey"))
+    }
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    s.conf.set(graft.plans.SketchStats.DirKey,
+      queries.StatsStore.ensureStatsFor(s, dir))
+    val joins = tower(s, hintMid = false).queryExecution.optimizedPlan
+      .collect { case j: LJoin => j }
+    // fully left-deep fixed point: every join's RIGHT side is a leaf, in
+    // bottom-up order nation⋈customer, ⋈orders, ⋈lineitem (expansion LAST)
+    assert(tablesOf(joins.head.right) == Seq("lineitem"),
+      s"expanding join not last: ${joins.map(j => tablesOf(j.right))}")
+    assert(joins.forall(j => tablesOf(j.right).size == 1),
+      s"tower not fully left-deep: ${joins.map(j => tablesOf(j.right))}")
+    assert(tablesOf(joins.last.left) == Seq("nation") &&
+      tablesOf(joins.last.right) == Seq("customer"),
+      s"bottom join wrong: ${tablesOf(joins.last.left)} ⋈ ${tablesOf(joins.last.right)}")
+    // mid-tower hint: the composite right side keeps its position
+    val hinted = tower(s, hintMid = true).queryExecution.optimizedPlan
+      .collect { case j: LJoin => j }
+    assert(hinted.head.right.collectFirst { case j: LJoin => j }.nonEmpty,
+      "a hinted composite side rotated — the hint lost its position")
+    // written-order negative without stats
+    val sNeg = spark.newSession()
+    graft.plans.SketchStats.ensure(sNeg)
+    val neg = tower(sNeg, hintMid = false).queryExecution.optimizedPlan
+      .collect { case j: LJoin => j }
+    assert(neg.head.right.collectFirst { case j: LJoin => j }.nonEmpty,
+      "negative control: the written tower should survive without stats")
+    assert(tower(s, hintMid = false).count() === tower(sNeg, hintMid = false).count(),
+      "rotation changed the answer")
+  }
+
+  test("q311: every rule family records fired AND bailed; the buffer reads with ZERO jobs") {
+    import org.apache.spark.sql.functions._
+    // VERDICT r15 item 1: the five optimizer consumers decide plans with
+    // an answer surface — q311's pinned shapes must leave at least one
+    // fired and one bailed record per rule family, and reading the buffer
+    // (a LocalRelation) must never schedule a Spark job.
+    val rows = SparkEntry.queries("q311_optimizer_diagnostics")(spark, dir)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    for (fam <- Seq("broadcast-flip", "reorder", "eager-agg", "fanout-veto", "range-join")) {
+      assert(rows.contains((fam, "fired")), s"$fam recorded no fired decision: $rows")
+      assert(rows.contains((fam, "bailed")), s"$fam recorded no bailed decision: $rows")
+    }
+    // zero-job read: plan one diag-enabled shape, then collect the frame
+    def countJobs(s: org.apache.spark.sql.SparkSession)(body: => Unit): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          { n.incrementAndGet(); () }
+      }
+      s.sparkContext.addSparkListener(l)
+      try { body; org.apache.spark.graftbridge.ListenerBridge.drain(s.sparkContext) }
+      finally s.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    graft.plans.RuleDiag.clear(s)
+    s.conf.set(graft.plans.RuleDiag.EnabledKey, "true")
+    s.conf.set(graft.plans.SketchStats.DirKey, queries.StatsStore.ensureStatsFor(s, dir))
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192")
+    val dim = Tables.orders(s, dir).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_prio"))
+    Tables.orders(s, dir).join(dim, "o_orderpriority").queryExecution.optimizedPlan
+    var read: Array[org.apache.spark.sql.Row] = null
+    val jobs = countJobs(s) { read = graft.plans.RuleDiag.frame(s).collect() }
+    assert(read.exists(r => r.getString(0) == "broadcast-flip" && r.getString(1) == "fired"),
+      s"diag frame missing the flip record: ${read.mkString(",")}")
+    assert(jobs == 0L, s"reading the diagnostics buffer ran $jobs job(s)")
+    graft.plans.RuleDiag.clear(s)
+  }
+
   test("no judged query plans a CartesianProduct") {
     // q45 intentionally uses BroadcastNestedLoopJoin with a 5-row build
     // side (exact brute-force baseline); cartesian (unbroadcast NLJ over
