@@ -20,6 +20,26 @@ object Graft {
     spark
   }
 
+  /** Turn on optimizer decision recording for `spark` (see
+    * [[graft.plans.RuleDiag]]): every stats-driven rule then records
+    * fired/bailed-with-reason per planned shape. Read with
+    * [[ruleDiagnostics]]; recording is per-session and off by default. */
+  def enableRuleDiagnostics(spark: SparkSession): Unit = {
+    graft.plans.SketchStats.ensure(spark)
+    graft.plans.RangeJoinRewrite.ensure(spark)
+    spark.conf.set(graft.plans.RuleDiag.EnabledKey, "true")
+  }
+
+  /** The session's recorded optimizer decisions as a bounded DataFrame
+    * (rule, decision, reason, n_plans) — LocalRelation-backed, so reading
+    * it runs zero Spark jobs. The answer to "why didn't my join flip". */
+  def ruleDiagnostics(spark: SparkSession): DataFrame =
+    graft.plans.RuleDiag.frame(spark)
+
+  /** Drop the session's recorded optimizer decisions. */
+  def clearRuleDiagnostics(spark: SparkSession): Unit =
+    graft.plans.RuleDiag.clear(spark)
+
   // ---- package-metadata surface (the reference's core) ----
 
   /** Search packages by name substring (case-insensitive), newest first. */

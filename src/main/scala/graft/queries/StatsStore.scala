@@ -232,6 +232,24 @@ object StatsStore {
     * consumers range-join the exact relation the span row describes.
     * Returns the root; readers resolve generations per read through
     * [[graft.plans.StatsCatalog]]. */
+  /** Per-value counters for every hist column whose lowered domain fits
+    * the bounded counter contract ([[MaxCarryRows]]) — persisting them
+    * beside the boundaries gives the batch root the SAME equality/IN
+    * pricing and O(delta) append capability the CAS-built stores have
+    * (VERDICT r15 item 3 generalized). A domain past the cap simply
+    * skips its counters: the equi-depth boundaries still persist through
+    * the distributed walk, and counters are documented optional
+    * coverage. */
+  private def histCountersWhereBounded(s: SparkSession,
+      hist: Seq[(String, Seq[String])],
+      resolve: String => DataFrame): Seq[CountRow] =
+    hist.flatMap { case (tbl, cols) =>
+      cols.flatMap { c =>
+        try histCounterRows(s, tbl, resolve(tbl), Seq(c))
+        catch { case _: IllegalStateException => Nil }
+      }
+    }
+
   def analyze(s: SparkSession, dir: String, root: String,
       tables: Seq[(String, Seq[String])],
       hist: Seq[(String, Seq[String])] = Nil,
@@ -240,12 +258,16 @@ object StatsStore {
     val resolve = (t: String) => tableByName(s, dir, t)
     val (ndvDf, rowDf, fanDf) = analyzeFrames(s, tables, resolve)
     val histDf = if (hist.isEmpty) null else histFrames(s, hist, resolve)
+    val counters = histCountersWhereBounded(s, hist, resolve)
     val spanRows = spans.map { case (t, lo, hi) => spanStatsOf(t, resolve(t), lo, hi) }
     graft.IndexStore.publish(root) { g =>
       ndvDf.coalesce(1).write.parquet(s"$g/column_ndv")
       rowDf.coalesce(1).write.parquet(s"$g/table_rows")
       fanDf.coalesce(1).write.parquet(s"$g/column_fanout")
       if (histDf != null) histDf.coalesce(1).write.parquet(s"$g/column_hist")
+      if (counters.nonEmpty)
+        counters.toDF("tbl", "col", "v", "cnt")
+          .coalesce(1).write.parquet(s"$g/column_hist_counts")
       if (spanRows.nonEmpty) {
         spanRows.toDF("tbl", "lo_col", "hi_col", "med_span", "max_span")
           .coalesce(1).write.parquet(s"$g/column_span")
@@ -313,6 +335,9 @@ object StatsStore {
         val resolve = (t: String) => tableByName(s, dir, t)
         val (ndvRows, rowRows, fanRows) = analyzeFrames(s, DefaultNdv, resolve)
         val histRows = histFrames(s, DefaultHist, resolve)
+        // the default hist coverage is all bounded DAY domains, so the
+        // batch root also serves equality/IN counter pricing
+        val counterRows = histCountersWhereBounded(s, DefaultHist, resolve)
         // the span catalog through the GENERAL schema-driven path (VERDICT
         // r15 item 2): both interval relations — the 24 analysis windows
         // and the SCD2 validity history — persist beside their span rows
@@ -330,6 +355,9 @@ object StatsStore {
           fanRows.coalesce(1).write.parquet(s"$staging/column_fanout")
           rowRows.coalesce(1).write.parquet(s"$staging/table_rows")
           histRows.coalesce(1).write.parquet(s"$staging/column_hist")
+          if (counterRows.nonEmpty)
+            counterRows.toDF("tbl", "col", "v", "cnt")
+              .coalesce(1).write.parquet(s"$staging/column_hist_counts")
         }
         graft.plans.StatsCatalog.invalidate(p)
         builtDirs.add(p)

@@ -287,6 +287,23 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === docs.count())
   }
 
+  test("ruleDiagnostics facade: enable → plan → read → clear") {
+    val s = spark.newSession()
+    Graft.enableRuleDiagnostics(s)
+    s.conf.set(graft.plans.SketchStats.DirKey,
+      queries.StatsStore.ensureStatsFor(s, dir))
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192")
+    val dim = Tables.orders(s, dir).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_prio"))
+    Tables.orders(s, dir).join(dim, "o_orderpriority")
+      .queryExecution.optimizedPlan
+    val rows = Graft.ruleDiagnostics(s).collect()
+    assert(rows.exists(r => r.getString(0) == "broadcast-flip" && r.getString(1) == "fired"),
+      s"facade read missed the flip record: ${rows.mkString(",")}")
+    Graft.clearRuleDiagnostics(s)
+    assert(Graft.ruleDiagnostics(s).collect().isEmpty, "clear left records behind")
+  }
+
   test("exactDupGroups agrees with the distinct-text count") {
     val docs = Tables.documents(spark, dir)
     val g = Graft.exactDupGroups(docs)

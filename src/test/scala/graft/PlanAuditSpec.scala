@@ -400,7 +400,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(graft.plans.StatsCatalog.fanout(s, root).contains(("embeddings", "embedding")),
       "fan-out row missing from the unified root")
     graft.plans.StatsCatalog.ndv(s, root); graft.plans.StatsCatalog.rows(s, root)
-    graft.plans.StatsCatalog.hist(s, root)
+    graft.plans.StatsCatalog.hist(s, root); graft.plans.StatsCatalog.histCounts(s, root)
     val wins = s.read.parquet(
       s"${graft.plans.StatsCatalog.resolveBase(root)}/windows.parquet")
     val ev = Tables.events(s, dir)
