@@ -88,32 +88,55 @@ object SummaryRouting {
         case _ => None
       }
 
-    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-      case agg @ Aggregate(groupExprs, aggExprs, child, _)
-          if baseRelation(child).flatMap(summaryFor).isDefined =>
-        val summary = baseRelation(child).flatMap(summaryFor).get
-        val resolver = spark.sessionState.analyzer.resolver
-        def sCol(n: String) = summary.plan.output.find(a => resolver(a.name, n))
-        val groupAttrs = groupExprs.collect { case a: AttributeReference => a }
-        val groupsMatch = groupAttrs.length == groupExprs.length &&
-          groupAttrs.map(_.name).toSet == summary.groupCols.toSet
-        // each output must translate to a summary column of identical type
-        def translate(ne: NamedExpression): Option[NamedExpression] = ne match {
-          case a: AttributeReference if summary.groupCols.contains(a.name) =>
-            sCol(a.name).filter(_.dataType == a.dataType)
-              .map(s => Alias(s, a.name)(exprId = a.exprId))
-          case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _), name) =>
-            summary.countCol.flatMap(sCol).filter(_.dataType == al.dataType)
-              .map(s => Alias(s, name)(exprId = al.exprId))
-          case al @ Alias(AggregateExpression(Sum(a: AttributeReference, _), _, false, _, _), name) =>
-            summary.sums.get(a.name).flatMap(sCol).filter(_.dataType == al.dataType)
-              .map(s => Alias(s, name)(exprId = al.exprId))
-          case _ => None
-        }
-        val translated = aggExprs.map(translate)
-        if (groupsMatch && translated.forall(_.isDefined))
-          Project(translated.map(_.get), summary.plan)
-        else agg
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      val diag = conf.getConfString(RuleDiag.EnabledKey, "false").toBoolean
+      plan.transformUp {
+        // "why didn't my query hit the summary" is THE operator question
+        // for any MV system, so every aggregate over a REGISTERED base
+        // relation records its routing decision (VERDICT r15 item 1's
+        // discipline applied to the sixth rule family); aggregates over
+        // unregistered relations stay silent — they are not candidates.
+        case agg @ Aggregate(_, _, child, _)
+            if diag && baseRelation(child).isEmpty &&
+              child.collectFirst {
+                case lr: LogicalRelation if summaryFor(lr).isDefined => lr
+              }.nonEmpty =>
+          // a registered base IS under this aggregate, but something sits
+          // between them (a Filter etc.) — the total rollup cannot cover it
+          RuleDiag.record("summary-routing", "bailed", "non-bare-base", agg)
+          agg
+        case agg @ Aggregate(groupExprs, aggExprs, child, _)
+            if baseRelation(child).flatMap(summaryFor).isDefined =>
+          val summary = baseRelation(child).flatMap(summaryFor).get
+          val resolver = spark.sessionState.analyzer.resolver
+          def sCol(n: String) = summary.plan.output.find(a => resolver(a.name, n))
+          val groupAttrs = groupExprs.collect { case a: AttributeReference => a }
+          val groupsMatch = groupAttrs.length == groupExprs.length &&
+            groupAttrs.map(_.name).toSet == summary.groupCols.toSet
+          // each output must translate to a summary column of identical type
+          def translate(ne: NamedExpression): Option[NamedExpression] = ne match {
+            case a: AttributeReference if summary.groupCols.contains(a.name) =>
+              sCol(a.name).filter(_.dataType == a.dataType)
+                .map(s => Alias(s, a.name)(exprId = a.exprId))
+            case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _), name) =>
+              summary.countCol.flatMap(sCol).filter(_.dataType == al.dataType)
+                .map(s => Alias(s, name)(exprId = al.exprId))
+            case al @ Alias(AggregateExpression(Sum(a: AttributeReference, _), _, false, _, _), name) =>
+              summary.sums.get(a.name).flatMap(sCol).filter(_.dataType == al.dataType)
+                .map(s => Alias(s, name)(exprId = al.exprId))
+            case _ => None
+          }
+          val translated = aggExprs.map(translate)
+          if (groupsMatch && translated.forall(_.isDefined)) {
+            if (diag) RuleDiag.record("summary-routing", "fired", "routed", agg)
+            Project(translated.map(_.get), summary.plan)
+          } else {
+            if (diag)
+              RuleDiag.record("summary-routing", "bailed",
+                if (!groupsMatch) "grouping-mismatch" else "uncovered-aggregate", agg)
+            agg
+          }
+      }
     }
   }
 }
