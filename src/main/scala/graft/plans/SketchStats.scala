@@ -270,6 +270,47 @@ object SketchStats {
     case _ => x
   }
 
+  /** The md5 60-bit string key — byte-identical to the builder's
+    * `conv(substr(md5(col), 1, 15), 16, 10)` lowering (and to the q230
+    * HLL bucketing arithmetic), computed driver-side for a literal. */
+  private[graft] def md5Key(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** Counter-domain key of an arbitrary evaluated literal vs column `a`:
+    * strings hash through [[md5Key]] (equality-only counters), Long
+    * domains go through [[counterKey]]. None = outside every counter
+    * domain (the conjunct stays unpriced). */
+  private[plans] def litKey(
+      a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+      l: org.apache.spark.sql.catalyst.expressions.Expression): Option[Long] =
+    a.dataType match {
+      case org.apache.spark.sql.types.StringType => l.eval(null) match {
+        case u: org.apache.spark.unsafe.types.UTF8String => Some(md5Key(u.toString))
+        case s: String => Some(md5Key(s))
+        case _ => None
+      }
+      case _ => litLong(l).map(counterKey(a, _))
+    }
+
+  /** An InSet's member set as counter keys for column `a`. */
+  private[plans] def inSetKeys(
+      a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+      hset: Set[Any]): Option[Seq[Long]] =
+    a.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        val xs = hset.toSeq.map {
+          case u: org.apache.spark.unsafe.types.UTF8String => Some(md5Key(u.toString))
+          case s: String => Some(md5Key(s))
+          case _ => None
+        }
+        if (xs.exists(_.isEmpty)) None else Some(xs.flatten)
+      case _ => litSetLongs(hset).map(_.map(counterKey(a, _)))
+    }
+
   /** Exact-mass UPPER bound on `a = x` / `a IN (xs)` from the persisted
     * per-value counters (VERDICT r15 item 3): counter[key] counts every
     * row whose LOWERED value equals key over the cataloged snapshot — for
@@ -281,14 +322,14 @@ object SketchStats {
     * counters. */
   private[plans] def counterMass(p: LogicalPlan,
       a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
-      xs: Seq[Long],
+      keys: Seq[Long],
       cnts: Map[(String, String), Map[Long, Long]]): Option[(Long, Long)] =
     p.collect { case lr: LogicalRelation => lr }.iterator.flatMap { lr =>
       lr.output.find(_.exprId == a.exprId).flatMap(sa =>
         StatsCatalog.tableOf(lr).flatMap(t => cnts.get((t, sa.name))))
     }.nextOption().map { m =>
       val total = m.values.sum
-      val sel = xs.map(counterKey(a, _)).distinct.map(k => m.getOrElse(k, 0L)).sum
+      val sel = keys.distinct.map(k => m.getOrElse(k, 0L)).sum
       (sel.min(total), total)
     }
 
@@ -327,11 +368,12 @@ object SketchStats {
         case _ => None
       }
     // equality / IN-list priced from the persisted per-value counters
-    // (VERDICT r15 item 3): exact masses, so the cut needs no safety
-    // margin beyond the shared threshold/2 cushion. All members must
-    // lower to the counter's Long domain, else the conjunct is unpriced.
+    // (VERDICT r15 item 3; strings through the md5 counter domain in
+    // r16): exact masses, so the cut needs no safety margin beyond the
+    // shared threshold/2 cushion. All members must lower to the
+    // counter's domain, else the conjunct is unpriced.
     def eqCut(a: AttributeReference, ls: Seq[Expression]): Option[(Long, Long)] = {
-      val xs = ls.map(litLong)
+      val xs = ls.map(l => litKey(a, l))
       if (xs.exists(_.isEmpty)) None
       else counterMass(p, a, xs.flatten, cnts)
     }
@@ -348,7 +390,7 @@ object SketchStats {
       case EqualTo(l, a: AttributeReference) if l.foldable => eqCut(a, Seq(l))
       case In(a: AttributeReference, list) if list.forall(_.foldable) => eqCut(a, list)
       case InSet(a: AttributeReference, hset) =>
-        litSetLongs(hset).flatMap(xs => counterMass(p, a, xs, cnts))
+        inSetKeys(a, hset).flatMap(keys => counterMass(p, a, keys, cnts))
       case _ => None
     }.filter { case (sel, n) => sel < n }
     if (cuts.isEmpty) None
@@ -399,18 +441,18 @@ object SketchStats {
       // over the 1/NDV estimate wherever the column carries counters;
       // the NDV refinement stays the fallback, still gated to its
       // accurate regime (the small-set floor would overstate selectivity)
-      def eqm(r: Long, a: AttributeReference, xs: Seq[Long]): Option[Long] =
-        counterMass(dim, a, xs, cnts).collect {
+      def eqm(r: Long, a: AttributeReference, keys: Seq[Long]): Option[Long] =
+        counterMass(dim, a, keys, cnts).collect {
           case (sel, n) if n > 0 && sel < n =>
             ((BigInt(r) * sel + n - 1) / n).max(1).toLong
           case (sel, n) if n > 0 => r
         }
       def eq(r: Long, a: AttributeReference, l: Expression): Long =
-        litLong(l).flatMap(x => eqm(r, a, Seq(x))).getOrElse(
+        litKey(a, l).flatMap(k => eqm(r, a, Seq(k))).getOrElse(
           ndvOf(dim, a, ndv).filter(_ >= 100L)
             .map(n => math.max(1L, r / math.max(1L, n))).getOrElse(r))
       def inList(r: Long, a: AttributeReference, ls: Seq[Expression]): Long = {
-        val xs = ls.map(litLong)
+        val xs = ls.map(l => litKey(a, l))
         if (xs.exists(_.isEmpty)) r
         else eqm(r, a, xs.flatten).getOrElse(r)
       }
@@ -431,7 +473,7 @@ object SketchStats {
           case EqualTo(l, a: AttributeReference) if l.foldable => eq(r, a, l)
           case In(a: AttributeReference, list) if list.forall(_.foldable) => inList(r, a, list)
           case InSet(a: AttributeReference, hset) =>
-            litSetLongs(hset).flatMap(xs => eqm(r, a, xs)).getOrElse(r)
+            inSetKeys(a, hset).flatMap(keys => eqm(r, a, keys)).getOrElse(r)
           case GreaterThanOrEqual(a: AttributeReference, l) if l.foldable => range(r, a, l, lower = true)
           case GreaterThan(a: AttributeReference, l) if l.foldable => range(r, a, l, lower = true)
           case LessThanOrEqual(a: AttributeReference, l) if l.foldable => range(r, a, l, lower = false)

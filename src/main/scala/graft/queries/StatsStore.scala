@@ -178,6 +178,7 @@ object StatsStore {
       .toDF("tbl", "col", "bucket", "up_to", "cum_cnt")
     val parts = for { (tbl, cols) <- histCols; c <- cols } yield {
       val df = resolve(tbl)
+      refuseStringHist(df, tbl, Seq(c))
       val dom = histCountDomain(df, c)
       val vc = df.select(dom.as("v")).filter(col("v").isNotNull)
         .groupBy("v").agg(count(lit(1)).as("c"))
@@ -712,14 +713,24 @@ object StatsStore {
   /** Histogram counter domain of a column: timestamps lower to day-END
     * epoch micros (bounded by the DATE range; day-end boundaries stay
     * sound for raw-timestamp pricing — cum(boundary) counts exactly the
-    * values ≤ boundary, the q298 argument), integral columns stay raw. */
-  private def histCountDomain(df: DataFrame, c: String) =
+    * values ≤ boundary, the q298 argument), integral columns stay raw,
+    * and STRINGS lower to the engine's md5 60-bit key (round 16 — the
+    * q230 bucketing arithmetic, so DuckDB re-derives every stored key):
+    * string counters serve EQUALITY/IN pricing only — hash order is not
+    * value order, so [[boundariesFromCounts]] must never see them (the
+    * eqCols/histCols split below enforces it), and a 60-bit collision
+    * only MERGES two values' masses, which keeps the equality bound an
+    * upper bound. */
+  private def counterDomain(df: DataFrame, c: String) =
     df.schema(c).dataType match {
       case org.apache.spark.sql.types.TimestampType |
            org.apache.spark.sql.types.TimestampNTZType =>
         expr(s"unix_micros(date_trunc('DAY', cast($c as timestamp))) + 86399999999")
+      case org.apache.spark.sql.types.StringType =>
+        expr(s"cast(conv(substr(md5($c), 1, 15), 16, 10) as bigint)")
       case _ => col(c).cast("long")
     }
+  private def histCountDomain(df: DataFrame, c: String) = counterDomain(df, c)
 
   /** One bounded per-value counter scan per histogram column; the domain
     * must stay bounded (counters are driver-held and CAS-carried), so a
@@ -747,10 +758,26 @@ object StatsStore {
     * registers under max (VERDICT r14 item 3: histograms previously
     * carried verbatim through appends, so range pricing went stale on
     * exactly the tables that append most). */
+  /** Loud refusal for a string column in a BOUNDARY-producing position:
+    * the string counter domain is an md5 hash, and hash order is not
+    * value order — boundaries built from it would price ranges nonsense.
+    * Strings belong in `eqCols` (equality/IN counters only). */
+  private def refuseStringHist(df: DataFrame, table: String,
+      histCols: Seq[String]): Unit =
+    histCols.foreach { c =>
+      if (df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+        throw new IllegalArgumentException(
+          s"$table.$c is a string: equi-depth boundaries over the hashed " +
+            "counter domain would be meaningless — request it via eqCols " +
+            "(equality/IN counters) instead of histCols")
+    }
+
   def buildTableStats(s: SparkSession, root: String, table: String,
-      df: DataFrame, cols: Seq[String], histCols: Seq[String] = Nil): String = {
+      df: DataFrame, cols: Seq[String], histCols: Seq[String] = Nil,
+      eqCols: Seq[String] = Nil): String = {
+    refuseStringHist(df, table, histCols)
     val (ndv, n) = registersOf(s, df, cols)
-    val counters = histCounterRows(s, table, df, histCols)
+    val counters = histCounterRows(s, table, df, histCols ++ eqCols)
     val hist = histCols.flatMap { c =>
       boundariesFromCounts(table, c,
         counters.collect { case (_, cc, v, cnt) if cc == c => v -> cnt }.toMap)
@@ -783,11 +810,14 @@ object StatsStore {
     * base slice's files before appending — the merge cannot have
     * re-scanned what no longer exists. */
   def appendTableStats(s: SparkSession, root: String, table: String,
-      delta: DataFrame, cols: Seq[String], histCols: Seq[String] = Nil): String =
+      delta: DataFrame, cols: Seq[String], histCols: Seq[String] = Nil,
+      eqCols: Seq[String] = Nil): String =
     root.intern.synchronized {
+      refuseStringHist(delta, table, histCols)
+      val counterCols = histCols ++ eqCols
       val (dndv, dn) = registersOf(s, delta, cols)
       val dregs = dndv.toMap
-      val dCounters = histCounterRows(s, table, delta, histCols)
+      val dCounters = histCounterRows(s, table, delta, counterCols)
       casPublishStats(s, root) { b =>
         val untouched = b.ndv.filterNot { case (t, c, _) => t == table && dregs.contains(c) }
         val mine = cols.map { c =>
@@ -809,16 +839,16 @@ object StatsStore {
         // would silently produce a delta-only histogram beside a
         // base+delta row count — refuse loudly instead.
         val (histRows, cntRows) =
-          if (histCols.isEmpty) (b.hist, b.histCounts)
+          if (counterCols.isEmpty) (b.hist, b.histCounts)
           else {
-            histCols.foreach { c =>
+            counterCols.foreach { c =>
               if (b.rows.exists(_._1 == table) &&
                   !b.histCounts.exists(r => r._1 == table && r._2 == c))
                 throw new IllegalStateException(
-                  s"append with histCols=$c requires a counter-built base for $table — " +
-                    "build with histCols or re-analyze")
+                  s"append with histCols/eqCols=$c requires a counter-built base for $table — " +
+                    "build with the same counter coverage or re-analyze")
             }
-            val merged = histCols.map { c =>
+            val merged = counterCols.map { c =>
               val base = b.histCounts
                 .collect { case (t, cc, v, n) if t == table && cc == c => v -> n }.toMap
               val d = dCounters
@@ -826,10 +856,12 @@ object StatsStore {
               c -> (base.keySet ++ d.keySet).map(v =>
                 v -> (base.getOrElse(v, 0L) + d.getOrElse(v, 0L))).toMap
             }.toMap
-            val keepCnt = b.histCounts.filterNot(r => r._1 == table && histCols.contains(r._2))
+            val keepCnt = b.histCounts.filterNot(r => r._1 == table && counterCols.contains(r._2))
             val keepHist = b.hist.filterNot(r => r._1 == table && histCols.contains(r._2))
+            // boundaries re-derive ONLY for the orderable histCols; eqCols
+            // counters (hash-domain strings included) stay equality-only
             (keepHist ++ histCols.flatMap(c => boundariesFromCounts(table, c, merged(c))),
-              keepCnt ++ histCols.flatMap(c =>
+              keepCnt ++ counterCols.flatMap(c =>
                 merged(c).toSeq.sortBy(_._1).map { case (v, n) => (table, c, v, n) }))
           }
         // spans, fan-out (and any unmanaged table kinds) carry over
@@ -1402,6 +1434,39 @@ object StatsStore {
         .agg(count(lit(1)).as("n"), sum("v_cents").as("sum_cents"),
           countDistinct("user_id").as("n_users"))
         .orderBy("o_orderpriority")
+    },
+
+    // STRING-equality pricing from the md5 counter domain judged (round
+    // 16, the item-3 surface extended to the most common dim-filter type
+    // there is): `event_type = 'error'` selects ~20% of events, invisible
+    // to Spark's filter-blind estimate; the eqCols counter kind lowers
+    // strings to the engine's md5 60-bit key (the q230 bucketing
+    // arithmetic — a collision only MERGES masses, keeping the bound an
+    // upper bound) and the reorder prices the sliced dim at its exact
+    // mass, commuting it below the 6.4×-expanding full-events join at
+    // EVERY scale (the ratio is SF-invariant). Answer plan-independent;
+    // PlanAuditSpec pins the commute, the counter-less written order, and
+    // stored-counter == exact-count for every event_type.
+    "q316_string_counter_reorder" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.SketchStats.ensure(s)
+      val root = scratchRoot("graft_streq_consume")
+      buildTableStats(s, root, "events", Tables.events(s, dir),
+        Seq("user_id"), Nil, Seq("event_type"))
+      buildTableStats(s, root, "orders", Tables.orders(s, dir), Seq("o_custkey"))
+      s.conf.set(graft.plans.SketchStats.DirKey, root)
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"))
+      val err = Tables.events(s, dir)
+        .filter(col("event_type") === "error")
+        .select(col("user_id"),
+          expr("cast(floor(value * 100 + cast(0.5 as double)) as bigint)").as("v_cents"))
+      o.join(ev, col("o_custkey") === ev("user_id"))
+        .join(err, col("o_custkey") === err("user_id"))
+        .groupBy(ev("event_type"))
+        .agg(count(lit(1)).as("n"), sum("v_cents").as("sum_err_cents"),
+          countDistinct("o_orderkey").as("n_orders"))
+        .orderBy("event_type")
     },
 
     // Rotation at depth ≥ 2 judged (VERDICT r15 item 5): a THREE-deep
@@ -2009,6 +2074,17 @@ object StatsStore {
          | UNION ALL
          | SELECT 'gen2', 'events', 'ts', bucket, up_to, cum_cnt FROM f_f)
          |ORDER BY gen, bucket""".stripMargin,
+
+    "q316_string_counter_reorder" ->
+      """SELECT e.event_type, count(*) AS n,
+        | CAST(sum(CAST(floor(x.value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_err_cents,
+        | count(DISTINCT o.o_orderkey) AS n_orders
+        |FROM orders o
+        | JOIN events e ON o.o_custkey = e.user_id
+        | JOIN events x ON o.o_custkey = x.user_id
+        |WHERE x.event_type = 'error'
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
 
     "q313_counter_in_broadcast" ->
       """SELECT o.o_orderpriority, count(*) AS n,

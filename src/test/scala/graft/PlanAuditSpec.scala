@@ -1453,6 +1453,57 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(chain(s).count() === chain(sNeg).count(), "the commute changed the answer")
   }
 
+  test("q316: string-equality counters (md5 domain) price the sliced dim below the expansion") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    // round 16: strings lower to the md5 60-bit counter key — the stored
+    // mass for every event_type must EQUAL the exact count (the whole
+    // build→store→driver-side-hash pipeline in one assertion), and the
+    // reorder must commute the 'error'-sliced dim below the expanding
+    // full-events join only when the counters exist.
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    val root = queries.StatsStore.scratchRoot("graft_streq_pin")
+    queries.StatsStore.buildTableStats(s, root, "events",
+      Tables.events(s, dir), Seq("user_id"), Nil, Seq("event_type"))
+    queries.StatsStore.buildTableStats(s, root, "orders",
+      Tables.orders(s, dir), Seq("o_custkey"))
+    val counters = graft.plans.StatsCatalog.histCounts(s, root)(("events", "event_type"))
+    val exact = Tables.events(s, dir).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(counters.getOrElse(graft.plans.SketchStats.md5Key(t), 0L) == n,
+        s"stored md5-domain counter for '$t' diverged from the exact count")
+    }
+    s.conf.set(graft.plans.SketchStats.DirKey, root)
+    def chain(ss: org.apache.spark.sql.SparkSession) = {
+      val o = Tables.orders(ss, dir).select(col("o_orderkey"), col("o_custkey"))
+      val ev = Tables.events(ss, dir).select(col("user_id"), col("event_type"))
+      val err = Tables.events(ss, dir)
+        .filter(col("event_type") === "error")
+        .select(col("user_id"), col("value"))
+      o.join(ev, col("o_custkey") === ev("user_id"))
+        .join(err, col("o_custkey") === err("user_id"))
+    }
+    def bottomIsSlice(ss: org.apache.spark.sql.SparkSession): Boolean =
+      chain(ss).queryExecution.optimizedPlan.collect { case j: LJoin => j }
+        .last.right.output.exists(_.name == "value")
+    assert(bottomIsSlice(s),
+      "string counters did not commute the sliced dim below the expansion")
+    // same coverage WITHOUT the eqCols counters → written order
+    val sNeg = spark.newSession()
+    graft.plans.SketchStats.ensure(sNeg)
+    val rootNeg = queries.StatsStore.scratchRoot("graft_streq_neg")
+    queries.StatsStore.buildTableStats(sNeg, rootNeg, "events",
+      Tables.events(sNeg, dir), Seq("user_id"))
+    queries.StatsStore.buildTableStats(sNeg, rootNeg, "orders",
+      Tables.orders(sNeg, dir), Seq("o_custkey"))
+    sNeg.conf.set(graft.plans.SketchStats.DirKey, rootNeg)
+    assert(!bottomIsSlice(sNeg),
+      "without string counters the sliced dim should stay in written order")
+    assert(chain(s).count() === chain(sNeg).count(), "the commute changed the answer")
+  }
+
   test("q314: a 3-deep right-deep tower linearizes fully left-deep; a mid-tower hint freezes it") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LogicalPlan}
