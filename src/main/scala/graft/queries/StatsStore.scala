@@ -214,7 +214,18 @@ object StatsStore {
     * percentile). */
   private def spanStatsOf(table: String, df: DataFrame,
       loCol: String, hiCol: String): SpanRow = {
-    val r = df.select((col(hiCol) - col(loCol)).as("span")).filter(col("span") > 0)
+    // TIMESTAMP interval columns lower to epoch micros (round 16): the
+    // catalog serves Long units, and RangeJoinRewrite lowers its bound
+    // expressions to the SAME micros before consuming the width — so a
+    // ts-typed validity table analyzes without a hand unix_micros cast
+    def lowered(c: String) = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        expr(s"unix_micros(cast($c as timestamp))")
+      case _ => col(c)
+    }
+    val r = df.select((lowered(hiCol) - lowered(loCol)).as("span"))
+      .filter(col("span") > 0)
       .agg(expr("cast(percentile(span, 0.5) as bigint)").as("med_span"),
         max("span").as("max_span")).head()
     if (r.isNullAt(0) || r.isNullAt(1))

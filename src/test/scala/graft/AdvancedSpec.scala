@@ -40,7 +40,7 @@ class AdvancedSpec extends AnyFunSuite {
 
   test("q240's union form equals a physical parquet mergeSchema read over evolving snapshots") {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val base = queries.StatsStore.scratchDir("graft_evo")
     Seq((1L, "a", "1.0")).toDF("pkg_id", "name", "version")
       .write.parquet(s"$base/gen=0")
     Seq((2L, "b", "2.0", "x86_64")).toDF("pkg_id", "name", "version", "arch")
@@ -89,7 +89,7 @@ class AdvancedSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
     val spark0 = spark
-    val base = java.nio.file.Files.createTempDirectory("graft_ivm_stream").toString
+    val base = queries.StatsStore.scratchDir("graft_ivm_stream")
     val ev = Tables.events(spark0, SparkTestHarness.Sf0001)
       .select(col("user_id"), col("event_type"), col("event_id"))
     (0 until 3).foreach { i =>

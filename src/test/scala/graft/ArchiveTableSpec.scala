@@ -18,7 +18,7 @@ class ArchiveTableSpec extends AnyFunSuite {
   /** Three archives (tar, tar+gzip, zip) in a fresh temp dir. */
   private def writeFixtures(): String = {
     import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2").toString
+    val dir = queries.StatsStore.scratchDir("graft_dsv2")
     import spark.implicits._
     val rows = Seq(
       ("a.tar", "tar_archive(array('x.txt','y/z.txt'), array(encode('alpha','UTF-8'), encode('beta-beta','UTF-8')), 'none')"),

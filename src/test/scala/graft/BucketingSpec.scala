@@ -18,7 +18,7 @@ class BucketingSpec extends AnyFunSuite {
   private val dir = SparkTestHarness.Sf0001
 
   test("bucketed+sorted tables join with zero exchanges and match the plain join") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket_").toFile
+    val tmp = new java.io.File(queries.StatsStore.scratchDir("graft_bucket_"))
     val conf = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(conf)
     try {

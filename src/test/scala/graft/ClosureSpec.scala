@@ -51,7 +51,7 @@ class ClosureSpec extends AnyFunSuite {
     // (reflection — SparkContext has no public unset) so the rest of the
     // suite keeps exercising the localCheckpoint branch regardless of
     // suite execution order.
-    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val dir = queries.StatsStore.scratchDir("graft_ckpt")
     spark.sparkContext.setCheckpointDir(dir)
     assert(spark.sparkContext.getCheckpointDir.isDefined)
     var bodyError: Throwable = null

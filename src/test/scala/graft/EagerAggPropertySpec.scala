@@ -29,7 +29,7 @@ class EagerAggPropertySpec extends AnyFunSuite {
   private lazy val env: (org.apache.spark.sql.SparkSession, String) = {
     val s = spark.newSession()
     graft.plans.SketchStats.ensure(s)
-    val scratch = java.nio.file.Files.createTempDirectory("graft_eagerprop").toString
+    val scratch = queries.StatsStore.scratchDir("graft_eagerprop")
     import s.implicits._
     val rnd = new scala.util.Random(42)
     val fact = (0 until 2500).map { i =>

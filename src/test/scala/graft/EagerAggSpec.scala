@@ -36,7 +36,7 @@ class EagerAggSpec extends AnyFunSuite {
   private lazy val env: (org.apache.spark.sql.SparkSession, String, String) = {
     val s = spark.newSession()
     graft.plans.SketchStats.ensure(s)
-    val scratch = java.nio.file.Files.createTempDirectory("graft_eageragg").toString
+    val scratch = queries.StatsStore.scratchDir("graft_eageragg")
     import s.implicits._
     // fact: 2000 rows over 40 keys (~5% null keys), v = deterministic
     // ints, w nullable every 7th row
@@ -123,7 +123,7 @@ class EagerAggSpec extends AnyFunSuite {
     // honest; dangling pairs on both sides too.
     val s = spark.newSession()
     graft.plans.SketchStats.ensure(s)
-    val scratch = java.nio.file.Files.createTempDirectory("graft_eageragg_ck").toString
+    val scratch = queries.StatsStore.scratchDir("graft_eageragg_ck")
     import s.implicits._
     (0 until 2000).map(i => ((i % 20).toLong, (i % 4).toLong, (i * 31 % 97).toLong))
       .toDF("k1", "k2", "v").write.parquet(s"$scratch/factc")
@@ -167,7 +167,7 @@ class EagerAggSpec extends AnyFunSuite {
     // and the partial inserted below the bottom one.
     val s = spark.newSession()
     graft.plans.SketchStats.ensure(s)
-    val scratch = java.nio.file.Files.createTempDirectory("graft_eageragg_ch").toString
+    val scratch = queries.StatsStore.scratchDir("graft_eageragg_ch")
     import s.implicits._
     (0 until 2000).map(i => ((i % 40).toLong, (i * 31 % 97).toLong))
       .toDF("k", "v").write.parquet(s"$scratch/factd")
@@ -210,7 +210,7 @@ class EagerAggSpec extends AnyFunSuite {
     // keys and lands below the BOTTOM join.
     val s = spark.newSession()
     graft.plans.SketchStats.ensure(s)
-    val scratch = java.nio.file.Files.createTempDirectory("graft_eageragg_cc").toString
+    val scratch = queries.StatsStore.scratchDir("graft_eageragg_cc")
     import s.implicits._
     (0 until 2000).map(i => ((i % 20).toLong, (i % 4).toLong, (i * 31 % 97).toLong))
       .toDF("k1", "k2", "v").write.parquet(s"$scratch/factcc")
@@ -270,7 +270,7 @@ class EagerAggSpec extends AnyFunSuite {
     // (every intermediate here is a multiple of 2^53 — order-independent).
     val s = spark.newSession()
     graft.plans.SketchStats.ensure(s)
-    val scratch = java.nio.file.Files.createTempDirectory("graft_eageragg53").toString
+    val scratch = queries.StatsStore.scratchDir("graft_eageragg53")
     import s.implicits._
     val big = 9007199254740993L // 2^53 + 1
     (0 until 600).map(i => ((i % 10).toLong, big)).toDF("k3", "v3")
@@ -305,7 +305,7 @@ class EagerAggSpec extends AnyFunSuite {
     // makes both plans exact; null values at winning positions included.
     val s = spark.newSession()
     graft.plans.SketchStats.ensure(s)
-    val scratch = java.nio.file.Files.createTempDirectory("graft_eageragg_mb").toString
+    val scratch = queries.StatsStore.scratchDir("graft_eageragg_mb")
     import s.implicits._
     (0 until 2000).map { i =>
       val v = if (i % 7 == 0) None else Some((i * 31 % 97).toLong)

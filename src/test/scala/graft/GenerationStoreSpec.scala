@@ -12,7 +12,7 @@ class GenerationStoreSpec extends AnyFunSuite {
   private lazy val spark = SparkTestHarness.spark
 
   private def freshRoot(): String =
-    java.nio.file.Files.createTempDirectory("graft_genstore").toString + "/store"
+    queries.StatsStore.scratchDir("graft_genstore") + "/store"
 
   test("publish → latest; incomplete generations are invisible") {
     val root = freshRoot()
@@ -190,7 +190,7 @@ class GenerationStoreSpec extends AnyFunSuite {
     // files, and the merged numbers still equal a from-scratch build over
     // the full table (register max is a monoid — the merge is exact)
     val ev = Tables.events(spark, SparkTestHarness.Sf0001)
-    val scratch = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val scratch = queries.StatsStore.scratchDir("graft_incr")
     ev.filter(expr("event_id % 5 <> 0")).write.parquet(s"$scratch/events_base")
     val baseDf = spark.read.parquet(s"$scratch/events_base")
     val root = freshRoot()
@@ -223,7 +223,7 @@ class GenerationStoreSpec extends AnyFunSuite {
     // parquet copy DELETED between build and append, and the merged
     // histogram still equals a from-scratch build over the full table.
     val ev = Tables.events(spark, SparkTestHarness.Sf0001)
-    val scratch = java.nio.file.Files.createTempDirectory("graft_hist_incr").toString
+    val scratch = queries.StatsStore.scratchDir("graft_hist_incr")
     ev.filter(expr("event_id % 5 <> 0")).write.parquet(s"$scratch/events_base")
     val baseDf = spark.read.parquet(s"$scratch/events_base")
     val root = freshRoot()
@@ -261,8 +261,7 @@ class GenerationStoreSpec extends AnyFunSuite {
     // micros BEFORE the global boundary walk. Behavioral pin: the build
     // completes and every stored boundary IS a day-end value — proof the
     // window ran over the truncated domain, not the raw one.
-    val root = java.nio.file.Files.createTempDirectory("graft_hist_micros")
-      .toString + "/store"
+    val root = queries.StatsStore.scratchDir("graft_hist_micros") + "/store"
     queries.StatsStore.analyze(spark, SparkTestHarness.Sf0001, root,
       Nil, hist = Seq("events" -> Seq("ts")))
     val hist = spark.read.parquet(
@@ -291,8 +290,7 @@ class GenerationStoreSpec extends AnyFunSuite {
     val prev = queries.StatsStore.HistMaxDomain
     queries.StatsStore.HistMaxDomain = 100L
     try {
-      val root = java.nio.file.Files.createTempDirectory("graft_hist_hi")
-        .toString + "/store"
+      val root = queries.StatsStore.scratchDir("graft_hist_hi") + "/store"
       val e = intercept[IllegalArgumentException] {
         queries.StatsStore.analyze(spark, SparkTestHarness.Sf0001, root,
           Nil, hist = Seq("events" -> Seq("event_id")))

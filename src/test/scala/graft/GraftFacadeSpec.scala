@@ -246,7 +246,7 @@ class GraftFacadeSpec extends AnyFunSuite {
   }
 
   test("compact rewrites many small files into few, row-identically") {
-    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val out = queries.StatsStore.scratchDir("graft_compact") + "/t"
     val docs = Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
     docs.repartition(24).write.parquet(out)
     val want = docs.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
@@ -261,7 +261,7 @@ class GraftFacadeSpec extends AnyFunSuite {
   }
 
   test("compact self-heals crash residue and sortBy preserves clustered layout") {
-    val base = java.nio.file.Files.createTempDirectory("graft_compact2").toString
+    val base = queries.StatsStore.scratchDir("graft_compact2")
     val out = base + "/t"
     val docs = Tables.documents(spark, dir).select("doc_id", "lang")
     docs.repartition(16).write.parquet(out)

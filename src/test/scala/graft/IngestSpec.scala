@@ -73,7 +73,7 @@ class IngestSpec extends AnyFunSuite {
   }
 
   test("ingest roundtrip preserves records and partitions by distro/arch") {
-    val out = Files.createTempDirectory("graft_ingest").toString
+    val out = queries.StatsStore.scratchDir("graft_ingest")
     val loaded = Ingest.run(spark, dir, out)
     val src = Tables.packages(spark, dir)
     assert(loaded.count() === src.count())
@@ -86,7 +86,7 @@ class IngestSpec extends AnyFunSuite {
   }
 
   test("snapshot ingest: readers pin the latest snapshot, old ones prune away") {
-    val out = Files.createTempDirectory("graft_snap").toString
+    val out = queries.StatsStore.scratchDir("graft_snap")
     Ingest.runSnapshot(spark, dir, out, snapshotId = 1L)
     Ingest.runSnapshot(spark, dir, out, snapshotId = 2L)
     val latest = Ingest.latestSnapshot(spark, out)
@@ -100,7 +100,7 @@ class IngestSpec extends AnyFunSuite {
     // the judged q67 diffs in-plan views; this pins the physical leg: the
     // same frames written as snapshot=1/2 partitions and read back with
     // partition pruning are record-identical to the in-plan render→parse.
-    val out = Files.createTempDirectory("graft_snapdiff").toString
+    val out = queries.StatsStore.scratchDir("graft_snapdiff")
     val curr = queries.Resolution.snapshotCurr(spark, dir)
     val next = queries.Resolution.snapshotNext(spark, dir)
     Ingest.runSnapshotOf(curr, out, 1L)
@@ -120,7 +120,7 @@ class IngestSpec extends AnyFunSuite {
     // text → parse → snapshot=4 partition → pruned read-back), merges
     // incrementally, and time-travel reads return exactly the landed
     // snapshot for k=4 while older reads stay untouched.
-    val out = Files.createTempDirectory("graft_lifecycle").toString
+    val out = queries.StatsStore.scratchDir("graft_lifecycle")
     val hist = Graft.scd2History(queries.Packages.snapshots(spark, dir, 3), 3)
     val arrival = queries.Packages.snapshotK(spark, dir, 4)
       .join(Tables.packages(spark, dir).select("pkg_id", "arch", "size_mb"), "pkg_id")
@@ -137,7 +137,7 @@ class IngestSpec extends AnyFunSuite {
   }
 
   test("conditional refresh lands only when the index content changed") {
-    val out = java.nio.file.Files.createTempDirectory("graft_refresh").toString
+    val out = queries.StatsStore.scratchDir("graft_refresh")
     val pkgs = Tables.packages(spark, dir)
       .select("name", "version", "arch", "size_mb", "pkg_id")
     assert(Ingest.refreshIfChanged(pkgs, out, 0L), "first landing must write")
@@ -156,7 +156,7 @@ class IngestSpec extends AnyFunSuite {
   }
 
   test("snapshot expiry drops old partitions, keeps readers of the survivors intact") {
-    val out = java.nio.file.Files.createTempDirectory("graft_expire").toString
+    val out = queries.StatsStore.scratchDir("graft_expire")
     (0L to 3L).foreach(Ingest.runSnapshot(spark, dir, out, _))
     assert(Ingest.expireSnapshots(spark, out, keep = 2) === Seq(0L, 1L))
     val left = Ingest.latestSnapshot(spark, out)
@@ -172,7 +172,7 @@ class IngestSpec extends AnyFunSuite {
   test("streaming ingest: file-source readStream over the cache parses like batch") {
     // continuous-ingest form of the same parse contract: new index files
     // landing in the cache dir stream through parseIndex unchanged
-    val cache = java.nio.file.Files.createTempDirectory("graft_stream_cache").toString
+    val cache = queries.StatsStore.scratchDir("graft_stream_cache")
     Ingest.renderIndex(spark, dir).write.mode("overwrite").text(cache)
     val streamed = Ingest.parseIndex(
       spark.readStream.schema("value STRING").text(cache))
@@ -189,7 +189,7 @@ class IngestSpec extends AnyFunSuite {
   }
 
   test("arch filter prunes partitions at the scan") {
-    val out = Files.createTempDirectory("graft_ingest2").toString
+    val out = queries.StatsStore.scratchDir("graft_ingest2")
     val loaded = Ingest.run(spark, dir, out)
     val plan = loaded.filter(col("arch") === "x86_64")
       .queryExecution.executedPlan.toString

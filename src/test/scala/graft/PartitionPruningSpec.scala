@@ -13,7 +13,7 @@ class PartitionPruningSpec extends AnyFunSuite {
   private val dir = SparkTestHarness.Sf0001
 
   private def withPartitionedEvents[A](body: String => A): A = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toFile
+    val tmp = new java.io.File(queries.StatsStore.scratchDir("graft_part"))
     try {
       val path = new java.io.File(tmp, "ev").getAbsolutePath
       Tables.events(spark, dir)

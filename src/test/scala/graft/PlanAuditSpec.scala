@@ -719,7 +719,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // failure mode is now the DOCUMENTED conservative behavior, pinned)
     val sPart = spark.newSession()
     graft.plans.SketchStats.ensure(sPart)
-    val partial = java.nio.file.Files.createTempDirectory("graft_stats_partial").toString
+    val partial = queries.StatsStore.scratchDir("graft_stats_partial")
     import sPart.implicits._
     Seq(("orders", "o_orderkey", 15000L), ("lineitem", "l_orderkey", 14743L),
         ("orders", "o_custkey", 1500L))
@@ -759,8 +759,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // prices at full table size and written order survives
     val sNeg = spark.newSession()
     graft.plans.SketchStats.ensure(sNeg)
-    val noHist = java.nio.file.Files.createTempDirectory("graft_stats_nohist")
-      .toString + "/store"
+    val noHist = queries.StatsStore.scratchDir("graft_stats_nohist") + "/store"
     queries.StatsStore.analyze(sNeg, dir, noHist, queries.StatsStore.DefaultNdv)
     sNeg.conf.set(graft.plans.SketchStats.DirKey, noHist)
     val negBottom = bottomJoinRightTables(q(sNeg))
@@ -855,8 +854,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // delta) — no full-table analyze ever ran on this root.
     val s = spark.newSession()
     graft.plans.SketchStats.ensure(s)
-    val root = java.nio.file.Files.createTempDirectory("graft_hist_consume_pin")
-      .toString + "/store"
+    val root = queries.StatsStore.scratchDir("graft_hist_consume_pin") + "/store"
     val ev0 = Tables.events(s, dir)
     queries.StatsStore.buildTableStats(s, root, "events",
       ev0.filter(expr("event_id % 5 <> 0")), Seq("user_id"), Seq("ts"))
@@ -1280,7 +1278,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // must pick it up with no invalidate() call.
     val s2 = spark.newSession()
     graft.plans.SketchStats.ensure(s2)
-    val missing = java.nio.file.Files.createTempDirectory("graft_stats_missing").toString
+    val missing = queries.StatsStore.scratchDir("graft_stats_missing")
     s2.conf.set(graft.plans.SketchStats.DirKey, missing)
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
     def q() = {

@@ -194,6 +194,73 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     assert(j.collect().length == 2)
   }
 
+  test("TIMESTAMP interval columns analyze into the span catalog; planning runs ZERO jobs") {
+    // round 16: spanStatsOf lowers ts bounds to epoch micros — the same
+    // units RangeJoinRewrite lowers its bound expressions to — so a
+    // ts-typed validity table gets catalog-width planning without a hand
+    // unix_micros cast anywhere.
+    import org.apache.spark.sql.functions._
+    def countJobs(s: org.apache.spark.sql.SparkSession)(body: => Unit): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          { n.incrementAndGet(); () }
+      }
+      s.sparkContext.addSparkListener(l)
+      try { body; org.apache.spark.graftbridge.ListenerBridge.drain(s.sparkContext) }
+      finally s.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    val s = spark.newSession()
+    RangeJoinRewrite.ensure(s)
+    import s.implicits._
+    val scratch = queries.StatsStore.scratchDir("graft_ts_span")
+    // a ts-typed validity table with genuinely varying spans
+    Seq.tabulate(24)(i =>
+        (i, java.time.LocalDateTime.of(2024, 1, 1 + i, 0, 0),
+          java.time.LocalDateTime.of(2024, 1, 1 + i, 0, 0).plusHours(6 * (1 + i % 3))))
+      .toDF("vid", "vfrom", "vto")
+      .write.parquet(s"$scratch/validity.parquet")
+    val root = s"$scratch/stats"
+    queries.StatsStore.upsertIntervalTable(s, root, "validity",
+      s.read.parquet(s"$scratch/validity.parquet"), "vfrom", "vto")
+    s.conf.set(graft.plans.StatsCatalog.DirKey, root)
+    val span = graft.plans.StatsCatalog.spans(s, root).get(("validity", "vfrom", "vto"))
+    assert(span.contains((12L * 3600000000L, 18L * 3600000000L)),
+      s"ts spans not lowered to micros: $span")
+    val pts = Tables.events(s, SparkTestHarness.Sf0001)
+      .select(col("event_id"), expr("cast(ts as timestamp_ntz)").as("t"))
+    // the ts-typed table joined on BARE attributes (the shape the
+    // attribute-only catalog trace covers — a cast-wrapped bound would
+    // conservatively fall back to the probe)
+    Seq.tabulate(24)(i =>
+        (i, java.time.LocalDateTime.of(2024, 1, 1 + i, 0, 0),
+          java.time.LocalDateTime.of(2024, 1, 1 + i, 0, 0).plusHours(6 * (1 + i % 3))))
+      .toDF("vid", "vf", "vt")
+      .write.parquet(s"$scratch/validity2.parquet")
+    queries.StatsStore.upsertIntervalTable(s, root, "validity2",
+      s.read.parquet(s"$scratch/validity2.parquet"), "vf", "vt")
+    val gen2 = graft.plans.StatsCatalog.resolveBase(root)
+    graft.plans.StatsCatalog.spans(s, root) // warm the fresh generation
+    val iv2 = s.read.parquet(s"$gen2/validity2.parquet")
+    val j2 = pts.join(iv2, col("t") >= col("vf") && col("t") < col("vt"))
+    var planned2: String = null
+    val jobs2 = countJobs(s) { planned2 = j2.queryExecution.executedPlan.toString }
+    assert(planned2.contains("__rj_b"),
+      s"ts-typed bare-attribute range join did not rewrite:\n${planned2.take(1500)}")
+    assert(jobs2 == 0L,
+      s"planning ran $jobs2 job(s) — the ts interval side was probed despite catalog spans")
+    // and the rewritten join returns exactly the naive rows
+    val sN = spark.newSession()
+    val ivN = sN.read.parquet(s"$gen2/validity2.parquet")
+    val ptsN = Tables.events(sN, SparkTestHarness.Sf0001)
+      .select(col("event_id"), expr("cast(ts as timestamp_ntz)").as("t"))
+    val naive = ptsN.join(ivN, col("t") >= col("vf") && col("t") < col("vt"))
+      .select("event_id", "vid").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = j2.select("event_id", "vid").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == naive, "catalog-width ts rewrite changed the answer")
+  }
+
   test("a range join NESTED in the interval side completes (probe re-entrancy guard)") {
     // VERDICT r11 item 3: the derived-width probe executes a query during
     // apply(); when the interval side ITSELF contains a cross-side range

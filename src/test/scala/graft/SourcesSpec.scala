@@ -16,7 +16,7 @@ class SourcesSpec extends AnyFunSuite {
   private val dir = SparkTestHarness.Sf0001
 
   test("S7: CSV sink/source roundtrip preserves rows and schema") {
-    val out = Files.createTempDirectory("graft_csv").toString
+    val out = queries.StatsStore.scratchDir("graft_csv")
     val docs = Tables.documents(spark, dir).select("doc_id", "lang", "source", "n_chars")
     docs.write.mode("overwrite").option("header", "true").csv(out)
     val back = spark.read.option("header", "true")
@@ -32,7 +32,7 @@ class SourcesSpec extends AnyFunSuite {
     // generations; the read path must union the schemas instead of
     // failing or silently dropping the new column
     import spark.implicits._
-    val out = Files.createTempDirectory("graft_evolve").toString
+    val out = queries.StatsStore.scratchDir("graft_evolve")
     Seq((1L, "a1")).toDF("id", "a").write.parquet(s"$out/gen=1")
     Seq((2L, "a2", 20L)).toDF("id", "a", "b").write.parquet(s"$out/gen=2")
     val df = spark.read.option("mergeSchema", "true").parquet(out)
@@ -43,7 +43,7 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("S6+: ORC sink/source roundtrip with predicate pushdown") {
-    val out = Files.createTempDirectory("graft_orc").toString
+    val out = queries.StatsStore.scratchDir("graft_orc")
     val docs = Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
     docs.write.mode("overwrite").orc(out)
     val back = spark.read.orc(out)
@@ -57,7 +57,7 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("S5: JSON sink/source roundtrip + from_json extraction") {
-    val out = Files.createTempDirectory("graft_json").toString
+    val out = queries.StatsStore.scratchDir("graft_json")
     Tables.events(spark, dir).select("event_id", "event_type", "props")
       .write.mode("overwrite").json(out)
     val back = spark.read.json(out)
@@ -83,7 +83,7 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("S4: blank-line-separated multi-line stanzas via lineSep") {
-    val out = Files.createTempDirectory("graft_apk").toString
+    val out = queries.StatsStore.scratchDir("graft_apk")
     // faithful APKINDEX shape: multi-line K:V stanza per package,
     // blank-line separated
     Tables.packages(spark, dir)
@@ -103,7 +103,7 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("S4: text-source APKINDEX-style stanza parsing") {
-    val out = Files.createTempDirectory("graft_idx").toString
+    val out = queries.StatsStore.scratchDir("graft_idx")
     // render an index file from the packages view, then re-ingest via text
     Tables.packages(spark, dir)
       .select(concat(lit("P:"), col("name"), lit("|V:"), col("version")).as("value"))

@@ -48,7 +48,7 @@ class StreamingSpec extends AnyFunSuite {
     // run over a streaming text source (continuous index refresh) and the
     // batch path. Render once to disk, then stream it back through
     // Ingest.parseIndex and compare to the batch parse of the same files.
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_ingest").toString
+    val out = queries.StatsStore.scratchDir("graft_stream_ingest")
     Ingest.renderIndex(spark, dir).write.mode("overwrite").text(out)
     val streamed = Ingest.parseIndex(spark.readStream.format("text")
       .schema("value STRING").load(out))
@@ -101,7 +101,7 @@ class StreamingSpec extends AnyFunSuite {
     // so the second data batch is what actually flushes the tail
     // (AvailableNow terminates without a final no-data micro-batch).
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tmp = Files.createTempDirectory("graft_outer_ss").toString
+    val tmp = queries.StatsStore.scratchDir("graft_outer_ss")
     Files.copy(Paths.get(s"$dir/events.parquet"),
       Paths.get(s"$tmp/a_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -194,7 +194,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("foreachBatch sink: streamed micro-batches append to parquet == batch") {
-    val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val out = queries.StatsStore.scratchDir("graft_fb")
     val q = EventStreams.hourlyTypeCounts(EventStreams.readEventStream(spark, dir))
       .writeStream
       .outputMode("complete")
@@ -277,7 +277,7 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming sketch parity: HLL and HDR registers byte-equal batch across >=3 micro-batches") {
     import org.apache.spark.sql.functions._
     // split the fixture into 3 files; maxFilesPerTrigger=1 => 3 micro-batches
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sketch_stream").toString
+    val tmp = queries.StatsStore.scratchDir("graft_sketch_stream")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.withColumn("part", pmod(col("event_id"), lit(3)).cast("int"))

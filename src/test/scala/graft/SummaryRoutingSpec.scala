@@ -18,7 +18,7 @@ class SummaryRoutingSpec extends AnyFunSuite {
 
   private def withSummary[A](body: (String, String) => A): A = {
     SummaryRouting.clear(spark)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_mv").toFile
+    val tmp = new java.io.File(queries.StatsStore.scratchDir("graft_mv"))
     val basePath = s"$dir/events.parquet"
     try {
       val sumPath = new java.io.File(tmp, "summary").getAbsolutePath
