@@ -1726,6 +1726,34 @@ object StatsStore {
       val ex = Tables.embeddings(sPos, dir)
         .select(col("vec_id"), explode(col("embedding")).as("x"))
       planned(Tables.orders(sPos, dir).join(ex, col("o_custkey") === col("vec_id")))
+      // 10. the MV family (round 16): a registered summary routes the
+      //     covered aggregate (fired: routed) and refuses the filtered one
+      //     (bailed: non-bare-base — a total rollup cannot answer it);
+      //     registered LAST so none of the earlier shapes see the rule
+      val mvDir = scratchDir("graft_diag_mv")
+      val basePath = s"$dir/events.parquet"
+      sPos.read.parquet(basePath).groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("user_id").as("sum_uid"))
+        .write.mode("overwrite").parquet(s"$mvDir/summary")
+      graft.plans.SummaryRouting.register(sPos, "events.parquet",
+        sPos.read.parquet(s"$mvDir/summary"), Seq("event_type"),
+        Some("cnt"), Map("user_id" -> "sum_uid"))
+      try {
+        planned(sPos.read.parquet(basePath).groupBy("event_type")
+          .agg(count(lit(1)).as("n")))
+        planned(sPos.read.parquet(basePath).filter(col("user_id") > 5)
+          .groupBy("event_type").agg(count(lit(1)).as("n")))
+      } finally graft.plans.SummaryRouting.clear(sPos)
+      // 11. the join-elimination near-miss (round 16): the distinct-key
+      //     left join whose right column is still referenced — the one
+      //     reason a "just in case" join stays that no native rule reports
+      //     (the CLEAN shape is eliminated by Spark 4.1's own optimizer
+      //     before the backstop rule sees it, so only the near-miss records)
+      graft.plans.JoinElimination.ensure(sPos)
+      val liJ = Tables.lineitem(sPos, dir)
+      val dimJ = Tables.orders(sPos, dir).select(col("o_orderkey")).distinct()
+      planned(liJ.join(dimJ, liJ("l_orderkey") === dimJ("o_orderkey"), "left")
+        .select(col("l_returnflag"), col("o_orderkey")))
       val pos = graft.plans.RuleDiag.records(sPos)
       graft.plans.RuleDiag.clear(sPos)
       // ---- negative session: diagnostics on, NO stats root — the q274
@@ -1958,12 +1986,15 @@ object StatsStore {
         | ('pos', 'eager-agg', 'fired', 'partial-pushdown', 1),
         | ('pos', 'fanout-veto', 'bailed', 'uncovered-column', 1),
         | ('pos', 'fanout-veto', 'fired', 'corrected-over-threshold', 1),
+        | ('pos', 'join-elimination', 'bailed', 'right-side-referenced', 1),
         | ('pos', 'range-join', 'bailed', 'equi-exists', 1),
         | ('pos', 'range-join', 'bailed', 'preserved-interval-side', 1),
         | ('pos', 'range-join', 'fired', 'catalog-width', 1),
         | ('pos', 'reorder', 'bailed', 'below-margin', 1),
         | ('pos', 'reorder', 'fired', 'bubble-swap', 1),
-        | ('pos', 'reorder', 'fired', 'rotation', 1)
+        | ('pos', 'reorder', 'fired', 'rotation', 1),
+        | ('pos', 'summary-routing', 'bailed', 'non-bare-base', 1),
+        | ('pos', 'summary-routing', 'fired', 'routed', 1)
         |) t(phase, rule, decision, reason, n_plans)
         |ORDER BY phase, rule, decision, reason""".stripMargin,
 

@@ -1565,10 +1565,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // (a LocalRelation) must never schedule a Spark job.
     val rows = SparkEntry.queries("q311_optimizer_diagnostics")(spark, dir)
       .collect().map(r => (r.getString(1), r.getString(2))).toSet
-    for (fam <- Seq("broadcast-flip", "reorder", "eager-agg", "fanout-veto", "range-join")) {
+    for (fam <- Seq("broadcast-flip", "reorder", "eager-agg", "fanout-veto",
+        "range-join", "summary-routing")) {
       assert(rows.contains((fam, "fired")), s"$fam recorded no fired decision: $rows")
       assert(rows.contains((fam, "bailed")), s"$fam recorded no bailed decision: $rows")
     }
+    // join-elimination records only its near-miss: Spark 4.1's native
+    // optimizer eliminates the clean shapes before the backstop rule runs
+    assert(rows.contains(("join-elimination", "bailed")),
+      s"join-elimination recorded no near-miss: $rows")
     // zero-job read: plan one diag-enabled shape, then collect the frame
     def countJobs(s: org.apache.spark.sql.SparkSession)(body: => Unit): Long = {
       val n = new java.util.concurrent.atomic.AtomicLong()
