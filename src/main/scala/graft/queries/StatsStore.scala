@@ -1480,6 +1480,28 @@ object StatsStore {
         .orderBy("event_type")
     },
 
+    // The string-counter TABLE itself judged (q316's store-content twin,
+    // the q305 discipline): every persisted (md5-key, count) row for
+    // events.event_type — built through the eqCols lifecycle, then
+    // APPENDED (the addition monoid over the hashed domain) — re-derived
+    // by the oracle from raw strings through the identical
+    // '0x'||substr(md5(x),1,15) arithmetic. One wrong hash or merged
+    // count anywhere breaks the hash; the spec twin proves the planner
+    // consumes these exact rows (q316's pin).
+    "q317_string_counter_stats" -> { (s, dir) =>
+      val root = scratchRoot("graft_streq_stats")
+      val ev = Tables.events(s, dir)
+      buildTableStats(s, root, "events", ev.filter(expr("event_id % 5 <> 0")),
+        Seq("user_id"), Nil, Seq("event_type"))
+      appendTableStats(s, root, "events", ev.filter(expr("event_id % 5 = 0")),
+        Seq("user_id"), Nil, Seq("event_type"))
+      def gen(id: Long) =
+        s.read.parquet(s"${graft.IndexStore.genPath(root, id)}/column_hist_counts")
+          .select(lit(s"gen$id").as("gen"), col("tbl"), col("col"),
+            col("v").as("key"), col("cnt"))
+      gen(1L).unionByName(gen(2L)).orderBy("gen", "key")
+    },
+
     // Rotation at depth ≥ 2 judged (VERDICT r15 item 5): a THREE-deep
     // right-deep tower `nation ⋈ (customer ⋈ (orders ⋈ 4×-expanding
     // lineitem))` — the shape SQL-text FROM lists produce — linearizes
@@ -2116,6 +2138,20 @@ object StatsStore {
          | UNION ALL
          | SELECT 'gen2', 'events', 'ts', bucket, up_to, cum_cnt FROM f_f)
          |ORDER BY gen, bucket""".stripMargin,
+
+    "q317_string_counter_stats" ->
+      """WITH k AS (
+        | SELECT CAST(('0x' || substr(md5(event_type), 1, 15)) AS BIGINT) AS key,
+        |  event_id
+        | FROM events)
+        |SELECT gen, tbl, col, key, cnt FROM (
+        | SELECT 'gen1' AS gen, 'events' AS tbl, 'event_type' AS col, key,
+        |  count(*) AS cnt
+        | FROM k WHERE event_id % 5 <> 0 GROUP BY key
+        | UNION ALL
+        | SELECT 'gen2', 'events', 'event_type', key, count(*)
+        | FROM k GROUP BY key)
+        |ORDER BY gen, key""".stripMargin,
 
     "q316_string_counter_reorder" ->
       """SELECT e.event_type, count(*) AS n,
