@@ -71,14 +71,20 @@ object Bench {
         jobs.incrementAndGet()
     })
     val jobCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
+    // per-(query, pass) STORE-BUILD seconds (VERDICT r16 item 6): the
+    // lifecycle-class queries build scratch stores inside their timed
+    // bodies because the lifecycle IS the judged subject; the meter
+    // separates that cost so the artifact's totals read net of builds
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        name: String = ""): Double = {
+        name: String = ""): (Double, Double) = {
       if (name.nonEmpty) // flush the PREVIOUS query's late events off the bus
         org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+      LifecycleMeter.drainSec() // discard accrual outside any timed span
       val j0 = jobs.get()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val t = (System.nanoTime() - t0) / 1e9
+      val build = LifecycleMeter.drainSec()
       if (name.nonEmpty) {
         // onJobStart delivers asynchronously on the listener bus — drain
         // before sampling so a late event never attributes one query's job
@@ -86,7 +92,7 @@ object Bench {
         org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
         jobCounts(name) = jobs.get() - j0
       }
-      t
+      (t, build)
     }
     // THREE full-suite passes (r8 ADVICE): pass 1 is the cold pass (frame
     // builds, shuffle-file materialization, JIT tiers) and is expected to
@@ -99,9 +105,20 @@ object Bench {
     // index publishes, store writes — inflating the count)
     val pass2 = names.map { case (n, fn) => n -> once(fn, n) }
     val pass3 = names.map { case (n, fn) => n -> once(fn) }
-    val p2m = pass2.toMap
-    val p3m = pass3.toMap
-    val results = pass1.map { case (n, t1) => n -> math.min(t1, math.min(p2m(n), p3m(n))) }
+    val p2m = pass2.map { case (n, (t, _)) => n -> t }.toMap
+    val p3m = pass3.map { case (n, (t, _)) => n -> t }.toMap
+    val b1m = pass1.map { case (n, (_, b)) => n -> b }.toMap
+    val b2m = pass2.map { case (n, (_, b)) => n -> b }.toMap
+    val b3m = pass3.map { case (n, (_, b)) => n -> b }.toMap
+    val results = pass1.map { case (n, (t1, _)) =>
+      n -> math.min(t1, math.min(p2m(n), p3m(n))) }
+    // build seconds INSIDE the pass each query's headline min came from —
+    // so lifecycle_builds_sec is exactly the store-build share of `total`
+    val buildsAtMin = pass1.map { case (n, (t1, b1)) =>
+      val picks = Seq((t1, b1), (p2m(n), b2m(n)), (p3m(n), b3m(n)))
+      n -> picks.minBy(_._1)._2
+    }.toMap
+    val lifecycleBuilds = buildsAtMin.values.sum
     // The driver records only the LAST 2000 chars of output and parses the
     // JSON line out of that tail: with 81 queries the full-name map is
     // ~2.6 KB, so every recorded BENCH_r*.json so far has parsed:null.
@@ -119,19 +136,25 @@ object Bench {
       .map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val t1 = pass1.map(_._2).sum
-    val t2 = pass2.map(_._2).sum
-    val t3 = pass3.map(_._2).sum
+    val t1 = pass1.map(_._2._1).sum
+    val t2 = pass2.map(_._2._1).sum
+    val t3 = pass3.map(_._2._1).sum
     // Per-query pass1/pass2 to a side file (VERDICT r7 item 8): the stdout
     // JSON line must stay inside the driver's 2000-char tail capture, so
     // the per-query load diagnosis (which pass was contaminated, for which
     // query) lands next to the repo's BENCH_r*.json artifacts instead.
-    val p1m = pass1.toMap
+    val p1m = pass1.map { case (n, (t, _)) => n -> t }.toMap
     val detail = names.map { case (n, _) =>
       s"\"$n\":[${f3(p1m(n))},${f3(p2m(n))},${f3(p3m(n))}]"
     }.mkString("{", ",", "}")
+    // store-build seconds per query per pass — only queries that metered
+    // any build appear (the lifecycle class), keeping the file readable
+    val buildDetail = names.collect {
+      case (n, _) if b1m(n) + b2m(n) + b3m(n) > 0.0005 =>
+        s"\"$n\":[${f3(b1m(n))},${f3(b2m(n))},${f3(b3m(n))}]"
+    }.mkString("{", ",", "}")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_passes.json"),
-      s"""{"sf":"$sfDir","passes":$detail}""".getBytes("UTF-8"))
+      s"""{"sf":"$sfDir","passes":$detail,"store_builds":$buildDetail}""".getBytes("UTF-8"))
     catch { case _: Throwable => () } // diagnostics must never fail the bench
     // Per-round wall ms for every iterative-operator invocation across the
     // 3 passes (VERDICT r9 item 8): the driver-barrier floor of the
@@ -158,6 +181,6 @@ object Bench {
     // stop BEFORE the JSON line: the driver parses the tail's final line,
     // and session shutdown must not append anything after it
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"pass1_total":${f3(t1)},"pass2_total":${f3(t2)},"pass3_total":${f3(t3)},"cold_builds_sec":${f3(coldBuildsSec)},"prebuild_failed":$prebuildFailed,"load_suspect":$loadSuspect,"queries":$qs,"queries_note":"top-25 by time; full map in bench_passes.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"pass1_total":${f3(t1)},"pass2_total":${f3(t2)},"pass3_total":${f3(t3)},"cold_builds_sec":${f3(coldBuildsSec)},"lifecycle_builds_sec":${f3(lifecycleBuilds)},"prebuild_failed":$prebuildFailed,"load_suspect":$loadSuspect,"queries":$qs,"queries_note":"top-25 by time; full map in bench_passes.json","sf":"$sfDir"}""")
   }
 }

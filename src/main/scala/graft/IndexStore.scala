@@ -94,7 +94,11 @@ object IndexStore {
     * directory and must leave a complete store in it. Returns the
     * published generation's path. Serialized per root within the JVM. */
   def publish(root: String, keep: Int = 2)(write: String => Unit): String =
-    lockFor(root).synchronized {
+    // store-build seconds are metered (VERDICT r16 item 6): lifecycle-class
+    // judged queries publish scratch generations inside their timed bodies,
+    // and Bench reports the build/consume split per query. Nesting-safe —
+    // a query-level meter span subsumes this one.
+    LifecycleMeter.time { lockFor(root).synchronized {
       Files.createDirectories(Paths.get(root))
       var id = latestGen(root).getOrElse(0L) + 1
       val nonce = java.util.UUID.randomUUID().toString.take(8)
@@ -127,7 +131,7 @@ object IndexStore {
       retain(root, keep)
       resolved.put(root, target.toString)
       target.toString
-    }
+    } }
 
   /** Delete every complete generation older than the newest `keep`.
     * Staging directories and the pinned window are never touched. */

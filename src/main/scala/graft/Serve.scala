@@ -34,6 +34,7 @@ object Serve {
   final case class Running(server: HttpServer, port: Int,
       exec: java.util.concurrent.ExecutorService) {
     def url: String = s"http://127.0.0.1:$port/query"
+    def diagUrl: String = s"http://127.0.0.1:$port/diag"
     def stop(): Unit = { server.stop(0); exec.shutdown() }
   }
 
@@ -77,6 +78,26 @@ object Serve {
             exchange.sendResponseHeaders(400, bytes.length.toLong)
             exchange.getResponseBody.write(bytes)
         }
+      } finally exchange.close()
+    })
+    // optimizer diagnostics over the wire (VERDICT r16 item 8): the
+    // operator asking "why didn't my join flip" is talking to THIS
+    // endpoint, not to Scala. GET /diag returns the serving session's
+    // RuleDiag buffer as JSONL — serialized entirely driver-side from the
+    // in-memory records, so the read schedules zero Spark jobs and can
+    // never perturb the plans it explains. Recording still requires
+    // `spark.graft.diag.enabled` on the serving session (the usual opt-in);
+    // an unenabled session answers with an empty body.
+    server.createContext("/diag", { exchange =>
+      try {
+        val rows = graft.plans.RuleDiag.records(spark).map { case (r, d, re, n) =>
+          s"""{"rule":${jsonQuote(r)},"decision":${jsonQuote(d)},""" +
+            s""""reason":${jsonQuote(re)},"n_plans":$n}"""
+        }
+        val bytes = (rows.mkString("\n") + "\n").getBytes("UTF-8")
+        exchange.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+        exchange.sendResponseHeaders(200, bytes.length.toLong)
+        exchange.getResponseBody.write(bytes)
       } finally exchange.close()
     })
     server.start()

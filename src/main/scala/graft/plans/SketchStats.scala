@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.AttributeReference
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -87,6 +87,22 @@ object SketchStats {
     case _ => None
   }
 
+  /** Join types the flip prices, and which sides may BUILD (be broadcast)
+    * under each (VERDICT r16 item 1 — `fact LEFT JOIN dim` is the most
+    * common warehouse shape and was invisible to every consumer): the
+    * build side must be the NON-PRESERVED one — only the stream side
+    * preserves rows, so broadcasting the other side is exactly as sound as
+    * the inner flip. Broadcasting a PRESERVED side is not a hash-join
+    * shape at all (Spark would have to fall back to a nested loop to honor
+    * the hint), so those sides are never candidates — and when the priced
+    * side turns out to be the preserved one, the diagnostics say so. */
+  private[plans] def buildableSides(jt: JoinType): (Boolean, Boolean) = jt match {
+    case Inner => (true, true)
+    case LeftOuter => (false, true) // left rows preserved: build right only
+    case RightOuter => (true, false)
+    case _ => (false, false)
+  }
+
   final case class BroadcastFromSketchStats() extends Rule[LogicalPlan] {
     private val RuleTag = "broadcast-flip"
 
@@ -94,7 +110,7 @@ object SketchStats {
       val dir = conf.getConfString(DirKey, "")
       val diag = conf.getConfString(RuleDiag.EnabledKey, "false").toBoolean
       def bailAll(reason: String): Unit = if (diag) plan.foreach {
-        case j @ Join(_, _, Inner, _, JoinHint.NONE) =>
+        case j @ Join(_, _, Inner | LeftOuter | RightOuter, _, JoinHint.NONE) =>
           RuleDiag.record(RuleTag, "bailed", reason, j)
         case _ => ()
       }
@@ -109,9 +125,10 @@ object SketchStats {
         val rows = StatsCatalog.rows(spark, dir)
         val hist = StatsCatalog.hist(spark, dir)
         val cnts = StatsCatalog.histCounts(spark, dir)
+        val bytes = StatsCatalog.srcBytes(spark, dir)
         if (stats.isEmpty) { bailAll("empty-catalog"); plan }
         else plan.transformUp {
-          case j @ Join(l, r, Inner, _, JoinHint.NONE) =>
+          case j @ Join(l, r, jt @ (Inner | LeftOuter | RightOuter), _, JoinHint.NONE) =>
             val threshold = conf.autoBroadcastJoinThreshold
             // Safety margin (ADVICE r11): the "sound" ∏NDV row bound rides
             // on two estimates that can individually under-shoot — HLL NDV
@@ -130,12 +147,14 @@ object SketchStats {
             // tagged bounds so the diagnostics name WHICH pricer fired
             def bounds(p: LogicalPlan): Seq[(String, Long, Int)] =
               groupedRowBound(p, stats).map { case (n, w) => ("grouped-dim", n, w) }.toSeq ++
-                histFilteredScanBound(p, rows, hist, cnts).map(n =>
+                histFilteredScanBound(p, rows, hist, cnts, bytes).map(n =>
                   ("hist-scan", n, p.output.map(_.dataType.defaultSize).sum + 16)).toSeq
             def small(p: LogicalPlan): Option[String] =
               bounds(p).collectFirst { case (tag, n, w) if fits(n, w) => tag }
+            val (canLeft, canRight) = buildableSides(jt)
             val bc = Some(HintInfo(strategy = Some(BROADCAST)))
-            (small(r), small(l)) match {
+            (if (canRight) small(r) else None,
+              if (canLeft) small(l) else None) match {
               case (Some(tag), _) =>
                 if (diag) RuleDiag.record(RuleTag, "fired", tag, j)
                 j.copy(hint = JoinHint(None, bc))
@@ -145,7 +164,13 @@ object SketchStats {
               case _ =>
                 if (diag)
                   RuleDiag.record(RuleTag, "bailed",
-                    if (bounds(l).nonEmpty || bounds(r).nonEmpty) "over-threshold"
+                    // an outer join whose only SMALL side is the preserved
+                    // one: sound to price, unsound to build — the reason an
+                    // operator needs to hear is "restate the join, not the
+                    // stats" (VERDICT r16 item 1)
+                    if ((!canRight && small(r).nonEmpty) ||
+                        (!canLeft && small(l).nonEmpty)) "preserved-side"
+                    else if (bounds(l).nonEmpty || bounds(r).nonEmpty) "over-threshold"
                     else "unpriced", j)
                 j
             }
@@ -270,6 +295,48 @@ object SketchStats {
     case _ => x
   }
 
+  /** The cents lowering for DOUBLE/FLOAT/DECIMAL columns — byte-identical
+    * to the builder's `cast(floor(cast(c as double) * 100 + 0.5) as
+    * bigint)` (Spark's floor(double) is java.lang.Math.floor with a Long
+    * result). Monotone non-decreasing, so lowering BOTH the column (at
+    * build) and the comparison literal (here) preserves every range
+    * containment the bounds need: v ≥ x ⟹ cents(v) ≥ cents(x) and
+    * v ≤ x ⟹ cents(v) ≤ cents(x) — the lowered selected set is a subset
+    * of what the lowered cut counts, so every histogram bound stays an
+    * upper bound; equality keys can only MERGE masses (two raw values on
+    * one cent), the same direction as the md5 and day lowerings. */
+  private[plans] def centsOf(d: Double): Long = math.floor(d * 100 + 0.5).toLong
+
+  /** A foldable literal as a Double — the cents lowering's input. */
+  private[plans] def litDouble(
+      l: org.apache.spark.sql.catalyst.expressions.Expression): Option[Double] =
+    l.eval(null) match {
+      case d: java.lang.Double => Some(d.doubleValue)
+      case f: java.lang.Float => Some(f.doubleValue)
+      case dec: org.apache.spark.sql.types.Decimal => Some(dec.toDouble)
+      case i: java.lang.Integer => Some(i.doubleValue)
+      case lo: java.lang.Long => Some(lo.doubleValue)
+      case s: java.lang.Short => Some(s.doubleValue)
+      case b: java.lang.Byte => Some(b.doubleValue)
+      case _ => None
+    }
+
+  /** Range-cut literal in column `a`'s HISTOGRAM domain: cents for
+    * double/float/decimal columns, the raw Long domain otherwise
+    * (timestamp literals are already Catalyst micros, compared directly
+    * against the day-END boundaries — the q298 argument needs no literal
+    * lowering there). */
+  private[plans] def litRangeKey(
+      a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+      l: org.apache.spark.sql.catalyst.expressions.Expression): Option[Long] =
+    a.dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType |
+           _: org.apache.spark.sql.types.DecimalType =>
+        litDouble(l).map(centsOf)
+      case _ => litLong(l)
+    }
+
   /** The md5 60-bit string key — byte-identical to the builder's
     * `conv(substr(md5(col), 1, 15), 16, 10)` lowering (and to the q230
     * HLL bucketing arithmetic), computed driver-side for a literal. */
@@ -293,6 +360,10 @@ object SketchStats {
         case s: String => Some(md5Key(s))
         case _ => None
       }
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType |
+           _: org.apache.spark.sql.types.DecimalType =>
+        litDouble(l).map(centsOf)
       case _ => litLong(l).map(counterKey(a, _))
     }
 
@@ -308,8 +379,28 @@ object SketchStats {
           case _ => None
         }
         if (xs.exists(_.isEmpty)) None else Some(xs.flatten)
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType |
+           _: org.apache.spark.sql.types.DecimalType =>
+        val xs = hset.toSeq.map {
+          case d: java.lang.Double => Some(centsOf(d.doubleValue))
+          case f: java.lang.Float => Some(centsOf(f.doubleValue))
+          case dec: org.apache.spark.sql.types.Decimal => Some(centsOf(dec.toDouble))
+          case i: java.lang.Integer => Some(centsOf(i.doubleValue))
+          case lo: java.lang.Long => Some(centsOf(lo.doubleValue))
+          case _ => None
+        }
+        if (xs.exists(_.isEmpty)) None else Some(xs.flatten)
       case _ => litSetLongs(hset).map(_.map(counterKey(a, _)))
     }
+
+  /** Staleness slack on the counter freshness guard: the scan's current
+    * file bytes may exceed the bytes the stats writer observed by up to
+    * 25% (rewrite/compaction jitter, footer-size drift) before counter
+    * equality pricing refuses. Any growth past it means rows the counters
+    * never saw. */
+  private[plans] val SrcBytesSlackNum = 5L
+  private[plans] val SrcBytesSlackDen = 4L
 
   /** Exact-mass UPPER bound on `a = x` / `a IN (xs)` from the persisted
     * per-value counters (VERDICT r15 item 3): counter[key] counts every
@@ -317,16 +408,32 @@ object SketchStats {
     * raw integral domains that IS the equality mass; for day-lowered
     * timestamps it is the whole day's mass, still an upper bound on any
     * single micros value. An absent key is zero rows (the counter build
-    * covers every non-null value, and equality never matches null).
-    * Returns (selected mass, counted total) when the column has
-    * counters. */
+    * covers every non-null value, and equality never matches null) —
+    * which is exactly why the pricing carries a FRESHNESS GUARD (VERDICT
+    * r16 item 2): absent-key-is-zero is the one estimate in the subsystem
+    * that falls BELOW truth when the raw table gained rows the counters
+    * never saw, so the guard compares the scan's CURRENT file bytes
+    * against the bytes the stats writer recorded (`table_src_bytes`) and
+    * refuses — falling back to NDV/unpriced — past the documented slack.
+    * A counter table with NO recorded bytes also refuses: a snapshot
+    * whose freshness cannot be checked must not serve the subsystem's
+    * sharpest claim. Returns (selected mass, counted total) when the
+    * column has fresh counters. */
   private[plans] def counterMass(p: LogicalPlan,
       a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
       keys: Seq[Long],
-      cnts: Map[(String, String), Map[Long, Long]]): Option[(Long, Long)] =
+      cnts: Map[(String, String), Map[Long, Long]],
+      bytes: Map[String, Long]): Option[(Long, Long)] =
     p.collect { case lr: LogicalRelation => lr }.iterator.flatMap { lr =>
-      lr.output.find(_.exprId == a.exprId).flatMap(sa =>
-        StatsCatalog.tableOf(lr).flatMap(t => cnts.get((t, sa.name))))
+      lr.output.find(_.exprId == a.exprId).flatMap { sa =>
+        StatsCatalog.tableOf(lr).flatMap { t =>
+          cnts.get((t, sa.name)).filter { _ =>
+            bytes.get(t).exists(b =>
+              BigInt(lr.relation.sizeInBytes) * SrcBytesSlackDen <=
+                BigInt(b) * SrcBytesSlackNum)
+          }
+        }
+      }
     }.nextOption().map { m =>
       val total = m.values.sum
       val sel = keys.distinct.map(k => m.getOrElse(k, 0L)).sum
@@ -350,7 +457,8 @@ object SketchStats {
   private[graft] def histFilteredScanBound(p: LogicalPlan,
       rows: Map[String, Long],
       hist: Map[(String, String), IndexedSeq[(Long, Long)]],
-      cnts: Map[(String, String), Map[Long, Long]] = Map.empty): Option[Long] = {
+      cnts: Map[(String, String), Map[Long, Long]] = Map.empty,
+      bytes: Map[String, Long] = Map.empty): Option[Long] = {
     import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual}
     def conj(e: Expression): Seq[Expression] = e match {
       case And(a, b) => conj(a) ++ conj(b)
@@ -363,7 +471,7 @@ object SketchStats {
       case _ => Nil
     }
     def cut(a: AttributeReference, l: Expression, lower: Boolean): Option[(Long, Long)] =
-      (histOf(p, a, hist), litLong(l)) match {
+      (histOf(p, a, hist), litRangeKey(a, l)) match {
         case (Some(hs), Some(x)) if hs.nonEmpty => Some((rangeSelUB(hs, x, lower), hs.last._2))
         case _ => None
       }
@@ -375,7 +483,7 @@ object SketchStats {
     def eqCut(a: AttributeReference, ls: Seq[Expression]): Option[(Long, Long)] = {
       val xs = ls.map(l => litKey(a, l))
       if (xs.exists(_.isEmpty)) None
-      else counterMass(p, a, xs.flatten, cnts)
+      else counterMass(p, a, xs.flatten, cnts, bytes)
     }
     val cuts = conjuncts(p).flatMap {
       case GreaterThanOrEqual(a: AttributeReference, l) if l.foldable => cut(a, l, lower = true)
@@ -390,7 +498,7 @@ object SketchStats {
       case EqualTo(l, a: AttributeReference) if l.foldable => eqCut(a, Seq(l))
       case In(a: AttributeReference, list) if list.forall(_.foldable) => eqCut(a, list)
       case InSet(a: AttributeReference, hset) =>
-        inSetKeys(a, hset).flatMap(keys => counterMass(p, a, keys, cnts))
+        inSetKeys(a, hset).flatMap(keys => counterMass(p, a, keys, cnts, bytes))
       case _ => None
     }.filter { case (sel, n) => sel < n }
     if (cuts.isEmpty) None
@@ -428,7 +536,8 @@ object SketchStats {
     private def scanRows(dim: LogicalPlan, rows: Map[String, Long],
         ndv: Map[(String, String), Long],
         hist: Map[(String, String), IndexedSeq[(Long, Long)]],
-        cnts: Map[(String, String), Map[Long, Long]] = Map.empty): Option[Long] = {
+        cnts: Map[(String, String), Map[Long, Long]] = Map.empty,
+        bytes: Map[String, Long] = Map.empty): Option[Long] = {
       import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual}
       def conjuncts(p: LogicalPlan): Seq[Expression] = p match {
         case Filter(cond, c) => splitConjunctivePredicates(cond) ++ conjuncts(c)
@@ -442,7 +551,7 @@ object SketchStats {
       // the NDV refinement stays the fallback, still gated to its
       // accurate regime (the small-set floor would overstate selectivity)
       def eqm(r: Long, a: AttributeReference, keys: Seq[Long]): Option[Long] =
-        counterMass(dim, a, keys, cnts).collect {
+        counterMass(dim, a, keys, cnts, bytes).collect {
           case (sel, n) if n > 0 && sel < n =>
             ((BigInt(r) * sel + n - 1) / n).max(1).toLong
           case (sel, n) if n > 0 => r
@@ -459,7 +568,7 @@ object SketchStats {
       // selected-mass upper bound from the shared boundary arithmetic
       // (`>` priced like `>=` — boundary-equal values charge selected)
       def range(r: Long, a: AttributeReference, l: Expression, lower: Boolean): Long =
-        (histOf(dim, a, hist), litLong(l)) match {
+        (histOf(dim, a, hist), litRangeKey(a, l)) match {
           case (Some(hs), Some(x)) if hs.nonEmpty =>
             val n = hs.last._2
             val sel = rangeSelUB(hs, x, lower)
@@ -536,16 +645,17 @@ object SketchStats {
     private def estRows(p: LogicalPlan, rows: Map[String, Long],
         ndv: Map[(String, String), Long],
         hist: Map[(String, String), IndexedSeq[(Long, Long)]],
-        cnts: Map[(String, String), Map[Long, Long]]): Option[BigInt] =
-      scanRows(p, rows, ndv, hist, cnts).map(BigInt(_))
+        cnts: Map[(String, String), Map[Long, Long]],
+        bytes: Map[String, Long]): Option[BigInt] =
+      scanRows(p, rows, ndv, hist, cnts, bytes).map(BigInt(_))
         .orElse(groupedRowBound(p, ndv).map(t => BigInt(t._1)))
         .orElse(stripAttrProject(p) match {
           case Join(l, r, Inner, Some(c), _) if c.deterministic =>
             val ks = keyNdvs(l, r, c, ndv)
             if (ks.isEmpty) None
             else for {
-              rl <- estRows(l, rows, ndv, hist, cnts)
-              rr <- estRows(r, rows, ndv, hist, cnts)
+              rl <- estRows(l, rows, ndv, hist, cnts, bytes)
+              rr <- estRows(r, rows, ndv, hist, cnts, bytes)
             } yield (rl * rr / ks.map(BigInt(_)).product.max(BigInt(1))).max(BigInt(1))
           case _ => None
         })
@@ -553,9 +663,10 @@ object SketchStats {
     private def factor(left: LogicalPlan, dim: LogicalPlan, cond: Expression,
         rows: Map[String, Long], ndv: Map[(String, String), Long],
         hist: Map[(String, String), IndexedSeq[(Long, Long)]],
-        cnts: Map[(String, String), Map[Long, Long]]): Option[(BigInt, BigInt)] = {
+        cnts: Map[(String, String), Map[Long, Long]],
+        bytes: Map[String, Long]): Option[(BigInt, BigInt)] = {
       for {
-        dRows <- estRows(dim, rows, ndv, hist, cnts)
+        dRows <- estRows(dim, rows, ndv, hist, cnts, bytes)
         ks = keyNdvs(left, dim, cond, ndv)
         if ks.nonEmpty
       } yield (dRows,
@@ -584,6 +695,7 @@ object SketchStats {
         stats: Map[(String, String), Long],
         hist: Map[(String, String), IndexedSeq[(Long, Long)]],
         cnts: Map[(String, String), Map[Long, Long]],
+        bytes: Map[String, Long],
         diag: Boolean): LogicalPlan =
       j match {
         case Join(f, r0, Inner, Some(c1), h) if c1.deterministic =>
@@ -598,9 +710,9 @@ object SketchStats {
                 j
               } else {
                 val priced = for {
-                  rf <- estRows(f, rows, stats, hist, cnts)
-                  (r1, k1) <- factor(f, d1, c1, rows, stats, hist, cnts)
-                  (r2, k2) <- factor(d1, d2, c2, rows, stats, hist, cnts)
+                  rf <- estRows(f, rows, stats, hist, cnts, bytes)
+                  (r1, k1) <- factor(f, d1, c1, rows, stats, hist, cnts, bytes)
+                  (r2, k2) <- factor(d1, d2, c2, rows, stats, hist, cnts, bytes)
                 } yield rf * k2 * 2 <= r2 * k1
                 priced match {
                   case Some(true) =>
@@ -634,6 +746,12 @@ object SketchStats {
       def bailAll(reason: String): Unit = if (diag) plan.foreach {
         case j @ Join(_, _, Inner, Some(c), _) if c.deterministic && candidate(j) =>
           RuleDiag.record("reorder", "bailed", reason, j)
+        // an outer join heading a chain/tower is a shape an operator WILL
+        // ask about (VERDICT r16 item 1): the commute's validity needs the
+        // null-rejecting argument this rule does not implement, so the
+        // shape stays put — with a reason, not invisibly
+        case j @ Join(_, _, LeftOuter | RightOuter | FullOuter, _, _) if candidate(j) =>
+          RuleDiag.record("reorder", "bailed", "outer-join", j)
         case _ => ()
       }
       if (dir.isEmpty) { bailAll("no-stats-dir"); plan }
@@ -643,8 +761,17 @@ object SketchStats {
         val stats = lookup(spark, dir)
         val hist = StatsCatalog.hist(spark, dir)
         val cnts = StatsCatalog.histCounts(spark, dir)
+        val bytes = StatsCatalog.srcBytes(spark, dir)
         if (rows.isEmpty || stats.isEmpty) { bailAll("empty-catalog"); plan }
         else plan.transformUp {
+          // outer joins stay in written order (the inner-below-outer
+          // commute needs null-rejection analysis this rule does not
+          // carry) — but a chain/tower headed by one is no longer
+          // invisible to the diagnostics (VERDICT r16 item 1)
+          case j @ Join(_, _, LeftOuter | RightOuter | FullOuter, _, _)
+              if diag && candidate(j) =>
+            RuleDiag.record("reorder", "bailed", "outer-join", j)
+            j
           // determinism guard (ADVICE r13): a non-deterministic conjunct
           // (e.g. a rand()-based sampling predicate riding beside the equi
           // pair) would be evaluated against DIFFERENT intermediate rows
@@ -656,8 +783,8 @@ object SketchStats {
               case Join(f, d1, Inner, Some(c1), h1)
                   if c1.deterministic &&
                     c2.references.subsetOf(f.outputSet ++ d2.outputSet) =>
-                (factor(f, d1, c1, rows, stats, hist, cnts),
-                  factor(f, d2, c2, rows, stats, hist, cnts)) match {
+                (factor(f, d1, c1, rows, stats, hist, cnts, bytes),
+                  factor(f, d2, c2, rows, stats, hist, cnts, bytes)) match {
                   // swap iff rows(d2)/k2 ≤ (rows(d1)/k1) / 2 — exact
                   // cross-multiplied; the 2x margin makes the comparator a
                   // strict partial order, so the adjacent-swap bubble
@@ -686,7 +813,7 @@ object SketchStats {
                 }
               case _ => None
             }
-            bubbled.getOrElse(rotateRightDeep(j2, rows, stats, hist, cnts, diag))
+            bubbled.getOrElse(rotateRightDeep(j2, rows, stats, hist, cnts, bytes, diag))
         }
       }
     }

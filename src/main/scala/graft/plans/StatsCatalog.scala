@@ -264,6 +264,23 @@ object StatsCatalog {
         .map { case (k, vs) => k -> vs.map(_._2).toMap }
     }
 
+  /** Per-table SOURCE BYTES as observed by the last counter-affecting
+    * stats write (VERDICT r16 item 2): the freshness testimony that guards
+    * counter equality pricing. A planner compares the scan's current file
+    * bytes against this value — growth past the documented slack means
+    * rows the counters never saw, and the absent-key-is-zero equality cut
+    * (the subsystem's sharpest claim) must refuse rather than price a hot
+    * new value at ~1 row. Optional coverage like the other auxiliary
+    * kinds; counters in a store WITHOUT this table never equality-price. */
+  def srcBytes(spark: SparkSession, dir: String): Map[String, Long] =
+    cachedRead("table_src_bytes", dir)(Map.empty[String, Long]) { base =>
+      if (!new java.io.File(s"$base/table_src_bytes").exists())
+        Map.empty[String, Long]
+      else spark.read.parquet(s"$base/table_src_bytes")
+        .select("tbl", "src_bytes").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+
   /** Per-(table, array column) generator fan-out: (avg element count,
     * ceiling-rounded; max element count) — the size-estimate correction
     * for plans that explode the column. */

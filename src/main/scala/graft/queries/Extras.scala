@@ -458,9 +458,11 @@ object Extras {
       // r15 item 9) — this was the one per-execution dir the sweep missed
       val tmp = StatsStore.scratchDir("graft_mv_")
       val raw = s.read.parquet(basePath)
-      raw.groupBy("event_type")
-        .agg(count(lit(1)).as("cnt"), sum("user_id").as("sum_uid"))
-        .write.mode("overwrite").parquet(s"$tmp/summary")
+      graft.LifecycleMeter.time {
+        raw.groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), sum("user_id").as("sum_uid"))
+          .write.mode("overwrite").parquet(s"$tmp/summary")
+      }
       graft.plans.SummaryRouting.register(s, basePath,
         s.read.parquet(s"$tmp/summary"),
         Seq("event_type"), Some("cnt"), Map("user_id" -> "sum_uid"))

@@ -114,19 +114,30 @@ object StreamServe {
         val ss = s.newSession()
         ss.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        val stream = graft.streaming.EventStreams.streamingHllRegisters(
-          graft.streaming.EventStreams.readEventStream(ss, dir))
-        val acc = new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
-        runBounded(stream) { b =>
-          b.collect().foreach(r => acc.put(r.getString(0), r.getSeq[Long](1)))
-        }
-        import ss.implicits._
-        import scala.jdk.CollectionConverters._
-        val buf = acc.asScala.toSeq.map { case (flag, regs) => (flag, regs) }
-        graft.IndexStore.publish(root) { g =>
-          buf.toDF("flag", "regs").coalesce(1).write.parquet(s"$g/hll_regs")
-        }
+        buildAndPublishHll(ss,
+          graft.streaming.EventStreams.streamingHllRegisters(
+            graft.streaming.EventStreams.readEventStream(ss, dir)), root)
       }
+    }
+  }
+
+  /** Run a (bounded) per-flag HLL register stream to completion and
+    * publish the final snapshot as `hll_regs` under a fresh generation of
+    * `root` — the reusable half of [[ensureStreamedHll]], also the
+    * RE-INGEST path stream-state erasure rides (q319): registers have no
+    * inverse, so erasing a user from streamed state means replaying the
+    * surviving stream through a fresh checkpoint and REPUBLISHING. */
+  private[graft] def buildAndPublishHll(ss: SparkSession,
+      stream: DataFrame, root: String): String = {
+    val acc = new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+    runBounded(stream) { b =>
+      b.collect().foreach(r => acc.put(r.getString(0), r.getSeq[Long](1)))
+    }
+    import ss.implicits._
+    import scala.jdk.CollectionConverters._
+    val buf = acc.asScala.toSeq.map { case (flag, regs) => (flag, regs) }
+    graft.IndexStore.publish(root) { g =>
+      buf.toDF("flag", "regs").coalesce(1).write.parquet(s"$g/hll_regs")
     }
   }
 
@@ -228,7 +239,8 @@ object StreamServe {
     * (consumers then plan without fact stats, the documented inactive
     * posture). */
   private[graft] def publishStreamedFactStats(s: SparkSession, root: String,
-      cnt: Long, regs: Seq[Long], dayCounts: Map[Long, Long]): String = {
+      cnt: Long, regs: Seq[Long], dayCounts: Map[Long, Long],
+      srcBytes: Long = 0L): String = {
     if (cnt < 0L)
       throw new IllegalStateException(
         "unified stats build saw an empty events stream — refusing to " +
@@ -241,7 +253,13 @@ object StreamServe {
     val counters = dayCounts.toSeq.sortBy(_._1)
       .map { case (v, n) => ("events", "ts", v, n) }
     StatsStore.upsertStats(s, root,
-      Seq(("events", "user_id", regs)), Seq("events" -> cnt), histRows, counters)
+      Seq(("events", "user_id", regs)), Seq("events" -> cnt), histRows, counters,
+      // freshness testimony for the counter guard (VERDICT r16 item 2):
+      // a writer that cannot state the bytes it saw publishes 0, and the
+      // guard then keeps the counters range-only (boundaries stay served;
+      // equality/IN pricing refuses) — the honest posture for stream
+      // state whose source inventory the publisher never scanned
+      if (srcBytes > 0L) Seq("events" -> srcBytes) else Nil)
   }
 
   def ensureUnifiedStats(s: SparkSession, dir: String): String = {
@@ -253,7 +271,7 @@ object StreamServe {
       // deletion
       val built = graft.IndexStore.latestPathCached(root).exists(g =>
         Seq("column_hist", "column_hist_counts", "column_span",
-          "column_fanout", "windows.parquet")
+          "column_fanout", "windows.parquet", "table_src_bytes")
           .forall(t => new java.io.File(s"$g/$t").exists()))
       if (!built) {
         // batch half: dim tables, upsert semantics into the shared root
@@ -290,8 +308,11 @@ object StreamServe {
           b.collect().foreach(r => dayCounts.put(r.getLong(0), r.getLong(1)))
         }
         import scala.jdk.CollectionConverters._
+        // the stream reads the same fixture files the batch scan plans
+        // over, so the batch scan's bytes ARE the stream's source bytes
         publishStreamedFactStats(s, root, cnt.get(), merged,
-          dayCounts.asScala.toMap)
+          dayCounts.asScala.toMap,
+          StatsStore.scanBytesFor(Tables.events(s, dir)))
         // batch half, part 2 (VERDICT r14 item 1): the span catalog (with
         // its windows interval table) and the embeddings fan-out ride the
         // same CAS — ALL FIVE consumers now plan from this one root
@@ -597,9 +618,83 @@ object StreamServe {
         .select("flag", "n_zero", "max_reg", "sum_scaled", "raw_est",
           "exact_distinct", "err_ppm")
         .orderBy("flag")
+    },
+
+    // Erasure reaching STREAMED register state (VERDICT r16 item 3 — the
+    // one derived-store family the q315 cascade skipped): HLL registers
+    // are a max-monoid with NO inverse, so a user's contribution cannot be
+    // subtracted from streamed state — the erasure path IS re-ingesting
+    // the surviving stream through a FRESH checkpoint and republishing,
+    // exactly the mechanism this query drives. gen 1 ingests the full
+    // events stream (RocksDB transformWithState, the q282 machinery); the
+    // erasure request (user_id % 50 = 7, the q315 request set) re-ingests
+    // survivors only as gen 2; the judged rows read gen 1 by PINNED id and
+    // gen 2 through the SERVED manifest path — so the hash proves the
+    // store a reader resolves TODAY equals a from-scratch ingest of
+    // survivors, per event type, against an oracle that re-derives every
+    // register from raw surviving rows and never reads the store.
+    "q319_stream_erasure_reingest" -> { (s0, dir) =>
+      val root = StatsStore.scratchRoot("graft_erase_stream")
+      graft.LifecycleMeter.time {
+        def ingest(survivorsOnly: Boolean): String = {
+          val ss = s0.newSession()
+          ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val src0 = graft.streaming.EventStreams.readEventStream(ss, dir)
+          val src = if (survivorsOnly)
+            src0.filter(pmod(col("user_id"), lit(50)) =!= 7) else src0
+          buildAndPublishHll(ss,
+            graft.streaming.EventStreams.streamingHllRegisters(src), root)
+        }
+        ingest(survivorsOnly = false)
+        ingest(survivorsOnly = true)
+      }
+      def served(path: String, gen: String) =
+        s0.read.parquet(s"$path/hll_regs")
+          .select(lit(gen).as("gen"), col("flag").as("event_type"),
+            StatsStore.estExpr("regs").as("ndv_est"))
+      served(graft.IndexStore.genPath(root, 1L), "gen1_full")
+        .unionByName(
+          served(graft.IndexStore.latestPath(root).get, "gen2_served"))
+        .orderBy("gen", "event_type")
     })
 
+  /** One per-event-type register-rebuild CTE block (the q282 arithmetic,
+    * parameterized over the surviving population): DuckDB re-derives every
+    * 64-register vector from raw rows and applies the identical integer
+    * estimator — so the q319 oracle proves the SERVED post-erasure
+    * estimate equals a from-scratch ingest of survivors without ever
+    * reading the store. */
+  private def perTypeNdvCte(tag: String, where: String): String =
+    s"""h_$tag AS (
+       | SELECT event_type AS et,
+       |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       | FROM events $where),
+       |r_$tag AS (SELECT et, h // 18014398509481984 AS bucket,
+       |  h % 18014398509481984 AS rem FROM h_$tag),
+       |m_$tag AS (SELECT et, bucket,
+       |  max(CASE WHEN rem = 0 THEN 55
+       |      ELSE 55 - length(ltrim(bin(rem), '0')) END) AS reg
+       | FROM r_$tag GROUP BY 1, 2),
+       |sp_$tag AS (SELECT DISTINCT m.et, g.b FROM m_$tag m, range(0, 64) g(b)),
+       |f_$tag AS (
+       | SELECT s.et, coalesce(m.reg, 0) AS reg
+       | FROM sp_$tag s LEFT JOIN m_$tag m ON m.et = s.et AND m.bucket = s.b),
+       |e_$tag AS (
+       | SELECT et, CAST((1890844672::HUGEINT * 36028797018963968::HUGEINT)
+       |   // (650790::HUGEINT * CAST(sum(1::BIGINT << CAST(55 - reg AS INTEGER)) AS HUGEINT)) AS BIGINT) AS ndv_est
+       | FROM f_$tag GROUP BY et)""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
+
+    "q319_stream_erasure_reingest" ->
+      s"""WITH ${perTypeNdvCte("f", "")},
+         |${perTypeNdvCte("s", "WHERE user_id % 50 <> 7")}
+         |SELECT gen, event_type, ndv_est FROM (
+         | SELECT 'gen1_full' AS gen, et AS event_type, ndv_est FROM e_f
+         | UNION ALL
+         | SELECT 'gen2_served', et, ndv_est FROM e_s)
+         |ORDER BY gen, event_type""".stripMargin,
 
     "q302_unified_all_consumers" ->
       s"""WITH ${StatsStore.WindowsCte},

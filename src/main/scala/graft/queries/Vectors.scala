@@ -1365,15 +1365,20 @@ object Vectors {
     // alone — never reading either store.
     "q315_erasure_cascade_stores" -> { (s, dir) =>
       import s.implicits._
-      // ANN leg
+      // ANN leg (build phases metered — VERDICT r16 item 6: the k-means
+      // training is the dominant per-invocation build cost here, beyond
+      // what the publish-layer meter sees)
       val aroot = StatsStore.scratchRoot("graft_erase_ann")
       val all = vecs(s, dir)
-      val cent = graft.operators.KMeans.fit(all, kmInit, KmIters)
-      val g1 = graft.IndexStore.publish(aroot) { g =>
-        cent.zipWithIndex.map { case (c, i) => (i + 1, c.toSeq) }
-          .toDF("cluster", "cv").coalesce(1).write.parquet(s"$g/centroids")
-        all.withColumn("cluster", graft.operators.KMeans.assignColumn(cent, "v"))
-          .write.partitionBy("cluster").parquet(s"$g/codes")
+      val g1 = graft.LifecycleMeter.time {
+        val cent = graft.operators.KMeans.fit(all, kmInit, KmIters)
+        val p1 = graft.IndexStore.publish(aroot) { g =>
+          cent.zipWithIndex.map { case (c, i) => (i + 1, c.toSeq) }
+            .toDF("cluster", "cv").coalesce(1).write.parquet(s"$g/centroids")
+          all.withColumn("cluster", graft.operators.KMeans.assignColumn(cent, "v"))
+            .write.partitionBy("cluster").parquet(s"$g/codes")
+        }
+        p1
       }
       val g1codes = s.read.parquet(s"$g1/codes")
       val annBefore = g1codes.count()

@@ -1603,6 +1603,168 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.plans.RuleDiag.clear(s)
   }
 
+  test("q318: the LEFT-join flip broadcasts the NON-preserved dim; a small PRESERVED side never fires") {
+    import org.apache.spark.sql.functions._
+    // VERDICT r16 item 1: `fact LEFT JOIN dim` was invisible to the flip.
+    // Broadcasting the non-preserved side is exactly as sound as the inner
+    // flip; broadcasting the PRESERVED side is not a hash-join shape at
+    // all — the positive pins the first, the negative pins that the second
+    // must NOT fire (and says why in the diagnostics).
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    graft.plans.RuleDiag.clear(s)
+    s.conf.set(graft.plans.RuleDiag.EnabledKey, "true")
+    s.conf.set(graft.plans.SketchStats.DirKey,
+      queries.StatsStore.ensureStatsFor(s, dir))
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192")
+    val fact = Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("o_orderkey"))
+    val dim = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") <= "2-HIGH")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_prio"))
+    val pPos = fact.join(dim, Seq("o_orderpriority"), "left")
+      .queryExecution.executedPlan.toString
+    assert(pPos.contains("BroadcastHashJoin") && pPos.contains("LeftOuter") &&
+      pPos.contains("BuildRight") && !pPos.contains("SortMergeJoin"),
+      s"the LEFT-join flip did not broadcast the non-preserved dim:\n${pPos.take(2500)}")
+    // preserved-side negative: the SMALL side leads the LEFT join — every
+    // dim row is preserved, so the flip must decline (no broadcast hash
+    // join; Spark's own filter-blind estimates stay over the threshold)
+    val pNeg = dim.join(fact, Seq("o_orderpriority"), "left")
+      .queryExecution.executedPlan.toString
+    assert(!pNeg.contains("BroadcastHashJoin"),
+      s"a small PRESERVED side must never be broadcast:\n${pNeg.take(2500)}")
+    val reasons = graft.plans.RuleDiag.records(s).map(r => (r._1, r._2, r._3)).toSet
+    assert(reasons.contains(("broadcast-flip", "fired", "grouped-dim")),
+      s"missing the LEFT-flip fired record: $reasons")
+    assert(reasons.contains(("broadcast-flip", "bailed", "preserved-side")),
+      s"missing the preserved-side bail record: $reasons")
+    graft.plans.RuleDiag.clear(s)
+    // equivalence: the flip cannot change rows
+    val sNeg = spark.newSession()
+    val fact2 = Tables.orders(sNeg, dir)
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("o_orderkey"))
+    val dim2 = Tables.orders(sNeg, dir)
+      .filter(col("o_orderpriority") <= "2-HIGH")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_prio"))
+    assert(fact.join(dim, Seq("o_orderpriority"), "left").count() ===
+      fact2.join(dim2, Seq("o_orderpriority"), "left").count())
+  }
+
+  test("reorder: an outer-join-headed chain records the outer-join bail instead of staying invisible") {
+    import org.apache.spark.sql.functions._
+    // VERDICT r16 item 1's minimal reorder half: the inner-below-outer
+    // commute needs null-rejection analysis the rule does not implement,
+    // so the shape stays put — but the operator now gets a reason.
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    graft.plans.RuleDiag.clear(s)
+    s.conf.set(graft.plans.RuleDiag.EnabledKey, "true")
+    s.conf.set(graft.plans.SketchStats.DirKey,
+      queries.StatsStore.ensureStatsFor(s, dir))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val ev = Tables.events(s, dir).select(col("user_id"), col("value"))
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    o.join(ev, col("o_custkey") === col("user_id"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left")
+      .queryExecution.optimizedPlan
+    val reasons = graft.plans.RuleDiag.records(s).map(r => (r._1, r._2, r._3)).toSet
+    assert(reasons.contains(("reorder", "bailed", "outer-join")),
+      s"the outer-headed chain left no reorder record: $reasons")
+    graft.plans.RuleDiag.clear(s)
+  }
+
+  test("q321: the cents histogram prices a double-range-filtered scan into the broadcast") {
+    import org.apache.spark.sql.functions._
+    // VERDICT r16 item 5: `value >= 320` statically weighs the whole
+    // events file; the cents-lowered equi-depth boundaries price the tail
+    // slice by bucket mass (literal lowered through the same
+    // floor(x·100 + 0.5)) and the join flips at planning.
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    val root = queries.StatsStore.scratchRoot("graft_cents_pin")
+    queries.StatsStore.analyze(s, dir, root,
+      Seq(("events", Seq("user_id")), ("orders", Seq("o_custkey"))),
+      hist = Seq(("events", Seq("value"))))
+    s.conf.set(graft.plans.SketchStats.DirKey, root)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+    def q(ss: org.apache.spark.sql.SparkSession) = {
+      val slice = Tables.events(ss, dir)
+        .filter(col("value") >= 320.0)
+        .select(col("user_id"), col("value"), col("event_type"), col("props"))
+      Tables.orders(ss, dir).select(col("o_custkey"), col("o_orderpriority"))
+        .join(slice, col("o_custkey") === col("user_id"))
+    }
+    val pPos = q(s).queryExecution.executedPlan.toString
+    assert(pPos.contains("BroadcastHashJoin") && !pPos.contains("SortMergeJoin"),
+      s"the cents histogram did not flip the double-range slice:\n${pPos.take(2500)}")
+    val sNeg = spark.newSession()
+    graft.plans.SketchStats.ensure(sNeg)
+    sNeg.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+    val pNeg = q(sNeg).queryExecution.executedPlan.toString
+    assert(pNeg.contains("SortMergeJoin"),
+      s"negative control: expected the filter-blind sort-merge join:\n${pNeg.take(2500)}")
+    assert(q(s).count() === q(sNeg).count(), "the flip changed the answer")
+  }
+
+  test("counter staleness guard: out-of-band file growth refuses equality pricing (VERDICT r16 item 2)") {
+    import org.apache.spark.sql.functions._
+    // the stale scenario CONSTRUCTED: counters built over a table, then
+    // raw rows appended to its files BYPASSING appendTableStats — a hot
+    // new value absent from the counters would price at ~1 row and force
+    // a broadcast of a genuinely large slice (absent-key=0 is the one
+    // estimate that can fall BELOW truth under staleness). The guard
+    // compares the scan's current bytes against the recorded
+    // table_src_bytes and refuses past the 25% slack.
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    val tdir = queries.StatsStore.scratchDir("graft_stale_tbl")
+    val tbl = s"$tdir/events.parquet"
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .write.parquet(tbl)
+    val root = queries.StatsStore.scratchRoot("graft_stale_store")
+    queries.StatsStore.buildTableStats(s, root, "events",
+      s.read.parquet(tbl), Seq("user_id"), Seq("user_id"))
+    s.conf.set(graft.plans.SketchStats.DirKey, root)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+    def q(hot: Long) = {
+      val slice = s.read.parquet(tbl).filter(col("user_id") === hot)
+      Tables.orders(s, dir).select(col("o_custkey"), col("o_orderpriority"))
+        .join(slice, col("o_custkey") === col("user_id"))
+    }
+    // FRESH: the counter mass prices the equality and flips
+    val pFresh = q(7L).queryExecution.executedPlan.toString
+    assert(pFresh.contains("BroadcastHashJoin"),
+      s"fresh counters did not price the equality flip:\n${pFresh.take(2500)}")
+    // out-of-band growth: a HOT new user lands as new files, no append
+    val sw = spark.newSession()
+    Tables.events(sw, dir)
+      .select(col("event_id") + 1000000L, lit(999999L).as("user_id"), col("value"))
+      .toDF("event_id", "user_id", "value")
+      .write.mode("append").parquet(tbl)
+    // STALE: the guard refuses — the absent-key ~1-row bound must NOT
+    // force a broadcast of what is now a large slice
+    val pStale = q(999999L).queryExecution.executedPlan.toString
+    assert(!pStale.contains("BroadcastHashJoin"),
+      s"stale counters mis-flipped the hot new value:\n${pStale.take(2500)}")
+    // the counterfactual, pinned directly: with the guard's testimony
+    // faked fresh the stale scan WOULD price the absent key at 1 row —
+    // exactly the mis-flip the guard exists to kill
+    val plan = s.read.parquet(tbl).filter(col("user_id") === 999999L)
+      .queryExecution.optimizedPlan
+    val rows = graft.plans.StatsCatalog.rows(s, root)
+    val cnts = graft.plans.StatsCatalog.histCounts(s, root)
+    val bytes = graft.plans.StatsCatalog.srcBytes(s, root)
+    assert(graft.plans.SketchStats.histFilteredScanBound(
+        plan, rows, Map.empty, cnts, bytes).isEmpty,
+      "the guard should refuse the stale counter pricing")
+    assert(graft.plans.SketchStats.histFilteredScanBound(
+        plan, rows, Map.empty, cnts,
+        Map("events" -> Long.MaxValue)).contains(1L),
+      "without the guard the absent key prices at 1 row — the documented hazard")
+  }
+
   test("no judged query plans a CartesianProduct") {
     // q45 intentionally uses BroadcastNestedLoopJoin with a 5-row build
     // side (exact brute-force baseline); cartesian (unbroadcast NLJ over

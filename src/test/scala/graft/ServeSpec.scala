@@ -74,6 +74,38 @@ class ServeSpec extends AnyFunSuite {
     } finally running.stop()
   }
 
+  test("/diag serves the session's optimizer diagnostics over the loopback socket") {
+    // VERDICT r16 item 8: the operator asking "why didn't my join flip" is
+    // talking to Serve — enable → query → read, all over HTTP. The serving
+    // session has the rules but NO stats dir, so the planned join must
+    // surface the no-stats-dir bail through GET /diag.
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    graft.plans.RuleDiag.clear(s)
+    s.conf.set(graft.plans.RuleDiag.EnabledKey, "true")
+    Tables.orders(s, SparkTestHarness.Sf0001).createOrReplaceTempView("v_diag_o")
+    val running = Serve.start(s)
+    try {
+      val q = post(running.url,
+        """SELECT count(*) AS n FROM v_diag_o a
+          |JOIN v_diag_o b ON a.o_orderkey = b.o_orderkey""".stripMargin)
+      assert(q.statusCode() == 200, s"query failed: ${q.body()}")
+      val client = HttpClient.newHttpClient()
+      val diag = client.send(
+        HttpRequest.newBuilder(URI.create(running.diagUrl)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(diag.statusCode() == 200)
+      assert(diag.headers().firstValue("Content-Type").orElse("")
+        .contains("ndjson"))
+      val lines = diag.body().trim.split("\n").toSeq
+      assert(lines.exists(l => l.contains("\"rule\":\"broadcast-flip\"") &&
+        l.contains("\"reason\":\"no-stats-dir\"")),
+        s"/diag missing the no-stats-dir bail: ${lines.mkString(" | ")}")
+      assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")),
+        s"/diag body is not JSONL: ${lines.take(3)}")
+    } finally { running.stop(); graft.plans.RuleDiag.clear(s) }
+  }
+
   test("the maxRows cap limits in the plan, and bad SQL returns 400 with a JSON error") {
     Tables.packages(spark, SparkTestHarness.Sf0001).createOrReplaceTempView("v_serve_pkg")
     val running = Serve.start(spark, maxRows = 5)
