@@ -764,10 +764,12 @@ object SketchStats {
         val bytes = StatsCatalog.srcBytes(spark, dir)
         if (rows.isEmpty || stats.isEmpty) { bailAll("empty-catalog"); plan }
         else plan.transformUp {
-          // outer joins stay in written order (the inner-below-outer
-          // commute needs null-rejection analysis this rule does not
+          // outer-HEADED shapes stay in written order (rotating THROUGH an
+          // outer join needs null-rejection analysis this rule does not
           // carry) — but a chain/tower headed by one is no longer
-          // invisible to the diagnostics (VERDICT r16 item 1)
+          // invisible to the diagnostics (VERDICT r16 item 1). The
+          // handled outer shape is the one BELOW an inner join, matched in
+          // the main case.
           case j @ Join(_, _, LeftOuter | RightOuter | FullOuter, _, _)
               if diag && candidate(j) =>
             RuleDiag.record("reorder", "bailed", "outer-join", j)
@@ -780,6 +782,44 @@ object SketchStats {
           // ReorderJoin carries the same guard.
           case j2 @ Join(l0, d2, Inner, Some(c2), h2) if c2.deterministic =>
             val bubbled = stripAttrProject(l0) match {
+              // INNER-below-LEFT-OUTER commute (VERDICT r16 item 1's full
+              // form): `(f LEFT JOIN d1 ON c1) INNER JOIN d2 ON c2` with
+              // c2 touching only f ∪ d2 equals `(f INNER JOIN d2) LEFT
+              // JOIN d1` as a MULTISET, unconditionally: d1-matching
+              // depends only on f attributes, so every f-row's d1
+              // extension (matches or one null-extension) is the same
+              // before or after the d2 filter — and an f-row d2 drops is
+              // dropped with ALL its d1 extensions either way. (The
+              // RightOuter mirror is NOT valid: d1's null-extended rows
+              // carry null f attributes, which the inner condition drops
+              // in written order but would SURVIVE below the swap —
+              // that direction belongs to null-rejecting outer
+              // elimination, which Spark's own optimizer performs.)
+              // Priced like the rotation: swap iff the inner join is
+              // genuinely REDUCING — |f ⋈ d2| ≈ |f|·r2/k2 ≤ |f|/2, i.e.
+              // 2·r2 ≤ k2 — so the expanding left join runs over the
+              // reduced stream; the margin keeps the rule a no-op on
+              // near-ties and the output shape (outer on top) cannot
+              // re-match, so the fixed point terminates. Hints travel
+              // positionally exactly as in the inner bubble.
+              case Join(f, d1, LeftOuter, Some(c1), h1)
+                  if c1.deterministic &&
+                    c2.references.subsetOf(f.outputSet ++ d2.outputSet) =>
+                factor(f, d2, c2, rows, stats, hist, cnts, bytes) match {
+                  case Some((r2, k2)) if r2 * 2 <= k2 =>
+                    if (diag) RuleDiag.record("reorder", "fired", "outer-commute", j2)
+                    Some(Project(j2.output,
+                      Join(Join(f, d2, Inner, Some(c2),
+                          JoinHint(h1.leftHint, h2.rightHint)),
+                        d1, LeftOuter, Some(c1),
+                        JoinHint(h2.leftHint, h1.rightHint))))
+                  case Some(_) =>
+                    if (diag) RuleDiag.record("reorder", "bailed", "below-margin", j2)
+                    None
+                  case None =>
+                    if (diag) RuleDiag.record("reorder", "bailed", "unpriced-side", j2)
+                    None
+                }
               case Join(f, d1, Inner, Some(c1), h1)
                   if c1.deterministic &&
                     c2.references.subsetOf(f.outputSet ++ d2.outputSet) =>
@@ -926,29 +966,40 @@ object SketchStats {
     }
 
     /** Descend the join tree to the unique side holding ALL aggregate
-      * inputs, through conforming joins only (inner, deterministic,
+      * inputs, through conforming joins only (deterministic,
       * all-attribute-equality condition — anything else would evaluate a
-      * predicate the duplication argument cannot cover). Returns the fact
-      * subtree (a covered scan candidate), a function rebuilding the tree
-      * with the fact replaced, and every condition attribute on the path
-      * (the fact-side ones become the partial's grouping keys; an
+      * predicate the duplication argument cannot cover). Inner joins admit
+      * the fact on EITHER side; OUTER joins only on their PRESERVED side
+      * (round 17, the item-1 follow-through for this rule): collapsing a
+      * preserved fact to one row per key tuple is still exact — every row
+      * of a key group matches the same dim rows or the whole group
+      * null-extends exactly once, carrying the group's partial (NULL fact
+      * keys included: null never equals, so the null-key group
+      * null-extends uniformly and lands in the same final group). A fact
+      * on the NULL-SUPPLYING side has no such argument (its rows can be
+      * null-extended per unmatched preserved row) and bails. Returns the
+      * fact subtree (a covered scan candidate), a function rebuilding the
+      * tree with the fact replaced, and every condition attribute on the
+      * path (the fact-side ones become the partial's grouping keys; an
       * attribute-only Project between chain joins carries no computation
       * and is dropped by the rebuild — the final aggregate re-selects). */
     private def descend(p: LogicalPlan, aggRefs: org.apache.spark.sql.catalyst.expressions.AttributeSet):
         Option[(LogicalPlan, LogicalPlan => LogicalPlan, Seq[Attribute])] =
       stripAttrProject(p) match {
-        case j @ Join(l, r, Inner, Some(cond), _) if cond.deterministic =>
+        case j @ Join(l, r, Inner | LeftOuter | RightOuter, Some(cond), _)
+            if cond.deterministic =>
           attrEqConjuncts(cond).flatMap { pairs =>
             val cAttrs = pairs.flatMap { case (a, b) => Seq(a, b) }
-            def side(mine: LogicalPlan, wrap: LogicalPlan => LogicalPlan):
+            def side(mine: LogicalPlan, wrap: LogicalPlan => LogicalPlan,
+                preserved: Boolean):
                 Option[(LogicalPlan, LogicalPlan => LogicalPlan, Seq[Attribute])] =
-              if (!aggRefs.subsetOf(mine.outputSet)) None
+              if (!preserved || !aggRefs.subsetOf(mine.outputSet)) None
               else if (scanOf(mine).isDefined) Some((mine, wrap, cAttrs))
               else descend(mine, aggRefs).map { case (f, rb, cs) =>
                 (f, (into: LogicalPlan) => wrap(rb(into)), cAttrs ++ cs)
               }
-            side(l, into => j.copy(left = into))
-              .orElse(side(r, into => j.copy(right = into)))
+            side(l, into => j.copy(left = into), j.joinType != RightOuter)
+              .orElse(side(r, into => j.copy(right = into), j.joinType != LeftOuter))
           }
         case _ => None
       }
@@ -1189,7 +1240,7 @@ object SketchStats {
         case _ => false
       }
       def bailAll(reason: String): Unit = if (diag) plan.foreach {
-        case j @ Join(l, r, Inner, _, JoinHint.NONE)
+        case j @ Join(l, r, Inner | LeftOuter | RightOuter, _, JoinHint.NONE)
             if hasExplode(l) || hasExplode(r) =>
           RuleDiag.record("fanout-veto", "bailed", reason, j)
         case _ => ()
@@ -1199,10 +1250,18 @@ object SketchStats {
         val fan = StatsCatalog.fanout(SparkSession.active, dir)
         if (fan.isEmpty) { bailAll("empty-catalog"); plan }
         else plan.transformUp {
-          case j @ Join(l, r, Inner, _, JoinHint.NONE) =>
+          // outer joins too (round 17 symmetry with the flip): Spark's
+          // size-only estimation happily broadcasts the NON-preserved side
+          // of a LEFT/RIGHT join, so an exploding side there needs the
+          // same corrected-size veto; only BUILDABLE sides are vetoed — a
+          // preserved side is never a hash-join build, so a hint there
+          // would be noise
+          case j @ Join(l, r, jt @ (Inner | LeftOuter | RightOuter), _, JoinHint.NONE) =>
             val veto = Some(HintInfo(strategy = Some(NO_BROADCAST_HASH)))
+            val (canL, canR) = buildableSides(jt)
             val (vl, vr) =
-              (fanoutBlows(l, fan, threshold), fanoutBlows(r, fan, threshold))
+              (canL && fanoutBlows(l, fan, threshold),
+                canR && fanoutBlows(r, fan, threshold))
             if (vl || vr) {
               if (diag) RuleDiag.record("fanout-veto", "fired", "corrected-over-threshold", j)
               j.copy(hint = JoinHint(if (vl) veto else None, if (vr) veto else None))

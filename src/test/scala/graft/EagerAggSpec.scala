@@ -86,17 +86,47 @@ class EagerAggSpec extends AnyFunSuite {
     assert(nTotal > factMatches, "fixture lost its duplicate-dim-key regime")
   }
 
-  test("bails: DISTINCT aggregate, outer join, grouping on a non-key fact attribute") {
+  test("bails: DISTINCT aggregate, null-supplying fact side, grouping on a non-key fact attribute") {
     val (s, fact, dim) = frames()
     val d1 = fact.join(dim, col("k") === col("dk"))
       .groupBy("grp").agg(countDistinct("v").as("ndv"))
     assert(!hasPartialAggBelowJoin(d1), "rewrote a DISTINCT aggregate")
-    val d2 = fact.join(dim, col("k") === col("dk"), "left")
+    // the fact on the NULL-SUPPLYING side of an outer join (round 17: the
+    // PRESERVED side now fires — see the LEFT-join test below — but a
+    // null-supplying fact has no duplication argument: its rows can be
+    // null-extended per unmatched preserved row)
+    val d2 = dim.join(fact, col("dk") === col("k"), "left")
       .groupBy("grp").agg(sum("v").as("sv"))
-    assert(!hasPartialAggBelowJoin(d2), "rewrote an outer join")
+    assert(!hasPartialAggBelowJoin(d2), "rewrote a null-supplying fact side")
     val d3 = fact.join(dim, col("k") === col("dk"))
       .groupBy("w").agg(sum("v").as("sv"))
     assert(!hasPartialAggBelowJoin(d3), "rewrote a group-by on a non-key fact attribute")
+  }
+
+  test("preserved-side LEFT join: the partial pushes below and matches plain exactly (round 17)") {
+    val (s, fact, dim) = frames()
+    // the adversarial regimes all hit the outer path at once: ~5% NULL
+    // fact keys (never match — null-extend as ONE collapsed partial row
+    // into the null-grp group), 10 dangling dim keys, duplicate dim keys
+    // (the multiplying join), nullable aggregate inputs
+    def q(f: org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame) =
+      f.join(d, col("k") === col("dk"), "left")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"), min("v").as("mn"),
+          max("v").as("mx"), count(col("w")).as("nw"))
+        .orderBy(asc_nulls_first("grp"))
+    val rewritten = q(fact, dim)
+    assert(hasPartialAggBelowJoin(rewritten),
+      "rule did not fire on the preserved-side LEFT join")
+    val sPlain = spark.newSession()
+    val plain = q(sPlain.read.parquet(env._2), sPlain.read.parquet(env._3))
+    assert(!hasPartialAggBelowJoin(plain))
+    assert(rewritten.collect().toSeq === plain.collect().toSeq,
+      "the outer eager push diverged from the plain plan")
+    // the LEFT semantics are real: unmatched fact rows (null keys) land
+    // in the null-grp group on BOTH plans
+    assert(plain.collect().exists(_.isNullAt(0)),
+      "fixture lost its unmatched-fact regime — the null group is empty")
   }
 
   test("avg decomposes to sum+count partials: rewritten == plain, exactly (incl. all-null groups)") {

@@ -812,6 +812,63 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pos === neg, "eager aggregation changed the answer")
   }
 
+  test("q323: the partial aggregate lands below a preserved-side LEFT join; without stats it does not") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join => LJoin}
+    import org.apache.spark.sql.catalyst.plans.{LeftOuter => CLeftOuter}
+    // round 17: the Yan–Larson duplication argument through an outer join
+    // — sound exactly when the fact is the PRESERVED side (each key group
+    // matches the same dim rows or null-extends once with its partial)
+    def q(s: org.apache.spark.sql.SparkSession) = {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("cast(floor(value * 100 + cast(0.5 as double)) as bigint)").as("v_cents"))
+      val dim = Tables.customer(s, dir)
+        .filter(pmod(col("c_custkey"), lit(3)) =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      ev.join(dim, col("user_id") === col("c_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("v_cents").as("sum_cents"),
+          min("v_cents").as("min_cents"))
+    }
+    def partialBelowLeftJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect { case j: LJoin => j }.exists { j =>
+        j.joinType == CLeftOuter && j.left.collectFirst {
+          case a: Aggregate if a.groupingExpressions.exists {
+            case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+              ar.name == "user_id"
+            case _ => false
+          } => a
+        }.nonEmpty
+      }
+    val sPos = spark.newSession()
+    graft.plans.SketchStats.ensure(sPos)
+    sPos.conf.set(graft.plans.SketchStats.DirKey,
+      queries.StatsStore.ensureStatsFor(sPos, dir))
+    assert(partialBelowLeftJoin(q(sPos)),
+      s"no partial below the preserved-side LEFT join:\n${q(sPos).queryExecution.optimizedPlan}")
+    // a fact on the NULL-SUPPLYING side must bail: the mirrored RIGHT
+    // join (dim RIGHT JOIN fact puts the fact on the preserved right —
+    // so mirror with fact LEFT-joined FROM the dim side)
+    val evD = Tables.events(sPos, dir)
+      .select(col("user_id"),
+        expr("cast(floor(value * 100 + cast(0.5 as double)) as bigint)").as("v_cents"))
+    val dimD = Tables.customer(sPos, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val nullSupplying = dimD.join(evD, col("c_custkey") === col("user_id"), "left")
+      .groupBy("c_mktsegment")
+      .agg(sum("v_cents").as("s"), count(lit(1)).as("n"))
+    assert(!nullSupplying.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+        .exists(_.right.collectFirst { case a: Aggregate => a }.nonEmpty),
+      "a null-supplying fact side must never host the partial")
+    val sNeg = spark.newSession()
+    graft.plans.SketchStats.ensure(sNeg)
+    assert(!partialBelowLeftJoin(q(sNeg)),
+      "negative control: partial fired without stats")
+    val pos = q(sPos).orderBy(asc_nulls_first("c_mktsegment")).collect().toSeq
+    val neg = q(sNeg).orderBy(asc_nulls_first("c_mktsegment")).collect().toSeq
+    assert(pos === neg, "the outer eager push changed the answer")
+  }
+
   test("q307: a right-deep chain rotates left-deep when the catalog prices the inner expansion") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LogicalPlan}
@@ -1246,6 +1303,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected a shuffled join under the veto:\n${pPos.take(2500)}")
     // the answer is plan-independent
     assert(q(sPos).count() === q(sNeg).count())
+    // round 17: the same blindness under a LEFT join — the exploding
+    // side is the NON-preserved right, exactly where Spark's size-only
+    // estimate would build; the veto must cover it too
+    def qLeft(s: org.apache.spark.sql.SparkSession) = {
+      val ex = Tables.embeddings(s, dir)
+        .select(col("vec_id"), explode(col("embedding")).as("x"))
+      s.range(300000).join(ex, col("id") === col("vec_id"), "left")
+    }
+    val pLeftNeg = qLeft(sNeg).queryExecution.executedPlan.toString
+    assert(pLeftNeg.contains("BroadcastHashJoin"),
+      s"LEFT negative control: naive plan should broadcast the exploded side:\n${pLeftNeg.take(2500)}")
+    val pLeftPos = qLeft(sPos).queryExecution.executedPlan.toString
+    assert(!pLeftPos.contains("BroadcastHashJoin"),
+      s"the veto missed the LEFT join's non-preserved exploding side:\n${pLeftPos.take(2500)}")
+    assert(qLeft(sPos).count() === qLeft(sNeg).count())
   }
 
   test("q308: the fan-out veto fires from the UNIFIED root — the fifth consumer on one DirKey") {
@@ -1672,6 +1744,51 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(reasons.contains(("reorder", "bailed", "outer-join")),
       s"the outer-headed chain left no reorder record: $reasons")
     graft.plans.RuleDiag.clear(s)
+  }
+
+  test("q322: a priced reducing INNER join commutes below the LEFT join; without stats written order holds") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.catalyst.plans.{Inner => CInner, LeftOuter => CLeftOuter}
+    // the multiset equivalence: `(f LEFT JOIN d1) INNER JOIN d2` with the
+    // inner condition on f ∪ d2 only — after the swap the OUTER join sits
+    // on TOP and the counter-priced reducing inner join runs first
+    def chain(s: org.apache.spark.sql.SparkSession) = {
+      val f = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      val act = Tables.events(s, dir).select(col("user_id"), col("event_type"))
+      val hot = Tables.events(s, dir)
+        .filter(col("user_id").isin(7L, 21L, 42L, 77L) &&
+          col("event_type") === "error")
+        .select(col("user_id"), col("value"))
+      f.join(act, col("o_custkey") === act("user_id"), "left")
+        .join(hot, col("o_custkey") === hot("user_id"))
+    }
+    def topJoinType(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case j: LJoin => j }.head.joinType
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    graft.plans.RuleDiag.clear(s)
+    s.conf.set(graft.plans.RuleDiag.EnabledKey, "true")
+    val root = queries.StatsStore.scratchRoot("graft_oc_pin")
+    queries.StatsStore.buildTableStats(s, root, "events",
+      Tables.events(s, dir), Seq("user_id"), Seq("user_id"), Seq("event_type"))
+    queries.StatsStore.buildTableStats(s, root, "orders",
+      Tables.orders(s, dir), Seq("o_custkey"))
+    s.conf.set(graft.plans.SketchStats.DirKey, root)
+    assert(topJoinType(chain(s)) == CLeftOuter,
+      s"the outer commute did not run the reducing inner join first:\n${chain(s).queryExecution.optimizedPlan}")
+    val reasons = graft.plans.RuleDiag.records(s).map(r => (r._1, r._2, r._3)).toSet
+    assert(reasons.contains(("reorder", "fired", "outer-commute")),
+      s"missing the outer-commute fired record: $reasons")
+    graft.plans.RuleDiag.clear(s)
+    // negative: no stats — the inner join stays on top in written order
+    val sNeg = spark.newSession()
+    graft.plans.SketchStats.ensure(sNeg)
+    assert(topJoinType(chain(sNeg)) == CInner,
+      "without stats the written order (inner on top) must hold")
+    // the equivalence cannot change rows
+    assert(chain(s).count() === chain(sNeg).count(), "the commute changed the answer")
   }
 
   test("q321: the cents histogram prices a double-range-filtered scan into the broadcast") {
