@@ -485,7 +485,21 @@ object SketchStats {
       if (xs.exists(_.isEmpty)) None
       else counterMass(p, a, xs.flatten, cnts, bytes)
     }
-    val cuts = conjuncts(p).flatMap {
+    // histogram range cuts share the staleness class more softly than
+    // counters (a stale bound scales with the stale base row count — it
+    // can under-state truth after out-of-band growth, but degrades toward
+    // the whole-file posture rather than absent-key-zero), so the guard
+    // here is testimony-WHEN-PRESENT: a store whose recorded source bytes
+    // show the scan grew past the slack drops every cut for that scan;
+    // stores without the bytes kind (constructed fixtures, pre-r17
+    // layouts) keep the documented snapshot-upper-bound posture
+    def grownPastSlack: Boolean =
+      scanOf(p).exists(lr => StatsCatalog.tableOf(lr).exists(t =>
+        bytes.get(t).exists(b =>
+          BigInt(lr.relation.sizeInBytes) * SrcBytesSlackDen >
+            BigInt(b) * SrcBytesSlackNum)))
+    val cuts = if (grownPastSlack) Nil
+    else conjuncts(p).flatMap {
       case GreaterThanOrEqual(a: AttributeReference, l) if l.foldable => cut(a, l, lower = true)
       case GreaterThan(a: AttributeReference, l) if l.foldable => cut(a, l, lower = true)
       case LessThanOrEqual(a: AttributeReference, l) if l.foldable => cut(a, l, lower = false)

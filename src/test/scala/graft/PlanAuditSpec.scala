@@ -1791,6 +1791,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(chain(s).count() === chain(sNeg).count(), "the commute changed the answer")
   }
 
+  test("outer commute composes with itself: two reducing inners sink below the LEFT join") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.catalyst.plans.{Inner => CInner, LeftOuter => CLeftOuter}
+    // `((f LJ act) IJ hot1) IJ hot2`: the first commute hoists the LEFT
+    // join over hot1, the next fixed-point pass commutes it over hot2 —
+    // the fixed point carries BOTH counter-priced reducing inners below
+    // the expanding left join, a plan no single pass reaches (the q296
+    // composition discipline on the outer shape)
+    def chain(s: org.apache.spark.sql.SparkSession) = {
+      val f = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      val act = Tables.events(s, dir).select(col("user_id"), col("event_type"))
+      val hot1 = Tables.events(s, dir)
+        .filter(col("user_id").isin(7L, 21L) && col("event_type") === "error")
+        .select(col("user_id"), col("value"))
+      val hot2 = Tables.events(s, dir)
+        .filter(col("user_id").isin(3L, 11L) && col("event_type") === "view")
+        .select(col("user_id"), col("ts"))
+      f.join(act, col("o_custkey") === act("user_id"), "left")
+        .join(hot1, col("o_custkey") === hot1("user_id"))
+        .join(hot2, col("o_custkey") === hot2("user_id"))
+    }
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    val root = queries.StatsStore.scratchRoot("graft_oc_compose")
+    queries.StatsStore.buildTableStats(s, root, "events",
+      Tables.events(s, dir), Seq("user_id"), Seq("user_id"), Seq("event_type"))
+    queries.StatsStore.buildTableStats(s, root, "orders",
+      Tables.orders(s, dir), Seq("o_custkey"))
+    s.conf.set(graft.plans.SketchStats.DirKey, root)
+    val joins = chain(s).queryExecution.optimizedPlan.collect { case j: LJoin => j }
+    assert(joins.head.joinType == CLeftOuter,
+      s"the composed fixed point should put the LEFT join on TOP:\n${chain(s).queryExecution.optimizedPlan}")
+    val innersBelow = joins.head.left.collect {
+      case j: LJoin if j.joinType == CInner => j
+    }
+    assert(innersBelow.size == 2,
+      s"both reducing inners should sit below the LEFT join, found ${innersBelow.size}")
+    // equivalence against the unstatted written order
+    val sNeg = spark.newSession()
+    graft.plans.SketchStats.ensure(sNeg)
+    assert(chain(sNeg).queryExecution.optimizedPlan
+      .collect { case j: LJoin => j }.head.joinType == CInner,
+      "without stats the written order (inner on top) must hold")
+    assert(chain(s).count() === chain(sNeg).count(), "the composition changed the answer")
+  }
+
   test("q321: the cents histogram prices a double-range-filtered scan into the broadcast") {
     import org.apache.spark.sql.functions._
     // VERDICT r16 item 5: `value >= 320` statically weighs the whole
@@ -1880,6 +1928,19 @@ class PlanAuditSpec extends AnyFunSuite {
         plan, rows, Map.empty, cnts,
         Map("events" -> Long.MaxValue)).contains(1L),
       "without the guard the absent key prices at 1 row — the documented hazard")
+    // the testimony-when-present guard also drops RANGE cuts on the grown
+    // scan (a stale bound scales with the stale base row count); a store
+    // WITHOUT the bytes kind keeps pricing — the documented legacy posture
+    val rangePlan = s.read.parquet(tbl).filter(col("user_id") >= 9L)
+      .queryExecution.optimizedPlan
+    val histM = graft.plans.StatsCatalog.hist(s, root)
+    assert(histM.contains(("events", "user_id")), "fixture lost its histogram")
+    assert(graft.plans.SketchStats.histFilteredScanBound(
+        rangePlan, rows, histM, Map.empty, bytes).isEmpty,
+      "stale testimony should drop the range cut")
+    assert(graft.plans.SketchStats.histFilteredScanBound(
+        rangePlan, rows, histM, Map.empty, Map.empty).nonEmpty,
+      "a store without the bytes kind keeps the snapshot posture for ranges")
   }
 
   test("no judged query plans a CartesianProduct") {

@@ -373,6 +373,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch, "persisted streamed registers diverged from the batch build")
   }
 
+  test("stream-state erasure: HDR re-ingest of survivors equals a from-scratch batch build (round 17)") {
+    // q319's cascade on the SECOND streamed register family: HDR counters
+    // are an addition monoid with no inverse, so erasure = re-ingest the
+    // surviving stream through a fresh checkpoint and republish; the
+    // SERVED generation must equal a from-scratch build over survivors,
+    // and the pinned pre-sweep generation stays immutable (the GDPR
+    // answer is republish + retention, never in-place mutation)
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val root = graft.queries.StatsStore.scratchRoot("graft_erase_hdr")
+    def ingest(survivorsOnly: Boolean): String = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val src0 = EventStreams.readEventStream(ss, dir)
+      val src = if (survivorsOnly) src0.filter(pmod(col("user_id"), lit(50)) =!= 7) else src0
+      graft.queries.StreamServe.buildAndPublish(ss,
+        EventStreams.streamingHdrRegisters(src), root)
+    }
+    val g1 = ingest(survivorsOnly = false)
+    val g2 = ingest(survivorsOnly = true)
+    assert(graft.IndexStore.latestPath(root).contains(g2))
+    def regsAt(path: String) =
+      spark.read.parquet(s"$path/hdr_regs")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def batchRegs(survivorsOnly: Boolean) = {
+      val base = Tables.events(spark, dir)
+      val pop = if (survivorsOnly) base.filter(pmod(col("user_id"), lit(50)) =!= 7) else base
+      pop.selectExpr("event_type",
+          "cast(floor(value * 100 + cast(0.5 as double)) as bigint) c")
+        .filter("c >= 64")
+        .selectExpr("event_type", "length(bin(c)) - 1 as e", "c")
+        .selectExpr("event_type",
+          "cast(e * 64 + (shiftright(c, cast(e - 6 as int)) & 63) as bigint) bucket")
+        .groupBy("event_type", "bucket").count()
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val full = batchRegs(survivorsOnly = false)
+    val surv = batchRegs(survivorsOnly = true)
+    assert(full != surv, "fixture lost its erased-user regime")
+    assert(regsAt(g2) === surv,
+      "the SERVED post-erasure registers must equal a from-scratch survivor ingest")
+    assert(regsAt(g1) === full,
+      "the pinned pre-sweep generation must stay immutable")
+  }
+
   test("T5: stateful dedup keeps every distinct event_id") {
     val streamed = EventStreams.dedupedEvents(EventStreams.readEventStream(spark, dir))
       .select("event_id")
