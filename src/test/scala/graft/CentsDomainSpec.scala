@@ -60,6 +60,53 @@ class CentsDomainSpec extends AnyFunSuite {
       s"double equality bound $bound != ceil($base*$exactMass/$total)")
   }
 
+  test("DECIMAL columns lower to the same cents domain: stored counters and literal pricing agree") {
+    // the fixtures ship only DOUBLE money columns, so the DecimalType
+    // branches (counterDomain, litKey/litRangeKey, inSetKeys) get a
+    // constructed DECIMAL(12,2) frame: stored counter keys must equal the
+    // exact cents, and a Decimal literal must price through the identical
+    // lowering — one arithmetic across both storage types
+    val s = spark.newSession()
+    val scratch = queries.StatsStore.scratchDir("graft_dec_cents")
+    import s.implicits._
+    val raw = (0 until 600).map(i => (i.toLong, BigDecimal((i % 40) * 25, 2)))
+      .toDF("id", "price")
+      .select(col("id"), col("price").cast("decimal(12,2)").as("price"))
+    raw.write.parquet(s"$scratch/prices.parquet")
+    val tbl = s.read.parquet(s"$scratch/prices.parquet")
+    assert(tbl.schema("price").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 2))
+    val root = s"$scratch/store"
+    queries.StatsStore.buildTableStats(s, root, "prices", tbl,
+      Seq("id"), Seq("price"))
+    val stored = graft.plans.StatsCatalog.histCounts(s, root)(("prices", "price"))
+    // domain: (i % 40) * 25 basis points → cents keys 0, 25, 50, ... 975
+    val exact = (0 until 40).map(k => (k * 25).toLong -> 15L).toMap
+    assert(stored == exact, s"decimal cents counters diverged: $stored")
+    // a DECIMAL literal prices through the identical lowering: the
+    // optimized filter carries a Decimal-typed literal, and the equality
+    // bound equals the exact per-key mass share
+    val rows = graft.plans.StatsCatalog.rows(s, root)
+    val bytes = graft.plans.StatsCatalog.srcBytes(s, root)
+    val cnts = graft.plans.StatsCatalog.histCounts(s, root)
+    val eqPlan = tbl.filter(col("price") === BigDecimal("2.50"))
+      .queryExecution.optimizedPlan
+    val eqBound = graft.plans.SketchStats.histFilteredScanBound(
+      eqPlan, rows, Map.empty, cnts, bytes)
+    assert(eqBound.contains(15L), s"decimal equality bound $eqBound != 15")
+    // and a RANGE literal through the cents boundaries (price >= 7.50
+    // keeps keys 750..975 — 10 of 40 keys; the equi-depth bound charges
+    // from the nearest stored boundary, so it is an upper bound >= 150)
+    val hist = graft.plans.StatsCatalog.hist(s, root)
+    val rgPlan = tbl.filter(col("price") >= BigDecimal("7.50"))
+      .queryExecution.optimizedPlan
+    val rgBound = graft.plans.SketchStats.histFilteredScanBound(
+      rgPlan, rows, hist, cnts, bytes)
+    val trueSel = tbl.filter(col("price") >= BigDecimal("7.50")).count()
+    assert(rgBound.exists(b => b >= trueSel && b <= 600L),
+      s"decimal range bound $rgBound is not a sound upper bound on $trueSel")
+  }
+
   test("an unbounded double domain refuses loudly from BOTH the counter build and the analyze walk") {
     val s = spark.newSession()
     // l_extendedprice: 5,998 distinct cents at sf0.001 (583k at sf0.1) —

@@ -1712,6 +1712,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(reasons.contains(("broadcast-flip", "bailed", "preserved-side")),
       s"missing the preserved-side bail record: $reasons")
     graft.plans.RuleDiag.clear(s)
+    // the RightOuter mirror: `dim RIGHT JOIN fact` — the dim is again the
+    // non-preserved side, now on the LEFT, so the flip must build LEFT
+    val pRight = dim.join(fact, Seq("o_orderpriority"), "right")
+      .queryExecution.executedPlan.toString
+    assert(pRight.contains("BroadcastHashJoin") && pRight.contains("RightOuter") &&
+      pRight.contains("BuildLeft") && !pRight.contains("SortMergeJoin"),
+      s"the RIGHT-join flip did not broadcast the non-preserved left dim:\n${pRight.take(2500)}")
     // equivalence: the flip cannot change rows
     val sNeg = spark.newSession()
     val fact2 = Tables.orders(sNeg, dir)
