@@ -89,15 +89,33 @@ object Serve {
     // `spark.graft.diag.enabled` on the serving session (the usual opt-in);
     // an unenabled session answers with an empty body.
     server.createContext("/diag", { exchange =>
+      // same error posture as /query (ADVICE r17): a serialization failure
+      // answers with a JSON 500 body instead of a silently-closed exchange,
+      // and the read-only surface rejects every non-GET method with 405 —
+      // a POST here is a caller confusing the two endpoints, not a query
       try {
-        val rows = graft.plans.RuleDiag.records(spark).map { case (r, d, re, n) =>
-          s"""{"rule":${jsonQuote(r)},"decision":${jsonQuote(d)},""" +
-            s""""reason":${jsonQuote(re)},"n_plans":$n}"""
+        if (exchange.getRequestMethod != "GET") {
+          val bytes = """{"error":"/diag is read-only: use GET"}""".getBytes("UTF-8")
+          exchange.getResponseHeaders.set("Content-Type", "application/json")
+          exchange.getResponseHeaders.set("Allow", "GET")
+          exchange.sendResponseHeaders(405, bytes.length.toLong)
+          exchange.getResponseBody.write(bytes)
+        } else try {
+          val rows = graft.plans.RuleDiag.records(spark).map { case (r, d, re, n) =>
+            s"""{"rule":${jsonQuote(r)},"decision":${jsonQuote(d)},""" +
+              s""""reason":${jsonQuote(re)},"n_plans":$n}"""
+          }
+          val bytes = (rows.mkString("\n") + "\n").getBytes("UTF-8")
+          exchange.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+          exchange.sendResponseHeaders(200, bytes.length.toLong)
+          exchange.getResponseBody.write(bytes)
+        } catch {
+          case e: Throwable =>
+            val bytes = s"""{"error":${jsonQuote(e.getMessage)}}""".getBytes("UTF-8")
+            exchange.getResponseHeaders.set("Content-Type", "application/json")
+            exchange.sendResponseHeaders(500, bytes.length.toLong)
+            exchange.getResponseBody.write(bytes)
         }
-        val bytes = (rows.mkString("\n") + "\n").getBytes("UTF-8")
-        exchange.getResponseHeaders.set("Content-Type", "application/x-ndjson")
-        exchange.sendResponseHeaders(200, bytes.length.toLong)
-        exchange.getResponseBody.write(bytes)
       } finally exchange.close()
     })
     server.start()

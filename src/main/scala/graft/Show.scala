@@ -14,10 +14,13 @@ object Show {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val explain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
     for (name <- args) {
       val df = SparkEntry.queries(name)(spark, dir)
       println(s"=== $name @ $dir")
       df.show(500, truncate = false)
+      // dev-loop plan audit: the executed plan the numbers came from
+      if (explain) println(df.queryExecution.executedPlan.toString)
     }
   }
 }

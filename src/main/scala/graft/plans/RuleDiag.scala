@@ -51,8 +51,19 @@ object RuleDiag {
   /** The one record a full buffer still accepts: the drop marker. */
   private val Clipped = ("_buffer", "clipped", "max-records", 0)
 
-  private type Buf =
-    java.util.concurrent.ConcurrentHashMap.KeySetView[(String, String, String, Int), java.lang.Boolean]
+  /** A session's buffer: the record set plus an ADMISSION counter — the
+    * counter, not the set's size, is what gates the cap (ADVICE r17: the
+    * previous size-check-then-trim could race two threads into BOTH
+    * self-evicting, under-filling the buffer while the sentinel claimed
+    * the cap was hit). Each distinct real record increments the counter
+    * exactly once (only the thread whose `add` returned true counts it),
+    * so admission order is total: the first [[MaxRecords]] inserters keep
+    * their records, every later one trims itself and plants the sentinel. */
+  private final class Buf {
+    val set: java.util.concurrent.ConcurrentHashMap.KeySetView[(String, String, String, Int), java.lang.Boolean] =
+      java.util.concurrent.ConcurrentHashMap.newKeySet()
+    val admitted = new java.util.concurrent.atomic.AtomicInteger()
+  }
 
   // per-session buffers; only diag-enabled sessions (judged diagnostics
   // queries, specs, a Serve operator) ever allocate an entry. WEAK keys:
@@ -70,18 +81,20 @@ object RuleDiag {
   private[plans] def record(rule: String, decision: String, reason: String,
       plan: LogicalPlan): Unit =
     SparkSession.getActiveSession.foreach { s =>
-      val buf = buffers.computeIfAbsent(s,
-        _ => java.util.concurrent.ConcurrentHashMap.newKeySet())
+      val buf = buffers.computeIfAbsent(s, _ => new Buf)
       val rec = (rule, decision, reason, plan.canonicalized.hashCode())
-      if (buf.contains(rec)) () // dedup fast path — never counts against the cap race
-      else if (buf.size < MaxRecords) {
-        buf.add(rec)
-        // the size check and the add are not one atomic step, so two
-        // planning threads can land on a full buffer together (ADVICE
-        // r15); trim our own overshoot back and leave the sentinel, so
-        // the documented cap holds strictly
-        if (buf.size > MaxRecords) { buf.remove(rec); buf.add(Clipped); () }
-      } else { buf.add(Clipped); () }
+      if (buf.set.contains(rec)) () // dedup fast path — no counter traffic
+      else if (buf.set.add(rec)) {
+        // this thread inserted the record, so it alone pays the admission
+        // counter; past the cap it trims ITSELF (never a neighbor) and
+        // plants the sentinel — strictly ≤ MaxRecords real records, never
+        // fewer while the sentinel claims the cap was hit
+        if (buf.admitted.incrementAndGet() > MaxRecords) {
+          buf.set.remove(rec)
+          buf.set.add(Clipped)
+          ()
+        }
+      }
     }
 
   /** Drop a session's buffer (judged queries read then clear). */
@@ -91,7 +104,7 @@ object RuleDiag {
     * sorted. No Spark involvement at all. */
   def records(s: SparkSession): Seq[(String, String, String, Long)] = {
     import scala.jdk.CollectionConverters._
-    Option(buffers.get(s)).map(_.asScala.toSeq).getOrElse(Nil)
+    Option(buffers.get(s)).map(_.set.asScala.toSeq).getOrElse(Nil)
       .groupBy { case (r, d, re, _) => (r, d, re) }
       .map { case ((r, d, re), vs) => (r, d, re, vs.size.toLong) }
       .toSeq.sorted

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.AttributeReference
-import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -100,7 +100,15 @@ object SketchStats {
     case Inner => (true, true)
     case LeftOuter => (false, true) // left rows preserved: build right only
     case RightOuter => (true, false)
-    case _ => (false, false)
+    // EXISTS / NOT IN shapes (VERDICT r17 item 3): the right side of a
+    // semi/anti join is a pure filter relation — broadcasting it is a
+    // supported hash-join build in Spark, and the same `fits` bound
+    // applies unchanged. The LEFT side is the output side (semi output
+    // has no right columns at all), so it is never a hash-join build —
+    // hinting it would force a nested loop, the same unsound direction
+    // as a preserved outer side.
+    case LeftSemi | LeftAnti => (false, true)
+    case _ => (false, false) // FullOuter: not a hash-join shape on either side
   }
 
   final case class BroadcastFromSketchStats() extends Rule[LogicalPlan] {
@@ -110,7 +118,10 @@ object SketchStats {
       val dir = conf.getConfString(DirKey, "")
       val diag = conf.getConfString(RuleDiag.EnabledKey, "false").toBoolean
       def bailAll(reason: String): Unit = if (diag) plan.foreach {
-        case j @ Join(_, _, Inner | LeftOuter | RightOuter, _, JoinHint.NONE) =>
+        // FullOuter included (VERDICT r17 item 6): never a candidate, but
+        // the q311 discipline says it must SAY so, not stay invisible
+        case j @ Join(_, _, Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti | FullOuter,
+            _, JoinHint.NONE) =>
           RuleDiag.record(RuleTag, "bailed", reason, j)
         case _ => ()
       }
@@ -128,7 +139,15 @@ object SketchStats {
         val bytes = StatsCatalog.srcBytes(spark, dir)
         if (stats.isEmpty) { bailAll("empty-catalog"); plan }
         else plan.transformUp {
-          case j @ Join(l, r, jt @ (Inner | LeftOuter | RightOuter), _, JoinHint.NONE) =>
+          // FullOuter is structurally never a hash-join build on either
+          // side — priced or not, the only honest answer is the reason
+          // (VERDICT r17 item 6: the shape was correctly excluded but
+          // invisibly so)
+          case j @ Join(_, _, FullOuter, _, JoinHint.NONE) =>
+            if (diag) RuleDiag.record(RuleTag, "bailed", "full-outer", j)
+            j
+          case j @ Join(l, r, jt @ (Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti),
+              _, JoinHint.NONE) =>
             val threshold = conf.autoBroadcastJoinThreshold
             // Safety margin (ADVICE r11): the "sound" ∏NDV row bound rides
             // on two estimates that can individually under-shoot — HLL NDV
@@ -144,9 +163,16 @@ object SketchStats {
             def fits(n: Long, width: Int): Boolean =
               threshold > 0 && n < Long.MaxValue / width &&
                 n * width <= threshold / 2
-            // tagged bounds so the diagnostics name WHICH pricer fired
+            // tagged bounds so the diagnostics name WHICH pricer fired.
+            // Freshness gates BOTH pricers (round 18 closed the ∏NDV
+            // path too): HLL registers only ever GROW, so after
+            // out-of-band growth the recorded NDV UNDER-states the
+            // current one and the grouped bound under-prices the
+            // broadcast — the sharp failure class, same direction as
+            // absent-key-zero. Testimony-when-present, as everywhere.
             def bounds(p: LogicalPlan): Seq[(String, Long, Int)] =
-              groupedRowBound(p, stats).map { case (n, w) => ("grouped-dim", n, w) }.toSeq ++
+              if (grownPastSlack(p, bytes)) Nil
+              else groupedRowBound(p, stats).map { case (n, w) => ("grouped-dim", n, w) }.toSeq ++
                 histFilteredScanBound(p, rows, hist, cnts, bytes).map(n =>
                   ("hist-scan", n, p.output.map(_.dataType.defaultSize).sum + 16)).toSeq
             def small(p: LogicalPlan): Option[String] =
@@ -167,10 +193,13 @@ object SketchStats {
                     // an outer join whose only SMALL side is the preserved
                     // one: sound to price, unsound to build — the reason an
                     // operator needs to hear is "restate the join, not the
-                    // stats" (VERDICT r16 item 1)
+                    // stats" (VERDICT r16 item 1). A side refused for
+                    // STALENESS names that instead ("refresh the stats").
                     if ((!canRight && small(r).nonEmpty) ||
                         (!canLeft && small(l).nonEmpty)) "preserved-side"
                     else if (bounds(l).nonEmpty || bounds(r).nonEmpty) "over-threshold"
+                    else if (grownPastSlack(l, bytes) || grownPastSlack(r, bytes))
+                      "stale-stats"
                     else "unpriced", j)
                 j
             }
@@ -394,13 +423,45 @@ object SketchStats {
       case _ => litSetLongs(hset).map(_.map(counterKey(a, _)))
     }
 
-  /** Staleness slack on the counter freshness guard: the scan's current
-    * file bytes may exceed the bytes the stats writer observed by up to
-    * 25% (rewrite/compaction jitter, footer-size drift) before counter
-    * equality pricing refuses. Any growth past it means rows the counters
-    * never saw. */
+  /** Staleness slack on the QUALITY-class freshness guards (histogram
+    * range cuts, the reorder's row estimates): the scan's current file
+    * bytes may exceed the bytes the stats writer observed by up to 25%
+    * (rewrite/compaction jitter, footer-size drift) before pricing
+    * refuses. A stale estimate in this class scales with the stale base
+    * row count — it degrades toward the whole-file posture, so the slack
+    * can afford to be generous. */
   private[plans] val SrcBytesSlackNum = 5L
   private[plans] val SrcBytesSlackDen = 4L
+
+  /** Staleness slack on the COUNTER equality path, deliberately tighter
+    * (ADVICE r17): absent-key-is-zero is the one estimate in the
+    * subsystem that falls BELOW truth under staleness, and within the
+    * generous quality-class slack a hot new value would still price at
+    * ~0 rows — the exact mis-flip hazard the guard exists to kill.
+    * Compaction rarely GROWS bytes (footer drift is well under a
+    * percent), so the sharp path tolerates only ~1.6% before refusing;
+    * legitimate appends go through appendTableStats, which adds the
+    * delta's bytes to the testimony and keeps pricing on. */
+  private[plans] val CounterSlackNum = 65L
+  private[plans] val CounterSlackDen = 64L
+
+  /** Testimony-when-present staleness check over EVERY covered scan under
+    * `p` (VERDICT r17 item 5 factored the guard into one place): true when
+    * any scan's current file bytes exceed its recorded `table_src_bytes`
+    * by more than the quality-class slack — the store's estimates for
+    * that scan describe a table that has since grown out-of-band. Scans
+    * without recorded testimony (constructed fixtures, pre-r17 layouts)
+    * keep the documented snapshot-upper-bound posture and are NOT stale. */
+  private[plans] def grownPastSlack(p: LogicalPlan,
+      bytes: Map[String, Long]): Boolean =
+    p.exists {
+      case lr: LogicalRelation =>
+        StatsCatalog.tableOf(lr).exists(t =>
+          bytes.get(t).exists(b =>
+            BigInt(lr.relation.sizeInBytes) * SrcBytesSlackDen >
+              BigInt(b) * SrcBytesSlackNum))
+      case _ => false
+    }
 
   /** Exact-mass UPPER bound on `a = x` / `a IN (xs)` from the persisted
     * per-value counters (VERDICT r15 item 3): counter[key] counts every
@@ -429,8 +490,8 @@ object SketchStats {
         StatsCatalog.tableOf(lr).flatMap { t =>
           cnts.get((t, sa.name)).filter { _ =>
             bytes.get(t).exists(b =>
-              BigInt(lr.relation.sizeInBytes) * SrcBytesSlackDen <=
-                BigInt(b) * SrcBytesSlackNum)
+              BigInt(lr.relation.sizeInBytes) * CounterSlackDen <=
+                BigInt(b) * CounterSlackNum)
           }
         }
       }
@@ -489,16 +550,11 @@ object SketchStats {
     // counters (a stale bound scales with the stale base row count — it
     // can under-state truth after out-of-band growth, but degrades toward
     // the whole-file posture rather than absent-key-zero), so the guard
-    // here is testimony-WHEN-PRESENT: a store whose recorded source bytes
-    // show the scan grew past the slack drops every cut for that scan;
-    // stores without the bytes kind (constructed fixtures, pre-r17
-    // layouts) keep the documented snapshot-upper-bound posture
-    def grownPastSlack: Boolean =
-      scanOf(p).exists(lr => StatsCatalog.tableOf(lr).exists(t =>
-        bytes.get(t).exists(b =>
-          BigInt(lr.relation.sizeInBytes) * SrcBytesSlackDen >
-            BigInt(b) * SrcBytesSlackNum)))
-    val cuts = if (grownPastSlack) Nil
+    // here is testimony-WHEN-PRESENT ([[grownPastSlack]]): a store whose
+    // recorded source bytes show the scan grew past the slack drops every
+    // cut for that scan; stores without the bytes kind (constructed
+    // fixtures, pre-r17 layouts) keep the snapshot-upper-bound posture
+    val cuts = if (grownPastSlack(p, bytes)) Nil
     else conjuncts(p).flatMap {
       case GreaterThanOrEqual(a: AttributeReference, l) if l.foldable => cut(a, l, lower = true)
       case GreaterThan(a: AttributeReference, l) if l.foldable => cut(a, l, lower = true)
@@ -590,6 +646,14 @@ object SketchStats {
             else ((BigInt(r) * sel + n - 1) / n).max(1).toLong
           case _ => r
         }
+      // freshness testimony for the ROW estimate itself (VERDICT r17
+      // item 5): the catalog's base count — and every refinement hanging
+      // off it — describes the snapshot the stats writer saw; the
+      // testimony-when-present gate lives at [[estRows]] (this method's
+      // only caller), so a scan grown past the slack never reaches this
+      // read and the consumer degrades to written order with the
+      // stale-stats reason. The failure class is quality-only (a stale
+      // count can mis-rotate a chain, never change rows).
       scanOf(dim).flatMap(sc => StatsCatalog.tableOf(sc).flatMap(rows.get)).map { base =>
         conjuncts(dim).foldLeft(base) { (r, cj) => cj match {
           case EqualTo(a: AttributeReference, l) if l.foldable => eq(r, a, l)
@@ -661,7 +725,14 @@ object SketchStats {
         hist: Map[(String, String), IndexedSeq[(Long, Long)]],
         cnts: Map[(String, String), Map[Long, Long]],
         bytes: Map[String, Long]): Option[BigInt] =
-      scanRows(p, rows, ndv, hist, cnts, bytes).map(BigInt(_))
+      // one freshness gate for every pricer under this consumer (round
+      // 18): a covered scan grown past its recorded testimony refuses
+      // the scan estimate, the ∏NDV grouped bound (registers only GROW,
+      // so a stale NDV UNDER-states and under-prices), and the join
+      // recursion over either — the chain degrades to written order
+      // with the stale-stats reason at the bail site
+      if (SketchStats.grownPastSlack(p, bytes)) None
+      else scanRows(p, rows, ndv, hist, cnts, bytes).map(BigInt(_))
         .orElse(groupedRowBound(p, ndv).map(t => BigInt(t._1)))
         .orElse(stripAttrProject(p) match {
           case Join(l, r, Inner, Some(c), _) if c.deterministic =>
@@ -739,7 +810,12 @@ object SketchStats {
                     if (diag) RuleDiag.record("reorder", "bailed", "below-margin", j)
                     j
                   case None =>
-                    if (diag) RuleDiag.record("reorder", "bailed", "unpriced-side", j)
+                    if (diag) RuleDiag.record("reorder", "bailed",
+                      // stale testimony refuses the estimate (VERDICT r17
+                      // item 5) — the operator hears "refresh the stats",
+                      // not "the key is uncovered"
+                      if (SketchStats.grownPastSlack(j, bytes)) "stale-stats"
+                      else "unpriced-side", j)
                     j
                 }
               }
@@ -766,6 +842,12 @@ object SketchStats {
         // shape stays put — with a reason, not invisibly
         case j @ Join(_, _, LeftOuter | RightOuter | FullOuter, _, _) if candidate(j) =>
           RuleDiag.record("reorder", "bailed", "outer-join", j)
+        // a semi/anti join heading a chain is likewise a shape an operator
+        // asks about — and the answer is structural, not statistical: the
+        // commute cannot apply because semi output carries NO right-side
+        // columns (there is nothing to re-order the right side against)
+        case j @ Join(_, _, LeftSemi | LeftAnti, _, _) if candidate(j) =>
+          RuleDiag.record("reorder", "bailed", "semi-join", j)
         case _ => ()
       }
       if (dir.isEmpty) { bailAll("no-stats-dir"); plan }
@@ -787,6 +869,16 @@ object SketchStats {
           case j @ Join(_, _, LeftOuter | RightOuter | FullOuter, _, _)
               if diag && candidate(j) =>
             RuleDiag.record("reorder", "bailed", "outer-join", j)
+            j
+          // semi/anti-HEADED shapes stay put STRUCTURALLY (VERDICT r17
+          // item 3): the inner bubble's commute rewrites `(f ⋈c1 d1) ⋈c2
+          // d2` by re-parenting d2 below — but a semi join's output has no
+          // right-side columns, so no later condition can reference its
+          // right side and no swap candidate exists. The honest diag
+          // answer is the structural reason, not "unpriced".
+          case j @ Join(_, _, LeftSemi | LeftAnti, _, _)
+              if diag && candidate(j) =>
+            RuleDiag.record("reorder", "bailed", "semi-join", j)
             j
           // determinism guard (ADVICE r13): a non-deterministic conjunct
           // (e.g. a rand()-based sampling predicate riding beside the equi
@@ -831,7 +923,9 @@ object SketchStats {
                     if (diag) RuleDiag.record("reorder", "bailed", "below-margin", j2)
                     None
                   case None =>
-                    if (diag) RuleDiag.record("reorder", "bailed", "unpriced-side", j2)
+                    if (diag) RuleDiag.record("reorder", "bailed",
+                      if (SketchStats.grownPastSlack(j2, bytes)) "stale-stats"
+                      else "unpriced-side", j2)
                     None
                 }
               case Join(f, d1, Inner, Some(c1), h1)
@@ -862,7 +956,9 @@ object SketchStats {
                     if (diag) RuleDiag.record("reorder", "bailed", "below-margin", j2)
                     None
                   case _ =>
-                    if (diag) RuleDiag.record("reorder", "bailed", "unpriced-side", j2)
+                    if (diag) RuleDiag.record("reorder", "bailed",
+                      if (SketchStats.grownPastSlack(j2, bytes)) "stale-stats"
+                      else "unpriced-side", j2)
                     None
                 }
               case _ => None
@@ -1000,7 +1096,16 @@ object SketchStats {
     private def descend(p: LogicalPlan, aggRefs: org.apache.spark.sql.catalyst.expressions.AttributeSet):
         Option[(LogicalPlan, LogicalPlan => LogicalPlan, Seq[Attribute])] =
       stripAttrProject(p) match {
-        case j @ Join(l, r, Inner | LeftOuter | RightOuter, Some(cond), _)
+        // SEMI/ANTI joins admit the fact on their LEFT — the output —
+        // side (round 18, the item-3 follow-through for this rule): the
+        // join is a pure FILTER over the fact, its condition touches the
+        // fact only through the key attributes the partial groups by, so
+        // every key group passes or is dropped ATOMICALLY, carrying (or
+        // not) its whole pre-aggregate — the duplication argument
+        // degenerates to a cleaner filter argument. The right side never
+        // hosts the fact (its rows don't reach the aggregate at all).
+        case j @ Join(l, r, Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti,
+            Some(cond), _)
             if cond.deterministic =>
           attrEqConjuncts(cond).flatMap { pairs =>
             val cAttrs = pairs.flatMap { case (a, b) => Seq(a, b) }
@@ -1013,7 +1118,9 @@ object SketchStats {
                 (f, (into: LogicalPlan) => wrap(rb(into)), cAttrs ++ cs)
               }
             side(l, into => j.copy(left = into), j.joinType != RightOuter)
-              .orElse(side(r, into => j.copy(right = into), j.joinType != LeftOuter))
+              .orElse(side(r, into => j.copy(right = into),
+                j.joinType != LeftOuter &&
+                  j.joinType != LeftSemi && j.joinType != LeftAnti))
           }
         case _ => None
       }
@@ -1038,6 +1145,7 @@ object SketchStats {
         val spark = SparkSession.active
         val rows = StatsCatalog.rows(spark, dir)
         val ndv = lookup(spark, dir)
+        val bytes = StatsCatalog.srcBytes(spark, dir)
         if (rows.isEmpty || ndv.isEmpty) { bailAll("empty-catalog"); plan }
         else plan.transformUp {
           // streaming guard: on a streaming plan the inserted per-key
@@ -1050,7 +1158,7 @@ object SketchStats {
                 (decision, reason) => RuleDiag.record("eager-agg", decision, reason, agg)
               else (_, _) => ()
             rewrite(agg, groupExprs, resultExprs,
-              stripAttrProject(child), rows, ndv, recorder).getOrElse(agg)
+              stripAttrProject(child), rows, ndv, bytes, recorder).getOrElse(agg)
         }
       }
     }
@@ -1059,6 +1167,7 @@ object SketchStats {
         resultExprs: Seq[NamedExpression], child: LogicalPlan,
         rows: Map[String, Long],
         ndv: Map[(String, String), Long],
+        bytes: Map[String, Long],
         recorder: (String, String) => Unit = (_, _) => ()): Option[LogicalPlan] = {
       val aggPairs = resultExprs.collect {
         case al @ Alias(ae: AggregateExpression, _) => (al, ae)
@@ -1111,6 +1220,14 @@ object SketchStats {
         val priced: Option[Seq[Attribute]] =
           scanOf(fact).flatMap(StatsCatalog.tableOf).flatMap(rows.get) match {
             case _ if fks.isEmpty => recorder("bailed", "shape"); None
+            // the shared freshness posture (round 18): a fact scan grown
+            // past its recorded testimony refuses the fanout pricing —
+            // stale NDVs UNDER-state (registers only grow), which would
+            // OVER-state the fanout and fire the partial where the true
+            // fanout no longer pays; quality-only either way (the rewrite
+            // is an equivalence), but the one discipline holds everywhere
+            case _ if SketchStats.grownPastSlack(fact, bytes) =>
+              recorder("bailed", "stale-stats"); None
             case None => recorder("bailed", "missing-rows"); None
             case Some(n) =>
               val ks = fks.map(a => a -> ndvOf(fact, a, ndv))
@@ -1254,7 +1371,8 @@ object SketchStats {
         case _ => false
       }
       def bailAll(reason: String): Unit = if (diag) plan.foreach {
-        case j @ Join(l, r, Inner | LeftOuter | RightOuter, _, JoinHint.NONE)
+        case j @ Join(l, r, Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti | FullOuter,
+            _, JoinHint.NONE)
             if hasExplode(l) || hasExplode(r) =>
           RuleDiag.record("fanout-veto", "bailed", reason, j)
         case _ => ()
@@ -1264,13 +1382,24 @@ object SketchStats {
         val fan = StatsCatalog.fanout(SparkSession.active, dir)
         if (fan.isEmpty) { bailAll("empty-catalog"); plan }
         else plan.transformUp {
-          // outer joins too (round 17 symmetry with the flip): Spark's
-          // size-only estimation happily broadcasts the NON-preserved side
-          // of a LEFT/RIGHT join, so an exploding side there needs the
-          // same corrected-size veto; only BUILDABLE sides are vetoed — a
-          // preserved side is never a hash-join build, so a hint there
-          // would be noise
-          case j @ Join(l, r, jt @ (Inner | LeftOuter | RightOuter), _, JoinHint.NONE) =>
+          // a FullOuter join has no hash-join build side to veto — the
+          // size estimate this rule corrects cannot pick a broadcast there
+          // anyway; an exploding side still gets the reason (VERDICT r17
+          // item 6: excluded shapes must say so)
+          case j @ Join(l, r, FullOuter, _, JoinHint.NONE)
+              if diag && (hasExplode(l) || hasExplode(r)) =>
+            RuleDiag.record("fanout-veto", "bailed", "full-outer", j)
+            j
+          // outer joins too (round 17 symmetry with the flip), and
+          // semi/anti joins in round 18 (their right side is a buildable
+          // hash-join side exactly like the flip's): Spark's size-only
+          // estimation happily broadcasts the NON-preserved side of a
+          // LEFT/RIGHT join — or the filter side of an EXISTS — so an
+          // exploding side there needs the same corrected-size veto; only
+          // BUILDABLE sides are vetoed — a preserved side is never a
+          // hash-join build, so a hint there would be noise
+          case j @ Join(l, r, jt @ (Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti),
+              _, JoinHint.NONE) =>
             val veto = Some(HintInfo(strategy = Some(NO_BROADCAST_HASH)))
             val (canL, canR) = buildableSides(jt)
             val (vl, vr) =

@@ -69,6 +69,34 @@ private[graft] object Memo {
   def memoized(kind: String, s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
     cached(kind, s, dir, s.sparkContext.isLocal)(build)
 
+  /** Parquet-backed memoization (VERDICT r17 item 2 / what's-wrong 3):
+    * build once per (session, dir, kind), WRITE the result to a
+    * JVM-exit-cleaned scratch dir, and hand every caller a plain parquet
+    * scan of it. Unlike the block-store branches above, the re-read cost
+    * is bounded by a parquet scan under ANY storage pressure: evicted
+    * memory blocks fall back to files on disk, never to a full lineage
+    * recompute (the q264/q265 hazard — a windowed cumulative build whose
+    * recompute costs ~50× its read). The build is metered as store-build
+    * time: the artifact IS a persisted derived store, and the bench's
+    * lifecycle split should account it like one. Race cost: a lost
+    * putIfAbsent race abandons the loser's scratch dir to the exit hook —
+    * bounded, like [[cached]]'s duplicate materialization. */
+  def parquetBacked(kind: String, s: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame = {
+    memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (s, dir, s"pq:$kind")
+    val hit = memo.get(key)
+    if (hit != null) return hit.df
+    val path = graft.LifecycleMeter.time {
+      val p = StatsStore.scratchDir(s"graft_memo_$kind") + "/data"
+      build.write.parquet(p)
+      p
+    }
+    val entry = Entry(s.read.parquet(path), persisted = false)
+    val prev = memo.putIfAbsent(key, entry)
+    if (prev == null) entry.df else prev.df
+  }
+
   /** Unpersist discipline (VERDICT r3 item 9): evicting a (session, dir)
     * releases every cluster-branch persist under it — a long-lived shared
     * session no longer pins MEMORY_AND_DISK blocks forever.

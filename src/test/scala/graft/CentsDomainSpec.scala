@@ -112,11 +112,7 @@ class CentsDomainSpec extends AnyFunSuite {
     // l_extendedprice: 5,998 distinct cents at sf0.001 (583k at sf0.1) —
     // lower the seams below it so the spec exercises the production
     // refusal without a 600k-row fixture
-    val savedCarry = queries.StatsStore.MaxCarryRows
-    val savedDom = queries.StatsStore.HistMaxDomain
-    try {
-      queries.StatsStore.MaxCarryRows = 4096
-      queries.StatsStore.HistMaxDomain = 4096
+    queries.StatsStore.withCaps(carryRows = 4096, histDomain = 4096L) {
       val root = queries.StatsStore.scratchRoot("graft_cents_refuse")
       val e1 = intercept[IllegalStateException] {
         queries.StatsStore.buildTableStats(s, root, "lineitem",
@@ -132,9 +128,6 @@ class CentsDomainSpec extends AnyFunSuite {
       }
       assert(e2.getMessage.contains("histogram domain"),
         s"analyze-walk refusal lost its message: ${e2.getMessage}")
-    } finally {
-      queries.StatsStore.MaxCarryRows = savedCarry
-      queries.StatsStore.HistMaxDomain = savedDom
     }
   }
 }

@@ -129,6 +129,39 @@ class EagerAggSpec extends AnyFunSuite {
       "fixture lost its unmatched-fact regime — the null group is empty")
   }
 
+  test("semi/anti joins: the partial pushes below the EXISTS filter and matches plain exactly (round 18)") {
+    val (s, fact, dim) = frames()
+    // the join is a pure FILTER whose condition touches the fact only
+    // through the partial's key, so every key group passes or drops
+    // ATOMICALLY carrying its pre-aggregate. The frame's regimes all
+    // bite: DUPLICATED dim keys must NOT multiply (semi dedups — the
+    // one semantic difference from the inner frame), dangling dim keys
+    // drop their fact groups under semi and keep them under anti, and
+    // NULL fact keys never match — dropped by semi, KEPT whole by anti.
+    def q(kind: String)(f: org.apache.spark.sql.DataFrame,
+        d: org.apache.spark.sql.DataFrame) =
+      f.join(d, col("k") === col("dk"), kind)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"), min("v").as("mn"),
+          max("v").as("mx"), count(col("w")).as("nw"))
+        .orderBy(asc_nulls_first("k"))
+    val sPlain = spark.newSession()
+    for (kind <- Seq("left_semi", "left_anti")) {
+      val rewritten = q(kind)(fact, dim)
+      assert(hasPartialAggBelowJoin(rewritten),
+        s"rule did not fire below the $kind join")
+      val plain = q(kind)(sPlain.read.parquet(env._2), sPlain.read.parquet(env._3))
+      assert(!hasPartialAggBelowJoin(plain))
+      assert(rewritten.collect().toSeq === plain.collect().toSeq,
+        s"the $kind eager push diverged from the plain plan")
+    }
+    // the regimes are real: anti keeps the null-key group, semi drops it
+    assert(q("left_anti")(fact, dim).collect().exists(_.isNullAt(0)),
+      "fixture lost its null-key regime — anti should keep the null group")
+    assert(!q("left_semi")(fact, dim).collect().exists(_.isNullAt(0)),
+      "semi must drop the null-key group (null never matches)")
+  }
+
   test("avg decomposes to sum+count partials: rewritten == plain, exactly (incl. all-null groups)") {
     val (s, fact, dim) = frames()
     def q(f: org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame) =

@@ -287,9 +287,7 @@ class GenerationStoreSpec extends AnyFunSuite {
     // values the boundary walk would single-partition a key-sized
     // relation — refuse with the documented bound instead (test seam
     // lowers the bound; fixture domains are all small)
-    val prev = queries.StatsStore.HistMaxDomain
-    queries.StatsStore.HistMaxDomain = 100L
-    try {
+    queries.StatsStore.withCaps(histDomain = 100L) {
       val root = queries.StatsStore.scratchDir("graft_hist_hi") + "/store"
       val e = intercept[IllegalArgumentException] {
         queries.StatsStore.analyze(spark, SparkTestHarness.Sf0001, root,
@@ -297,7 +295,7 @@ class GenerationStoreSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("single-partition"),
         s"expected the documented bound message, got: ${e.getMessage}")
-    } finally queries.StatsStore.HistMaxDomain = prev
+    }
   }
 
   test("a batch append extends a STREAM-built histogram: merged boundaries == from-scratch") {

@@ -1950,6 +1950,228 @@ class PlanAuditSpec extends AnyFunSuite {
       "a store without the bytes kind keeps the snapshot posture for ranges")
   }
 
+  test("q324: counters flip a semi join to broadcast; the anti twin flips too; a small LEFT side never builds") {
+    import org.apache.spark.sql.functions._
+    // VERDICT r17 item 3: the EXISTS/NOT IN shape was invisible to every
+    // stats consumer. The right side of LeftSemi/LeftAnti is a buildable
+    // hash-join side (the same `fits` bound applies unchanged); the LEFT
+    // side is the output side and must never be hinted.
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    graft.plans.RuleDiag.clear(s)
+    s.conf.set(graft.plans.RuleDiag.EnabledKey, "true")
+    val root = queries.StatsStore.scratchRoot("graft_semi_pin")
+    queries.StatsStore.buildTableStats(s, root, "events",
+      Tables.events(s, dir), Seq("user_id"), Seq("user_id"), Seq("event_type"))
+    s.conf.set(graft.plans.SketchStats.DirKey, root)
+    // 4096 at sf0.001: above the counter-priced slice bound (~1 KB),
+    // below Spark's filter-blind pruned-scan estimate (~13 KB) — the
+    // judged query uses 16384 for the same sandwich at sf0.01/sf0.1
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    val hot = Tables.events(s, dir)
+      .filter(col("user_id").isin(7L, 21L, 42L, 77L) &&
+        col("event_type") === "error")
+      .select(col("user_id"))
+    val fact = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    def planOf(kind: String) =
+      fact.join(hot, col("o_custkey") === col("user_id"), kind)
+        .queryExecution.executedPlan.toString
+    val pSemi = planOf("left_semi")
+    assert(pSemi.contains("BroadcastHashJoin") && pSemi.contains("LeftSemi") &&
+      pSemi.contains("BuildRight") && !pSemi.contains("SortMergeJoin"),
+      s"counters did not flip the semi join to a right-build broadcast:\n${pSemi.take(2500)}")
+    val pAnti = planOf("left_anti")
+    assert(pAnti.contains("BroadcastHashJoin") && pAnti.contains("LeftAnti") &&
+      pAnti.contains("BuildRight") && !pAnti.contains("SortMergeJoin"),
+      s"counters did not flip the anti join to a right-build broadcast:\n${pAnti.take(2500)}")
+    // the flip cannot change rows: semi + anti partition the fact exactly
+    assert(fact.join(hot, col("o_custkey") === col("user_id"), "left_semi").count() +
+      fact.join(hot, col("o_custkey") === col("user_id"), "left_anti").count() ===
+      fact.count(), "semi + anti must partition the fact")
+    // preserved-side negative: the SMALL slice LEADS the semi join — it is
+    // the output side, never a hash-join build, and the diagnostics say
+    // so. (Spark may still legally build the RIGHT side on its own
+    // estimate — constraint propagation narrows the pruned fact below the
+    // threshold here — so the pin is on the BUILD SIDE, not on the join
+    // strategy: the left must never be it.)
+    val pLead = hot.join(fact, col("user_id") === col("o_custkey"), "left_semi")
+      .queryExecution.executedPlan.toString
+    assert(!pLead.contains("BuildLeft"),
+      s"a small semi-join LEFT side must never be the hash-join build:\n${pLead.take(2500)}")
+    val reasons = graft.plans.RuleDiag.records(s).map(r => (r._1, r._2, r._3)).toSet
+    assert(reasons.contains(("broadcast-flip", "fired", "hist-scan")),
+      s"missing the semi-flip fired record: $reasons")
+    assert(reasons.contains(("broadcast-flip", "bailed", "preserved-side")),
+      s"missing the semi preserved-side bail: $reasons")
+    graft.plans.RuleDiag.clear(s)
+    // stats-less negative control: the filter-blind estimate keeps the
+    // slice over the threshold, so the semi join sort-merges
+    val sNeg = spark.newSession()
+    sNeg.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    val hotN = Tables.events(sNeg, dir)
+      .filter(col("user_id").isin(7L, 21L, 42L, 77L) &&
+        col("event_type") === "error")
+      .select(col("user_id"))
+    val pNeg = Tables.orders(sNeg, dir)
+      .join(hotN, col("o_custkey") === col("user_id"), "left_semi")
+      .queryExecution.executedPlan.toString
+    assert(pNeg.contains("SortMergeJoin") && !pNeg.contains("BroadcastHashJoin"),
+      s"negative control: expected the filter-blind sort-merge semi join:\n${pNeg.take(2500)}")
+  }
+
+  test("reorder: a semi-headed chain records the STRUCTURAL semi-join bail; a full-outer join says full-outer") {
+    import org.apache.spark.sql.functions._
+    // VERDICT r17 items 3 + 6: the commute cannot apply to a semi head
+    // (semi output has no right-side columns — nothing to re-order the
+    // right side against), and FullOuter is never a hash-join build on
+    // either side; both shapes must say so instead of staying invisible.
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    graft.plans.RuleDiag.clear(s)
+    s.conf.set(graft.plans.RuleDiag.EnabledKey, "true")
+    s.conf.set(graft.plans.SketchStats.DirKey,
+      queries.StatsStore.ensureStatsFor(s, dir))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val ev = Tables.events(s, dir).select(col("user_id"), col("value"))
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    // the semi condition references BOTH sides of the lower join, so
+    // Spark's own PushDownLeftSemiAntiJoin cannot dissolve the head
+    // before the extra optimizations see it
+    o.join(ev, col("o_custkey") === col("user_id"))
+      .join(cust.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey") &&
+          col("user_id") === col("c_custkey"), "left_semi")
+      .queryExecution.optimizedPlan
+    val prioDim = Tables.orders(s, dir)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_prio"))
+    Tables.orders(s, dir).select(col("o_orderpriority"), col("o_orderstatus"))
+      .join(prioDim, Seq("o_orderpriority"), "full")
+      .queryExecution.optimizedPlan
+    val reasons = graft.plans.RuleDiag.records(s).map(r => (r._1, r._2, r._3)).toSet
+    assert(reasons.contains(("reorder", "bailed", "semi-join")),
+      s"the semi-headed chain left no structural reorder record: $reasons")
+    assert(reasons.contains(("broadcast-flip", "bailed", "full-outer")),
+      s"the full-outer join left no flip record: $reasons")
+    graft.plans.RuleDiag.clear(s)
+  }
+
+  test("q325: the partial aggregate lands below the SEMI join; without stats the plain shape holds") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Join => LJoin}
+    // round 18: the EXISTS filter's condition touches the fact only
+    // through the partial's keys, so the collapse is exact — and the
+    // collapsed fact is what the semi probe scans at 100 TB
+    def q(s: org.apache.spark.sql.SparkSession) = {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("cast(floor(value * 100 + cast(0.5 as double)) as bigint)").as("v_cents"))
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      ev.join(urgent, col("user_id") === col("o_custkey"), "left_semi")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v_cents").as("sum_cents"))
+        .orderBy("event_type")
+    }
+    def partialBelowSemi(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case j: LJoin if j.joinType.sql == "LEFT SEMI" => j
+      }.exists(_.left.collectFirst { case a: LAgg => a }.nonEmpty)
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    s.conf.set(graft.plans.SketchStats.DirKey,
+      queries.StatsStore.ensureStatsFor(s, dir))
+    assert(partialBelowSemi(q(s)),
+      "the catalog-priced partial should land below the semi join")
+    val sNeg = spark.newSession()
+    assert(!partialBelowSemi(q(sNeg)),
+      "without stats the plain shape must hold")
+    assert(q(s).collect().toSeq === q(sNeg).collect().toSeq,
+      "the semi eager push changed the answer")
+  }
+
+  test("reorder staleness: out-of-band growth refuses the row estimate with the stale-stats reason (VERDICT r17 item 5)") {
+    import org.apache.spark.sql.functions._
+    // the scenario that used to mis-rotate: a counter-priced slice of a
+    // covered table gates the commute; the table then grows OUT OF BAND
+    // (new files, no appendTableStats), so every estimate hanging off the
+    // recorded base count describes rows that no longer exist in that
+    // proportion. The quality-class guard refuses the whole scanRows
+    // estimate (testimony-when-present, the histogram cuts' posture) and
+    // the chain degrades to written order — with the reason an operator
+    // can act on (refresh the stats), not "unpriced".
+    val s = spark.newSession()
+    graft.plans.SketchStats.ensure(s)
+    graft.plans.RuleDiag.clear(s)
+    s.conf.set(graft.plans.RuleDiag.EnabledKey, "true")
+    val tdir = queries.StatsStore.scratchDir("graft_stale_reorder")
+    val tbl = s"$tdir/events.parquet"
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .write.parquet(tbl)
+    val root = queries.StatsStore.scratchRoot("graft_stale_reorder_store")
+    queries.StatsStore.buildTableStats(s, root, "events",
+      s.read.parquet(tbl), Seq("user_id"), Seq("event_id"))
+    queries.StatsStore.buildTableStats(s, root, "orders",
+      Tables.orders(s, dir), Seq("o_custkey"))
+    s.conf.set(graft.plans.SketchStats.DirKey, root)
+    // the slice filters a NON-join-key column (the 1465-line test's
+    // construction: an IN on the join key would be symmetrized onto the
+    // other dim by constraint propagation)
+    def chain() = {
+      val f = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val act = s.read.parquet(tbl).select(col("user_id"), col("event_id"))
+      val slice = s.read.parquet(tbl)
+        .filter(col("event_id").isin(11L, 22L, 33L, 44L))
+        .select(col("user_id"), col("value"))
+      f.join(act, col("o_custkey") === act("user_id"))
+        .join(slice, col("o_custkey") === slice("user_id"))
+        .queryExecution.optimizedPlan
+    }
+    // the flip's ∏NDV grouped-dim path shares the gate (round 18:
+    // registers only GROW, so a stale NDV UNDER-states and under-prices
+    // the broadcast — the sharp class): a grouped dim over the covered
+    // scan, priced small while fresh
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192")
+    def flipShape() = {
+      val gdim = s.read.parquet(tbl).groupBy("user_id").agg(count(lit(1)).as("n"))
+      Tables.orders(s, dir).select(col("o_custkey"), col("o_orderpriority"))
+        .join(gdim, col("o_custkey") === col("user_id"))
+        .queryExecution.executedPlan.toString
+    }
+    // FRESH: the counter-priced slice commutes below the expanding join,
+    // and the grouped dim flips to broadcast
+    chain()
+    assert(flipShape().contains("BroadcastHashJoin"),
+      "the fresh grouped dim should flip to broadcast")
+    val fresh = graft.plans.RuleDiag.records(s).map(r => (r._1, r._2, r._3)).toSet
+    assert(fresh.contains(("reorder", "fired", "bubble-swap")),
+      s"the fresh counter-priced slice should commute: $fresh")
+    assert(fresh.contains(("broadcast-flip", "fired", "grouped-dim")),
+      s"the fresh grouped dim should record the flip: $fresh")
+    graft.plans.RuleDiag.clear(s)
+    // OUT-OF-BAND growth: a full second copy lands as new files
+    val sw = spark.newSession()
+    Tables.events(sw, dir)
+      .select(col("event_id") + 1000000L, col("user_id"), col("value"))
+      .toDF("event_id", "user_id", "value")
+      .write.mode("append").parquet(tbl)
+    // STALE: the estimates refuse, written order holds, the broadcast
+    // declines, and the reason names it in BOTH consumers
+    chain()
+    assert(!flipShape().contains("BroadcastHashJoin"),
+      "a stale grouped dim must not flip (the ∏NDV bound under-prices)")
+    val stale = graft.plans.RuleDiag.records(s).map(r => (r._1, r._2, r._3)).toSet
+    assert(stale.contains(("reorder", "bailed", "stale-stats")),
+      s"the grown scan should refuse with stale-stats: $stale")
+    assert(stale.contains(("broadcast-flip", "bailed", "stale-stats")),
+      s"the flip should refuse with stale-stats: $stale")
+    assert(!stale.exists(r => r._1 == "reorder" && r._2 == "fired"),
+      s"a stale-refused chain must stay in written order: $stale")
+    graft.plans.RuleDiag.clear(s)
+  }
+
   test("no judged query plans a CartesianProduct") {
     // q45 intentionally uses BroadcastNestedLoopJoin with a 5-row build
     // side (exact brute-force baseline); cartesian (unbroadcast NLJ over

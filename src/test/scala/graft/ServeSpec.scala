@@ -119,4 +119,17 @@ class ServeSpec extends AnyFunSuite {
       assert(bad.body().startsWith("{\"error\":"))
     } finally running.stop()
   }
+
+  test("a POST to /diag answers 405 with a JSON error, never a silent close (ADVICE r17)") {
+    // the read-only surface rejects non-GET methods with the same JSON
+    // error envelope /query uses — a POST here is a caller confusing the
+    // two endpoints, and the old handler served it as if it were a GET
+    val running = Serve.start(spark)
+    try {
+      val r = post(running.diagUrl, "SELECT 1")
+      assert(r.statusCode() == 405, s"expected 405, got ${r.statusCode()}")
+      assert(r.body().startsWith("{\"error\":"), s"missing the JSON envelope: ${r.body()}")
+      assert(r.headers().firstValue("Allow").orElse("") == "GET")
+    } finally running.stop()
+  }
 }
