@@ -2139,6 +2139,49 @@ object StatsStore {
       planned(prioDim2.join(
         Tables.orders(sPos, dir).select(col("o_orderpriority"), col("o_orderkey")),
         Seq("o_orderpriority"), "left"))
+      // 13. the semi-headed chain (round 18): the reorder's commute
+      //     cannot apply — semi output carries no right-side columns, so
+      //     no swap candidate exists (bailed: semi-join); the semi
+      //     condition spans BOTH sides of the lower join, so Spark's own
+      //     PushDownLeftSemiAntiJoin leaves the head in place for the
+      //     rule to see. The flip records unpriced TWICE here: the semi
+      //     head and the inner o⋈ev node (distinct from shape 2's —
+      //     there the reorder had already bubble-swapped the chain
+      //     before the flip saw it, so these canonical plans are new)
+      planned(o.join(ev, col("o_custkey") === col("user_id"))
+        .join(Tables.customer(sPos, dir).select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey") &&
+            col("user_id") === col("c_custkey"), "left_semi"))
+      // 14. FullOuter (round 18): never a hash-join build on EITHER side
+      //     — structurally excluded from the flip, and the exclusion says
+      //     so (bailed: full-outer) instead of staying invisible
+      planned(Tables.orders(sPos, dir)
+        .select(col("o_orderpriority"), col("o_orderstatus"))
+        .join(prioDim2, Seq("o_orderpriority"), "full"))
+      // 15. the staleness refusal (round 18): counters built over a
+      //     table, raw files then appended OUT OF BAND (bypassing
+      //     appendTableStats) — the freshness guard refuses every
+      //     estimate for the grown scan with the actionable reason
+      //     (bailed: stale-stats — "refresh the stats", not "uncovered")
+      val stDir = scratchDir("graft_diag_stale")
+      val stTbl = s"$stDir/events.parquet"
+      graft.LifecycleMeter.time {
+        Tables.events(sPos, dir)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .write.parquet(stTbl)
+        buildTableStats(sPos, s"$stDir/store", "events",
+          sPos.read.parquet(stTbl), Seq("user_id"), Seq("user_id"))
+        Tables.events(sPos, dir)
+          .select((col("event_id") + 10000000L).as("event_id"),
+            col("user_id"), col("value"))
+          .write.mode("append").parquet(stTbl)
+      }
+      sPos.conf.set(graft.plans.SketchStats.DirKey, s"$stDir/store")
+      planned(Tables.orders(sPos, dir)
+        .select(col("o_custkey"), col("o_orderpriority"))
+        .join(sPos.read.parquet(stTbl).filter(col("user_id") === 7L),
+          col("o_custkey") === col("user_id")))
+      sPos.conf.set(graft.plans.SketchStats.DirKey, store)
       val pos = graft.plans.RuleDiag.records(sPos)
       graft.plans.RuleDiag.clear(sPos)
       // ---- negative session: diagnostics on, NO stats root — the q274
@@ -2386,9 +2429,11 @@ object StatsStore {
       """SELECT phase, rule, decision, reason, CAST(n_plans AS BIGINT) AS n_plans
         |FROM (VALUES
         | ('neg', 'broadcast-flip', 'bailed', 'no-stats-dir', 1),
+        | ('pos', 'broadcast-flip', 'bailed', 'full-outer', 1),
         | ('pos', 'broadcast-flip', 'bailed', 'over-threshold', 1),
         | ('pos', 'broadcast-flip', 'bailed', 'preserved-side', 1),
-        | ('pos', 'broadcast-flip', 'bailed', 'unpriced', 10),
+        | ('pos', 'broadcast-flip', 'bailed', 'stale-stats', 1),
+        | ('pos', 'broadcast-flip', 'bailed', 'unpriced', 12),
         | ('pos', 'broadcast-flip', 'fired', 'grouped-dim', 2),
         | ('pos', 'eager-agg', 'bailed', 'missing-ndv:event_id', 1),
         | ('pos', 'eager-agg', 'bailed', 'shape', 1),
@@ -2401,6 +2446,7 @@ object StatsStore {
         | ('pos', 'range-join', 'bailed', 'preserved-interval-side', 1),
         | ('pos', 'range-join', 'fired', 'catalog-width', 1),
         | ('pos', 'reorder', 'bailed', 'below-margin', 1),
+        | ('pos', 'reorder', 'bailed', 'semi-join', 1),
         | ('pos', 'reorder', 'fired', 'bubble-swap', 1),
         | ('pos', 'reorder', 'fired', 'rotation', 1),
         | ('pos', 'summary-routing', 'bailed', 'non-bare-base', 1),
