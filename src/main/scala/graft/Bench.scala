@@ -32,6 +32,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Logs.quietBoundedWindowWarnings()
+    // a PREVIOUS run's artifacts must not masquerade as this one's if
+    // this run dies before writing them (review r18: a kill during pass 1
+    // would have left the prior round's complete:true line and a
+    // different run's job baseline on disk): stub every artifact to an
+    // honest empty "in progress" state before any work
+    def put(path: String, body: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        body.getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    put("BENCH_LINE.json",
+      s"""{"metric":"total","value":0.000,"unit":"sec","n_queries":0,"failed_queries":0,"passes_completed":0,"complete":false,"sf":"$sfDir"}\n""")
+    put("bench_passes.json",
+      s"""{"sf":"$sfDir","passes":{},"failed_passes":{},"store_builds":{}}""")
+    put("bench_jobs.json",
+      s"""{"sf":"$sfDir","note":"run in progress - no job pass recorded yet","jobs":{}}""")
+    put("bench_rounds.json",
+      s"""{"sf":"$sfDir","unit":"sec","fields":["label","round","sec","jobs"],"rounds":[]}""")
     // per-round stat capture is opt-in (ADVICE r10: Verify/Serve/test JVMs
     // must not accumulate an undrained log) — Bench is the one drainer
     graft.operators.Iterate.setRecording(true)
@@ -228,14 +245,21 @@ object Bench {
     }
 
     runPass(1, names)
-    // lifecycle class = metered ANY store build in pass 1
-    val lifecycle = names.collect {
-      case (n, _) if passes.head.get(n).exists(_.build > 0.0005) => n
-    }.toSet
     // budget gate: run the next pass only if the last completed pass's
     // wall (the best available estimate of the next one's) still fits
     val pass2Runs = elapsed() + passWalls.last <= budgetSec
     if (pass2Runs) runPass(2, names)
+    // lifecycle class = metered a store build in pass 2 (review r18:
+    // pass 1 alone conflates PER-INVOCATION scratch rebuilds — the class
+    // the pass-3 cut exists to shed — with ONE-TIME first-touch builds
+    // like the parquet-backed memos, which are cheap to re-run warm and
+    // deserve their third sample); under a budget-shed pass 2 the cold
+    // pass-1 meter is the only evidence and classifies conservatively
+    val lifecycle = (if (passes.length >= 2) names.collect {
+      case (n, _) if passes(1).get(n).exists(_.build > 0.0005) => n
+    } else names.collect {
+      case (n, _) if passes.head.get(n).exists(_.build > 0.0005) => n
+    }).toSet
     val pass3Est = if (passWalls.length >= 2)
       passWalls.last * (names.size - lifecycle.size).toDouble / names.size
     else Double.MaxValue

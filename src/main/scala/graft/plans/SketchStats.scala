@@ -175,12 +175,18 @@ object SketchStats {
               else groupedRowBound(p, stats).map { case (n, w) => ("grouped-dim", n, w) }.toSeq ++
                 histFilteredScanBound(p, rows, hist, cnts, bytes).map(n =>
                   ("hist-scan", n, p.output.map(_.dataType.defaultSize).sum + 16)).toSeq
-            def small(p: LogicalPlan): Option[String] =
-              bounds(p).collectFirst { case (tag, n, w) if fits(n, w) => tag }
+            // bound ONCE per side (review r18: the reason path used to
+            // re-price each side up to three more times under diag)
+            val bl = bounds(l)
+            val br = bounds(r)
+            def small(bs: Seq[(String, Long, Int)]): Option[String] =
+              bs.collectFirst { case (tag, n, w) if fits(n, w) => tag }
+            val smallL = small(bl)
+            val smallR = small(br)
             val (canLeft, canRight) = buildableSides(jt)
             val bc = Some(HintInfo(strategy = Some(BROADCAST)))
-            (if (canRight) small(r) else None,
-              if (canLeft) small(l) else None) match {
+            (if (canRight) smallR else None,
+              if (canLeft) smallL else None) match {
               case (Some(tag), _) =>
                 if (diag) RuleDiag.record(RuleTag, "fired", tag, j)
                 j.copy(hint = JoinHint(None, bc))
@@ -195,9 +201,9 @@ object SketchStats {
                     // operator needs to hear is "restate the join, not the
                     // stats" (VERDICT r16 item 1). A side refused for
                     // STALENESS names that instead ("refresh the stats").
-                    if ((!canRight && small(r).nonEmpty) ||
-                        (!canLeft && small(l).nonEmpty)) "preserved-side"
-                    else if (bounds(l).nonEmpty || bounds(r).nonEmpty) "over-threshold"
+                    if ((!canRight && smallR.nonEmpty) ||
+                        (!canLeft && smallL.nonEmpty)) "preserved-side"
+                    else if (bl.nonEmpty || br.nonEmpty) "over-threshold"
                     else if (grownPastSlack(l, bytes) || grownPastSlack(r, bytes))
                       "stale-stats"
                     else "unpriced", j)
@@ -745,6 +751,17 @@ object SketchStats {
           case _ => None
         })
 
+    /** The honest reason for an unpriced candidate (review r18): name
+      * stale-stats ONLY when a scan inside a component that FAILED to
+      * price has grown past its testimony — a chain blocked by an
+      * uncovered side must keep saying unpriced-side even when some
+      * other covered scan under the join happens to be stale
+      * ("refresh the stats" could not make that chain priceable). */
+    private def unpricedReason(blamed: Seq[LogicalPlan],
+        bytes: Map[String, Long]): String =
+      if (blamed.exists(SketchStats.grownPastSlack(_, bytes))) "stale-stats"
+      else "unpriced-side"
+
     private def factor(left: LogicalPlan, dim: LogicalPlan, cond: Expression,
         rows: Map[String, Long], ndv: Map[(String, String), Long],
         hist: Map[(String, String), IndexedSeq[(Long, Long)]],
@@ -794,28 +811,30 @@ object SketchStats {
                 if (diag) RuleDiag.record("reorder", "bailed", "hinted-composite", j)
                 j
               } else {
-                val priced = for {
-                  rf <- estRows(f, rows, stats, hist, cnts, bytes)
-                  (r1, k1) <- factor(f, d1, c1, rows, stats, hist, cnts, bytes)
-                  (r2, k2) <- factor(d1, d2, c2, rows, stats, hist, cnts, bytes)
-                } yield rf * k2 * 2 <= r2 * k1
-                priced match {
-                  case Some(true) =>
+                val rfE = estRows(f, rows, stats, hist, cnts, bytes)
+                val p1E = factor(f, d1, c1, rows, stats, hist, cnts, bytes)
+                val p2E = factor(d1, d2, c2, rows, stats, hist, cnts, bytes)
+                (rfE, p1E, p2E) match {
+                  case (Some(rf), Some((_, k1)), Some((r2, k2)))
+                      if rf * k2 * 2 <= r2 * k1 =>
                     if (diag) RuleDiag.record("reorder", "fired", "rotation", j)
                     Project(j.output,
                       Join(Join(f, d1, Inner, Some(c1),
                           JoinHint(h.leftHint, hi.leftHint)),
                         d2, Inner, Some(c2), JoinHint(None, hi.rightHint)))
-                  case Some(false) =>
+                  case (Some(_), Some(_), Some(_)) =>
                     if (diag) RuleDiag.record("reorder", "bailed", "below-margin", j)
                     j
-                  case None =>
+                  case _ =>
+                    // stale testimony refuses the estimate (VERDICT r17
+                    // item 5) — the operator hears "refresh the stats",
+                    // not "the key is uncovered"; blame only the
+                    // components that failed to price (review r18)
                     if (diag) RuleDiag.record("reorder", "bailed",
-                      // stale testimony refuses the estimate (VERDICT r17
-                      // item 5) — the operator hears "refresh the stats",
-                      // not "the key is uncovered"
-                      if (SketchStats.grownPastSlack(j, bytes)) "stale-stats"
-                      else "unpriced-side", j)
+                      unpricedReason(
+                        (if (rfE.isEmpty) Seq(f) else Nil) ++
+                          (if (p1E.isEmpty) Seq(f, d1) else Nil) ++
+                          (if (p2E.isEmpty) Seq(d1, d2) else Nil), bytes), j)
                     j
                 }
               }
@@ -924,15 +943,15 @@ object SketchStats {
                     None
                   case None =>
                     if (diag) RuleDiag.record("reorder", "bailed",
-                      if (SketchStats.grownPastSlack(j2, bytes)) "stale-stats"
-                      else "unpriced-side", j2)
+                      unpricedReason(Seq(f, d2), bytes), j2)
                     None
                 }
               case Join(f, d1, Inner, Some(c1), h1)
                   if c1.deterministic &&
                     c2.references.subsetOf(f.outputSet ++ d2.outputSet) =>
-                (factor(f, d1, c1, rows, stats, hist, cnts, bytes),
-                  factor(f, d2, c2, rows, stats, hist, cnts, bytes)) match {
+                val p1E = factor(f, d1, c1, rows, stats, hist, cnts, bytes)
+                val p2E = factor(f, d2, c2, rows, stats, hist, cnts, bytes)
+                (p1E, p2E) match {
                   // swap iff rows(d2)/k2 ≤ (rows(d1)/k1) / 2 — exact
                   // cross-multiplied; the 2x margin makes the comparator a
                   // strict partial order, so the adjacent-swap bubble
@@ -957,8 +976,9 @@ object SketchStats {
                     None
                   case _ =>
                     if (diag) RuleDiag.record("reorder", "bailed",
-                      if (SketchStats.grownPastSlack(j2, bytes)) "stale-stats"
-                      else "unpriced-side", j2)
+                      unpricedReason(
+                        (if (p1E.isEmpty) Seq(f, d1) else Nil) ++
+                          (if (p2E.isEmpty) Seq(f, d2) else Nil), bytes), j2)
                     None
                 }
               case _ => None

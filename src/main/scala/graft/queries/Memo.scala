@@ -83,6 +83,12 @@ private[graft] object Memo {
     * bounded, like [[cached]]'s duplicate materialization. */
   def parquetBacked(kind: String, s: SparkSession, dir: String)(
       build: => DataFrame): DataFrame = {
+    // the scratch dir is DRIVER-local: on a cluster, executors could
+    // neither write nor re-read it, so the non-local branch serves the
+    // disk-backed persist instead (recomputable lineage, blocks spill to
+    // executor disk — the same posture cached() documents); the parquet
+    // backing is the local-mode (bench/verify) eviction armor
+    if (!s.sparkContext.isLocal) return cached(kind, s, dir, local = false)(build)
     memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val key = (s, dir, s"pq:$kind")
     val hit = memo.get(key)
