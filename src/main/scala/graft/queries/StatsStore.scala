@@ -122,10 +122,11 @@ object StatsStore {
       resolve: String => DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val hll = udaf(new graft.functions.HllSketch())
-    val ndvData = Seq.newBuilder[(String, String, Seq[Long])]
-    val rowData = Seq.newBuilder[(String, Long)]
-    val fanData = Seq.newBuilder[(String, String, Long, Long)]
-    tables.foreach { case (tbl, cols) =>
+    // ONE aggregate scan per table, all tables CONCURRENTLY (round 19,
+    // guide §2.6: the scans are independent and each is a single driver
+    // job — running them back to back serialized their job latencies);
+    // results re-assemble in input order so the written rows are stable
+    val perTable = inParallel(tables.map { case (tbl, cols) => () =>
       val df = resolve(tbl)
       val (arr, scal) = cols.partition(c =>
         df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
@@ -134,14 +135,20 @@ object StatsStore {
           max(size(col(c))).cast("long").as(s"mx_$c"))) :+ count(lit(1)).as("n")
       val row = df.agg(aggs.head, aggs.tail: _*).head()
       val n = row.getAs[Long]("n")
-      rowData += ((tbl, n))
-      scal.foreach(c =>
-        ndvData += ((tbl, c, row.getSeq[Long](row.fieldIndex(s"regs_$c")).toSeq)))
-      arr.foreach { c =>
+      val ndv = scal.map(c =>
+        (tbl, c, row.getSeq[Long](row.fieldIndex(s"regs_$c")).toSeq))
+      val fan = arr.map { c =>
         val sl = row.getAs[Long](s"sl_$c")
-        fanData += ((tbl, c, if (n == 0L) 0L else (sl + n - 1) / n,
-          row.getAs[Long](s"mx_$c")))
+        (tbl, c, if (n == 0L) 0L else (sl + n - 1) / n,
+          row.getAs[Long](s"mx_$c"))
       }
+      (ndv, (tbl, n), fan)
+    })
+    val ndvData = Seq.newBuilder[(String, String, Seq[Long])]
+    val rowData = Seq.newBuilder[(String, Long)]
+    val fanData = Seq.newBuilder[(String, String, Long, Long)]
+    perTable.foreach { case (ndv, rowN, fan) =>
+      ndvData ++= ndv; rowData += rowN; fanData ++= fan
     }
     val ndvDf = ndvData.result().toDF("tbl", "col", "regs")
       .select(col("tbl"), col("col"), estExpr("regs").as("ndv_est"), col("regs"))
@@ -188,37 +195,61 @@ object StatsStore {
     * counts arrive pre-shuffled from a single groupBy; only the bounded
     * truncated domain crosses the global window. */
   private def histFrames(s: SparkSession, histCols: Seq[(String, Seq[String])],
-      resolve: String => DataFrame): DataFrame = {
+      resolve: String => DataFrame,
+      counts: Map[(String, String), Map[Long, Long]] = Map.empty): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val empty = Seq.empty[(String, String, Int, Long, Long)]
-      .toDF("tbl", "col", "bucket", "up_to", "cum_cnt")
-    val parts = for { (tbl, cols) <- histCols; c <- cols } yield {
-      val df = resolve(tbl)
-      refuseStringHist(df, tbl, Seq(c))
-      val dom = histCountDomain(df, c)
-      val vc = df.select(dom.as("v")).filter(col("v").isNotNull)
-        .groupBy("v").agg(count(lit(1)).as("c"))
-      val domN = vc.count()
-      if (domN > HistMaxDomain)
-        throw new IllegalArgumentException(
-          s"histogram domain for $tbl.$c has $domN distinct values " +
-            s"(max $HistMaxDomain): the boundary walk would single-partition " +
-            "it — coarsen the column or drop it from hist coverage")
-      val cum = vc.select(col("v"), sum("c").over(Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
-      val tgt = vc.agg(sum("c").as("n"))
-        .crossJoin(Seq.range(1, HistBuckets + 1).toDF("bucket"))
-        .select(col("bucket"),
-          expr(s"(bucket * n + ${HistBuckets - 1}) div $HistBuckets").as("r"))
-      val b = cum.join(broadcast(tgt), col("cum") >= col("r"))
-        .groupBy("bucket").agg(min("v").as("up_to"))
-      b.join(cum, col("up_to") === col("v"))
-        .select(lit(tbl).as("tbl"), lit(c).as("col"), col("bucket"),
-          col("up_to"), col("cum").as("cum_cnt"))
-    }
-    parts.foldLeft(empty)(_ unionByName _)
+    // ONE bounded job per column — ZERO when the caller already holds the
+    // column's per-value counters — instead of the old count +
+    // global-window + boundary-join chain (round 19, guide §1.2 "remove
+    // passes"): the per-value counts arrive pre-shuffled from a single
+    // groupBy, the domain is capped at [[HistMaxDomain]] (≤ ~1 MiB of
+    // (v, c) rows on the driver — the same bounded-collect discipline the
+    // register rows use), and the boundaries come from
+    // [[boundariesFromCounts]], the one definition the streamed and
+    // O(delta) paths already share — so the rows are identical to the
+    // retired distributed walk's by the same argument GenerationStoreSpec
+    // pins (ceil(i·n/k) targets over the sorted exact counts). Columns in
+    // parallel (guide §2.6).
+    // the cap is a thread-scoped test seam (withCaps) — read it on the
+    // CALLING thread; pool threads never see the DynamicVariable scope
+    val maxDomain = HistMaxDomain
+    val rows: Seq[HistRow] = inParallel(
+      for { (tbl, cols) <- histCols; c <- cols } yield { () =>
+        val df = resolve(tbl)
+        refuseStringHist(df, tbl, Seq(c))
+        counts.get((tbl, c)) match {
+          // the bounded-domain refusal governs counter-derived boundaries
+          // too (the caps are independent seams: a spec-lowered domain cap
+          // can sit below the counter carry cap)
+          case Some(m) if m.size > maxDomain =>
+            throw new IllegalArgumentException(
+              s"histogram domain for $tbl.$c has more than $maxDomain " +
+                "distinct values: the boundary walk would single-partition " +
+                "it — coarsen the column or drop it from hist coverage")
+          case Some(m) => boundariesFromCounts(tbl, c, m)
+          case None =>
+            val dom = histCountDomain(df, c)
+            val vc = df.select(dom.as("v")).filter(col("v").isNotNull)
+              .groupBy("v").agg(count(lit(1)).as("c"))
+              .limit(maxDomain.toInt + 1).collect()
+            if (vc.length > maxDomain)
+              throw new IllegalArgumentException(
+                s"histogram domain for $tbl.$c has more than $maxDomain " +
+                  "distinct values: the boundary walk would single-partition " +
+                  "it — coarsen the column or drop it from hist coverage")
+            boundariesFromCounts(tbl, c,
+              vc.map(r => r.getLong(0) -> r.getLong(1)).toMap)
+        }
+      }).flatten
+    rows.toDF("tbl", "col", "bucket", "up_to", "cum_cnt")
   }
+
+  /** Counter rows grouped per (table, column) — the shape [[histFrames]]
+    * accepts so boundaries derive from counters already in hand. */
+  private def countsByColumn(
+      counters: Seq[CountRow]): Map[(String, String), Map[Long, Long]] =
+    counters.groupBy(r => (r._1, r._2))
+      .map { case (k, v) => k -> v.map(r => r._3 -> r._4).toMap }
 
   /** Exact span statistics of ONE interval frame — the q277 arithmetic as
     * ONE definition shared by the batch analyze, the CAS interval upsert,
@@ -272,12 +303,13 @@ object StatsStore {
   private def histCountersWhereBounded(s: SparkSession,
       hist: Seq[(String, Seq[String])],
       resolve: String => DataFrame): Seq[CountRow] =
-    hist.flatMap { case (tbl, cols) =>
-      cols.flatMap { c =>
+    // columns concurrently (round 19, §2.6); the inner call is a single
+    // column so it runs inline on the pool thread — never a nested Await
+    inParallel(
+      for { (tbl, cols) <- hist; c <- cols } yield { () =>
         try histCounterRows(s, tbl, resolve(tbl), Seq(c))
-        catch { case _: IllegalStateException => Nil }
-      }
-    }
+        catch { case _: IllegalStateException => Seq.empty[CountRow] }
+      }).flatten
 
   def analyze(s: SparkSession, dir: String, root: String,
       tables: Seq[(String, Seq[String])],
@@ -286,30 +318,40 @@ object StatsStore {
     import s.implicits._
     val resolve = (t: String) => tableByName(s, dir, t)
     val (ndvDf, rowDf, fanDf) = analyzeFrames(s, tables, resolve)
-    val histDf = if (hist.isEmpty) null else histFrames(s, hist, resolve)
+    // counters FIRST (round 19): a counter-covered column's equi-depth
+    // boundaries derive from the counters already in hand (the
+    // buildTableStats discipline) — one scan per column, not two; only
+    // columns whose domain outgrew the counter cap pay the wider
+    // HistMaxDomain-bounded walk
     val counters = histCountersWhereBounded(s, hist, resolve)
+    val histDf = if (hist.isEmpty) null
+      else histFrames(s, hist, resolve, countsByColumn(counters))
     // freshness testimony beside the counters (VERDICT r16 item 2): the
     // bytes of each counter-covered table's files as this analyze saw them
     val byteRows = hist.map(_._1).distinct.map(t => (t, scanBytesOf(resolve(t))))
     val spanRows = spans.map { case (t, lo, hi) => spanStatsOf(t, resolve(t), lo, hi) }
     graft.IndexStore.publish(root) { g =>
-      ndvDf.coalesce(1).write.parquet(s"$g/column_ndv")
-      rowDf.coalesce(1).write.parquet(s"$g/table_rows")
-      fanDf.coalesce(1).write.parquet(s"$g/column_fanout")
-      if (histDf != null) histDf.coalesce(1).write.parquet(s"$g/column_hist")
+      // independent single-task writes — overlap them (round 19, §2.6)
+      val writes = Seq.newBuilder[() => Unit]
+      writes += (() => ndvDf.coalesce(1).write.parquet(s"$g/column_ndv"))
+      writes += (() => rowDf.coalesce(1).write.parquet(s"$g/table_rows"))
+      writes += (() => fanDf.coalesce(1).write.parquet(s"$g/column_fanout"))
+      if (histDf != null)
+        writes += (() => histDf.coalesce(1).write.parquet(s"$g/column_hist"))
       if (counters.nonEmpty)
-        counters.toDF("tbl", "col", "v", "cnt")
-          .coalesce(1).write.parquet(s"$g/column_hist_counts")
+        writes += (() => counters.toDF("tbl", "col", "v", "cnt")
+          .coalesce(1).write.parquet(s"$g/column_hist_counts"))
       if (counters.nonEmpty && byteRows.nonEmpty)
-        byteRows.toDF("tbl", "src_bytes")
-          .coalesce(1).write.parquet(s"$g/table_src_bytes")
+        writes += (() => byteRows.toDF("tbl", "src_bytes")
+          .coalesce(1).write.parquet(s"$g/table_src_bytes"))
       if (spanRows.nonEmpty) {
-        spanRows.toDF("tbl", "lo_col", "hi_col", "med_span", "max_span")
-          .coalesce(1).write.parquet(s"$g/column_span")
+        writes += (() => spanRows.toDF("tbl", "lo_col", "hi_col", "med_span", "max_span")
+          .coalesce(1).write.parquet(s"$g/column_span"))
         spans.foreach { case (t, _, _) =>
-          resolve(t).coalesce(1).write.parquet(s"$g/$t.parquet")
+          writes += (() => resolve(t).coalesce(1).write.parquet(s"$g/$t.parquet"))
         }
       }
+      inParallel(writes.result()); ()
     }
     graft.plans.StatsCatalog.invalidate(root)
     root
@@ -369,10 +411,13 @@ object StatsStore {
         import s.implicits._
         val resolve = (t: String) => tableByName(s, dir, t)
         val (ndvRows, rowRows, fanRows) = analyzeFrames(s, DefaultNdv, resolve)
-        val histRows = histFrames(s, DefaultHist, resolve)
         // the default hist coverage is all bounded DAY domains, so the
-        // batch root also serves equality/IN counter pricing
+        // batch root also serves equality/IN counter pricing — and the
+        // equi-depth boundaries derive from the counters already in hand
+        // (round 19: one scan per column, not two)
         val counterRows = histCountersWhereBounded(s, DefaultHist, resolve)
+        val histRows = histFrames(s, DefaultHist, resolve,
+          countsByColumn(counterRows))
         val byteRows = DefaultHist.map(_._1).distinct
           .map(t => (t, scanBytesOf(resolve(t))))
         // the span catalog through the GENERAL schema-driven path (VERDICT
@@ -380,24 +425,27 @@ object StatsStore {
         // and the SCD2 validity history — persist beside their span rows
         val wins = windowsFrame(s, dir)
         val scd2 = scd2Frame(s, dir)
-        val spanRows = Seq(
-          spanStatsOf("windows", wins, "ws", "we"),
-          spanStatsOf("scd2", scd2, "vf", "vt1"))
+        val spanRows = inParallel(Seq(
+            () => spanStatsOf("windows", wins, "ws", "we"),
+            () => spanStatsOf("scd2", scd2, "vf", "vt1")))
           .toDF("tbl", "lo_col", "hi_col", "med_span", "max_span")
         graft.IndexStore.publish(p) { staging =>
-          ndvRows.coalesce(1).write.parquet(s"$staging/column_ndv")
-          wins.coalesce(1).write.parquet(s"$staging/windows.parquet")
-          scd2.coalesce(1).write.parquet(s"$staging/scd2.parquet")
-          spanRows.coalesce(1).write.parquet(s"$staging/column_span")
-          fanRows.coalesce(1).write.parquet(s"$staging/column_fanout")
-          rowRows.coalesce(1).write.parquet(s"$staging/table_rows")
-          histRows.coalesce(1).write.parquet(s"$staging/column_hist")
+          // independent single-task writes — overlap them (round 19, §2.6)
+          val writes = Seq.newBuilder[() => Unit]
+          writes += (() => ndvRows.coalesce(1).write.parquet(s"$staging/column_ndv"))
+          writes += (() => wins.coalesce(1).write.parquet(s"$staging/windows.parquet"))
+          writes += (() => scd2.coalesce(1).write.parquet(s"$staging/scd2.parquet"))
+          writes += (() => spanRows.coalesce(1).write.parquet(s"$staging/column_span"))
+          writes += (() => fanRows.coalesce(1).write.parquet(s"$staging/column_fanout"))
+          writes += (() => rowRows.coalesce(1).write.parquet(s"$staging/table_rows"))
+          writes += (() => histRows.coalesce(1).write.parquet(s"$staging/column_hist"))
           if (counterRows.nonEmpty)
-            counterRows.toDF("tbl", "col", "v", "cnt")
-              .coalesce(1).write.parquet(s"$staging/column_hist_counts")
+            writes += (() => counterRows.toDF("tbl", "col", "v", "cnt")
+              .coalesce(1).write.parquet(s"$staging/column_hist_counts"))
           if (counterRows.nonEmpty)
-            byteRows.toDF("tbl", "src_bytes")
-              .coalesce(1).write.parquet(s"$staging/table_src_bytes")
+            writes += (() => byteRows.toDF("tbl", "src_bytes")
+              .coalesce(1).write.parquet(s"$staging/table_src_bytes"))
+          inParallel(writes.result()); ()
         }
         graft.plans.StatsCatalog.invalidate(p)
         builtDirs.add(p)
@@ -467,43 +515,138 @@ object StatsStore {
     "column_span", "column_fanout", "column_hist_counts", "table_src_bytes",
     "_GRAFT_COMPLETE", "_GRAFT_BASE", "_GRAFT_CLEAN")
 
+  /** Bounded thread pool for the stats store's many INDEPENDENT tiny Spark
+    * actions (round 19, guide §2.6 "overlap independent jobs"): one
+    * generation is ~7 single-task parquet tables, and reading or writing
+    * them sequentially paid ~7 driver job latencies where the jobs have no
+    * dependency on each other. The pool only ever runs driver-side job
+    * submission (each job's tasks still execute on the executor pool), so
+    * 8 threads is plenty and daemon threads never hold the JVM open. */
+  private lazy val statsPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+        val t = new Thread(r, "graft-stats-io"); t.setDaemon(true); t
+      }))
+
+  /** Run independent tasks concurrently and return their results in input
+    * order; rethrows the first failure. Single-element lists run inline.
+    * The thread-scoped cap seams ([[withCaps]]) are re-established inside
+    * each task so a spec-lowered cap governs pool threads too. */
+  private def inParallel[T](tasks: Seq[() => T]): Seq[T] =
+    if (tasks.lengthCompare(1) <= 0) tasks.map(_())
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = statsPool
+      val carry = carryRowsCap.value
+      val dom = histDomainCap.value
+      tasks.map(t => Future(
+        carryRowsCap.withValue(carry)(histDomainCap.withValue(dom)(t()))))
+        .map(f => Await.result(f, Duration.Inf))
+    }
+
+  /** In-JVM memo of IMMUTABLE generation content (round 19): a CAS
+    * append's base is almost always the generation THIS JVM just
+    * published, and re-reading its ~7 tiny parquet tables through ~7
+    * Spark jobs per append was the lifecycle class's dominant cost.
+    * Generations are immutable once complete (the IndexStore contract),
+    * so content is keyed by gen path and guarded by the completion
+    * marker's mtime — a root deleted and rebuilt under the same path
+    * (tests) gets a different marker mtime and misses. Bounded: entries
+    * are small driver-side rows (counters capped at [[MaxCarryRows]]);
+    * the map is cleared past 16 roots' worth of generations. */
+  private val genMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, StatsContent)]()
+  /** Cheap fingerprint of a generation directory: the completion marker's
+    * mtime, the dir's own mtime, and its sorted child names. Generations
+    * are immutable by the IndexStore contract, but tests simulate foreign
+    * writers by DROPPING extra tables into a published generation — a new
+    * child bumps the dir mtime and changes the listing, so the memo
+    * misses and re-reads instead of serving a pre-mutation snapshot. */
+  private def genFingerprint(gen: String): Option[String] =
+    try {
+      val marker = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(gen, "_GRAFT_COMPLETE"))
+      val dirT = java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(gen))
+      val names = Option(new java.io.File(gen).list()).getOrElse(Array.empty)
+        .sorted.mkString(",")
+      Some(s"$marker|$dirT|$names")
+    } catch { case _: Throwable => None }
+  private def memoGen(gen: String, c: StatsContent): Unit =
+    genFingerprint(gen).foreach { fp =>
+      if (genMemo.size > 16) genMemo.clear()
+      genMemo.put(gen, (fp, c)); ()
+    }
+
+  private def readStatsGenCached(s: SparkSession, gen: String): StatsContent = {
+    val fp = genFingerprint(gen)
+    val hit = for {
+      f <- fp
+      (cf, c) <- Option(genMemo.get(gen)) if cf == f
+    } yield c
+    hit.getOrElse {
+      val c = readStatsGen(s, gen)
+      memoGen(gen, c)
+      c
+    }
+  }
+
   private def readStatsGen(s: SparkSession, gen: String): StatsContent = {
-    val ndv = s.read.parquet(s"$gen/column_ndv").select("tbl", "col", "regs").collect()
-      .map(r => (r.getString(0), r.getString(1), r.getSeq[Long](2).toSeq)).toSeq
-    val rows = s.read.parquet(s"$gen/table_rows").select("tbl", "row_count").collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
-    val hist =
+    // the managed tables and every unmanaged carry are INDEPENDENT
+    // single-task parquet reads — overlap them (round 19, guide §2.6:
+    // sequential reads paid ~7 driver job latencies back to back)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = statsPool
+    val ndvF = Future {
+      s.read.parquet(s"$gen/column_ndv").select("tbl", "col", "regs").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getSeq[Long](2).toSeq)).toSeq
+    }
+    val rowsF = Future {
+      s.read.parquet(s"$gen/table_rows").select("tbl", "row_count").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    val histF = Future {
       if (!new java.io.File(s"$gen/column_hist").exists()) Seq.empty[HistRow]
       else s.read.parquet(s"$gen/column_hist")
         .select("tbl", "col", "bucket", "up_to", "cum_cnt").collect()
         .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
         .toSeq
-    val span =
+    }
+    val spanF = Future {
       if (!new java.io.File(s"$gen/column_span").exists()) Seq.empty[SpanRow]
       else s.read.parquet(s"$gen/column_span")
         .select("tbl", "lo_col", "hi_col", "med_span", "max_span").collect()
         .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
         .toSeq
-    val fanout =
+    }
+    val fanoutF = Future {
       if (!new java.io.File(s"$gen/column_fanout").exists()) Seq.empty[FanRow]
       else s.read.parquet(s"$gen/column_fanout")
         .select("tbl", "col", "avg_len", "max_len").collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
         .toSeq
-    val histCounts =
+    }
+    val histCountsF = Future {
       if (!new java.io.File(s"$gen/column_hist_counts").exists()) Seq.empty[CountRow]
       else s.read.parquet(s"$gen/column_hist_counts")
         .select("tbl", "col", "v", "cnt").collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
         .toSeq
-    val srcBytes =
+    }
+    val srcBytesF = Future {
       if (!new java.io.File(s"$gen/table_src_bytes").exists()) Seq.empty[(String, Long)]
       else s.read.parquet(s"$gen/table_src_bytes")
         .select("tbl", "src_bytes").collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
-    val extra = Option(new java.io.File(gen).listFiles()).getOrElse(Array.empty)
-      .filter(f => !ManagedTables.contains(f.getName))
-      .map { f =>
+    }
+    // the caps are thread-scoped test seams (withCaps) — read them on the
+    // CALLING thread; pool threads never see the DynamicVariable scope
+    val maxCarry = MaxCarryRows
+    val extraF = Future.traverse(
+      Option(new java.io.File(gen).listFiles()).getOrElse(Array.empty)
+        .filter(f => !ManagedTables.contains(f.getName)).toSeq) { f =>
+      Future {
         val df = s.read.parquet(f.getPath)
         val data = df.collect().toSeq
         // the verbatim carry is DRIVER-materialized — correct only under
@@ -511,14 +654,17 @@ object StatsStore {
         // parking a big relation in a stats generation would turn every
         // append into a driver OOM; fail the append loudly instead
         // (ADVICE/VERDICT r14 what's wrong 3)
-        if (data.length > MaxCarryRows)
+        if (data.length > maxCarry)
           throw new IllegalStateException(
             s"unmanaged stats table '${f.getName}' has ${data.length} rows — " +
-              s"the CAS carry is driver-materialized and capped at $MaxCarryRows; " +
+              s"the CAS carry is driver-materialized and capped at $maxCarry; " +
               "large relations do not belong in a stats generation")
-        f.getName -> (df.schema, data)
-      }.toMap
-    StatsContent(ndv, rows, hist, span, fanout, histCounts, srcBytes, extra)
+        f.getName -> ((df.schema, data))
+      }
+    }
+    def get[T](f: Future[T]): T = Await.result(f, Duration.Inf)
+    StatsContent(get(ndvF), get(rowsF), get(histF), get(spanF), get(fanoutF),
+      get(histCountsF), get(srcBytesF), get(extraF).toMap)
   }
 
   /** Hard cap on an unmanaged table's rows through the CAS carry (and on
@@ -534,28 +680,34 @@ object StatsStore {
   private def writeStatsGen(s: SparkSession, g: String, c: StatsContent): Unit = {
     import s.implicits._
     import scala.jdk.CollectionConverters._
-    c.ndv.toDF("tbl", "col", "regs")
+    // each table is an independent single-task write into its own subdir
+    // of the staging generation — overlap them (round 19, guide §2.6)
+    val writes = Seq.newBuilder[() => Unit]
+    writes += (() => c.ndv.toDF("tbl", "col", "regs")
       .select(col("tbl"), col("col"), estExpr("regs").as("ndv_est"), col("regs"))
-      .coalesce(1).write.parquet(s"$g/column_ndv")
-    c.rows.toDF("tbl", "row_count").coalesce(1).write.parquet(s"$g/table_rows")
+      .coalesce(1).write.parquet(s"$g/column_ndv"))
+    writes += (() => c.rows.toDF("tbl", "row_count")
+      .coalesce(1).write.parquet(s"$g/table_rows"))
     if (c.hist.nonEmpty)
-      c.hist.toDF("tbl", "col", "bucket", "up_to", "cum_cnt")
-        .coalesce(1).write.parquet(s"$g/column_hist")
+      writes += (() => c.hist.toDF("tbl", "col", "bucket", "up_to", "cum_cnt")
+        .coalesce(1).write.parquet(s"$g/column_hist"))
     if (c.span.nonEmpty)
-      c.span.toDF("tbl", "lo_col", "hi_col", "med_span", "max_span")
-        .coalesce(1).write.parquet(s"$g/column_span")
+      writes += (() => c.span.toDF("tbl", "lo_col", "hi_col", "med_span", "max_span")
+        .coalesce(1).write.parquet(s"$g/column_span"))
     if (c.fanout.nonEmpty)
-      c.fanout.toDF("tbl", "col", "avg_len", "max_len")
-        .coalesce(1).write.parquet(s"$g/column_fanout")
+      writes += (() => c.fanout.toDF("tbl", "col", "avg_len", "max_len")
+        .coalesce(1).write.parquet(s"$g/column_fanout"))
     if (c.histCounts.nonEmpty)
-      c.histCounts.toDF("tbl", "col", "v", "cnt")
-        .coalesce(1).write.parquet(s"$g/column_hist_counts")
+      writes += (() => c.histCounts.toDF("tbl", "col", "v", "cnt")
+        .coalesce(1).write.parquet(s"$g/column_hist_counts"))
     if (c.srcBytes.nonEmpty)
-      c.srcBytes.toDF("tbl", "src_bytes")
-        .coalesce(1).write.parquet(s"$g/table_src_bytes")
+      writes += (() => c.srcBytes.toDF("tbl", "src_bytes")
+        .coalesce(1).write.parquet(s"$g/table_src_bytes"))
     c.extra.foreach { case (name, (schema, data)) =>
-      s.createDataFrame(data.asJava, schema).coalesce(1).write.parquet(s"$g/$name")
+      writes += (() => s.createDataFrame(data.asJava, schema)
+        .coalesce(1).write.parquet(s"$g/$name"))
     }
+    inParallel(writes.result()); ()
   }
 
   /** Test seam: fired between a CAS attempt's base read and its publish,
@@ -667,7 +819,7 @@ object StatsStore {
         throw new IllegalStateException(
           s"stats CAS base walk exhausted under $root — retention outran the race window")
       val base = baseId
-        .map(id => readStatsGen(s, graft.IndexStore.genPath(root, id)))
+        .map(id => readStatsGenCached(s, graft.IndexStore.genPath(root, id)))
         .getOrElse(StatsContent(Nil, Nil, Nil))
       casRaceHook()
       val merged = mutate(base)
@@ -691,6 +843,11 @@ object StatsStore {
           java.nio.file.Paths.get(p, "_GRAFT_CLEAN"), Array.emptyByteArray)
         out = Some(p)
       }
+      // memo what this JVM just wrote (round 19) — AFTER the clean stamp,
+      // which mutates the dir fingerprint: the next CAS append's base
+      // read then runs ZERO jobs, since readStatsGen reads back exactly
+      // the StatsContent fields writeStatsGen persisted
+      memoGen(p, merged)
     }
     graft.plans.StatsCatalog.invalidate(root)
     out.get
@@ -834,18 +991,22 @@ object StatsStore {
     * domain past [[MaxCarryRows]] distinct values fails loudly instead of
     * materializing. */
   private def histCounterRows(s: SparkSession, table: String, df: DataFrame,
-      histCols: Seq[String]): Seq[CountRow] =
-    histCols.flatMap { c =>
+      histCols: Seq[String]): Seq[CountRow] = {
+    // one bounded job per column, columns concurrently (round 19, §2.6);
+    // the cap is a thread-scoped test seam — read it on the calling thread
+    val maxCarry = MaxCarryRows
+    inParallel(histCols.map { c => () =>
       val rows = df.select(histCountDomain(df, c).as("v"))
         .filter(col("v").isNotNull)
         .groupBy("v").agg(count(lit(1)).as("c"))
-        .limit(MaxCarryRows + 1).collect()
-      if (rows.length > MaxCarryRows)
+        .limit(maxCarry + 1).collect()
+      if (rows.length > maxCarry)
         throw new IllegalStateException(
-          s"histogram counter domain for $table.$c exceeds $MaxCarryRows distinct " +
+          s"histogram counter domain for $table.$c exceeds $maxCarry distinct " +
             "values — coarsen the domain (day truncation) before counter maintenance")
-      rows.map(r => (table, c, r.getLong(0), r.getLong(1)))
-    }
+      rows.map(r => (table, c, r.getLong(0), r.getLong(1))).toSeq
+    }).flatten
+  }
 
   /** Seed a stats root from a table slice: one scan computes the per-
     * column registers + exact count (plus, for `histCols`, the bounded

@@ -54,6 +54,22 @@ object StreamServe {
       throw new IllegalStateException("bounded stream build timed out")
   }
 
+  /** State-partition count for the bounded streamed builders (round 19,
+    * guide §1.2 — the distributed algorithm first): a NEW streaming
+    * checkpoint sizes its state stores from `spark.sql.shuffle.partitions`,
+    * which the bench keys to the BATCH core count — 32 RocksDB instances
+    * (open + fill + commit + checkpoint each) per ingest, for state keyed
+    * by a handful of event types. State partitioning should track the key
+    * domain and ingest throughput, not batch CPUs; the builders pin a
+    * small default, overridable per deployment via
+    * `graft.stream.statePartitions`. Per-key state is partition-count
+    * invariant, so published store content is unchanged. */
+  private def tuneStreamBuild(ss: SparkSession): SparkSession = {
+    ss.conf.set("spark.sql.shuffle.partitions",
+      ss.conf.getOption("graft.stream.statePartitions").getOrElse("8"))
+    ss
+  }
+
   /** Run a (bounded) HDR register stream to completion and publish the
     * final per-(flag, bucket) snapshot as `hdr_regs` parquet under a
     * fresh store generation; returns the generation path. The driver-side
@@ -84,7 +100,7 @@ object StreamServe {
     val root = hdrStoreRoot(dir)
     root.intern.synchronized {
       graft.IndexStore.latestPathCached(root).getOrElse {
-        val ss = s.newSession()
+        val ss = tuneStreamBuild(s.newSession())
         ss.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         val stream = graft.streaming.EventStreams.streamingHdrRegisters(
@@ -111,7 +127,7 @@ object StreamServe {
     val root = hllStoreRoot(dir)
     root.intern.synchronized {
       graft.IndexStore.latestPathCached(root).getOrElse {
-        val ss = s.newSession()
+        val ss = tuneStreamBuild(s.newSession())
         ss.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         buildAndPublishHll(ss,
@@ -182,7 +198,7 @@ object StreamServe {
             StatsStore.estExpr("regs").as("ndv_est"))
         // events row count: a bounded streaming aggregate; counts only
         // grow, so the LAST update is the total
-        val ss = s.newSession()
+        val ss = tuneStreamBuild(s.newSession())
         val cnt = new java.util.concurrent.atomic.AtomicLong(-1L)
         runBounded(graft.streaming.EventStreams.readEventStream(ss, dir)
             .groupBy().count()) { b =>
@@ -292,13 +308,13 @@ object StreamServe {
           .select("regs").collect().map(_.getSeq[Long](0))
         val merged = regRows
           .reduce((a, b) => a.zip(b).map { case (x, y) => math.max(x, y) }).toSeq
-        val ss = s.newSession()
+        val ss = tuneStreamBuild(s.newSession())
         val cnt = new java.util.concurrent.atomic.AtomicLong(-1L)
         runBounded(graft.streaming.EventStreams.readEventStream(ss, dir)
             .groupBy().count()) { b =>
           b.collect().foreach(r => cnt.set(r.getLong(0)))
         }
-        val ss2 = s.newSession()
+        val ss2 = tuneStreamBuild(s.newSession())
         val dayCounts = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
         runBounded(graft.streaming.EventStreams.readEventStream(ss2, dir)
             .groupBy(expr(
@@ -637,7 +653,7 @@ object StreamServe {
       val root = StatsStore.scratchRoot("graft_erase_stream")
       graft.LifecycleMeter.time {
         def ingest(survivorsOnly: Boolean): String = {
-          val ss = s0.newSession()
+          val ss = tuneStreamBuild(s0.newSession())
           ss.conf.set("spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
           val src0 = graft.streaming.EventStreams.readEventStream(ss, dir)
