@@ -531,8 +531,12 @@ object StatsStore {
   /** Run independent tasks concurrently and return their results in input
     * order; rethrows the first failure. Single-element lists run inline.
     * The thread-scoped cap seams ([[withCaps]]) are re-established inside
-    * each task so a spec-lowered cap governs pool threads too. */
-  private def inParallel[T](tasks: Seq[() => T]): Seq[T] =
+    * each task so a spec-lowered cap governs pool threads too. Shared with
+    * the index-store writers (round 19) — same discipline, same pool;
+    * callers must never nest two blocking inParallel levels (the fixed
+    * pool would starve), which every current call site respects by
+    * parallelizing only leaf-level independent jobs. */
+  private[graft] def inParallel[T](tasks: Seq[() => T]): Seq[T] =
     if (tasks.lengthCompare(1) <= 0) tasks.map(_())
     else {
       import scala.concurrent.{Await, Future}
@@ -1034,8 +1038,14 @@ object StatsStore {
       df: DataFrame, cols: Seq[String], histCols: Seq[String] = Nil,
       eqCols: Seq[String] = Nil): String = graft.LifecycleMeter.time {
     refuseStringHist(df, table, histCols)
-    val (ndv, n) = registersOf(s, df, cols)
+    // the register scan and the counter scans are independent jobs over
+    // the same frame — overlap them (round 19, §2.6): registers on a pool
+    // future (no blocking inside it), counters on the calling thread
+    // (their own inParallel awaits HERE, never on a pool thread)
+    val regsF = scala.concurrent.Future(registersOf(s, df, cols))(statsPool)
     val counters = histCounterRows(s, table, df, histCols ++ eqCols)
+    val (ndv, n) = scala.concurrent.Await.result(
+      regsF, scala.concurrent.duration.Duration.Inf)
     val hist = histCols.flatMap { c =>
       boundariesFromCounts(table, c,
         counters.collect { case (_, cc, v, cnt) if cc == c => v -> cnt }.toMap)
@@ -1076,9 +1086,12 @@ object StatsStore {
     root.intern.synchronized {
       refuseStringHist(delta, table, histCols)
       val counterCols = histCols ++ eqCols
-      val (dndv, dn) = registersOf(s, delta, cols)
-      val dregs = dndv.toMap
+      // same overlap as buildTableStats: delta registers ∥ delta counters
+      val dregsF = scala.concurrent.Future(registersOf(s, delta, cols))(statsPool)
       val dCounters = histCounterRows(s, table, delta, counterCols)
+      val (dndv, dn) = scala.concurrent.Await.result(
+        dregsF, scala.concurrent.duration.Duration.Inf)
+      val dregs = dndv.toMap
       val dBytes = scanBytesOf(delta)
       casPublishStats(s, root) { b =>
         val untouched = b.ndv.filterNot { case (t, c, _) => t == table && dregs.contains(c) }

@@ -144,16 +144,29 @@ object StreamServe {
     * inverse, so erasing a user from streamed state means replaying the
     * surviving stream through a fresh checkpoint and REPUBLISHING. */
   private[graft] def buildAndPublishHll(ss: SparkSession,
-      stream: DataFrame, root: String): String = {
+      stream: DataFrame, root: String): String =
+    publishHllRows(ss, runHllToRows(stream), root)
+
+  /** The ingest half of [[buildAndPublishHll]]: run the bounded register
+    * stream to completion and return the final per-flag snapshot —
+    * split out (round 19) so two independent re-ingests can run
+    * CONCURRENTLY while their generations still publish in order (q319's
+    * pinned-gen-1 contract). */
+  private[graft] def runHllToRows(stream: DataFrame): Seq[(String, Seq[Long])] = {
     val acc = new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
     runBounded(stream) { b =>
       b.collect().foreach(r => acc.put(r.getString(0), r.getSeq[Long](1)))
     }
-    import ss.implicits._
     import scala.jdk.CollectionConverters._
-    val buf = acc.asScala.toSeq.map { case (flag, regs) => (flag, regs) }
+    acc.asScala.toSeq
+  }
+
+  /** The publish half of [[buildAndPublishHll]]. */
+  private[graft] def publishHllRows(ss: SparkSession,
+      rows: Seq[(String, Seq[Long])], root: String): String = {
+    import ss.implicits._
     graft.IndexStore.publish(root) { g =>
-      buf.toDF("flag", "regs").coalesce(1).write.parquet(s"$g/hll_regs")
+      rows.toDF("flag", "regs").coalesce(1).write.parquet(s"$g/hll_regs")
     }
   }
 
@@ -652,18 +665,24 @@ object StreamServe {
     "q319_stream_erasure_reingest" -> { (s0, dir) =>
       val root = StatsStore.scratchRoot("graft_erase_stream")
       graft.LifecycleMeter.time {
-        def ingest(survivorsOnly: Boolean): String = {
+        // the two re-ingests are independent bounded streams (fresh
+        // sessions, fresh checkpoints) — run them CONCURRENTLY (round 19,
+        // guide §2.6); only the PUBLISHES stay ordered so the judged
+        // pinned-gen-1 / served-gen-2 contract is untouched
+        def ingest(survivorsOnly: Boolean): (SparkSession, Seq[(String, Seq[Long])]) = {
           val ss = tuneStreamBuild(s0.newSession())
           ss.conf.set("spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
           val src0 = graft.streaming.EventStreams.readEventStream(ss, dir)
           val src = if (survivorsOnly)
             src0.filter(pmod(col("user_id"), lit(50)) =!= 7) else src0
-          buildAndPublishHll(ss,
-            graft.streaming.EventStreams.streamingHllRegisters(src), root)
+          (ss, runHllToRows(graft.streaming.EventStreams.streamingHllRegisters(src)))
         }
-        ingest(survivorsOnly = false)
-        ingest(survivorsOnly = true)
+        val both = StatsStore.inParallel(Seq(
+          () => ingest(survivorsOnly = false),
+          () => ingest(survivorsOnly = true)))
+        publishHllRows(both(0)._1, both(0)._2, root)
+        publishHllRows(both(1)._1, both(1)._2, root)
       }
       def served(path: String, gen: String) =
         s0.read.parquet(s"$path/hll_regs")

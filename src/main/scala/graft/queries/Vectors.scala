@@ -148,12 +148,19 @@ object Vectors {
     */
   def writeIvfIndex(s: SparkSession, dir: String, idxDir: String): Unit = {
     import s.implicits._
-    kmCentroids(s, dir).zipWithIndex
-      .map { case (c, i) => (i + 1, c.toSeq) }.toDF("cluster", "cv")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$idxDir/centroids")
-    kmFrame(s, dir)
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/codes")
+    // independent tables into the same staging dir — overlap (round 19);
+    // kmCentroids is resolved BEFORE the parallel block so the (cached)
+    // k-means training never races itself from two pool threads
+    val cent = kmCentroids(s, dir)
+    val codes = kmFrame(s, dir)
+    StatsStore.inParallel(Seq(
+      () => cent.zipWithIndex
+        .map { case (c, i) => (i + 1, c.toSeq) }.toDF("cluster", "cv")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$idxDir/centroids"),
+      () => codes
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/codes")))
+    ()
   }
 
   /** Resolve the latest COMPLETE generation of the persisted index, or
@@ -180,15 +187,21 @@ object Vectors {
     */
   def writePqIndex(s: SparkSession, dir: String, idxDir: String): Unit = {
     import s.implicits._
+    // independent tables into the same staging dir — overlap (round 19);
+    // codebooks and the encoded frame resolve BEFORE the parallel block
+    // so their cached builds never race from two pool threads
     val cb = rpqCodebooks(s, dir)
-    (for (m <- 0 until PqM; k <- cb(m).indices)
-      yield (m, k + 1, cb(m)(k).toSeq))
-      .toDF("m", "k", "cv").coalesce(1)
-      .write.mode("overwrite").parquet(s"$idxDir/rpq_codebooks")
-    rpqEncFrame(s, dir)
-      .select(col("vec_id") +: col("label") +: col("v") +: col("nsq") +:
-        col("cluster") +: (0 until PqM).map(m => col(s"rcode$m")): _*)
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/rpq_codes")
+    val enc = rpqEncFrame(s, dir)
+    StatsStore.inParallel(Seq(
+      () => (for (m <- 0 until PqM; k <- cb(m).indices)
+          yield (m, k + 1, cb(m)(k).toSeq))
+        .toDF("m", "k", "cv").coalesce(1)
+        .write.mode("overwrite").parquet(s"$idxDir/rpq_codebooks"),
+      () => enc
+        .select(col("vec_id") +: col("label") +: col("v") +: col("nsq") +:
+          col("cluster") +: (0 until PqM).map(m => col(s"rcode$m")): _*)
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$idxDir/rpq_codes")))
+    ()
   }
 
   /** Like [[ensureIvfIndex]] but the generation must also carry the PQ
@@ -1299,11 +1312,16 @@ object Vectors {
       val base = all.filter(pmod(col("vec_id"), lit(5)) =!= 0)
       val centB = graft.operators.KMeans.fit(base, kmInit, KmIters)
       def writeGen(members: org.apache.spark.sql.DataFrame)(g: String): Unit = {
-        centB.zipWithIndex.map { case (c, i) => (i + 1, c.toSeq) }
-          .toDF("cluster", "cv").coalesce(1)
-          .write.mode("overwrite").parquet(s"$g/centroids")
-        members.withColumn("cluster", graft.operators.KMeans.assignColumn(centB, "v"))
-          .write.mode("overwrite").partitionBy("cluster").parquet(s"$g/codes")
+        // centroid and code tables are independent writes into the same
+        // staging generation — overlap them (round 19, guide §2.6)
+        StatsStore.inParallel(Seq(
+          () => centB.zipWithIndex.map { case (c, i) => (i + 1, c.toSeq) }
+            .toDF("cluster", "cv").coalesce(1)
+            .write.mode("overwrite").parquet(s"$g/centroids"),
+          () => members
+            .withColumn("cluster", graft.operators.KMeans.assignColumn(centB, "v"))
+            .write.mode("overwrite").partitionBy("cluster").parquet(s"$g/codes")))
+        ()
       }
       val pinned = graft.IndexStore.publish(root)(writeGen(base))
       val latest = graft.IndexStore.publish(root)(writeGen(all))
@@ -1373,45 +1391,65 @@ object Vectors {
       val g1 = graft.LifecycleMeter.time {
         val cent = graft.operators.KMeans.fit(all, kmInit, KmIters)
         val p1 = graft.IndexStore.publish(aroot) { g =>
-          cent.zipWithIndex.map { case (c, i) => (i + 1, c.toSeq) }
-            .toDF("cluster", "cv").coalesce(1).write.parquet(s"$g/centroids")
-          all.withColumn("cluster", graft.operators.KMeans.assignColumn(cent, "v"))
-            .write.partitionBy("cluster").parquet(s"$g/codes")
+          // independent tables — overlap (round 19, guide §2.6)
+          StatsStore.inParallel(Seq(
+            () => cent.zipWithIndex.map { case (c, i) => (i + 1, c.toSeq) }
+              .toDF("cluster", "cv").coalesce(1).write.parquet(s"$g/centroids"),
+            () => all
+              .withColumn("cluster", graft.operators.KMeans.assignColumn(cent, "v"))
+              .write.partitionBy("cluster").parquet(s"$g/codes")))
+          ()
         }
         p1
       }
       val g1codes = s.read.parquet(s"$g1/codes")
       val annBefore = g1codes.count()
       graft.IndexStore.publish(aroot) { g =>
-        // frozen quantizer: gen 1's centroid table carried VERBATIM
-        s.read.parquet(s"$g1/centroids").coalesce(1).write.parquet(s"$g/centroids")
-        g1codes.filter(pmod(col("vec_id"), lit(50)) =!= 7)
-          .write.partitionBy("cluster").parquet(s"$g/codes")
+        // frozen quantizer: gen 1's centroid table carried VERBATIM;
+        // the carry and the filtered republish are independent — overlap
+        StatsStore.inParallel(Seq(
+          () => s.read.parquet(s"$g1/centroids").coalesce(1)
+            .write.parquet(s"$g/centroids"),
+          () => g1codes.filter(pmod(col("vec_id"), lit(50)) =!= 7)
+            .write.partitionBy("cluster").parquet(s"$g/codes")))
+        ()
       }
       val servedAnn = s.read.parquet(
         s"${graft.IndexStore.latestPath(aroot).get}/codes")
-      val annAfter = servedAnn.count()
-      val annResidual = servedAnn.filter(pmod(col("vec_id"), lit(50)) === 7).count()
-      val annWitness = servedAnn.agg(sum("vec_id")).head().getLong(0)
+      // ONE pass over the served codes for all three scalars (round 19,
+      // guide §1.2: count + residual count + witness sum were three jobs
+      // over the same frame; conditional sums return identical values)
+      val annRow = servedAnn.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(pmod(col("vec_id"), lit(50)) === 7, 1L).otherwise(0L)),
+          lit(0L)).as("resid"),
+        coalesce(sum("vec_id"), lit(0L)).as("w")).head()
+      val annAfter = annRow.getLong(0)
+      val annResidual = annRow.getLong(1)
+      val annWitness = annRow.getLong(2)
       // stats leg
       val sroot = StatsStore.scratchRoot("graft_erase_stats")
       val ev = Tables.events(s, dir)
       StatsStore.buildTableStats(s, sroot, "events", ev, Seq("user_id"))
       val surviving = ev.filter(pmod(col("user_id"), lit(50)) =!= 7)
       StatsStore.buildTableStats(s, sroot, "events", surviving, Seq("user_id"))
-      def statsGen(id: Long) = {
-        val g = graft.IndexStore.genPath(sroot, id)
-        (s.read.parquet(s"$g/table_rows").head().getAs[Long]("row_count"),
-          s.read.parquet(s"$g/column_ndv").head().getAs[Long]("ndv_est"))
-      }
-      val (statsBefore, _) = statsGen(1L)
+      val statsBefore = s.read.parquet(
+          s"${graft.IndexStore.genPath(sroot, 1L)}/table_rows")
+        .head().getAs[Long]("row_count")
       val servedGen = graft.plans.StatsCatalog.resolveBase(sroot)
       val statsAfter = s.read.parquet(s"$servedGen/table_rows")
         .head().getAs[Long]("row_count")
       val statsWitness = s.read.parquet(s"$servedGen/column_ndv")
         .head().getAs[Long]("ndv_est")
-      val statsErased = ev.filter(pmod(col("user_id"), lit(50)) === 7).count()
-      val statsResidual = statsAfter - surviving.count()
+      // erased + surviving counts in ONE pass over events: the pmod
+      // filters partition the non-null user_id rows exactly like the two
+      // retired filter().count() jobs (pmod(NULL) is NULL → neither side)
+      val evRow = ev.agg(
+        coalesce(sum(when(pmod(col("user_id"), lit(50)) === 7, 1L).otherwise(0L)),
+          lit(0L)).as("erased"),
+        coalesce(sum(when(pmod(col("user_id"), lit(50)) =!= 7, 1L).otherwise(0L)),
+          lit(0L)).as("surv")).head()
+      val statsErased = evRow.getLong(0)
+      val statsResidual = statsAfter - evRow.getLong(1)
       Seq(
         ("ann_codes", annBefore, annBefore - annAfter, annAfter,
           annResidual, annResidual == 0L, annWitness),
