@@ -25,6 +25,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE partition coalescing sized by DATA, not by the box (round 20,
+      // guide §2.2/§9: target advisoryPartitionSizeInBytes instead of
+      // maximizing parallelism): with parallelismFirst (the default) every
+      // tiny post-shuffle stage still launches ~cpus tasks, and at sf0.1
+      // the suite's cost is per-task scheduling overhead, not compute. At
+      // production scale the SAME setting yields the guide's 64 MB-advisory
+      // partition count — this is the scale-honest value, not a local[32]
+      // tweak (verified on the 8-core run: same direction, same plans).
+      // Set in the BUILDER conf so child sessions (newSession) inherit it.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -222,6 +232,11 @@ object Bench {
       val canarySeries = canarySecs.map(f3).mkString("[", ",", "]")
       val line =
         s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
+          // protocol version (ADVICE r19): v3 = round 19's cold+back-to-back
+          // warm sweep — same headline definition as v2 but a hotter warm
+          // slot; cross-round comparisons should prefer same-protocol
+          // artifacts (BENCH_r19 onward)
+          s""","protocol":3""" +
           s""","n_queries":${results.size},"failed_queries":${failedQueries.size}""" +
           s""","passes_completed":$passesCompleted,"complete":$complete""" +
           s""","budget_sec":${f3(budgetSec)}""" +

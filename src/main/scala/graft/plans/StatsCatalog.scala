@@ -91,14 +91,7 @@ object StatsCatalog {
                   // and the put share one lock (ADVICE r15): a snapshot
                   // taken non-atomically against a racing put could evict
                   // the entry that put just inserted fresh.
-                  cache.synchronized {
-                    if (cache.size > 128) {
-                      import scala.jdk.CollectionConverters._
-                      cache.entrySet().asScala.toSeq.sortBy(_.getValue._2)
-                        .take(cache.size - 96).foreach(e => cache.remove(e.getKey))
-                    }
-                    cache.put(key, (v, System.nanoTime(), base))
-                  }
+                  putBounded(key, v, base)
                   v
                 case None =>
                   // a refresh that fails keeps serving the stale value
@@ -117,6 +110,54 @@ object StatsCatalog {
           }
       }
     }
+  }
+
+  /** Bounded put shared by the read path and [[prime]]: overflow evicts
+    * the OLDEST entries, never the whole map (ADVICE r14), and the evict
+    * and the put share one lock (ADVICE r15). */
+  private def putBounded(key: (String, String), v: AnyRef, base: String): Unit =
+    cache.synchronized {
+      if (cache.size > 128) {
+        import scala.jdk.CollectionConverters._
+        cache.entrySet().asScala.toSeq.sortBy(_.getValue._2)
+          .take(cache.size - 96).foreach(e => cache.remove(e.getKey))
+      }
+      cache.put(key, (v, System.nanoTime(), base))
+    }
+
+  /** PRIME the memo for `dir` from driver-side content the publisher
+    * already holds (round 20, guide §1.2 "don't recompute what you just
+    * computed"): a stats publish has every row of every kind in hand, so
+    * the first planning against a freshly built store should cost ZERO
+    * Spark jobs instead of one read-parquet-and-collect job per kind.
+    * This is the dominant fixed cost of the ~40 lifecycle-class judged
+    * queries, each of which builds a scratch store per invocation and then
+    * plans against it. `values` maps kind → exactly the object the kind's
+    * reader would have produced (PrimeParitySpec pins byte-equality
+    * against a forced re-read); `base` is the generation the content
+    * describes, so the TTL-expiry revalidation and foreign-publish
+    * detection behave exactly as for read-backed entries. */
+  def prime(dir: String, base: String, values: Map[String, AnyRef]): Unit =
+    values.foreach { case (kind, v) => putBounded((kind, dir), v, base) }
+
+  /** Test seam (PrimeParitySpec): drop `dir`'s entries and re-read every
+    * kind from parquet, returning the maps a cold reader computes. */
+  private[graft] def rereadAll(spark: SparkSession, dir: String): Map[String, AnyRef] = {
+    invalidate(dir)
+    Map(
+      "column_ndv" -> ndvBoth(spark, dir),
+      "table_rows" -> rows(spark, dir),
+      "column_hist" -> hist(spark, dir),
+      "column_hist_counts" -> histCounts(spark, dir),
+      "table_src_bytes" -> srcBytes(spark, dir),
+      "column_span" -> spans(spark, dir),
+      "column_fanout" -> fanout(spark, dir))
+  }
+
+  /** Snapshot of `dir`'s currently memoized kinds (test seam). */
+  private[graft] def memoSnapshot(dir: String): Map[String, AnyRef] = {
+    import scala.jdk.CollectionConverters._
+    cache.asScala.collect { case ((kind, d), (v, _, _)) if d == dir => kind -> v }.toMap
   }
 
   /** Drop every memoized table (tests rebuild stores under the same path;
@@ -176,6 +217,21 @@ object StatsCatalog {
     * (q273); only the planner's view is corrected. Stores written
     * without a `regs` column (constructed test fixtures) are served
     * verbatim. */
+  /** The small-range refinement for one register row — ONE definition
+    * shared by the parquet reader below and the publish-time primer
+    * ([[prime]] / StatsStore.catalogMapsOf), so primed and read values can
+    * never drift. */
+  private[graft] def refineNdv(est: Long, regs: Option[Seq[Long]]): Long =
+    regs match {
+      case Some(rs) if est < 100 =>
+        val v = rs.count(_ == 0L)
+        if (v > 0 && v < rs.size)
+          math.max(1L, math.round(rs.size * math.log(rs.size.toDouble / v)))
+        else if (v == rs.size) 0L
+        else est
+      case _ => est
+    }
+
   private def ndvBoth(spark: SparkSession, dir: String): Map[(String, String), (Long, Long)] =
     cachedRead("column_ndv", dir)(Map.empty[(String, String), (Long, Long)]) { base =>
       val df = spark.read.parquet(s"$base/column_ndv")
@@ -185,16 +241,9 @@ object StatsCatalog {
         else df.select("tbl", "col", "ndv_est")
       rows.collect().map { r =>
         val est = r.getLong(2)
-        val refined =
-          if (est < 100 && hasRegs && !r.isNullAt(3)) {
-            val regs = r.getSeq[Long](3)
-            val v = regs.count(_ == 0L)
-            if (v > 0 && v < regs.size)
-              math.max(1L, math.round(regs.size * math.log(regs.size.toDouble / v)))
-            else if (v == regs.size) 0L
-            else est
-          } else est
-        (r.getString(0), r.getString(1)) -> (est, refined)
+        val regs =
+          if (hasRegs && !r.isNullAt(3)) Some(r.getSeq[Long](3).toSeq) else None
+        (r.getString(0), r.getString(1)) -> (est, refineNdv(est, regs))
       }.toMap
     }
 

@@ -40,7 +40,8 @@ object StreamServe {
     * accumulation is bounded by construction (registers or one counter,
     * never rows) and relies on the same argument: its values only grow,
     * so the LAST emission per key is the final state. */
-  private def runBounded(stream: DataFrame)(onBatch: DataFrame => Unit): Unit = {
+  private def runBounded(stream: DataFrame, timeoutMs: Long = 300000L)(
+      onBatch: DataFrame => Unit): Unit = {
     // throwaway checkpoint, registered for JVM-exit cleanup like the
     // lifecycle-query scratch stores (VERDICT r15 item 9)
     val ckpt = StatsStore.scratchDir("graft_stream_ckpt")
@@ -50,7 +51,11 @@ object StreamServe {
       .foreachBatch { (b: DataFrame, _: Long) => onBatch(b); () }
       .trigger(Trigger.AvailableNow())
       .start()
-    if (!q.awaitTermination(300000))
+    // the default 300 s budget is sized for ONE dedicated run; callers
+    // that run N bounded streams concurrently scale it by N (ADVICE r19:
+    // q319's two simultaneous RocksDB ingests halved the effective
+    // headroom the serial protocol was sized for)
+    if (!q.awaitTermination(timeoutMs))
       throw new IllegalStateException("bounded stream build timed out")
   }
 
@@ -63,10 +68,18 @@ object StreamServe {
     * domain and ingest throughput, not batch CPUs; the builders pin a
     * small default, overridable per deployment via
     * `graft.stream.statePartitions`. Per-key state is partition-count
-    * invariant, so published store content is unchanged. */
-  private def tuneStreamBuild(ss: SparkSession): SparkSession = {
+    * invariant, so published store content is unchanged.
+    *
+    * Since round 20 the override is read from the PARENT session too
+    * (ADVICE r19: `SparkSession.newSession()` does not inherit runtime
+    * conf set on the parent, so a user's `spark.conf.set(...)` on the
+    * outer session was silently ignored — only a launch-time SparkConf
+    * entry took effect). Child-session conf still wins when set. */
+  private def tuneStreamBuild(parent: SparkSession, ss: SparkSession): SparkSession = {
     ss.conf.set("spark.sql.shuffle.partitions",
-      ss.conf.getOption("graft.stream.statePartitions").getOrElse("8"))
+      ss.conf.getOption("graft.stream.statePartitions")
+        .orElse(parent.conf.getOption("graft.stream.statePartitions"))
+        .getOrElse("8"))
     ss
   }
 
@@ -100,7 +113,7 @@ object StreamServe {
     val root = hdrStoreRoot(dir)
     root.intern.synchronized {
       graft.IndexStore.latestPathCached(root).getOrElse {
-        val ss = tuneStreamBuild(s.newSession())
+        val ss = tuneStreamBuild(s, s.newSession())
         ss.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         val stream = graft.streaming.EventStreams.streamingHdrRegisters(
@@ -127,7 +140,7 @@ object StreamServe {
     val root = hllStoreRoot(dir)
     root.intern.synchronized {
       graft.IndexStore.latestPathCached(root).getOrElse {
-        val ss = tuneStreamBuild(s.newSession())
+        val ss = tuneStreamBuild(s, s.newSession())
         ss.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         buildAndPublishHll(ss,
@@ -152,9 +165,10 @@ object StreamServe {
     * split out (round 19) so two independent re-ingests can run
     * CONCURRENTLY while their generations still publish in order (q319's
     * pinned-gen-1 contract). */
-  private[graft] def runHllToRows(stream: DataFrame): Seq[(String, Seq[Long])] = {
+  private[graft] def runHllToRows(stream: DataFrame,
+      timeoutMs: Long = 300000L): Seq[(String, Seq[Long])] = {
     val acc = new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
-    runBounded(stream) { b =>
+    runBounded(stream, timeoutMs) { b =>
       b.collect().foreach(r => acc.put(r.getString(0), r.getSeq[Long](1)))
     }
     import scala.jdk.CollectionConverters._
@@ -211,7 +225,7 @@ object StreamServe {
             StatsStore.estExpr("regs").as("ndv_est"))
         // events row count: a bounded streaming aggregate; counts only
         // grow, so the LAST update is the total
-        val ss = tuneStreamBuild(s.newSession())
+        val ss = tuneStreamBuild(s, s.newSession())
         val cnt = new java.util.concurrent.atomic.AtomicLong(-1L)
         runBounded(graft.streaming.EventStreams.readEventStream(ss, dir)
             .groupBy().count()) { b =>
@@ -321,13 +335,13 @@ object StreamServe {
           .select("regs").collect().map(_.getSeq[Long](0))
         val merged = regRows
           .reduce((a, b) => a.zip(b).map { case (x, y) => math.max(x, y) }).toSeq
-        val ss = tuneStreamBuild(s.newSession())
+        val ss = tuneStreamBuild(s, s.newSession())
         val cnt = new java.util.concurrent.atomic.AtomicLong(-1L)
         runBounded(graft.streaming.EventStreams.readEventStream(ss, dir)
             .groupBy().count()) { b =>
           b.collect().foreach(r => cnt.set(r.getLong(0)))
         }
-        val ss2 = tuneStreamBuild(s.newSession())
+        val ss2 = tuneStreamBuild(s, s.newSession())
         val dayCounts = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
         runBounded(graft.streaming.EventStreams.readEventStream(ss2, dir)
             .groupBy(expr(
@@ -670,13 +684,17 @@ object StreamServe {
         // guide §2.6); only the PUBLISHES stay ordered so the judged
         // pinned-gen-1 / served-gen-2 contract is untouched
         def ingest(survivorsOnly: Boolean): (SparkSession, Seq[(String, Seq[Long])]) = {
-          val ss = tuneStreamBuild(s0.newSession())
+          val ss = tuneStreamBuild(s0, s0.newSession())
           ss.conf.set("spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
           val src0 = graft.streaming.EventStreams.readEventStream(ss, dir)
           val src = if (survivorsOnly)
             src0.filter(pmod(col("user_id"), lit(50)) =!= 7) else src0
-          (ss, runHllToRows(graft.streaming.EventStreams.streamingHllRegisters(src)))
+          // two ingests share the box: double the per-stream budget so the
+          // concurrent protocol keeps the serial one's headroom (ADVICE r19)
+          (ss, runHllToRows(
+            graft.streaming.EventStreams.streamingHllRegisters(src),
+            timeoutMs = 600000L))
         }
         val both = StatsStore.inParallel(Seq(
           () => ingest(survivorsOnly = false),

@@ -212,9 +212,22 @@ object Vectors {
     val root = ivfIndexDir(dir)
     graft.IndexStore.latestPathCached(root)
       .filter(p => new java.io.File(s"$p/rpq_codes").exists())
-      .getOrElse(graft.IndexStore.publish(root) { g =>
-        writeIvfIndex(s, dir, g); writePqIndex(s, dir, g)
-      })
+      .getOrElse(graft.IndexStore.publish(root)(writeIvfPqGen(s, dir)))
+  }
+
+  /** One full (coarse + PQ) generation: the four tables are independent
+    * writes into the same staging dir, so the two layer writers overlap
+    * (round 20, VERDICT r19 item 3 — they ran back to back). The cached
+    * trainings and memoized frames are resolved BEFORE the parallel block
+    * so neither layer races a duplicate materialization (Memo's lost-race
+    * cost) from two pool threads; each writer's own inner inParallel
+    * nests safely on the cached pool. */
+  private def writeIvfPqGen(s: SparkSession, dir: String)(g: String): Unit = {
+    kmCentroids(s, dir); kmFrame(s, dir); rpqCodebooks(s, dir); rpqEncFrame(s, dir)
+    StatsStore.inParallel(Seq(
+      () => writeIvfIndex(s, dir, g),
+      () => writePqIndex(s, dir, g)))
+    ()
   }
 
   /** Product-quantization parameters (Jégou et al., "Product Quantization
@@ -1203,10 +1216,9 @@ object Vectors {
     "q268_ivfpq_index_build" -> { (s, dir) =>
       // full publish (coarse + PQ): generations are immutable once
       // complete, so the PQ layer lands in a fresh generation rather than
-      // mutating the coarse-only one a probe may be pinned to
-      val idx = graft.IndexStore.publish(ivfIndexDir(dir)) { g =>
-        writeIvfIndex(s, dir, g); writePqIndex(s, dir, g)
-      }
+      // mutating the coarse-only one a probe may be pinned to; the two
+      // layers' writes overlap (round 20, guide §2.6)
+      val idx = graft.IndexStore.publish(ivfIndexDir(dir))(writeIvfPqGen(s, dir))
       val cbDf = s.read.parquet(s"$idx/rpq_codebooks")
       val hist = s.read.parquet(s"$idx/rpq_codes")
         .select(expr(
@@ -1383,71 +1395,88 @@ object Vectors {
     // alone — never reading either store.
     "q315_erasure_cascade_stores" -> { (s, dir) =>
       import s.implicits._
-      // ANN leg (build phases metered — VERDICT r16 item 6: the k-means
-      // training is the dominant per-invocation build cost here, beyond
-      // what the publish-layer meter sees)
-      val aroot = StatsStore.scratchRoot("graft_erase_ann")
-      val all = vecs(s, dir)
-      val g1 = graft.LifecycleMeter.time {
-        val cent = graft.operators.KMeans.fit(all, kmInit, KmIters)
-        val p1 = graft.IndexStore.publish(aroot) { g =>
-          // independent tables — overlap (round 19, guide §2.6)
+      // The ANN leg, the stats leg and the raw-events witness aggregate
+      // are INDEPENDENT (different roots, different tables) — run all
+      // three concurrently (round 20, guide §2.6; VERDICT r19 item 8:
+      // q315's remaining 39 warm jobs were two full publishes plus the
+      // stats lifecycle, back to back). Ordering constraints live INSIDE
+      // each leg (gen 1 before the count before gen 2; build 1 before
+      // build 2); the cached pool makes the nested inParallel fan-outs
+      // safe. Values computed are identical to the sequential form.
+      val annF = scala.concurrent.Future {
+        // ANN leg (build phases metered — VERDICT r16 item 6: the k-means
+        // training is the dominant per-invocation build cost here, beyond
+        // what the publish-layer meter sees)
+        val aroot = StatsStore.scratchRoot("graft_erase_ann")
+        val all = vecs(s, dir)
+        val g1 = graft.LifecycleMeter.time {
+          val cent = graft.operators.KMeans.fit(all, kmInit, KmIters)
+          val p1 = graft.IndexStore.publish(aroot) { g =>
+            // independent tables — overlap (round 19, guide §2.6)
+            StatsStore.inParallel(Seq(
+              () => cent.zipWithIndex.map { case (c, i) => (i + 1, c.toSeq) }
+                .toDF("cluster", "cv").coalesce(1).write.parquet(s"$g/centroids"),
+              () => all
+                .withColumn("cluster", graft.operators.KMeans.assignColumn(cent, "v"))
+                .write.partitionBy("cluster").parquet(s"$g/codes")))
+            ()
+          }
+          p1
+        }
+        val g1codes = s.read.parquet(s"$g1/codes")
+        val annBefore = g1codes.count()
+        graft.IndexStore.publish(aroot) { g =>
+          // frozen quantizer: gen 1's centroid table carried VERBATIM;
+          // the carry and the filtered republish are independent — overlap
           StatsStore.inParallel(Seq(
-            () => cent.zipWithIndex.map { case (c, i) => (i + 1, c.toSeq) }
-              .toDF("cluster", "cv").coalesce(1).write.parquet(s"$g/centroids"),
-            () => all
-              .withColumn("cluster", graft.operators.KMeans.assignColumn(cent, "v"))
+            () => s.read.parquet(s"$g1/centroids").coalesce(1)
+              .write.parquet(s"$g/centroids"),
+            () => g1codes.filter(pmod(col("vec_id"), lit(50)) =!= 7)
               .write.partitionBy("cluster").parquet(s"$g/codes")))
           ()
         }
-        p1
-      }
-      val g1codes = s.read.parquet(s"$g1/codes")
-      val annBefore = g1codes.count()
-      graft.IndexStore.publish(aroot) { g =>
-        // frozen quantizer: gen 1's centroid table carried VERBATIM;
-        // the carry and the filtered republish are independent — overlap
-        StatsStore.inParallel(Seq(
-          () => s.read.parquet(s"$g1/centroids").coalesce(1)
-            .write.parquet(s"$g/centroids"),
-          () => g1codes.filter(pmod(col("vec_id"), lit(50)) =!= 7)
-            .write.partitionBy("cluster").parquet(s"$g/codes")))
-        ()
-      }
-      val servedAnn = s.read.parquet(
-        s"${graft.IndexStore.latestPath(aroot).get}/codes")
-      // ONE pass over the served codes for all three scalars (round 19,
-      // guide §1.2: count + residual count + witness sum were three jobs
-      // over the same frame; conditional sums return identical values)
-      val annRow = servedAnn.agg(count(lit(1)).as("n"),
-        coalesce(sum(when(pmod(col("vec_id"), lit(50)) === 7, 1L).otherwise(0L)),
-          lit(0L)).as("resid"),
-        coalesce(sum("vec_id"), lit(0L)).as("w")).head()
-      val annAfter = annRow.getLong(0)
-      val annResidual = annRow.getLong(1)
-      val annWitness = annRow.getLong(2)
-      // stats leg
-      val sroot = StatsStore.scratchRoot("graft_erase_stats")
-      val ev = Tables.events(s, dir)
-      StatsStore.buildTableStats(s, sroot, "events", ev, Seq("user_id"))
-      val surviving = ev.filter(pmod(col("user_id"), lit(50)) =!= 7)
-      StatsStore.buildTableStats(s, sroot, "events", surviving, Seq("user_id"))
-      val statsBefore = s.read.parquet(
-          s"${graft.IndexStore.genPath(sroot, 1L)}/table_rows")
-        .head().getAs[Long]("row_count")
-      val servedGen = graft.plans.StatsCatalog.resolveBase(sroot)
-      val statsAfter = s.read.parquet(s"$servedGen/table_rows")
-        .head().getAs[Long]("row_count")
-      val statsWitness = s.read.parquet(s"$servedGen/column_ndv")
-        .head().getAs[Long]("ndv_est")
+        val servedAnn = s.read.parquet(
+          s"${graft.IndexStore.latestPath(aroot).get}/codes")
+        // ONE pass over the served codes for all three scalars (round 19,
+        // guide §1.2: count + residual count + witness sum were three jobs
+        // over the same frame; conditional sums return identical values)
+        val annRow = servedAnn.agg(count(lit(1)).as("n"),
+          coalesce(sum(when(pmod(col("vec_id"), lit(50)) === 7, 1L).otherwise(0L)),
+            lit(0L)).as("resid"),
+          coalesce(sum("vec_id"), lit(0L)).as("w")).head()
+        (annBefore, annRow.getLong(0), annRow.getLong(1), annRow.getLong(2))
+      }(StatsStore.ioPool)
       // erased + surviving counts in ONE pass over events: the pmod
       // filters partition the non-null user_id rows exactly like the two
       // retired filter().count() jobs (pmod(NULL) is NULL → neither side)
-      val evRow = ev.agg(
-        coalesce(sum(when(pmod(col("user_id"), lit(50)) === 7, 1L).otherwise(0L)),
-          lit(0L)).as("erased"),
-        coalesce(sum(when(pmod(col("user_id"), lit(50)) =!= 7, 1L).otherwise(0L)),
-          lit(0L)).as("surv")).head()
+      val ev = Tables.events(s, dir)
+      val evF = scala.concurrent.Future {
+        ev.agg(
+          coalesce(sum(when(pmod(col("user_id"), lit(50)) === 7, 1L).otherwise(0L)),
+            lit(0L)).as("erased"),
+          coalesce(sum(when(pmod(col("user_id"), lit(50)) =!= 7, 1L).otherwise(0L)),
+            lit(0L)).as("surv")).head()
+      }(StatsStore.ioPool)
+      // stats leg (calling thread)
+      val sroot = StatsStore.scratchRoot("graft_erase_stats")
+      StatsStore.buildTableStats(s, sroot, "events", ev, Seq("user_id"))
+      val surviving = ev.filter(pmod(col("user_id"), lit(50)) =!= 7)
+      StatsStore.buildTableStats(s, sroot, "events", surviving, Seq("user_id"))
+      val servedGen = graft.plans.StatsCatalog.resolveBase(sroot)
+      // three independent single-row store reads — overlap them
+      val statsReads = StatsStore.inParallel(Seq(
+        () => s.read.parquet(s"${graft.IndexStore.genPath(sroot, 1L)}/table_rows")
+          .head().getAs[Long]("row_count"),
+        () => s.read.parquet(s"$servedGen/table_rows")
+          .head().getAs[Long]("row_count"),
+        () => s.read.parquet(s"$servedGen/column_ndv")
+          .head().getAs[Long]("ndv_est")))
+      val (statsBefore, statsAfter, statsWitness) =
+        (statsReads(0), statsReads(1), statsReads(2))
+      val (annBefore, annAfter, annResidual, annWitness) =
+        scala.concurrent.Await.result(annF, scala.concurrent.duration.Duration.Inf)
+      val evRow =
+        scala.concurrent.Await.result(evF, scala.concurrent.duration.Duration.Inf)
       val statsErased = evRow.getLong(0)
       val statsResidual = statsAfter - evRow.getLong(1)
       Seq(
